@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 gate: run each oracle SQL in DuckDB
+over the same parquet tables and diff against the Spark parquet dumps
+written by graft.Verify. Mimics the driver: sort columns by name, sort
+rows, compare values exactly.
+
+Usage: python3 scripts/local_check.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
+    return df
+
+
+def cell_eq(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b  # exact: the engine must be bit-identical
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(cell_eq(x, y) for x, y in zip(a, b))
+    try:
+        if a != a and b != b:  # NaN-ish
+            return True
+    except Exception:
+        pass
+    return a == b
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).fetchdf()
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: load/exec error: {e}")
+            n_fail += 1
+            continue
+        g, w = canon(got), canon(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            n_fail += 1
+            continue
+        bad = None
+        for col in g.columns:
+            gv, wv = list(g[col]), list(w[col])
+            for i, (a, b) in enumerate(zip(gv, wv)):
+                if not cell_eq(a, b):
+                    bad = (col, i, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            col, i, a, b = bad
+            print(f"FAIL {name}: col={col} row={i} spark={a!r} oracle={b!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def registry: Seq[graft.queries.Q] = CoreQueries.all
+  private def registry: Seq[graft.queries.Q] =
+    CoreQueries.all :+ graft.queries.ReferencePipeline.query
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

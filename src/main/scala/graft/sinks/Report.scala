@@ -1,0 +1,106 @@
+package graft.sinks
+
+/** Presentation-layer sinks: markdown rendering, webhook-message
+  * escaping/truncation, and the batched report builders. Driver-side pure
+  * functions (the reference is driver-side here too — SURVEY.md §2.1
+  * S8/S9) — query plans stay distributed, only final report rows pass
+  * through these.
+  */
+object Report {
+
+  /** CSV lines → GFM markdown table (StreamTest.cpp:91-111: header row,
+    * `---` separator sized by comma count, then body rows). */
+  def csvLinesToMarkdown(lines: Seq[String]): String = {
+    if (lines.isEmpty) return ""
+    val sb = new StringBuilder
+    sb.append('|').append(lines.head).append("|\n")
+    val colCount = lines.head.count(_ == ',') + 1
+    sb.append('|')
+    (0 until colCount).foreach(_ => sb.append("---|"))
+    sb.append('\n')
+    lines.tail.foreach(l => sb.append('|').append(l).append("|\n"))
+    sb.toString
+  }
+
+  /** Maximum webhook message size and the trim point
+    * (HttpServer.cpp:126-129). */
+  val MaxMessageChars = 18000
+  val TrimTo = 17900
+  val TruncationSuffix = "...(truncated)"
+
+  /** Escape + truncate exactly like the reference's webhook sender
+    * (HttpServer.cpp:108-129): escape backslash then quote, newline →
+    * \n, strip carriage returns; messages over 18,000 chars are cut at
+    * 17,900 plus a truncation marker. */
+  def safeMessage(message: String): String = {
+    val escaped = message
+      .replace("\\", "\\\\")
+      .replace("\"", "\\\"")
+      .replace("\n", "\\n")
+      .replace("\r", "")
+    if (escaped.length > MaxMessageChars) escaped.substring(0, TrimTo) + TruncationSuffix
+    else escaped
+  }
+
+  /** The webhook JSON envelope (HttpServer.cpp:133-138). */
+  def messageJson(message: String): String =
+    s"""{"msg_type":"text","content":{"text":"${safeMessage(message)}"}}"""
+
+  /** Batched weak-program report (StreamTest.cpp:495-545): date header,
+    * first batch carries the total, each batch a "(batch i/n)" line. */
+  def programReport(date: String, programs: Seq[String], batchSize: Int = 30): Seq[String] = {
+    if (programs.isEmpty)
+      return Seq(s"============== $date =====================\n" +
+        "no qualifying programs (all sources score > 60)\n" +
+        "============================================")
+    val batches = programs.grouped(batchSize).toSeq
+    batches.zipWithIndex.map { case (batch, i) =>
+      val sb = new StringBuilder
+      sb.append(s"============== $date =====================\n")
+      if (i == 0)
+        sb.append(s"detected ${programs.size} programs where every source scores below 60:\n")
+      sb.append(s"(batch ${i + 1}/${batches.size})\n")
+      batch.foreach(p => sb.append(s"program: $p — all sources below 60\n"))
+      sb.append("============================================")
+      sb.toString
+    }
+  }
+
+  /** One vendor histogram row (count + pct per bucket). */
+  final case class VendorStat(
+      vendor: String, countLt60: Int, count6080: Int, count80100: Int, total: Int) {
+    def pctLt60: Double = if (total == 0) 0.0 else countLt60 * 100.0 / total
+    def pct6080: Double = if (total == 0) 0.0 else count6080 * 100.0 / total
+    def pct80100: Double = if (total == 0) 0.0 else count80100 * 100.0 / total
+  }
+
+  /** Batched vendor report, 2 vendors per message (StreamTest.cpp:560-607). */
+  def vendorReport(date: String, stats: Seq[VendorStat], batchSize: Int = 2): Seq[String] = {
+    val batches = stats.grouped(batchSize).toSeq
+    batches.zipWithIndex.map { case (batch, i) =>
+      val sb = new StringBuilder
+      sb.append(s"============== $date (batch ${i + 1}/${batches.size}) =====================\n")
+      batch.foreach { s =>
+        sb.append(s"${s.vendor} flow-quality stats:\n")
+        sb.append(s"  <60: ${s.countLt60} (${s.pctLt60}%)\n")
+        sb.append(s"  60~80: ${s.count6080} (${s.pct6080}%)\n")
+        sb.append(s"  80~100: ${s.count80100} (${s.pct80100}%)\n")
+        sb.append(s"  total: ${s.total}\n")
+      }
+      sb.append("============================================")
+      sb.toString
+    }
+  }
+
+  /** Pluggable message sink (reference: Lark webhook POST,
+    * HttpServer.cpp:101-177; real HTTP is external I/O, injected). */
+  trait MessageSink {
+    def send(message: String): Boolean
+  }
+
+  /** Collects messages in memory — the test double. */
+  final class CollectingSink extends MessageSink {
+    val sent = scala.collection.mutable.ArrayBuffer.empty[String]
+    def send(message: String): Boolean = { sent += messageJson(message); true }
+  }
+}

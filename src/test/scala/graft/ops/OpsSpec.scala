@@ -1,0 +1,214 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.model.{ErrorCode, ResolutionDim}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the reference-semantics operators (SURVEY.md §5.2):
+  * score truncation/clamp edges, "0x0" override, resolution fallback,
+  * FHD/HD match-miss keeping the old id, bucket boundaries.
+  */
+class FlowScoreSpec extends SparkSpec {
+  test("score truncates like C++ (int) and clamps at 0 — StreamTest.cpp:987-996") {
+    assert(FlowScore.score(3, 1) === 66)   // 66.67 truncated, not rounded
+    assert(FlowScore.score(3, 0) === 100)
+    assert(FlowScore.score(3, 3) === 0)
+    assert(FlowScore.score(0, 0) === 0)    // no detections → 0
+    assert(FlowScore.score(0, 5) === 0)
+    assert(FlowScore.score(7, 2) === 71)   // 71.43 → 71
+  }
+
+  test("column twin matches the Scala twin on a grid") {
+    import spark.implicits._
+    val grid = for (d <- 0 to 10; e <- 0 to 12) yield (d, e)
+    val df = grid.toDF("det", "err")
+      .withColumn("s", FlowScore.score(col("det"), col("err")))
+    val got = df.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getInt(2))).toMap
+    grid.foreach { case (d, e) =>
+      assert(got((d, e)) === FlowScore.score(d, e), s"det=$d err=$e")
+    }
+  }
+}
+
+class RollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: String, seq: Long, item: Int, res: String, proto: String = "") =
+    (id, seq, item, res, proto)
+
+  private def roll(rows: Seq[(String, Long, Int, String, String)]) = {
+    val df = rows
+      .toDF("url_id", "seq", "item", "video_resolution", "streaming_protocol")
+      .withColumn("flow_address", lit(""))
+      .withColumn("target_matching", lit(""))
+      .withColumn("target_matching_id", lit(""))
+      .withColumn("bitrate", lit(""))
+      .withColumn("stream_length", lit(""))
+      .withColumn("video_format", lit(""))
+      .withColumn("audio_format", lit(""))
+      .withColumn("audio_sampling_rate", lit(""))
+    DetectionRollup.rollup(df, col("seq"))
+  }
+
+  test("first non-empty in arrival order — StreamTest.cpp:847-901") {
+    val out = roll(Seq(
+      ev("s1", 1, 0, "", ""),
+      ev("s1", 2, 0, "", "hls"),
+      ev("s1", 3, 0, "", "flv"))).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("streaming_protocol") === "hls")
+  }
+
+  test("0x0 placeholder is overwritten by the next value — StreamTest.cpp:903-910") {
+    val a = roll(Seq(ev("s", 1, 0, "0x0"), ev("s", 2, 0, "1920x1080"))).collect().head
+    assert(a.getAs[String]("video_resolution") === "1920x1080")
+    // placeholder then empty then real: reference ends at the real value
+    val b = roll(Seq(ev("s", 1, 0, "0x0"), ev("s", 2, 0, ""), ev("s", 3, 0, "640x360")))
+      .collect().head
+    assert(b.getAs[String]("video_resolution") === "640x360")
+    // nothing but placeholders/empties: last value wins
+    val c = roll(Seq(ev("s", 1, 0, "0x0"), ev("s", 2, 0, ""))).collect().head
+    assert(c.getAs[String]("video_resolution") === "")
+    val d = roll(Seq(ev("s", 1, 0, ""), ev("s", 2, 0, "0x0"))).collect().head
+    assert(d.getAs[String]("video_resolution") === "0x0")
+    // real value is never overwritten
+    val e = roll(Seq(ev("s", 1, 0, "1280x720"), ev("s", 2, 0, "0x0"))).collect().head
+    assert(e.getAs[String]("video_resolution") === "1280x720")
+  }
+
+  test("16-way pivot + error/detection counts — StreamTest.cpp:912-936") {
+    val rows = ErrorCode.errorCodes.zipWithIndex.map { case (code, i) =>
+      ev("s", i + 10L, code, "")
+    } ++ Seq(ev("s", 1, 0, ""), ev("s", 2, 0, ""))
+    val out = roll(rows).collect().head
+    ErrorCode.counterColumns.foreach { case (_, name) =>
+      assert(out.getAs[Int](name) === 1, name)
+    }
+    assert(out.getAs[Int]("n_error") === 16)
+    assert(out.getAs[Int]("n_detection") === 18)
+  }
+}
+
+class RematchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("resolution classify: exact map, UNKNOWN, CUSTOM — StreamTest.h:181-194") {
+    assert(ResolutionDim.classify("1920x1080") === 17)
+    assert(ResolutionDim.classify("160x120") === 2)
+    assert(ResolutionDim.classify("8192x4320") === 26)
+    assert(ResolutionDim.classify("") === 1)
+    assert(ResolutionDim.classify("0x0") === 1)
+    assert(ResolutionDim.classify("123x456") === 27)
+    // column twin agrees
+    val vals = ResolutionDim.byString.map(_._1) ++ Seq("", "0x0", "999x999")
+    val got = vals.toDF("r")
+      .withColumn("t", ProgramRematch.resolutionType(col("r")))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    vals.foreach(v => assert(got(v) === ResolutionDim.classify(v), v))
+  }
+
+  test("FHD suffix for >=1080p, HD otherwise; miss keeps old id — StreamTest.cpp:998-1023") {
+    val scored = Seq(
+      ("u1", "News", "old1", "1920x1080"),  // FHD match → 11
+      ("u2", "News", "old2", "640x360"),    // HD match → 12
+      ("u3", "Sports", "old3", "1920x1080"),// no "Sports FHD" in dim → keep old3
+      ("u4", "Movies", "old4", "")          // UNKNOWN → HD suffix, no match → old4
+    ).toDF("url_id", "target_matching", "target_matching_id", "video_resolution")
+    val programs = Seq(("11", "News FHD"), ("12", "News HD"), ("13", "Sports HD x"))
+      .toDF("id", "stream_name")
+    val out = ProgramRematch.rematch(scored, programs)
+      .select("url_id", "target_matching_id", "resolution_type", "is_fhd")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(out("u1") === (("11", 17, true)))
+    assert(out("u2") === (("12", 4, false)))
+    assert(out("u3") === (("old3", 17, true)))
+    assert(out("u4") === (("old4", 1, false)))
+  }
+
+  test("unmatched streams surface via left-anti") {
+    val scored = Seq(("u3", "Sports", "old3", "1920x1080"))
+      .toDF("url_id", "target_matching", "target_matching_id", "video_resolution")
+    val programs = Seq(("11", "News FHD")).toDF("id", "stream_name")
+    assert(ProgramRematch.unmatched(scored, programs).count() === 1)
+  }
+}
+
+class VendorStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rules = Seq(
+    VendorStats.VendorRule(Seq("http://a.example:80/"), "Vendor A"),
+    VendorStats.VendorRule(Seq("http://b.example:80/", "http://b2.example:80/"), "Vendor B"))
+
+  test("bucket boundaries 59/60/80/81/100 + filters — StreamTest.cpp:441-464") {
+    val rows = Seq(
+      ("1", "http://a.example:80/s1", "300", 0, "hls", 59),   // lt60
+      ("2", "http://a.example:80/s2", "300", 0, "hls", 60),   // 60-80
+      ("3", "http://a.example:80/s3", "300", 0, "hls", 80),   // 60-80 (inclusive)
+      ("4", "http://a.example:80/s4", "300", 0, "hls", 81),   // 80-100
+      ("5", "http://a.example:80/s5", "300", 0, "hls", 100),  // 80-100
+      ("6", "http://b.example:80/s6", "300", 0, "hls", 10),   // vendor B
+      ("7", "http://b2.example:80/s7", "300", 0, "hls", 90),  // vendor B (2nd prefix)
+      ("8", "http://c.example:80/s8", "300", 0, "hls", 50),   // Other → excluded by IN
+      ("9", "http://a.example:80/s9", "100", 0, "hls", 50),   // id < 237 → filtered
+      ("10", "http://a.example:80/s10", "300", 1, "hls", 50), // is_del → filtered
+      ("11", "http://a.example:80/s11", "300", 0, "XXX", 50)  // stream_type → filtered
+    ).toDF("id", "url", "target_matching_id", "is_del", "stream_type", "flow_score")
+    val out = VendorStats.vendorFlowStats(rows, rules)
+      .collect().map(r => r.getAs[String]("vendor") -> r).toMap
+    val a = out("Vendor A")
+    assert(a.getAs[Int]("count_lt60") === 1)
+    assert(a.getAs[Int]("count_60_80") === 2)
+    assert(a.getAs[Int]("count_80_100") === 2)
+    assert(a.getAs[Int]("total") === 5)
+    assert(a.getAs[Double]("pct_lt60") === 20.0)
+    val b = out("Vendor B")
+    assert(b.getAs[Int]("total") === 2)
+    assert(b.getAs[Double]("pct_60_80") === 0.0)
+    assert(!out.contains("Other"))
+  }
+}
+
+class ProgramHealthSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("HAVING MAX(score)<=60 + semi-join + distinct — StreamTest.cpp:625-638") {
+    val sources = Seq(
+      ("a", "300", 0, "hls", 50), ("b", "300", 0, "hls", 60),  // prog 300: max 60 → weak
+      ("c", "301", 0, "hls", 50), ("d", "301", 0, "hls", 61),  // prog 301: max 61 → healthy
+      ("e", "100", 0, "hls", 10),                               // below floor → excluded
+      ("f", "302", 1, "hls", 10),                               // deleted → excluded
+      ("g", "303", 0, "XXX", 10)                                // XXX → excluded
+    ).toDF("id", "target_matching_id", "is_del", "stream_type", "flow_score")
+    val programs = Seq(("300", "Weak One"), ("301", "Healthy"), ("302", "Gone"))
+      .toDF("id", "stream_name")
+    val got = ProgramHealth.weakPrograms(sources, programs).as[String].collect().toSeq
+    assert(got === Seq("Weak One"))
+  }
+}
+
+class BatchingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rows chunk 30-per-batch with batch ids and counts — StreamTest.cpp:516-531") {
+    val df = (1 to 65).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    val out = Batching.withBatches(df, Seq(col("k")), 30)
+      .select("k", "rn", "batch_id", "batch_rows", "n_batches")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(out.length === 65)
+    val byK = out.map(t => t._1 -> t).toMap
+    assert(byK(1L) === ((1L, 1, 1, 30L, 3)))
+    assert(byK(30L) === ((30L, 30, 1, 30L, 3)))
+    assert(byK(31L) === ((31L, 31, 2, 30L, 3)))
+    assert(byK(65L) === ((65L, 65, 3, 5L, 3)))
+    // every row lands in exactly one batch (ScalaCheck-style invariant)
+    assert(out.map(_._2).toSet === (1 to 65).toSet)
+  }
+
+  test("driver-side chunk covers all rows exactly once") {
+    val chunks = Batching.chunk((1 to 7).toSeq, 3)
+    assert(chunks.map(_.size) === Seq(3, 3, 1))
+    assert(chunks.flatten === (1 to 7).toSeq)
+  }
+}

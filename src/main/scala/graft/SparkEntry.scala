@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[graft.queries.Q] =
-    CoreQueries.all :+ graft.queries.ReferencePipeline.query
+    (CoreQueries.all :+ graft.queries.ReferencePipeline.query) ++
+      graft.queries.ExtQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `binary` payloads with
+  * typed metadata, decoded/feature-extracted in partition-parallel
+  * batches.
+  *
+  * The decode step is a STUB (this container has no image/audio codecs):
+  * `FakeDecoder` derives deterministic pseudo-features from the bytes.
+  * The Spark-side plumbing is real — binary columns, typed schema,
+  * `mapPartitions` batch shape (one decoder instance per partition, like
+  * a real codec/model handle), and column-level metadata extraction that
+  * stays in codegen.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + envelope metadata. */
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Extracted features (what a real image/audio decode would emit). */
+  final case class MediaFeature(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      checksum: Long)
+
+  /** Deterministic stand-in for a real decoder. A production pipeline
+    * would open the codec here; the signature (bytes in, typed features
+    * out) and the per-partition batching are the real contract. */
+  object FakeDecoder {
+    def decode(row: MediaRow): MediaFeature = {
+      val n = row.payload.length
+      var checksum = 0L
+      var i = 0
+      while (i < n) { checksum = checksum * 31 + (row.payload(i) & 0xff); i += 1 }
+      MediaFeature(
+        media_id = row.media_id,
+        kind = row.kind,
+        n_bytes = n,
+        width = 1 + n % 640,
+        height = 1 + n % 480,
+        n_frames = if (row.kind == "video") 1 + n % 30 else 1,
+        checksum = checksum)
+    }
+  }
+
+  /** Partition-parallel decode: one decoder per partition, streaming
+    * through the rows (never materializes a partition in memory). */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real impl: open codec/model handle once per partition here
+      rows.map(FakeDecoder.decode)
+    }
+  }
+
+  /** Build a media table from the documents corpus (UTF-8 payloads) —
+    * exercises the binary-column plumbing on driver testdata. */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Column-only metadata extraction (no decode): payload size, header
+    * prefix, deterministic fake dimensions — stays in codegen. */
+  def metaColumns(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("kind"),
+      length(col("payload")).as("n_bytes"),
+      substring(hex(col("payload")), 1, 8).as("header_hex"),
+      (lit(1) + length(col("payload")) % 640).as("width"),
+      (lit(1) + length(col("payload")) % 480).as("height"),
+      when(col("kind") === "video", lit(1) + length(col("payload")) % 30)
+        .otherwise(1).as("n_frames"))
+}

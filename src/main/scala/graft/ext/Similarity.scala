@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, random-hyperplane LSH
+  * bucketing as the scale path.
+  *
+  * All vector math is double-precision column expressions
+  * (`zip_with` + `aggregate` fold in index order — deterministic and
+  * codegen'd; no UDF). 100 TB posture: brute force is the oracle twin for
+  * small query sets (broadcast the queries, never the corpus); the LSH
+  * path shuffles only (bucket, id) pairs and compares within buckets.
+  */
+object Similarity {
+
+  /** Sequential left-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Embeddings table normalized to `(id, emb array<double>, norm)`. */
+  def withNorm(df: DataFrame, id: Column, emb: Column): DataFrame =
+    df.select(id.as("vec_id"), emb.cast("array<double>").as("emb"))
+      .withColumn("norm", l2Norm(col("emb")))
+
+  /** Exact top-k cosine neighbors for each query vector (queries are
+    * broadcast; ranking on the 6-dp-rounded similarity with id tiebreak
+    * for determinism). */
+  def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("norm").as("qnorm")))
+    val pairs = corpus.join(q, col("vec_id") =!= col("qid"))
+      .withColumn("sim",
+        round(dot(col("qemb"), col("emb")) / (col("qnorm") * col("norm")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** All pairs (a < b) with cosine >= threshold — brute force
+    * (small-data oracle twin of `lshNearDup`). */
+  def nearDupPairs(embs: DataFrame, threshold: Double): DataFrame = {
+    val a = embs.select(col("vec_id").as("a"), col("emb").as("ea"), col("norm").as("na"))
+    val b = embs.select(col("vec_id").as("b"), col("emb").as("eb"), col("norm").as("nb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .where(col("sim") >= threshold)
+      .select("a", "b", "sim")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `tables` tables ×
+    * `planes` planes × `dim` components in [-1, 1). */
+  def hyperplanes(tables: Int, planes: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+    var x = 4242L
+    def next(): Long = {
+      x += -7046029254386353131L
+      var z = x
+      z = (z ^ (z >>> 30)) * -4658895280553007687L
+      z = (z ^ (z >>> 27)) * -7723592293110705685L
+      z ^ (z >>> 31)
+    }
+    Seq.tabulate(tables, planes, dim) { (_, _, _) =>
+      (next() >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+  }
+
+  /** Sign-bucket an embedding table: one row per (vec_id, table, bucket)
+    * where bucket packs the sign bits of the hyperplane projections. */
+  def lshBuckets(embs: DataFrame, planesByTable: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val tableCols = planesByTable.zipWithIndex.map { case (planes, t) =>
+      val bits: Seq[Column] = planes.zipWithIndex.map { case (p, i) =>
+        val plane = typedlit(p)
+        when(dot(col("emb"), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
+    }
+    embs.select(col("vec_id"), col("emb"), col("norm"),
+        explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("emb"), col("norm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Approximate top-k: candidates share an LSH bucket with the query in
+    * at least one table; exact cosine ranks the candidates. */
+  def knnLsh(embs: DataFrame, queryIds: Seq[Long], k: Int,
+      tables: Int = 4, planes: Int = 8): DataFrame = {
+    val dim = 64
+    val hp = hyperplanes(tables, planes, dim)
+    val buckets = lshBuckets(embs, hp)
+    val qb = broadcast(buckets
+      .where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
+      .select(col("tbl"), col("bucket"), col("vec_id").as("qid"),
+        col("emb").as("qemb"), col("norm").as("qnorm")))
+    val cands = buckets.join(qb, Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qemb"), col("qnorm"),
+        col("vec_id"), col("emb"), col("norm"))
+      .distinct()
+    val scored = cands.withColumn("sim",
+      round(dot(col("qemb"), col("emb")) / (col("qnorm") * col("norm")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
+  }
+}

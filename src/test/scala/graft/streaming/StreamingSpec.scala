@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import graft.SparkSpec
+import graft.model.DetectionEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(urlId: String, item: Int, t: String, res: String = "",
+      proto: String = ""): DetectionEvent =
+    DetectionEvent(urlId, s"http://x/$urlId", item, "0", "", proto, "", "",
+      "", res, "", "", Timestamp.valueOf(t), "300", "Prog A")
+
+  test("ST1 ingest: MemoryStream → date-partitioned fact store") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DetectionEvent]
+    val dir = Files.createTempDirectory("graft-fact").toString
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val q = DetectionPipeline.ingest(mem.toDS(), dir, cp)
+    mem.addData(
+      ev("s1", 0, "2024-03-01 10:00:00"),
+      ev("s1", 1001, "2024-03-01 11:00:00"),
+      ev("s2", 0, "2024-03-02 09:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val stored = spark.read.parquet(dir)
+    assert(stored.count() === 3)
+    // date partitioning happened (100 TB pruning posture)
+    assert(stored.select("event_date").distinct().count() === 2)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("event_date=")))
+  }
+
+  test("ST3 day-so-far recompute rolls up only the target day") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DetectionEvent]
+    val dir = Files.createTempDirectory("graft-fact2").toString
+    val cp = Files.createTempDirectory("graft-cp2").toString
+    val q = DetectionPipeline.ingest(mem.toDS(), dir, cp)
+    mem.addData(
+      ev("s1", 0, "2024-03-01 10:00:00", proto = "hls"),
+      ev("s1", 1001, "2024-03-01 11:00:00"),
+      ev("s1", 0, "2024-03-01 23:30:00"),
+      ev("s1", 0, "2024-03-02 01:00:00")) // next day: excluded
+    q.processAllAvailable()
+    q.stop()
+    val out = DetectionPipeline.rollupDaySoFar(spark, dir,
+      java.time.LocalDate.of(2024, 3, 1),
+      Instant.parse("2024-03-01T23:59:59Z")).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Int]("n_detection") === 3)
+    assert(out.head.getAs[Int]("n_error") === 1)
+    assert(out.head.getAs[String]("streaming_protocol") === "hls")
+  }
+
+  test("ST4 incremental windowed daily counts match the recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DetectionEvent]
+    val agg = DetectionPipeline.streamingDailyCounts(mem.toDS())
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("daily_counts").start()
+    mem.addData(
+      ev("s1", 0, "2024-03-01 10:00:00"),
+      ev("s1", 1001, "2024-03-01 12:00:00"),
+      ev("s2", 0, "2024-03-01 13:00:00"),
+      ev("s1", 0, "2024-03-02 10:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("daily_counts")
+      .select(date_format(col("day_start"), "yyyy-MM-dd").as("d"),
+        col("url_id"), col("n_error"), col("n_detection"))
+      .as[(String, String, Int, Int)].collect().toSet
+    assert(rows === Set(
+      ("2024-03-01", "s1", 1, 2),
+      ("2024-03-01", "s2", 0, 1),
+      ("2024-03-02", "s1", 0, 1)))
+  }
+
+  test("isLastLoop: fires only when next wake crosses UTC midnight — StreamTest.cpp:47-70") {
+    def at(s: String) = Instant.parse(s)
+    assert(!DetectionPipeline.isLastLoop(at("2024-03-01T10:00:00Z"), 120))
+    assert(DetectionPipeline.isLastLoop(at("2024-03-01T22:00:00Z"), 120))  // == midnight
+    assert(DetectionPipeline.isLastLoop(at("2024-03-01T23:30:00Z"), 120))
+    assert(!DetectionPipeline.isLastLoop(at("2024-03-01T21:59:59Z"), 120))
+    // exactly once per day at the 120-min cadence starting 00:30
+    val fires = (0 until 12).map(i =>
+      at("2024-03-01T00:30:00Z").plusSeconds(i * 7200L))
+      .count(DetectionPipeline.isLastLoop(_, 120))
+    assert(fires === 1)
+  }
+
+  test("E3 finalize + S6 partial upsert keep non-empty existing fields") {
+    val rollup = Seq(
+      ("s1", "Prog A", "300", "1920x1080", "hls", "", 10, 2),
+      ("s2", "Prog B", "301", "", "", "mp3", 5, 5)
+    ).toDF("url_id", "target_matching", "target_matching_id",
+      "video_resolution", "streaming_protocol", "audio_format", "n_detection", "n_error")
+      .withColumn("bitrate", lit(""))
+      .withColumn("stream_length", lit(""))
+      .withColumn("video_format", lit(""))
+      .withColumn("audio_sampling_rate", lit(""))
+    val programs = Seq(("77", "Prog A FHD")).toDF("id", "stream_name")
+    val finalized = DetectionPipeline.finalizeDay(rollup, programs)
+    val f = finalized.collect().map(r => r.getAs[String]("url_id") -> r).toMap
+    assert(f("s1").getAs[Int]("flow_score") === 80)
+    assert(f("s1").getAs[String]("target_matching_id") === "77") // rematched
+    assert(f("s2").getAs[Int]("flow_score") === 0)   // all errors
+    assert(f("s2").getAs[String]("target_matching_id") === "301") // kept
+
+    val existing = Seq(
+      ("s1", "http://x/s1", "Prog A", 0, "hls", "h264", "640x360", "aac", "44100", "300", 50, 4),
+      ("s3", "http://x/s3", "Prog C", 0, "hls", "", "", "", "", "999", 10, 1)
+    ).toDF("id", "url", "target_matching", "is_del", "stream_type",
+      "video_format", "video_resolution", "audio_format", "audio_sampling_rate",
+      "target_matching_id", "flow_score", "resolution_type")
+    val merged = DetectionPipeline.upsertCatalog(existing, finalized)
+      .collect().map(r => r.getAs[String]("id") -> r).toMap
+    val s1 = merged("s1")
+    assert(s1.getAs[String]("video_resolution") === "1920x1080") // updated
+    assert(s1.getAs[String]("video_format") === "h264")          // empty update → kept
+    assert(s1.getAs[Int]("flow_score") === 80)                   // always written
+    assert(s1.getAs[Int]("resolution_type") === 17)
+    val s3 = merged("s3")
+    assert(s3.getAs[Int]("flow_score") === 10)                   // untouched row
+  }
+}

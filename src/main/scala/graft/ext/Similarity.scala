@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential left-fold dot product of two double arrays. */
+  /** Dot product (native codegen expression; same left-to-right
+    * accumulation as a sequential fold — see [[graft.functions.DotProduct]]). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dot_product(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

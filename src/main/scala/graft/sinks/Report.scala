@@ -92,6 +92,28 @@ object Report {
     }
   }
 
+  /** The reference's 29-column CSV layout for a rollup row
+    * (StreamTest.cpp:1186-1236: 11 metadata + 16 error counters in
+    * report order + total errors + detections), as a header plus a line
+    * builder. Use with `df.write.option("header", true).csv(path)` for
+    * the distributed sink (S7) or `csvLinesToMarkdown` for S9. */
+  val RollupCsvColumns: Seq[String] =
+    Seq("url_id", "target_matching_id", "target_matching", "flow_address",
+      "streaming_protocol", "bitrate", "stream_length", "video_format",
+      "video_resolution", "audio_format", "audio_sampling_rate") ++
+      graft.model.ErrorCode.counterColumns.map(_._2) ++
+      Seq("n_error", "n_detection")
+
+  /** Project a rollup DataFrame into the reference's CSV column order. */
+  def rollupCsv(rollup: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    rollup.select(RollupCsvColumns.map(org.apache.spark.sql.functions.col): _*)
+
+  /** Write the rollup as CSV with header (S7; the timestamped-filename
+    * convention of StreamTest.cpp:1262 is the caller's path choice). */
+  def writeRollupCsv(rollup: org.apache.spark.sql.DataFrame, path: String): Unit =
+    rollupCsv(rollup).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+
   /** Pluggable message sink (reference: Lark webhook POST,
     * HttpServer.cpp:101-177; real HTTP is external I/O, injected). */
   trait MessageSink {

@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.PolyHash
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  test("poly_hash and dot_product are callable from SQL") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        "SELECT poly_hash('hello') AS h, dot_product(array(1d,2d), array(3d,4d)) AS d")
+        .collect().head
+      assert(r.getLong(0) === PolyHash.hash("hello"))
+      assert(r.getDouble(1) === 11.0)
+    } finally spark.stop()
+  }
+}
+
+class RollupCsvSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("rollup CSV has the reference's 29-column layout — StreamTest.cpp:1186-1236") {
+    assert(graft.sinks.Report.RollupCsvColumns.length === 29)
+  }
+
+  test("writeRollupCsv round-trips through the csv sink") {
+    import spark.implicits._
+    val df = Seq(("s1", 1L, 1001, "0x0", "hls"), ("s1", 2L, 0, "1920x1080", ""))
+      .toDF("url_id", "seq", "item", "video_resolution", "streaming_protocol")
+      .withColumn("flow_address", lit("http://x"))
+      .withColumn("target_matching", lit("Prog A"))
+      .withColumn("target_matching_id", lit("300"))
+      .withColumn("bitrate", lit(""))
+      .withColumn("stream_length", lit(""))
+      .withColumn("video_format", lit(""))
+      .withColumn("audio_format", lit(""))
+      .withColumn("audio_sampling_rate", lit(""))
+    val rollup = graft.ops.DetectionRollup.rollup(df, col("seq"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    graft.sinks.Report.writeRollupCsv(rollup, dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.columns.toSeq === graft.sinks.Report.RollupCsvColumns)
+    val row = back.collect().head
+    assert(row.getAs[String]("video_resolution") === "1920x1080")
+    assert(row.getAs[String]("n_open_input") === "1")
+    assert(row.getAs[String]("n_detection") === "2")
+  }
+}

@@ -12,6 +12,19 @@ import org.apache.spark.sql.SparkSessionExtensions
   * spark.sql("SELECT poly_hash(text), dot_product(a, b) FROM t")
   * }}}
   */
+object GraftExtensions {
+  /** Register the functions on an already-running session (builder-time
+    * `withExtensions` is ignored by `getOrCreate` when a session exists). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("poly_hash",
+      exprs => PolyHash(exprs.head, PolyHash.DefaultBase, PolyHash.DefaultMod),
+      "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(

@@ -188,13 +188,13 @@ object CoreQueries {
       |  SELECT o_custkey FROM orders
       |  WHERE o_custkey >= 237
       |  GROUP BY o_custkey
-      |  HAVING MAX(o_totalprice) <= 120000)
+      |  HAVING MAX(o_totalprice) <= 250000)
       |ORDER BY c_name, n_name""".stripMargin) { (s, dir) =>
     val weak = Tables.orders(s, dir)
       .where(col("o_custkey") >= 237)
       .groupBy(col("o_custkey"))
       .agg(max(col("o_totalprice")).as("max_price"))
-      .where(col("max_price") <= 120000)
+      .where(col("max_price") <= 250000)
       .select(col("o_custkey").as("c_custkey"))
     Tables.customer(s, dir)
       .join(broadcast(Tables.nation(s, dir)),

@@ -4,23 +4,14 @@ import graft.functions.PolyHash
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-class GraftExtensionsSpec extends AnyFunSuite {
+class GraftExtensionsSpec extends SparkSpec {
   test("poly_hash and dot_product are callable from SQL") {
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    try {
-      val r = spark.sql(
-        "SELECT poly_hash('hello') AS h, dot_product(array(1d,2d), array(3d,4d)) AS d")
-        .collect().head
-      assert(r.getLong(0) === PolyHash.hash("hello"))
-      assert(r.getDouble(1) === 11.0)
-    } finally spark.stop()
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT poly_hash('hello') AS h, dot_product(array(1d,2d), array(3d,4d)) AS d")
+      .collect().head
+    assert(r.getLong(0) === PolyHash.hash("hello"))
+    assert(r.getDouble(1) === 11.0)
   }
 }
 

@@ -212,3 +212,29 @@ class BatchingSpec extends SparkSpec {
     assert(chunks.flatten === (1 to 7).toSeq)
   }
 }
+
+class ErrorMessagesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.model.ErrorCode
+
+  test("typedlit map lookup resolves every code; unknown coalesces — StreamTest.h:59-77") {
+    val codes = (ErrorCode.messages.keys.toSeq :+ 9999).toDF("item")
+    val got = ErrorMessages.withErrorMessage(codes)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    ErrorCode.messages.foreach { case (c, m) => assert(got(c) === m, c) }
+    assert(got(9999) === "unknown error")
+  }
+
+  test("F5: from_json MapType round-trip with map_keys/map_values") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val df = Seq("""{"k": 12, "v": "x"}""").toDF("props")
+      .withColumn("m", from_json(col("props"), MapType(StringType, StringType)))
+    val r = df.select(
+      map_keys(col("m")).as("ks"), map_values(col("m")).as("vs"),
+      to_json(col("m")).as("re")).collect().head
+    assert(r.getSeq[String](0) === Seq("k", "v"))
+    assert(r.getSeq[String](1) === Seq("12", "x"))
+    assert(r.getString(2) === """{"k":"12","v":"x"}""")
+  }
+}

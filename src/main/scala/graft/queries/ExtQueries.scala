@@ -231,5 +231,30 @@ object ExtQueries {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12)
+  // x13 — set operations (SURVEY §2.6: none in the reference; Spark
+  // builtins exercised under the oracle gate for completeness)
+  val x13 = Q(
+    "x13_set_ops",
+    """(SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+      | INTERSECT
+      | SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000)
+      |UNION
+      |(SELECT c_custkey AS k FROM customer WHERE c_acctbal < -900
+      | EXCEPT
+      | SELECT o_custkey AS k FROM orders)
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val ords = Tables.orders(s, dir)
+    val rich = cust.where(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+    val big = ords.where(col("o_totalprice") > 100000).select(col("o_custkey").as("k"))
+    val poor = cust.where(col("c_acctbal") < -900).select(col("c_custkey").as("k"))
+    val anyOrder = ords.select(col("o_custkey").as("k"))
+    rich.intersect(big)
+      .union(poor.except(anyOrder))
+      .distinct()
+      .orderBy("k")
+  }
+
+  val all: Seq[Q] =
+    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13)
 }

@@ -129,3 +129,17 @@ class MultimodalSpec extends SparkSpec {
     feats.foreach(f => assert(meta(f.media_id) === f.width))
   }
 }
+
+class ApproxDistinctSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("approx_count_distinct within 5% of exact on events.user_id (beyond-reference)") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val r = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).collect().head
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+}

@@ -129,3 +129,21 @@ class StreamingSpec extends SparkSpec {
     assert(s3.getAs[Int]("flow_score") === 10)                   // untouched row
   }
 }
+
+class SessionWindowSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("ST8: session_window groups events within the gap (beyond-reference)") {
+    val df = Seq(
+      ("u1", "2024-03-01 10:00:00"), ("u1", "2024-03-01 10:03:00"), // one session
+      ("u1", "2024-03-01 11:00:00"),                                 // new session
+      ("u2", "2024-03-01 10:00:00")
+    ).toDF("user", "ts_s").withColumn("ts", col("ts_s").cast("timestamp"))
+    val sessions = df.groupBy(session_window(col("ts"), "5 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), col("n"))
+      .as[(String, Long)].collect().toSet
+    assert(sessions === Set(("u1", 2L), ("u1", 1L), ("u2", 1L)))
+  }
+}

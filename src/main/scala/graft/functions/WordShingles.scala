@@ -1,0 +1,63 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles of a text column.
+  *
+  * Semantically identical to the composed form
+  * `array_distinct(transform(sequence(...), i -> concat_ws(" ", toks[i],
+  * ...)))` — whitespace-split of the trimmed text, n-grams joined with a
+  * single space, first-occurrence-distinct, whole trimmed text as the
+  * single shingle for docs shorter than n words — but ~40× cheaper:
+  * higher-order lambdas evaluate interpreted per element, while this is
+  * one JVM pass per row (plain split + sliding window + LinkedHashSet).
+  * `CodegenFallback` is fine here: the row-level work dominates, not the
+  * call overhead.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.trim
+    val toks = if (text.isEmpty) Array.empty[String] else text.split("\\s+")
+    val out = new mutable.LinkedHashSet[String]
+    if (toks.length >= n) {
+      var i = 0
+      val sb = new java.lang.StringBuilder
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out += sb.toString
+        i += 1
+      }
+    } else {
+      out += text
+    }
+    new GenericArrayData(out.iterator.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def word_shingles(text: Column, n: Int): Column =
+    GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(text), n))
+}

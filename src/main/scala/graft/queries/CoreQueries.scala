@@ -285,7 +285,7 @@ object CoreQueries {
     """SELECT doc_id,
       |       lang || ':' || source AS tag,
       |       replace(substr(text, 1, 50), ' ', '_') AS head_snake,
-      |       length(text) AS n_chars,
+      |       CAST(length(text) AS INT) AS n_chars,
       |       upper(lang) AS lang_up,
       |       CASE WHEN length(text) > 200 THEN substr(text, 1, 200) || '...'
       |            ELSE text END AS truncated

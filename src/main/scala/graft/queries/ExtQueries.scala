@@ -52,7 +52,7 @@ object ExtQueries {
   val x3 = Q(
     "x3_text_quality",
     s"""WITH t AS (
-      |  SELECT doc_id, length(text) AS n_chars,
+      |  SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
       |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
       |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_ws,
       |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopSql))) AS INT) AS n_stop,
@@ -255,6 +255,27 @@ object ExtQueries {
       .orderBy("k")
   }
 
+  // x14 — hierarchical subtotals via GROUP BY ROLLUP (Catalyst grouping
+  // sets; beyond-reference, free per SURVEY §2.4 note). NULLS FIRST
+  // ordering aligns Spark's asc default with DuckDB's NULLS LAST default.
+  val x14 = Q(
+    "x14_rollup_subtotals",
+    """SELECT l_returnflag, l_linestatus,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18, 4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+    (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
   val all: Seq[Q] =
-    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13)
+    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14)
 }

@@ -276,6 +276,37 @@ object ExtQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  // x15 — as-of join: each error event picks up the latest preceding (or
+  // simultaneous) click of the same user (beyond-reference; the union +
+  // carry-forward window pattern, one shuffle — ops/AsofJoin)
+  val x15 = Q(
+    "x15_asof_join",
+    """WITH u AS (
+      |  SELECT user_id AS k, ts AS t, event_id AS id, 1 AS side,
+      |         CAST(NULL AS BIGINT) AS rid
+      |  FROM events WHERE event_type = 'error'
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, 0, event_id
+      |  FROM events WHERE event_type = 'click'),
+      |c AS (
+      |  SELECT id, side,
+      |         last_value(rid IGNORE NULLS) OVER (
+      |           PARTITION BY k ORDER BY t, side, id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_event_id
+      |  FROM u)
+      |SELECT e.event_id, e.user_id, e.ts, c.asof_event_id
+      |FROM events e JOIN c ON e.event_id = c.id AND c.side = 1
+      |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val errors = ev.where(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    graft.ops.AsofJoin.asof(errors, clicks, key = "user_id",
+      leftTime = "ts", rightTime = "ts", leftId = "event_id", rightId = "event_id")
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] =
-    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14)
+    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15)
 }

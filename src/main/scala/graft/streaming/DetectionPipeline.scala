@@ -84,6 +84,33 @@ object DetectionPipeline {
       .select(col("window.start").as("day_start"), col("url_id"),
         col("n_error"), col("n_detection"))
 
+  // ---- ST6: incremental per-stream state (alternative to recompute) ----
+
+  /** Running (errors, detections) per stream via `mapGroupsWithState` —
+    * the explicit-state alternative the reference rebuilds from scratch
+    * each cycle (SURVEY ST6: stateless recompute is the default; this is
+    * the incremental option for when re-reading the day is too costly).
+    * State is a pair of counters per url_id; each micro-batch folds its
+    * events into the state and emits the running totals. */
+  def statefulRunningCounts(events: Dataset[DetectionEvent])
+      : Dataset[(String, Int, Int)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    events.groupByKey(_.url_id)
+      .mapGroupsWithState[(Int, Int), (String, Int, Int)] {
+        (urlId: String, batch: Iterator[DetectionEvent], state: GroupState[(Int, Int)]) =>
+          val (e0, d0) = state.getOption.getOrElse((0, 0))
+          var e = e0
+          var d = d0
+          batch.foreach { ev =>
+            if (ev.item != 0) e += 1
+            d += 1
+          }
+          state.update((e, d))
+          (urlId, e, d)
+      }
+  }
+
   // ---- E3: daily finalization ----
 
   /** The reference's pre-midnight gate (StreamTest.cpp:47-70): true when

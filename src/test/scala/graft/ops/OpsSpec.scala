@@ -238,3 +238,41 @@ class ErrorMessagesSpec extends SparkSpec {
     assert(r.getString(2) === """{"k":"12","v":"x"}""")
   }
 }
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of picks the latest right row at or before the left time") {
+    val left = Seq((1L, "u", "2024-01-01 10:00:00"), (2L, "u", "2024-01-01 12:00:00"),
+      (3L, "u", "2024-01-01 08:00:00"), (4L, "v", "2024-01-01 10:00:00"))
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val right = Seq((10L, "u", "2024-01-01 09:00:00"), (11L, "u", "2024-01-01 10:00:00"),
+      (12L, "u", "2024-01-01 11:00:00"), (13L, "w", "2024-01-01 01:00:00"))
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val got = AsofJoin.asof(left, right, "user_id", "ts", "ts", "event_id", "event_id")
+      .select("event_id", "asof_event_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got(1L) === 11L)  // simultaneous right row IS visible (<=)
+    assert(got(2L) === 12L)  // latest before noon
+    assert(got(3L) === -1L)  // nothing before 08:00
+    assert(got(4L) === -1L)  // no rows for that user
+  }
+}
+
+class SaltingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows") {
+    val large = (1 to 500).map(i => (i.toLong, if (i % 10 == 0) "hot" else s"k$i"))
+      .toDF("id", "key")
+    val small = Seq(("hot", "H"), ("k7", "A"), ("k13", "B")).toDF("key", "v")
+    val plain = large.join(small, Seq("key")).select("id", "v")
+      .as[(Long, String)].collect().toSet
+    val salted = Salting.saltedJoin(large, small, "key", "id", 8)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(salted === plain)
+    assert(salted.size === 52) // 50 hot + k7 + k13
+  }
+}

@@ -147,3 +147,32 @@ class SessionWindowSpec extends graft.SparkSpec {
     assert(sessions === Set(("u1", 2L), ("u1", 1L), ("u2", 1L)))
   }
 }
+
+class StatefulCountsSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import java.sql.Timestamp
+
+  private def ev(urlId: String, item: Int, t: String) =
+    graft.model.DetectionEvent(urlId, s"http://x/$urlId", item, "0", "", "", "", "",
+      "", "", "", "", Timestamp.valueOf(t), "300", "Prog A")
+
+  test("ST6: mapGroupsWithState carries counters across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.model.DetectionEvent]
+    val q = DetectionPipeline.statefulRunningCounts(mem.toDS())
+      .toDF("url_id", "n_error", "n_detection")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("running_counts").start()
+    mem.addData(ev("s1", 0, "2024-03-01 10:00:00"), ev("s1", 1001, "2024-03-01 10:01:00"))
+    q.processAllAvailable()
+    mem.addData(ev("s1", 1002, "2024-03-01 10:02:00"), ev("s2", 0, "2024-03-01 10:03:00"))
+    q.processAllAvailable()
+    q.stop()
+    // update mode: take the LAST emission per stream
+    val rows = spark.table("running_counts").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    val last = rows.zipWithIndex.groupBy(_._1._1).map { case (k, v) => v.maxBy(_._2)._1 }
+    assert(last.toSet === Set(("s1", 2, 3), ("s2", 0, 1)))
+  }
+}

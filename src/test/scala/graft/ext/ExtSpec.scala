@@ -143,3 +143,27 @@ class ApproxDistinctSpec extends graft.SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 }
+
+case class FneEvent(user_id: Long, event_id: Long, props: String)
+
+class FirstNonEmptyAggSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("typed Aggregator agrees with the min_by form on events (SURVEY §7.3)") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), col("props"))
+    // builtin path (what the query layer uses)
+    val builtin = ev.groupBy(col("user_id"))
+      .agg(min_by(col("props"), when(length(col("props")) > 0, col("event_id")))
+        .as("first_props"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // typed Aggregator path
+    val typedAgg = ev.as[FneEvent].groupByKey(_.user_id)
+      .agg(graft.functions.FirstNonEmptyAgg.column[FneEvent](_.event_id, _.props)
+        .name("first_props"))
+      .collect().toMap
+    assert(typedAgg === builtin)
+    assert(builtin.nonEmpty)
+  }
+}

@@ -307,6 +307,51 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  // x16 — top-k per group via ranking window (training-pipeline staple;
+  // no ranking windows exist in the reference — SURVEY §2.5 note)
+  val x16 = Q(
+    "x16_topk_per_group",
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         CAST(ROW_NUMBER() OVER (
+      |           PARTITION BY o_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+      |  FROM orders)
+      |SELECT r.o_custkey, r.o_orderkey, r.o_totalprice, r.rk, c.c_name
+      |FROM r JOIN customer c ON r.o_custkey = c.c_custkey
+      |WHERE r.rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk", "c_name")
+      .orderBy("o_custkey", "rk")
+  }
+
+  // x17 — exact interpolated percentiles (median + p95) per group
+  val x17 = Q(
+    "x17_percentiles",
+    """SELECT o_orderstatus,
+      |       quantile_cont(o_totalprice, 0.5) AS p50,
+      |       quantile_cont(o_totalprice, 0.95) AS p95
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.95)).as("p95"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[Q] =
-    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15)
+    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
+      x16, x17)
 }

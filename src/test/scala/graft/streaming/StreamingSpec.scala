@@ -176,3 +176,32 @@ class StatefulCountsSpec extends graft.SparkSpec {
     assert(last.toSet === Set(("s1", 2, 3), ("s2", 0, 1)))
   }
 }
+
+class StreamingDedupSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import java.sql.Timestamp
+
+  private def ev(id: String, item: Int, t: String) =
+    graft.model.DetectionEvent(id, s"http://x/$id", item, "0", "", "", "", "",
+      "", "", "", "", Timestamp.valueOf(t), "300", "Prog A")
+
+  test("streaming exact dedup: dropDuplicates with watermark suppresses replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.model.DetectionEvent]
+    val deduped = mem.toDS().toDF()
+      .withWatermark("created_time", "1 hour")
+      .dropDuplicates("url_id", "created_time")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("deduped_events").start()
+    mem.addData(
+      ev("s1", 0, "2024-03-01 10:00:00"),
+      ev("s1", 0, "2024-03-01 10:00:00"),   // same-batch duplicate
+      ev("s2", 0, "2024-03-01 10:05:00"))
+    q.processAllAvailable()
+    mem.addData(ev("s1", 0, "2024-03-01 10:00:00")) // cross-batch replay
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("deduped_events").count() === 2)
+  }
+}

@@ -351,7 +351,25 @@ object ExtQueries {
       .orderBy("o_orderstatus")
   }
 
+  // x18 — corpus token frequency: generator (explode) + agg + top-k LIMIT
+  // (the UDTF-shaped surface SURVEY §2.9 notes the reference lacks)
+  val x18 = Q(
+    "x18_token_freq",
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |      FROM documents)
+      |GROUP BY token
+      |ORDER BY n DESC, token
+      |LIMIT 50""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
-      x16, x17)
+      x16, x17, x18)
 }

@@ -36,7 +36,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces for the driver's parser: a bench.json file next to
+    // the repo entry AND the bare JSON as the final stdout line.
+    try {
+      val p = java.nio.file.Paths.get("bench.json")
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
     spark.stop()
+    System.out.flush()
+    println(json)
+    System.out.flush()
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Batching
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -267,14 +268,11 @@ object CoreQueries {
       |       COUNT(*) OVER (PARTITION BY batch_id) AS batch_rows
       |FROM b
       |ORDER BY rn""".stripMargin) { (s, dir) =>
-    val w = Window.orderBy(col("c_custkey"))
-    Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_name"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("batch_id", (floor((col("rn") - 1) / 30.0) + 1).cast("int"))
-      .withColumn("batch_rows",
-        count(lit(1)).over(Window.partitionBy(col("batch_id"))))
+    Batching.withBatches(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+        Seq(col("c_custkey")), 30)
       .select("rn", "batch_id", "c_custkey", "c_name", "batch_rows")
+      .orderBy("rn")
       .orderBy("rn")
   }
 
@@ -318,9 +316,16 @@ object CoreQueries {
     val k = get_json_object(col("props"), "$.k").cast("int")
     Tables.events(s, dir)
       .where(col("event_id") < 2000)
-      .select(col("event_id"), col("user_id"), k.as("k"))
-      .withColumn("re_encoded", to_json(struct(col("k"))))
-      .withColumn("n_keys", lit(1).cast("int"))
+      .select(col("event_id"), col("user_id"), k.as("k"), col("props"))
+      // Oracle builds the envelope by string concat, so a missing/null k
+      // yields NULL (not "{}"); match that instead of bare to_json.
+      .withColumn("re_encoded",
+        when(col("k").isNotNull, to_json(struct(col("k"))))
+          .otherwise(lit(null).cast("string")))
+      // Genuinely iterate the (unknown) key set, as the reference does
+      // (StreamTest.cpp:229-249), rather than assuming a 1-key object.
+      .withColumn("n_keys", size(json_object_keys(col("props"))).cast("int"))
+      .drop("props")
       .orderBy("event_id")
   }
 

@@ -12,6 +12,22 @@ import org.apache.spark.sql.functions._
   * self-join that only shuffles (doc_id, band) pairs — candidate
   * verification touches candidate pairs, never the N² cross product.
   * The brute-force `jaccardPairs` exists as the small-data oracle twin.
+  *
+  * Hot-bucket guards (two, both engine-reproducible):
+  *  1. near-dup runs over DISTINCT contents (exact-dedup first): a
+  *     corpus with millions of byte-identical docs would otherwise put
+  *     them all in one (band,hash) bucket → quadratic within the
+  *     bucket. Identical contents are `exactGroups`' job, not LSH's.
+  *  2. any residual bucket larger than `maxBucket` is skipped: with
+  *     `bands` independent bands a true near-dup pair loses only one of
+  *     its `bands` chances, and a bucket that large over distinct
+  *     contents is adversarial, not organic.
+  *
+  * Hashing discipline: every hash that feeds MinHash/SimHash derives
+  * from md5 (both Spark and the DuckDB oracle have bit-identical md5),
+  * combined with a 2-universal `(a·h_lo + b·h_hi + c) mod p` family in
+  * plain 64-bit-safe integer arithmetic — so the full LSH pipeline is
+  * reproducible in ANSI SQL and the driver can oracle-check it.
   */
 object Dedup {
 
@@ -27,6 +43,14 @@ object Dedup {
     val w = Window.partitionBy(md5(text)).orderBy(id)
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
+
+  /** `(doc_id, text)` with one representative (minimum id) per distinct
+    * content — the exact-dedup-first guard in front of the LSH ops. */
+  def distinctContents(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), text.as("text"))
+      .groupBy(md5(col("text")).as("__ch"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      .drop("__ch")
 
   // ---- shingling ----
 
@@ -61,27 +85,65 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  // ---- engine-reproducible hashing ----
+
+  /** 60-bit base hash: the first 15 hex chars of md5, as a BIGINT.
+    * Reproducible anywhere md5 exists (DuckDB:
+    * `('0x' || substring(md5(x),1,15))::BIGINT`); 60 bits keeps every
+    * downstream product inside signed-64 range under ANSI mode. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Modulus of the 2-universal seeded family (31-bit prime). */
+  val HashP: Long = 1000000007L
+
+  /** Deterministic per-seed coefficients (a, b, c) with a,b in [1,p-1],
+    * c in [0,p-1] — splitmix64 from a fixed seed, so the identical table
+    * can be embedded as literals in oracle SQL. */
+  def hashCoeffs(k: Int): Seq[(Long, Long, Long)] = {
+    var x = 1313L
+    def next(): Long = {
+      x += -7046029254386353131L
+      var z = x
+      z = (z ^ (z >>> 30)) * -4658895280553007687L
+      z = (z ^ (z >>> 27)) * -7723592293110705685L
+      z ^ (z >>> 31)
+    }
+    Seq.fill(k)((
+      (next() >>> 11) % (HashP - 1) + 1,
+      (next() >>> 11) % (HashP - 1) + 1,
+      (next() >>> 11) % HashP))
+  }
+
+  /** Seeded hash i of a 60-bit base hash: split into two 30-bit halves,
+    * `(a·lo + b·hi + c) mod p`. All intermediates < 2^61 — ANSI-safe. */
+  private def seededHash(h: Column, abc: (Long, Long, Long)): Column = {
+    val lo = h.bitwiseAND(lit((1L << 30) - 1))
+    val hi = shiftright(h, 30)
+    (lit(abc._1) * lo + lit(abc._2) * hi + lit(abc._3)) % lit(HashP)
+  }
+
   // ---- MinHash + LSH ----
 
   /** MinHash signatures: one row per doc with `numHashes` min-hash
     * columns `mh_0..mh_{k-1}`, computed with a single explode + groupBy
-    * (each min is map-side combinable). The k hash functions are
-    * `xxhash64(i, xxhash64(shingle))` — seeded re-hashing avoids the
-    * 64-bit affine transform that ANSI mode rejects on overflow, and
-    * stays inside whole-stage codegen. */
+    * (each min is map-side combinable). */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
       n: Int, numHashes: Int): DataFrame = {
+    val coeffs = hashCoeffs(numHashes)
     val exploded = df
       .select(id.as("doc_id"), explode(shingles(text, n)).as("sh"))
-      .withColumn("h", xxhash64(col("sh")))
-    val mins = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"mh_$i")
+      .withColumn("h", md5Hash60(col("sh")))
+    val mins = coeffs.zipWithIndex.map { case (abc, i) =>
+      min(seededHash(col("h"), abc)).as(s"mh_$i")
     }
     exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** Near-duplicate pairs via banded LSH over MinHash signatures, then
-    * exact-Jaccard verification of the candidates only.
+    * exact-Jaccard verification of the candidates only. Runs over
+    * distinct contents and skips buckets > `maxBucket` (see the
+    * hot-bucket guards in the object doc).
     *
     * With `numHashes = bands * rowsPerBand`, a pair with Jaccard j is a
     * candidate with probability 1-(1-j^rows)^bands (e.g. 32 bands × 2
@@ -89,25 +151,31 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, id: Column, text: Column,
       n: Int = 3, numHashes: Int = 64, bands: Int = 32,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 1 << 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, id, text, n, numHashes)
-    // band hash = xxhash64 over the band's signature slice
+    require(rows <= 2, "band packing mh0*p+mh1 holds <= 2 rows per band")
+    val docs = distinctContents(df, id, text)
+    val sigs = minhashSignatures(docs, col("doc_id"), col("text"), n, numHashes)
+    // band hash packs the band's mins exactly (each min < p): mh0*p + mh1
     val bandCols = (0 until bands).map { bIdx =>
-      struct(lit(bIdx).as("band"),
-        xxhash64((0 until rows).map(r => col(s"mh_${bIdx * rows + r}")): _*)
-          .as("bh"))
+      val bh = (0 until rows).map(r => col(s"mh_${bIdx * rows + r}"))
+        .reduce((acc, m) => acc * lit(HashP) + m)
+      struct(lit(bIdx).as("band"), bh.as("bh"))
     }
     val banded = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val l = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
-    val r = banded.select(col("band"), col("bh"), col("doc_id").as("b"))
+    val ok = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
+      .select("band", "bh")
+    val guarded = banded.join(ok, Seq("band", "bh"), "left_semi")
+    val l = guarded.select(col("band"), col("bh"), col("doc_id").as("a"))
+    val r = guarded.select(col("band"), col("bh"), col("doc_id").as("b"))
     val candidates = l.join(r, Seq("band", "bh")).where(col("a") < col("b"))
       .select("a", "b").distinct()
     // verify candidates with exact shingle Jaccard
-    val sh = df.select(id.as("doc_id"), shingles(text, n).as("sh"))
+    val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
     candidates
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
@@ -120,37 +188,46 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash per doc: tokens hashed with xxhash64; each bit of the
-    * fingerprint is the sign of the per-bit vote sum. One explode + one
-    * groupBy (64 map-side-combinable sums). */
+  /** 60-bit SimHash per doc: tokens md5-hashed to 60 bits; each bit of
+    * the fingerprint is the sign of the per-bit vote sum. One explode +
+    * one groupBy (60 map-side-combinable sums). */
   def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
     val exploded = df
       .select(id.as("doc_id"), explode(split(trim(text), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { j =>
+      .withColumn("h", md5Hash60(col("tok")))
+    val votes = (0 until 60).map { j =>
       sum(when(getbit(col("h"), lit(j)) === 1, 1).otherwise(-1)).as(s"v_$j")
     }
-    val bits: Seq[Column] = (0 until 64).map { j =>
+    val bits: Seq[Column] = (0 until 60).map { j =>
       when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }
     exploded.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }
 
-  /** Pairs within `maxHamming` of each other, found by 4×16-bit block
-    * LSH (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 blocks equal). */
-  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** Pairs within `maxHamming` of each other, found by 4×15-bit block
+    * LSH (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 blocks equal).
+    * Buckets larger than `maxBucket` are skipped (hot-bucket guard;
+    * compose with `distinctContents` upstream so byte-identical docs
+    * can't flood a block). */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 1 << 16): DataFrame = {
     val blocks = (0 until 4).map { blk =>
       struct(lit(blk).as("blk"),
-        (shiftright(col("simhash"), blk * 16).bitwiseAND(lit(0xFFFFL))).as("key"))
+        (shiftright(col("simhash"), blk * 15).bitwiseAND(lit(0x7FFFL))).as("key"))
     }
     val banded = sigs
       .select(col("doc_id"), col("simhash"), explode(array(blocks: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.blk").as("blk"), col("b.key").as("key"))
-    val l = banded.select(col("blk"), col("key"), col("doc_id").as("a"), col("simhash").as("sa"))
-    val r = banded.select(col("blk"), col("key"), col("doc_id").as("b"), col("simhash").as("sb"))
+    val ok = banded.groupBy("blk", "key")
+      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
+      .select("blk", "key")
+    val guarded = banded.join(ok, Seq("blk", "key"), "left_semi")
+    val l = guarded.select(col("blk"), col("key"), col("doc_id").as("a"), col("simhash").as("sa"))
+    val r = guarded.select(col("blk"), col("key"), col("doc_id").as("b"), col("simhash").as("sb"))
     l.join(r, Seq("blk", "key")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

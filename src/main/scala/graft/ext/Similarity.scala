@@ -87,23 +87,36 @@ object Similarity {
   }
 
   /** Approximate top-k: candidates share an LSH bucket with the query in
-    * at least one table; exact cosine ranks the candidates. */
+    * at least one table; exact cosine ranks the candidates.
+    *
+    * `dim` defaults to the data's own dimensionality (one-row lookup at
+    * plan-build time — NOT a per-row collect); pass it explicitly to
+    * skip that lookup. Candidate dedup happens on bare (qid, vec_id)
+    * ids — the vectors are re-joined afterwards, so the distinct never
+    * shuffles embedding arrays. */
   def knnLsh(embs: DataFrame, queryIds: Seq[Long], k: Int,
-      tables: Int = 4, planes: Int = 8): DataFrame = {
-    val dim = 64
-    val hp = hyperplanes(tables, planes, dim)
+      tables: Int = 4, planes: Int = 8, dim: Int = -1): DataFrame = {
+    val d =
+      if (dim > 0) dim
+      else embs.select(size(col("emb"))).head().getInt(0)
+    val hp = hyperplanes(tables, planes, d)
     val buckets = lshBuckets(embs, hp)
+    val qvecs = broadcast(embs
+      .where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("norm").as("qnorm")))
     val qb = broadcast(buckets
       .where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
-      .select(col("tbl"), col("bucket"), col("vec_id").as("qid"),
-        col("emb").as("qemb"), col("norm").as("qnorm")))
+      .select(col("tbl"), col("bucket"), col("vec_id").as("qid")))
     val cands = buckets.join(qb, Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("qemb"), col("qnorm"),
-        col("vec_id"), col("emb"), col("norm"))
+      .select(col("qid"), col("vec_id"))
       .distinct()
-    val scored = cands.withColumn("sim",
-      round(dot(col("qemb"), col("emb")) / (col("qnorm") * col("norm")), 6))
+    val scored = cands
+      .join(embs, Seq("vec_id"))
+      .join(qvecs, Seq("qid"))
+      .withColumn("sim",
+        round(dot(col("qemb"), col("emb")) / (col("qnorm") * col("norm")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -25,7 +25,9 @@ object ProgramHealth {
       threshold: Int = 60,
       minMatchingId: Int = 237): DataFrame = {
     val weakIds = sources
-      .where(col("target_matching_id").cast("int") >= minMatchingId &&
+      // try_cast matches MySQL's silent coercion of empty/non-numeric ids
+      // (row excluded) instead of ANSI-mode failing the whole job.
+      .where(col("target_matching_id").try_cast("int") >= minMatchingId &&
         col("is_del") === 0 && col("stream_type") =!= "XXX")
       .groupBy(col("target_matching_id"))
       .agg(max(col("flow_score")).as("max_score"))

@@ -35,7 +35,10 @@ object VendorStats {
     def bucket(cond: Column) = sum(when(cond, 1).otherwise(0)).cast("int")
     val fs = col("flow_score")
     sources
-      .where(col("target_matching_id").cast("int") >= minMatchingId &&
+      // try_cast: the reference's MySQL comparison silently coerces
+      // empty/non-numeric ids (which occur upstream) instead of erroring;
+      // a null cast simply excludes the row, matching that behavior.
+      .where(col("target_matching_id").try_cast("int") >= minMatchingId &&
         col("is_del") === 0 && col("stream_type") =!= "XXX")
       .withColumn("vendor", vendorColumn(col("url"), rules))
       .where(col("vendor").isin(labels: _*))

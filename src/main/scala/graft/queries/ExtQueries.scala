@@ -127,18 +127,20 @@ object ExtQueries {
   }
 
   // x6 — exact word-3-gram Jaccard near-dup pairs (oracle twin of x7;
-  // bounded subset: brute-force N² is the small-data baseline)
+  // bounded subset: brute-force N² is the small-data baseline). The ELSE
+  // branch mirrors WordShingles exactly: docs under 3 words contribute
+  // the WHOLE trimmed text as the single shingle.
   val x6 = Q(
     "x6_ngram_jaccard",
     """WITH t AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS w
       |  FROM documents WHERE doc_id < 1500),
       |s AS (
       |  SELECT doc_id,
       |         CASE WHEN len(w) >= 3
       |              THEN list_distinct(list_transform(range(1, len(w) - 1),
       |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-      |              ELSE [trim(w[1])] END AS sh
+      |              ELSE [tt] END AS sh
       |  FROM t)
       |SELECT a.doc_id AS a, b.doc_id AS b,
       |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -153,15 +155,87 @@ object ExtQueries {
       .orderBy("a", "b")
   }
 
-  // x7 — MinHash+LSH near-dup (rows-only; x6 is the exact oracle twin)
-  val x7 = Q.rowsOnly("x7_dedup_minhash") { (s, dir) =>
+  // x7 — MinHash+LSH near-dup, fully oracle-checked: the md5-derived
+  // 60-bit base hash + 2-universal seeded family + exact band packing
+  // reproduce the ENTIRE LSH pipeline (signatures → bands → candidates →
+  // exact-Jaccard verify) in DuckDB SQL, including both hot-bucket guards.
+  private val seedRows = Dedup.hashCoeffs(64).zipWithIndex
+    .map { case ((a, b, c), i) => s"($i, $a, $b, $c)" }
+    .grouped(4).map(_.mkString(", ")).mkString(",\n      |  ")
+  val x7 = Q(
+    "x7_dedup_minhash",
+    s"""WITH seeds(i, a, b, c) AS (VALUES
+      |  $seedRows),
+      |d AS (
+      |  SELECT min(doc_id) AS doc_id, first(text) AS text
+      |  FROM documents GROUP BY md5(text)),
+      |t AS (SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\\s+') AS w FROM d),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE [tt] END AS sh
+      |  FROM t),
+      |u AS (SELECT doc_id, unnest(sh) AS sh1 FROM s),
+      |h AS (SELECT doc_id, ('0x' || substring(md5(sh1), 1, 15))::BIGINT AS h FROM u),
+      |m AS (
+      |  SELECT doc_id, i,
+      |         MIN((a * (h & 1073741823) + b * (h >> 30) + c) % 1000000007) AS mh
+      |  FROM h CROSS JOIN seeds GROUP BY doc_id, i),
+      |bnd AS (
+      |  SELECT doc_id, i // 2 AS band,
+      |         MAX(CASE WHEN i % 2 = 0 THEN mh END) * 1000000007
+      |           + MAX(CASE WHEN i % 2 = 1 THEN mh END) AS bh
+      |  FROM m GROUP BY doc_id, band),
+      |ok AS (SELECT band, bh FROM bnd GROUP BY band, bh HAVING count(*) <= 65536),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      |  FROM bnd l
+      |  JOIN bnd r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+      |  JOIN ok ON ok.band = l.band AND ok.bh = l.bh)
+      |SELECT c.a, c.b,
+      |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+      |         CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+      |FROM cand c JOIN s sa ON sa.doc_id = c.a JOIN s sb ON sb.doc_id = c.b
+      |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.5
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
     Dedup.minhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
       .orderBy("a", "b")
   }
 
-  // x8 — SimHash fingerprints + hamming<=3 pairs (rows-only)
-  val x8 = Q.rowsOnly("x8_dedup_simhash") { (s, dir) =>
-    val sigs = Dedup.simhash(Tables.documents(s, dir), col("doc_id"), col("text"))
+  // x8 — SimHash fingerprints + hamming<=3 pairs, oracle-checked via the
+  // same md5-derived 60-bit token hash (4×15-bit pigeonhole blocks).
+  val x8 = Q(
+    "x8_dedup_simhash",
+    """WITH d AS (
+      |  SELECT min(doc_id) AS doc_id, first(text) AS text
+      |  FROM documents GROUP BY md5(text)),
+      |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM d),
+      |h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+      |v AS (
+      |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) js GROUP BY doc_id, j),
+      |sig AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+      |  FROM v GROUP BY doc_id),
+      |blk AS (
+      |  SELECT doc_id, simhash, b AS blk, (simhash >> (b * 15)) & 32767 AS key
+      |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bs),
+      |ok AS (SELECT blk, key FROM blk GROUP BY blk, key HAVING count(*) <= 65536),
+      |p AS (
+      |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+      |         CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+      |  FROM blk l
+      |  JOIN blk r ON l.blk = r.blk AND l.key = r.key AND l.doc_id < r.doc_id
+      |  JOIN ok ON ok.blk = l.blk AND ok.key = l.key)
+      |SELECT a, b, hamming FROM p WHERE hamming <= 3
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    val docs = Dedup.distinctContents(
+      Tables.documents(s, dir), col("doc_id"), col("text"))
+    val sigs = Dedup.simhash(docs, col("doc_id"), col("text"))
     Dedup.simhashPairs(sigs, maxHamming = 3).orderBy("a", "b")
   }
 
@@ -187,8 +261,39 @@ object ExtQueries {
       .orderBy("qid", "rank")
   }
 
-  // x10 — LSH-bucketed approximate top-5 (rows-only; scale path)
-  val x10 = Q.rowsOnly("x10_knn_lsh") { (s, dir) =>
+  // x10 — LSH-bucketed approximate top-5 (scale path), oracle-checked:
+  // the deterministic hyperplanes are embedded as a literal table, so
+  // DuckDB reproduces bucket assignment (sign of dot product) and the
+  // exact-cosine re-rank of the candidates bit-for-bit.
+  private val planeRows = Similarity.hyperplanes(4, 8, 64).zipWithIndex
+    .flatMap { case (tblPlanes, t) =>
+      tblPlanes.zipWithIndex.map { case (p, i) =>
+        s"($t, $i, [${p.mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(",\n      |  ")
+  val x10 = Q(
+    "x10_knn_lsh",
+    s"""WITH planes(tbl, i, p) AS (VALUES
+      |  $planeRows),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |b AS (
+      |  SELECT e.vec_id, pl.tbl,
+      |         CAST(SUM(CASE WHEN list_dot_product(e.emb, pl.p) >= 0
+      |                       THEN (1::BIGINT << pl.i) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+      |  FROM e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
+      |  FROM b c JOIN b q ON c.tbl = q.tbl AND c.bucket = q.bucket
+      |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |scored AS (
+      |  SELECT cand.qid, cand.vid AS neighbor_id,
+      |         round(list_cosine_similarity(qe.emb, ce.emb), 6) AS sim
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.qid JOIN e ce ON ce.vec_id = cand.vid),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+      |      FROM scored)
+      |SELECT qid, neighbor_id, sim, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
     Similarity.knnLsh(normalizedEmb(s, dir), (0L until 10L).toSeq, k = 5)
       .orderBy("qid", "rank")
   }

@@ -154,7 +154,15 @@ class ProbeMicroBatchStream(options: CaseInsensitiveStringMap)
     ProbeOffset(advanced * batchSize)
   }
 
-  override def deserializeOffset(json: String): Offset = ProbeOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    // Restart recovery: floor the cursor up to any checkpointed offset so
+    // latestOffset() never returns an end behind a committed start (the
+    // MicroBatchStream contract) and maxRounds counts batches across
+    // restarts instead of resetting to zero.
+    advanced = math.max(advanced, (n + batchSize - 1) / batchSize)
+    ProbeOffset(n)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ProbeOffset].n

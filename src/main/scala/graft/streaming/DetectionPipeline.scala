@@ -133,14 +133,12 @@ object DetectionPipeline {
   /** Partial update of the catalog from finalized rollups: non-empty
     * update fields win, empty/null keep the existing value —
     * `resolution_type` and `flow_score` always write
-    * (StreamTest.cpp:151-190). Expressed as a full-outer merge keyed on
-    * `id`, usable both in batch and from `foreachBatch`. */
+    * (StreamTest.cpp:151-190). Expressed as a left-outer update-only
+    * merge keyed on `id` (the reference UPDATE never inserts new ids),
+    * usable both in batch and from `foreachBatch`. */
   def upsertCatalog(existing: DataFrame, updates: DataFrame): DataFrame = {
     val u = updates.select(
       col("url_id").as("id"),
-      col("streaming_protocol").as("u_protocol"),
-      col("bitrate").as("u_bitrate"),
-      col("stream_length").as("u_length"),
       col("video_format").as("u_video_format"),
       col("video_resolution").as("u_video_resolution"),
       col("audio_format").as("u_audio_format"),

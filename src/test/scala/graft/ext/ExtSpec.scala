@@ -56,6 +56,35 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("hot-bucket guard: 10k identical docs don't create a quadratic LSH bucket") {
+    // Without the distinct-contents guard every flood doc lands in the
+    // same (band,hash) bucket in all 32 bands → ~1.6e9 join rows. With
+    // it the flood collapses to one representative and the distinct
+    // near-dup pair is still found.
+    val distinct = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different text with nothing shared at all ok"))
+    val flood = (100L until 10100L)
+      .map(i => (i, "an identical flood document repeated many times verbatim"))
+    val df = (distinct ++ flood).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, col("doc_id"), col("text"))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("LSH bucket cap skips oversized buckets") {
+    val sigs = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 1024L))
+      .toDF("doc_id", "simhash")
+    val uncapped = Dedup.simhashPairs(sigs, maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(uncapped === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // every bucket holding the identical trio exceeds the cap of 2
+    val capped = Dedup.simhashPairs(sigs, maxHamming = 3, maxBucket = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(capped === Set.empty)
+  }
+
   test("simhash: identical docs collide, disjoint docs differ") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
@@ -94,6 +123,18 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rank").collect()
     assert(knn(0).getAs[Long]("neighbor_id") === 1L)
     assert(knn(0).getAs[Double]("sim") === 1.0)
+  }
+
+  test("knnLsh infers dim from the data: 128-dim recall parity with brute force") {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map(i => (i, Array.fill(128)(rnd.nextFloat() * 2 - 1)))
+    // plant a duplicate of vector 0 so recall is testable at rank 1
+    val rows = (base :+ (1000L, base.head._2.clone())).toDF("vec_id", "embedding")
+    val embs = Similarity.withNorm(rows, col("vec_id"), col("embedding"))
+    val top1 = Similarity.knnLsh(embs, Seq(0L), k = 3)
+      .where(col("rank") === 1)
+      .select("neighbor_id", "sim").as[(Long, Double)].collect()
+    assert(top1.toSeq === Seq((1000L, 1.0)))
   }
 
   test("LSH always finds an identical vector (same buckets by construction)") {

@@ -153,7 +153,9 @@ class VendorStatsSpec extends SparkSpec {
       ("8", "http://c.example:80/s8", "300", 0, "hls", 50),   // Other → excluded by IN
       ("9", "http://a.example:80/s9", "100", 0, "hls", 50),   // id < 237 → filtered
       ("10", "http://a.example:80/s10", "300", 1, "hls", 50), // is_del → filtered
-      ("11", "http://a.example:80/s11", "300", 0, "XXX", 50)  // stream_type → filtered
+      ("11", "http://a.example:80/s11", "300", 0, "XXX", 50), // stream_type → filtered
+      ("12", "http://a.example:80/s12", "", 0, "hls", 50),    // empty id → excluded, not an ANSI error
+      ("13", "http://a.example:80/s13", "oops", 0, "hls", 50) // non-numeric id → excluded (MySQL coercion)
     ).toDF("id", "url", "target_matching_id", "is_del", "stream_type", "flow_score")
     val out = VendorStats.vendorFlowStats(rows, rules)
       .collect().map(r => r.getAs[String]("vendor") -> r).toMap

@@ -30,5 +30,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // embedded-Derby tests (JdbcCatalogSpec): keep derby.log out of the repo
+  "-Dderby.stream.error.file=/tmp/derby.log",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -474,7 +474,50 @@ object ExtQueries {
       .limit(50)
   }
 
+  // x19 — explicit GROUPING SETS + grouping_id (completes the x14 rollup
+  // family; Dataset.groupingSets is the DataFrame-native form)
+  val x19 = Q(
+    "x19_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18, 4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+    (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+  }
+
+  // x20 — full CUBE with grouping_id over two dims
+  val x20 = Q(
+    "x20_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("n"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
-      x16, x17, x18)
+      x16, x17, x18, x19, x20)
 }

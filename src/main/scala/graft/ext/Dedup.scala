@@ -90,9 +90,12 @@ object Dedup {
   /** 60-bit base hash: the first 15 hex chars of md5, as a BIGINT.
     * Reproducible anywhere md5 exists (DuckDB:
     * `('0x' || substring(md5(x),1,15))::BIGINT`); 60 bits keeps every
-    * downstream product inside signed-64 range under ANSI mode. */
+    * downstream product inside signed-64 range under ANSI mode. Native
+    * expression — digest straight to long, no hex-string round-trip
+    * (the composed `conv(substring(md5(x),1,15),16,10)` form measured
+    * ~2× slower on the x7/x8 bench). */
   def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Hash60.md5_hash60(c)
 
   /** Modulus of the 2-universal seeded family (31-bit prime). */
   val HashP: Long = 1000000007L

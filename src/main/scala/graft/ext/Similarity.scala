@@ -86,6 +86,90 @@ object Similarity {
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
 
+  // ---- IVF (inverted-file) ANN ----
+
+  /** Deterministic coarse-quantizer seeds: every `stride`-th corpus
+    * vector (offset avoids id-0 artifacts). Sampled-seed IVF-flat is the
+    * classic baseline; refine with [[kmeansLite]] when recall matters
+    * more than reproducibility-in-SQL. */
+  def seedCentroids(embs: DataFrame, stride: Int, offset: Int = 7): DataFrame =
+    embs.where(pmod(col("vec_id"), lit(stride)) === offset)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"), col("norm").as("cnorm"))
+
+  /** Rounded cosine of every (vector, centroid) pair — centroids are
+    * broadcast, the corpus streams. */
+  private def centroidSims(embs: DataFrame, centroids: DataFrame): DataFrame =
+    embs.crossJoin(broadcast(centroids))
+      .withColumn("csim",
+        round(dot(col("emb"), col("cemb")) / (col("norm") * col("cnorm")), 6))
+      .select(col("vec_id"), col("cid"), col("csim"))
+
+  /** IVF cell assignment: each vector goes to its highest-cosine
+    * centroid (deterministic tie-break on the lowest centroid id).
+    * One broadcast + two combinable aggregations — no shuffle of the
+    * embedding arrays. */
+  def ivfAssign(embs: DataFrame, centroids: DataFrame): DataFrame = {
+    val sims = centroidSims(embs, centroids)
+    val best = sims.groupBy("vec_id").agg(max(col("csim")).as("best_sim"))
+    sims.join(best, Seq("vec_id"))
+      .where(col("csim") === col("best_sim"))
+      .groupBy("vec_id").agg(min(col("cid")).as("cid"))
+  }
+
+  /** IVF search: probe the `nprobe` best cells per query, then exact
+    * cosine ranks the candidates within the probed cells only. */
+  def ivfSearch(embs: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val assign = ivfAssign(embs, centroids)
+    val qvecs = broadcast(embs
+      .where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("norm").as("qnorm")))
+    val qw = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val qcells = broadcast(
+      centroidSims(
+        embs.where(col("vec_id").isin(queryIds.map(x => x: Any): _*)), centroids)
+        .withColumnRenamed("vec_id", "qid")
+        .withColumn("pr", row_number().over(qw))
+        .where(col("pr") <= nprobe)
+        .select(col("qid"), col("cid")))
+    val cands = assign.join(qcells, Seq("cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val scored = cands
+      .join(embs, Seq("vec_id"))
+      .join(qvecs, Seq("qid"))
+      .withColumn("sim",
+        round(dot(col("qemb"), col("emb")) / (col("qnorm") * col("norm")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Lloyd refinement of a centroid set: `iters` rounds of assign →
+    * element-wise re-average, fully distributed (posexplode + one
+    * combinable groupBy per round; centroids stay broadcast-sized).
+    * Refined centroids keep deterministic ids (min member id). */
+  def kmeansLite(embs: DataFrame, initial: DataFrame, iters: Int): DataFrame = {
+    var centroids = initial
+    (0 until iters).foreach { _ =>
+      val assign = ivfAssign(embs, centroids)
+      val members = assign.join(embs, Seq("vec_id"))
+      val avg = members
+        .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("m", col("s") / col("n"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cemb"))
+      centroids = avg
+        .withColumn("cnorm", l2Norm(col("cemb")))
+        .select(col("cid"), col("cemb"), col("cnorm"))
+    }
+    centroids
+  }
+
   /** Approximate top-k: candidates share an LSH bucket with the query in
     * at least one table; exact cosine ranks the candidates.
     *

@@ -517,7 +517,97 @@ object ExtQueries {
           col("l_linestatus").asc_nulls_first)
   }
 
+  // x21 — IVF-flat ANN: deterministic sampled-seed coarse quantizer,
+  // nprobe=2 probed cells, exact cosine re-rank within cells. The whole
+  // index (assignment, probing, ranking) is oracle-expressible; the
+  // Lloyd-refined variant (Similarity.kmeansLite) is spec-tested.
+  val x21 = Q(
+    "x21_knn_ivf",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % 50 = 7),
+      |sims AS (
+      |  SELECT e.vec_id, s.cid, round(list_cosine_similarity(e.emb, s.cemb), 6) AS csim
+      |  FROM e CROSS JOIN seeds s),
+      |best AS (SELECT vec_id, max(csim) AS best_sim FROM sims GROUP BY vec_id),
+      |asg AS (
+      |  SELECT sims.vec_id, min(cid) AS cid
+      |  FROM sims JOIN best ON sims.vec_id = best.vec_id AND sims.csim = best.best_sim
+      |  GROUP BY sims.vec_id),
+      |qprobe AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT vec_id AS qid, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS pr
+      |    FROM sims WHERE vec_id < 10) q
+      |  WHERE pr <= 2),
+      |cand AS (
+      |  SELECT q.qid, a.vec_id FROM asg a JOIN qprobe q ON a.cid = q.cid
+      |  WHERE a.vec_id <> q.qid),
+      |scored AS (
+      |  SELECT cand.qid, cand.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(qe.emb, ce.emb), 6) AS sim
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.qid JOIN e ce ON ce.vec_id = cand.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+      |      FROM scored)
+      |SELECT qid, neighbor_id, sim, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+    val embs = normalizedEmb(s, dir)
+    Similarity.ivfSearch(embs, Similarity.seedCentroids(embs, stride = 50),
+      (0L until 10L).toSeq, k = 5, nprobe = 2)
+      .orderBy("qid", "rank")
+  }
+
+  // x22 — analytic window family: lag/lead/running total per group
+  // (training-pipeline staple; reference has no windows — SURVEY §2.5)
+  val x22 = Q(
+    "x22_window_family",
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |       lag(o_totalprice) OVER w AS prev_price,
+      |       lead(o_totalprice) OVER w AS next_price,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 4))) OVER (
+      |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
+      |       CAST(row_number() OVER w AS INT) AS seq
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, seq""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("run_total"),
+        row_number().over(w).cast("int").as("seq"))
+      .orderBy("o_custkey", "seq")
+  }
+
+  // x23 — salted skew join under the oracle gate: saltedJoin emits
+  // exactly the rows of the plain equi-join it replaces, so the oracle
+  // is the plain JOIN (the salt is an implementation detail).
+  val x23 = Q(
+    "x23_salted_join",
+    """SELECT c.c_mktsegment, COUNT(*) AS n,
+      |       CAST(SUM(CAST(e.value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val joined = graft.ops.Salting.saltedJoin(
+      Tables.events(s, dir),
+      Tables.customer(s, dir).select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+      key = "user_id", uniqueCol = "event_id", factor = 8)
+    joined.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
-      x16, x17, x18, x19, x20)
+      x16, x17, x18, x19, x20, x21, x22, x23)
 }

@@ -27,6 +27,15 @@ class PolyHashSpec extends SparkSpec {
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("md5Hash60 native expr == conv(substring(md5,1,15),16,10) == oracle form") {
+    val vals = Seq("", "a", "hello world", "x" * 500, "Grüße 中文 😀")
+    val rows = vals.toDF("s")
+      .select(col("s"), Dedup.md5Hash60(col("s")).as("native"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2), r.getString(0)))
+  }
+
   test("exact dedup keeps the minimum id per content") {
     val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
       .toDF("doc_id", "text")
@@ -123,6 +132,42 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rank").collect()
     assert(knn(0).getAs[Long]("neighbor_id") === 1L)
     assert(knn(0).getAs[Double]("sim") === 1.0)
+  }
+
+  test("IVF: identical vector lands in the probed cell and ranks first") {
+    val base = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dups = base.where(col("vec_id") < 5)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"), col("label"))
+    val embs = Similarity.withNorm(base.unionByName(dups), col("vec_id"), col("embedding"))
+    val centroids = Similarity.seedCentroids(base
+      .transform(b => Similarity.withNorm(b, col("vec_id"), col("embedding"))), 50)
+    val top1 = Similarity.ivfSearch(embs, centroids, (0L until 5L).toSeq, k = 5)
+      .where(col("rank") === 1)
+      .select("qid", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    assert(top1.length === 5)
+    top1.foreach { case (q, n, sim) =>
+      assert(n === q + 1000, s"query $q")
+      assert(sim === 1.0)
+    }
+  }
+
+  test("kmeansLite: Lloyd refinement keeps centroid count, recall holds") {
+    val embs = Similarity.withNorm(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      col("vec_id"), col("embedding"))
+    val seeds = Similarity.seedCentroids(embs, 50)
+    val refined = Similarity.kmeansLite(embs, seeds, iters = 2)
+    assert(refined.count() === seeds.count())
+    // refined centroids are unit-scale-ish vectors with positive norm
+    assert(refined.where(col("cnorm") <= 0).count() === 0)
+    // the refined quantizer still finds a planted duplicate
+    val dups = embs.where(col("vec_id") === 0)
+      .select(lit(2000L).as("vec_id"), col("emb"), col("norm"))
+    val all = embs.unionByName(dups)
+    val top1 = Similarity.ivfSearch(all, refined, Seq(0L), k = 3)
+      .where(col("rank") === 1)
+      .select("neighbor_id", "sim").as[(Long, Double)].collect()
+    assert(top1.toSeq === Seq((2000L, 1.0)))
   }
 
   test("knnLsh infers dim from the data: 128-dim recall parity with brute force") {

@@ -45,12 +45,22 @@ object Dedup {
   }
 
   /** `(doc_id, text)` with one representative (minimum id) per distinct
-    * content — the exact-dedup-first guard in front of the LSH ops. */
-  def distinctContents(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("doc_id"), text.as("text"))
+    * content — the exact-dedup-first guard in front of the LSH ops.
+    *
+    * Shaped narrow on purpose: the keeper set aggregates only
+    * (16-byte digest, id) — the text column itself never rides a wide
+    * shuffle (the semi join broadcasts the keeper ids at bench scale;
+    * AQE falls back to SMJ when they outgrow the broadcast threshold).
+    * This matters doubly because LSH self-joins re-derive this subtree
+    * several times in one plan. */
+  def distinctContents(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val src = df.select(id.as("doc_id"), text.as("text"))
+    val keep = src
       .groupBy(md5(col("text")).as("__ch"))
-      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
-      .drop("__ch")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    src.join(keep, Seq("doc_id"), "left_semi")
+  }
 
   // ---- shingling ----
 
@@ -166,13 +176,16 @@ object Dedup {
         .reduce((acc, m) => acc * lit(HashP) + m)
       struct(lit(bIdx).as("band"), bh.as("bh"))
     }
-    val banded = sigs
+    // bucket-size guard as a count window over the SAME (band,bh) hash
+    // partitioning the self-join needs — no extra aggregation branch,
+    // no semi join, and the join reuses the window's exchange
+    val bucketW = Window.partitionBy(col("band"), col("bh"))
+    val guarded = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val ok = banded.groupBy("band", "bh")
-      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
-      .select("band", "bh")
-    val guarded = banded.join(ok, Seq("band", "bh"), "left_semi")
+      .withColumn("__n", count(lit(1)).over(bucketW))
+      .where(col("__n") <= maxBucket)
+      .drop("__n")
     val l = guarded.select(col("band"), col("bh"), col("doc_id").as("a"))
     val r = guarded.select(col("band"), col("bh"), col("doc_id").as("b"))
     val candidates = l.join(r, Seq("band", "bh")).where(col("a") < col("b"))
@@ -219,13 +232,13 @@ object Dedup {
       struct(lit(blk).as("blk"),
         (shiftright(col("simhash"), blk * 15).bitwiseAND(lit(0x7FFFL))).as("key"))
     }
-    val banded = sigs
+    val bucketW = Window.partitionBy(col("blk"), col("key"))
+    val guarded = sigs
       .select(col("doc_id"), col("simhash"), explode(array(blocks: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.blk").as("blk"), col("b.key").as("key"))
-    val ok = banded.groupBy("blk", "key")
-      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
-      .select("blk", "key")
-    val guarded = banded.join(ok, Seq("blk", "key"), "left_semi")
+      .withColumn("__n", count(lit(1)).over(bucketW))
+      .where(col("__n") <= maxBucket)
+      .drop("__n")
     val l = guarded.select(col("blk"), col("key"), col("doc_id").as("a"), col("simhash").as("sa"))
     val r = guarded.select(col("blk"), col("key"), col("doc_id").as("b"), col("simhash").as("sb"))
     l.join(r, Seq("blk", "key")).where(col("a") < col("b"))

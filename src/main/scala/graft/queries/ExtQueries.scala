@@ -607,7 +607,21 @@ object ExtQueries {
       .orderBy("c_mktsegment")
   }
 
+  // x24 — the SAME as-of semantics as x15 but through the custom
+  // whole-operator Catalyst extension (LogicalPlan + Strategy +
+  // streaming-merge SparkPlan; graft/plans/AsofJoinPlan) — same oracle.
+  val x24 = Q("x24_asof_custom", x15.oracle.get) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val errors = ev.where(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    graft.plans.AsofJoinPlan.asof(errors, clicks, key = "user_id",
+      leftTime = "ts", rightTime = "ts", rightId = "event_id")
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
-      x16, x17, x18, x19, x20, x21, x22, x23)
+      x16, x17, x18, x19, x20, x21, x22, x23, x24)
 }

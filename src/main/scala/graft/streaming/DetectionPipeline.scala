@@ -27,6 +27,9 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   * day-so-far recompute prunes to one partition; the rollup itself is the
   * single-shuffle `DetectionRollup` aggregate.
   */
+/** Per-stream alert state for [[DetectionPipeline.statefulErrorAlerts]]. */
+final case class AlertState(errors: Int, detections: Int, alerted: Boolean)
+
 object DetectionPipeline {
 
   /** The reference's probe cadence (StreamTest.cpp:827-828). */
@@ -109,6 +112,61 @@ object DetectionPipeline {
           state.update((e, d))
           (urlId, e, d)
       }
+  }
+
+  /** `flatMapGroupsWithState` twin of [[statefulRunningCounts]]: same
+    * counters, but the state machine decides WHAT to emit — nothing
+    * until a stream crosses `alertThreshold` errors, exactly one alert
+    * row when it does (the reference's alert-once-per-day shape,
+    * StreamTest.cpp:516-531, as incremental state instead of a daily
+    * rebuild). Emits (url_id, n_error, n_detection) on the crossing
+    * micro-batch only. */
+  def statefulErrorAlerts(events: Dataset[DetectionEvent], alertThreshold: Int)
+      : Dataset[(String, Int, Int)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.url_id)
+      .flatMapGroupsWithState[AlertState, (String, Int, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (urlId: String, batch: Iterator[DetectionEvent], state: GroupState[AlertState]) =>
+          val s0 = state.getOption.getOrElse(AlertState(0, 0, alerted = false))
+          var e = s0.errors
+          var d = s0.detections
+          batch.foreach { ev =>
+            if (ev.item != 0) e += 1
+            d += 1
+          }
+          val fire = !s0.alerted && e >= alertThreshold
+          state.update(AlertState(e, d, s0.alerted || fire))
+          if (fire) Iterator((urlId, e, d)) else Iterator.empty
+      }
+  }
+
+  // ---- Stream-stream join (beyond-reference; ST family) ----
+
+  /** Watermarked stream-stream interval join: each error event pairs
+    * with click events of the same user within `lookbackSeconds` BEFORE
+    * it. Both sides carry watermarks so Spark can bound the join state;
+    * the interval condition (`click.ts BETWEEN error.ts - lookback AND
+    * error.ts`) lets the state manager evict old rows. The streaming
+    * analog of the as-of join (which picks only the latest match). */
+  def errorClickJoin(errors: DataFrame, clicks: DataFrame,
+      lookbackSeconds: Int, watermark: String = "2 minutes"): DataFrame = {
+    val e = errors
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    e.join(c,
+      col("err_user") === col("click_user") &&
+        col("click_ts") >= col("err_ts") - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+        col("click_ts") <= col("err_ts"),
+      "inner")
+      .select(col("err_id"), col("err_user").as("user_id"),
+        col("err_ts"), col("click_id"), col("click_ts"))
   }
 
   // ---- E3: daily finalization ----

@@ -177,6 +177,68 @@ class StatefulCountsSpec extends graft.SparkSpec {
   }
 }
 
+class StatefulAlertsSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import java.sql.Timestamp
+
+  private def ev(urlId: String, item: Int, t: String) =
+    graft.model.DetectionEvent(urlId, s"http://x/$urlId", item, "0", "", "", "", "",
+      "", "", "", "", Timestamp.valueOf(t), "300", "Prog A")
+
+  test("flatMapGroupsWithState fires exactly one alert at the threshold crossing") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.model.DetectionEvent]
+    val q = DetectionPipeline.statefulErrorAlerts(mem.toDS(), alertThreshold = 2)
+      .toDF("url_id", "n_error", "n_detection")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("error_alerts").start()
+    // batch 1: one error on s1 — below threshold, no alert
+    mem.addData(ev("s1", 1001, "2024-03-01 10:00:00"), ev("s1", 0, "2024-03-01 10:00:30"))
+    q.processAllAvailable()
+    assert(spark.table("error_alerts").count() === 0)
+    // batch 2: s1 crosses 2 errors → exactly one alert; s2 stays quiet
+    mem.addData(ev("s1", 1002, "2024-03-01 10:01:00"), ev("s2", 0, "2024-03-01 10:01:10"))
+    q.processAllAvailable()
+    // batch 3: more s1 errors → already alerted, no re-fire
+    mem.addData(ev("s1", 1003, "2024-03-01 10:02:00"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("error_alerts").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(rows.toSeq === Seq(("s1", 2, 3)))
+  }
+}
+
+class StreamStreamJoinSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import java.sql.Timestamp
+
+  test("watermarked interval join pairs errors with in-window clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val errs = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    def t(s: String) = Timestamp.valueOf(s)
+    val joined = DetectionPipeline.errorClickJoin(
+      errs.toDF().toDF("event_id", "user_id", "ts"),
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      lookbackSeconds = 60)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("err_click_pairs").start()
+    clicks.addData(
+      (10L, 1L, t("2024-03-01 10:00:00")),  // 30 s before the error: in window
+      (11L, 1L, t("2024-03-01 09:58:00")),  // 150 s before: outside lookback
+      (12L, 2L, t("2024-03-01 10:00:20")))  // other user
+    errs.addData((100L, 1L, t("2024-03-01 10:00:30")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("err_click_pairs")
+      .select("err_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((100L, 10L)))
+  }
+}
+
 class StreamingDedupSpec extends graft.SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -125,4 +125,30 @@ object Report {
     val sent = scala.collection.mutable.ArrayBuffer.empty[String]
     def send(message: String): Boolean = { sent += messageJson(message); true }
   }
+
+  /** Real webhook client over JDK `java.net.http.HttpClient` (no extra
+    * deps), faithful to the reference's curl call
+    * (HttpServer.cpp:101-177): POST the escaped+truncated JSON envelope
+    * as `application/json`, 10 s timeout (`CURLOPT_TIMEOUT 10`), success
+    * = 2xx. Failures return false (the reference logs and moves on —
+    * report delivery must never fail the pipeline). */
+  final class HttpSink(endpoint: java.net.URI,
+      timeout: java.time.Duration = java.time.Duration.ofSeconds(10))
+      extends MessageSink {
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(timeout).build()
+
+    def send(message: String): Boolean =
+      try {
+        val req = java.net.http.HttpRequest.newBuilder(endpoint)
+          .timeout(timeout)
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            messageJson(message), java.nio.charset.StandardCharsets.UTF_8))
+          .build()
+        val status = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+        status >= 200 && status < 300
+      } catch { case _: Exception => false }
+  }
 }

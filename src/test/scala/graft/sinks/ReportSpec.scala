@@ -59,4 +59,42 @@ class ReportSpec extends AnyFunSuite {
     assert(sink.sent.head ===
       """{"msg_type":"text","content":{"text":"hello \"world\""}}""")
   }
+
+  test("HttpSink POSTs the JSON envelope to a real local server (S10)") {
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val received = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var status = 200
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        received.synchronized {
+          received += ((ex.getRequestHeaders.getFirst("Content-Type"), body))
+        }
+        ex.sendResponseHeaders(status, -1)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val uri = java.net.URI.create(
+        s"http://127.0.0.1:${server.getAddress.getPort}/hook")
+      val sink = new Report.HttpSink(uri)
+      assert(sink.send("""alert: "P7" down"""))
+      assert(received.size === 1)
+      assert(received.head._1 === "application/json")
+      assert(received.head._2 ===
+        """{"msg_type":"text","content":{"text":"alert: \"P7\" down"}}""")
+      // big payloads arrive truncated by the 18k guard
+      assert(sink.send("x" * 40000))
+      assert(received(1)._2.length <=
+        Report.TrimTo + Report.TruncationSuffix.length + 60)
+      // non-2xx → false, and failures never throw
+      status = 500
+      assert(!sink.send("again"))
+      assert(!new Report.HttpSink(
+        java.net.URI.create("http://127.0.0.1:1/nope")).send("unreachable"))
+    } finally server.stop(0)
+  }
 }

@@ -20,9 +20,12 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
 
-  /** Count of tokens (split on single spaces) in `words`. */
+  /** Count of tokens (split on single spaces) in `words`. Native
+    * expression — the composed `size(filter(split(...)))` form runs its
+    * lambda interpreted per token, and x2/x3/x4 evaluate it up to 8× per
+    * row (see [[graft.functions.StopwordCount]]). */
   def stopwordCount(text: Column, words: Seq[String]): Column =
-    size(filter(split(text, " "), w => w.isin(words.map(x => x: Any): _*)))
+    graft.functions.StopwordCount.stopword_count(text, words)
 
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))

@@ -109,6 +109,23 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class StopwordCountSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expr == size(filter(split)) composed form") {
+    val words = TextAnalysis.langStopwords.head._2
+    val vals = Seq("", " ", "the cat and the hat", "a  the", "no stop words here",
+      "the", "THE the tHe", "x " * 200 + "of")
+    val rows = vals.toDF("s")
+      .select(col("s"),
+        TextAnalysis.stopwordCount(col("s"), words).as("native"),
+        size(filter(split(col("s"), " "),
+          w => w.isin(words.map(x => x: Any): _*))).as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(1) === r.getInt(2), s"'${r.getString(0)}'"))
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 

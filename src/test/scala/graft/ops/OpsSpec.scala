@@ -208,6 +208,19 @@ class BatchingSpec extends SparkSpec {
     assert(out.map(_._2).toSet === (1 to 65).toSet)
   }
 
+  test("two-phase rank at volume: 5M rows, rn is the exact sort position") {
+    import org.apache.spark.sql.functions._
+    // shuffled input across 32 partitions; rank must equal id+1 after the
+    // range sort, with no single-task funnel (zipWithIndex offsets)
+    val df = spark.range(0, 5000000, 1, 32)
+      .select((col("id") * 2654435761L % 5000000).as("noise"), col("id"))
+    val out = Batching.withBatches(df, Seq(col("id")), 30000)
+    val bad = out.where(col("rn") =!= col("id") + 1).count()
+    assert(bad === 0L)
+    val nb = out.select(max(col("n_batches"))).head().getInt(0)
+    assert(nb === math.ceil(5000000 / 30000.0).toInt)
+  }
+
   test("driver-side chunk covers all rows exactly once") {
     val chunks = Batching.chunk((1 to 7).toSeq, 3)
     assert(chunks.map(_.size) === Seq(3, 3, 1))

@@ -32,5 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // embedded-Derby tests (JdbcCatalogSpec): keep derby.log out of the repo
   "-Dderby.stream.error.file=/tmp/derby.log",
+  // dozens of codegen'd stages across the query suite outgrow the
+  // 240 MB default; a full code cache silently stops JIT compilation
+  "-XX:ReservedCodeCacheSize=512m",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -16,6 +16,10 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // 37 queries × several codegen stages overflow the default
+      // 100-entry generated-class cache → janino recompiles on every
+      // run (x2 measured 2.4 s cold vs 0.7 s warm for 5000 rows)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

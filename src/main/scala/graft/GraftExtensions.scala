@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, PolyHash}
+import graft.functions.{DotProduct, Md5Hash60, PolyHash, StopwordCount, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Registers graft's native expressions as SQL functions
@@ -22,6 +22,14 @@ object GraftExtensions {
       "built-in")
     reg.createOrReplaceTempFunction("dot_product",
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("md5_hash60",
+      exprs => Md5Hash60(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("stopword_count",
+      exprs => StopwordCount(exprs(0),
+        exprs.drop(1).map(_.eval().toString)), "built-in")
   }
 }
 
@@ -49,6 +57,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children match {
             case Seq(a, b) => DotProduct(a, b)
             case _ => throw new IllegalArgumentException("dot_product(a, b)")
+          }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("md5_hash60"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Md5Hash60].getName, "md5_hash60"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          children match {
+            case Seq(c) => Md5Hash60(c)
+            case _ => throw new IllegalArgumentException("md5_hash60(text)")
+          }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[WordShingles].getName, "word_shingles"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          children match {
+            case Seq(c, n) =>
+              WordShingles(c, n.eval().asInstanceOf[Number].intValue())
+            case _ => throw new IllegalArgumentException("word_shingles(text, n)")
+          }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("stopword_count"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[StopwordCount].getName, "stopword_count"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          children match {
+            case c +: words if words.nonEmpty =>
+              StopwordCount(c, words.map(_.eval().toString))
+            case _ => throw new IllegalArgumentException(
+              "stopword_count(text, word, ...)")
           }))
   }
 }

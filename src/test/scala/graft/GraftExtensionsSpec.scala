@@ -13,6 +13,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(0) === PolyHash.hash("hello"))
     assert(r.getDouble(1) === 11.0)
   }
+
+  test("md5_hash60, word_shingles, stopword_count are callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT md5_hash60('hello') AS h,
+        |       word_shingles('a b c d', 3) AS sh,
+        |       stopword_count('the cat and the hat', 'the', 'and') AS n""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) ===
+      graft.functions.Md5Hash60.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString("hello")))
+    assert(r.getSeq[String](1) === Seq("a b c", "b c d"))
+    assert(r.getInt(2) === 3)
+  }
 }
 
 class RollupCsvSpec extends SparkSpec {

@@ -41,6 +41,30 @@ class AsofPlanSpec extends SparkSpec {
       === Array((1L, 10L, ts(100), Some(2L))))
   }
 
+  test("randomized equivalence: dense ties, key boundaries, null keys and times") {
+    val rnd = new scala.util.Random(42)
+    // few keys + coarse times → heavy collision pressure on every edge:
+    // equal times across sides, runs of same-key rows, null keys/times
+    def rows(n: Int, idBase: Long) = (0 until n).map { i =>
+      val key: java.lang.Long =
+        if (rnd.nextInt(20) == 0) null else rnd.nextInt(8).toLong
+      val t: Timestamp =
+        if (rnd.nextInt(25) == 0) null else ts(rnd.nextInt(30).toLong)
+      (idBase + i, key, t)
+    }
+    val l = rows(400, 10000L).toDF("event_id", "user_id", "ts")
+    val r = rows(300, 50000L).toDF("event_id", "user_id", "ts")
+    val viaWindow = graft.ops.AsofJoin.asof(l, r, "user_id", "ts", "ts",
+      "event_id", "event_id")
+      .select("event_id", "asof_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    val viaExec = AsofJoinPlan.asof(l, r, "user_id", "ts", "ts", "event_id")
+      .select("event_id", "asof_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(viaExec === viaWindow)
+    assert(viaExec.values.exists(_.isDefined) && viaExec.values.exists(_.isEmpty))
+  }
+
   test("tie + carry semantics: equal time visible, max id wins, keys don't leak") {
     val l = Seq(
       (101L, 1L, ts(100)), // two clicks at exactly t=100 → max id 22 wins

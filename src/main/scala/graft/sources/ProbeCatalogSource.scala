@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -128,7 +128,7 @@ class ProbeCatalogTable(options: CaseInsensitiveStringMap)
 }
 
 class ProbeMicroBatchStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
   import ProbeCatalogSource._
 
   private val catalogPath = options.get("catalogPath")
@@ -149,20 +149,39 @@ class ProbeMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override def initialOffset(): Offset = ProbeOffset(0)
 
-  override def latestOffset(): Offset = {
+  /** Floor the in-memory cursor to an offset learned from the engine
+    * (checkpoint restore, commit, restart) so a fresh instance never
+    * returns an end behind a committed start, and `maxRounds` counts
+    * batches across restarts instead of resetting to zero. */
+  private def floorTo(n: Long): Unit =
+    advanced = math.max(advanced, (n + batchSize - 1) / batchSize)
+
+  /** `SupportsAdmissionControl` variant — the engine hands us the last
+    * known start offset, which makes restart recovery airtight: the
+    * plain `latestOffset()` can be called BEFORE any deserialized
+    * checkpoint offset reaches the stream, and a stale in-memory cursor
+    * would then regress the offset log (observed as an empty batch
+    * followed by replays in ProbeSourceSpec's restart case). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    floorTo(start.asInstanceOf[ProbeOffset].n)
     if (maxRounds <= 0 || advanced < maxRounds) advanced += 1
     ProbeOffset(advanced * batchSize)
   }
 
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
   override def deserializeOffset(json: String): Offset = {
     val n = json.toLong
-    // Restart recovery: floor the cursor up to any checkpointed offset so
-    // latestOffset() never returns an end behind a committed start (the
-    // MicroBatchStream contract) and maxRounds counts batches across
-    // restarts instead of resetting to zero.
-    advanced = math.max(advanced, (n + batchSize - 1) / batchSize)
+    floorTo(n)
     ProbeOffset(n)
   }
+
+  override def commit(end: Offset): Unit =
+    floorTo(end.asInstanceOf[ProbeOffset].n)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ProbeOffset].n
@@ -193,7 +212,6 @@ class ProbeMicroBatchStream(options: CaseInsensitiveStringMap)
       }
     }
 
-  override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 

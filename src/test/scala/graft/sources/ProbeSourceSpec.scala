@@ -55,4 +55,38 @@ class ProbeSourceSpec extends SparkSpec {
     val first = out.map(key).sortBy(_.toString)
     assert(again.toSeq === first.toSeq)
   }
+
+  test("checkpoint restart resumes from the committed offset (no backwards end)") {
+    val catDir = Files.createTempDirectory("graft-cat-r").toString
+    (0 until 4).map(i => (s"s$i", s"http://v0.example/s$i", s"Prog $i", s"${200 + i}"))
+      .toDF("id", "url", "target_matching", "target_matching_id")
+      .write.mode("overwrite").parquet(catDir)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-probe-out").toString
+
+    def run(rounds: Int): Unit = {
+      // a FRESH stream instance each run — `advanced` starts at 0 and must
+      // be floored up from the checkpoint (the round-1 restart bug)
+      val q = spark.readStream
+        .format("graft.sources.ProbeCatalogProvider")
+        .option("catalogPath", catDir)
+        .option("batchSize", "4")
+        .option("maxRounds", rounds.toString)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run(rounds = 2)                      // batches 1-2 → probes seq 0..7
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst === 8)
+    run(rounds = 4)                      // restart: must CONTINUE at seq 8
+    val all = spark.read.parquet(outDir)
+    assert(all.count() === 16)           // 2 more batches, no replays
+    // every probe sequence (via created_time) appears exactly once
+    val times = all.select("created_time").collect()
+      .map(_.getTimestamp(0).getTime).sorted
+    assert(times.distinct.length === 16)
+  }
 }

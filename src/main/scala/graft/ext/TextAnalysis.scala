@@ -60,4 +60,15 @@ object TextAnalysis {
 
   /** Stable content fingerprint: md5 of lowercased, trimmed text. */
   def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
+
+  /** Canonical text form for dedup: lowercase, trim, collapse internal
+    * whitespace runs to single spaces — the standard normalization in
+    * front of exact/near dedup so formatting noise doesn't defeat the
+    * content hash. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Sentence count via terminal-punctuation runs (`.!?`). */
+  def sentenceCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))
 }

@@ -621,7 +621,26 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  // x25 — canonical text normalization + sentence segmentation (the
+  // standard precursor in front of dedup: formatting noise must not
+  // defeat the content hash)
+  val x25 = Q(
+    "x25_normalize",
+    """SELECT doc_id,
+      |       regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
+      |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_fp,
+      |       CAST(len(regexp_extract_all(text, '[.!?]+')) AS INT) AS n_sentences
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.normalize(col("text")).as("norm_text"),
+      md5(TextAnalysis.normalize(col("text"))).as("norm_fp"),
+      TextAnalysis.sentenceCount(col("text")).as("n_sentences"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
-      x16, x17, x18, x19, x20, x21, x22, x23, x24)
+      x16, x17, x18, x19, x20, x21, x22, x23, x24, x25)
 }

@@ -6,6 +6,14 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR`, forcing full materialization through a noop
   * write (a bare `count()` would let Catalyst prune the projected
   * columns and bench only the scan). Prints ONE JSON line.
+  *
+  * Self-diagnosing: every run's time is recorded (`"runs_detail"`), not
+  * just the min, and a failed query reports `null` with its message in
+  * `"errors"` instead of a bogus near-zero time — a regression or
+  * breakage can't hide inside a single min number.
+  *
+  * `SPARK_GRAFT_QUERIES` (comma-separated names) restricts the run for
+  * targeted profiling; `SPARK_GRAFT_RUNS` overrides the run count.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -16,7 +24,7 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // 37 queries × several codegen stages overflow the default
+      // 38 queries × several codegen stages overflow the default
       // 100-entry generated-class cache → janino recompiles on every
       // run (x2 measured 2.4 s cold vs 0.7 s warm for 5000 rows)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
@@ -32,25 +40,42 @@ object Bench {
     // Two timed runs per query, report the min: single-shot numbers mix
     // steady-state throughput with one-off JIT/codegen/GC noise (observed
     // 0.97 s vs 4.8 s for the SAME query across runs). Min-of-N is the
-    // standard steady-state estimator; the run count is declared in the
-    // output JSON.
-    val runs = 2
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until runs).map { _ =>
+    // standard steady-state estimator; the run count and every raw run
+    // time are declared in the output JSON.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
+      var err: Option[String] = None
+      val times = (0 until runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            err = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.replaceAll("[\"\\\\]", "_").replaceAll("[\\x00-\\x1f]", " ").take(200) + "\""
+    val qs = results.map { case (k, ts, _) =>
+      jstr(k) + ":" + (if (ts.isEmpty) "null" else ts.min.toString)
+    }.mkString("{", ",", "}")
+    val detail = results.map { case (k, ts, _) =>
+      jstr(k) + ":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.flatMap { case (_, ts, _) => ts.minOption }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","runs_detail":$detail,"errors":$errs}"""
     // Belt and braces for the driver's parser: a bench.json file next to
     // the repo entry AND the bare JSON as the final stdout line.
     try {

@@ -13,6 +13,30 @@ import org.apache.spark.sql.SparkSessionExtensions
   * }}}
   */
 object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Parameter arguments (shingle size, stopword list, hash base/mod)
+    * are folded at registration time, so they must be literal and
+    * non-null — `.eval()` on a non-foldable column would throw an opaque
+    * planner error and a NULL literal would NPE. Fail with the usage
+    * string instead. */
+  private[graft] def litValue(e: Expression, usage: String): Any = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"argument ${e.sql} must be a foldable literal; usage: $usage")
+    val v = e.eval()
+    if (v == null) throw new IllegalArgumentException(
+      s"argument must not be NULL; usage: $usage")
+    v
+  }
+  private[graft] def litNum(e: Expression, usage: String): Number =
+    litValue(e, usage) match {
+      case n: Number => n
+      case other => throw new IllegalArgumentException(
+        s"expected a numeric literal, got '$other'; usage: $usage")
+    }
+  private[graft] def litStr(e: Expression, usage: String): String =
+    litValue(e, usage).toString
+
   /** Register the functions on an already-running session (builder-time
     * `withExtensions` is ignored by `getOrCreate` when a session exists). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -26,10 +50,11 @@ object GraftExtensions {
       exprs => Md5Hash60(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       exprs => WordShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+        litNum(exprs(1), "word_shingles(text, n)").intValue()), "built-in")
     reg.createOrReplaceTempFunction("stopword_count",
       exprs => StopwordCount(exprs(0),
-        exprs.drop(1).map(_.eval().toString)), "built-in")
+        exprs.drop(1).map(litStr(_, "stopword_count(text, 'a', 'b', ...)"))),
+      "built-in")
   }
 }
 
@@ -44,8 +69,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             case Seq(c) => PolyHash(c, PolyHash.DefaultBase, PolyHash.DefaultMod)
             case Seq(c, b, m) =>
               PolyHash(c,
-                b.eval().asInstanceOf[Number].longValue(),
-                m.eval().asInstanceOf[Number].longValue())
+                GraftExtensions.litNum(b, "poly_hash(text, base, mod)").longValue(),
+                GraftExtensions.litNum(m, "poly_hash(text, base, mod)").longValue())
             case _ => throw new IllegalArgumentException(
               "poly_hash(text[, base, mod])")
           }))
@@ -74,7 +99,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           children match {
             case Seq(c, n) =>
-              WordShingles(c, n.eval().asInstanceOf[Number].intValue())
+              WordShingles(c,
+                GraftExtensions.litNum(n, "word_shingles(text, n)").intValue())
             case _ => throw new IllegalArgumentException("word_shingles(text, n)")
           }))
     e.injectFunction(
@@ -84,7 +110,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           children match {
             case c +: words if words.nonEmpty =>
-              StopwordCount(c, words.map(_.eval().toString))
+              StopwordCount(c, words.map(
+                GraftExtensions.litStr(_, "stopword_count(text, 'a', 'b', ...)")))
             case _ => throw new IllegalArgumentException(
               "stopword_count(text, word, ...)")
           }))

@@ -1,9 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Chunked report batching.
   *
@@ -14,36 +13,49 @@ import org.apache.spark.sql.types.LongType
   * `batch_id = floor((rn-1)/size)+1`, plus per-batch and global counts.
   *
   * Scale note: a naive `Window.orderBy` with no partition funnels ALL
-  * rows through one task. Instead we do a two-phase rank: a distributed
-  * range-partitioned sort, then `zipWithIndex` on the sorted RDD —
-  * Spark's zipWithIndex computes per-partition sizes in one lightweight
-  * count job and assigns each partition a cumulative offset, so every
-  * partition numbers its own rows in parallel. Same output, no
-  * single-task funnel. `n_batches` likewise avoids the empty global
-  * window (`Window.partitionBy()`) by broadcasting a 1-row aggregate.
+  * rows through one task. Instead we do a two-phase rank that stays
+  * entirely inside Catalyst (no RDD round-trip, so codegen and AQE still
+  * apply): a distributed range-partitioned sort; `spark_partition_id()`
+  * stamped on each row; a `row_number` window PARTITIONED by that id
+  * (parallel, one task per source partition); and a broadcast join
+  * against the per-partition cumulative offsets. The offsets come from a
+  * `groupBy(_pid).count()` — numPartitions rows on the driver, not data
+  * — which also yields the exact total, so `n_batches` is a literal
+  * rather than a second aggregate pass.
   *
   * `rn`/`batch_id` stay INT for parity with the reference's int batch
-  * counters (report-sized output, not fact-sized).
+  * counters; the rank is computed in LONG and the total is checked
+  * against Int.MaxValue on the driver, so overflow fails fast instead of
+  * silently wrapping negative.
   */
 object Batching {
 
   def withBatches(df: DataFrame, orderBy: Seq[Column], batchSize: Int): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.sort(orderBy: _*)
-    val schema = sorted.schema.add("rn", LongType, nullable = false)
-    // Phase 1: count per-partition sizes; phase 2: number rows with the
-    // partition's cumulative offset. Both phases are fully parallel.
-    val ranked = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
-      schema)
-    val withBatch = ranked
-      .withColumn("rn", col("rn").cast("int"))
-      .withColumn("batch_id", (floor((col("rn") - 1) / batchSize.toDouble) + 1).cast("int"))
-    val nb = withBatch.agg(
-      ceil(count(lit(1)) / batchSize.toDouble).cast("int").as("n_batches"))
-    withBatch
+    import spark.implicits._
+    val withPid = df.sort(orderBy: _*).withColumn("_pid", spark_partition_id())
+    // RangePartitioning puts partition i's keys entirely before partition
+    // i+1's, so global rank = (rows in earlier partitions) + local rank.
+    val counts = withPid.groupBy("_pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.iterator.map(_._2).sum
+    require(total <= Int.MaxValue,
+      s"withBatches: $total rows exceed the int rank range the report " +
+        "format requires; chunk the input upstream")
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val off = acc; acc += c; (pid, off) }
+    val nBatches = ((total + batchSize - 1) / batchSize).toInt
+    val ranked = withPid
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy(col("_pid")).orderBy(orderBy: _*)))
+      .join(broadcast(offsets.toSeq.toDF("_pid", "_off")), "_pid")
+      .withColumn("rn", (col("_off") + col("_lrn")).cast("int"))
+      .drop("_pid", "_off", "_lrn")
+    ranked
+      .withColumn("batch_id",
+        (floor((col("rn") - lit(1)) / batchSize.toDouble) + 1).cast("int"))
       .withColumn("batch_rows", count(lit(1)).over(Window.partitionBy(col("batch_id"))))
-      .crossJoin(broadcast(nb))
+      .withColumn("n_batches", lit(nBatches))
   }
 
   /** Driver-side chunking for the presentation layer (mirrors the

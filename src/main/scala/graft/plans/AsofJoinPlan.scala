@@ -78,10 +78,24 @@ case class AsofJoinExec(
 
   override def output: Seq[Attribute] = left.output :+ outAttr
 
+  /** Murmur3 hashes Int and Long values differently, so equal logical
+    * keys of differing types would land in DIFFERENT partitions and the
+    * merge would silently return (mostly null) wrong matches — reject at
+    * planning instead. The id is read via `getLong`, so it must be long. */
+  private def validateTypes(): Unit = {
+    require(lKey.dataType == rKey.dataType,
+      s"asof: key '$key' has type ${lKey.dataType.simpleString} on the left " +
+        s"but ${rKey.dataType.simpleString} on the right; hash partitioning " +
+        "is type-sensitive — cast both sides to the same type first")
+    require(rId.dataType == LongType,
+      s"asof: right id '$rightId' must be bigint, got ${rId.dataType.simpleString}")
+  }
+
   /** Pinning the partition count keeps the two shuffles zip-compatible
     * even under AQE partition coalescing (ValidateRequirements rejects a
     * coalesced plan that breaks it). */
   override def requiredChildDistribution: Seq[Distribution] = {
+    validateTypes()
     val n = Some(conf.numShufflePartitions)
     Seq(ClusteredDistribution(Seq(lKey), requiredNumPartitions = n),
       ClusteredDistribution(Seq(rKey), requiredNumPartitions = n))

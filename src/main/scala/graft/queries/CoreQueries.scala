@@ -273,7 +273,6 @@ object CoreQueries {
         Seq(col("c_custkey")), 30)
       .select("rn", "batch_id", "c_custkey", "c_name", "batch_rows")
       .orderBy("rn")
-      .orderBy("rn")
   }
 
   // Q9 — string kitchen sink (F2; StreamTest.cpp:1004-1005 concat,

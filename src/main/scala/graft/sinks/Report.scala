@@ -149,6 +149,12 @@ object Report {
         val status = client.send(req,
           java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
         status >= 200 && status < 300
-      } catch { case _: Exception => false }
+      } catch {
+        // a cancelled Spark task interrupts the send; restore the flag so
+        // the task actually stops instead of spinning through retries
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt(); false
+        case _: Exception => false
+      }
   }
 }

@@ -78,6 +78,7 @@ object JdbcCatalog {
     val cols = Seq("url_id") ++ PartialUpdateFields ++
       Seq("flow_score", "resolution_type")
     val projected = updates.selectExpr(cols: _*)
+    val scoreOrd = 1 + PartialUpdateFields.length
     projected.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
         val conn: Connection = DriverManager.getConnection(url)
@@ -91,9 +92,13 @@ object JdbcCatalog {
               st.setString(p, v); st.setString(p + 1, v)
               p += 2
             }
-            st.setInt(p, r.getAs[Number]("flow_score").intValue())
-            st.setInt(p + 1, r.getAs[Number]("resolution_type").intValue())
-            st.setString(p + 2, r.getString(0))
+            // null score/type write SQL NULL rather than NPE-ing the task
+            if (r.isNullAt(scoreOrd)) st.setNull(p, java.sql.Types.INTEGER)
+            else st.setInt(p, r.getAs[Number](scoreOrd).intValue())
+            if (r.isNullAt(scoreOrd + 1)) st.setNull(p + 1, java.sql.Types.INTEGER)
+            else st.setInt(p + 1, r.getAs[Number](scoreOrd + 1).intValue())
+            // setObject: the id column may be string or numeric — bind as-is
+            st.setObject(p + 2, r.get(0))
             st.addBatch()
             n += 1
             if (n % 1000 == 0) st.executeBatch()

@@ -27,6 +27,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[String](1) === Seq("a b c", "b c d"))
     assert(r.getInt(2) === 3)
   }
+
+  test("parameter args must be non-null literals — clear error, not NPE") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(("abc", 2)).toDF("t", "n").createOrReplaceTempView("ext_guard_t")
+    // non-literal shingle size: usage string, not an opaque planner error
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT word_shingles(t, n) FROM ext_guard_t").collect()
+    }
+    assert(e1.getMessage.contains("word_shingles(text, n)"), e1.getMessage)
+    // NULL stopword literal: usage string, not an NPE
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT stopword_count(t, CAST(NULL AS STRING)) FROM ext_guard_t")
+        .collect()
+    }
+    assert(e2.getMessage.contains("stopword_count"), e2.getMessage)
+  }
 }
 
 class RollupCsvSpec extends SparkSpec {

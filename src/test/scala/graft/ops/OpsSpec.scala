@@ -219,6 +219,9 @@ class BatchingSpec extends SparkSpec {
     assert(bad === 0L)
     val nb = out.select(max(col("n_batches"))).head().getInt(0)
     assert(nb === math.ceil(5000000 / 30000.0).toInt)
+    // the rank must stay inside Catalyst: no RDD round-trip in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD"), plan.take(2000))
   }
 
   test("driver-side chunk covers all rows exactly once") {

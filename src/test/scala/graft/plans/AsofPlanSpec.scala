@@ -65,6 +65,24 @@ class AsofPlanSpec extends SparkSpec {
     assert(viaExec.values.exists(_.isDefined) && viaExec.values.exists(_.isEmpty))
   }
 
+  test("mixed int/long key types fail fast instead of mis-partitioning") {
+    // Murmur3 hashes Int(5) and Long(5) to different partitions; the
+    // exec must reject the pair at planning, not return silent nulls
+    val l = Seq((1L, 5, ts(100))).toDF("event_id", "user_id", "ts")   // int key
+    val r = Seq((2L, 5L, ts(50))).toDF("event_id", "user_id", "ts")   // long key
+    val e = intercept[Exception] {
+      AsofJoinPlan.asof(l, r, "user_id", "ts", "ts", "event_id").collect()
+    }
+    assert(e.getMessage.contains("type-sensitive"), e.getMessage)
+    // non-long right id is equally rejected
+    val rIntId = Seq((2, 5L, ts(50))).toDF("event_id", "user_id", "ts")
+    val l2 = Seq((1L, 5L, ts(100))).toDF("event_id", "user_id", "ts")
+    val e2 = intercept[Exception] {
+      AsofJoinPlan.asof(l2, rIntId, "user_id", "ts", "ts", "event_id").collect()
+    }
+    assert(e2.getMessage.contains("must be bigint"), e2.getMessage)
+  }
+
   test("tie + carry semantics: equal time visible, max id wins, keys don't leak") {
     val l = Seq(
       (101L, 1L, ts(100)), // two clicks at exactly t=100 → max id 22 wins

@@ -51,8 +51,8 @@ object Dedup {
     * (16-byte digest, id) — the text column itself never rides a wide
     * shuffle (the semi join broadcasts the keeper ids at bench scale;
     * AQE falls back to SMJ when they outgrow the broadcast threshold).
-    * This matters doubly because LSH self-joins re-derive this subtree
-    * several times in one plan. */
+    * `minhashPairs` checkpoints its per-doc derivation so this subtree
+    * runs once per query no matter how many branches consume it. */
   def distinctContents(df: DataFrame, id: Column, text: Column): DataFrame = {
     val src = df.select(id.as("doc_id"), text.as("text"))
     val keep = src
@@ -161,15 +161,35 @@ object Dedup {
     * With `numHashes = bands * rowsPerBand`, a pair with Jaccard j is a
     * candidate with probability 1-(1-j^rows)^bands (e.g. 32 bands × 2
     * rows ⇒ ~99.99% at j=0.5).
-    */
+    *
+    * One pass over the text: the scan → distinct-contents → shingle →
+    * md5 subtree is locally checkpointed as the narrow `(doc_id, h)`
+    * hash stream (16 bytes/shingle, no strings), and BOTH downstream
+    * aggregations — the 64-way min signature and the per-doc distinct
+    * hash set — read those materialized blocks. Keeping `collect_set`
+    * in its own aggregate (instead of alongside the mins) matters: one
+    * TypedImperativeAggregate would force the whole 65-buffer aggregate
+    * off the codegen HashAggregate path. Verification Jaccard is over
+    * the HASHED shingles — identical to string Jaccard absent a 60-bit
+    * collision, and the oracle hashes with the same md5 derivation, so
+    * the contract is symmetric either way. */
   def minhashPairs(df: DataFrame, id: Column, text: Column,
       n: Int = 3, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.5, maxBucket: Int = 1 << 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     require(rows <= 2, "band packing mh0*p+mh1 holds <= 2 rows per band")
-    val docs = distinctContents(df, id, text)
-    val sigs = minhashSignatures(docs, col("doc_id"), col("text"), n, numHashes)
+    val coeffs = hashCoeffs(numHashes)
+    val hashed = distinctContents(df, id, text)
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .select(col("doc_id"), md5Hash60(col("sh")).as("h"))
+      .localCheckpoint(false)
+    val mins = coeffs.zipWithIndex.map { case (abc, i) =>
+      min(seededHash(col("h"), abc)).as(s"mh_$i")
+    }
+    val sigs = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val hsets = hashed.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"))
     // band hash packs the band's mins exactly (each min < p): mh0*p + mh1
     val bandCols = (0 until bands).map { bIdx =>
       val bh = (0 until rows).map(r => col(s"mh_${bIdx * rows + r}"))
@@ -190,14 +210,13 @@ object Dedup {
     val r = guarded.select(col("band"), col("bh"), col("doc_id").as("b"))
     val candidates = l.join(r, Seq("band", "bh")).where(col("a") < col("b"))
       .select("a", "b").distinct()
-    // verify candidates with exact shingle Jaccard
-    val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    // verify candidates with exact Jaccard over the hashed shingle sets
     candidates
-      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .join(hsets.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
+      .join(hsets.select(col("doc_id").as("b"), col("hs").as("hb")), Seq("b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))).cast("double"))
+        size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(array_union(col("ha"), col("hb"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }

@@ -179,6 +179,7 @@ object ExtQueries {
       |  FROM t),
       |u AS (SELECT doc_id, unnest(sh) AS sh1 FROM s),
       |h AS (SELECT doc_id, ('0x' || substring(md5(sh1), 1, 15))::BIGINT AS h FROM u),
+      |ha AS (SELECT doc_id, list(DISTINCT h) AS hs FROM h GROUP BY doc_id),
       |m AS (
       |  SELECT doc_id, i,
       |         MIN((a * (h & 1073741823) + b * (h >> 30) + c) % 1000000007) AS mh
@@ -195,11 +196,11 @@ object ExtQueries {
       |  JOIN bnd r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
       |  JOIN ok ON ok.band = l.band AND ok.bh = l.bh)
       |SELECT c.a, c.b,
-      |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-      |         CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
-      |FROM cand c JOIN s sa ON sa.doc_id = c.a JOIN s sb ON sb.doc_id = c.b
-      |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-      |      CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.5
+      |       CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+      |         CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) AS jaccard
+      |FROM cand c JOIN ha sa ON sa.doc_id = c.a JOIN ha sb ON sb.doc_id = c.b
+      |WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) >= 0.5
       |ORDER BY a, b""".stripMargin) { (s, dir) =>
     Dedup.minhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
       .orderBy("a", "b")

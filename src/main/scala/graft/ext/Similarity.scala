@@ -105,16 +105,14 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("csim"))
 
   /** IVF cell assignment: each vector goes to its highest-cosine
-    * centroid (deterministic tie-break on the lowest centroid id).
-    * One broadcast + two combinable aggregations — no shuffle of the
-    * embedding arrays. */
-  def ivfAssign(embs: DataFrame, centroids: DataFrame): DataFrame = {
-    val sims = centroidSims(embs, centroids)
-    val best = sims.groupBy("vec_id").agg(max(col("csim")).as("best_sim"))
-    sims.join(best, Seq("vec_id"))
-      .where(col("csim") === col("best_sim"))
-      .groupBy("vec_id").agg(min(col("cid")).as("cid"))
-  }
+    * centroid (deterministic tie-break on the lowest centroid id,
+    * via the `(csim, -cid)` ordering struct). One broadcast + ONE
+    * combinable argmax aggregation — the corpus×centroid similarity
+    * evaluates exactly once, and no embedding array ever shuffles. */
+  def ivfAssign(embs: DataFrame, centroids: DataFrame): DataFrame =
+    centroidSims(embs, centroids)
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("cid"))
 
   /** IVF search: probe the `nprobe` best cells per query, then exact
     * cosine ranks the candidates within the probed cells only. */
@@ -150,22 +148,34 @@ object Similarity {
   /** Lloyd refinement of a centroid set: `iters` rounds of assign →
     * element-wise re-average, fully distributed (posexplode + one
     * combinable groupBy per round; centroids stay broadcast-sized).
-    * Refined centroids keep deterministic ids (min member id). */
+    * Cells that lose all members drop out; surviving cells keep their
+    * ids. The component sums go through an exact DECIMAL accumulator,
+    * so the refined centroids are bit-identical regardless of partition
+    * order (double summation is association-sensitive) — which both
+    * makes reruns reproducible at any parallelism and puts the whole
+    * refinement inside the oracle gate (x26). */
   def kmeansLite(embs: DataFrame, initial: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     var centroids = initial
     (0 until iters).foreach { _ =>
       val assign = ivfAssign(embs, centroids)
       val members = assign.join(embs, Seq("vec_id"))
       val avg = members
         .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .groupBy("cid", "pos").agg(
+          sum(col("v").cast(DecimalType(28, 16))).cast("double").as("s"),
+          count(lit(1)).as("n"))
         .withColumn("m", col("s") / col("n"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("cemb"))
+      // materialize each round (centroids are broadcast-sized): without
+      // this, iteration i's plan re-derives every previous iteration's
+      // full-corpus assignment — quadratic recompute in `iters`
       centroids = avg
         .withColumn("cnorm", l2Norm(col("cemb")))
         .select(col("cid"), col("cemb"), col("cnorm"))
+        .localCheckpoint(true)
     }
     centroids
   }

@@ -641,7 +641,62 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x26 — IVF with ONE Lloyd refinement round under the oracle gate:
+  // the unrolled round (assign → decimal-exact re-average → reassign)
+  // is plain SQL because kmeansLite's sums are DECIMAL-accumulated —
+  // bit-identical to DuckDB regardless of Spark's partition order.
+  val x26 = Q(
+    "x26_knn_ivf_lloyd",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % 50 = 7),
+      |sims0 AS (
+      |  SELECT e.vec_id, s.cid, round(list_cosine_similarity(e.emb, s.cemb), 6) AS csim
+      |  FROM e CROSS JOIN seeds s),
+      |best0 AS (SELECT vec_id, max(csim) AS bs FROM sims0 GROUP BY vec_id),
+      |asg0 AS (
+      |  SELECT sims0.vec_id, min(cid) AS cid
+      |  FROM sims0 JOIN best0 ON sims0.vec_id = best0.vec_id AND sims0.csim = best0.bs
+      |  GROUP BY sims0.vec_id),
+      |mem AS (SELECT a.cid, e.emb FROM asg0 a JOIN e ON e.vec_id = a.vec_id),
+      |u AS (SELECT cid, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos FROM mem),
+      |avgc AS (
+      |  SELECT cid, pos, CAST(SUM(CAST(v AS DECIMAL(28, 16))) AS DOUBLE) / count(*) AS m
+      |  FROM u GROUP BY cid, pos),
+      |cents AS (SELECT cid, list(m ORDER BY pos) AS cemb FROM avgc GROUP BY cid),
+      |sims AS (
+      |  SELECT e.vec_id, c.cid, round(list_cosine_similarity(e.emb, c.cemb), 6) AS csim
+      |  FROM e CROSS JOIN cents c),
+      |best AS (SELECT vec_id, max(csim) AS bs FROM sims GROUP BY vec_id),
+      |asg AS (
+      |  SELECT sims.vec_id, min(cid) AS cid
+      |  FROM sims JOIN best ON sims.vec_id = best.vec_id AND sims.csim = best.bs
+      |  GROUP BY sims.vec_id),
+      |qprobe AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT vec_id AS qid, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS pr
+      |    FROM sims WHERE vec_id < 10) q
+      |  WHERE pr <= 2),
+      |cand AS (
+      |  SELECT q.qid, a.vec_id FROM asg a JOIN qprobe q ON a.cid = q.cid
+      |  WHERE a.vec_id <> q.qid),
+      |scored AS (
+      |  SELECT cand.qid, cand.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(qe.emb, ce.emb), 6) AS sim
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.qid JOIN e ce ON ce.vec_id = cand.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+      |      FROM scored)
+      |SELECT qid, neighbor_id, sim, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+    val embs = normalizedEmb(s, dir)
+    val refined = Similarity.kmeansLite(
+      embs, Similarity.seedCentroids(embs, stride = 50), iters = 1)
+    Similarity.ivfSearch(embs, refined, (0L until 10L).toSeq, k = 5, nprobe = 2)
+      .orderBy("qid", "rank")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
-      x16, x17, x18, x19, x20, x21, x22, x23, x24, x25)
+      x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26)
 }

@@ -1,0 +1,97 @@
+package graft.tools
+
+import graft.Tables
+import graft.ext.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Volume tripwire for the LSH/ANN family (VERDICT r2 #6): blow the
+  * sf0.01 tables up 10× — WITH adversarial skew (100k byte-identical
+  * copies of one document, duplicated embedding vectors) — and assert
+  * the four headline ops grow ~linearly, not quadratically.
+  *
+  * A 10× input should cost ≲10× plus fixed overhead; the assertion
+  * bound is 30× (generous for scheduling noise at toy scale) — a
+  * quadratic blow-up would show ≥100× and the skewed flood would hang
+  * outright without the distinct-contents/bucket-cap guards.
+  *
+  * Run: `sbt "runMain graft.tools.VolumeTripwire"`. Exits non-zero on a
+  * violated bound; prints one PROF line per (op, scale) for COVERAGE.md.
+  */
+object VolumeTripwire {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("volume-tripwire")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(100000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    def timeMin(df: => DataFrame): Double =
+      (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    /** `copies`× the frame with shifted ids, so every copy is a distinct
+      * row (near-dup pressure without byte-identity). */
+    def blow(df: DataFrame, idCol: String, copies: Int, shift: Long): DataFrame =
+      (0 until copies).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i * shift))).reduce(_.unionAll(_))
+
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // skew flood: 100k byte-identical copies of one doc under fresh ids —
+    // the distinct-contents guard must collapse these before any LSH
+    val flood = docs.where(col("doc_id") === 42).select(col("text"))
+      .crossJoin(spark.range(100000).select((col("id") + 10000000L).as("doc_id")))
+      .select("doc_id", "text")
+    val docs1 = docs
+    val docs10 = blow(docs, "doc_id", 10, 1000000L).unionAll(flood)
+
+    val embs = Tables.embeddings(spark, sfDir)
+    val embs1 = Similarity.withNorm(embs, col("vec_id"), col("embedding"))
+    val embs10 = Similarity.withNorm(
+      blow(embs, "vec_id", 10, 1000000L), col("vec_id"), col("embedding"))
+
+    case class Res(name: String, t1: Double, t10: Double) {
+      def ratio: Double = t10 / t1
+    }
+    val results = Seq(
+      Res("x7_minhashPairs",
+        timeMin(Dedup.minhashPairs(docs1, col("doc_id"), col("text"))),
+        timeMin(Dedup.minhashPairs(docs10, col("doc_id"), col("text")))),
+      Res("x8_simhashPairs", {
+        val d = Dedup.distinctContents(docs1, col("doc_id"), col("text"))
+        timeMin(Dedup.simhashPairs(Dedup.simhash(d, col("doc_id"), col("text"))))
+      }, {
+        val d = Dedup.distinctContents(docs10, col("doc_id"), col("text"))
+        timeMin(Dedup.simhashPairs(Dedup.simhash(d, col("doc_id"), col("text"))))
+      }),
+      Res("x10_knnLsh",
+        timeMin(Similarity.knnLsh(embs1, (0L until 10L).toSeq, k = 5)),
+        timeMin(Similarity.knnLsh(embs10, (0L until 10L).toSeq, k = 5))),
+      Res("x21_ivfSearch",
+        timeMin(Similarity.ivfSearch(embs1,
+          Similarity.seedCentroids(embs1, stride = 50), (0L until 10L).toSeq, k = 5)),
+        timeMin(Similarity.ivfSearch(embs10,
+          Similarity.seedCentroids(embs10, stride = 50), (0L until 10L).toSeq, k = 5))))
+
+    results.foreach { r =>
+      println(f"PROF ${r.name}%-18s t1x=${r.t1}%6.2fs t10x=${r.t10}%6.2fs ratio=${r.ratio}%5.1f")
+    }
+    spark.stop()
+    val bad = results.filter(_.ratio > 30.0)
+    if (bad.nonEmpty) {
+      System.err.println(s"TRIPWIRE VIOLATED: ${bad.map(_.name).mkString(", ")}")
+      sys.exit(1)
+    }
+    println("TRIPWIRE OK")
+  }
+}

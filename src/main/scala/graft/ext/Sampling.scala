@@ -1,0 +1,39 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample` is non-reproducible: a retried stage, a different
+  * partition count, or a different engine version yields a DIFFERENT
+  * corpus — poison for dataset lineage. Hash sampling keys the
+  * keep/drop decision on the md5-derived 60-bit hash of the row's id:
+  * the same row decides the same way on any cluster on any day, the
+  * sample composes with incremental reruns, and the whole decision is
+  * reproducible in ANSI SQL (oracle-checkable).
+  *
+  * 100 TB posture: a pure scan-side filter — zero shuffle, pushes
+  * nothing anywhere, scales embarrassingly with partitions.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, 10000) from the key's md5 (rate resolution
+    * 0.01%). */
+  def hashBucket(key: Column): Column =
+    pmod(Dedup.md5Hash60(key.cast("string")), lit(10000L))
+
+  /** Keep a deterministic `rate` fraction of rows, keyed on `key`. */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.where(hashBucket(key) < lit(math.round(rate * 10000)))
+
+  /** Per-stratum rates with a default — e.g. downsample the dominant
+    * language, keep tail languages whole. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+      rates: Map[String, Double], default: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(math.round(default * 10000)): Column) {
+      case (acc, (s, r)) => when(stratum === s, lit(math.round(r * 10000))).otherwise(acc)
+    }
+    df.where(hashBucket(key) < rate)
+  }
+}

@@ -71,4 +71,46 @@ object TextAnalysis {
   /** Sentence count via terminal-punctuation runs (`.!?`). */
   def sentenceCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))
+
+  // ---- PII redaction ----
+
+  /** Portable (Java regex ∩ RE2) patterns so the redaction is
+    * reproducible in the oracle engine. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberPattern = "[0-9]{6,}"
+
+  /** Scrub emails then long digit runs (ids, phones, account numbers) —
+    * the standard pre-training privacy pass. Emails go first: the email
+    * pattern can span digits that the number pattern would otherwise
+    * split. Pure codegen regexp_replace — zero shuffle at any scale. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      LongNumberPattern, "<ID>")
+
+  /** Occurrences of `pattern` in `text` (for redaction audit counts). */
+  def patternCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  // ---- repetition / duplication quality signals (Gopher-style) ----
+
+  /** Fraction of repeated words: `1 - distinct/total` (0 for blank). */
+  def dupWordRatio(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    val n = size(words)
+    when(length(trim(text)) === 0, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(words)).cast("double") / n.cast("double"))
+  }
+
+  /** Fraction of repeated word bigrams: `1 - distinct/total`; 0 when the
+    * doc has fewer than 2 words. High values flag boilerplate/spam that
+    * per-word stats miss (WordShingles dedups, so its size IS the
+    * distinct count). */
+  def dupBigramRatio(text: Column): Column = {
+    val n = wsTokenCount(text)
+    when(n < 2, 0.0).otherwise(
+      lit(1.0) -
+        size(graft.ext.Dedup.shingles(text, 2)).cast("double") /
+          (n - 1).cast("double"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.functions.PolyHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -696,7 +696,99 @@ object ExtQueries {
       .orderBy("qid", "rank")
   }
 
+  // x27 — deterministic stratified hash sampling: keep/drop keyed on the
+  // md5-derived hash of the id, per-language rates. Reproducible on any
+  // cluster at any parallelism (unlike df.sample), zero shuffle.
+  val x27 = Q(
+    "x27_stratified_sample",
+    """SELECT doc_id, lang
+      |FROM documents
+      |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      |      < CASE WHEN lang = 'en' THEN 2500
+      |             WHEN lang = 'de' THEN 5000
+      |             ELSE 10000 END
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Sampling.stratifiedSample(
+      Tables.documents(s, dir), col("lang"), col("doc_id"),
+      rates = Map("en" -> 0.25, "de" -> 0.5), default = 1.0)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  // x28 — PII redaction with audit counts. The synthetic corpus carries
+  // no PII, so the query derives a deterministic contact line (source
+  // email + numeric id) per doc and scrubs it — the redaction itself is
+  // the portable regex pass a pre-training privacy sweep runs.
+  val x28 = Q(
+    "x28_pii_redaction",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |         concat_ws(' ', source || '@crawl.example.org',
+      |                   CAST(doc_id * 7919 + 1000000 AS VARCHAR), text) AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |       regexp_replace(
+      |         regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |         '[0-9]{6,}', '<ID>', 'g') AS redacted,
+      |       CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      |       CAST(len(regexp_extract_all(raw, '[0-9]{6,}')) AS INT) AS n_ids
+      |FROM raw
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val raw = Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat_ws(" ",
+        concat(col("source"), lit("@crawl.example.org")),
+        (col("doc_id") * 7919 + 1000000).cast("string"),
+        col("text")).as("raw"))
+    raw.select(
+      col("doc_id"),
+      TextAnalysis.redactPii(col("raw")).as("redacted"),
+      TextAnalysis.patternCount(col("raw"), TextAnalysis.EmailPattern).as("n_emails"),
+      TextAnalysis.patternCount(col("raw"), TextAnalysis.LongNumberPattern).as("n_ids"))
+      .orderBy("doc_id")
+  }
+
+  // x29 — Gopher-style repetition signals: repeated-word and
+  // repeated-bigram fractions (boilerplate/spam flag). Pure codegen
+  // column math; WordShingles' distinct-by-construction output IS the
+  // distinct-bigram count.
+  val x29 = Q(
+    "x29_repetition_filter",
+    """WITH t AS (
+      |  SELECT doc_id, trim(text) AS tt,
+      |         string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, tt, w, len(w) AS n,
+      |         CASE WHEN len(w) >= 2
+      |              THEN list_distinct(list_transform(range(1, len(w)),
+      |                     i -> w[i] || ' ' || w[i+1]))
+      |              ELSE [tt] END AS bg
+      |  FROM t)
+      |SELECT doc_id,
+      |       CAST(CASE WHEN len(tt) = 0 THEN 0 ELSE n END AS INT) AS n_words,
+      |       CASE WHEN len(tt) = 0 THEN 0.0
+      |            ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(n AS DOUBLE)
+      |       END AS dup_word_ratio,
+      |       CASE WHEN len(tt) = 0 OR n < 2 THEN 0.0
+      |            ELSE 1.0 - CAST(len(bg) AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+      |       END AS dup_bigram_ratio,
+      |       CAST(CASE WHEN (CASE WHEN len(tt) = 0 OR n < 2 THEN 0.0
+      |                            ELSE 1.0 - CAST(len(bg) AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+      |                       END) > 0.05 THEN 1 ELSE 0 END AS INT) AS flag
+      |FROM b
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).as("n_words"),
+      TextAnalysis.dupWordRatio(col("text")).as("dup_word_ratio"),
+      TextAnalysis.dupBigramRatio(col("text")).as("dup_bigram_ratio"),
+      when(TextAnalysis.dupBigramRatio(col("text")) > 0.05, 1).otherwise(0)
+        .cast("int").as("flag"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
-      x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26)
+      x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29)
 }

@@ -270,3 +270,60 @@ class FirstNonEmptyAggSpec extends graft.SparkSpec {
     assert(builtin.nonEmpty)
   }
 }
+
+class SamplingSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ext.{Sampling, TextAnalysis}
+
+  test("hash sample is deterministic, rate-accurate, partition-invariant") {
+    val ids = spark.range(0, 20000).toDF("id")
+    val kept = Sampling.hashSample(ids, col("id"), 0.3)
+      .as[Long].collect().toSet
+    // deterministic: identical keep set at a different partition count
+    val kept4 = Sampling.hashSample(ids.repartition(4), col("id"), 0.3)
+      .as[Long].collect().toSet
+    assert(kept === kept4)
+    // md5 buckets are uniform: 30% ± 2pp at n=20000
+    assert(math.abs(kept.size / 20000.0 - 0.3) < 0.02, kept.size)
+  }
+
+  test("stratified rates apply per stratum; default covers the tail") {
+    val df = (0 until 8000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zh"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSample(df, col("lang"), col("id"),
+      rates = Map("en" -> 0.1), default = 1.0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(out("zh") === 4000L)              // default 1.0 keeps everything
+    assert(math.abs(out("en") / 4000.0 - 0.1) < 0.03, out("en"))
+  }
+
+  test("redaction scrubs emails before digit runs; counts audit the raw text") {
+    val raw = "write bob.smith+x@corp.example.co or call 5551234567 ref 12345"
+    val r = Seq(raw).toDF("t").select(
+      TextAnalysis.redactPii(col("t")).as("red"),
+      TextAnalysis.patternCount(col("t"), TextAnalysis.EmailPattern).as("ne"),
+      TextAnalysis.patternCount(col("t"), TextAnalysis.LongNumberPattern).as("nn"))
+      .collect().head
+    assert(r.getString(0) === "write <EMAIL> or call <ID> ref 12345")
+    assert(r.getInt(1) === 1)
+    assert(r.getInt(2) === 1)  // 12345 is under the 6-digit floor
+  }
+
+  test("repetition ratios: distinct text 0, repeated text high, short-doc 0") {
+    val rows = Seq(
+      (1L, "alpha beta gamma delta"),     // all distinct
+      (2L, "spam spam spam spam spam"),   // one word repeated
+      (3L, "one"),                        // < 2 words
+      (4L, "")
+    ).toDF("id", "t").select(col("id"),
+      TextAnalysis.dupWordRatio(col("t")).as("dw"),
+      TextAnalysis.dupBigramRatio(col("t")).as("db"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows(1L) === ((0.0, 0.0)))
+    assert(rows(2L)._1 === 0.8)            // 1 - 1/5
+    assert(rows(2L)._2 === 0.75)           // 1 distinct bigram of 4
+    assert(rows(3L) === ((0.0, 0.0)))
+    assert(rows(4L) === ((0.0, 0.0)))
+  }
+}

@@ -44,6 +44,23 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental exact dedup: rows of `batch` whose content does not
+    * already exist in `history`, keeping the minimum-id representative
+    * per new content. This is the shape a production pipeline actually
+    * runs — yesterday's corpus is a fingerprint STORE, not a rescan:
+    * `history` here is any `(text)`-bearing frame, but at scale you
+    * persist `exactGroups`' 16-byte digests once and anti-join new
+    * batches against that narrow table. One anti join + one group on
+    * digests; full text never shuffles. */
+  def dedupAgainstHistory(batch: DataFrame, history: DataFrame,
+      id: Column, text: Column): DataFrame = {
+    val b = batch.select(id.as("doc_id"), md5(text).as("content_hash"))
+    val seen = history.select(md5(text).as("content_hash")).distinct()
+    b.join(seen, Seq("content_hash"), "left_anti")
+      .groupBy("content_hash").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "content_hash")
+  }
+
   /** `(doc_id, text)` with one representative (minimum id) per distinct
     * content — the exact-dedup-first guard in front of the LSH ops.
     *

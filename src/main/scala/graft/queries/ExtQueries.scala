@@ -788,7 +788,51 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x30 — incremental dedup: a new batch anti-joined against the
+  // historical corpus' content hashes (the production shape: history is
+  // a persisted 16-byte-digest store, not a rescan). The history window
+  // deliberately overlaps the batch (250..299) so the anti join removes
+  // real rows.
+  val x30 = Q(
+    "x30_incremental_dedup",
+    """WITH b AS (
+      |  SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id >= 250),
+      |h AS (
+      |  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id < 300)
+      |SELECT min(doc_id) AS doc_id, content_hash
+      |FROM b
+      |WHERE content_hash NOT IN (SELECT content_hash FROM h)
+      |GROUP BY content_hash
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Dedup.dedupAgainstHistory(
+      docs.where(col("doc_id") >= 250),
+      docs.where(col("doc_id") < 300),
+      col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
+  // x31 — Z-order (Morton) clustering key: interleave the bits of two
+  // filter columns so a sorted write serves range predicates on EITHER
+  // via parquet row-group min/max pruning (ext/Layout).
+  val x31 = Q(
+    "x31_zorder_key",
+    s"""WITH c AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS a, CAST(c_nationkey AS BIGINT) AS b
+      |  FROM customer)
+      |SELECT a AS c_custkey, b AS c_nationkey,
+      |       ${graft.ext.Layout.zorderKeySql("a", "b", 16)} AS zkey
+      |FROM c
+      |ORDER BY zkey, c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      col("c_nationkey").cast("long").as("c_nationkey"),
+      graft.ext.Layout.zorderKey(col("c_custkey"), col("c_nationkey"), 16).as("zkey"))
+      .orderBy("zkey", "c_custkey")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
-      x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29)
+      x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
+      x30, x31)
 }

@@ -327,3 +327,61 @@ class SamplingSpec extends graft.SparkSpec {
     assert(rows(4L) === ((0.0, 0.0)))
   }
 }
+
+class LayoutSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ext.{Dedup, Layout}
+
+  test("morton key interleaves bits: hand-checked values and locality tiling") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 2L), (3L, 5L))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zorderKey(col("a"), col("b"), 8).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows((0L, 0L)) === 0L)
+    assert(rows((1L, 0L)) === 1L)   // a occupies even bit positions
+    assert(rows((0L, 1L)) === 2L)   // b occupies odd bit positions
+    assert(rows((1L, 1L)) === 3L)
+    assert(rows((2L, 2L)) === 12L)  // 0b1100
+    assert(rows((3L, 5L)) === 39L)  // a=0b11->bits0,2; b=0b101->bits1,5
+  }
+
+  test("scala key == SQL key (the oracle form) on a value grid") {
+    val df = (0 until 64).flatMap(a => (0 until 64).map(b => (a.toLong, b.toLong)))
+      .toDF("a", "b")
+    val bad = df.select(
+      Layout.zorderKey(col("a"), col("b"), 8).as("scala_z"),
+      expr(Layout.zorderKeySql("a", "b", 8)).as("sql_z"))
+      .where(col("scala_z") =!= col("sql_z")).count()
+    assert(bad === 0L)
+  }
+
+  test("z-sorted layout clusters both dimensions into row groups") {
+    // a 32x32 grid z-sorted into 16 chunks: each chunk's (a, b) spans
+    // must both be narrow — that's what makes min/max pruning work on
+    // either column. A plain a-sort gives chunk b-span = the full 32.
+    val grid = (0 until 32).flatMap(a => (0 until 32).map(b => (a.toLong, b.toLong)))
+    val zsorted = grid.sortBy { case (a, b) =>
+      var z = 0L
+      (0 until 5).foreach { i => z |= ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1) }
+      z
+    }
+    val spans = zsorted.grouped(64).map { chunk =>
+      val (as, bs) = chunk.unzip
+      math.max(as.max - as.min, bs.max - bs.min)
+    }.toSeq
+    assert(spans.forall(_ <= 8), spans)  // every 64-row chunk is a tight tile
+  }
+
+  test("incremental dedup drops contents already in history, keeps min id") {
+    val history = Seq((1L, "seen one"), (2L, "seen two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen one"),   // exists in history -> dropped
+      (11L, "fresh"), (12L, "fresh"),  // new content, duplicated in batch -> min id
+      (13L, "also new")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstHistory(batch, history, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(11L, 13L))
+  }
+}

@@ -831,8 +831,34 @@ object ExtQueries {
       .orderBy("zkey", "c_custkey")
   }
 
+  // x32 — range join (point-in-interval) via bin bucketing: clicks that
+  // land inside the 30-minute window each error event opens for its
+  // user. The oracle is the naive range join; the engine's binned
+  // equi-join (ops/RangeJoin) must produce the identical pair set.
+  val x32 = Q(
+    "x32_range_join",
+    """SELECT c.event_id AS event_id, er.event_id AS err_id
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') er
+      |  ON c.user_id = er.user_id
+      | AND c.ts >= er.ts AND c.ts < er.ts + INTERVAL 30 MINUTE
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+    graft.ops.RangeJoin.pointInInterval(
+      clicks, errors, key = "user_id", t = "ts",
+      start = "w_start", end = "w_end", binSeconds = 1800)
+      .select(col("event_id"), col("err_id"))
+      .orderBy("event_id", "err_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
-      x30, x31)
+      x30, x31, x32)
 }

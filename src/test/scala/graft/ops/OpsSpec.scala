@@ -294,3 +294,56 @@ class SaltingSpec extends SparkSpec {
     assert(salted.size === 52) // 50 hot + k7 + k13
   }
 }
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import java.sql.Timestamp
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("binned range join == naive range join (randomized, multi-bin intervals)") {
+    val rnd = new scala.util.Random(7)
+    val points = (0 until 400).map { i =>
+      (i.toLong, rnd.nextInt(5).toLong, ts(rnd.nextInt(100000).toLong)) }
+      .toDF("event_id", "user_id", "ts")
+    val intervals = (0 until 120).map { i =>
+      val start = rnd.nextInt(100000).toLong
+      // lengths from sub-bin to several bins (bin = 1800 s)
+      (1000L + i, rnd.nextInt(5).toLong, ts(start), ts(start + rnd.nextInt(7000)))
+    }.toDF("iv_id", "user_id", "w_start", "w_end")
+    val binned = RangeJoin.pointInInterval(points, intervals,
+        "user_id", "ts", "w_start", "w_end", binSeconds = 1800)
+      .select("event_id", "iv_id").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals, Seq("user_id"))
+      .where(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("event_id", "iv_id").as[(Long, Long)].collect().toSet
+    assert(binned === naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("boundaries: start inclusive, end exclusive, bin-edge points match") {
+    val points = Seq(
+      (1L, 1L, ts(3600)),   // exactly at start -> in
+      (2L, 1L, ts(5399)),   // last second -> in
+      (3L, 1L, ts(5400)),   // exactly at end -> out
+      (4L, 1L, ts(3599)),   // just before -> out
+      (5L, 2L, ts(3600))    // other key -> out
+    ).toDF("event_id", "user_id", "ts")
+    val intervals = Seq((100L, 1L, ts(3600), ts(5400)))
+      .toDF("iv_id", "user_id", "w_start", "w_end")
+    val got = RangeJoin.pointInInterval(points, intervals,
+        "user_id", "ts", "w_start", "w_end", binSeconds = 1800)
+      .select("event_id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L))
+  }
+
+  test("plan: equi-join on (key, bin), no nested-loop join") {
+    val points = Seq((1L, 1L, ts(100))).toDF("event_id", "user_id", "ts")
+    val intervals = Seq((2L, 1L, ts(50), ts(150)))
+      .toDF("iv_id", "user_id", "w_start", "w_end")
+    val plan = RangeJoin.pointInInterval(points, intervals,
+        "user_id", "ts", "w_start", "w_end", binSeconds = 60)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan.take(2000))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Programmatic versions of PLANS.md's claims: the scale posture is
+  * asserted, not narrated. Counts are pinned against Spark 4.1.2's
+  * planner output; a regression that adds a shuffle, loses a pushed
+  * filter, or widens a read schema fails here before any bench notices.
+  */
+class PlanAuditSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Simple plan string: every node appears once, with inline args. */
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  private def formattedOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def shuffles(p: String): Int =
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(p).length
+  private def broadcasts(p: String): Int =
+    "BroadcastExchange".r.findAllIn(p).length
+
+  test("q1: both predicates pushed into the parquet scan; 4-column ReadSchema") {
+    val p = formattedOf("q1_catalog_scan")
+    assert(p.contains("GreaterThanOrEqual(o_custkey,500)"), p)
+    assert(p.contains("Not(EqualTo(o_orderstatus,F))"), p)
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).get.group(1)
+    assert(read.split(",").length === 4, read)  // of the table's 6 columns
+  }
+
+  test("q12: dim broadcasts, fact never shuffles pre-join; 2 shuffles total") {
+    val p = planOf("q12_revenue_join")
+    assert(broadcasts(p) === 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(shuffles(p) === 2, p)  // final agg + output sort; the join adds none
+  }
+
+  test("x27: sampling is a scan-side filter — the only shuffle is the output sort") {
+    val p = planOf("x27_stratified_sample")
+    assert(shuffles(p) === 1, p)
+    assert(broadcasts(p) === 0, p)
+  }
+
+  test("x24: custom as-of = 2 pinned co-partition shuffles + output sort, no window") {
+    val p = planOf("x24_asof_custom")
+    assert(p.contains("AsofJoin"), p)
+    assert(shuffles(p) === 3, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("x9: queries broadcast, corpus streams (no corpus-side shuffle before scoring)") {
+    val p = planOf("x9_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(broadcasts(p) === 1, p)
+  }
+}

@@ -180,6 +180,82 @@ object Similarity {
     centroids
   }
 
+  // ---- PQ (product quantization) ANN ----
+
+  /** PQ codebooks: subspace `s` of `m` gets the stride-sampled corpus
+    * SUBvectors as its codewords — `(sub, cid, cemb)`, broadcast-sized
+    * by construction (the deterministic sampled-codebook baseline, like
+    * [[seedCentroids]]; swap in kmeansLite-refined subspace codebooks
+    * when recall matters more than SQL-reproducibility). */
+  def pqCodebooks(embs: DataFrame, m: Int, dim: Int, stride: Int,
+      offset: Int = 7): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val d = dim / m
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("emb"), s * d + 1, d).as("cemb")))
+    embs.where(pmod(col("vec_id"), lit(stride)) === offset)
+      .select(col("vec_id").as("cid"), explode(array(subs: _*)).as("c"))
+      .select(col("cid"), col("c.sub").as("sub"), col("c.cemb").as("cemb"))
+  }
+
+  /** PQ encoding: per (vector, subspace), the max-dot codeword
+    * (deterministic tie-break on the lowest codeword id). The codes
+    * table is the whole point at 100 TB: m small ints per vector
+    * instead of the full embedding — the corpus compresses ~64× and
+    * scoring never touches the vectors. One broadcast + one combinable
+    * argmax, same shape as [[ivfAssign]]. */
+  def pqEncode(embs: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val d = dim / m
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("emb"), s * d + 1, d).as("semb")))
+    embs.select(col("vec_id"), explode(array(subs: _*)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.semb").as("semb"))
+      .join(broadcast(codebooks), Seq("sub"))
+      .withColumn("psim", round(dot(col("semb"), col("cemb")), 6))
+      .groupBy("vec_id", "sub")
+      .agg(max_by(col("cid"), struct(col("psim"), (-col("cid")).as("nc"))).as("code"))
+  }
+
+  /** PQ-ADC search: approximate score = Σ_subspace (query·codeword)
+    * looked up from a broadcast table, then exact cosine re-ranks the
+    * top `rerank`·k approximate candidates only. The per-subspace
+    * partials are 6-dp-rounded and summed through DECIMAL, so the
+    * approximate ranking is bit-stable at any parallelism (and in the
+    * oracle engine). */
+  def pqSearch(embs: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 4, stride: Int = 50, rerank: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dim = embs.select(size(col("emb"))).head().getInt(0)
+    val d = dim / m
+    val cb = pqCodebooks(embs, m, dim, stride)
+    val codes = pqEncode(embs, cb, m, dim)
+    val qvecs = broadcast(embs
+      .where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("norm").as("qnorm")))
+    val qtable = broadcast(qvecs.crossJoin(cb)
+      .withColumn("psim",
+        round(dot(slice(col("qemb"), col("sub") * lit(d) + 1, lit(d)), col("cemb")), 6))
+      .select(col("qid"), col("sub"), col("cid").as("code"), col("psim")))
+    val approx = codes.join(qtable, Seq("sub", "code"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("psim").cast(DecimalType(18, 6))).cast("double").as("approx_sim"))
+    val aw = Window.partitionBy(col("qid")).orderBy(col("approx_sim").desc, col("vec_id"))
+    val cands = approx.withColumn("ar", row_number().over(aw))
+      .where(col("ar") <= rerank * k)
+      .select("qid", "vec_id")
+    val scored = cands
+      .join(embs, Seq("vec_id"))
+      .join(qvecs, Seq("qid"))
+      .withColumn("sim",
+        round(dot(col("qemb"), col("emb")) / (col("qnorm") * col("norm")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** Approximate top-k: candidates share an LSH bucket with the query in
     * at least one table; exact cosine ranks the candidates.
     *

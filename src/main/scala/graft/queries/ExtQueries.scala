@@ -857,8 +857,62 @@ object ExtQueries {
       .orderBy("event_id", "err_id")
   }
 
+  // x33 — product-quantization ANN (PQ-ADC): 4 subspaces × 16 dims,
+  // stride-sampled codebooks, codes = 4 small ints per vector (the
+  // ~64× corpus compression that makes 100 TB ANN feasible), scoring
+  // via a broadcast query×codeword table, exact re-rank of the top 15.
+  // 6-dp-rounded partials + DECIMAL sums keep the approximate ranking
+  // bit-stable → the whole chain runs under the oracle gate.
+  val x33 = Q(
+    "x33_knn_pq",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |subs AS (SELECT unnest(range(4)) AS sub),
+      |cb AS (
+      |  SELECT s.sub, e.vec_id AS cid, e.emb[s.sub*16+1 : s.sub*16+16] AS cemb
+      |  FROM e CROSS JOIN subs s WHERE e.vec_id % 50 = 7),
+      |sv AS (
+      |  SELECT s.sub, e.vec_id, e.emb[s.sub*16+1 : s.sub*16+16] AS semb
+      |  FROM e CROSS JOIN subs s),
+      |ps AS (
+      |  SELECT sv.vec_id, sv.sub, cb.cid,
+      |         round(list_dot_product(sv.semb, cb.cemb), 6) AS psim
+      |  FROM sv JOIN cb ON sv.sub = cb.sub),
+      |best AS (SELECT vec_id, sub, max(psim) AS b FROM ps GROUP BY vec_id, sub),
+      |codes AS (
+      |  SELECT ps.vec_id, ps.sub, min(ps.cid) AS code
+      |  FROM ps JOIN best ON ps.vec_id = best.vec_id AND ps.sub = best.sub
+      |                   AND ps.psim = best.b
+      |  GROUP BY ps.vec_id, ps.sub),
+      |qt AS (
+      |  SELECT e.vec_id AS qid, cb.sub, cb.cid AS code,
+      |         round(list_dot_product(e.emb[cb.sub*16+1 : cb.sub*16+16], cb.cemb), 6) AS psim
+      |  FROM e CROSS JOIN cb WHERE e.vec_id < 10),
+      |approx AS (
+      |  SELECT qt.qid, c.vec_id,
+      |         CAST(SUM(CAST(qt.psim AS DECIMAL(18, 6))) AS DOUBLE) AS approx_sim
+      |  FROM codes c JOIN qt ON c.sub = qt.sub AND c.code = qt.code
+      |  WHERE c.vec_id <> qt.qid
+      |  GROUP BY qt.qid, c.vec_id),
+      |cand AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx_sim DESC, vec_id) AS ar
+      |  FROM approx),
+      |scored AS (
+      |  SELECT cand.qid, cand.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(qe.emb, ce.emb), 6) AS sim
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.qid JOIN e ce ON ce.vec_id = cand.vec_id
+      |  WHERE cand.ar <= 15),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+      |      FROM scored)
+      |SELECT qid, neighbor_id, sim, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+    Similarity.pqSearch(normalizedEmb(s, dir), (0L until 10L).toSeq, k = 5,
+      m = 4, stride = 50, rerank = 3)
+      .orderBy("qid", "rank")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
-      x30, x31, x32)
+      x30, x31, x32, x33)
 }

@@ -424,3 +424,40 @@ class ZorderPruningSpec extends graft.SparkSpec {
     assert(spark.read.parquet(s"$dir/asort").where(pred).count() === 1024L)
   }
 }
+
+class PqSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ext.Similarity
+
+  private def embs = Similarity.withNorm(
+    graft.Tables.embeddings(spark, "/root/testdata/sf0.01"),
+    col("vec_id"), col("embedding"))
+
+  test("pq codes: one code per (vector, subspace); codebook is broadcast-sized") {
+    val cb = Similarity.pqCodebooks(embs, m = 4, dim = 64, stride = 50)
+    val codes = Similarity.pqEncode(embs, cb, m = 4, dim = 64)
+    assert(cb.count() === 40)          // 10 sampled vectors x 4 subspaces
+    assert(codes.count() === 500 * 4)  // every vector coded in every subspace
+    val dups = codes.groupBy("vec_id", "sub").count().where(col("count") > 1).count()
+    assert(dups === 0L)
+  }
+
+  test("pq-adc finds a planted duplicate and overlaps brute-force top-5") {
+    // the corpus contains each query itself; its code identical in every
+    // subspace -> max approximate score -> survives re-rank as the top hit
+    val brute = Similarity.knnBrute(embs, embs.where(col("vec_id") < 10), k = 5)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // a wider re-rank pool is PQ's recall/cost knob: 10-codeword books
+    // are coarse, so re-rank 8k candidates instead of the default 3k
+    val pq = Similarity.pqSearch(embs, (0L until 10L).toSeq, k = 5, rerank = 8)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(pq.keySet === (0L until 10L).toSet)
+    // approximate search with tiny codebooks won't match exact top-5
+    // everywhere; demand real signal: mean overlap >= 2.5 of 5
+    val overlap = (0L until 10L).map(q => (pq(q) & brute(q)).size).sum / 10.0
+    assert(overlap >= 2.5, s"mean overlap $overlap")
+  }
+}

@@ -347,3 +347,31 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop"), plan.take(2000))
   }
 }
+
+class StreamingRangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import java.sql.Timestamp
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("range join is streaming-compatible: stream points vs static intervals") {
+    // the binned form is a stateless explode + equi-join + filter, so it
+    // plans as a plain stream-static join — no watermark, no state store
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val points = mem.toDS().toDF("event_id", "user_id", "ts")
+    val intervals = Seq((100L, 1L, ts(1000), ts(2000)), (200L, 2L, ts(0), ts(500)))
+      .toDF("iv_id", "user_id", "w_start", "w_end")
+    val joined = RangeJoin.pointInInterval(points, intervals,
+      "user_id", "ts", "w_start", "w_end", binSeconds = 600)
+    val q = joined.select("event_id", "iv_id").writeStream
+      .format("memory").queryName("srj_out").outputMode("append").start()
+    try {
+      mem.addData((1L, 1L, ts(1500)), (2L, 1L, ts(2500)), (3L, 2L, ts(100)))
+      q.processAllAvailable()
+      val got = spark.table("srj_out").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 100L), (3L, 200L)))
+    } finally q.stop()
+  }
+}

@@ -55,6 +55,24 @@ object GraftExtensions {
       exprs => StopwordCount(exprs(0),
         exprs.drop(1).map(litStr(_, "stopword_count(text, 'a', 'b', ...)"))),
       "built-in")
+    reg.createOrReplaceTempFunction("zorder_key",
+      exprs => zorderExpr(exprs(0), exprs(1),
+        litNum(exprs(2), "zorder_key(a, b, bits)").intValue()), "built-in")
+  }
+
+  /** [[graft.ext.Layout.zorderKey]] built from raw catalyst nodes (the
+    * Column DSL's ColumnNode wrappers can't re-enter the function
+    * registry). Same bit math, same codegen arithmetic. */
+  private[graft] def zorderExpr(a: Expression, b: Expression,
+      bits: Int): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast, Literal, ShiftLeft, ShiftRight}
+    import org.apache.spark.sql.types.LongType
+    def side(e: Expression, odd: Int): Seq[Expression] = (0 until bits).map { i =>
+      ShiftLeft(
+        BitwiseAnd(ShiftRight(Cast(e, LongType), Literal(i)), Literal(1L)),
+        Literal(2 * i + odd))
+    }
+    (side(a, 0) ++ side(b, 1)).reduce(Add(_, _))
   }
 }
 

@@ -76,3 +76,11 @@ class RollupCsvSpec extends SparkSpec {
     assert(row.getAs[String]("n_detection") === "2")
   }
 }
+
+class ZorderSqlSpec extends SparkSpec {
+  test("zorder_key is callable from SQL and matches the Column form") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT zorder_key(3L, 5L, 8) AS z").collect().head
+    assert(r.getLong(0) === 39L)
+  }
+}

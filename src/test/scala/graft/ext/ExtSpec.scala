@@ -461,3 +461,36 @@ class PqSpec extends graft.SparkSpec {
     assert(overlap >= 2.5, s"mean overlap $overlap")
   }
 }
+
+class ApproxQuantileSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("approx_percentile within its accuracy bound of exact quantiles (mergeable sketch)") {
+    // percentile_approx's sketch merges across partitions - the
+    // distributed-quantile shape for 100 TB, where exact percentile
+    // (x17) needs a full sort per group
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val acc = 1000  // error <= 1/acc of the rank
+    val r = ev.agg(
+      expr(s"percentile_approx(value, array(0.5, 0.95, 0.99), $acc)").as("approx"),
+      expr("percentile(value, array(0.5, 0.95, 0.99))").as("exact"))
+      .collect().head
+    val approx = r.getSeq[Double](0)
+    val exact = r.getSeq[Double](1)
+    val n = ev.count()
+    // rank error bound: the approx value's rank is within n/acc of target
+    val sorted = ev.select("value").orderBy("value")
+      .collect().map(_.getDouble(0))
+    Seq(0.5, 0.95, 0.99).zipWithIndex.foreach { case (q, i) =>
+      val rank = sorted.indexWhere(_ >= approx(i)) match { case -1 => n.toInt case x => x }
+      assert(math.abs(rank - q * n) <= n.toDouble / acc * 2 + 1,
+        s"q=$q approx=${approx(i)} exact=${exact(i)} rank=$rank")
+    }
+    // partition-count invariance of the merged sketch
+    val r4 = ev.repartition(4).agg(
+      expr(s"percentile_approx(value, 0.5, $acc)")).collect().head.getDouble(0)
+    val r32 = ev.repartition(32).agg(
+      expr(s"percentile_approx(value, 0.5, $acc)")).collect().head.getDouble(0)
+    assert(math.abs(r4 - r32) <= math.abs(exact(0)) * 0.01 + 0.01, s"$r4 vs $r32")
+  }
+}

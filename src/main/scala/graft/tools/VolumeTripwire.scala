@@ -81,7 +81,10 @@ object VolumeTripwire {
         timeMin(Similarity.ivfSearch(embs1,
           Similarity.seedCentroids(embs1, stride = 50), (0L until 10L).toSeq, k = 5)),
         timeMin(Similarity.ivfSearch(embs10,
-          Similarity.seedCentroids(embs10, stride = 50), (0L until 10L).toSeq, k = 5))))
+          Similarity.seedCentroids(embs10, stride = 50), (0L until 10L).toSeq, k = 5))),
+      Res("x33_pqSearch",
+        timeMin(Similarity.pqSearch(embs1, (0L until 10L).toSeq, k = 5)),
+        timeMin(Similarity.pqSearch(embs10, (0L until 10L).toSeq, k = 5))))
 
     results.foreach { r =>
       println(f"PROF ${r.name}%-18s t1x=${r.t1}%6.2fs t10x=${r.t10}%6.2fs ratio=${r.ratio}%5.1f")

@@ -494,3 +494,31 @@ class ApproxQuantileSpec extends graft.SparkSpec {
     assert(math.abs(r4 - r32) <= math.abs(exact(0)) * 0.01 + 0.01, s"$r4 vs $r32")
   }
 }
+
+class PipelinePropertiesSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ext.{Layout, Sampling}
+
+  test("hash samples NEST: a smaller rate's keep-set is a subset of a larger's") {
+    // the property that makes hash sampling composable: the 10% corpus
+    // IS a subset of the 30% corpus, so scaling up training data never
+    // reshuffles what was already kept
+    val ids = spark.range(0, 10000).toDF("id")
+    val s10 = Sampling.hashSample(ids, col("id"), 0.1).as[Long].collect().toSet
+    val s30 = Sampling.hashSample(ids, col("id"), 0.3).as[Long].collect().toSet
+    val s100 = Sampling.hashSample(ids, col("id"), 1.0).as[Long].collect().toSet
+    assert(s10.subsetOf(s30))
+    assert(s30.subsetOf(s100))
+    assert(s100.size === 10000)
+  }
+
+  test("zorder key is injective on the full 64x64 grid") {
+    val keys = (0 until 64).flatMap(a => (0 until 64).map(b => (a.toLong, b.toLong)))
+      .toDF("a", "b")
+      .select(Layout.zorderKey(col("a"), col("b"), 6).as("z"))
+      .as[Long].collect()
+    assert(keys.distinct.length === 64 * 64)
+    assert(keys.min === 0L && keys.max === 4095L)  // exactly tiles [0, 2^12)
+  }
+}

@@ -36,4 +36,13 @@ object Sampling {
     }
     df.where(hashBucket(key) < rate)
   }
+
+  /** Weight-proportional Bernoulli sample: each row keeps with
+    * probability `rate10k/10000` where `rate10k` is any integer column
+    * in [0, 10000] (e.g. a quality score mapped to a keep rate) — the
+    * standard quality-weighted corpus mix. Same determinism story as
+    * [[hashSample]], and the comparison is pure integer arithmetic, so
+    * parity holds exactly on any engine. */
+  def weightedBernoulli(df: DataFrame, key: Column, rate10k: Column): DataFrame =
+    df.where(hashBucket(key) < least(greatest(rate10k, lit(0L)), lit(10000L)))
 }

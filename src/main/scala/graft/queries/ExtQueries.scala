@@ -911,8 +911,67 @@ object ExtQueries {
       .orderBy("qid", "rank")
   }
 
+  private def qualityFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      TextAnalysis.wsTokenCount(col("text")).as("n_ws"),
+      TextAnalysis.stopwordCount(col("text"), TextAnalysis.langStopwords.head._2).as("n_stop"),
+      TextAnalysis.punctCount(col("text")).as("n_punct"))
+      .withColumn("quality",
+        TextAnalysis.qualityScore(col("n_chars"), col("n_ws"), col("n_stop"), col("n_punct")))
+
+  private val qualitySql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+      |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_ws,
+      |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopSql))) AS INT) AS n_stop,
+      |         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id,
+      |         CASE WHEN n_ws = 0 THEN 0.0
+      |              ELSE least(50.0, CAST(n_stop AS DOUBLE) / CAST(n_ws AS DOUBLE) * 100.0 * 2.5)
+      |                   + (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 30.0 ELSE 0.0 END)
+      |                   + (CASE WHEN n_punct > 0 THEN 20.0 ELSE 0.0 END)
+      |         END AS quality
+      |  FROM t)""".stripMargin
+
+  // x34 — GLOBAL top-n by quality: `orderBy + limit` plans as
+  // TakeOrderedAndProject (per-partition top-n, merged once) — no
+  // global sort, no full shuffle, the only top-n shape that survives
+  // 100 TB. x16 covers per-group top-k; this is the global path.
+  val x34 = Q(
+    "x34_global_topn",
+    s"""$qualitySql
+      |SELECT doc_id, quality FROM q
+      |ORDER BY quality DESC, doc_id
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    qualityFrame(s, dir)
+      .orderBy(col("quality").desc, col("doc_id"))
+      .limit(100)
+      .select("doc_id", "quality")
+  }
+
+  // x35 — quality-weighted Bernoulli sample: keep probability = the
+  // doc's quality score (as a rate per 10k) — the deterministic
+  // corpus-mixing op; integer hash compare, exact on any engine.
+  val x35 = Q(
+    "x35_weighted_sample",
+    s"""$qualitySql
+      |SELECT doc_id, quality FROM q
+      |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      |      < least(greatest(CAST(floor(quality * 100) AS BIGINT), 0), 10000)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Sampling.weightedBernoulli(qualityFrame(s, dir), col("doc_id"),
+      floor(col("quality") * 100).cast("long"))
+      .select("doc_id", "quality")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
-      x30, x31, x32, x33)
+      x30, x31, x32, x33, x34, x35)
 }

@@ -58,4 +58,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(broadcasts(p) === 1, p)
   }
+
+  test("x34: global top-n plans as TakeOrderedAndProject — no global sort") {
+    val p = planOf("x34_global_topn")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(shuffles(p) === 0, p)  // per-partition top-n, merged once
+  }
 }

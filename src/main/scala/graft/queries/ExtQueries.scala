@@ -970,8 +970,57 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x36 — overlapping document chunking (200-char windows, 50 overlap):
+  // one explode, rows grow by len/stride, nothing shuffles but the
+  // output sort. Character windows keep parity exact (substring is
+  // character-based on both engines).
+  val x36 = Q(
+    "x36_doc_chunking",
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |         greatest(1, CAST(floor((length(text) + 99) / 150.0) AS BIGINT)) AS n_chunks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, unnest(range(n_chunks)) AS chunk_id, text FROM d)
+      |SELECT doc_id, chunk_id,
+      |       substring(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk
+      |FROM c
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    graft.ext.Packing.chunk(Tables.documents(s, dir),
+      col("doc_id"), col("text"), window = 200, overlap = 50)
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  // x37 — shard-parallel sequence packing (concat-then-cut pretraining
+  // layout): per source shard, docs concatenate in doc_id order and cut
+  // into 2000-char sequences; each doc reports its starting pack and
+  // offset. ONE partitioned window — parallelism = shard count, no
+  // global funnel.
+  val x37 = Q(
+    "x37_seq_packing",
+    """WITH c AS (
+      |  SELECT doc_id, source, length(text) AS len,
+      |         COALESCE(SUM(length(text)) OVER (
+      |           PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM documents)
+      |SELECT doc_id, source, CAST(len AS INT) AS len,
+      |       CAST(cum_before // 2000 AS BIGINT) AS pack_id,
+      |       CAST(cum_before % 2000 AS BIGINT) AS pack_offset
+      |FROM c
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.ext.Packing.packAssignments(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        length(col("text")).as("len")),
+      shard = col("source"), order = col("doc_id"), len = col("len"),
+      target = 2000)
+      .select(col("doc_id"), col("source"), col("len"),
+        col("pack_id"), col("pack_offset"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
-      x30, x31, x32, x33, x34, x35)
+      x30, x31, x32, x33, x34, x35, x36, x37)
 }

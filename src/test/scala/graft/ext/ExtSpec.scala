@@ -522,3 +522,48 @@ class PipelinePropertiesSpec extends graft.SparkSpec {
     assert(keys.min === 0L && keys.max === 4095L)  // exactly tiles [0, 2^12)
   }
 }
+
+class PackingSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ext.Packing
+
+  test("chunking: coverage, overlap, and edge cases (empty, short, exact-fit)") {
+    val docs = Seq(
+      (1L, "a" * 500),   // 500 chars -> chunks at 0,150,300 -> 3 chunks
+      (2L, "xy"),        // shorter than window -> 1 chunk, whole text
+      (3L, ""),          // empty -> 1 empty chunk
+      (4L, "b" * 200)    // exact window -> 1 chunk
+    ).toDF("doc_id", "text")
+    val chunks = Packing.chunk(docs, col("doc_id"), col("text"), 200, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(chunks.keys.count(_._1 == 1L) === 3)
+    assert(chunks((1L, 0L)).length === 200)
+    assert(chunks((1L, 2L)).length === 200)   // 300..500
+    assert(chunks((2L, 0L)) === "xy")
+    assert(chunks((3L, 0L)) === "")
+    assert(chunks.keys.count(_._1 == 4L) === 1)
+    // reconstruction: dropping each chunk's first `overlap` chars after
+    // the head chunk and concatenating restores the document
+    val rebuilt = (0L until 3L).map { i =>
+      val c = chunks((1L, i)); if (i == 0) c else c.drop(50)
+    }.mkString
+    assert(rebuilt === "a" * 500)
+  }
+
+  test("packing: offsets advance by doc length within each shard") {
+    val docs = Seq(
+      (1L, "s1", 800), (2L, "s1", 800), (3L, "s1", 800),  // 2400 total
+      (4L, "s2", 1999), (5L, "s2", 2)                      // straddles
+    ).toDF("doc_id", "source", "len")
+    val out = Packing.packAssignments(docs, col("source"), col("doc_id"),
+        col("len"), target = 2000)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset")))).toMap
+    assert(out(1L) === ((0L, 0L)))
+    assert(out(2L) === ((0L, 800L)))
+    assert(out(3L) === ((0L, 1600L)))   // starts in pack 0, spills into 1
+    assert(out(4L) === ((0L, 0L)))      // shards pack independently
+    assert(out(5L) === ((0L, 1999L)))
+  }
+}

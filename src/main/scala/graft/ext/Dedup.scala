@@ -61,6 +61,27 @@ object Dedup {
       .select("doc_id", "content_hash")
   }
 
+  /** Benchmark decontamination: drop training documents that share ANY
+    * word `n`-gram with the benchmark corpus — the standard eval-leak
+    * sweep before pretraining. Two explodes + a semi join + an anti
+    * join, all on 60-bit shingle hashes, so only (id, 8-byte hash)
+    * pairs ever shuffle; the benchmark side is dim-sized (distinct
+    * shingles of the eval set) and broadcasts. */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+      id: Column, text: Column, n: Int): DataFrame = {
+    val t = train.select(id.as("doc_id"), text.as("text"))
+    val benchShingles = benchmark
+      .select(explode(shingles(text, n)).as("sh"))
+      .select(md5Hash60(col("sh")).as("h"))
+      .distinct()
+    val contaminated = t
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .select(col("doc_id"), md5Hash60(col("sh")).as("h"))
+      .join(benchShingles, Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    t.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** `(doc_id, text)` with one representative (minimum id) per distinct
     * content — the exact-dedup-first guard in front of the LSH ops.
     *

@@ -1019,8 +1019,44 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x38 — benchmark decontamination: training docs sharing any 5-gram
+  // with the "benchmark" (doc_id < 25 stands in for an eval set) are
+  // dropped before training. Only (id, 8-byte shingle hash) pairs
+  // shuffle; the benchmark shingle set is dim-sized and broadcasts.
+  val x38 = Q(
+    "x38_decontaminate",
+    """WITH d AS (
+      |  SELECT doc_id, trim(text) AS tt, text,
+      |         string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN len(w) >= 5
+      |              THEN list_distinct(list_transform(range(1, len(w) - 3),
+      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+      |              ELSE [tt] END AS sh
+      |  FROM d),
+      |u AS (
+      |  SELECT doc_id, ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT AS h
+      |  FROM s),
+      |bs AS (SELECT DISTINCT h FROM u WHERE doc_id < 25),
+      |bad AS (
+      |  SELECT DISTINCT doc_id FROM u
+      |  WHERE doc_id >= 25 AND h IN (SELECT h FROM bs))
+      |SELECT doc_id FROM d
+      |WHERE doc_id >= 25 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Dedup.decontaminate(
+      docs.where(col("doc_id") >= 25),
+      docs.where(col("doc_id") < 25),
+      col("doc_id"), col("text"), n = 5)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
-      x30, x31, x32, x33, x34, x35, x36, x37)
+      x30, x31, x32, x33, x34, x35, x36, x37, x38)
 }

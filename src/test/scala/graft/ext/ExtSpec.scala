@@ -567,3 +567,25 @@ class PackingSpec extends graft.SparkSpec {
     assert(out(5L) === ((0L, 1999L)))
   }
 }
+
+class DecontaminateSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ext.Dedup
+
+  test("planted 5-gram leak is dropped; clean docs survive; short docs match whole-text") {
+    val bench = Seq(
+      (1L, "what is the capital city of france exactly"),
+      (2L, "tiny")  // < 5 words -> whole text is the shingle
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "irrelevant words that share nothing with any benchmark entry here"),
+      (11L, "someone asked what is the capital city of france yesterday"), // leaks 5-gram
+      (12L, "tiny"),                                                       // exact short-doc leak
+      (13L, "tiny differences are fine when not verbatim equal")           // 'tiny' only as word
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(train, bench, col("doc_id"), col("text"), n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(10L, 13L))
+  }
+}

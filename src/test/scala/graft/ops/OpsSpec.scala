@@ -375,3 +375,30 @@ class StreamingRangeJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class StreamingIncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.functions._
+
+  test("stream-static anti join dedups a doc stream against the history store") {
+    // the streaming twin of x30: new docs arrive as a stream, the
+    // historical corpus is a static digest table - dropDuplicates only
+    // sees the stream, the anti join sees all of history
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq("seen one", "seen two").toDF("text")
+      .select(md5(col("text")).as("content_hash"))
+    val mem = MemoryStream[(Long, String)]
+    val fresh = mem.toDS().toDF("doc_id", "text")
+      .withColumn("content_hash", md5(col("text")))
+      .join(history, Seq("content_hash"), "left_anti")
+    val q = fresh.select("doc_id").writeStream
+      .format("memory").queryName("sid_out").outputMode("append").start()
+    try {
+      mem.addData((10L, "seen one"), (11L, "fresh stuff"), (12L, "seen two"), (13L, "more new"))
+      q.processAllAvailable()
+      val got = spark.table("sid_out").as[Long].collect().toSet
+      assert(got === Set(11L, 13L))
+    } finally q.stop()
+  }
+}

@@ -64,4 +64,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(shuffles(p) === 0, p)  // per-partition top-n, merged once
   }
+
+  test("x37: packing's window is shard-partitioned — no global-order funnel") {
+    val p = planOf("x37_seq_packing")
+    assert("Window ".r.findAllIn(p).length === 1, p)
+    assert(shuffles(p) === 2, p)  // window hash(source) + output sort
+  }
+
+  test("x38: benchmark shingle set broadcasts into both semi and anti joins") {
+    // the dim-sized sides are aggregates, so their size is only known at
+    // runtime — AQE picks the broadcast; assert the FINAL adaptive plan
+    val df = SparkEntry.queries("x38_decontaminate")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).isDefined, p)
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined, p)
+  }
 }

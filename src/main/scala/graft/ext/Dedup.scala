@@ -259,6 +259,48 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  // ---- near-dup clustering ----
+
+  /** Connected components over a near-dup pair set via min-label
+    * propagation: every node's label converges to the minimum doc id in
+    * its component — which IS the keep-decision for cluster dedup (keep
+    * the label row, drop the rest). Each iteration is one distributed
+    * join + combinable min-aggregate over checkpointed labels; the loop
+    * runs to fixpoint (bounded by `maxIters`, erroring rather than
+    * returning a half-converged labeling). Iteration count = component
+    * diameter — near-dup clusters are shallow (dup chains, not paths),
+    * so a handful of rounds; for adversarial long-chain graphs swap in
+    * the large-star/small-star variant. Only (node, label) longs ever
+    * shuffle. Output: `(doc_id, cluster)` for every doc appearing in a
+    * pair; singletons are their own implicit cluster. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min(col("label")).as("nbr_label"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIters iterations")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+  }
+
   // ---- SimHash ----
 
   /** 60-bit SimHash per doc: tokens md5-hashed to 60 bits; each bit of

@@ -162,9 +162,10 @@ object ExtQueries {
   private val seedRows = Dedup.hashCoeffs(64).zipWithIndex
     .map { case ((a, b, c), i) => s"($i, $a, $b, $c)" }
     .grouped(4).map(_.mkString(", ")).mkString(",\n      |  ")
-  val x7 = Q(
-    "x7_dedup_minhash",
-    s"""WITH seeds(i, a, b, c) AS (VALUES
+  // CTE chain + final select split out so x39 can reuse the whole LSH
+  // pipeline inside its own WITH RECURSIVE list.
+  private val x7Ctes =
+    s"""seeds(i, a, b, c) AS (VALUES
       |  $seedRows),
       |d AS (
       |  SELECT min(doc_id) AS doc_id, first(text) AS text
@@ -194,14 +195,19 @@ object ExtQueries {
       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
       |  FROM bnd l
       |  JOIN bnd r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
-      |  JOIN ok ON ok.band = l.band AND ok.bh = l.bh)
-      |SELECT c.a, c.b,
+      |  JOIN ok ON ok.band = l.band AND ok.bh = l.bh)""".stripMargin
+
+  private val x7Select =
+    """SELECT c.a, c.b,
       |       CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
       |         CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) AS jaccard
       |FROM cand c JOIN ha sa ON sa.doc_id = c.a JOIN ha sb ON sb.doc_id = c.b
       |WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
-      |      CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) >= 0.5
-      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      |      CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) >= 0.5""".stripMargin
+
+  val x7 = Q(
+    "x7_dedup_minhash",
+    s"WITH $x7Ctes\n$x7Select\nORDER BY a, b") { (s, dir) =>
     Dedup.minhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
       .orderBy("a", "b")
   }
@@ -1055,8 +1061,31 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x39 — near-dup CLUSTERS: pairs are only half the dedup job; the
+  // keep/drop decision needs connected components. The engine runs
+  // distributed min-label propagation to fixpoint (Dedup
+  // .connectedComponents); the oracle computes min-reachable-label with
+  // a recursive CTE over the SAME x7 pair pipeline. A doc's cluster id
+  // IS the id of the row a cluster dedup would keep.
+  val x39 = Q(
+    "x39_neardup_clusters",
+    s"""WITH RECURSIVE $x7Ctes,
+      |pr AS ($x7Select),
+      |edges AS (SELECT a AS u, b AS v FROM pr UNION ALL SELECT b, a FROM pr),
+      |reach(id, label) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id)
+      |SELECT id AS doc_id, min(label) AS cluster
+      |FROM reach GROUP BY id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pairs = Dedup.minhashPairs(Tables.documents(s, dir),
+      col("doc_id"), col("text"))
+    Dedup.connectedComponents(pairs).orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
-      x30, x31, x32, x33, x34, x35, x36, x37, x38)
+      x30, x31, x32, x33, x34, x35, x36, x37, x38, x39)
 }

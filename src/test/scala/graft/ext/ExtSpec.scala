@@ -589,3 +589,29 @@ class DecontaminateSpec extends graft.SparkSpec {
     assert(kept === Set(10L, 13L))
   }
 }
+
+class ConnectedComponentsSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import graft.ext.Dedup
+
+  test("min-label propagation: chains merge, separate components stay apart") {
+    // component {1,2,3,9} via chain 9-3-2-1, component {5,7}
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 9L), (5L, 7L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 7L -> 5L))
+  }
+
+  test("non-convergence inside maxIters raises instead of mislabeling") {
+    // a 6-node path needs ~5 rounds; maxIters=1 must fail loudly
+    val path = (1L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(path, maxIters = 1)
+    }
+    // and with room it converges to the path's minimum
+    val ok = Dedup.connectedComponents(path, maxIters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet === Set(1L))
+    assert(ok.keySet === (1L to 6L).toSet)
+  }
+}

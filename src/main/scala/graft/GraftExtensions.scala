@@ -65,6 +65,11 @@ object GraftExtensions {
     * registry). Same bit math, same codegen arithmetic. */
   private[graft] def zorderExpr(a: Expression, b: Expression,
       bits: Int): Expression = {
+    // Same domain check as Layout.zorderKey: bits >= 32 would silently
+    // wrap (JVM long shift is mod 64) and bits <= 0 would die in
+    // empty.reduce with an opaque error.
+    require(bits >= 1 && bits <= 31,
+      s"zorder_key: bits must be in [1, 31], got $bits")
     import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast, Literal, ShiftLeft, ShiftRight}
     import org.apache.spark.sql.types.LongType
     def side(e: Expression, odd: Int): Seq[Expression] = (0 until bits).map { i =>

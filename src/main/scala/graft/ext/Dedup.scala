@@ -54,8 +54,13 @@ object Dedup {
     * digests; full text never shuffles. */
   def dedupAgainstHistory(batch: DataFrame, history: DataFrame,
       id: Column, text: Column): DataFrame = {
+    // NULL text hashes to NULL; a left_anti would KEEP those rows (NULL
+    // never equals) while a SQL `NOT IN` oracle drops them. Filter NULL
+    // hashes on both sides so engine and oracle agree on nullable input.
     val b = batch.select(id.as("doc_id"), md5(text).as("content_hash"))
-    val seen = history.select(md5(text).as("content_hash")).distinct()
+      .where(col("content_hash").isNotNull)
+    val seen = history.select(md5(text).as("content_hash"))
+      .where(col("content_hash").isNotNull).distinct()
     b.join(seen, Seq("content_hash"), "left_anti")
       .groupBy("content_hash").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id", "content_hash")
@@ -293,6 +298,11 @@ object Dedup {
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .where(col("label") =!= col("old")).count()
+      // `next` is independently materialized, so the previous round's
+      // checkpoint blocks are dead weight from here on — free them
+      // eagerly instead of waiting for session GC (on a large pair set
+      // every retained round is a full (node,label) copy in block store).
+      freeLocalCheckpoint(labels)
       labels = next
       it += 1
     }
@@ -300,6 +310,17 @@ object Dedup {
       s"connectedComponents did not converge in $maxIters iterations")
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
   }
+
+  /** Eagerly drop the block-store copy behind a `localCheckpoint`ed
+    * frame. `Dataset.unpersist()` only clears cache-manager entries, not
+    * checkpoint RDD blocks (those normally live until the RDD is GC'd),
+    * so reach through the plan's `LogicalRDD` leaf instead. */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   // ---- SimHash ----
 

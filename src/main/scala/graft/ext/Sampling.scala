@@ -19,7 +19,16 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Uniform bucket in [0, 10000) from the key's md5 (rate resolution
-    * 0.01%). */
+    * 0.01%).
+    *
+    * NULL keys: the bucket of a NULL key is NULL, so every `where`
+    * built on it DROPS rows with a NULL key — deterministically (the
+    * same row always decides the same way: out), and in exact parity
+    * with the ANSI oracle form, where `md5(NULL)` is NULL and a NULL
+    * comparison never keeps. Callers sampling a corpus with nullable
+    * ids who want NULLs kept must supply an explicit surrogate key
+    * (e.g. `coalesce(id, fallback)`); a silent built-in sentinel would
+    * diverge from the documented SQL contract. */
   def hashBucket(key: Column): Column =
     pmod(Dedup.md5Hash60(key.cast("string")), lit(10000L))
 

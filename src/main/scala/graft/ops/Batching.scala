@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   * counters; the rank is computed in LONG and the total is checked
   * against Int.MaxValue on the driver, so overflow fails fast instead of
   * silently wrapping negative.
+  *
+  * PRECONDITION (same contract as `RDD.zipWithIndex`): the input must be
+  * deterministic — the offsets job and the ranked job each re-execute
+  * the range sort, and global ranks are only correct because both jobs
+  * reproduce the same partition assignment. A nondeterministic source
+  * (`rand()`-filtered, sampled, or a re-listed directory that changed
+  * between jobs) breaks that silently; `localCheckpoint` such inputs
+  * before calling (we deliberately don't checkpoint here: it would pin
+  * the full sorted data in block store and put an RDD scan in the
+  * middle of an otherwise whole-stage-codegen plan — the wrong default
+  * for the deterministic report queries this serves).
   */
 object Batching {
 

@@ -61,6 +61,16 @@ object Bench {
             None
         }
       }
+      // Pay accumulated GC/cleanup debt OUTSIDE the next query's timed
+      // window. Spark's ContextCleaner frees broadcasts, shuffles and
+      // (local)checkpoint blocks via weak references, i.e. only when a
+      // GC actually runs — and on a large driver heap (the round-3 run
+      // had ~50 GiB of block-manager memory) tens of queries fit before
+      // the first collection, so state from early queries piled up and
+      // mixed-GC pauses landed inside LATER queries' timings: x26/x29
+      // measured 5-10x slower in the 52-query suite than standalone,
+      // while an 8 GiB heap (frequent small GCs) showed no such skew.
+      System.gc()
       (name, times, err)
     }
     def jstr(s: String): String =

@@ -279,8 +279,13 @@ object Dedup {
     * shuffle. Output: `(doc_id, cluster)` for every doc appearing in a
     * pair; singletons are their own implicit cluster. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
+    // Materialize the (possibly expensive) pair pipeline ONCE before the
+    // symmetrizing union: without this the union's two branches each
+    // embed the full pairs subtree and only exchange reuse — which AQE
+    // doesn't always manage across union arms — saves the second run.
+    val p = pairs.select(col("a"), col("b")).localCheckpoint(false)
+    val edges = p.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(p.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(false)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -291,19 +296,22 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("label")), Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("label")).as("nbr_label"))
+      // Carry the old label through the checkpoint: the convergence
+      // check then is a filter-count over already-materialized rows —
+      // one job per iteration instead of two (the old second job
+      // re-joined next against labels just to find changed rows).
       val next = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .where(col("label") =!= col("old")).count()
+      changed = next.where(col("label") =!= col("old")).count()
       // `next` is independently materialized, so the previous round's
       // checkpoint blocks are dead weight from here on — free them
       // eagerly instead of waiting for session GC (on a large pair set
       // every retained round is a full (node,label) copy in block store).
       freeLocalCheckpoint(labels)
-      labels = next
+      labels = next.select(col("id"), col("label"))
       it += 1
     }
     require(changed == 0,

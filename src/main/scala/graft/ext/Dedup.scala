@@ -87,6 +87,41 @@ object Dedup {
     t.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** [[decontaminate]] with a Bloom prefilter on the training side — the
+    * sketch-accelerated form a 100 TB sweep actually runs. The benchmark
+    * shingle hashes build a driver-side Bloom filter (the eval set is
+    * dim-sized by definition; this is the same pattern as Spark's own
+    * runtime row-level filtering), which is broadcast and applied to the
+    * exploded train shingles BEFORE any shuffle: the overwhelmingly
+    * clean majority of (id, hash) pairs dies at the scan, and only
+    * Bloom-positive pairs reach the semi join. The exact semi join then
+    * removes false positives, so the result is IDENTICAL to the exact
+    * form — same oracle, sketch only as an accelerator. */
+  def decontaminateBloom(train: DataFrame, benchmark: DataFrame,
+      id: Column, text: Column, n: Int, fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val t = train.select(id.as("doc_id"), text.as("text"))
+    val benchShingles = benchmark
+      .select(explode(shingles(text, n)).as("sh"))
+      .select(md5Hash60(col("sh")).as("h"))
+      .distinct()
+      .localCheckpoint(false) // consumed twice: sketch build + exact verify
+    val expected = math.max(benchShingles.count(), 1L)
+    val bloom = benchShingles.stat.bloomFilter("h", expected, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    // UDF justified: BloomFilterMightContain is not a public Column
+    // function, and the filter is a pure scan-side prefilter whose
+    // output never affects correctness (exact verify follows).
+    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    val contaminated = t
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .select(col("doc_id"), md5Hash60(col("sh")).as("h"))
+      .where(mightContain(col("h")))
+      .join(benchShingles, Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    t.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** `(doc_id, text)` with one representative (minimum id) per distinct
     * content — the exact-dedup-first guard in front of the LSH ops.
     *

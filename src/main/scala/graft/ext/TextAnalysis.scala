@@ -113,4 +113,40 @@ object TextAnalysis {
         size(graft.ext.Dedup.shingles(text, 2)).cast("double") /
           (n - 1).cast("double"))
   }
+
+  // ---- C4/Gopher-style document filter signals ----
+
+  /** Mean word length: non-whitespace chars / whitespace tokens (0 for
+    * blank). Integer/integer, one IEEE division — oracle-exact. */
+  def meanWordLen(text: Column): Column = {
+    val n = wsTokenCount(text)
+    when(n === 0, 0.0).otherwise(
+      length(regexp_replace(text, "\\s", "")).cast("double") / n.cast("double"))
+  }
+
+  /** Lines of `text` (split on \n). */
+  def lines(text: Column): Column = split(text, "\n")
+
+  /** Lines whose last non-blank char is terminal punctuation (C4 keeps
+    * sentence-like lines). */
+  def terminalLineCount(text: Column): Column =
+    size(filter(lines(text), l => substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"")))
+
+  /** Lines that look like list bullets. */
+  def bulletLineCount(text: Column): Column =
+    size(filter(lines(text), l => {
+      val t = ltrim(l)
+      t.startsWith("-") || t.startsWith("*") || t.startsWith("•")
+    }))
+
+  /** Composite C4/Gopher keep decision from the individual signals.
+    * Thresholds are the published ones (C4: mean word length in [3,10],
+    * "lorem ipsum" ban; Gopher: word-count floor, bullet-ratio cap).
+    * The comparisons are pure integer arithmetic (`bullets*10 <= lines*9`
+    * instead of a float ratio) so the decision is bit-exact on any
+    * engine. */
+  def c4Keep(nWords: Column, meanLen: Column, hasLorem: Column,
+      bullets: Column, nLines: Column): Column =
+    (nWords >= 5 && meanLen >= 3.0 && meanLen <= 10.0 &&
+      !hasLorem && bullets * 10 <= nLines * 9).cast("int")
 }

@@ -1084,8 +1084,145 @@ object ExtQueries {
     Dedup.connectedComponents(pairs).orderBy("doc_id")
   }
 
+  // x40 — gap-based sessionization over the event fact (the batch twin
+  // of streaming session_window; ops/Sessionize). One shuffle on the
+  // key; the windows and the per-session aggregate share it.
+  val x40 = Q(
+    "x40_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) AS tus FROM events),
+      |m AS (
+      |  SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+      |  FROM e),
+      |s AS (
+      |  SELECT *, SUM(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+      |                     THEN 1 ELSE 0 END)
+      |         OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |               ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM m)
+      |SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+      |       min(ts) AS session_start, max(ts) AS session_end,
+      |       COUNT(*) AS n_events,
+      |       (max(tus) - min(tus)) // 1000000 AS duration_secs
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin) { (s, dir) =>
+    graft.ops.Sessionize.sessionize(
+      Tables.events(s, dir), col("user_id"), col("ts"), col("event_id"),
+      gapMicros = 1800000000L)
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id", "session_seq")
+  }
+
+  // x41 — TF-IDF top terms per doc (linear idf: same ranking as ln,
+  // integer-ratio exact across engines; ext/Relevance).
+  val x41 = Q(
+    "x41_tfidf",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |         CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                                   ORDER BY score DESC, term) AS rank
+      |      FROM scored)
+      |SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+    graft.ext.Relevance.tfidfTopK(
+      Tables.documents(s, dir), col("doc_id"), col("text"), k = 3)
+      .orderBy("doc_id", "rank")
+  }
+
+  // x42 — C4/Gopher document filter chain: word-count floor, mean word
+  // length band, lorem-ipsum ban, bullet-line cap. The keep decision is
+  // pure integer arithmetic (bullets*10 <= lines*9, not a float ratio).
+  val x42 = Q(
+    "x42_c4_filters",
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_words,
+      |         length(regexp_replace(text, '\s', '', 'g')) AS n_alpha,
+      |         string_split(text, chr(10)) AS ls
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_words,
+      |         CASE WHEN n_words = 0 THEN 0.0
+      |              ELSE CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len,
+      |         CAST(len(ls) AS INT) AS n_lines,
+      |         CAST(len(list_filter(ls,
+      |              l -> right(rtrim(l), 1) IN ('.', '!', '?', '"'))) AS INT) AS terminal_lines,
+      |         CAST(len(list_filter(ls,
+      |              l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%'
+      |                   OR ltrim(l) LIKE '•%')) AS INT) AS bullet_lines,
+      |         CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem
+      |  FROM t)
+      |SELECT doc_id, n_words, mean_word_len, n_lines, terminal_lines,
+      |       bullet_lines, CAST(has_lorem AS INT) AS has_lorem,
+      |       CAST(CASE WHEN n_words >= 5 AND mean_word_len >= 3.0
+      |                      AND mean_word_len <= 10.0 AND has_lorem = 0
+      |                      AND bullet_lines * 10 <= n_lines * 9
+      |            THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val t = Tables.documents(s, dir).select(
+      col("doc_id"), col("text"),
+      TextAnalysis.wsTokenCount(col("text")).as("n_words"),
+      TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
+      size(TextAnalysis.lines(col("text"))).as("n_lines"),
+      TextAnalysis.terminalLineCount(col("text")).as("terminal_lines"),
+      TextAnalysis.bulletLineCount(col("text")).as("bullet_lines"),
+      lower(col("text")).contains("lorem ipsum").cast("int").as("has_lorem"))
+    t.select(col("doc_id"), col("n_words"), col("mean_word_len"),
+      col("n_lines"), col("terminal_lines"), col("bullet_lines"),
+      col("has_lorem"),
+      TextAnalysis.c4Keep(col("n_words"), col("mean_word_len"),
+        col("has_lorem") === 1, col("bullet_lines"), col("n_lines")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // x43 — Bloom-accelerated decontamination: driver-built Bloom over the
+  // benchmark shingle hashes kills clean train shingles at the scan;
+  // the exact semi join removes false positives, so the oracle is the
+  // EXACT decontamination SQL (sketch as accelerator, not approximator).
+  val x43 = Q(
+    "x43_bloom_decontaminate",
+    """WITH d AS (
+      |  SELECT doc_id, trim(text) AS tt, text,
+      |         string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN len(w) >= 5
+      |              THEN list_distinct(list_transform(range(1, len(w) - 3),
+      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+      |              ELSE [tt] END AS sh
+      |  FROM d),
+      |u AS (
+      |  SELECT doc_id, ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT AS h
+      |  FROM s),
+      |bs AS (SELECT DISTINCT h FROM u WHERE doc_id < 40),
+      |bad AS (
+      |  SELECT DISTINCT doc_id FROM u
+      |  WHERE doc_id >= 40 AND h IN (SELECT h FROM bs))
+      |SELECT doc_id FROM d
+      |WHERE doc_id >= 40 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Dedup.decontaminateBloom(
+      docs.where(col("doc_id") >= 40),
+      docs.where(col("doc_id") < 40),
+      col("doc_id"), col("text"), n = 5)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
-      x30, x31, x32, x33, x34, x35, x36, x37, x38, x39)
+      x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43)
 }

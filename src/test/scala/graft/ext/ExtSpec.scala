@@ -615,3 +615,95 @@ class ConnectedComponentsSpec extends graft.SparkSpec {
     assert(ok.keySet === (1L to 6L).toSet)
   }
 }
+
+class RelevanceSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("tfidf: rare term outranks common term; ties break by term; k caps rows") {
+    val docs = Seq(
+      (1L, "zebra apple apple"),   // zebra df=1, apple df=3
+      (2L, "apple banana"),        // banana df=2
+      (3L, "apple banana banana")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Relevance.tfidfTopK(docs, col("doc_id"), col("text"), k = 2)
+    val byDoc = got.select("doc_id", "term", "rank")
+      .as[(Long, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // doc 1: zebra tf=1 df=1 -> 3.0; apple tf=2 df=3 -> 2.0
+    assert(byDoc(1L) === Seq("zebra", "apple"))
+    // doc 3: banana tf=2 df=2 -> 3.0; apple tf=1 df=3 -> 1.0
+    assert(byDoc(3L) === Seq("banana", "apple"))
+    assert(got.groupBy("doc_id").count().where(col("count") > 2).count() === 0)
+  }
+
+  test("tfidf scores are the exact integer ratio") {
+    val docs = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val s = graft.ext.Relevance.tfidfTopK(docs, col("doc_id"), col("text"), k = 5)
+      .where(col("doc_id") === 1 && col("term") === "a")
+      .select("score").as[Double].head()
+    assert(s === 2.0 * 2 / 1) // tf=2, n_docs=2, df=1
+  }
+}
+
+class C4FilterSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ext.TextAnalysis
+
+  test("signals: mean word length, terminal/bullet lines, lorem ban, keep flag") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today."), // keep
+      (2L, "contains lorem ipsum filler text in the middle here."), // banned
+      (3L, "- one\n- two\n- three"),                               // all bullets
+      (4L, "ok")                                                   // too few words
+    ).toDF("doc_id", "text")
+    val got = docs.select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).as("n_words"),
+      TextAnalysis.meanWordLen(col("text")).as("mwl"),
+      TextAnalysis.terminalLineCount(col("text")).as("term_l"),
+      TextAnalysis.bulletLineCount(col("text")).as("bull_l"),
+      TextAnalysis.c4Keep(
+        TextAnalysis.wsTokenCount(col("text")),
+        TextAnalysis.meanWordLen(col("text")),
+        lower(col("text")).contains("lorem ipsum"),
+        TextAnalysis.bulletLineCount(col("text")),
+        size(TextAnalysis.lines(col("text")))).as("keep"))
+      .as[(Long, Int, Double, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._6 === 1)
+    assert(got(2L)._6 === 0)          // lorem ipsum
+    assert(got(3L)._5 === 3)          // 3 bullet lines
+    assert(got(3L)._6 === 0)          // bullet ratio 3/3 > 0.9
+    assert(got(4L)._6 === 0)          // word-count floor
+    assert(got(1L)._4 === 1)          // one terminal line
+    // "ok" -> 2 chars / 1 word
+    assert(got(4L)._3 === 2.0)
+  }
+}
+
+class BloomDecontaminateSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ext.Dedup
+
+  test("bloom-prefiltered result is identical to the exact form") {
+    val bench = Seq(
+      (1L, "what is the capital city of france exactly"),
+      (2L, "tiny")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "irrelevant words that share nothing with any benchmark entry here"),
+      (11L, "someone asked what is the capital city of france yesterday"),
+      (12L, "tiny"),
+      (13L, "tiny differences are fine when not verbatim equal")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(train, bench, col("doc_id"), col("text"), n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.decontaminateBloom(train, bench, col("doc_id"), col("text"), n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom === exact)
+    assert(bloom === Set(10L, 13L))
+  }
+}

@@ -402,3 +402,34 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def ev(id: Long, user: Long, sec: Long) =
+    (id, user, new java.sql.Timestamp(sec * 1000L))
+
+  test("gap splits sessions; boundary-equal gap stays in session; keys independent") {
+    // user 1: events at 0s, 10s, 10+1800s (exactly gap -> SAME session),
+    // then +1801s -> new session. user 2: one event.
+    val df = Seq(
+      ev(1, 1L, 0), ev(2, 1L, 10), ev(3, 1L, 1810), ev(4, 1L, 3611),
+      ev(5, 2L, 50)
+    ).toDF("event_id", "user_id", "ts")
+    val got = graft.ops.Sessionize.sessionize(
+      df, col("user_id"), col("ts"), col("event_id"), gapMicros = 1800000000L)
+      .orderBy("key", "session_seq")
+      .select("key", "session_seq", "n_events", "duration_secs")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1, 3L, 1810L), (1L, 2, 1L, 0L), (2L, 1, 1L, 0L)))
+  }
+
+  test("timestamp ties are totally ordered by the order column") {
+    val df = Seq(ev(2, 1L, 100), ev(1, 1L, 100)).toDF("event_id", "user_id", "ts")
+    val got = graft.ops.Sessionize.sessionize(
+      df, col("user_id"), col("ts"), col("event_id"), gapMicros = 1L)
+      .select("n_events").as[Long].collect().toSeq
+    assert(got === Seq(2L)) // same instant -> gap 0 <= 1 -> one session
+  }
+}

@@ -80,4 +80,31 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).isDefined, p)
     assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined, p)
   }
+
+  test("x40: sessionize = ONE key shuffle shared by windows and the session agg, plus output sort") {
+    val p = planOf("x40_sessionize")
+    // hash(user_id) exchange for the windows; the groupBy(key, seq) agg
+    // reuses it (partial agg keys are a superset); rangepartitioning for
+    // the final ORDER BY
+    assert(shuffles(p) === 2, p)
+    assert("Window ".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("x41: tfidf joins df on term without re-shuffling tf's agg output; corpus size broadcasts") {
+    val p = planOf("x41_tfidf")
+    assert(broadcasts(p) >= 1, p)  // the single-row n_docs side
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x43: bloom prefilter sits scan-side, BEFORE any exchange") {
+    val df = SparkEntry.queries("x43_bloom_decontaminate")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the UDF filter must appear in the same stage as the train scan,
+    // i.e. the plan has a Filter containing the UDF below every Exchange
+    val firstExchange = p.indexOf("Exchange")
+    val udfFilter = p.indexOf("UDF(")
+    assert(udfFilter >= 0, p)
+    assert(firstExchange < 0 || udfFilter > firstExchange, p)
+  }
 }

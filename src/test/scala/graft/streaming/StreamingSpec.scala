@@ -267,3 +267,55 @@ class StreamingDedupSpec extends graft.SparkSpec {
     assert(spark.table("deduped_events").count() === 2)
   }
 }
+
+/** Streaming twins for the curation scan-side ops: hash sampling,
+  * PII redaction and the C4 keep decision are pure row-local column
+  * expressions, so the SAME code runs under readStream — and because
+  * the sample decision is hash-keyed (not rand()), the streaming keep
+  * set is IDENTICAL to the batch keep set over the same rows. */
+class StreamingCurationSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.functions._
+  import graft.ext.{Sampling, TextAnalysis}
+
+  private val docs = Seq(
+    (1L, "reach me at bob@example.com or 12345678 thanks a lot today."),
+    (2L, "the quick brown fox jumps over the lazy dog again today."),
+    (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed."),
+    (4L, "short"),
+    (5L, "a perfectly ordinary sentence that should sail through fine.")
+  )
+
+  private def curate(df: org.apache.spark.sql.DataFrame) =
+    Sampling.hashSample(df, col("doc_id"), rate = 0.6)
+      .select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("redacted"),
+        TextAnalysis.c4Keep(
+          TextAnalysis.wsTokenCount(col("text")),
+          TextAnalysis.meanWordLen(col("text")),
+          lower(col("text")).contains("lorem ipsum"),
+          TextAnalysis.bulletLineCount(col("text")),
+          size(TextAnalysis.lines(col("text")))).as("keep"))
+
+  test("streaming curation pipeline matches batch row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = curate(mem.toDS().toDF("doc_id", "text"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("curated").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curated")
+      .as[(Long, String, Int)].collect().toSet
+    val batch = curate(docs.toDF("doc_id", "text"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty) // the 0.6 hash sample keeps some of 5 docs
+    // redaction visibly applied on any surviving PII doc
+    streamed.find(_._1 == 1L).foreach { r =>
+      assert(r._2.contains("<EMAIL>") && r._2.contains("<ID>"))
+    }
+  }
+}

@@ -1221,8 +1221,62 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x44 — event-rate anomaly z-scores (ops/RateAnomaly): each user's
+  // hourly event counts scored against that user's own history. The
+  // monitoring-alert analytic, with integer-exact variance so the oracle
+  // hash-matches (see RateAnomaly's float discipline).
+  val x44 = Q(
+    "x44_rate_anomaly",
+    """WITH c AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS bucket, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS n,
+      |         SUM(cnt) OVER (PARTITION BY user_id) AS sm,
+      |         SUM(cnt * cnt) OVER (PARTITION BY user_id) AS ss
+      |  FROM c),
+      |z AS (
+      |  SELECT user_id, bucket, cnt,
+      |         CASE WHEN n > 1 AND (n * ss - sm * sm) > 0
+      |              THEN (CAST(cnt AS DOUBLE) - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+      |                   / sqrt(CAST(n * ss - sm * sm AS DOUBLE)
+      |                          / CAST(n * (n - 1) AS DOUBLE))
+      |              ELSE 0.0 END AS z
+      |  FROM s)
+      |SELECT user_id, bucket, cnt, z,
+      |       CAST(CASE WHEN abs(z) > 2.5 THEN 1 ELSE 0 END AS INT) AS is_outlier
+      |FROM z ORDER BY user_id, bucket""".stripMargin) { (s, dir) =>
+    graft.ops.RateAnomaly.rateZscores(
+      Tables.events(s, dir), col("user_id"), col("ts"), "hour")
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id", "bucket")
+  }
+
+  // x45 — dynamic pivot (Dataset.pivot with pinned values: one shuffle,
+  // map-side combinable; the reference's 16-way error pivot A4 done via
+  // the first-class relational operator instead of 16 CASE columns).
+  val x45 = Q(
+    "x45_event_pivot",
+    """SELECT date_trunc('day', ts) AS day,
+      |       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events
+      |GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("day")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
-      x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43)
+      x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
+      x44, x45)
 }

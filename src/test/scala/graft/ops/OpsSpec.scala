@@ -433,3 +433,35 @@ class SessionizeSpec extends SparkSpec {
     assert(got === Seq(2L)) // same instant -> gap 0 <= 1 -> one session
   }
 }
+
+class RateAnomalySpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("z-scores match hand computation; constant-rate keys get z=0") {
+    // user 1: hourly counts 2,2,2,6 -> mean 3, sample var (n*ss-s*s)/(n*(n-1))
+    //   = (4*48 - 144)/12 = 4 -> std 2 -> z of the 6-bucket = 1.5
+    // user 2: constant counts -> varNum = 0 -> z = 0
+    def t(h: Int, m: Int) = new java.sql.Timestamp(
+      java.time.Instant.parse(f"2024-01-01T$h%02d:$m%02d:00Z").toEpochMilli)
+    val rows =
+      (0 until 2).map(m => (1L, t(0, m))) ++
+      (0 until 2).map(m => (1L, t(1, m))) ++
+      (0 until 2).map(m => (1L, t(2, m))) ++
+      (0 until 6).map(m => (1L, t(3, m))) ++
+      (0 until 3).map(m => (2L, t(0, m))) ++
+      (0 until 3).map(m => (2L, t(1, m)))
+    val df = rows.toDF("user_id", "ts")
+    val got = graft.ops.RateAnomaly.rateZscores(
+      df, col("user_id"), col("ts"), "hour")
+      .orderBy("key", "bucket")
+      .select("key", "cnt", "z", "is_outlier")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val u1 = got.filter(_._1 == 1L)
+    assert(u1.map(_._2) === Seq(2L, 2L, 2L, 6L))
+    assert(u1.map(_._3) === Seq(-0.5, -0.5, -0.5, 1.5))
+    assert(u1.map(_._4) === Seq(0, 0, 0, 0)) // 1.5 < 2.5
+    val u2 = got.filter(_._1 == 2L)
+    assert(u2.map(_._3) === Seq(0.0, 0.0))
+  }
+}

@@ -173,6 +173,29 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Asymmetric containment near-dup: ordered pairs where the fraction
+    * of A's shingles that also appear in B is at least `threshold` —
+    * catches subset relations (quote farms, wrapper pages, doc-inside-
+    * doc) that symmetric Jaccard dilutes: a 50-word quote inside a
+    * 5000-word page has tiny Jaccard but containment 1.0. Same inverted
+    * shingle index as [[jaccardPairs]] (only co-shingled pairs ever
+    * materialize); the score is one integer-ratio division. */
+  def containmentPairs(df: DataFrame, id: Column, text: Column, n: Int,
+      threshold: Double): DataFrame = {
+    val sh = df.select(id.as("doc_id"), explode(shingles(text, n)).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.select(col("sh"), col("doc_id").as("a"))
+      .join(sh.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .withColumn("containment",
+        col("common").cast("double") / col("na").cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("containment"))
+  }
+
   // ---- engine-reproducible hashing ----
 
   /** 60-bit base hash: the first 15 hex chars of md5, as a BIGINT.

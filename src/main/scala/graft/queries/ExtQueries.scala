@@ -1274,9 +1274,66 @@ object ExtQueries {
       .orderBy("day")
   }
 
+  // x46 — ranked-distribution window family (rank / percent_rank /
+  // cume_dist / ntile) PARTITIONED by event_type: completes x22's
+  // lag/lead family with the rank side, with no global-order funnel.
+  // percent_rank and cume_dist are integer ratios — oracle-exact.
+  val x46 = Q(
+    "x46_rank_family",
+    """WITH c AS (
+      |  SELECT event_type, user_id, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, user_id, cnt,
+      |       CAST(rank() OVER w AS INT) AS rnk,
+      |       percent_rank() OVER w AS pr,
+      |       cume_dist() OVER w AS cd,
+      |       CAST(ntile(4) OVER w AS INT) AS quartile
+      |FROM c WINDOW w AS (PARTITION BY event_type ORDER BY cnt, user_id)
+      |ORDER BY event_type, cnt, user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cnt"), col("user_id"))
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("user_id"), col("cnt"),
+        rank().over(w).cast("int").as("rnk"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).cast("int").as("quartile"))
+      .orderBy("event_type", "cnt", "user_id")
+  }
+
+  // x47 — asymmetric containment near-dup (subset detection): fraction
+  // of A's 3-gram shingles inside B. Catches doc-inside-doc relations
+  // symmetric Jaccard dilutes; same inverted index as x6.
+  val x47 = Q(
+    "x47_containment",
+    """WITH t AS (
+      |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents WHERE doc_id < 1500),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE [tt] END AS sh
+      |  FROM t)
+      |SELECT a.doc_id AS a, b.doc_id AS b,
+      |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |         CAST(len(a.sh) AS DOUBLE) AS containment
+      |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      CAST(len(a.sh) AS DOUBLE) >= 0.5
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    Dedup.containmentPairs(
+      Tables.documents(s, dir).where(col("doc_id") < 1500),
+      col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .orderBy("a", "b")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
-      x44, x45)
+      x44, x45, x46, x47)
 }

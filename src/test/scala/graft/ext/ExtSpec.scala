@@ -707,3 +707,27 @@ class BloomDecontaminateSpec extends graft.SparkSpec {
     assert(bloom === Set(10L, 13L))
   }
 }
+
+class ContainmentSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ext.Dedup
+
+  test("containment is asymmetric: quote-inside-page scores 1.0 one way only") {
+    val page = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val quote = "gamma delta epsilon zeta"  // all its 3-grams are in page
+    val docs = Seq((1L, quote), (2L, page), (3L, "unrelated words entirely here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, col("doc_id"), col("text"), n = 3,
+      threshold = 0.5).select("a", "b", "containment")
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(got((1L, 2L)) === 1.0)      // quote fully contained in page
+    assert(!got.contains((2L, 1L)))    // page not contained in quote
+    assert(!got.exists(_._1._1 == 3L))
+  }
+
+  private implicit class M(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] =
+      rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+}

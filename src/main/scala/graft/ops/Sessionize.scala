@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * activity gaps).
   *
   * Shape: a session starts at any event whose distance to the previous
-  * event of the SAME key exceeds `gap`; the session id is the running
-  * count of such starts per key (lag + cumulative sum). Timestamps are
-  * compared in integer microseconds (`unix_micros`) so engine and oracle
-  * do the same exact arithmetic — no float, no interval semantics.
+  * event of the SAME key EXCEEDS `gap` — an event landing exactly on the
+  * expiry instant still merges, which is the built-in `session_window`'s
+  * behavior (it merges whenever next.start <= prev.last + gap;
+  * SessionizeEquivalenceSpec pins the two against each other, boundary
+  * included). The session id is the running count of such starts per key
+  * (lag + cumulative sum). Timestamps are compared in integer
+  * microseconds (`unix_micros`) so engine and oracle do the same exact
+  * arithmetic — no float, no interval semantics.
   *
   * 100 TB posture: ONE shuffle on the key; both windows and the final
   * per-session aggregate share that partitioning (the groupBy keys are a

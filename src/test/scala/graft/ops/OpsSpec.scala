@@ -410,9 +410,10 @@ class SessionizeSpec extends SparkSpec {
   private def ev(id: Long, user: Long, sec: Long) =
     (id, user, new java.sql.Timestamp(sec * 1000L))
 
-  test("gap splits sessions; boundary-equal gap stays in session; keys independent") {
-    // user 1: events at 0s, 10s, 10+1800s (exactly gap -> SAME session),
-    // then +1801s -> new session. user 2: one event.
+  test("gap splits sessions; boundary-equal gap still merges (session_window semantics)") {
+    // user 1: events at 0s, 10s, 10+1800s (EXACTLY the gap -> MERGES,
+    // like session_window's next <= last+gap rule), then +1801s -> new
+    // session. user 2: one event.
     val df = Seq(
       ev(1, 1L, 0), ev(2, 1L, 10), ev(3, 1L, 1810), ev(4, 1L, 3611),
       ev(5, 2L, 50)
@@ -463,5 +464,35 @@ class RateAnomalySpec extends SparkSpec {
     assert(u1.map(_._4) === Seq(0, 0, 0, 0)) // 1.5 < 2.5
     val u2 = got.filter(_._1 == 2L)
     assert(u2.map(_._3) === Seq(0.0, 0.0))
+  }
+}
+
+class SessionizeEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("batch Sessionize groups events exactly like the built-in session_window") {
+    // random-ish fixture: 3 users, bursts split by >10-minute silences
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, 10L, t("2024-05-01 08:00:00")), (2L, 10L, t("2024-05-01 08:04:00")),
+      (3L, 10L, t("2024-05-01 08:30:00")),                       // new session
+      (4L, 20L, t("2024-05-01 09:00:00")),
+      (5L, 20L, t("2024-05-01 09:09:59")),                       // inside gap
+      (6L, 20L, t("2024-05-01 09:19:59")),                       // EXACTLY prev+gap -> new in both
+      (7L, 30L, t("2024-05-01 00:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    // built-in: session extends while the next event starts within the gap
+    // of the previous one; window end = last ts + gap
+    val builtin = rows
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start"), max(col("ts")).as("end"))
+      .select("user_id", "start", "end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    val batch = graft.ops.Sessionize.sessionize(
+      rows, col("user_id"), col("ts"), col("event_id"), gapMicros = 600000000L)
+      .select(col("key"), col("session_start"), col("session_end"), col("n_events"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    assert(batch === builtin)
   }
 }

@@ -54,4 +54,22 @@ object Sampling {
     * parity holds exactly on any engine. */
   def weightedBernoulli(df: DataFrame, key: Column, rate10k: Column): DataFrame =
     df.where(hashBucket(key) < least(greatest(rate10k, lit(0L)), lit(10000L)))
+
+  /** Deterministic fixed-BUDGET sampling: keep at most `n` rows per
+    * stratum, chosen by md5-hash order (tie: key) — "cap every language
+    * at N docs" corpus balancing, where [[stratifiedSample]]'s per-RATE
+    * form can't hit an exact count. Same reproducibility story: the
+    * hash order is a property of the rows, not the cluster.
+    *
+    * One shuffle on the stratum; the rank window rides it. Strata are
+    * time/language-shaped (bounded cardinality per partition key) — for
+    * a pathological mega-stratum, pre-filter with [[hashSample]] to
+    * bring the stratum under window size first. */
+  def takePerStratum(df: DataFrame, stratum: Column, key: Column,
+      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(Dedup.md5Hash60(key.cast("string")), key)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n).drop("__rn")
+  }
 }

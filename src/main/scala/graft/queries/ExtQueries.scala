@@ -1331,9 +1331,59 @@ object ExtQueries {
       .orderBy("a", "b")
   }
 
+  // x48 — fixed-budget language balancing: at most N docs per lang,
+  // picked by deterministic hash order (Sampling.takePerStratum) — the
+  // exact-count counterpart of x27's per-rate sampling.
+  val x48 = Q(
+    "x48_take_per_stratum",
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (
+      |           PARTITION BY lang
+      |           ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      |                    doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, lang FROM r WHERE rn <= 40
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Sampling.takePerStratum(
+      Tables.documents(s, dir).select("doc_id", "lang"),
+      col("lang"), col("doc_id"), n = 40)
+      .orderBy("doc_id")
+  }
+
+  // x49 — dedup keeping the BEST copy (longest text, not minimum id):
+  // group on the normalized-content hash, rank copies by length.
+  // Formatting noise (case/whitespace) doesn't defeat the content hash,
+  // and truncated copies lose to full ones.
+  val x49 = Q(
+    "x49_dedup_best",
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+      |         CAST(length(text) AS INT) AS len
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY content_hash ORDER BY len DESC, doc_id) AS rn
+      |  FROM t)
+      |SELECT doc_id, lang, content_hash, len
+      |FROM r WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      md5(TextAnalysis.normalize(col("text"))).as("content_hash"),
+      length(col("text")).as("len"))
+    val w = Window.partitionBy(col("content_hash"))
+      .orderBy(col("len").desc, col("doc_id"))
+    t.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .drop("__rn")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
-      x44, x45, x46, x47)
+      x44, x45, x46, x47, x48, x49)
 }

@@ -731,3 +731,25 @@ class ContainmentSpec extends graft.SparkSpec {
       rows.map(r => (r._1, r._2) -> r._3).toMap
   }
 }
+
+class TakePerStratumSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ext.Sampling
+
+  test("caps every stratum at n; choice is partition-count invariant") {
+    val df = (1L to 100L).map(i => (i, if (i % 3 == 0) "de" else "en"))
+      .toDF("id", "lang")
+    val a = Sampling.takePerStratum(df, col("lang"), col("id"), n = 10)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.takePerStratum(df.repartition(7), col("lang"), col("id"), n = 10)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)                  // same KEPT SET at any parallelism
+    val perLang = Sampling.takePerStratum(df, col("lang"), col("id"), n = 10)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perLang === Map("en" -> 10L, "de" -> 10L))
+    // small stratum below the cap survives whole
+    val c = Sampling.takePerStratum(df, col("lang"), col("id"), n = 1000)
+    assert(c.count() === 100)
+  }
+}

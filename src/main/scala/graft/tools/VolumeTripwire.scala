@@ -84,7 +84,31 @@ object VolumeTripwire {
           Similarity.seedCentroids(embs10, stride = 50), (0L until 10L).toSeq, k = 5))),
       Res("x33_pqSearch",
         timeMin(Similarity.pqSearch(embs1, (0L until 10L).toSeq, k = 5)),
-        timeMin(Similarity.pqSearch(embs10, (0L until 10L).toSeq, k = 5))))
+        timeMin(Similarity.pqSearch(embs10, (0L until 10L).toSeq, k = 5))), {
+        // round-4 ops: sessionize + rate anomaly over a 10× event fact
+        // (skew: one user owns 10× the events of any other), tfidf over
+        // the 10× corpus incl. the identical-doc flood
+        val events = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+        val events10 = blow(events, "event_id", 10, 100000000L)
+          .withColumn("user_id",
+            when(col("event_id") >= 100000000L, lit(7L)).otherwise(col("user_id")))
+        Res("x40_sessionize",
+          timeMin(graft.ops.Sessionize.sessionize(events,
+            col("user_id"), col("ts"), col("event_id"), 1800000000L)),
+          timeMin(graft.ops.Sessionize.sessionize(events10,
+            col("user_id"), col("ts"), col("event_id"), 1800000000L)))
+      }, {
+        val events = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+        val events10 = blow(events, "event_id", 10, 100000000L)
+        Res("x44_rateZscores",
+          timeMin(graft.ops.RateAnomaly.rateZscores(events,
+            col("user_id"), col("ts"), "hour")),
+          timeMin(graft.ops.RateAnomaly.rateZscores(events10,
+            col("user_id"), col("ts"), "hour")))
+      },
+      Res("x41_tfidfTopK",
+        timeMin(graft.ext.Relevance.tfidfTopK(docs1, col("doc_id"), col("text"), k = 3)),
+        timeMin(graft.ext.Relevance.tfidfTopK(docs10, col("doc_id"), col("text"), k = 3))))
 
     results.foreach { r =>
       println(f"PROF ${r.name}%-18s t1x=${r.t1}%6.2fs t10x=${r.t10}%6.2fs ratio=${r.ratio}%5.1f")

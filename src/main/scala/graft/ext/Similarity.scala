@@ -43,6 +43,44 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Per-class embedding centroid: component-wise mean through the exact
+    * DECIMAL accumulator (order/partition-invariant, oracle-exact — the
+    * same recipe as [[kmeansLite]]'s re-average, keyed on a LABEL column
+    * instead of a learned assignment). Output: (label, cemb, cnorm).
+    * One explode + one combinable groupBy — scales like a word count. */
+  def labelCentroids(df: DataFrame, label: Column, emb: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    df.select(label.as("label"), posexplode(emb.cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(
+        sum(col("v").cast(DecimalType(28, 16))).cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("m", col("s") / col("n"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cemb"))
+      .withColumn("cnorm", l2Norm(col("cemb")))
+  }
+
+  /** The `k` most ATYPICAL members of each class: lowest cosine to the
+    * class's own centroid — label-noise / outlier detection over a
+    * labeled embedding corpus. Centroids are class-count-sized and
+    * broadcast; the corpus streams past them (no corpus shuffle before
+    * the per-label rank). */
+  def classOutliers(df: DataFrame, label: Column, id: Column, emb: Column,
+      k: Int): DataFrame = {
+    val e = df.select(label.as("label"), id.as("vec_id"),
+      emb.cast("array<double>").as("emb"))
+      .withColumn("norm", l2Norm(col("emb")))
+    val cents = broadcast(labelCentroids(df, label, emb))
+    val scored = e.join(cents, Seq("label"))
+      .withColumn("csim",
+        round(dot(col("emb"), col("cemb")) / (col("norm") * col("cnorm")), 6))
+    val w = Window.partitionBy(col("label")).orderBy(col("csim"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("int"))
+      .where(col("rn") <= k)
+      .select(col("label"), col("vec_id"), col("csim"), col("rn"))
+  }
+
   /** All pairs (a < b) with cosine >= threshold — brute force
     * (small-data oracle twin of `lshNearDup`). */
   def nearDupPairs(embs: DataFrame, threshold: Double): DataFrame = {

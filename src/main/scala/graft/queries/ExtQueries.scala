@@ -1381,9 +1381,35 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x50 — label-noise sweep: per-label centroid (exact DECIMAL
+  // re-average, the x26 recipe keyed on the LABEL column) and each
+  // class's 5 most atypical members by cosine-to-own-centroid.
+  val x50 = Q(
+    "x50_class_outliers",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+      |u AS (SELECT label, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos FROM e),
+      |avgc AS (
+      |  SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(28, 16))) AS DOUBLE) / count(*) AS m
+      |  FROM u GROUP BY label, pos),
+      |cents AS (SELECT label, list(m ORDER BY pos) AS cemb FROM avgc GROUP BY label),
+      |scored AS (
+      |  SELECT e.label, e.vec_id,
+      |         round(list_cosine_similarity(e.emb, c.cemb), 6) AS csim
+      |  FROM e JOIN cents c USING (label)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY csim, vec_id) AS rn
+      |      FROM scored)
+      |SELECT label, vec_id, csim, CAST(rn AS INT) AS rn
+      |FROM r WHERE rn <= 5
+      |ORDER BY label, rn""".stripMargin) { (s, dir) =>
+    Similarity.classOutliers(
+      Tables.embeddings(s, dir), col("label"), col("vec_id"),
+      col("embedding"), k = 5)
+      .orderBy("label", "rn")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
-      x44, x45, x46, x47, x48, x49)
+      x44, x45, x46, x47, x48, x49, x50)
 }

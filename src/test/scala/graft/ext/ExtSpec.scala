@@ -753,3 +753,26 @@ class TakePerStratumSpec extends graft.SparkSpec {
     assert(c.count() === 100)
   }
 }
+
+class ClassOutliersSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ext.Similarity
+
+  test("centroid is the exact component mean; the planted flipped vector ranks most atypical") {
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(-1.0f, 0.0f), 0),   // planted outlier in class 0
+      (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(0.0f, 0.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.labelCentroids(rows, col("label"), col("embedding"))
+      .select("label", "cemb").as[(Int, Seq[Double])].collect().toMap
+    assert(cents(1) === Seq(0.0, 0.75))  // exact mean of (0,1) and (0,0.5)
+    val out = Similarity.classOutliers(rows, col("label"), col("vec_id"),
+      col("embedding"), k = 1)
+      .select("label", "vec_id").as[(Int, Long)].collect().toMap
+    assert(out(0) === 3L)               // the flipped vector
+  }
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+
+/** Streaming twin of [[graft.ops.RateAnomaly]]: per-key bucket counts
+  * arrive as a stream; each count is z-scored against the key's OWN
+  * history-so-far (the integer state `(n, Σc, Σc²)` — the same exact
+  * variance arithmetic as the batch form, held in `GroupState` instead
+  * of a window), then folded into the state. An alert row is emitted on
+  * the micro-batch where the outlier arrives — the monitoring daemon's
+  * "rate spiked NOW" shape, with no rescan of history.
+  *
+  * State is three longs per key — millions of keys fit in executor
+  * memory, and the HDFS/RocksDB state store shards them by key.
+  */
+object AnomalyStream {
+
+  case class BucketCount(key: Long, bucket: java.sql.Timestamp, cnt: Long)
+  case class RateState(n: Long, s: Long, ss: Long)
+  case class RateAlert(key: Long, bucket: java.sql.Timestamp, cnt: Long, z: Double)
+
+  /** Alerts for buckets whose |z| against the key's history exceeds
+    * `flagAt`, once at least `minHistory` buckets have been folded in.
+    * Buckets inside one micro-batch are processed in time order. */
+  def alerts(counts: Dataset[BucketCount], flagAt: Double, minHistory: Int)
+      : Dataset[RateAlert] = {
+    import counts.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    counts.groupByKey(_.key)
+      .flatMapGroupsWithState[RateState, RateAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, batch: Iterator[BucketCount], state: GroupState[RateState]) =>
+          val s0 = state.getOption.getOrElse(RateState(0L, 0L, 0L))
+          var n = s0.n; var s = s0.s; var ss = s0.ss
+          val out = batch.toSeq.sortBy(_.bucket.getTime).flatMap { b =>
+            // score BEFORE folding in (self-inclusion would dampen z)
+            val varNum = n * ss - s * s
+            val alert =
+              if (n >= minHistory && varNum > 0) {
+                val variance = varNum.toDouble / (n * (n - 1)).toDouble
+                val z = (b.cnt.toDouble - s.toDouble / n.toDouble) /
+                  math.sqrt(variance)
+                if (math.abs(z) > flagAt) Some(RateAlert(key, b.bucket, b.cnt, z))
+                else None
+              } else None
+            n += 1; s += b.cnt; ss += b.cnt * b.cnt
+            alert
+          }
+          state.update(RateState(n, s, ss))
+          out.iterator
+      }
+  }
+}

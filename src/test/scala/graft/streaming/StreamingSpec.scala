@@ -319,3 +319,33 @@ class StreamingCurationSpec extends graft.SparkSpec {
     }
   }
 }
+
+class AnomalyStreamSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import graft.streaming.AnomalyStream
+  import graft.streaming.AnomalyStream.BucketCount
+
+  private def b(key: Long, hour: Int, cnt: Long) = BucketCount(
+    key, java.sql.Timestamp.valueOf(f"2024-06-01 $hour%02d:00:00"), cnt)
+
+  test("spike alerts once on arrival with the batch z formula; steady keys stay silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[BucketCount]
+    val q = AnomalyStream.alerts(mem.toDS(), flagAt = 1.4, minHistory = 4)
+      .writeStream.outputMode("append").format("memory").queryName("rate_alerts").start()
+    // history for key 1: 2,2,2,6 (same fixture as RateAnomalySpec:
+    // mean 3, sample std 2); key 2 constant
+    mem.addData(b(1, 0, 2), b(1, 1, 2), b(1, 2, 2), b(1, 3, 6),
+      b(2, 0, 3), b(2, 1, 3), b(2, 2, 3), b(2, 3, 3), b(2, 4, 3))
+    q.processAllAvailable()
+    // next batch: key 1 gets cnt=6 against history (2,2,2,6):
+    // n=4, s=12, ss=48 -> var=(4*48-144)/12=4, std 2, z=(6-3)/2=1.5 -> alert
+    mem.addData(b(1, 4, 6), b(2, 5, 3))
+    q.processAllAvailable()
+    q.stop()
+    val alerts = spark.table("rate_alerts")
+      .as[AnomalyStream.RateAlert].collect().toSeq
+    assert(alerts.map(a => (a.key, a.cnt, a.z)) === Seq((1L, 6L, 1.5)))
+  }
+}

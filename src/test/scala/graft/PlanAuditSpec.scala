@@ -107,4 +107,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(udfFilter >= 0, p)
     assert(firstExchange < 0 || udfFilter > firstExchange, p)
   }
+
+  test("x45: pivot keeps map-side combine at BOTH levels (count and pivotfirst)") {
+    val p = planOf("x45_event_pivot")
+    assert(shuffles(p) === 3, p)  // (day,type) count + day pivot + output sort
+    assert(p.contains("partial_pivotfirst"), p)  // pivot itself combines map-side
+  }
+
+  test("x48: per-stratum budget = one stratum shuffle + output sort; scan reads 2 columns") {
+    val f = formattedOf("x48_take_per_stratum")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(f).get.group(1)
+    assert(read.split(",").length === 2, read)
+    val p = planOf("x48_take_per_stratum")
+    assert(shuffles(p) === 2, p)
+  }
+
+  test("x50: class centroids broadcast; the corpus never shuffles before scoring") {
+    val df = SparkEntry.queries("x50_class_outliers")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -496,3 +496,81 @@ class SessionizeEquivalenceSpec extends SparkSpec {
     assert(batch === builtin)
   }
 }
+
+class SessionizeRandomSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("random fixtures: event counts conserved, consecutive sessions separated by > gap") {
+    val rnd = new scala.util.Random(7)
+    val gapMicros = 600L * 1000000L // 10 min
+    for (_ <- 1 to 3) {
+      val rows = (1 to 300).map { i =>
+        (i.toLong, (rnd.nextInt(5) + 1).toLong,
+          new java.sql.Timestamp(rnd.nextInt(100000) * 1000L))
+      }
+      val df = rows.toDF("event_id", "user_id", "ts")
+      val sess = graft.ops.Sessionize.sessionize(
+        df, col("user_id"), col("ts"), col("event_id"), gapMicros)
+        .select(col("key"), col("session_seq"),
+          unix_micros(col("session_start")).as("st"),
+          unix_micros(col("session_end")).as("en"),
+          col("n_events"), col("duration_secs"))
+        .as[(Long, Int, Long, Long, Long, Long)].collect()
+      // conservation: every event lands in exactly one session
+      assert(sess.map(_._5).sum === 300L)
+      sess.foreach { case (_, _, st, en, _, dur) =>
+        assert(en >= st && dur === (en - st) / 1000000L)
+      }
+      // separation: next session of the same key starts > gap after prev end
+      sess.groupBy(_._1).foreach { case (_, ss) =>
+        val ordered = ss.sortBy(_._2)
+        assert(ordered.map(_._2).toSeq === (1 to ordered.length).toSeq)
+        ordered.sliding(2).foreach {
+          case Array(a, b) => assert(b._3 - a._4 > gapMicros)
+          case _ =>
+        }
+      }
+    }
+  }
+}
+
+class RateAnomalyRandomSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("random fixtures: z-scores match a driver-side reference computation") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map { i =>
+      (i.toLong, (rnd.nextInt(4) + 1).toLong,
+        new java.sql.Timestamp(
+          java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime +
+            rnd.nextInt(48) * 3600000L + rnd.nextInt(3600000)))
+    }
+    val df = rows.toDF("event_id", "user_id", "ts")
+    val got = graft.ops.RateAnomaly.rateZscores(df, col("user_id"), col("ts"), "hour")
+      .select(col("key"), col("bucket").cast("long"), col("cnt"), col("z"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // reference: group driver-side, same integer-exact formula
+    val ref = rows.groupBy(r => (r._2, r._3.getTime / 3600000L * 3600L))
+      .map { case (k, es) => k -> es.size.toLong }
+    ref.groupBy(_._1._1).foreach { case (_, buckets) =>
+      val cnts = buckets.values.toSeq
+      val n = cnts.size.toLong
+      val s = cnts.sum
+      val ss = cnts.map(c => c * c).sum
+      buckets.foreach { case ((user, sec), cnt) =>
+        val (gc, gz) = got((user, sec))
+        assert(gc === cnt)
+        val varNum = n * ss - s * s
+        val expected =
+          if (n > 1 && varNum > 0)
+            (cnt.toDouble - s.toDouble / n.toDouble) /
+              math.sqrt(varNum.toDouble / (n * (n - 1)).toDouble)
+          else 0.0
+        assert(gz === expected)
+      }
+    }
+  }
+}

@@ -1407,9 +1407,39 @@ object ExtQueries {
       .orderBy("label", "rn")
   }
 
+  // x51 — hopping (sliding) window aggregation: 1-hour windows every 30
+  // minutes via the built-in `window()` generator (each event lands in
+  // exactly length/slide = 2 windows). The oracle replicates the
+  // replication with an explicit 2-element unnest on integer-micro
+  // window starts; the value sum goes through the exact DECIMAL
+  // accumulator. Completes the window family: tumbling (q11), session
+  // (x40), hopping (here).
+  val x51 = Q(
+    "x51_hopping_window",
+    """WITH b AS (
+      |  SELECT epoch_us(ts) // 1800000000 AS hb, value FROM events),
+      |w AS (
+      |  SELECT unnest([hb * 1800000000, (hb - 1) * 1800000000]) AS ws, value
+      |  FROM b)
+      |SELECT make_timestamp(ws) AS wstart,
+      |       make_timestamp(ws + 3600000000) AS wend,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18, 4))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY ws
+      |ORDER BY wstart""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .select(col("w.start").as("wstart"), col("w.end").as("wend"),
+        col("n"), col("sum_value"))
+      .orderBy("wstart")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
-      x44, x45, x46, x47, x48, x49, x50)
+      x44, x45, x46, x47, x48, x49, x50, x51)
 }

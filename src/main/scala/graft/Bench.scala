@@ -18,7 +18,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the machine's cores: the target profile is local[32] on
+    // a 32-cpu box, and an unset env var must not quietly bench at 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")

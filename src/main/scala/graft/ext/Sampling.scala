@@ -67,8 +67,13 @@ object Sampling {
     * bring the stratum under window size first. */
   def takePerStratum(df: DataFrame, stratum: Column, key: Column,
       n: Int): DataFrame = {
+    // NULLS LAST explicitly: Spark's ASC default is nulls-first while
+    // ANSI engines commonly default nulls-last — a NULL key must not
+    // silently claim a budget slot differently per engine
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum).orderBy(Dedup.md5Hash60(key.cast("string")), key)
+      .partitionBy(stratum)
+      .orderBy(Dedup.md5Hash60(key.cast("string")).asc_nulls_last,
+        key.asc_nulls_last)
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n).drop("__rn")
   }

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence event analytics: funnels and retention cohorts —
+  * the product-analytics pair every event fact eventually serves, and a
+  * natural extension of the reference's per-stream rollup family
+  * (StreamTest.cpp:830-944) from state aggregation to ORDER-sensitive
+  * aggregation.
+  *
+  * Float-free: every step timestamp is integer microseconds, every
+  * count an integer — results hash-match any ANSI engine.
+  */
+object EventAnalytics {
+
+  /** Three-step ordered funnel: for each user, the first time of step 1,
+    * the first step-2 STRICTLY AFTER it, and the first step-3 strictly
+    * after that (ordered semantics — a purchase before the signup does
+    * not count). Output: (user_id, t1, t2, t3 micros, stage 1..3) for
+    * users who completed at least step 1.
+    *
+    * 100 TB posture: one shuffle on the user key; the three conditional
+    * aggregates and both joins all share it (the join keys and group
+    * keys are user-prefixed, so Catalyst reuses the exchange — no
+    * re-partitioning between stages). */
+  def funnel3(events: DataFrame, user: Column, ts: Column, typ: Column,
+      s1: String, s2: String, s3: String): DataFrame = {
+    val e = events.select(user.as("user_id"), unix_micros(ts).as("tus"),
+      typ.as("et"))
+    val t1 = e.groupBy("user_id")
+      .agg(min(when(col("et") === s1, col("tus"))).as("t1"))
+      .where(col("t1").isNotNull)
+    val t2 = e.join(t1, Seq("user_id"))
+      .groupBy(col("user_id"), col("t1"))
+      .agg(min(when(col("et") === s2 && col("tus") > col("t1"), col("tus"))).as("t2"))
+    val t3 = e.join(t2, Seq("user_id"))
+      .groupBy(col("user_id"), col("t1"), col("t2"))
+      .agg(min(when(col("et") === s3 && col("tus") > col("t2"), col("tus"))).as("t3"))
+    t3.withColumn("stage",
+      when(col("t3").isNotNull, 3)
+        .when(col("t2").isNotNull, 2)
+        .otherwise(1).cast("int"))
+  }
+
+  /** Retention cohorts: users grouped by the day of their FIRST event;
+    * for each (cohort, day-offset) the count of distinct users active
+    * that day. Two combinable shuffles (first-day per user, then the
+    * cohort grid) — the textbook distributed shape. */
+  def retentionCohorts(events: DataFrame, user: Column, ts: Column): DataFrame = {
+    val firstDay = events.groupBy(user.as("user_id"))
+      .agg(date_trunc("day", min(ts)).as("cohort"))
+    val activity = events
+      .select(user.as("user_id"), date_trunc("day", ts).as("day"))
+      .distinct()
+    activity.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("int").as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+}

@@ -1437,9 +1437,57 @@ object ExtQueries {
       .orderBy("wstart")
   }
 
+  // x52 — ordered 3-step funnel (signup → click → purchase): each step's
+  // first occurrence STRICTLY AFTER the previous step's. Integer-micros
+  // timestamps; one user-key shuffle shared by all stages.
+  val x52 = Q(
+    "x52_funnel",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_type AS et FROM events),
+      |t1 AS (
+      |  SELECT user_id, min(CASE WHEN et = 'signup' THEN tus END) AS t1
+      |  FROM e GROUP BY user_id
+      |  HAVING min(CASE WHEN et = 'signup' THEN tus END) IS NOT NULL),
+      |t2 AS (
+      |  SELECT e.user_id, t1.t1,
+      |         min(CASE WHEN et = 'click' AND tus > t1.t1 THEN tus END) AS t2
+      |  FROM e JOIN t1 USING (user_id) GROUP BY e.user_id, t1.t1),
+      |t3 AS (
+      |  SELECT e.user_id, t2.t1, t2.t2,
+      |         min(CASE WHEN et = 'purchase' AND tus > t2.t2 THEN tus END) AS t3
+      |  FROM e JOIN t2 USING (user_id) GROUP BY e.user_id, t2.t1, t2.t2)
+      |SELECT user_id, t1, t2, t3,
+      |       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+      |                 WHEN t2 IS NOT NULL THEN 2
+      |                 ELSE 1 END AS INT) AS stage
+      |FROM t3 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.funnel3(
+      Tables.events(s, dir), col("user_id"), col("ts"), col("event_type"),
+      "signup", "click", "purchase")
+      .orderBy("user_id")
+  }
+
+  // x53 — retention cohorts: users bucketed by first-event day; distinct
+  // active users per (cohort, day offset). Two combinable shuffles.
+  val x53 = Q(
+    "x53_retention",
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('day', min(ts)) AS cohort
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+      |SELECT f.cohort, CAST(date_diff('day', f.cohort, a.day) AS INT) AS day_offset,
+      |       COUNT(DISTINCT a.user_id) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY f.cohort, day_offset
+      |ORDER BY cohort, day_offset""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.retentionCohorts(
+      Tables.events(s, dir), col("user_id"), col("ts"))
+      .orderBy("cohort", "day_offset")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
-      x44, x45, x46, x47, x48, x49, x50, x51)
+      x44, x45, x46, x47, x48, x49, x50, x51, x52, x53)
 }

@@ -574,3 +574,42 @@ class RateAnomalyRandomSpec extends SparkSpec {
     }
   }
 }
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def e(u: Long, sec: Long, t: String) =
+    (u, new java.sql.Timestamp(sec * 1000L), t)
+
+  test("funnel: steps must occur in order; out-of-order steps don't count") {
+    val rows = Seq(
+      // user 1: full ordered funnel
+      e(1, 10, "signup"), e(1, 20, "click"), e(1, 30, "purchase"),
+      // user 2: purchase BEFORE the click -> stage 2
+      e(2, 10, "signup"), e(2, 30, "click"), e(2, 20, "purchase"),
+      // user 3: click before signup doesn't count -> stage 1
+      e(3, 5, "click"), e(3, 10, "signup"),
+      // user 4: never signed up -> excluded
+      e(4, 10, "click"), e(4, 20, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = graft.ops.EventAnalytics.funnel3(
+      rows, col("user_id"), col("ts"), col("event_type"),
+      "signup", "click", "purchase")
+      .select("user_id", "stage").as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 3, 2L -> 2, 3L -> 1))
+  }
+
+  test("retention: cohort day 0 always contains the user; offsets count distinct days") {
+    val rows = Seq(
+      e(1, 0, "view"), e(1, 86400 + 5, "view"), e(1, 86400 + 9, "view"),
+      e(2, 86400, "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = graft.ops.EventAnalytics.retentionCohorts(
+      rows, col("user_id"), col("ts"))
+      .select(col("cohort").cast("long"), col("day_offset"), col("n_users"))
+      .as[(Long, Int, Long)].collect().toSet
+    // user 1: cohort day0 (offsets 0 and 1), user 2: cohort day1 (offset 0)
+    assert(got === Set((0L, 0, 1L), (0L, 1, 1L), (86400L, 0, 1L)))
+  }
+}

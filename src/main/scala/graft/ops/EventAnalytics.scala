@@ -20,27 +20,30 @@ object EventAnalytics {
     * not count). Output: (user_id, t1, t2, t3 micros, stage 1..3) for
     * users who completed at least step 1.
     *
-    * 100 TB posture: one shuffle on the user key; the three conditional
-    * aggregates and both joins all share it (the join keys and group
-    * keys are user-prefixed, so Catalyst reuses the exchange — no
-    * re-partitioning between stages). */
+    * 100 TB posture: ONE scan and ONE shuffle on the user key — each
+    * step's time is an unbounded per-user window MIN conditioned on the
+    * previous step's column, so all three stages and the final
+    * per-user collapse ride the same hash(user) exchange
+    * (plan-asserted). The join-per-stage alternative re-scans the fact
+    * once per step and only co-locates when AQE declines to broadcast. */
   def funnel3(events: DataFrame, user: Column, ts: Column, typ: Column,
       s1: String, s2: String, s3: String): DataFrame = {
     val e = events.select(user.as("user_id"), unix_micros(ts).as("tus"),
       typ.as("et"))
-    val t1 = e.groupBy("user_id")
-      .agg(min(when(col("et") === s1, col("tus"))).as("t1"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val staged = e
+      .withColumn("t1", min(when(col("et") === s1, col("tus"))).over(w))
+      .withColumn("t2",
+        min(when(col("et") === s2 && col("tus") > col("t1"), col("tus"))).over(w))
+      .withColumn("t3",
+        min(when(col("et") === s3 && col("tus") > col("t2"), col("tus"))).over(w))
+    staged.groupBy("user_id")
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
       .where(col("t1").isNotNull)
-    val t2 = e.join(t1, Seq("user_id"))
-      .groupBy(col("user_id"), col("t1"))
-      .agg(min(when(col("et") === s2 && col("tus") > col("t1"), col("tus"))).as("t2"))
-    val t3 = e.join(t2, Seq("user_id"))
-      .groupBy(col("user_id"), col("t1"), col("t2"))
-      .agg(min(when(col("et") === s3 && col("tus") > col("t2"), col("tus"))).as("t3"))
-    t3.withColumn("stage",
-      when(col("t3").isNotNull, 3)
-        .when(col("t2").isNotNull, 2)
-        .otherwise(1).cast("int"))
+      .withColumn("stage",
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .otherwise(1).cast("int"))
   }
 
   /** Retention cohorts: users grouped by the day of their FIRST event;

@@ -128,4 +128,10 @@ class PlanAuditSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("x52: funnel = ONE fact scan, ONE user-key shuffle shared by all three stages") {
+    val p = planOf("x52_funnel")
+    assert(shuffles(p) === 2, p)  // hash(user) + output sort
+    assert("Scan parquet".r.findAllIn(p).length === 1, p)
+  }
 }

@@ -1485,9 +1485,65 @@ object ExtQueries {
       .orderBy("cohort", "day_offset")
   }
 
+  // x54 — FULL OUTER join (the one join shape the suite hadn't
+  // exercised): disjoint-overlap customer slice vs per-customer order
+  // aggregates, both null sides populated. DECIMAL-exact totals.
+  val x54 = Q(
+    "x54_full_outer",
+    """WITH o AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 4))) AS DOUBLE) AS total
+      |  FROM orders WHERE o_custkey >= 300 GROUP BY 1),
+      |c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 500)
+      |SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+      |       c.c_name, o.n_orders, o.total
+      |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+      |ORDER BY custkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val o = Tables.orders(s, dir).where(col("o_custkey") >= 300)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double").as("total"))
+    val c = Tables.customer(s, dir).where(col("c_custkey") < 500)
+      .select("c_custkey", "c_name")
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_orders"), col("total"))
+      .orderBy("custkey")
+  }
+
+  // x55 — null-aware anti join: ANSI `NOT IN` over a subquery that can
+  // contain NULL (three-valued logic: a NULL probe never qualifies, and
+  // a NULL in the subquery poisons nothing here because the build side
+  // is filtered non-null — the PROBE side carries the nulls). Runs
+  // through spark.sql so Catalyst plans its null-aware anti join; the
+  // engine's SQL entry path is the operator under test.
+  val x55 = Q(
+    "x55_null_aware_anti",
+    """WITH probe AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS ck
+      |  FROM orders)
+      |SELECT o_orderkey, ck
+      |FROM probe
+      |WHERE ck NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 750)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql(
+      """WITH probe AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS ck
+        |  FROM orders_v)
+        |SELECT o_orderkey, ck
+        |FROM probe
+        |WHERE ck NOT IN (SELECT c_custkey FROM customer_v WHERE c_custkey < 750)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
-      x44, x45, x46, x47, x48, x49, x50, x51, x52, x53)
+      x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55)
 }

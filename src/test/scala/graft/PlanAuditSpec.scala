@@ -134,4 +134,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) === 2, p)  // hash(user) + output sort
     assert("Scan parquet".r.findAllIn(p).length === 1, p)
   }
+
+  test("x55: NOT IN plans as the null-aware anti join (a plain anti would keep NULL probes)") {
+    val p = planOf("x55_null_aware_anti")
+    // the BHJ node's trailing boolean is isNullAwareAntiJoin
+    assert("BroadcastHashJoin .*LeftAnti, BuildRight, true".r.findFirstIn(p).isDefined, p)
+  }
 }

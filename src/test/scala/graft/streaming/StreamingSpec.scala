@@ -349,3 +349,46 @@ class AnomalyStreamSpec extends graft.SparkSpec {
     assert(alerts.map(a => (a.key, a.cnt, a.z)) === Seq((1L, 6L, 1.5)))
   }
 }
+
+class FunnelStreamSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import graft.streaming.FunnelStream
+  import graft.streaming.FunnelStream.StepEvent
+
+  test("stage advances fire once, in order; out-of-order steps don't advance") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StepEvent]
+    val q = FunnelStream.advances(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("funnel_adv").start()
+    // user 1 completes across two batches; user 2's step 3 precedes its
+    // step 2 acceptance time -> never reaches stage 3; duplicate step 1
+    // is ignored
+    mem.addData(StepEvent(1, 10, 1), StepEvent(1, 20, 2), StepEvent(2, 10, 1),
+      StepEvent(2, 30, 2), StepEvent(2, 20, 3))
+    q.processAllAvailable()
+    mem.addData(StepEvent(1, 30, 3), StepEvent(1, 40, 1))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_adv")
+      .as[FunnelStream.StageAdvance].collect().toSeq
+      .map(a => (a.user, a.stage, a.tus)).sorted
+    assert(got === Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L),
+      (2L, 1, 10L), (2L, 2, 30L)))
+    // batch equivalence on the same (in-order) event set
+    val batchStages = graft.ops.EventAnalytics.funnel3(
+      Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), (1L, 40L, "a"),
+        (2L, 10L, "a"), (2L, 30L, "b"), (2L, 20L, "c"))
+        .toDF("user_id", "tus_raw", "et")
+        .select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.col("tus_raw")).as("ts"),
+          org.apache.spark.sql.functions.col("et")),
+      org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("ts"),
+      org.apache.spark.sql.functions.col("et"), "a", "b", "c")
+      .select("user_id", "stage").as[(Long, Int)].collect().toMap
+    val streamStages = got.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(streamStages === batchStages)
+  }
+}

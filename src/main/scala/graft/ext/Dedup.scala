@@ -96,7 +96,12 @@ object Dedup {
     * clean majority of (id, hash) pairs dies at the scan, and only
     * Bloom-positive pairs reach the semi join. The exact semi join then
     * removes false positives, so the result is IDENTICAL to the exact
-    * form — same oracle, sketch only as an accelerator. */
+    * form — same oracle, sketch only as an accelerator.
+    *
+    * Lifecycle note: the broadcast Bloom cannot be destroyed eagerly
+    * here (the returned frame is lazy and may execute later); it is
+    * released by the ContextCleaner once the frame's plan is
+    * unreachable, like any broadcast join side. */
   def decontaminateBloom(train: DataFrame, benchmark: DataFrame,
       id: Column, text: Column, n: Int, fpp: Double = 0.01): DataFrame = {
     val spark = train.sparkSession

@@ -65,7 +65,11 @@ object Similarity {
     * class's own centroid — label-noise / outlier detection over a
     * labeled embedding corpus. Centroids are class-count-sized and
     * broadcast; the corpus streams past them (no corpus shuffle before
-    * the per-label rank). */
+    * the per-label rank). An all-zero vector (or a class whose mean is
+    * the zero vector) yields a NaN cosine, mirroring the SQL
+    * `list_cosine_similarity` 0/0; NaN sorts AFTER every real
+    * similarity in both engines' ascending order, so such rows never
+    * displace a real outlier from the top-k. */
   def classOutliers(df: DataFrame, label: Column, id: Column, emb: Column,
       k: Int): DataFrame = {
     val e = df.select(label.as("label"), id.as("vec_id"),

@@ -363,10 +363,27 @@ object Dedup {
       // check then is a filter-count over already-materialized rows —
       // one job per iteration instead of two (the old second job
       // re-joined next against labels just to find changed rows).
-      val next = labels
+      val relaxed = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // Pointer-doubling shortcut: label := label(label). Labels only
+      // ever decrease and every label VALUE is itself a node id present
+      // in this table (ids propagate, nothing is invented), so the
+      // labels-only self-join resolves one more hop — and because the
+      // parent side is already post-relaxation, effective propagation
+      // distance roughly DOUBLES each round. Convergence drops from
+      // O(diameter) to O(log diameter) — the large-star/small-star
+      // bound — without touching the edge set: a 1000-link chain
+      // converges in ~11 rounds where plain min-propagation errored at
+      // maxIters=25. Cost: one extra labels-sized hash join per round
+      // (no edges scan; `relaxed` is materialized so nbrMin runs once).
+      val next = relaxed
+        .join(relaxed.select(col("id").as("label"), col("label").as("hop2")),
+          Seq("label"), "left")
+        .select(col("id"), col("old"),
+          coalesce(col("hop2"), col("label")).as("label"))
         .localCheckpoint(true)
       changed = next.where(col("label") =!= col("old")).count()
       // `next` is independently materialized, so the previous round's
@@ -374,6 +391,7 @@ object Dedup {
       // eagerly instead of waiting for session GC (on a large pair set
       // every retained round is a full (node,label) copy in block store).
       freeLocalCheckpoint(labels)
+      freeLocalCheckpoint(relaxed)
       labels = next.select(col("id"), col("label"))
       it += 1
     }

@@ -85,9 +85,23 @@ object Similarity {
       .select(col("label"), col("vec_id"), col("csim"), col("rn"))
   }
 
-  /** All pairs (a < b) with cosine >= threshold — brute force
-    * (small-data oracle twin of `lshNearDup`). */
-  def nearDupPairs(embs: DataFrame, threshold: Double): DataFrame = {
+  /** All pairs (a < b) with cosine >= threshold — brute force, the
+    * small-data exactness baseline (oracle twin of the LSH path).
+    *
+    * GUARDED: the plan is O(N²) by construction, so inputs past
+    * `maxRows` are refused loudly at plan-build time rather than
+    * launching a job that can never finish at corpus scale — the
+    * scale path for the same question is [[lshBuckets]]/[[knnLsh]]
+    * (bucketed candidates, exact cosine verify). The probe is
+    * `limit(maxRows+1).count()`, which stops scanning at the bound
+    * instead of counting the full input. */
+  def nearDupPairs(embs: DataFrame, threshold: Double,
+      maxRows: Long = 100000L): DataFrame = {
+    val atMost = embs.limit((maxRows + 1).toInt).count()
+    require(atMost <= maxRows,
+      s"nearDupPairs is an O(N^2) exact baseline guarded at $maxRows rows; " +
+        s"input has more — use the LSH path (Similarity.lshBuckets/knnLsh) " +
+        s"for corpus-scale near-dup search")
     val a = embs.select(col("vec_id").as("a"), col("emb").as("ea"), col("norm").as("na"))
     val b = embs.select(col("vec_id").as("b"), col("emb").as("eb"), col("norm").as("nb"))
     a.join(b, col("a") < col("b"))

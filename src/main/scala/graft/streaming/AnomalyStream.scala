@@ -33,11 +33,17 @@ object AnomalyStream {
           val s0 = state.getOption.getOrElse(RateState(0L, 0L, 0L))
           var n = s0.n; var s = s0.s; var ss = s0.ss
           val out = batch.toSeq.sortBy(_.bucket.getTime).flatMap { b =>
-            // score BEFORE folding in (self-inclusion would dampen z)
-            val varNum = n * ss - s * s
+            // score BEFORE folding in (self-inclusion would dampen z).
+            // n·Σc² − (Σc)² through BigInt: in plain Long arithmetic the
+            // product silently wraps once a key's history passes ~2^31.5
+            // count-mass (the batch twin runs the same formula under ANSI
+            // SQL, which would throw; the JVM would not), and a wrapped
+            // negative just suppresses alerts with no error. Two BigInt
+            // multiplies per event is noise next to state-store access.
+            val varNum = BigInt(n) * BigInt(ss) - BigInt(s) * BigInt(s)
             val alert =
               if (n >= minHistory && varNum > 0) {
-                val variance = varNum.toDouble / (n * (n - 1)).toDouble
+                val variance = varNum.toDouble / (n.toDouble * (n - 1).toDouble)
                 val z = (b.cnt.toDouble - s.toDouble / n.toDouble) /
                   math.sqrt(variance)
                 if (math.abs(z) > flagAt) Some(RateAlert(key, b.bucket, b.cnt, z))

@@ -86,7 +86,7 @@ object VolumeTripwire {
         timeMin(Similarity.pqSearch(embs1, (0L until 10L).toSeq, k = 5)),
         timeMin(Similarity.pqSearch(embs10, (0L until 10L).toSeq, k = 5))), {
         // round-4 ops: sessionize + rate anomaly over a 10× event fact
-        // (skew: one user owns 10× the events of any other), tfidf over
+        // (skew: user 7 owns all blown copies, ~90% of the 10× fact), tfidf over
         // the 10× corpus incl. the identical-doc flood
         val events = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
         val events10 = blow(events, "event_id", 10, 100000000L)

@@ -101,11 +101,14 @@ class PlanAuditSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     // the UDF filter must appear in the same stage as the train scan,
-    // i.e. the plan has a Filter containing the UDF below every Exchange
-    val firstExchange = p.indexOf("Exchange")
+    // i.e. below EVERY Exchange in the printed plan (plans print top-down,
+    // so scan-side means a LARGER string index than the last Exchange —
+    // comparing against the first Exchange would still pass a regressed
+    // scan→Exchange→filter plan)
+    val lastExchange = p.lastIndexOf("Exchange")
     val udfFilter = p.indexOf("UDF(")
     assert(udfFilter >= 0, p)
-    assert(firstExchange < 0 || udfFilter > firstExchange, p)
+    assert(lastExchange < 0 || udfFilter > lastExchange, p)
   }
 
   test("x45: pivot keeps map-side combine at BOTH levels (count and pivotfirst)") {

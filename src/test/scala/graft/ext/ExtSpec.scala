@@ -614,6 +614,17 @@ class ConnectedComponentsSpec extends graft.SparkSpec {
     assert(ok.values.toSet === Set(1L))
     assert(ok.keySet === (1L to 6L).toSet)
   }
+
+  test("1000-link chain converges in O(log n) rounds (pointer doubling)") {
+    // adversarial long-chain graph: plain min-label propagation needs
+    // ~999 rounds (diameter-bound) and errored at the old maxIters=25;
+    // the label(label) shortcut must land it well under 20
+    val chain = (1L until 1000L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(chain, maxIters = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet === Set(1L))
+    assert(got.keySet === (1L to 1000L).toSet)
+  }
 }
 
 class RelevanceSpec extends graft.SparkSpec {

@@ -479,7 +479,7 @@ class SessionizeEquivalenceSpec extends SparkSpec {
       (3L, 10L, t("2024-05-01 08:30:00")),                       // new session
       (4L, 20L, t("2024-05-01 09:00:00")),
       (5L, 20L, t("2024-05-01 09:09:59")),                       // inside gap
-      (6L, 20L, t("2024-05-01 09:19:59")),                       // EXACTLY prev+gap -> new in both
+      (6L, 20L, t("2024-05-01 09:19:59")),                       // EXACTLY prev+gap -> MERGES in both
       (7L, 30L, t("2024-05-01 00:00:00"))
     ).toDF("event_id", "user_id", "ts")
     // built-in: session extends while the next event starts within the gap

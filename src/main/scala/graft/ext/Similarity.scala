@@ -94,10 +94,15 @@ object Similarity {
     * scale path for the same question is [[lshBuckets]]/[[knnLsh]]
     * (bucketed candidates, exact cosine verify). The probe is
     * `limit(maxRows+1).count()`, which stops scanning at the bound
-    * instead of counting the full input. */
+    * instead of counting the full input — NOTE this makes plan
+    * construction itself a Spark action (one small job), so explain-only
+    * callers pay it too; that is the point of a build-time guard. */
   def nearDupPairs(embs: DataFrame, threshold: Double,
       maxRows: Long = 100000L): DataFrame = {
-    val atMost = embs.limit((maxRows + 1).toInt).count()
+    // clamp before toInt: a caller loosening the guard past Int.MaxValue
+    // must not wrap into a negative limit()
+    val probe = (math.min(maxRows, Int.MaxValue - 1L) + 1L).toInt
+    val atMost = embs.limit(probe).count()
     require(atMost <= maxRows,
       s"nearDupPairs is an O(N^2) exact baseline guarded at $maxRows rows; " +
         s"input has more — use the LSH path (Similarity.lshBuckets/knnLsh) " +

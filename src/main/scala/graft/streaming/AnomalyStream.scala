@@ -49,7 +49,15 @@ object AnomalyStream {
                 if (math.abs(z) > flagAt) Some(RateAlert(key, b.bucket, b.cnt, z))
                 else None
               } else None
-            n += 1; s += b.cnt; ss += b.cnt * b.cnt
+            // exact accumulation: Σc² itself is a plain Long, so at
+            // extreme count-mass it could wrap BEFORE the BigInt product
+            // above ever sees it — addExact/multiplyExact turn that
+            // silent corruption into an ArithmeticException at the
+            // offending event (restart with a wider state type; no key
+            // with < 2^63 total squared count-mass ever hits it)
+            n += 1
+            s = Math.addExact(s, b.cnt)
+            ss = Math.addExact(ss, Math.multiplyExact(b.cnt, b.cnt))
             alert
           }
           state.update(RateState(n, s, ss))

@@ -1,6 +1,9 @@
 package graft
 
-import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.execution.{ExplainMode, FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.functions.{col, count, udf}
 
 /** Programmatic versions of PLANS.md's claims: the scale posture is
   * asserted, not narrated. Counts are pinned against Spark 4.1.2's
@@ -96,19 +99,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  /** Every node of an executed plan, traversing through the wrappers that
+    * hide their real subtree from `TreeNode.children`: AdaptiveSparkPlanExec
+    * and QueryStageExec are leaf nodes whose subtree hangs off a field, so a
+    * plain `collect` (or any string search over `toString`, which also echoes
+    * a full `== Initial Plan ==` copy under AQE) cannot audit them reliably. */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+    case q: QueryStageExec        => q +: nodes(q.plan)
+    case r: ReusedExchangeExec    => r +: nodes(r.child)
+    case other => other +: other.children.flatMap(nodes)
+  }
+
+  /** True iff some Filter calling a Scala UDF is scan-side: a parquet scan
+    * below it with no shuffle anywhere on the subtree. BroadcastExchange is
+    * deliberately NOT a ShuffleExchangeLike — a broadcast below the filter
+    * would not move the filtered rows and must not trip this. */
+  private def udfFilterIsScanSide(plan: SparkPlan): Boolean =
+    nodes(plan).exists {
+      case f: FilterExec if f.condition.toString.contains("UDF") =>
+        val below = nodes(f).drop(1)
+        below.exists(_.isInstanceOf[FileSourceScanExec]) &&
+          !below.exists(_.isInstanceOf[ShuffleExchangeLike])
+      case _ => false
+    }
+
   test("x43: bloom prefilter sits scan-side, BEFORE any exchange") {
     val df = SparkEntry.queries("x43_bloom_decontaminate")(spark, dir)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    // the UDF filter must appear in the same stage as the train scan,
-    // i.e. below EVERY Exchange in the printed plan (plans print top-down,
-    // so scan-side means a LARGER string index than the last Exchange —
-    // comparing against the first Exchange would still pass a regressed
-    // scan→Exchange→filter plan)
-    val lastExchange = p.lastIndexOf("Exchange")
-    val udfFilter = p.indexOf("UDF(")
-    assert(udfFilter >= 0, p)
-    assert(lastExchange < 0 || udfFilter > lastExchange, p)
+    assert(udfFilterIsScanSide(df.queryExecution.executedPlan),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("x43 guard self-test: a UDF filter hoisted above a shuffle IS caught") {
+    // a UDF on an aggregate output cannot be pushed below the agg's
+    // shuffle — exactly the regressed shape the x43 assertion must reject
+    val mod2 = udf((x: Long) => x % 2 == 0)
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey")).agg(count("*").as("c"))
+      .where(mod2(col("c")))
+    df.collect()
+    assert(!udfFilterIsScanSide(df.queryExecution.executedPlan),
+      df.queryExecution.executedPlan.toString)
   }
 
   test("x45: pivot keeps map-side combine at BOTH levels (count and pivotfirst)") {

@@ -154,6 +154,51 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     graft.functions.WordShingles.word_shingles(text, n)
 
+  /** Substring-level exact dedup (the span form of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", at word
+    * granularity): every word-`n`-gram occurrence that is NOT the
+    * corpus-wide first occurrence of its content is marked, and maximal
+    * runs of consecutive marked positions merge into spans — the
+    * passages a substring-dedup pass would cut while leaving the rest of
+    * the document (and the first copy of the passage anywhere) intact.
+    * Output: `(doc_id, span_start, span_end, n_shingles)` with word
+    * positions 0-based inclusive, `span_end = last marked pos + n - 1`
+    * (docs shorter than n words count as one whole-text shingle at pos
+    * 0, so their span_end may point past their last word — consistent,
+    * documented, and only reachable for sub-`n` docs).
+    *
+    * Scale shape: posexplode → ONE map-side-combinable groupBy(hash)
+    * (`min(struct(doc_id,pos))` = first occurrence, deliberately NOT a
+    * row_number window over the hash — a passage repeated 100M times
+    * corpus-wide partial-aggregates per partition here instead of
+    * collecting every occurrence in one window task) → join back on the
+    * hash (AQE skew-join splits hot hashes) → per-doc islands window
+    * bounded by doc length. Only (doc_id, pos, 8-byte hash) rows ever
+    * shuffle; nothing is quadratic in corpus size. */
+  def duplicateSpans(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val occ = df
+      .select(id.as("doc_id"),
+        posexplode(graft.functions.WordShingles.word_shingles_pos(text, n)))
+      .select(col("doc_id"), col("pos"), md5Hash60(col("col")).as("h"))
+    val firsts = occ.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keep"),
+        count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= 2)
+      .select(col("h"), col("keep"))
+    val marked = occ.join(firsts, Seq("h"))
+      .where(!(col("doc_id") === col("keep.doc_id") && col("pos") === col("keep.pos")))
+      .select(col("doc_id"), col("pos"))
+    // gaps-and-islands: pos minus its per-doc rank is constant exactly on
+    // a run of consecutive marked positions
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(n - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .drop("grp")
+  }
+
   /** Exact pairwise n-gram Jaccard via an inverted shingle index:
     * explode distinct shingles, self-join on the shingle to count common
     * shingles per pair, then `jaccard = common / (|a| + |b| - common)`.

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct word n-gram shingles of a text column.
+/** Word n-gram shingles of a text column.
   *
   * Semantically identical to the composed form
   * `array_distinct(transform(sequence(...), i -> concat_ws(" ", toks[i],
@@ -20,8 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * one JVM pass per row (plain split + sliding window + LinkedHashSet).
   * `CodegenFallback` is fine here: the row-level work dominates, not the
   * call overhead.
+  *
+  * `distinct = false` keeps EVERY shingle in text order (with repeats),
+  * so element index == word position of the shingle's first word — the
+  * positioned form `posexplode` needs for substring-level span dedup.
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, "shingle size must be >= 1")
@@ -32,7 +36,9 @@ case class WordShingles(child: Expression, n: Int)
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString.trim
     val toks = if (text.isEmpty) Array.empty[String] else text.split("\\s+")
-    val out = new mutable.LinkedHashSet[String]
+    val out: mutable.Growable[String] with Iterable[String] =
+      if (distinct) new mutable.LinkedHashSet[String]
+      else new mutable.ArrayBuffer[String]
     if (toks.length >= n) {
       var i = 0
       val sb = new java.lang.StringBuilder
@@ -60,4 +66,9 @@ case class WordShingles(child: Expression, n: Int)
 object WordShingles {
   def word_shingles(text: Column, n: Int): Column =
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(text), n))
+
+  /** Ordered, non-distinct shingles: index i = shingle starting at word i. */
+  def word_shingles_pos(text: Column, n: Int): Column =
+    GraftSqlBridge.column(
+      WordShingles(GraftSqlBridge.expression(text), n, distinct = false))
 }

@@ -1541,9 +1541,55 @@ object ExtQueries {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  // x56 — substring-level exact dedup (Lee et al. spans, word-granular
+  // 5-grams): every 5-gram occurrence that is not the corpus-wide first
+  // occurrence of its content is marked; consecutive marked positions
+  // merge into (span_start, span_end) cut-lists per doc. The oracle
+  // reproduces the first-occurrence rule with a row_number window over
+  // the shingle hash (rn >= 2 == "not the keeper") and the same
+  // gaps-and-islands merge; the engine uses a map-side-combinable
+  // min(struct) aggregate instead of that window on purpose (skew).
+  val x56 = Q(
+    "x56_substring_dedup",
+    """WITH d AS (
+      |  SELECT doc_id, trim(text) AS tt,
+      |         string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 5
+      |              THEN list_transform(range(1, len(w) - 3),
+      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+      |              ELSE [tt] END AS sh
+      |  FROM d),
+      |p AS (
+      |  SELECT doc_id, sh, unnest(range(0, len(sh))) AS pos FROM s),
+      |ph AS (
+      |  SELECT doc_id, pos,
+      |         ('0x' || substring(md5(sh[CAST(pos + 1 AS INT)]), 1, 15))::BIGINT AS h
+      |  FROM p),
+      |rn AS (
+      |  SELECT doc_id, pos,
+      |         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      |  FROM ph),
+      |m AS (SELECT doc_id, pos FROM rn WHERE rn >= 2),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM m)
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |       CAST(max(pos) + 4 AS BIGINT) AS span_end,
+      |       COUNT(*) AS n_shingles
+      |FROM isl GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+    Dedup.duplicateSpans(Tables.documents(s, dir),
+      col("doc_id"), col("text"), n = 5)
+      .orderBy("doc_id", "span_start")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
-      x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55)
+      x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56)
 }

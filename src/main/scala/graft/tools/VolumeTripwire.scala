@@ -74,6 +74,13 @@ object VolumeTripwire {
         val d = Dedup.distinctContents(docs10, col("doc_id"), col("text"))
         timeMin(Dedup.simhashPairs(Dedup.simhash(d, col("doc_id"), col("text"))))
       }),
+      // substring spans over the flood: every shingle of the 100k
+      // identical docs repeats 100k× — the min(struct) partial agg and
+      // the AQE skew join must keep this linear (a row_number window
+      // over the hash would collect each hash's 100k rows in one task)
+      Res("x56_duplicateSpans",
+        timeMin(Dedup.duplicateSpans(docs1, col("doc_id"), col("text"), n = 5)),
+        timeMin(Dedup.duplicateSpans(docs10, col("doc_id"), col("text"), n = 5))),
       Res("x10_knnLsh",
         timeMin(Similarity.knnLsh(embs1, (0L until 10L).toSeq, k = 5)),
         timeMin(Similarity.knnLsh(embs10, (0L until 10L).toSeq, k = 5))),

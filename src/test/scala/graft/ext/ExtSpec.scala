@@ -625,6 +625,25 @@ class ConnectedComponentsSpec extends graft.SparkSpec {
     assert(got.values.toSet === Set(1L))
     assert(got.keySet === (1L to 1000L).toSet)
   }
+
+  test("x56 spans: consecutive repeats merge, first copy survives, within-doc repeats cut") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),           // all keeper occurrences
+      (1L, "z1 z2 a b c d e f g z3 z4"),     // 3 consecutive dup 5-grams
+      (2L, "p q r s t p q r s t"),           // within-doc repeat at pos 5
+      (3L, "a b c d e f g h i j"),           // full copy of doc 0
+      (4L, "hello"),                         // short-doc whole-text shingle
+      (5L, "hello")                          // ... its duplicate
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 5)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(spans === Array(
+      (1L, 2L, 8L, 3L),   // "a b c d e f g" = positions 2..8, 3 shingles
+      (2L, 5L, 9L, 1L),   // second "p q r s t"
+      (3L, 0L, 9L, 6L),   // entire doc is one span
+      (5L, 0L, 4L, 1L)))  // short-doc span_end = pos + n - 1 by contract
+  }
 }
 
 class RelevanceSpec extends graft.SparkSpec {

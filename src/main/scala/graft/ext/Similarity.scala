@@ -115,6 +115,55 @@ object Similarity {
       .select("a", "b", "sim")
   }
 
+  /** Semantic dedup, the SemDeDup shape (Abbas et al. 2023): cluster the
+    * corpus, then mark every vector that has a SMALLER-id in-cluster
+    * neighbor with cosine >= `threshold` as a duplicate of the smallest
+    * such neighbor. Output: (vec_id, cid, dup_of, keep_flag) — one row
+    * per input vector; `dup_of` is NULL (and keep_flag 1) for survivors.
+    *
+    * Semantics are the greedy per-pair rule, not connected components:
+    * in a chain a~b~c (a<b<c) where a!~c, both b and c are removed (c's
+    * dup_of is b, itself removed) — one representative per
+    * near-duplicate neighborhood, which is what a curation pass wants.
+    * The DOCUMENTED limitation (pinned in SemanticDedupSpec): two
+    * near-identical vectors assigned to DIFFERENT clusters are never
+    * compared, so boundary-straddling duplicates survive. That is the
+    * accepted recall trade the clustering buys — all-pairs within
+    * cluster is Σ|c|² work instead of N².
+    *
+    * 100 TB posture: one corpus-sized shuffle on `cid` (members
+    * co-locate per cluster), pairing is cluster-local. Cluster count
+    * scales with the corpus (|c| ≈ N/k stays bounded); a pathological
+    * hot cluster is the same failure mode as a hot LSH bucket — raise
+    * `stride` (more seeds) or swap the within-cluster step for
+    * [[lshBuckets]] inside the cluster. */
+  def semanticDedup(embs: DataFrame, threshold: Double,
+      stride: Int = 50, iters: Int = 1): DataFrame = {
+    val cents = kmeansLite(embs, seedCentroids(embs, stride), iters)
+    semanticDedupWithin(embs, ivfAssign(embs, cents), threshold)
+  }
+
+  /** The within-cluster half of [[semanticDedup]], taking an explicit
+    * `(vec_id, cid)` assignment — the unit the spec drives with
+    * handcrafted centroids to pin the cross-cluster-miss limitation. */
+  def semanticDedupWithin(embs: DataFrame, assign: DataFrame,
+      threshold: Double): DataFrame = {
+    val m = assign.join(embs, Seq("vec_id"))
+    val a = m.select(col("cid"), col("vec_id").as("a"),
+      col("emb").as("ea"), col("norm").as("na"))
+    val b = m.select(col("cid"), col("vec_id").as("b"),
+      col("emb").as("eb"), col("norm").as("nb"))
+    val removed = a.join(b, Seq("cid"))
+      .where(col("a") < col("b"))
+      .withColumn("sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .where(col("sim") >= threshold)
+      .groupBy(col("b").as("vec_id"))
+      .agg(min(col("a")).as("dup_of"))
+    assign.join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup_of"),
+        col("dup_of").isNull.cast("int").as("keep_flag"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: `tables` tables ×
     * `planes` planes × `dim` components in [-1, 1). */
   def hyperplanes(tables: Int, planes: Int, dim: Int): Seq[Seq[Seq[Double]]] = {

@@ -1587,9 +1587,57 @@ object ExtQueries {
       .orderBy("doc_id", "span_start")
   }
 
+  // x57 — semantic dedup (SemDeDup shape): the x26 clustering (seeded +
+  // one DECIMAL-exact Lloyd round, so the learned assignment is
+  // bit-identical in both engines) feeds a within-cluster keep-min
+  // prune. The oracle unrolls the same round as x26 and reproduces the
+  // greedy per-pair rule; the documented cross-cluster-miss limitation
+  // is pinned in SemanticDedupSpec, not here.
+  val x57 = Q(
+    "x57_semantic_dedup",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % 50 = 7),
+      |sims0 AS (
+      |  SELECT e.vec_id, s.cid, round(list_cosine_similarity(e.emb, s.cemb), 6) AS csim
+      |  FROM e CROSS JOIN seeds s),
+      |best0 AS (SELECT vec_id, max(csim) AS bs FROM sims0 GROUP BY vec_id),
+      |asg0 AS (
+      |  SELECT sims0.vec_id, min(cid) AS cid
+      |  FROM sims0 JOIN best0 ON sims0.vec_id = best0.vec_id AND sims0.csim = best0.bs
+      |  GROUP BY sims0.vec_id),
+      |mem AS (SELECT a.cid, e.emb FROM asg0 a JOIN e ON e.vec_id = a.vec_id),
+      |u AS (SELECT cid, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos FROM mem),
+      |avgc AS (
+      |  SELECT cid, pos, CAST(SUM(CAST(v AS DECIMAL(28, 16))) AS DOUBLE) / count(*) AS m
+      |  FROM u GROUP BY cid, pos),
+      |cents AS (SELECT cid, list(m ORDER BY pos) AS cemb FROM avgc GROUP BY cid),
+      |sims AS (
+      |  SELECT e.vec_id, c.cid, round(list_cosine_similarity(e.emb, c.cemb), 6) AS csim
+      |  FROM e CROSS JOIN cents c),
+      |best AS (SELECT vec_id, max(csim) AS bs FROM sims GROUP BY vec_id),
+      |asg AS (
+      |  SELECT sims.vec_id, min(cid) AS cid
+      |  FROM sims JOIN best ON sims.vec_id = best.vec_id AND sims.csim = best.bs
+      |  GROUP BY sims.vec_id),
+      |mem2 AS (SELECT a.vec_id, a.cid, e.emb FROM asg a JOIN e ON e.vec_id = a.vec_id),
+      |rem AS (
+      |  SELECT y.vec_id, min(x.vec_id) AS dup_of
+      |  FROM mem2 x JOIN mem2 y
+      |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+      |  WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= 0.4
+      |  GROUP BY y.vec_id)
+      |SELECT a.vec_id, a.cid, r.dup_of,
+      |       CAST(r.dup_of IS NULL AS INT) AS keep_flag
+      |FROM asg a LEFT JOIN rem r ON r.vec_id = a.vec_id
+      |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
+    Similarity.semanticDedup(normalizedEmb(s, dir), threshold = 0.4,
+      stride = 50, iters = 1)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
-      x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56)
+      x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57)
 }

@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[Similarity.semanticDedupWithin]]'s contract — including the
+  * DOCUMENTED recall limitation that makes semantic dedup cheaper than
+  * all-pairs: vectors in different clusters are never compared. */
+class SemanticDedupSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def embsOf(rows: (Long, Seq[Double])*) =
+    Similarity.withNorm(rows.toDF("vec_id", "emb"), col("vec_id"), col("emb"))
+
+  private def centsOf(rows: (Long, Seq[Double])*) =
+    rows.toDF("cid", "cemb")
+      .withColumn("cnorm", Similarity.l2Norm(col("cemb")))
+
+  test("cross-cluster near-identicals are NOT paired; in-cluster dup keys to min id") {
+    // v1/v2 are near-identical (cosine ~0.9998) but straddle the c10/c20
+    // boundary — the split is the point of the fixture, and the pair MUST
+    // be missed. v3/v4 share c30 and v4 must key to v3.
+    val embs = embsOf(
+      1L -> Seq(1.0, 0.0, 0.01),
+      2L -> Seq(1.0, 0.0, -0.01),
+      3L -> Seq(0.0, 1.0, 0.0),
+      4L -> Seq(0.0, 1.0, 0.02))
+    val cents = centsOf(
+      10L -> Seq(1.0, 0.0, 0.5),
+      20L -> Seq(1.0, 0.0, -0.5),
+      30L -> Seq(0.0, 1.0, 0.0))
+    val assign = Similarity.ivfAssign(embs, cents)
+    // sanity: the fixture really does split the near-identical pair
+    val byId = assign.as[(Long, Long)].collect().toMap
+    assert(byId(1L) === 10L && byId(2L) === 20L && byId(3L) === 30L && byId(4L) === 30L)
+    val got = Similarity.semanticDedupWithin(embs, assign, threshold = 0.95)
+      .orderBy("vec_id")
+      .select("vec_id", "dup_of", "keep_flag")
+      .as[(Long, Option[Long], Int)].collect()
+    assert(got === Array(
+      (1L, None, 1),           // survivor
+      (2L, None, 1),           // near-identical to 1 but cross-cluster: KEPT (limitation)
+      (3L, None, 1),           // survivor (smallest id in its neighborhood)
+      (4L, Some(3L), 0)))      // in-cluster dup of 3
+  }
+
+  test("greedy chain: a~b~c with a!~c removes both b and c (one representative)") {
+    // 2-d vectors at 0deg / 25deg / 50deg: adjacent cosines ~0.906, the
+    // far pair ~0.643 — threshold 0.9 links only neighbors. The greedy
+    // per-pair rule (not connected components... which would be the same
+    // keep-set here, but dup_of differs) keys c to b even though b is
+    // itself removed.
+    def at(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val embs = embsOf(1L -> at(0), 2L -> at(25), 3L -> at(50))
+    val assign = Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("vec_id", "cid")
+    val got = Similarity.semanticDedupWithin(embs, assign, threshold = 0.9)
+      .orderBy("vec_id")
+      .select("vec_id", "dup_of", "keep_flag")
+      .as[(Long, Option[Long], Int)].collect()
+    assert(got === Array((1L, None, 1), (2L, Some(1L), 0), (3L, Some(2L), 0)))
+  }
+
+  test("full composition runs end-to-end and keeps exactly one row per input vector") {
+    val embs = embsOf((0L until 60L).map(i =>
+      i -> Seq(math.cos(i * 0.1), math.sin(i * 0.1), (i % 7).toDouble / 7.0)): _*)
+    val got = Similarity.semanticDedup(embs, threshold = 0.95, stride = 10, iters = 1)
+    assert(got.count() === 60L)
+    assert(got.select("vec_id").distinct().count() === 60L)
+    // keep_flag is exactly dup_of's null-ness
+    assert(got.where(col("keep_flag") === 1 && col("dup_of").isNotNull).count() === 0L)
+    assert(got.where(col("keep_flag") === 0 && col("dup_of").isNull).count() === 0L)
+  }
+}

@@ -12,6 +12,21 @@ import org.apache.spark.sql.SparkSession
   * `"errors"` instead of a bogus near-zero time — a regression or
   * breakage can't hide inside a single min number.
   *
+  * Self-CERTIFYING (cross-round comparability): artifact-wide drift
+  * between rounds used to be unattributable — a contended box and a
+  * real regression look identical in wall time alone. Two instruments
+  * settle it from the file:
+  *   - `"calibration"`: one fixed CPU-bound probe (sum over a 50M
+  *     range, zero I/O, constant work every round) timed at suite
+  *     start / middle / end. Probes inflated vs prior rounds ⇒ the BOX
+  *     was slower; probes flat while queries drifted ⇒ the CODE
+  *     changed.
+  *   - `"cpu"`: per-query process-CPU seconds (whole-JVM, i.e. all
+  *     local-mode executor threads) for the min-wall run, beside the
+  *     wall time. Wall up with cpu flat ⇒ the query waited (external
+  *     contention, GC, scheduling); wall and cpu up together ⇒ the
+  *     query genuinely did more work.
+  *
   * `SPARK_GRAFT_QUERIES` (comma-separated names) restricts the run for
   * targeted profiling; `SPARK_GRAFT_RUNS` overrides the run count.
   */
@@ -40,6 +55,32 @@ object Bench {
     spark.range(100000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+
+    // whole-process CPU clock (covers every executor thread in local
+    // mode); -1 on platforms without the com.sun bean → cpu fields null
+    val osBean: Option[com.sun.management.OperatingSystemMXBean] =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean if b.getProcessCpuTime >= 0 => Some(b)
+        case _ => None
+      }
+    def cpuNow(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+
+    // fixed calibration probe: constant CPU-bound work (no I/O, no
+    // shuffle), so its wall time measures the BOX, not the engine. The
+    // probe itself is warmed once so JIT lands outside the three
+    // certified samples.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      // murmur3 per row keeps the work CPU-bound; the int-sized hash
+      // sums without tripping ANSI overflow at 50M rows
+      spark.range(50000000L).selectExpr("sum(cast(hash(id) as bigint))")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // warm the probe's codegen path
+    val calib = scala.collection.mutable.ArrayBuffer[Double]()
+    calib += calibrate()
+
     // Two timed runs per query, report the min: single-shot numbers mix
     // steady-state throughput with one-off JIT/codegen/GC noise (observed
     // 0.97 s vs 4.8 s for the SAME query across runs). Min-of-N is the
@@ -50,13 +91,19 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = selected.map { case (name, fn) =>
+    val half = selected.size / 2
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == half && selected.size > 1) calib += calibrate()
       var err: Option[String] = None
+      // (wall, cpu) per successful run; cpu is -1 when the bean is absent
       val times = (0 until runs).flatMap { _ =>
+        val c0 = cpuNow()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val cpu = if (c0 < 0) -1.0 else (cpuNow() - c0) / 1e9
+          Some((wall, cpu))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -76,27 +123,46 @@ object Bench {
       System.gc()
       (name, times, err)
     }
+    calib += calibrate()
     def jstr(s: String): String =
       "\"" + s.replaceAll("[\"\\\\]", "_").replaceAll("[\\x00-\\x1f]", " ").take(200) + "\""
     def r4(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def r2(d: Double): String = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, ts, _) =>
-      jstr(k) + ":" + (if (ts.isEmpty) "null" else r4(ts.min))
+      jstr(k) + ":" + (if (ts.isEmpty) "null" else r4(ts.map(_._1).min))
+    }.mkString("{", ",", "}")
+    // cpu of the min-WALL run (the same run the headline number comes
+    // from), 2 dp to keep the stdout line inside the driver's
+    // tail-capture window
+    val cpuMap = results.map { case (k, ts, _) =>
+      val v =
+        if (ts.isEmpty) "null"
+        else {
+          val c = ts.minBy(_._1)._2
+          if (c < 0) "null" else r2(c)
+        }
+      jstr(k) + ":" + v
     }.mkString("{", ",", "}")
     val detail = results.map { case (k, ts, _) =>
-      jstr(k) + ":" + ts.map(r4).mkString("[", ",", "]")
+      jstr(k) + ":" + ts.map(t => r4(t._1)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val cpuDetail = results.map { case (k, ts, _) =>
+      jstr(k) + ":" + ts.map(t => if (t._2 < 0) "null" else r4(t._2)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = results.flatMap { case (_, ts, _) => ts.minOption }.sum
+    val total = results.flatMap { case (_, ts, _) => ts.map(_._1).minOption }.sum
+    val calJson = calib.map(r4).mkString("[", ",", "]")
     // The driver captures only the TAIL of stdout: round 3 proved that a
     // final line carrying per-run detail for 50+ queries (~4.5 KB) can be
     // truncated past parseability ("parsed": null in BENCH_r03). So the
-    // final stdout line stays compact (rounded min per query, error map),
-    // and the full per-run detail goes to bench.json only.
+    // final stdout line stays compact (rounded min per query, 2-dp cpu,
+    // 3-sample calibration, error map), and per-run detail goes to
+    // bench.json only.
     val json =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","errors":$errs}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":$cpuMap,"errors":$errs}"""
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","runs_detail":$detail,"errors":$errs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":$cpuMap,"runs_detail":$detail,"cpu_detail":$cpuDetail,"errors":$errs}"""
     try {
       val p = java.nio.file.Paths.get("bench.json")
       java.nio.file.Files.write(p, jsonFull.getBytes("UTF-8"))

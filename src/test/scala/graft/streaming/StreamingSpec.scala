@@ -391,4 +391,57 @@ class FunnelStreamSpec extends graft.SparkSpec {
     val streamStages = got.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
     assert(streamStages === batchStages)
   }
+
+  test("reorder buffer: fully shuffled arrival matches batch funnel3 exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    def s(sec: Long): Long = sec * 1000000L // event times at seconds scale (watermark is ms-granular)
+    val mem = MemoryStream[StepEvent]
+    val q = FunnelStream.advancesReordered(mem.toDS(), maxDelay = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("funnel_reord").start()
+    // user 1 arrives fully REVERSED across batches; user 2's step 2
+    // arrives a batch before its step 1 (the case the fast path cannot
+    // credit); user 3 is in-order but its step 3 predates its step 2
+    mem.addData(StepEvent(1, s(30), 3), StepEvent(2, s(40), 2))
+    q.processAllAvailable()
+    mem.addData(StepEvent(1, s(20), 2), StepEvent(3, s(5), 1),
+      StepEvent(3, s(15), 2), StepEvent(3, s(12), 3))
+    q.processAllAvailable()
+    mem.addData(StepEvent(1, s(10), 1), StepEvent(2, s(20), 1))
+    q.processAllAvailable()
+    // nothing finalized yet: the watermark (max event time - 10 min) is
+    // still below every buffered event
+    assert(spark.table("funnel_reord").where("user < 99").count() === 0L)
+    // two far-future sentinel batches: the first advances the watermark
+    // past every real event, the second gives the engine a batch in
+    // which the armed event-time timeouts fire and flush the buffers
+    mem.addData(StepEvent(99, s(7200), 1))
+    q.processAllAvailable()
+    mem.addData(StepEvent(99, s(7201), 1))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_reord")
+      .as[FunnelStream.StageAdvance].collect().toSeq
+      .filter(_.user < 99)
+      .map(a => (a.user, a.stage, a.tus)).sorted
+    assert(got === Seq(
+      (1L, 1, s(10)), (1L, 2, s(20)), (1L, 3, s(30)),
+      (2L, 1, s(20)), (2L, 2, s(40)),
+      (3L, 1, s(5)), (3L, 2, s(15))))
+    // exact batch parity: same events through funnel3 (t1/t2/t3 AND stage)
+    import org.apache.spark.sql.functions.{col => c, timestamp_micros}
+    val batch = graft.ops.EventAnalytics.funnel3(
+      Seq((1L, s(30), "c"), (1L, s(20), "b"), (1L, s(10), "a"),
+        (2L, s(40), "b"), (2L, s(20), "a"),
+        (3L, s(5), "a"), (3L, s(15), "b"), (3L, s(12), "c"))
+        .toDF("user_id", "tus_raw", "et")
+        .select(c("user_id"), timestamp_micros(c("tus_raw")).as("ts"), c("et")),
+      c("user_id"), c("ts"), c("et"), "a", "b", "c")
+      .select("user_id", "t1", "t2", "t3")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect().toSeq.sorted
+    val streamTimes = got.groupBy(_._1).toSeq.map { case (u, rows) =>
+      val byStage = rows.map(r => r._2 -> r._3).toMap
+      (u, byStage.get(1), byStage.get(2), byStage.get(3))
+    }.sorted
+    assert(streamTimes === batch)
+  }
 }

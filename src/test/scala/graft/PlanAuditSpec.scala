@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.{ExplainMode, FileSourceScanExec, FilterExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
-import org.apache.spark.sql.functions.{col, count, udf}
+import org.apache.spark.sql.functions.{col, count, lit, pmod, udf, when}
 
 /** Programmatic versions of PLANS.md's claims: the scale posture is
   * asserted, not narrated. Counts are pinned against Spark 4.1.2's
@@ -174,5 +174,52 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("x55_null_aware_anti")
     // the BHJ node's trailing boolean is isNullAwareAntiJoin
     assert("BroadcastHashJoin .*LeftAnti, BuildRight, true".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("AQE skew-join splits a hot key's partition at runtime (when Salting is NOT needed)") {
+    // This pins the division of labor with ops/Salting.saltedJoin:
+    //   - a skewed SHUFFLE JOIN is AQE's job — the runtime splits the hot
+    //     partition into advisory-sized chunks and replicates the matching
+    //     build rows, no code change (this test proves it engages);
+    //   - Salting stays necessary where AQE skew handling cannot reach:
+    //     skewed AGGREGATIONS (no skew-split for partial/final aggs over a
+    //     hot group) and joins whose exchange is reused by another stage
+    //     (AQE refuses to split a partition feeding two consumers).
+    // Thresholds are lowered so a test-sized hot key (100k rows on one
+    // key vs ~500 on each other) crosses the same bars a 100 TB hot key
+    // crosses in production — factor-over-median AND absolute bytes.
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val left = spark.range(0, 120000).select(
+        when(col("id") < 100000, 1L).otherwise(pmod(col("id"), lit(37)) + 2).as("k"),
+        col("id").as("v"))
+      val right = spark.range(0, 200).select(
+        pmod(col("id"), lit(40)).as("k"), (col("id") * 7).as("w"))
+      val joined = left.join(right, "k")
+      // collect() (not count()) so the inspected QueryExecution is the
+      // one that actually ran and finalized its adaptive plan
+      val n = joined.collect().length
+      assert(n > 100000, s"fixture sanity: hot key must dominate, got $n rows")
+      val skewed = nodes(joined.queryExecution.executedPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec if j.isSkewJoin => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec if j.isSkewJoin => j
+      }
+      assert(skewed.nonEmpty,
+        "AQE skew-join did not engage:\n" + joined.queryExecution.executedPlan.toString)
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 }

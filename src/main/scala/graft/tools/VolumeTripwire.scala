@@ -81,6 +81,14 @@ object VolumeTripwire {
       Res("x56_duplicateSpans",
         timeMin(Dedup.duplicateSpans(docs1, col("doc_id"), col("text"), n = 5)),
         timeMin(Dedup.duplicateSpans(docs10, col("doc_id"), col("text"), n = 5))),
+      // clusters over the minhash pairs: pointer doubling keeps rounds at
+      // O(log diameter), so a 10x corpus (plus the flood collapsing to
+      // one content) must not add iterations, only per-round volume
+      Res("x39_neardupClusters",
+        timeMin(Dedup.connectedComponents(
+          Dedup.minhashPairs(docs1, col("doc_id"), col("text")))),
+        timeMin(Dedup.connectedComponents(
+          Dedup.minhashPairs(docs10, col("doc_id"), col("text"))))),
       Res("x10_knnLsh",
         timeMin(Similarity.knnLsh(embs1, (0L until 10L).toSeq, k = 5)),
         timeMin(Similarity.knnLsh(embs10, (0L until 10L).toSeq, k = 5))),

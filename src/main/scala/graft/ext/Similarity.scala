@@ -148,7 +148,16 @@ object Similarity {
     * handcrafted centroids to pin the cross-cluster-miss limitation. */
   def semanticDedupWithin(embs: DataFrame, assign: DataFrame,
       threshold: Double): DataFrame = {
-    val m = assign.join(embs, Seq("vec_id"))
+    // the assignment feeds THREE consumers (both sides of the pair
+    // self-join and the final left join): without materialization each
+    // re-derives it, and when it comes from ivfAssign that means three
+    // corpus×centroid crossjoin+argmax passes — the single most
+    // expensive stage, tripled (seen in the executed plan). The
+    // assignment is 2 longs per vector, the cheapest thing in this
+    // operator to pin down (same eager-checkpoint pattern, and the same
+    // plan-build-time-job caveat, as kmeansLite's per-round centroids)
+    val asg = assign.localCheckpoint(true)
+    val m = asg.join(embs, Seq("vec_id"))
     val a = m.select(col("cid"), col("vec_id").as("a"),
       col("emb").as("ea"), col("norm").as("na"))
     val b = m.select(col("cid"), col("vec_id").as("b"),
@@ -159,7 +168,7 @@ object Similarity {
       .where(col("sim") >= threshold)
       .groupBy(col("b").as("vec_id"))
       .agg(min(col("a")).as("dup_of"))
-    assign.join(removed, Seq("vec_id"), "left")
+    asg.join(removed, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"), col("dup_of"),
         col("dup_of").isNull.cast("int").as("keep_flag"))
   }

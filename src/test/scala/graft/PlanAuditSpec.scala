@@ -176,6 +176,34 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin .*LeftAnti, BuildRight, true".r.findFirstIn(p).isDefined, p)
   }
 
+  test("x56: one shingle-hash shuffle, keeper set broadcasts, 2 scans, no extra window") {
+    val p = planOf("x56_substring_dedup")
+    // hashpartitioning(h) for the first-occurrence agg +
+    // hashpartitioning(doc_id) for the islands window + output sort;
+    // the (h, keeper) set is small after the n_occ>=2 filter and must
+    // BROADCAST back onto the occurrence stream, not shuffle it
+    assert(shuffles(p) === 3, p)
+    assert(broadcasts(p) === 1, p)
+    assert("Scan parquet".r.findAllIn(p).length === 2, p)
+    assert("Window ".r.findAllIn(p).length === 1, p)
+  }
+
+  test("x57: the cluster assignment is computed ONCE (checkpointed), not per consumer") {
+    // semanticDedupWithin feeds the assignment to three consumers; an
+    // un-materialized assignment re-derives the corpus×centroid
+    // crossjoin + argmax in EACH (3× the most expensive stage — the
+    // regression this pins). After the checkpoint the final plan must
+    // contain zero crossjoins: only the checkpoint scans, the two
+    // vector re-joins, the cid-cid pair join, and the keep-min agg.
+    val p = planOf("x57_semantic_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 3, p)
+    // pair join co-partitions both sides on cid (2) + keep-min agg on b
+    // + the final left join's assignment side on vec_id + output sort
+    // (the embs re-joins broadcast, adding no shuffle)
+    assert(shuffles(p) === 5, p)
+  }
+
   test("AQE skew-join splits a hot key's partition at runtime (when Salting is NOT needed)") {
     // This pins the division of labor with ops/Salting.saltedJoin:
     //   - a skewed SHUFFLE JOIN is AQE's job — the runtime splits the hot

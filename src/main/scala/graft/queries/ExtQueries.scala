@@ -1635,9 +1635,71 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  // x58 — the END-TO-END curation decision: normalization-keyed exact
+  // dedup + language ID + C4/Gopher quality + per-language hash
+  // downsample, one flags row per doc (ext/Curation). Each component
+  // is already individually oracled (x1/x25, x4, x42, x27); this pins
+  // the COMPOSITION — same signals, same thresholds, one pass.
+  val x58 = Q(
+    "x58_curation_pipeline",
+    s"""WITH t AS (
+      |  SELECT doc_id, text,
+      |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS nfp,
+      |         regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+      |         $langHitsSql,
+      |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_words,
+      |         length(regexp_replace(text, '\\s', '', 'g')) AS n_alpha,
+      |         string_split(text, chr(10)) AS ls
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, nfp, n_words,
+      |         CASE WHEN has_cjk THEN 'zh'
+      |              WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |              WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |              WHEN s_de >= s_fr THEN 'de'
+      |              ELSE 'fr' END AS predicted,
+      |         CASE WHEN n_words = 0 THEN 0.0
+      |              ELSE CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len,
+      |         CAST(len(ls) AS INT) AS n_lines,
+      |         CAST(len(list_filter(ls,
+      |              l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%'
+      |                   OR ltrim(l) LIKE '•%')) AS INT) AS bullet_lines,
+      |         CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem
+      |  FROM t),
+      |f AS (
+      |  SELECT doc_id, predicted,
+      |         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY nfp)
+      |              THEN 1 ELSE 0 END AS is_canonical,
+      |         CASE WHEN predicted IN ('en', 'de') THEN 1 ELSE 0 END AS keep_lang,
+      |         CASE WHEN n_words >= 5 AND mean_word_len >= 3.0
+      |                   AND mean_word_len <= 10.0 AND has_lorem = 0
+      |                   AND bullet_lines * 10 <= n_lines * 9
+      |              THEN 1 ELSE 0 END AS keep_quality,
+      |         CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      |                   < CASE WHEN predicted = 'en' THEN 2500
+      |                          WHEN predicted = 'de' THEN 5000
+      |                          ELSE 10000 END
+      |              THEN 1 ELSE 0 END AS keep_sample
+      |  FROM s)
+      |SELECT doc_id, predicted,
+      |       CAST(is_canonical AS INT) AS is_canonical,
+      |       CAST(keep_lang AS INT) AS keep_lang,
+      |       CAST(keep_quality AS INT) AS keep_quality,
+      |       CAST(keep_sample AS INT) AS keep_sample,
+      |       CAST(is_canonical * keep_lang * keep_quality * keep_sample AS INT) AS keep_flag
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.ext.Curation.curationFlags(Tables.documents(s, dir),
+      col("doc_id"), col("text"),
+      keepLangs = Seq("en", "de"),
+      rates = Map("en" -> 0.25, "de" -> 0.5), defaultRate = 1.0)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
-      x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57)
+      x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
+      x58)
 }

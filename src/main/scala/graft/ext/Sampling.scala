@@ -55,6 +55,51 @@ object Sampling {
   def weightedBernoulli(df: DataFrame, key: Column, rate10k: Column): DataFrame =
     df.where(hashBucket(key) < least(greatest(rate10k, lit(0L)), lit(10000L)))
 
+  /** Token-budget corpus mixing: given a TOTAL token budget and target
+    * mixture weights per source, derive each source's deterministic
+    * keep-rate and flag every document — the "data mixing" step that
+    * turns N raw sources into one pretraining corpus with a prescribed
+    * composition.
+    *
+    * Per source s: target tokens `T_s = budget * w10k_s / 10000`, keep
+    * rate `rate10k_s = min(10000, T_s * 10000 / tok_s)` — sources with
+    * less mass than their target keep everything (rate caps at 10000),
+    * over-represented sources downsample toward their share. ALL rate
+    * arithmetic is BIGINT division (`DIV`), never float: the computed
+    * rates are bit-identical in any ANSI engine, so the whole mix is
+    * oracle-checkable and a rerun anywhere reproduces the same corpus
+    * (the [[hashBucket]] determinism story, lifted to mixture level).
+    *
+    * Output: (doc_id, source, n_tokens, rate10k, keep_flag) — one row
+    * per input doc; the kept corpus is `keep_flag = 1`.
+    *
+    * 100 TB posture: token counts are computed scan-side, the
+    * per-source totals are a map-side-combinable agg over a
+    * source-cardinality-sized frame, and the rates broadcast back —
+    * the corpus itself NEVER shuffles; the keep decision is a
+    * scan-side predicate. */
+  def tokenBudgetMix(docs: DataFrame, id: Column, source: Column, text: Column,
+      budgetTokens: Long, weights10k: Map[String, Long],
+      defaultWeight10k: Long): DataFrame = {
+    val d = docs.select(id.as("doc_id"), source.as("source"),
+      TextAnalysis.wsTokenCount(text).cast("long").as("n_tokens"))
+    val w = weights10k.foldLeft(lit(defaultWeight10k): Column) {
+      case (acc, (s, v)) => when(col("source") === s, lit(v)).otherwise(acc)
+    }
+    val rates = d.groupBy("source").agg(sum(col("n_tokens")).as("tok"))
+      .withColumn("w10k", w)
+      // integer division end-to-end; an empty source (tok=0) keeps
+      // nothing rather than tripping ANSI div-by-zero
+      .withColumn("rate10k",
+        when(col("tok") === 0, lit(0L)).otherwise(
+          least(lit(10000L),
+            expr(s"(($budgetTokens DIV 1) * w10k DIV 10000) * 10000 DIV tok"))))
+      .select("source", "rate10k")
+    d.join(broadcast(rates), Seq("source"))
+      .withColumn("keep_flag", (hashBucket(col("doc_id")) < col("rate10k")).cast("int"))
+      .select("doc_id", "source", "n_tokens", "rate10k", "keep_flag")
+  }
+
   /** Deterministic fixed-BUDGET sampling: keep at most `n` rows per
     * stratum, chosen by md5-hash order (tie: key) — "cap every language
     * at N docs" corpus balancing, where [[stratifiedSample]]'s per-RATE

@@ -1696,10 +1696,46 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x59 — token-budget corpus mixing: per-source keep-rates derived
+  // from a total token budget and target mixture weights, all-BIGINT
+  // rate arithmetic (DuckDB `//` == Spark `DIV`), deterministic hash
+  // keep decision. src0/src1 get boosted shares (src0's target exceeds
+  // its mass → rate caps at 10000), the long tail downsamples.
+  val x59 = Q(
+    "x59_token_mix",
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |t AS (SELECT source, SUM(n_tokens) AS tok FROM d GROUP BY source),
+      |r AS (
+      |  SELECT source,
+      |         CASE WHEN tok = 0 THEN 0
+      |              ELSE LEAST(10000,
+      |                ((5000 * CASE source WHEN 'src0' THEN 3000
+      |                                     WHEN 'src1' THEN 2000
+      |                                     ELSE 277 END) // 10000) * 10000 // tok)
+      |         END AS rate10k
+      |  FROM t)
+      |SELECT d.doc_id, d.source, d.n_tokens, r.rate10k,
+      |       CAST(CASE WHEN ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      |                      < r.rate10k
+      |            THEN 1 ELSE 0 END AS INT) AS keep_flag
+      |FROM d JOIN r ON d.source = r.source
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Sampling.tokenBudgetMix(Tables.documents(s, dir),
+      col("doc_id"), col("source"), col("text"),
+      budgetTokens = 5000L,
+      weights10k = Map("src0" -> 3000L, "src1" -> 2000L),
+      defaultWeight10k = 277L)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
-      x58)
+      x58, x59)
 }

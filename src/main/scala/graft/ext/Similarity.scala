@@ -375,6 +375,68 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** IVF-PQ: the production ANN composite — IVF bounds WHICH vectors are
+    * candidates (only the `nprobe` best cells per query), PQ-ADC bounds
+    * the BYTES touched per candidate (m small codes + a broadcast
+    * lookup table, never the vector), and the exact cosine re-rank of
+    * the top `rerank`·k bounds the approximation error. Full embeddings
+    * are touched for exactly rerank·k rows per query; everything else
+    * runs on cell ids and codes.
+    *
+    * Same deterministic ingredients as x21/x33 (stride-sampled
+    * centroids and codebooks, 6-dp rounding, DECIMAL partial sums,
+    * lowest-id tie-breaks), so the composite stays bit-reproducible and
+    * oracle-checkable. */
+  def ivfPqSearch(embs: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
+      k: Int, nprobe: Int = 2, m: Int = 4, stride: Int = 50,
+      rerank: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dim = embs.select(size(col("emb"))).head().getInt(0)
+    val d = dim / m
+    // IVF half: cell assignment + the query's probed cells
+    val assign = ivfAssign(embs, centroids)
+    val qvecs = broadcast(embs
+      .where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("norm").as("qnorm")))
+    val qw = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val qcells = broadcast(
+      centroidSims(
+        embs.where(col("vec_id").isin(queryIds.map(x => x: Any): _*)), centroids)
+        .withColumnRenamed("vec_id", "qid")
+        .withColumn("pr", row_number().over(qw))
+        .where(col("pr") <= nprobe)
+        .select(col("qid"), col("cid")))
+    val cands = assign.join(qcells, Seq("cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    // PQ half: corpus-wide codes (the precomputed index at scale) +
+    // broadcast query lookup table; ADC scores the IVF candidates only
+    val cb = pqCodebooks(embs, m, dim, stride)
+    val codes = pqEncode(embs, cb, m, dim)
+    val qtable = broadcast(qvecs.crossJoin(cb)
+      .withColumn("psim",
+        round(dot(slice(col("qemb"), col("sub") * lit(d) + 1, lit(d)), col("cemb")), 6))
+      .select(col("qid"), col("sub"), col("cid").as("code"), col("psim")))
+    val approx = cands.join(codes, Seq("vec_id"))
+      .join(qtable, Seq("qid", "sub", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("psim").cast(DecimalType(18, 6))).cast("double").as("approx_sim"))
+    val aw = Window.partitionBy(col("qid")).orderBy(col("approx_sim").desc, col("vec_id"))
+    val top = approx.withColumn("ar", row_number().over(aw))
+      .where(col("ar") <= rerank * k)
+      .select("qid", "vec_id")
+    val scored = top
+      .join(embs, Seq("vec_id"))
+      .join(qvecs, Seq("qid"))
+      .withColumn("sim",
+        round(dot(col("qemb"), col("emb")) / (col("qnorm") * col("norm")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** Approximate top-k: candidates share an LSH bucket with the query in
     * at least one table; exact cosine ranks the candidates.
     *

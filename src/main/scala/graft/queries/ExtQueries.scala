@@ -1732,10 +1732,82 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x60 — IVF-PQ, the production ANN composite: x21's cell probe bounds
+  // WHICH vectors are candidates, x33's ADC bounds the bytes touched per
+  // candidate, exact re-rank bounds the error. The oracle is the two
+  // proven CTE sets joined on the candidate list.
+  val x60 = Q(
+    "x60_knn_ivf_pq",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % 50 = 7),
+      |isims AS (
+      |  SELECT e.vec_id, s.cid, round(list_cosine_similarity(e.emb, s.cemb), 6) AS csim
+      |  FROM e CROSS JOIN seeds s),
+      |ibest AS (SELECT vec_id, max(csim) AS b FROM isims GROUP BY vec_id),
+      |asg AS (
+      |  SELECT isims.vec_id, min(cid) AS cid
+      |  FROM isims JOIN ibest ON isims.vec_id = ibest.vec_id AND isims.csim = ibest.b
+      |  GROUP BY isims.vec_id),
+      |qprobe AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT vec_id AS qid, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS pr
+      |    FROM isims WHERE vec_id < 10) q
+      |  WHERE pr <= 2),
+      |icand AS (
+      |  SELECT q.qid, a.vec_id FROM asg a JOIN qprobe q ON a.cid = q.cid
+      |  WHERE a.vec_id <> q.qid),
+      |subs AS (SELECT unnest(range(4)) AS sub),
+      |cb AS (
+      |  SELECT s.sub, e.vec_id AS cid, e.emb[s.sub*16+1 : s.sub*16+16] AS cemb
+      |  FROM e CROSS JOIN subs s WHERE e.vec_id % 50 = 7),
+      |sv AS (
+      |  SELECT s.sub, e.vec_id, e.emb[s.sub*16+1 : s.sub*16+16] AS semb
+      |  FROM e CROSS JOIN subs s),
+      |ps AS (
+      |  SELECT sv.vec_id, sv.sub, cb.cid,
+      |         round(list_dot_product(sv.semb, cb.cemb), 6) AS psim
+      |  FROM sv JOIN cb ON sv.sub = cb.sub),
+      |pbest AS (SELECT vec_id, sub, max(psim) AS b FROM ps GROUP BY vec_id, sub),
+      |codes AS (
+      |  SELECT ps.vec_id, ps.sub, min(ps.cid) AS code
+      |  FROM ps JOIN pbest ON ps.vec_id = pbest.vec_id AND ps.sub = pbest.sub
+      |                    AND ps.psim = pbest.b
+      |  GROUP BY ps.vec_id, ps.sub),
+      |qt AS (
+      |  SELECT e.vec_id AS qid, cb.sub, cb.cid AS code,
+      |         round(list_dot_product(e.emb[cb.sub*16+1 : cb.sub*16+16], cb.cemb), 6) AS psim
+      |  FROM e CROSS JOIN cb WHERE e.vec_id < 10),
+      |approx AS (
+      |  SELECT ic.qid, ic.vec_id,
+      |         CAST(SUM(CAST(qt.psim AS DECIMAL(18, 6))) AS DOUBLE) AS approx_sim
+      |  FROM icand ic
+      |  JOIN codes c ON c.vec_id = ic.vec_id
+      |  JOIN qt ON c.sub = qt.sub AND c.code = qt.code AND qt.qid = ic.qid
+      |  GROUP BY ic.qid, ic.vec_id),
+      |cand AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx_sim DESC, vec_id) AS ar
+      |  FROM approx),
+      |scored AS (
+      |  SELECT cand.qid, cand.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(qe.emb, ce.emb), 6) AS sim
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.qid JOIN e ce ON ce.vec_id = cand.vec_id
+      |  WHERE cand.ar <= 15),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+      |      FROM scored)
+      |SELECT qid, neighbor_id, sim, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+    val embs = normalizedEmb(s, dir)
+    Similarity.ivfPqSearch(embs, Similarity.seedCentroids(embs, stride = 50),
+      (0L until 10L).toSeq, k = 5, nprobe = 2, m = 4, stride = 50, rerank = 3)
+      .orderBy("qid", "rank")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
-      x58, x59)
+      x58, x59, x60)
 }

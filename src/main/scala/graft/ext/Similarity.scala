@@ -299,6 +299,34 @@ object Similarity {
     centroids
   }
 
+  /** Scalar int8 quantization of an embedding column: per-vector
+    * symmetric scale (`max|v| / 127`), codes in [-127, 127] — the 4×
+    * storage/bandwidth cut that makes a 100 TB embedding corpus
+    * shuffle-able and cache-resident, with the reconstruction error
+    * REPORTED per vector instead of assumed (`max_abs_err` =
+    * max |v − q·scale|, 6 dp). An all-zero vector quantizes to all-zero
+    * codes with scale 0 and error 0 (no div-by-zero path).
+    *
+    * Pure per-row column math — zero shuffle, codegen'd lambdas, and
+    * every step (division, HALF_UP round, clamp) is reproducible in
+    * ANSI SQL, so the codes themselves sit under the oracle gate.
+    * Output: (vec_id, scale, qemb array<int>, max_abs_err). */
+  def quantizeInt8(embs: DataFrame): DataFrame = {
+    val maxAbs = array_max(transform(col("emb"), v => abs(v)))
+    val scale = (maxAbs / 127.0).as("scale")
+    embs.select(col("vec_id"), col("emb"), scale)
+      .withColumn("qemb",
+        when(col("scale") === 0.0,
+          transform(col("emb"), _ => lit(0)))
+          .otherwise(transform(col("emb"), v =>
+            least(greatest(round(v / col("scale"), 0), lit(-127.0)), lit(127.0))
+              .cast("int"))))
+      .withColumn("max_abs_err",
+        round(array_max(zip_with(col("emb"), col("qemb"),
+          (v, q) => abs(v - q.cast("double") * col("scale")))), 6))
+      .select("vec_id", "scale", "qemb", "max_abs_err")
+  }
+
   // ---- PQ (product quantization) ANN ----
 
   /** PQ codebooks: subspace `s` of `m` gets the stride-sampled corpus

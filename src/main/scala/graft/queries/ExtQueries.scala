@@ -1804,10 +1804,43 @@ object ExtQueries {
       .orderBy("qid", "rank")
   }
 
+  // x61 — int8 embedding quantization: per-vector symmetric scale,
+  // clamped HALF_UP codes, and the reconstruction error REPORTED per
+  // row. Every step is plain arithmetic both engines round identically,
+  // so the codes themselves (not just stats about them) sit under the
+  // gate — as an md5 fingerprint of the comma-joined code list, because
+  // the driver's pandas row-sort cannot canonicalize raw array columns.
+  val x61 = Q(
+    "x61_quantize_int8",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, emb,
+      |         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+      |  FROM e),
+      |q AS (
+      |  SELECT vec_id, emb, scale,
+      |         CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
+      |              ELSE list_transform(emb, x ->
+      |                CAST(LEAST(GREATEST(round(x / scale, 0), -127.0), 127.0) AS INT))
+      |         END AS qemb
+      |  FROM s)
+      |SELECT vec_id, scale,
+      |       md5(array_to_string(qemb, ',')) AS codes_fp,
+      |       round(list_max(list_transform(range(1, len(emb) + 1),
+      |         i -> abs(emb[i] - qemb[i] * scale))), 6) AS max_abs_err
+      |FROM q
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Similarity.quantizeInt8(normalizedEmb(s, dir))
+      .select(col("vec_id"), col("scale"),
+        md5(concat_ws(",", transform(col("qemb"), c => c.cast("string")))).as("codes_fp"),
+        col("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
-      x58, x59, x60)
+      x58, x59, x60, x61)
 }

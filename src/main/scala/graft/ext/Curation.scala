@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The one-call curation decision: every per-document keep/drop signal
@@ -51,14 +50,19 @@ object Curation {
       TextAnalysis.bulletLineCount(text).as("bullet_lines"),
       size(TextAnalysis.lines(text)).as("n_lines"),
       lower(text).contains("lorem ipsum").cast("int").as("has_lorem"))
-    val w = Window.partitionBy(col("nfp"))
     val rate = rates.foldLeft(lit(math.round(defaultRate * 10000)): Column) {
       case (acc, (s, r)) =>
         when(col("predicted") === s, lit(math.round(r * 10000))).otherwise(acc)
     }
+    // canonical election as a map-side-combinable min + join back, NOT a
+    // window over the fingerprint: a viral doc (100k+ byte-identical
+    // copies, the tripwire's flood) would put its entire nfp group into
+    // one WindowExec buffer, while the agg combines per-partition and
+    // the join's hot bucket streams (and AQE can skew-split it)
+    val keepers = slim.groupBy(col("nfp")).agg(min(col("doc_id")).as("keep_id"))
     slim
-      .withColumn("is_canonical",
-        (col("doc_id") === min(col("doc_id")).over(w)).cast("int"))
+      .join(keepers, Seq("nfp"))
+      .withColumn("is_canonical", (col("doc_id") === col("keep_id")).cast("int"))
       .withColumn("keep_lang", col("predicted").isin(keepLangs: _*).cast("int"))
       .withColumn("keep_quality",
         TextAnalysis.c4Keep(col("n_words"), col("mean_word_len"),

@@ -123,7 +123,14 @@ object VolumeTripwire {
       },
       Res("x41_tfidfTopK",
         timeMin(graft.ext.Relevance.tfidfTopK(docs1, col("doc_id"), col("text"), k = 3)),
-        timeMin(graft.ext.Relevance.tfidfTopK(docs10, col("doc_id"), col("text"), k = 3))))
+        timeMin(graft.ext.Relevance.tfidfTopK(docs10, col("doc_id"), col("text"), k = 3))),
+      // curation pipeline under the flood: the 100k identical docs all
+      // share ONE content fingerprint — the combinable-agg canonical
+      // election must keep this linear (a window over nfp would buffer
+      // the whole copy-group in a single task)
+      Res("x58_curationFlags",
+        timeMin(graft.ext.Curation.curationFlags(docs1, col("doc_id"), col("text"))),
+        timeMin(graft.ext.Curation.curationFlags(docs10, col("doc_id"), col("text")))))
 
     results.foreach { r =>
       println(f"PROF ${r.name}%-18s t1x=${r.t1}%6.2fs t10x=${r.t10}%6.2fs ratio=${r.ratio}%5.1f")

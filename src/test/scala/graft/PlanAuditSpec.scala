@@ -204,6 +204,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) === 5, p)
   }
 
+  test("x58: canonical election is a combinable agg + join, never a fingerprint window") {
+    // a window over nfp would buffer a viral doc's entire copy-group in
+    // one task; the agg combines map-side and the join's hot bucket
+    // streams. Text must not survive past the scan projection either —
+    // the exchanges carry slim columns only.
+    val p = planOf("x58_curation_pipeline")
+    assert(!p.contains("Window"), p)
+    // the keeper agg's map-side-combined output broadcasts back onto the
+    // un-shuffled doc stream: total exchanges = the agg's nfp shuffle
+    // (slim partials) + the output sort. The doc stream itself never
+    // moves at this size; at corpus scale AQE falls back to a shuffle
+    // join whose hot bucket streams (and skew-splits) instead of
+    // buffering like a window would.
+    assert(shuffles(p) === 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined, p)
+  }
+
   test("AQE skew-join splits a hot key's partition at runtime (when Salting is NOT needed)") {
     // This pins the division of labor with ops/Salting.saltedJoin:
     //   - a skewed SHUFFLE JOIN is AQE's job — the runtime splits the hot

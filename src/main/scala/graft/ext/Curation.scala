@@ -58,8 +58,13 @@ object Curation {
     // window over the fingerprint: a viral doc (100k+ byte-identical
     // copies, the tripwire's flood) would put its entire nfp group into
     // one WindowExec buffer, while the agg combines per-partition and
-    // the join's hot bucket streams (and AQE can skew-split it)
-    val keepers = slim.groupBy(col("nfp")).agg(min(col("doc_id")).as("keep_id"))
+    // the join's hot bucket streams (and AQE can skew-split it).
+    // The keeper branch re-reads the corpus but computes ONLY the
+    // fingerprint — the expensive signals (language ID's 20 stopword
+    // scans, quality counts) run once, on the probe side
+    val keepers = docs
+      .select(id.as("doc_id"), md5(TextAnalysis.normalize(text)).as("nfp"))
+      .groupBy(col("nfp")).agg(min(col("doc_id")).as("keep_id"))
     slim
       .join(keepers, Seq("nfp"))
       .withColumn("is_canonical", (col("doc_id") === col("keep_id")).cast("int"))

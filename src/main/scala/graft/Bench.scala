@@ -93,7 +93,10 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val half = selected.size / 2
     val results = selected.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == half && selected.size > 1) calib += calibrate()
+      // fires unconditionally at the halfway index so the calibration
+      // triple keeps its start/middle/end shape even for a 1-query
+      // targeted run (consumers index [0]/[1]/[2])
+      if (i == half) calib += calibrate()
       var err: Option[String] = None
       // (wall, cpu) per successful run; cpu is -1 when the bean is absent
       val times = (0 until runs).flatMap { _ =>
@@ -149,7 +152,10 @@ object Bench {
     val cpuDetail = results.map { case (k, ts, _) =>
       jstr(k) + ":" + ts.map(t => if (t._2 < 0) "null" else r4(t._2)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    // error strings capped harder than other fields: a broken run with
+    // many failures must not push the final line past the driver's
+    // tail-capture window (full messages are on stderr already)
+    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e.take(100)) }
       .mkString("{", ",", "}")
     val total = results.flatMap { case (_, ts, _) => ts.map(_._1).minOption }.sum
     val calJson = calib.map(r4).mkString("[", ",", "]")
@@ -159,8 +165,17 @@ object Bench {
     // final stdout line stays compact (rounded min per query, 2-dp cpu,
     // 3-sample calibration, error map), and per-run detail goes to
     // bench.json only.
-    val json =
+    // size fallback: round 3 proved a ~4.5 KB line truncates past
+    // parseability in the driver's tail capture. If the cpu map pushes
+    // the line over the budget (more queries, error spam), drop it from
+    // STDOUT only — bench.json always carries it — rather than risking
+    // the whole artifact parsing as null.
+    val jsonWithCpu =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":$cpuMap,"errors":$errs}"""
+    val json =
+      if (jsonWithCpu.length <= 4200) jsonWithCpu
+      else
+        s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
     val jsonFull =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":$cpuMap,"runs_detail":$detail,"cpu_detail":$cpuDetail,"errors":$errs}"""
     try {

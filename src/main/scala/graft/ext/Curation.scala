@@ -43,7 +43,10 @@ object Curation {
       defaultRate: Double = 1.0): DataFrame = {
     val slim = docs.select(
       id.as("doc_id"),
-      md5(TextAnalysis.normalize(text)).as("nfp"),
+      // unhex: the election key is the 16 raw digest bytes, not the
+      // 32-char hex rendering — half the width on the only exchange
+      // that scales with the corpus
+      unhex(md5(TextAnalysis.normalize(text))).as("nfp"),
       TextAnalysis.langId(text).as("predicted"),
       TextAnalysis.wsTokenCount(text).as("n_words"),
       TextAnalysis.meanWordLen(text).as("mean_word_len"),
@@ -63,7 +66,7 @@ object Curation {
     // fingerprint — the expensive signals (language ID's 20 stopword
     // scans, quality counts) run once, on the probe side
     val keepers = docs
-      .select(id.as("doc_id"), md5(TextAnalysis.normalize(text)).as("nfp"))
+      .select(id.as("doc_id"), unhex(md5(TextAnalysis.normalize(text))).as("nfp"))
       .groupBy(col("nfp")).agg(min(col("doc_id")).as("keep_id"))
     slim
       .join(keepers, Seq("nfp"))

@@ -81,6 +81,15 @@ object Sampling {
   def tokenBudgetMix(docs: DataFrame, id: Column, source: Column, text: Column,
       budgetTokens: Long, weights10k: Map[String, Long],
       defaultWeight10k: Long): DataFrame = {
+    // budget * w10k must stay inside Long (w10k <= 10000): the BIGINT
+    // arithmetic the determinism story depends on has a ~9.2e14-token
+    // ceiling (≈ 40x a 100 TB text corpus) — refuse loudly above it
+    // rather than throwing an ANSI overflow mid-job
+    require(budgetTokens >= 0 && budgetTokens < Long.MaxValue / 10000L,
+      s"budgetTokens=$budgetTokens exceeds the exact-arithmetic ceiling " +
+        s"(${Long.MaxValue / 10000L}); denominate the budget in tokens, not bytes")
+    (weights10k.values.toSeq :+ defaultWeight10k).foreach(w =>
+      require(w >= 0 && w <= 10000L, s"mixture weight $w outside [0, 10000]"))
     val d = docs.select(id.as("doc_id"), source.as("source"),
       TextAnalysis.wsTokenCount(text).cast("long").as("n_tokens"))
     val w = weights10k.foldLeft(lit(defaultWeight10k): Column) {

@@ -99,9 +99,15 @@ object Similarity {
     * callers pay it too; that is the point of a build-time guard. */
   def nearDupPairs(embs: DataFrame, threshold: Double,
       maxRows: Long = 100000L): DataFrame = {
-    // clamp before toInt: a caller loosening the guard past Int.MaxValue
-    // must not wrap into a negative limit()
-    val probe = (math.min(maxRows, Int.MaxValue - 1L) + 1L).toInt
+    // the probe counts via limit(maxRows+1), which caps at Int.MaxValue —
+    // past that the probe can never observe "too many rows" and the
+    // guard would pass ANY input silently. Refuse loudly instead: a
+    // bound that large means the caller wanted the guard off, and an
+    // O(N^2) plan over >2^31 rows is never the right call anyway.
+    require(maxRows < Int.MaxValue,
+      s"nearDupPairs maxRows=$maxRows cannot be enforced (probe caps at " +
+        s"Int.MaxValue rows) — use the LSH path for inputs that large")
+    val probe = (maxRows + 1L).toInt
     val atMost = embs.limit(probe).count()
     require(atMost <= maxRows,
       s"nearDupPairs is an O(N^2) exact baseline guarded at $maxRows rows; " +
@@ -157,10 +163,18 @@ object Similarity {
     // operator to pin down (same eager-checkpoint pattern, and the same
     // plan-build-time-job caveat, as kmeansLite's per-round centroids)
     val asg = assign.localCheckpoint(true)
+    // zero-vector guard: an all-zero embedding has norm 0, so its cosine
+    // is 0/0 — under ANSI that division THROWS, and without ANSI it
+    // yields NaN, which both engines order above every real number, so a
+    // single zero vector with the smallest id would "match" and silently
+    // drop its whole cluster. Excluding zero norms from PAIRING (they
+    // still survive as keepers) removes both failure modes: the
+    // division never runs for them, and they pair with nothing. The
+    // oracle expresses the same rule as a NOT isnan filter.
     val m = asg.join(embs, Seq("vec_id"))
-    val a = m.select(col("cid"), col("vec_id").as("a"),
+    val a = m.where(col("norm") > 0).select(col("cid"), col("vec_id").as("a"),
       col("emb").as("ea"), col("norm").as("na"))
-    val b = m.select(col("cid"), col("vec_id").as("b"),
+    val b = m.where(col("norm") > 0).select(col("cid"), col("vec_id").as("b"),
       col("emb").as("eb"), col("norm").as("nb"))
     val removed = a.join(b, Seq("cid"))
       .where(col("a") < col("b"))
@@ -417,20 +431,33 @@ object Similarity {
     * oracle-checkable. */
   def ivfPqSearch(embs: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
       k: Int, nprobe: Int = 2, m: Int = 4, stride: Int = 50,
-      rerank: Int = 3): DataFrame = {
+      rerank: Int = 3, dim: Int = -1): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val dim = embs.select(size(col("emb"))).head().getInt(0)
-    val d = dim / m
-    // IVF half: cell assignment + the query's probed cells
+    // dim defaults to the data's own dimensionality (one-row lookup at
+    // plan-build time, same contract as knnLsh); pass it explicitly to
+    // skip the lookup. Empty corpus → clear error, not a bare
+    // NoSuchElementException from head().
+    val dimR =
+      if (dim > 0) dim
+      else embs.select(size(col("emb"))).limit(1).collect().headOption
+        .map(_.getInt(0))
+        .getOrElse(throw new IllegalArgumentException(
+          "ivfPqSearch: empty embeddings input and no explicit dim"))
+    val d = dimR / m
+    // IVF half: cell assignment + the query's probed cells. The filtered
+    // query rows feed TWO consumers (qvecs and the probe's centroidSims)
+    // — checkpoint the |queryIds|-sized frame once instead of scanning
+    // the corpus for it twice.
     val assign = ivfAssign(embs, centroids)
-    val qvecs = broadcast(embs
+    val qrows = embs
       .where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
+      .localCheckpoint(true)
+    val qvecs = broadcast(qrows
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("norm").as("qnorm")))
     val qw = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
     val qcells = broadcast(
-      centroidSims(
-        embs.where(col("vec_id").isin(queryIds.map(x => x: Any): _*)), centroids)
+      centroidSims(qrows, centroids)
         .withColumnRenamed("vec_id", "qid")
         .withColumn("pr", row_number().over(qw))
         .where(col("pr") <= nprobe)
@@ -440,8 +467,8 @@ object Similarity {
       .select(col("qid"), col("vec_id"))
     // PQ half: corpus-wide codes (the precomputed index at scale) +
     // broadcast query lookup table; ADC scores the IVF candidates only
-    val cb = pqCodebooks(embs, m, dim, stride)
-    val codes = pqEncode(embs, cb, m, dim)
+    val cb = pqCodebooks(embs, m, dimR, stride)
+    val codes = pqEncode(embs, cb, m, dimR)
     val qtable = broadcast(qvecs.crossJoin(cb)
       .withColumn("psim",
         round(dot(slice(col("qemb"), col("sub") * lit(d) + 1, lit(d)), col("cemb")), 6))

@@ -1624,7 +1624,8 @@ object ExtQueries {
       |  SELECT y.vec_id, min(x.vec_id) AS dup_of
       |  FROM mem2 x JOIN mem2 y
       |    ON x.cid = y.cid AND x.vec_id < y.vec_id
-      |  WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= 0.4
+      |  WHERE NOT isnan(round(list_cosine_similarity(x.emb, y.emb), 6))
+      |    AND round(list_cosine_similarity(x.emb, y.emb), 6) >= 0.4
       |  GROUP BY y.vec_id)
       |SELECT a.vec_id, a.cid, r.dup_of,
       |       CAST(r.dup_of IS NULL AS INT) AS keep_flag

@@ -60,6 +60,25 @@ class SemanticDedupSpec extends graft.SparkSpec {
     assert(got === Array((1L, None, 1), (2L, Some(1L), 0), (3L, Some(2L), 0)))
   }
 
+  test("a zero vector never pairs: NaN cosine must not match the whole cluster") {
+    // 0/0 cosine is NaN, and both engines order NaN above every real
+    // number — without the isnan guard the zero vector (smallest id in
+    // the cluster) would 'match' and remove every other member
+    val embs = embsOf(
+      1L -> Seq(0.0, 0.0),    // all-zero, smallest id
+      2L -> Seq(1.0, 0.0),
+      3L -> Seq(0.99, 0.141)) // ~0.99 cosine to 2
+    val assign = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("vec_id", "cid")
+    val got = Similarity.semanticDedupWithin(embs, assign, threshold = 0.9)
+      .orderBy("vec_id")
+      .select("vec_id", "dup_of", "keep_flag")
+      .as[(Long, Option[Long], Int)].collect()
+    assert(got === Array(
+      (1L, None, 1),          // zero vector survives, pairs with nothing
+      (2L, None, 1),          // NOT removed by the zero vector
+      (3L, Some(2L), 0)))     // real near-dup still keys to 2
+  }
+
   test("full composition runs end-to-end and keeps exactly one row per input vector") {
     val embs = embsOf((0L until 60L).map(i =>
       i -> Seq(math.cos(i * 0.1), math.sin(i * 0.1), (i % 7).toDouble / 7.0)): _*)

@@ -66,6 +66,24 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             n_fail += 1
             continue
+        # The driver hashes STRINGIFIED cells, so a dtype drift that is
+        # value-equal still fails remotely: round 7's x59 was cell-exact
+        # but DuckDB's HUGEINT promotion made the oracle column float64,
+        # and "10000.0" hashes != "10000". Python == is blind to that
+        # (10000.0 == 10000 is True), so compare dtype KINDS per column
+        # (int vs float vs object); width-only differences (int32/int64)
+        # stringify identically and are allowed.
+        kind_bad = [
+            (col, str(g[col].dtype), str(w[col].dtype))
+            for col in g.columns
+            if g[col].dtype.kind != w[col].dtype.kind
+        ]
+        if kind_bad:
+            col, gk, wk = kind_bad[0]
+            print(f"FAIL {name}: dtype drift col={col} spark={gk} oracle={wk}"
+                  f" (driver hashes stringified cells; 10000 != 10000.0)")
+            n_fail += 1
+            continue
         bad = None
         for col in g.columns:
             gv, wv = list(g[col]), list(w[col])

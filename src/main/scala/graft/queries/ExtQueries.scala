@@ -1700,7 +1700,11 @@ object ExtQueries {
   // x59 — token-budget corpus mixing: per-source keep-rates derived
   // from a total token budget and target mixture weights, all-BIGINT
   // rate arithmetic (DuckDB `//` == Spark `DIV`), deterministic hash
-  // keep decision. src0/src1 get boosted shares (src0's target exceeds
+  // keep decision. DuckDB promotes SUM(BIGINT) to HUGEINT and
+  // BIGINT*INTEGER through it, and pandas renders HUGEINT as float64 —
+  // which breaks the driver's hash parity even when values are exact —
+  // so both `tok` and `rate10k` are pinned back to BIGINT with explicit
+  // CASTs. src0/src1 get boosted shares (src0's target exceeds
   // its mass → rate caps at 10000), the long tail downsamples.
   val x59 = Q(
     "x59_token_mix",
@@ -1709,15 +1713,15 @@ object ExtQueries {
       |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
       |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
       |  FROM documents),
-      |t AS (SELECT source, SUM(n_tokens) AS tok FROM d GROUP BY source),
+      |t AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tok FROM d GROUP BY source),
       |r AS (
       |  SELECT source,
-      |         CASE WHEN tok = 0 THEN 0
+      |         CAST(CASE WHEN tok = 0 THEN 0
       |              ELSE LEAST(10000,
       |                ((5000 * CASE source WHEN 'src0' THEN 3000
       |                                     WHEN 'src1' THEN 2000
       |                                     ELSE 277 END) // 10000) * 10000 // tok)
-      |         END AS rate10k
+      |         END AS BIGINT) AS rate10k
       |  FROM t)
       |SELECT d.doc_id, d.source, d.n_tokens, r.rate10k,
       |       CAST(CASE WHEN ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000

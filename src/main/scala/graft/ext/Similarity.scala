@@ -140,20 +140,23 @@ object Similarity {
     * 100 TB posture: one corpus-sized shuffle on `cid` (members
     * co-locate per cluster), pairing is cluster-local. Cluster count
     * scales with the corpus (|c| ≈ N/k stays bounded); a pathological
-    * hot cluster is the same failure mode as a hot LSH bucket — raise
-    * `stride` (more seeds) or swap the within-cluster step for
-    * [[lshBuckets]] inside the cluster. */
+    * hot cluster is the same failure mode as a hot LSH bucket, and like
+    * [[nearDupPairs]] the operator REFUSES it loudly at plan build
+    * (`maxCluster`, default 100k members → 10^10 in-cluster pairs)
+    * instead of hanging an executor — raise `stride` (more seeds) or
+    * swap the within-cluster step for [[lshBuckets]] inside the
+    * cluster. */
   def semanticDedup(embs: DataFrame, threshold: Double,
-      stride: Int = 50, iters: Int = 1): DataFrame = {
+      stride: Int = 50, iters: Int = 1, maxCluster: Long = 100000L): DataFrame = {
     val cents = kmeansLite(embs, seedCentroids(embs, stride), iters)
-    semanticDedupWithin(embs, ivfAssign(embs, cents), threshold)
+    semanticDedupWithin(embs, ivfAssign(embs, cents), threshold, maxCluster)
   }
 
   /** The within-cluster half of [[semanticDedup]], taking an explicit
     * `(vec_id, cid)` assignment — the unit the spec drives with
     * handcrafted centroids to pin the cross-cluster-miss limitation. */
   def semanticDedupWithin(embs: DataFrame, assign: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxCluster: Long = 100000L): DataFrame = {
     // the assignment feeds THREE consumers (both sides of the pair
     // self-join and the final left join): without materialization each
     // re-derives it, and when it comes from ivfAssign that means three
@@ -163,6 +166,21 @@ object Similarity {
     // operator to pin down (same eager-checkpoint pattern, and the same
     // plan-build-time-job caveat, as kmeansLite's per-round centroids)
     val asg = assign.localCheckpoint(true)
+    // hot-cluster guard (same loud-refusal contract as nearDupPairs):
+    // pairing is Σ|c|² work, so ONE degenerate cluster — collapsed
+    // centroids, a constant-embedding flood — turns the cluster-local
+    // design back into all-pairs and hangs the one task that owns it.
+    // The probe runs over the already-checkpointed 2-long assignment
+    // (same plan-build-time-job caveat as the checkpoint itself), so it
+    // costs one small aggregation, not a corpus scan.
+    val hottest = asg.groupBy(col("cid")).count()
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    require(hottest <= maxCluster,
+      s"semanticDedupWithin pairs all vectors within a cluster (sum of " +
+        s"|c|^2 work); the hottest cluster has $hottest members > " +
+        s"maxCluster=$maxCluster. Raise `stride` (more, smaller cells), " +
+        s"refine with more kmeansLite iters, or run lshBuckets/knnLsh " +
+        s"inside the oversized cluster instead of exact all-pairs")
     // zero-vector guard: an all-zero embedding has norm 0, so its cosine
     // is 0/0 — under ANSI that division THROWS, and without ANSI it
     // yields NaN, which both engines order above every real number, so a

@@ -222,6 +222,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined, p)
   }
 
+  test("x59: the corpus never shuffles — token counts are scan-side, rates broadcast back") {
+    // the docs' zero-shuffle claim for the corpus: n_tokens is computed
+    // in the scan projection, only the per-source partial agg (a handful
+    // of slim rows after map-side combine) crosses an exchange, and the
+    // derived rates come back to the corpus via BROADCAST. The only
+    // corpus-sized exchange is the oracle-parity output sort, and no
+    // exchange may carry `text`.
+    val p = planOf("x59_token_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(shuffles(p) === 2, p)  // per-source agg partials + output sort
+    assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("x60: the ADC join carries codes only — full vectors never cross a shuffle") {
+    // IVF bounds the candidates, PQ bounds bytes per candidate: every
+    // shuffled row is (ids, codes, partial sims). The exact re-rank
+    // touches full vectors for rerank*k rows per query via broadcast
+    // joins against the streaming corpus — so no ShuffleExchange row may
+    // contain the embedding column.
+    val p = planOf("x60_knn_ivf_pq")
+    assert(!"Exchange (hashpartitioning|rangepartitioning|SinglePartition)[^\\n]*emb#"
+      .r.findFirstIn(p).isDefined, p)
+    assert(broadcasts(p) >= 1, p)
+  }
+
+  test("x61: quantization is pure scan-side codegen — zero exchanges of any kind") {
+    // the operator itself (per-row lambdas over the embedding array)
+    // must plan as a single projection over the scan; the registered
+    // query only adds the oracle-parity output sort
+    val embs = graft.ext.Similarity.withNorm(
+      Tables.embeddings(spark, dir), col("vec_id"), col("embedding"))
+    val p = graft.ext.Similarity.quantizeInt8(embs)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(p) === 0, p)
+    assert(broadcasts(p) === 0, p)
+    val q = planOf("x61_quantize_int8")
+    assert(shuffles(q) === 1, q)  // output sort only
+    assert(broadcasts(q) === 0, q)
+  }
+
   test("AQE skew-join splits a hot key's partition at runtime (when Salting is NOT needed)") {
     // This pins the division of labor with ops/Salting.saltedJoin:
     //   - a skewed SHUFFLE JOIN is AQE's job — the runtime splits the hot

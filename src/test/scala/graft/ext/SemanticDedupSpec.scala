@@ -79,6 +79,28 @@ class SemanticDedupSpec extends graft.SparkSpec {
       (3L, Some(2L), 0)))     // real near-dup still keys to 2
   }
 
+  test("hot-cluster guard refuses a pathological cluster loudly at plan build") {
+    // 10k vectors all assigned to ONE cluster — the Σ|c|² pairing would
+    // be 10^8 in-cluster pairs in a single task. With maxCluster below
+    // that membership the operator must refuse at plan build with a
+    // message that names the fix, not hang the task.
+    val embs = Similarity.withNorm(
+      spark.range(10000L).selectExpr("id AS vec_id",
+        "array(cast(id % 97 as double), 1.0d) AS emb"),
+      col("vec_id"), col("emb"))
+    val assign = spark.range(10000L).selectExpr("id AS vec_id", "7L AS cid")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupWithin(embs, assign, threshold = 0.9, maxCluster = 1000L)
+    }
+    assert(e.getMessage.contains("10000 members"))
+    assert(e.getMessage.contains("stride"))
+    // the named fix — more, smaller cells — takes the SAME corpus under
+    // the same cap: 100-member clusters pass the guard and run
+    val spread = spark.range(10000L).selectExpr("id AS vec_id", "id % 100 AS cid")
+    assert(Similarity.semanticDedupWithin(embs, spread, threshold = 0.9999,
+      maxCluster = 1000L).count() === 10000L)
+  }
+
   test("full composition runs end-to-end and keeps exactly one row per input vector") {
     val embs = embsOf((0L until 60L).map(i =>
       i -> Seq(math.cos(i * 0.1), math.sin(i * 0.1), (i % 7).toDouble / 7.0)): _*)

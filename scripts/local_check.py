@@ -71,17 +71,39 @@ def main(sf_dir, out_dir):
         # but DuckDB's HUGEINT promotion made the oracle column float64,
         # and "10000.0" hashes != "10000". Python == is blind to that
         # (10000.0 == 10000 is True), so compare dtype KINDS per column
-        # (int vs float vs object); width-only differences (int32/int64)
-        # stringify identically and are allowed.
+        # (int vs float vs object). Signed/unsigned (kinds 'i'/'u') and
+        # width-only differences stringify identically and are allowed;
+        # float-width drift shares kind 'f' but can STILL stringify
+        # differently (np.float32(0.1) prints '0.1', the same value
+        # widened to float64 prints '0.10000000149011612'), so float
+        # columns additionally get the stringified compare below.
         kind_bad = [
             (col, str(g[col].dtype), str(w[col].dtype))
             for col in g.columns
             if g[col].dtype.kind != w[col].dtype.kind
+            and {g[col].dtype.kind, w[col].dtype.kind} != {"i", "u"}
         ]
         if kind_bad:
             col, gk, wk = kind_bad[0]
             print(f"FAIL {name}: dtype drift col={col} spark={gk} oracle={wk}"
                   f" (driver hashes stringified cells; 10000 != 10000.0)")
+            n_fail += 1
+            continue
+        str_bad = None
+        for col in g.columns:
+            if g[col].dtype.kind == "f" or w[col].dtype.kind == "f":
+                gs = g[col].astype(str).tolist()
+                ws = w[col].astype(str).tolist()
+                for i, (a, b) in enumerate(zip(gs, ws)):
+                    if a != b:
+                        str_bad = (col, i, a, b)
+                        break
+            if str_bad:
+                break
+        if str_bad:
+            col, i, a, b = str_bad
+            print(f"FAIL {name}: stringified float drift col={col} row={i}"
+                  f" spark={a!r} oracle={b!r} (driver hashes stringified cells)")
             n_fail += 1
             continue
         bad = None

@@ -172,10 +172,25 @@ object Bench {
     // headline number + calibration + errors and cannot outgrow the
     // window. bench.json always has the full per-query/per-run detail.
     val stdoutBudget = 1800
+    // Short-id per-query tier: for the full suite the ~25-chars-per-query
+    // full-name map (~1.9 KB at 75 queries) can never fit the 1,800-char
+    // budget, so without this tier the driver-visible stdout permanently
+    // degrades to totals-only. Query ids ("q1", "qr1", "x59") are unique
+    // by construction — verified here, with a fallback to full names if
+    // that ever breaks — and 2-dp walls suffice for the driver's record
+    // (~13 chars/query ≈ 1 KB); full names and 4-dp live in bench.json.
+    val shortIds = results.map { case (k, _, _) => k.takeWhile(_ != '_') }
+    val qsShort =
+      if (shortIds.distinct.size != results.size) qs
+      else results.zip(shortIds).map { case ((_, ts, _), sid) =>
+        jstr(sid) + ":" + (if (ts.isEmpty) "null" else r2(ts.map(_._1).min))
+      }.mkString("{", ",", "}")
     val jsonWithCpu =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":$cpuMap,"errors":$errs}"""
     val jsonQueriesOnly =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
+    val jsonShortQueries =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
     val jsonMinimal =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"queries":"bench.json","cpu":"bench.json","errors":$errs}"""
     // absolute floor: even a run where every query errors (74 capped
@@ -186,6 +201,7 @@ object Bench {
     val json =
       if (jsonWithCpu.length <= stdoutBudget) jsonWithCpu
       else if (jsonQueriesOnly.length <= stdoutBudget) jsonQueriesOnly
+      else if (jsonShortQueries.length <= stdoutBudget) jsonShortQueries
       else if (jsonMinimal.length <= stdoutBudget) jsonMinimal
       else jsonFloor
     val jsonFull =

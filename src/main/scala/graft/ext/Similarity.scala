@@ -205,6 +205,89 @@ object Similarity {
         col("dup_of").isNull.cast("int").as("keep_flag"))
   }
 
+  /** Top-2 IVF cells per vector (multi-probe assignment), via the typed
+    * [[graft.functions.Top2CellsAgg]] aggregator: the corpus×centroid
+    * similarity stream collapses MAP-SIDE to one fixed-size (s1,c1,s2,c2)
+    * state per vector before the exchange — k× less wire traffic than
+    * the `row_number` window the same ranking would otherwise need
+    * (which shuffles all N·k similarity rows on vec_id). Slot 1 is
+    * exactly [[ivfAssign]]'s single-probe cell (same (csim DESC, cid
+    * ASC) order); NaN csims (zero-norm inputs) never occupy a slot.
+    * Output: (vec_id, cells array<long>) with 0/1/2 elements. */
+  def ivfAssignTop2(embs: DataFrame, centroids: DataFrame): DataFrame = {
+    val top2 = udaf(new graft.functions.Top2CellsAgg(),
+      org.apache.spark.sql.Encoders.product[graft.functions.CellSim])
+    centroidSims(embs, centroids)
+      .groupBy("vec_id")
+      .agg(top2(col("cid"), col("csim")).as("cells"))
+  }
+
+  /** Multi-probe semantic dedup — [[semanticDedup]]'s recall extension.
+    * Each vector joins its TOP-2 cells instead of one, so a
+    * near-duplicate pair straddling a cluster boundary (the documented
+    * x57 miss, pinned in SemanticDedupSpec) is still compared whenever
+    * the two vectors share either cell — which boundary-straddlers do
+    * almost by construction: sitting near the midline, both rank the
+    * same two cells highest. Cost: membership doubles, so in-cluster
+    * pair work is bounded by 4× single-probe — still Σ|c|², never N². */
+  def semanticDedupMultiProbe(embs: DataFrame, threshold: Double,
+      stride: Int = 50, iters: Int = 1, maxCluster: Long = 100000L): DataFrame = {
+    val cents = kmeansLite(embs, seedCentroids(embs, stride), iters)
+    semanticDedupAcross(embs, cents, threshold, maxCluster)
+  }
+
+  /** The pairing half of [[semanticDedupMultiProbe]], taking explicit
+    * centroids — the unit the spec drives with handcrafted cells to pin
+    * the boundary-straddling catch. Output matches [[semanticDedup]]
+    * plus `cid2` (the probed runner-up cell, NULL when only one cell
+    * exists or the vector has zero norm — zero-norm vectors skip
+    * assignment entirely and survive as keepers, same contract as
+    * single-probe's pairing exclusion). `dup_of` remains the greedy
+    * keep-min rule; duplicate pairs that share BOTH cells are folded by
+    * the min aggregate, not a distinct (two longs through an agg beat a
+    * corpus-scale distinct shuffle). */
+  def semanticDedupAcross(embs: DataFrame, centroids: DataFrame,
+      threshold: Double, maxCluster: Long = 100000L): DataFrame = {
+    val nz = embs.where(col("norm") > 0)
+    // same three-consumer materialization as semanticDedupWithin: both
+    // pair sides and the final left join re-derive the assignment
+    // (here the corpus×centroid aggregation) without the checkpoint
+    val asg = ivfAssignTop2(nz, centroids).localCheckpoint(true)
+    val mem = asg.select(col("vec_id"), explode(col("cells")).as("cid"))
+    // hot-cell guard, counted over the EXPLODED membership (multi-probe
+    // doubles it): same loud-refusal contract as semanticDedupWithin
+    val hottest = mem.groupBy(col("cid")).count()
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    require(hottest <= maxCluster,
+      s"semanticDedupAcross pairs all vectors within a probed cell (sum " +
+        s"of |c|^2 work, and multi-probe doubles membership); the hottest " +
+        s"cell has $hottest members > maxCluster=$maxCluster. Raise " +
+        s"`stride` (more, smaller cells), refine with more kmeansLite " +
+        s"iters, or run lshBuckets/knnLsh inside the oversized cell " +
+        s"instead of exact all-pairs")
+    val m = mem.join(nz, Seq("vec_id"))
+    val a = m.select(col("cid"), col("vec_id").as("a"),
+      col("emb").as("ea"), col("norm").as("na"))
+    val b = m.select(col("cid"), col("vec_id").as("b"),
+      col("emb").as("eb"), col("norm").as("nb"))
+    // both pair sides have norm > 0 by construction, so the cosine can
+    // never be NaN here — no isnan guard needed (cf. semanticDedupWithin,
+    // whose membership includes zero-norm keepers)
+    val removed = a.join(b, Seq("cid"))
+      .where(col("a") < col("b"))
+      .withColumn("sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .where(col("sim") >= threshold)
+      .groupBy(col("b").as("vec_id"))
+      .agg(min(col("a")).as("dup_of"))
+    embs.select(col("vec_id"))
+      .join(asg.select(col("vec_id"),
+        try_element_at(col("cells"), lit(1)).as("cid"),
+        try_element_at(col("cells"), lit(2)).as("cid2")), Seq("vec_id"), "left")
+      .join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("cid2"), col("dup_of"),
+        col("dup_of").isNull.cast("int").as("keep_flag"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: `tables` tables ×
     * `planes` planes × `dim` components in [-1, 1). */
   def hyperplanes(tables: Int, planes: Int, dim: Int): Seq[Seq[Seq[Double]]] = {

@@ -35,7 +35,12 @@ class Top2CellsAgg extends Aggregator[CellSim, Top2Buf, Seq[Long]] {
     Top2Buf(Double.NegativeInfinity, -1L, Double.NegativeInfinity, -1L)
 
   private def insert(b: Top2Buf, s: Double, c: Long): Top2Buf =
-    if (c < 0L) b // empty slot from a merge partner
+    // NaN csim (a zero-norm vector or centroid) must never occupy a
+    // slot: beats() is false for every NaN comparison, so a NaN that
+    // lands in slot 1 at zero-state could never be displaced and would
+    // poison the assignment. Skipping it mirrors the oracle's
+    // `WHERE NOT isnan(csim)` rank filter exactly.
+    if (c < 0L || s.isNaN) b // empty slot from a merge partner, or NaN
     else if (b.c1 < 0L || beats(s, c, b.s1, b.c1)) Top2Buf(s, c, b.s1, b.c1)
     else if (b.c2 < 0L || beats(s, c, b.s2, b.c2)) Top2Buf(b.s1, b.c1, s, c)
     else b

@@ -1842,10 +1842,69 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  // x62 — MULTI-PROBE semantic dedup: x57's recall extension. Same
+  // seeded + one-DECIMAL-Lloyd-round clustering, but each vector joins
+  // its TOP-2 cells, so the boundary-straddling pairs x57 documents as
+  // missed (SemanticDedupSpec) are compared whenever they share either
+  // cell. The oracle unrolls the identical 2-probe ranking
+  // (ROW_NUMBER over (csim DESC, cid ASC), NaN ranks excluded — the
+  // Spark aggregator skips NaN the same way) and the same greedy
+  // keep-min rule; `cid` is the slot-1 (= x57's) assignment, `cid2`
+  // the probed runner-up.
+  val x62 = Q(
+    "x62_semantic_dedup_mp",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % 50 = 7),
+      |sims0 AS (
+      |  SELECT e.vec_id, s.cid, round(list_cosine_similarity(e.emb, s.cemb), 6) AS csim
+      |  FROM e CROSS JOIN seeds s),
+      |best0 AS (SELECT vec_id, max(csim) AS bs FROM sims0 GROUP BY vec_id),
+      |asg0 AS (
+      |  SELECT sims0.vec_id, min(cid) AS cid
+      |  FROM sims0 JOIN best0 ON sims0.vec_id = best0.vec_id AND sims0.csim = best0.bs
+      |  GROUP BY sims0.vec_id),
+      |mem AS (SELECT a.cid, e.emb FROM asg0 a JOIN e ON e.vec_id = a.vec_id),
+      |u AS (SELECT cid, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos FROM mem),
+      |avgc AS (
+      |  SELECT cid, pos, CAST(SUM(CAST(v AS DECIMAL(28, 16))) AS DOUBLE) / count(*) AS m
+      |  FROM u GROUP BY cid, pos),
+      |cents AS (SELECT cid, list(m ORDER BY pos) AS cemb FROM avgc GROUP BY cid),
+      |nz AS (SELECT vec_id, emb FROM e WHERE list_dot_product(emb, emb) > 0),
+      |sims AS (
+      |  SELECT nz.vec_id, c.cid, round(list_cosine_similarity(nz.emb, c.cemb), 6) AS csim
+      |  FROM nz CROSS JOIN cents c),
+      |rk AS (
+      |  SELECT vec_id, cid,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS pr
+      |  FROM sims WHERE NOT isnan(csim)),
+      |mem2 AS (
+      |  SELECT r.vec_id, r.cid, e2.emb
+      |  FROM rk r JOIN e e2 ON e2.vec_id = r.vec_id WHERE r.pr <= 2),
+      |rem AS (
+      |  SELECT y.vec_id, min(x.vec_id) AS dup_of
+      |  FROM mem2 x JOIN mem2 y
+      |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+      |  WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= 0.4
+      |  GROUP BY y.vec_id),
+      |prim AS (
+      |  SELECT vec_id,
+      |         min(CASE WHEN pr = 1 THEN cid END) AS cid,
+      |         min(CASE WHEN pr = 2 THEN cid END) AS cid2
+      |  FROM rk WHERE pr <= 2 GROUP BY vec_id)
+      |SELECT e.vec_id, p.cid, p.cid2, r.dup_of,
+      |       CAST(r.dup_of IS NULL AS INT) AS keep_flag
+      |FROM e LEFT JOIN prim p ON p.vec_id = e.vec_id
+      |LEFT JOIN rem r ON r.vec_id = e.vec_id
+      |ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
+    Similarity.semanticDedupMultiProbe(normalizedEmb(s, dir), threshold = 0.4,
+      stride = 50, iters = 1)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
-      x58, x59, x60, x61)
+      x58, x59, x60, x61, x62)
 }

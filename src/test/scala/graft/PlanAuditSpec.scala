@@ -247,6 +247,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(broadcasts(p) >= 1, p)
   }
 
+  test("x62: multi-probe assignment computed ONCE; no crossjoin survives the checkpoint") {
+    // same materialization contract as x57's pin: the top-2 assignment
+    // feeds three consumers (both exploded pair sides + the final left
+    // join), and without the checkpoint each would re-run the
+    // corpus×centroid aggregation. After it, the executed plan must
+    // contain zero nested-loop joins — only checkpoint scans.
+    val p = planOf("x62_semantic_dedup_mp")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 3, p)
+    // membership⋈embs on vec_id (2) + pair join co-partitioned on cid
+    // (2) + keep-min agg on b + output sort; everything shuffled is
+    // (longs, one emb copy) — multi-probe's 2× membership costs exactly
+    // one exchange more than x57's single-probe five
+    assert(shuffles(p) === 6, p)
+  }
+
   test("x61: quantization is pure scan-side codegen — zero exchanges of any kind") {
     // the operator itself (per-row lambdas over the embedding array)
     // must plan as a single projection over the scan; the registered

@@ -101,6 +101,86 @@ class SemanticDedupSpec extends graft.SparkSpec {
       maxCluster = 1000L).count() === 10000L)
   }
 
+  test("multi-probe catches the boundary-straddling pair single-probe misses") {
+    // EXACTLY the first test's fixture: v1/v2 straddle the c10/c20
+    // boundary and single-probe must miss them. Sitting near the
+    // midline, both rank c10 and c20 as their top-2 cells, so the
+    // multi-probe path compares them in BOTH shared cells and v2 keys
+    // to v1. v3/v4 still behave as before (shared primary c30).
+    val embs = embsOf(
+      1L -> Seq(1.0, 0.0, 0.01),
+      2L -> Seq(1.0, 0.0, -0.01),
+      3L -> Seq(0.0, 1.0, 0.0),
+      4L -> Seq(0.0, 1.0, 0.02))
+    val cents = centsOf(
+      10L -> Seq(1.0, 0.0, 0.5),
+      20L -> Seq(1.0, 0.0, -0.5),
+      30L -> Seq(0.0, 1.0, 0.0))
+    val got = Similarity.semanticDedupAcross(embs, cents, threshold = 0.95)
+      .orderBy("vec_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)].collect()
+    assert(got === Array(
+      (1L, Some(10L), Some(20L), None, 1),     // survivor; probes both boundary cells
+      (2L, Some(20L), Some(10L), Some(1L), 0), // the pair x57 documents as MISSED
+      (3L, Some(30L), Some(10L), None, 1),     // v3's ties at csim 0 break to cid 10
+      (4L, Some(30L), Some(10L), Some(3L), 0)))
+  }
+
+  test("multi-probe: slot-1 assignment is exactly ivfAssign; cells match the window ranking") {
+    val embs = embsOf((0L until 60L).map(i =>
+      i -> Seq(math.cos(i * 0.1), math.sin(i * 0.1), (i % 7).toDouble / 7.0)): _*)
+    val cents = Similarity.kmeansLite(embs, Similarity.seedCentroids(embs, 10), 1)
+    val top2 = Similarity.ivfAssignTop2(embs, cents)
+    val single = Similarity.ivfAssign(embs, cents).as[(Long, Long)].collect().toMap
+    val cells = top2.select(col("vec_id"), col("cells"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(cells.keySet === single.keySet)
+    cells.foreach { case (v, cs) => assert(cs.head === single(v), s"vec $v") }
+    // independent reference: the row_number window over the same rounded
+    // similarity stream (the shape the aggregator exists to avoid)
+    val sims = embs.crossJoin(broadcast(
+        cents.select(col("cid"), col("cemb"), col("cnorm"))))
+      .withColumn("csim", round(Similarity.dot(col("emb"), col("cemb")) /
+        (col("norm") * col("cnorm")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val ref = sims.withColumn("pr", row_number().over(w)).where(col("pr") <= 2)
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("pr"), col("cid")))).as("s"))
+      .select(col("vec_id"), expr("transform(s, x -> x.cid)").as("cells"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(cells === ref)
+  }
+
+  test("multi-probe: a zero vector gets no cells, pairs with nothing, survives") {
+    val embs = embsOf(
+      1L -> Seq(0.0, 0.0),    // all-zero: NaN csim to every centroid
+      2L -> Seq(1.0, 0.0),
+      3L -> Seq(0.99, 0.141))
+    val cents = centsOf(5L -> Seq(1.0, 0.1))
+    val got = Similarity.semanticDedupAcross(embs, cents, threshold = 0.9)
+      .orderBy("vec_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)].collect()
+    assert(got === Array(
+      (1L, None, None, None, 1),            // unassigned keeper, poisons nothing
+      (2L, Some(5L), None, None, 1),        // one centroid -> no runner-up cell
+      (3L, Some(5L), None, Some(2L), 0)))
+  }
+
+  test("multi-probe hot-cell guard refuses over the DOUBLED membership") {
+    // one centroid: every vector's single cell is 7 -> membership 10k
+    val embs = Similarity.withNorm(
+      spark.range(10000L).selectExpr("id AS vec_id",
+        "array(cast(id % 97 as double), 1.0d) AS emb"),
+      col("vec_id"), col("emb"))
+    val cents = centsOf(7L -> Seq(1.0, 0.5))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupAcross(embs, cents, threshold = 0.9, maxCluster = 1000L)
+    }
+    assert(e.getMessage.contains("10000 members"))
+    assert(e.getMessage.contains("stride"))
+  }
+
   test("full composition runs end-to-end and keeps exactly one row per input vector") {
     val embs = embsOf((0L until 60L).map(i =>
       i -> Seq(math.cos(i * 0.1), math.sin(i * 0.1), (i % 7).toDouble / 7.0)): _*)

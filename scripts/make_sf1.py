@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Upscale a testdata SF directory 10x into an sf1-equivalent volume.
+
+Local tooling (like local_check.py): generates the one-decade-up corpus
+the round-end bench row runs against. NOT part of the engine.
+
+Design: 10 key-shifted copies per fact/dim table, with the two content
+tables de-correlated so the blown-up corpus behaves like independent
+data rather than a pile of exact replicas (which would hand the dedup
+family 45 artificial near-dup pairs per copy-group and starve the
+ANN family of cluster diversity):
+
+- documents: copy 0 keeps the original text; copies 1-9 suffix every
+  word with `_cN`, so every 5-gram shingle is distinct across copies —
+  n-gram/MinHash/SimHash workloads scale linearly, like a real corpus.
+- embeddings: copy 0 keeps the originals; copies 1-9 get deterministic
+  pseudo-random 64-dim vectors (sin-hash), so IVF cells fill ~uniformly
+  and cluster sizes stay ~stride, like a real corpus at 10x.
+- region/nation stay fixed (dimensions don't scale with SF).
+- All other tables replicate with primary/foreign keys shifted by the
+  same per-table stride, so every FK join still lands.
+
+Usage: python3 scripts/make_sf1.py /root/testdata/sf0.1 tmp/sf1
+"""
+import os
+import sys
+
+import duckdb
+
+K = 10
+
+
+def main(src, dst):
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE cp AS SELECT unnest(range({K})) AS cp")
+
+    def stride(table, key):
+        return con.execute(
+            f"SELECT max({key}) + 1 FROM '{src}/{table}.parquet'").fetchone()[0]
+
+    c_s = stride("customer", "c_custkey")
+    o_s = stride("orders", "o_orderkey")
+    p_s = stride("part", "p_partkey")
+    s_s = stride("supplier", "s_suppkey")
+    u_s = stride("events", "user_id")
+    e_s = stride("events", "event_id")
+    d_s = stride("documents", "doc_id")
+    v_s = stride("embeddings", "vec_id")
+
+    def emit(table, sql):
+        con.execute(
+            f"COPY ({sql}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
+        print(f"{table}: {n} rows")
+
+    for t in ("region", "nation"):
+        emit(t, f"SELECT * FROM '{src}/{t}.parquet'")
+
+    emit("customer", f"""
+        SELECT c_custkey + cp * {c_s} AS c_custkey, c_name, c_nationkey,
+               c_acctbal, c_mktsegment
+        FROM '{src}/customer.parquet', cp""")
+    emit("supplier", f"""
+        SELECT s_suppkey + cp * {s_s} AS s_suppkey, s_name, s_nationkey,
+               s_acctbal
+        FROM '{src}/supplier.parquet', cp""")
+    emit("part", f"""
+        SELECT p_partkey + cp * {p_s} AS p_partkey, p_name, p_brand,
+               p_type, p_size, p_retailprice
+        FROM '{src}/part.parquet', cp""")
+    emit("orders", f"""
+        SELECT o_orderkey + cp * {o_s} AS o_orderkey,
+               o_custkey + cp * {c_s} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM '{src}/orders.parquet', cp""")
+    emit("lineitem", f"""
+        SELECT l_orderkey + cp * {o_s} AS l_orderkey,
+               l_partkey + cp * {p_s} AS l_partkey,
+               l_suppkey + cp * {s_s} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM '{src}/lineitem.parquet', cp""")
+    emit("events", f"""
+        SELECT event_id + cp * {e_s} AS event_id, ts,
+               user_id + cp * {u_s} AS user_id,
+               event_type, value, props
+        FROM '{src}/events.parquet', cp""")
+    emit("documents", f"""
+        SELECT doc_id + cp * {d_s} AS doc_id,
+               CASE WHEN cp = 0 THEN text
+                    ELSE regexp_replace(text, '(\\S+)', '\\1_c' || cp, 'g')
+               END AS text,
+               lang, source,
+               CAST(length(CASE WHEN cp = 0 THEN text
+                    ELSE regexp_replace(text, '(\\S+)', '\\1_c' || cp, 'g')
+               END) AS BIGINT) AS n_chars
+        FROM '{src}/documents.parquet', cp""")
+    emit("embeddings", f"""
+        SELECT vec_id + cp * {v_s} AS vec_id,
+               CASE WHEN cp = 0 THEN embedding
+                    ELSE CAST(list_transform(range(len(embedding)),
+                         j -> sin((vec_id * 64 + j) * 12.9898
+                                  + cp * 78.233) * 0.7) AS FLOAT[])
+               END AS embedding,
+               label
+        FROM '{src}/embeddings.parquet', cp""")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

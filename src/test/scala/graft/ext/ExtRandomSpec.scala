@@ -79,6 +79,50 @@ class SemanticDedupRandomSpec extends graft.SparkSpec {
   }
 }
 
+class SemanticDedupMpRandomSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("random vectors + centroids: multi-probe cells/dup_of match the brute reference") {
+    val rnd = new scala.util.Random(47)
+    for (round <- 1 to 3) {
+      val vecs = (0L until 40L).map { id =>
+        id -> Seq.fill(4)(rnd.nextDouble() * 2 - 1)
+      }
+      val cents = (0L until 6L).map { c =>
+        (c + 200L) -> Seq.fill(4)(rnd.nextDouble() * 2 - 1)
+      }
+      val threshold = 0.8
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val r = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+        BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      // reference: top-2 cells under (csim DESC, cid ASC); a pair is
+      // compared iff it shares EITHER cell; greedy keep-min
+      val cells = vecs.map { case (id, v) =>
+        id -> cents.map { case (c, cv) => (c, cos(v, cv)) }
+          .sortBy { case (c, s) => (-s, c) }.take(2).map(_._1)
+      }.toMap
+      val expected = vecs.map { case (id, v) =>
+        val dupOf = vecs.collect {
+          case (a, va) if a < id && cells(a).exists(cells(id).contains) &&
+            cos(va, v) >= threshold => a
+        }.sorted.headOption
+        (id, cells(id).headOption, cells(id).lift(1), dupOf,
+          if (dupOf.isEmpty) 1 else 0)
+      }.sortBy(_._1)
+      val embs = Similarity.withNorm(vecs.toDF("vec_id", "emb"),
+        col("vec_id"), col("emb"))
+      val centsDf = cents.toDF("cid", "cemb")
+        .withColumn("cnorm", Similarity.l2Norm(col("cemb")))
+      val got = Similarity.semanticDedupAcross(embs, centsDf, threshold)
+        .orderBy("vec_id")
+        .as[(Long, Option[Long], Option[Long], Option[Long], Int)].collect().toSeq
+      assert(got === expected, s"round $round")
+    }
+  }
+}
+
 class TokenMixRandomSpec extends graft.SparkSpec {
   import spark.implicits._
 

@@ -330,6 +330,17 @@ object Similarity {
     embs.where(pmod(col("vec_id"), lit(stride)) === offset)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"), col("norm").as("cnorm"))
 
+  /** Stride that holds the sampled cell/codeword count at ~`cells`
+    * regardless of corpus size — the scale knob the sf1 bench row
+    * exposed: a CONSTANT stride grows the cell count with N and the
+    * corpus×centroid assignment N²/stride (x33 ~39×, x60 ~43× for 10×
+    * rows), while a fixed cell count keeps it N·cells. One count() job
+    * at plan build (same contract as ivfPqSearch's dim lookup); the
+    * oracle expresses the identical rule as a scalar subquery
+    * (`vec_id % greatest(count(*) // cells, 1)`). */
+  def strideForCells(embs: DataFrame, cells: Int): Int =
+    math.max(1L, embs.count() / cells).toInt
+
   /** Rounded cosine of every (vector, centroid) pair — centroids are
     * broadcast, the corpus streams. */
   private def centroidSims(embs: DataFrame, centroids: DataFrame): DataFrame =

@@ -1901,10 +1901,56 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  // x63 — SCALE-INVARIANT IVF kNN: x21's exact shape, but the seed
+  // stride is derived from the corpus size so the cell count stays ~40
+  // at ANY scale factor — the doctrine the sf1 bench row demands (a
+  // constant stride grows cells with N and assignment cost N²/stride;
+  // see Similarity.strideForCells and tools/ScaleProbe). Both engines
+  // compute the same integer stride: Spark via one count() job at plan
+  // build, the oracle via a scalar subquery — so the query is
+  // bit-identical across SFs BY CONSTRUCTION, not by re-tuning.
+  val x63 = Q(
+    "x63_knn_ivf_scaled",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e
+      |          WHERE vec_id % (SELECT greatest(count(*) // 40, 1) FROM e) = 7),
+      |sims AS (
+      |  SELECT e.vec_id, s.cid, round(list_cosine_similarity(e.emb, s.cemb), 6) AS csim
+      |  FROM e CROSS JOIN seeds s),
+      |best AS (SELECT vec_id, max(csim) AS best_sim FROM sims GROUP BY vec_id),
+      |asg AS (
+      |  SELECT sims.vec_id, min(cid) AS cid
+      |  FROM sims JOIN best ON sims.vec_id = best.vec_id AND sims.csim = best.best_sim
+      |  GROUP BY sims.vec_id),
+      |qprobe AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT vec_id AS qid, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS pr
+      |    FROM sims WHERE vec_id < 10) q
+      |  WHERE pr <= 2),
+      |cand AS (
+      |  SELECT q.qid, a.vec_id FROM asg a JOIN qprobe q ON a.cid = q.cid
+      |  WHERE a.vec_id <> q.qid),
+      |scored AS (
+      |  SELECT cand.qid, cand.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(qe.emb, ce.emb), 6) AS sim
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.qid JOIN e ce ON ce.vec_id = cand.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+      |      FROM scored)
+      |SELECT qid, neighbor_id, sim, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+    val embs = normalizedEmb(s, dir)
+    val stride = Similarity.strideForCells(embs, cells = 40)
+    Similarity.ivfSearch(embs, Similarity.seedCentroids(embs, stride),
+      (0L until 10L).toSeq, k = 5, nprobe = 2)
+      .orderBy("qid", "rank")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
-      x58, x59, x60, x61, x62)
+      x58, x59, x60, x61, x62, x63)
 }

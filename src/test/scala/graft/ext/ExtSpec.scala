@@ -151,6 +151,19 @@ class SimilaritySpec extends SparkSpec {
     assert(knn(0).getAs[Double]("sim") === 1.0)
   }
 
+  test("strideForCells holds the cell count fixed at any corpus size") {
+    def embsOfN(n: Long) = Similarity.withNorm(
+      spark.range(n).selectExpr("id AS vec_id",
+        "array(cast(id as double), 1.0d) AS emb"),
+      col("vec_id"), col("emb"))
+    // 500 rows / 40 cells -> stride 12 (integer division, both engines)
+    assert(Similarity.strideForCells(embsOfN(500L), 40) === 12)
+    // 10x the corpus -> 10x the stride: cell count stays ~40
+    assert(Similarity.strideForCells(embsOfN(5000L), 40) === 125)
+    // tiny corpus: stride floors at 1, never 0 (x % 0 would throw)
+    assert(Similarity.strideForCells(embsOfN(10L), 40) === 1)
+  }
+
   test("IVF: identical vector lands in the probed cell and ranks first") {
     val base = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dups = base.where(col("vec_id") < 5)

@@ -99,7 +99,25 @@ object VolumeTripwire {
           Similarity.seedCentroids(embs10, stride = 50), (0L until 10L).toSeq, k = 5))),
       Res("x33_pqSearch",
         timeMin(Similarity.pqSearch(embs1, (0L until 10L).toSeq, k = 5)),
-        timeMin(Similarity.pqSearch(embs10, (0L until 10L).toSeq, k = 5))), {
+        timeMin(Similarity.pqSearch(embs10, (0L until 10L).toSeq, k = 5))),
+      // multi-probe semantic dedup under the duplicate-vector flood:
+      // every blown copy is byte-identical to its original (cosine 1.0),
+      // so the dup graph is maximal — membership doubles via top-2
+      // cells and the pairing must stay cell-local, never N²
+      Res("x62_semDedupMp",
+        timeMin(Similarity.semanticDedupMultiProbe(embs1, threshold = 0.4, stride = 50)),
+        timeMin(Similarity.semanticDedupMultiProbe(embs10, threshold = 0.4, stride = 50))),
+      // the scale doctrine in tripwire form: deriving the stride from
+      // the corpus (fixed ~40 cells) must hold the ratio at-or-under
+      // the constant-stride x21 row above, because assignment stays
+      // N·cells instead of growing N²/stride
+      Res("x63_ivfScaled",
+        timeMin(Similarity.ivfSearch(embs1,
+          Similarity.seedCentroids(embs1, Similarity.strideForCells(embs1, 40)),
+          (0L until 10L).toSeq, k = 5)),
+        timeMin(Similarity.ivfSearch(embs10,
+          Similarity.seedCentroids(embs10, Similarity.strideForCells(embs10, 40)),
+          (0L until 10L).toSeq, k = 5))), {
         // round-4 ops: sessionize + rate anomaly over a 10× event fact
         // (skew: user 7 owns all blown copies, ~90% of the 10× fact), tfidf over
         // the 10× corpus incl. the identical-doc flood

@@ -199,6 +199,60 @@ object Dedup {
       .drop("grp")
   }
 
+  /** C4-style boilerplate removal accounting: every word-`n`-gram whose
+    * corpus-wide DOCUMENT frequency is at least `minDf` is boilerplate
+    * (the n-gram analog of C4's "line repeated in ≥3 pages" rule — this
+    * corpus has no newlines, so the repeated unit is the shingle), and
+    * every word position covered by any boilerplate occurrence is
+    * removed. Unlike [[duplicateSpans]] (which keeps the corpus-wide
+    * FIRST occurrence and cuts the rest), boilerplate removal cuts ALL
+    * occurrences including the first — navigation chrome is noise
+    * everywhere, not content once.
+    *
+    * Output, one row per doc: `(doc_id, n_words, n_covered, n_spans,
+    * clean_words, frac_removed)` — covered positions are the interval
+    * union of `[pos, pos+n−1]` over boilerplate occurrences (clamped to
+    * doc length for the sub-`n` whole-text shingle), merged by the same
+    * gaps-and-islands window as [[duplicateSpans]].
+    *
+    * Scale shape: occurrences posexplode scan-side; the df count is a
+    * distinct + map-combinable count on the 8-byte hash (never the
+    * string); the join-back AQE-splits hot hashes; the ×n coverage
+    * explode is bounded by n; the islands window is per-doc, bounded by
+    * doc length. Linear in corpus size throughout. */
+  def boilerplateCoverage(df: DataFrame, id: Column, text: Column, n: Int,
+      minDf: Long): DataFrame = {
+    val occ = df
+      .select(id.as("doc_id"),
+        size(split(trim(text), "\\s+")).cast("long").as("n_words"),
+        posexplode(graft.functions.WordShingles.word_shingles_pos(text, n)))
+      .select(col("doc_id"), col("n_words"), col("pos").cast("long").as("pos"),
+        md5Hash60(col("col")).as("h"))
+    val boiler = occ.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("dfh"))
+      .where(col("dfh") >= minDf)
+      .select(col("h"))
+    val cov = occ.join(boiler, Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"),
+          least(col("pos") + lit((n - 1).toLong), col("n_words") - lit(1L)))).as("cpos"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("cpos"))
+    val perDoc = cov.withColumn("grp", col("cpos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("cnt")).as("n_covered"))
+    df.select(id.as("doc_id"),
+        size(split(trim(text), "\\s+")).cast("long").as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (col("n_words") - coalesce(col("n_covered"), lit(0L))).as("clean_words"),
+        (coalesce(col("n_covered"), lit(0L)).cast("double") /
+          col("n_words").cast("double")).as("frac_removed"))
+  }
+
   /** Exact pairwise n-gram Jaccard via an inverted shingle index:
     * explode distinct shingles, self-join on the shingle to count common
     * shingles per pair, then `jaccard = common / (|a| + |b| - common)`.

@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph analytics over document-similarity graphs — the
+  * curation primitive behind "influence"-style corpus weighting (rank
+  * documents by how central they are in the near-duplicate / shared-
+  * passage graph, then sample inversely so one viral passage doesn't
+  * dominate a mixture).
+  *
+  * [[Dedup]]'s connected components find WHICH docs are entangled;
+  * PageRank here scores HOW entangled, with a fixed-iteration power
+  * method whose every step is exact-decimal summed, so the scores are
+  * bit-identical on any engine and can carry a hash-parity oracle —
+  * rare for an iterative float algorithm.
+  *
+  * 100 TB posture: one iteration = one equi-join (ranks ⋈ edges on src)
+  * + one map-side-combinable groupBy(dst) — the canonical distributed
+  * PageRank step; nothing is quadratic and nothing lands on the driver.
+  * The edge list and the per-node attribute table are localCheckpointed
+  * once, so the k unrolled iterations reference materialized inputs
+  * instead of re-deriving the (expensive) edge build k times — the same
+  * lineage-cutting discipline as [[Dedup.connectedComponents]].
+  */
+object Graph {
+
+  /** Undirected co-shingle edges: `(src, dst)` BOTH directions for every
+    * distinct doc pair sharing at least one word-`n`-gram whose document
+    * frequency is at most `maxShingleDf`. The df cap is the stop-gram
+    * guard that keeps this linear at corpus scale: a boilerplate shingle
+    * in 100k docs would otherwise emit 10^10 pairs from one hash bucket;
+    * capped, a shingle contributes at most `maxShingleDf²` pairs. Same
+    * inverted-index shape as [[Dedup.jaccardPairs]] (pairs come from
+    * co-occurrence buckets, never a cross join). */
+  def coShingleEdges(docs: DataFrame, id: Column, text: Column, n: Int,
+      maxShingleDf: Long = 64L): DataFrame = {
+    val sh = docs
+      .select(id.as("doc_id"), explode(Dedup.shingles(text, n)).as("sh"))
+      .select(col("doc_id"), Dedup.md5Hash60(col("sh")).as("h"))
+    val kept = sh.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
+      .where(col("dfh") <= maxShingleDf)
+      .select(col("h"))
+    val occ = sh.join(kept, Seq("h"))
+    val pairs = occ.as("a")
+      .join(occ.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("s"), col("b.doc_id").as("d"))
+      .distinct()
+    pairs.select(col("s").as("src"), col("d").as("dst"))
+      .unionAll(pairs.select(col("d").as("src"), col("s").as("dst")))
+  }
+
+  /** Fixed-iteration PageRank on a symmetric edge list.
+    *
+    * r_0 = 1/N; r_{k+1}(v) = (1−d)/N + d · Σ_{u→v} r_k(u)/deg(u).
+    * Undirected input means every node has in- and out-edges, so there
+    * is no dangling-mass term. Exactness contract: each contribution
+    * `r/deg` is one IEEE division, the inbound sum runs through an
+    * exact DECIMAL(28,16) accumulator (order-independent), and the
+    * damping blend is one fixed chain of double ops — the identical
+    * sequence the oracle SQL spells out, so k iterations stay
+    * hash-exact.
+    *
+    * Output: `(doc_id, degree, pr)`. */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nRow = deg.agg(count(lit(1)).as("n"))
+    val attrs = deg.crossJoin(broadcast(nRow))
+      .select(col("src").as("node"), col("deg"), col("n"))
+      .localCheckpoint(false)
+    var ranks = attrs.select(col("node"), col("deg"),
+      (lit(1.0) / col("n").cast("double")).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(e, col("node") === col("src"))
+        .select(col("dst"),
+          (col("r") / col("deg").cast("double")).cast(DecimalType(28, 16)).as("c"))
+      val inbound = contrib.groupBy(col("dst")).agg(sum(col("c")).as("sdec"))
+      ranks = attrs.join(inbound, col("node") === col("dst"))
+        .select(col("node"), col("deg"),
+          ((lit(1.0) - lit(damping)) / col("n").cast("double") +
+            lit(damping) * col("sdec").cast("double")).as("r"))
+    }
+    ranks.select(col("node").as("doc_id"), col("deg").as("degree"), col("r").as("pr"))
+  }
+}

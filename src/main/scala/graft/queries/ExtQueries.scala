@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Graph, Multimodal, Relevance, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.functions.PolyHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1947,10 +1947,201 @@ object ExtQueries {
       .orderBy("qid", "rank")
   }
 
+  // x64 — PageRank over the co-shingle doc graph (ext/Graph): 3 unrolled
+  // power iterations, each one join + one DECIMAL-exact groupBy — the
+  // canonical distributed PageRank step, hash-exact by construction
+  // (contributions are single IEEE divisions, inbound sums run through
+  // DECIMAL(28,16), the damping blend is one fixed double chain). The
+  // df<=64 stop-gram cap is the guard that keeps edge generation linear
+  // at corpus scale; the oracle carries the identical cap. Bounded
+  // subset doc_id<1500 like x6 (the graph build is the same inverted-
+  // index primitive; PageRank itself is linear in edges).
+  val x64 = Q(
+    "x64_pagerank",
+    """WITH t AS (
+      |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents WHERE doc_id < 1500),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE [tt] END AS sh
+      |  FROM t),
+      |u AS (SELECT doc_id, unnest(sh) AS sh1 FROM s),
+      |hh AS (SELECT doc_id, ('0x' || substring(md5(sh1), 1, 15))::BIGINT AS h FROM u),
+      |keep AS (SELECT h FROM hh GROUP BY h HAVING COUNT(*) <= 64),
+      |occ AS (SELECT hh.doc_id, hh.h FROM hh JOIN keep USING (h)),
+      |e0 AS (SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+      |       FROM occ a JOIN occ b ON a.h = b.h AND a.doc_id < b.doc_id),
+      |e AS (SELECT s AS src, d AS dst FROM e0 UNION ALL SELECT d, s FROM e0),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      |nn AS (SELECT COUNT(*) AS n FROM deg),
+      |r0 AS (SELECT src AS node, deg, CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS r
+      |       FROM deg CROSS JOIN nn),
+      |i1 AS (SELECT e.dst AS node, SUM(CAST(r.r / CAST(r.deg AS DOUBLE) AS DECIMAL(28, 16))) AS sdec
+      |       FROM r0 r JOIN e ON e.src = r.node GROUP BY e.dst),
+      |r1 AS (SELECT d.src AS node, d.deg,
+      |              (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+      |              + CAST(0.85 AS DOUBLE) * CAST(i1.sdec AS DOUBLE) AS r
+      |       FROM i1 JOIN deg d ON d.src = i1.node CROSS JOIN nn),
+      |i2 AS (SELECT e.dst AS node, SUM(CAST(r.r / CAST(r.deg AS DOUBLE) AS DECIMAL(28, 16))) AS sdec
+      |       FROM r1 r JOIN e ON e.src = r.node GROUP BY e.dst),
+      |r2 AS (SELECT d.src AS node, d.deg,
+      |              (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+      |              + CAST(0.85 AS DOUBLE) * CAST(i2.sdec AS DOUBLE) AS r
+      |       FROM i2 JOIN deg d ON d.src = i2.node CROSS JOIN nn),
+      |i3 AS (SELECT e.dst AS node, SUM(CAST(r.r / CAST(r.deg AS DOUBLE) AS DECIMAL(28, 16))) AS sdec
+      |       FROM r2 r JOIN e ON e.src = r.node GROUP BY e.dst),
+      |r3 AS (SELECT d.src AS node, d.deg,
+      |              (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+      |              + CAST(0.85 AS DOUBLE) * CAST(i3.sdec AS DOUBLE) AS r
+      |       FROM i3 JOIN deg d ON d.src = i3.node CROSS JOIN nn)
+      |SELECT node AS doc_id, CAST(deg AS BIGINT) AS degree, r AS pr
+      |FROM r3 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Graph.pageRank(
+      Graph.coShingleEdges(Tables.documents(s, dir).where(col("doc_id") < 1500),
+        col("doc_id"), col("text"), n = 3, maxShingleDf = 64L),
+      iters = 3, damping = 0.85)
+      .orderBy("doc_id")
+  }
+
+  // x65 — deterministic HyperLogLog distinct 3-grams per source
+  // (ext/Sketches): every register and the raw estimate recomputed
+  // bit-identically in SQL — a sketch with a hash-parity gate, not an
+  // epsilon assertion. The exact distinct count ships alongside as the
+  // error baseline.
+  val x65 = Q(
+    "x65_hll_distinct",
+    """WITH t AS (
+      |  SELECT source, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |s AS (
+      |  SELECT source,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE [tt] END AS sh
+      |  FROM t),
+      |u AS (SELECT source, unnest(sh) AS el FROM s),
+      |hh AS (SELECT source, ('0x' || substring(md5(el), 1, 15))::BIGINT AS h FROM u),
+      |fb AS (SELECT source, h & 63 AS bucket, h >> 6 AS w2 FROM hh),
+      |rho AS (SELECT source, bucket,
+      |               CASE WHEN w2 = 0 THEN 55 ELSE 55 - length(bin(w2)) END AS rho
+      |        FROM fb),
+      |regs AS (SELECT source, bucket, MAX(rho) AS mj FROM rho GROUP BY source, bucket),
+      |fold AS (SELECT source,
+      |                SUM(CAST(1 AS BIGINT) << CAST(55 - mj AS INT)) AS present_sum,
+      |                COUNT(*) AS n_present
+      |         FROM regs GROUP BY source),
+      |den AS (SELECT source,
+      |               present_sum + (64 - n_present) * (CAST(1 AS BIGINT) << 55) AS denom
+      |        FROM fold),
+      |ex AS (SELECT source, COUNT(DISTINCT el) AS n_exact FROM u GROUP BY source),
+      |est AS (SELECT den.source,
+      |               CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64 AS DOUBLE))
+      |                 * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+      |                 / CAST(denom AS DOUBLE) AS hll_estimate
+      |        FROM den)
+      |SELECT ex.source AS key, ex.n_exact, est.hll_estimate,
+      |       abs(est.hll_estimate - CAST(ex.n_exact AS DOUBLE)) / CAST(ex.n_exact AS DOUBLE) AS rel_err
+      |FROM ex JOIN est ON est.source = ex.source
+      |ORDER BY key""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Sketches.hllDistinct(
+      docs.select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("el")),
+      col("source"), col("el"))
+      .orderBy("key")
+  }
+
+  // x66 — C4-style boilerplate removal accounting (ext/Dedup): word
+  // 4-grams in >=3 distinct docs are boilerplate; covered positions are
+  // the interval union over ALL their occurrences (unlike x56, which
+  // keeps the corpus-wide first copy), merged by the same gaps-and-
+  // islands window.
+  val x66 = Q(
+    "x66_boilerplate",
+    """WITH d AS (
+      |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |         CASE WHEN len(w) >= 4
+      |              THEN list_transform(range(1, len(w) - 2),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+      |              ELSE [tt] END AS sh
+      |  FROM d),
+      |p AS (SELECT doc_id, n_words, sh, unnest(range(0, len(sh))) AS pos FROM s),
+      |ph AS (
+      |  SELECT doc_id, n_words, pos,
+      |         ('0x' || substring(md5(sh[CAST(pos + 1 AS INT)]), 1, 15))::BIGINT AS h
+      |  FROM p),
+      |bo AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM ph) GROUP BY h HAVING COUNT(*) >= 3),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, cpos FROM (
+      |    SELECT ph.doc_id, unnest(generate_series(pos, least(pos + 3, n_words - 1))) AS cpos
+      |    FROM ph JOIN bo USING (h))),
+      |isl AS (
+      |  SELECT doc_id, cpos,
+      |         cpos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cpos) AS grp
+      |  FROM cov),
+      |sp AS (SELECT doc_id, grp, COUNT(*) AS cnt FROM isl GROUP BY doc_id, grp),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(cnt) AS BIGINT) AS n_covered
+      |        FROM sp GROUP BY doc_id)
+      |SELECT s.doc_id, s.n_words,
+      |       COALESCE(a.n_covered, 0) AS n_covered,
+      |       COALESCE(a.n_spans, 0) AS n_spans,
+      |       s.n_words - COALESCE(a.n_covered, 0) AS clean_words,
+      |       CAST(COALESCE(a.n_covered, 0) AS DOUBLE) / CAST(s.n_words AS DOUBLE) AS frac_removed
+      |FROM s LEFT JOIN agg a ON a.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    Dedup.boilerplateCoverage(Tables.documents(s, dir),
+      col("doc_id"), col("text"), n = 4, minDf = 3L)
+      .orderBy("doc_id")
+  }
+
+  // x67 — BM25 top-10 docs for a fixed query bag (ext/Relevance;
+  // rational idf — monotone-equivalent to ln, bit-exact cross-engine;
+  // 'dup' is the rare term carrying real idf spread). orderBy+limit
+  // plans as TakeOrderedAndProject, not a global window.
+  val x67 = Q(
+    "x67_bm25",
+    """WITH dl AS (
+      |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+      |  FROM documents),
+      |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+      |toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |         FROM documents),
+      |ft AS (SELECT doc_id, term FROM toks WHERE term IN ('dup', 'vector', 'merge')),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ft GROUP BY doc_id, term),
+      |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |sc AS (
+      |  SELECT tf.doc_id, dl.dl,
+      |         (CAST(st.n_docs - dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |           / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE) AS idf,
+      |         CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))
+      |           / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |              * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+      |                 + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE)
+      |                   / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))) AS tfpart
+      |  FROM tf JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+      |pd AS (
+      |  SELECT doc_id, CAST(MIN(dl) AS BIGINT) AS dl, COUNT(*) AS n_hit_terms,
+      |         CAST(SUM(CAST(round(idf * tfpart, 8) AS DECIMAL(28, 8))) AS DOUBLE) AS score
+      |  FROM sc GROUP BY doc_id),
+      |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM pd)
+      |SELECT doc_id, dl, n_hit_terms, score, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 10
+      |ORDER BY rank""".stripMargin) { (s, dir) =>
+    Relevance.bm25TopK(Tables.documents(s, dir), col("doc_id"), col("text"),
+      Seq("dup", "vector", "merge"), k = 10)
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
-      x58, x59, x60, x61, x62, x63)
+      x58, x59, x60, x61, x62, x63, x64, x65, x66, x67)
 }

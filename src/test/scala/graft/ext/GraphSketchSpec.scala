@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+/** Pins the round-9 operators: PageRank (ext/Graph), deterministic HLL
+  * (ext/Sketches), boilerplate coverage (Dedup.boilerplateCoverage) and
+  * BM25 (Relevance.bm25TopK). */
+class GraphSketchSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  // ---- Graph.pageRank ----
+
+  test("pageRank path graph: hand-computed first iteration, symmetry, unit mass") {
+    // 1 - 2 - 3 (undirected): deg = (1, 2, 1), N = 3, r0 = 1/3.
+    // After one iteration: r(1) = r(3) = 0.05 + 0.85·(1/3)/2,
+    // r(2) = 0.05 + 0.85·(1/3 + 1/3).
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r1 = Graph.pageRank(e, iters = 1).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    assert(r1.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(r1.map(_._2).toSeq === Seq(1L, 2L, 1L))
+    assert(math.abs(r1(0)._3 - (0.05 + 0.85 * (1.0 / 3.0 / 2.0))) < 1e-12)
+    assert(math.abs(r1(1)._3 - (0.05 + 0.85 * (2.0 / 3.0))) < 1e-12)
+    assert(r1(0)._3 === r1(2)._3) // symmetric leaves stay equal
+    // three iterations: center keeps the most mass, total mass stays 1
+    val r3 = Graph.pageRank(e, iters = 3).as[(Long, Long, Double)].collect()
+    assert(r3.find(_._1 == 2L).get._3 > r3.find(_._1 == 1L).get._3)
+    assert(math.abs(r3.map(_._3).sum - 1.0) < 1e-9)
+  }
+
+  test("coShingleEdges: co-occurrence pairs only, stop-gram df cap excludes hot shingles") {
+    val docs = Seq(
+      (1L, "the common shingle here plus alpha beta gamma"),
+      (2L, "the common shingle here plus delta epsilon zeta"),
+      (3L, "the common shingle here plus eta theta iota"),
+      (4L, "rare pair content words only one"),
+      (5L, "rare pair content other tail words")).toDF("doc_id", "text")
+    // cap 2: every shingle of the 1/2/3 triple ("the common shingle",
+    // "common shingle here", "shingle here plus") has df = 3 > 2 and is
+    // dropped; docs 4/5 share "rare pair content" (df = 2) and survive.
+    val capped = Graph.coShingleEdges(docs, col("doc_id"), col("text"), n = 3,
+      maxShingleDf = 2L).as[(Long, Long)].collect().toSet
+    assert(capped === Set((4L, 5L), (5L, 4L)))
+    // cap lifted: the triple's pairs come back, symmetric
+    val full = Graph.coShingleEdges(docs, col("doc_id"), col("text"), n = 3,
+      maxShingleDf = 64L).as[(Long, Long)].collect().toSet
+    assert(full === Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L),
+      (3L, 2L), (4L, 5L), (5L, 4L)))
+  }
+
+  // ---- Sketches.hllDistinct ----
+
+  test("hllDistinct: exact baseline right, duplicate-insensitive, sane error") {
+    val els = (0 until 600).map(i => ("k", s"element_$i")).toDF("key", "el")
+    val one = Sketches.hllDistinct(els, col("key"), col("el"))
+      .as[(String, Long, Double, Double)].collect().head
+    assert(one._2 === 600L)
+    assert(one._4 < 0.5, s"raw HLL-64 estimate off by ${one._4} — hash suspect")
+    // HLL registers are max() folds: feeding every element 3x must not
+    // move the estimate by even an ulp
+    val tripled = els.unionAll(els).unionAll(els)
+    val three = Sketches.hllDistinct(tripled, col("key"), col("el"))
+      .as[(String, Long, Double, Double)].collect().head
+    assert(three._3 === one._3)
+  }
+
+  // ---- Dedup.boilerplateCoverage ----
+
+  test("boilerplateCoverage: df>=3 4-grams cut everywhere, islands merge, sub-n docs clamp") {
+    val docs = Seq(
+      (1L, "a b c d x"),            // "a b c d" df=3 -> covers 0..3
+      (2L, "a b c d y"),
+      (3L, "p q a b c d e r s t"),  // covers 2..5 inside a longer doc
+      (4L, "u v w z a a a a"),      // no boilerplate shingle
+      (5L, "tiny doc"),             // sub-n: whole text is the shingle, df=1
+      (6L, "a b c d a b c d x y")). // two overlapping occurrences -> ONE span 0..7
+      toDF("doc_id", "text")
+    val got = Dedup.boilerplateCoverage(docs, col("doc_id"), col("text"),
+      n = 4, minDf = 3L).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got(0) === ((1L, 5L, 4L, 1L, 1L, 0.8)))
+    assert(got(1) === ((2L, 5L, 4L, 1L, 1L, 0.8)))
+    assert(got(2) === ((3L, 10L, 4L, 1L, 6L, 0.4)))
+    assert(got(3) === ((4L, 8L, 0L, 0L, 8L, 0.0)))
+    assert(got(4) === ((5L, 2L, 0L, 0L, 2L, 0.0)))
+    // doc 6: "a b c d" at pos 0 and 4 cover [0,3] and [4,7] -> merged span
+    assert(got(5) === ((6L, 10L, 8L, 1L, 2L, 0.8)))
+  }
+
+  test("boilerplateCoverage: a boilerplate whole-text shingle clamps to doc length") {
+    val docs = Seq(
+      (1L, "ab cd"), (2L, "ab cd"), (3L, "ab cd"), // sub-n, df=3
+      (4L, "filler words beyond reach here")).toDF("doc_id", "text")
+    val got = Dedup.boilerplateCoverage(docs, col("doc_id"), col("text"),
+      n = 4, minDf = 3L).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // covered = [0, min(0+3, 1)] = both words; never past the doc end
+    assert(got(0) === ((1L, 2L, 2L, 1L, 0L, 1.0)))
+    assert(got(3)._3 === 0L)
+  }
+
+  // ---- Relevance.bm25TopK ----
+
+  test("bm25: rare term dominates, shorter doc wins at equal tf, ranks dense") {
+    val docs = Seq(
+      (1L, "rare alpha beta gamma"),                  // rare term, short doc
+      (2L, "common alpha beta gamma"),                // common term only
+      (3L, "common delta epsilon zeta eta theta"),    // common, longer
+      (4L, "common iota kappa"),                      // common, shortest
+      (5L, "alpha beta gamma delta")).toDF("doc_id", "text") // no hit
+    val got = Relevance.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("rare", "common"), k = 10)
+      .as[(Long, Long, Long, Double, Int)].collect()
+    assert(got.map(_._5).toSeq === (1 to got.length))  // dense ranks
+    assert(got.map(_._4).toSeq === got.map(_._4).sortBy(-_).toSeq)
+    assert(!got.exists(_._1 == 5L))                    // no-hit doc absent
+    // idf: 'rare' df=1 vs 'common' df=3 of N=5 -> doc 1 on top
+    assert(got.head._1 === 1L)
+    // among common-only docs at tf=1, shorter dl scores higher
+    val commons = got.filter(r => Set(2L, 3L, 4L)(r._1))
+    assert(commons.sortBy(_._5).map(_._1).toSeq === Seq(4L, 2L, 3L))
+  }
+}

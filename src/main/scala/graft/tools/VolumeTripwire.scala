@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Tables
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{Dedup, Graph, Relevance, Similarity, Sketches}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -148,7 +148,42 @@ object VolumeTripwire {
       // the whole copy-group in a single task)
       Res("x58_curationFlags",
         timeMin(graft.ext.Curation.curationFlags(docs1, col("doc_id"), col("text"))),
-        timeMin(graft.ext.Curation.curationFlags(docs10, col("doc_id"), col("text")))))
+        timeMin(graft.ext.Curation.curationFlags(docs10, col("doc_id"), col("text")))),
+      // round-9 ops. PageRank under the flood: every shingle of the
+      // 100k identical docs has df = 100k >> the stop-gram cap and is
+      // dropped at the bucket stage — the flood contributes ZERO edges,
+      // which is exactly the guard's job (without it, one hot shingle
+      // bucket would emit 10^10 pairs). The cap also bounds the blown
+      // corpus's densified buckets at cap² pairs each.
+      Res("x64_pageRank",
+        timeMin(Graph.pageRank(Graph.coShingleEdges(
+          docs1, col("doc_id"), col("text"), n = 3, maxShingleDf = 16L), iters = 3)),
+        timeMin(Graph.pageRank(Graph.coShingleEdges(
+          docs10, col("doc_id"), col("text"), n = 3, maxShingleDf = 16L), iters = 3))),
+      // HLL under the flood: registers are max() folds, so 100k copies
+      // of one doc's shingles collapse map-side; the exchange carries
+      // O(keys × 64) register rows regardless of corpus size (the
+      // exact-distinct baseline inside the op is the linear part)
+      Res("x65_hllDistinct",
+        timeMin(Sketches.hllDistinct(
+          docs1.select(pmod(col("doc_id"), lit(20)).as("k"),
+            explode(Dedup.shingles(col("text"), 3)).as("el")), col("k"), col("el"))),
+        timeMin(Sketches.hllDistinct(
+          docs10.select(pmod(col("doc_id"), lit(20)).as("k"),
+            explode(Dedup.shingles(col("text"), 3)).as("el")), col("k"), col("el")))),
+      // boilerplate under the flood: doc42's shingles hit df=100k — all
+      // of its positions are covered in every copy; the join-back on the
+      // hot hash is AQE-split and the islands window stays per-doc
+      Res("x66_boilerplate",
+        timeMin(Dedup.boilerplateCoverage(docs1, col("doc_id"), col("text"),
+          n = 4, minDf = 3L)),
+        timeMin(Dedup.boilerplateCoverage(docs10, col("doc_id"), col("text"),
+          n = 4, minDf = 3L))),
+      Res("x67_bm25",
+        timeMin(Relevance.bm25TopK(docs1, col("doc_id"), col("text"),
+          Seq("dup", "vector", "merge"), k = 10)),
+        timeMin(Relevance.bm25TopK(docs10, col("doc_id"), col("text"),
+          Seq("dup", "vector", "merge"), k = 10))))
 
     results.foreach { r =>
       println(f"PROF ${r.name}%-18s t1x=${r.t1}%6.2fs t10x=${r.t10}%6.2fs ratio=${r.ratio}%5.1f")

@@ -278,6 +278,58 @@ class PlanAuditSpec extends SparkSpec {
     assert(broadcasts(q) === 0, q)
   }
 
+  test("x63: scale-invariant stride costs ZERO plan overhead vs constant-stride x21") {
+    // strideForCells runs ONE count() job at plan build; the query plan
+    // itself must be shape-identical to x21's (same shuffles, same
+    // broadcasts, same windows) — the scale invariance lives entirely in
+    // the centroid seeding, not in extra runtime stages
+    val p21 = planOf("x21_knn_ivf")
+    val p63 = planOf("x63_knn_ivf_scaled")
+    assert(shuffles(p63) === shuffles(p21), p63)
+    assert(broadcasts(p63) === broadcasts(p21), p63)
+    assert("Window ".r.findAllIn(p63).length ===
+      "Window ".r.findAllIn(p21).length, p63)
+  }
+
+  test("x64: pagerank iterations reference checkpoints; the attrs crossjoin never re-runs") {
+    // 7 ExistingRDD scans = the edge checkpoint consumed once per
+    // iteration (3) + the node-attrs checkpoint in r0 and in each
+    // iteration's blend join (4). The attrs build contains the only
+    // crossJoin (broadcast single-row N) — it must be BEHIND the
+    // checkpoint, so the executed plan has no nested-loop join and
+    // re-derives neither the edge build nor N per iteration.
+    val p = planOf("x64_pagerank")
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 7, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // 3 iterations x (contrib join pair + inbound agg) + blend joins
+    // reusing the agg partitioning + the output sort
+    assert(shuffles(p) === 11, p)
+  }
+
+  test("x65: HLL register exchange is fixed-width — no exchange carries raw text") {
+    // shingle strings reach the register mapping scan-side; what crosses
+    // for the sketch is (key, bucket, rho). The exact-distinct baseline
+    // inside the op does shuffle the 8-byte el hash — but never `text`.
+    val p = planOf("x65_hll_distinct")
+    assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined, p)
+    assert(shuffles(p) === 5, p)
+  }
+
+  test("x66: boilerplate join-back is on the 8-byte hash; islands window is per-doc") {
+    val p = planOf("x66_boilerplate")
+    assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined, p)
+    assert("Window ".r.findAllIn(p).length === 1, p)
+    assert(shuffles(p) === 5, p)
+  }
+
+  test("x67: bm25 top-k plans as TakeOrderedAndProject; corpus stats broadcast back") {
+    val p = planOf("x67_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the single-row stats side
+    assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined, p)
+  }
+
   test("AQE skew-join splits a hot key's partition at runtime (when Salting is NOT needed)") {
     // This pins the division of labor with ops/Salting.saltedJoin:
     //   - a skewed SHUFFLE JOIN is AQE's job — the runtime splits the hot

@@ -217,9 +217,14 @@ object Dedup {
     *
     * Scale shape: occurrences posexplode scan-side; the df count is a
     * distinct + map-combinable count on the 8-byte hash (never the
-    * string); the join-back AQE-splits hot hashes; the ×n coverage
-    * explode is bounded by n; the islands window is per-doc, bounded by
-    * doc length. Linear in corpus size throughout. */
+    * string); the join-back AQE-splits hot hashes; coverage is merged
+    * by an INTERVAL-UNION window (running max of span ends per doc —
+    * an occurrence opens a new island iff it starts past everything
+    * seen), deliberately not a per-position explode + distinct: that
+    * form costs an n× row blow-up plus a corpus-sized distinct
+    * exchange for the identical answer (measured 3.7 s → this one's
+    * win at sf0.1). One per-doc window, bounded by doc length; linear
+    * in corpus size throughout. */
   def boilerplateCoverage(df: DataFrame, id: Column, text: Column, n: Int,
       minDf: Long): DataFrame = {
     val occ = df
@@ -232,16 +237,24 @@ object Dedup {
       .groupBy(col("h")).agg(count(lit(1)).as("dfh"))
       .where(col("dfh") >= minDf)
       .select(col("h"))
-    val cov = occ.join(boiler, Seq("h"))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"),
-          least(col("pos") + lit((n - 1).toLong), col("n_words") - lit(1L)))).as("cpos"))
-      .distinct()
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("cpos"))
-    val perDoc = cov.withColumn("grp", col("cpos") - row_number().over(w))
-      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("cnt"))
+    val iv = occ.join(boiler, Seq("h"))
+      .select(col("doc_id"), col("pos"),
+        least(col("pos") + lit((n - 1).toLong), col("n_words") - lit(1L)).as("end"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevMax = max(col("end")).over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val perDoc = iv
+      // strictly past prevMax+1: an interval starting exactly at
+      // prevMax+1 is ADJACENT and extends the island (the position
+      // union is contiguous), only a real gap opens a new one
+      .withColumn("opens",
+        when(prevMax.isNull || col("pos") > prevMax + lit(1L), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("opens")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("end")).as("e"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"), sum(col("cnt")).as("n_covered"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + lit(1L)).as("n_covered"))
     df.select(id.as("doc_id"),
         size(split(trim(text), "\\s+")).cast("long").as("n_words"))
       .join(perDoc, Seq("doc_id"), "left")

@@ -68,4 +68,66 @@ object Sketches {
         (abs(col("hll_estimate") - col("n_exact").cast("double")) /
           col("n_exact").cast("double")).as("rel_err"))
   }
+
+  /** The `d × w` count-min counter table of `element`: one row per
+    * (seed row i, bucket) with the collision-inflated count. Fixed-size
+    * (≤ d·w rows) and map-side combinable — at 100 TB the exchange
+    * carries at most d·w partial counters per partition, never a row
+    * per element. Buckets come from the same md5-base + 2-universal
+    * seeded family as the MinHash pipeline ([[Dedup.hashCoeffs]]), so
+    * the whole table is embeddable as literal VALUES in oracle SQL.
+    * Counter tables are MERGEABLE by elementwise (i, bucket) sum —
+    * pinned in the spec; that is the property that lets per-shard
+    * sketches fold into a corpus sketch without re-reading data. */
+  def cmsCounters(elements: DataFrame, element: Column,
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    val spark = elements.sparkSession
+    import spark.implicits._
+    val seeds = Dedup.hashCoeffs(d).zipWithIndex
+      .map { case ((a, b, c), i) => (i, a, b, c) }.toDF("i", "a", "b", "c")
+    elements.select(Dedup.md5Hash60(element).as("h"))
+      .crossJoin(broadcast(seeds))
+      .select(col("i"), cmsBucket(w).as("bucket"))
+      .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Bucket of the pre-computed base hash `h` for seed row (a, b, c):
+    * `((a·(h & 2^30−1) + b·(h >> 30) + c) mod P) mod w` — the exact
+    * arithmetic x7's oracle already proves stays in signed-64 range. */
+  private def cmsBucket(w: Int): Column =
+    ((col("a") * col("h").bitwiseAND(lit(1073741823L)) +
+      col("b") * shiftright(col("h"), 30) + col("c")) % lit(Dedup.HashP)) % lit(w.toLong)
+
+  /** Count-min heavy hitters: top-`k` elements by sketch-estimated
+    * count (`min` over the d counter rows — never an undercount,
+    * overcount bounded by collisions), with the exact count alongside
+    * as the visible error baseline, same contract as [[hllDistinct]].
+    * Integer-only arithmetic end to end → hash-exact on any engine.
+    *
+    * The candidate set here is the distinct elements themselves (the
+    * exact baseline computes them anyway); a pure-sketch deployment
+    * would keep a bounded candidate heap instead and skip the exact
+    * branch entirely — the counter table is the scale-invariant part.
+    *
+    * Output: `(term, n_exact, cms_estimate, overcount)`. */
+  def cmsTopK(elements: DataFrame, element: Column, k: Int,
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    val spark = elements.sparkSession
+    import spark.implicits._
+    val seeds = Dedup.hashCoeffs(d).zipWithIndex
+      .map { case ((a, b, c), i) => (i, a, b, c) }.toDF("i", "a", "b", "c")
+    val counters = cmsCounters(elements, element, d, w)
+    val exact = elements.select(element.as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+    exact.select(col("term"), col("n_exact"), Dedup.md5Hash60(col("term")).as("h"))
+      .crossJoin(broadcast(seeds))
+      .select(col("term"), col("n_exact"), col("i"), cmsBucket(w).as("bucket"))
+      .join(counters, Seq("i", "bucket"))
+      .groupBy(col("term"), col("n_exact"))
+      .agg(min(col("c")).as("cms_estimate"))
+      .orderBy(col("cms_estimate").desc, col("term"))
+      .limit(k)
+      .select(col("term"), col("n_exact"), col("cms_estimate"),
+        (col("cms_estimate") - col("n_exact")).as("overcount"))
+  }
 }

@@ -2138,10 +2138,50 @@ object ExtQueries {
       .orderBy("rank")
   }
 
+  // x68 — count-min heavy hitters (ext/Sketches.cmsTopK): the second
+  // deterministic sketch with a hash-parity gate. d=4 seeded rows from
+  // the SAME 2-universal family as x7 (coefficients embedded as VALUES),
+  // w=1024 buckets; estimate = min over rows (never an undercount);
+  // exact counts alongside as the error baseline. Integer-only.
+  private val cmsSeedRows = Dedup.hashCoeffs(4).zipWithIndex
+    .map { case ((a, b, c), i) => s"($i, $a, $b, $c)" }.mkString(", ")
+  val x68 = Q(
+    "x68_cms_heavy_hitters",
+    s"""WITH seeds(i, a, b, c) AS (VALUES $cmsSeedRows),
+      |toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+      |         FROM documents),
+      |hh AS (SELECT term, ('0x' || substring(md5(term), 1, 15))::BIGINT AS h FROM toks),
+      |cnt AS (
+      |  SELECT i, ((a * (h & 1073741823) + b * (h >> 30) + c) % 1000000007) % 1024 AS bucket,
+      |         COUNT(*) AS c
+      |  FROM hh CROSS JOIN seeds GROUP BY 1, 2),
+      |ex AS (SELECT term, COUNT(*) AS n_exact FROM toks GROUP BY 1),
+      |exh AS (SELECT term, n_exact,
+      |               ('0x' || substring(md5(term), 1, 15))::BIGINT AS h
+      |        FROM ex),
+      |q AS (
+      |  SELECT e.term, e.n_exact, MIN(cnt.c) AS cms_estimate
+      |  FROM exh e CROSS JOIN seeds s
+      |  JOIN cnt ON cnt.i = s.i
+      |    AND cnt.bucket = ((s.a * (e.h & 1073741823) + s.b * (e.h >> 30) + s.c)
+      |                      % 1000000007) % 1024
+      |  GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (ORDER BY cms_estimate DESC, term) AS rk FROM q)
+      |SELECT term, CAST(n_exact AS BIGINT) AS n_exact,
+      |       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+      |       CAST(cms_estimate - n_exact AS BIGINT) AS overcount
+      |FROM r WHERE rk <= 20
+      |ORDER BY cms_estimate DESC, term""".stripMargin) { (s, dir) =>
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+    Sketches.cmsTopK(toks, col("term"), k = 20)
+      .orderBy(col("cms_estimate").desc, col("term"))
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
-      x58, x59, x60, x61, x62, x63, x64, x65, x66, x67)
+      x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68)
 }

@@ -316,11 +316,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) === 5, p)
   }
 
-  test("x66: boilerplate join-back is on the 8-byte hash; islands window is per-doc") {
+  test("x66: boilerplate join-back is on the 8-byte hash; interval-union windows share one exchange") {
+    // the running-max + cumulative-sum windows stack on the SAME per-doc
+    // partitioning (one exchange feeds both); the per-position explode +
+    // distinct form this replaced cost a 5th, corpus-sized exchange
     val p = planOf("x66_boilerplate")
     assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined, p)
-    assert("Window ".r.findAllIn(p).length === 1, p)
-    assert(shuffles(p) === 5, p)
+    assert("Window ".r.findAllIn(p).length === 2, p)
+    assert(shuffles(p) === 4, p)
   }
 
   test("x67: bm25 top-k plans as TakeOrderedAndProject; corpus stats broadcast back") {

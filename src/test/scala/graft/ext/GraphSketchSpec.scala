@@ -64,6 +64,30 @@ class GraphSketchSpec extends graft.SparkSpec {
     assert(three._3 === one._3)
   }
 
+  // ---- Sketches.cmsCounters / cmsTopK ----
+
+  test("cmsTopK: estimate never undercounts, exact order preserved for clear hitters") {
+    val els = (Seq.fill(500)("hot") ++ Seq.fill(100)("warm") ++
+      (0 until 300).map(i => s"cold_$i")).toDF("el")
+    val got = Sketches.cmsTopK(els, col("el"), k = 3)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.head._1 === "hot" && got.head._2 === 500L)
+    assert(got(1)._1 === "warm" && got(1)._2 === 100L)
+    // min-over-rows can only overcount (collisions add, never subtract)
+    assert(got.forall(r => r._4 >= 0L && r._3 === r._2 + r._4))
+  }
+
+  test("cmsCounters: mergeable — counters(A ∪ B) = elementwise sum of the shard sketches") {
+    val a = (0 until 400).map(i => s"a_${i % 37}").toDF("el")
+    val b = (0 until 300).map(i => s"b_${i % 23}").toDF("el")
+    val merged = Sketches.cmsCounters(a.unionAll(b), col("el"))
+      .as[(Int, Long, Long)].collect().map(t => ((t._1, t._2), t._3)).toMap
+    val summed = (Sketches.cmsCounters(a, col("el")).as[(Int, Long, Long)].collect() ++
+      Sketches.cmsCounters(b, col("el")).as[(Int, Long, Long)].collect())
+      .groupBy(t => (t._1, t._2)).map { case (k2, v) => (k2, v.map(_._3).sum) }
+    assert(merged === summed)
+  }
+
   // ---- Dedup.boilerplateCoverage ----
 
   test("boilerplateCoverage: df>=3 4-grams cut everywhere, islands merge, sub-n docs clamp") {

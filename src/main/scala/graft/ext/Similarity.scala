@@ -28,6 +28,45 @@ object Similarity {
     df.select(id.as("vec_id"), emb.cast("array<double>").as("emb"))
       .withColumn("norm", l2Norm(col("emb")))
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions
+    * with deterministic ±1 Achlioptas signs — the dimensionality-
+    * reduction scale path for the ANN family (project once scan-side,
+    * then index the short vectors; 32→8 dims is 4× less shuffle weight
+    * and ADC/centroid arithmetic for a distance distortion JL bounds).
+    *
+    * sign(j, i) = 1 − 2·(((536870923·(j·33 + i) + 337) mod P) mod 2) —
+    * pure integer arithmetic, so the oracle reproduces the matrix
+    * exactly (the multiplier is ~P/2 so the product WRAPS mod P even at
+    * index 1 and the parity mixes; a small multiplier never wraps and
+    * its parity would just alternate with the index);
+    * y_j = round(Σ_i sign·x_i / √outDim, 6) with a STRICTLY sequential
+    * left-to-right accumulation (`aggregate` here, `list_reduce` in
+    * SQL — same IEEE add order, so parity holds even before the
+    * 6-dp round). Zero-norm vectors are excluded (no direction to
+    * preserve; ANSI-safe, same rule as the kNN family).
+    *
+    * 100 TB posture: a single scan-side projection — zero shuffles,
+    * zero broadcasts; the output explode is bounded by `outDim`.
+    * Output: `(vec_id, pos, component, norm_ratio)` where norm_ratio =
+    * round(‖y‖²/‖x‖², 6) makes the JL distortion visible per vector. */
+  def randomProject(embs: DataFrame, outDim: Int): DataFrame = {
+    val inDim = 32 // the embeddings table's fixed width (TESTDATA.md)
+    val proj = embs.where(col("norm") > 0.0)
+      .select(col("vec_id"), col("emb"),
+        expr(s"""transform(sequence(0, ${outDim - 1}), j ->
+          round(aggregate(sequence(1, $inDim), 0.0D,
+            (acc, i) -> acc + (1 - 2 * (((CAST(536870923 AS BIGINT) * (j * 33 + i) + 337)
+                % ${Dedup.HashP}) % 2))
+              * element_at(emb, i)) / sqrt(${outDim}.0D), 6))""").as("proj"))
+    proj
+      .withColumn("norm_ratio", expr(
+        """round(aggregate(proj, 0.0D, (acc, y) -> acc + y * y) /
+             aggregate(emb, 0.0D, (acc, v) -> acc + v * v), 6)"""))
+      .select(col("vec_id"), col("norm_ratio"), posexplode(col("proj")))
+      .select(col("vec_id"), col("pos").cast("int").as("pos"),
+        col("col").as("component"), col("norm_ratio"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector (queries are
     * broadcast; ranking on the 6-dp-rounded similarity with id tiebreak
     * for determinism). */

@@ -2178,10 +2178,42 @@ object ExtQueries {
       .orderBy(col("cms_estimate").desc, col("term"))
   }
 
+  // x69 — Johnson–Lindenstrauss random projection 32→8 dims
+  // (Similarity.randomProject): deterministic ±1 Achlioptas signs from
+  // integer arithmetic (matrix reproduced exactly in SQL), strictly
+  // sequential left-to-right accumulation on both engines, zero
+  // shuffles — the ANN family's dimensionality-reduction scale path.
+  // norm_ratio makes the JL distortion visible per vector.
+  val x69 = Q(
+    "x69_random_projection",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |nz AS (SELECT vec_id, emb FROM e WHERE list_dot_product(emb, emb) > 0),
+      |pr AS (
+      |  SELECT vec_id, emb,
+      |         list_transform(range(0, 8), j ->
+      |           round(list_reduce(list_transform(range(1, 33),
+      |             i -> (1 - 2 * (((536870923::BIGINT * (j * 33 + i) + 337)
+      |                   % 1000000007) % 2)) * emb[i]),
+      |             (acc, v) -> acc + v) / sqrt(8.0), 6)) AS proj
+      |  FROM nz),
+      |wr AS (
+      |  SELECT vec_id, proj,
+      |         round(list_reduce(list_transform(proj, y -> y * y), (a, b) -> a + b) /
+      |               list_reduce(list_transform(emb, v -> v * v), (a, b) -> a + b), 6) AS norm_ratio
+      |  FROM pr),
+      |u AS (SELECT vec_id, norm_ratio, unnest(proj) AS component,
+      |             generate_subscripts(proj, 1) - 1 AS pos
+      |      FROM wr)
+      |SELECT vec_id, CAST(pos AS INT) AS pos, component, norm_ratio
+      |FROM u ORDER BY vec_id, pos""".stripMargin) { (s, dir) =>
+    Similarity.randomProject(normalizedEmb(s, dir), outDim = 8)
+      .orderBy("vec_id", "pos")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
-      x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68)
+      x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69)
 }

@@ -183,7 +183,20 @@ object VolumeTripwire {
         timeMin(Relevance.bm25TopK(docs1, col("doc_id"), col("text"),
           Seq("dup", "vector", "merge"), k = 10)),
         timeMin(Relevance.bm25TopK(docs10, col("doc_id"), col("text"),
-          Seq("dup", "vector", "merge"), k = 10))))
+          Seq("dup", "vector", "merge"), k = 10))),
+      // CMS under the flood: the 100k copies of one doc pile their
+      // tokens into d fixed counters — map-side combine absorbs them;
+      // the counter table stays d×w rows at any corpus size
+      Res("x68_cmsTopK",
+        timeMin(Sketches.cmsTopK(
+          docs1.select(explode(split(trim(col("text")), "\\s+")).as("term")),
+          col("term"), k = 20)),
+        timeMin(Sketches.cmsTopK(
+          docs10.select(explode(split(trim(col("text")), "\\s+")).as("term")),
+          col("term"), k = 20))),
+      Res("x69_randomProject",
+        timeMin(Similarity.randomProject(embs1, outDim = 8)),
+        timeMin(Similarity.randomProject(embs10, outDim = 8))))
 
     results.foreach { r =>
       println(f"PROF ${r.name}%-18s t1x=${r.t1}%6.2fs t10x=${r.t10}%6.2fs ratio=${r.ratio}%5.1f")

@@ -333,6 +333,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined, p)
   }
 
+  test("x69: random projection is one scan-side transform — only the output sort shuffles") {
+    val p = planOf("x69_random_projection")
+    assert(shuffles(p) === 1, p)
+    assert(broadcasts(p) === 0, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("AQE skew-join splits a hot key's partition at runtime (when Salting is NOT needed)") {
     // This pins the division of labor with ops/Salting.saltedJoin:
     //   - a skewed SHUFFLE JOIN is AQE's job — the runtime splits the hot

@@ -123,6 +123,28 @@ class GraphSketchSpec extends graft.SparkSpec {
     assert(got(3)._3 === 0L)
   }
 
+  // ---- Similarity.randomProject ----
+
+  test("randomProject: JL distortion bounded in the mean, zero-norm excluded, 8 components") {
+    val rnd = new scala.util.Random(7)
+    val embs = Similarity.withNorm(
+      ((0 until 200).map(i => (i.toLong, Seq.fill(32)(rnd.nextGaussian()))) :+
+        (999L, Seq.fill(32)(0.0))).toDF("vec_id", "emb"),
+      col("vec_id"), col("emb"))
+    val got = Similarity.randomProject(embs, outDim = 8)
+      .as[(Long, Int, Double, Double)].collect()
+    assert(!got.exists(_._1 == 999L))               // zero-norm vector dropped
+    assert(got.length === 200 * 8)
+    val ratios = got.groupBy(_._1).map(_._2.head._4)
+    // E[norm_ratio] = 1 for JL; mean over 200 gaussian vectors lands
+    // well inside [0.8, 1.2] (per-vector spread is chi²_8/8-wide)
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"mean ratio $mean")
+    // the sign matrix must mix: a degenerate all-alternating or
+    // constant-sign matrix would push most mass to one component family
+    assert(ratios.count(r => r > 0.2) > 150)
+  }
+
   // ---- Relevance.bm25TopK ----
 
   test("bm25: rare term dominates, shorter doc wins at equal tf, ranks dense") {

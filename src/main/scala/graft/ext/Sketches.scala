@@ -47,26 +47,44 @@ object Sketches {
     */
   def hllDistinct(elements: DataFrame, key: Column, element: Column): DataFrame = {
     val base = elements.select(key.as("key"), element.as("el"))
+    val exact = base.groupBy(col("key")).agg(count_distinct(col("el")).as("n_exact"))
+    exact.join(hllEstimate(hllRegisters(elements, key, element)), Seq("key"))
+      .select(col("key"), col("n_exact"), col("hll_estimate"),
+        (abs(col("hll_estimate") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double")).as("rel_err"))
+  }
+
+  /** The m=64 register table of `element` per `key`: `(key, bucket,
+    * mj)`. `max(rho)` is monotone and map-side combinable — which also
+    * makes this frame a VALID STRUCTURED-STREAMING aggregation (update /
+    * complete mode): the sketch maintains itself incrementally with at
+    * most 64 state rows per key, no reprocessing, and the streamed state
+    * is bit-identical to the batch sketch over the union of batches
+    * (pinned in StreamingSketchSpec). That is the 100 TB ingest shape:
+    * registers fold at the edge, estimates read off the tiny state. */
+  def hllRegisters(elements: DataFrame, key: Column, element: Column): DataFrame = {
+    val base = elements.select(key.as("key"), element.as("el"))
     val h = Dedup.md5Hash60(col("el"))
     val fields = base.select(col("key"),
       h.bitwiseAND(lit(63L)).as("bucket"),
       shiftright(h, 6).as("w"))
-    val rho = fields.select(col("key"), col("bucket"),
-      when(col("w") === 0L, lit(55)).otherwise(lit(55) - length(bin(col("w")))).as("rho"))
-    val regs = rho.groupBy(col("key"), col("bucket")).agg(max(col("rho")).as("mj"))
+    fields.select(col("key"), col("bucket"),
+        when(col("w") === 0L, lit(55)).otherwise(lit(55) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("key"), col("bucket")).agg(max(col("rho")).as("mj"))
+  }
+
+  /** Raw estimate from a register table — batch-built, stream-collected,
+    * or merged (elementwise max) across shards; `(key, hll_estimate)`. */
+  def hllEstimate(regs: DataFrame): DataFrame = {
     val folded = regs.groupBy(col("key"))
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mj AS INT))")).as("present_sum"),
         count(lit(1)).as("n_present"))
-    val denom = folded.select(col("key"),
-      (col("present_sum") + (lit(64L) - col("n_present")) * lit(1L << 55)).as("denom"))
-    val exact = base.groupBy(col("key")).agg(count_distinct(col("el")).as("n_exact"))
-    val est = denom.withColumn("hll_estimate",
-      lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0)) * lit(4096.0) *
-        lit((1L << 55).toDouble) / col("denom").cast("double"))
-    exact.join(est, Seq("key"))
-      .select(col("key"), col("n_exact"), col("hll_estimate"),
-        (abs(col("hll_estimate") - col("n_exact").cast("double")) /
-          col("n_exact").cast("double")).as("rel_err"))
+    folded.select(col("key"),
+        (col("present_sum") + (lit(64L) - col("n_present")) * lit(1L << 55)).as("denom"))
+      .withColumn("hll_estimate",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0)) * lit(4096.0) *
+          lit((1L << 55).toDouble) / col("denom").cast("double"))
+      .select(col("key"), col("hll_estimate"))
   }
 
   /** The `d × w` count-min counter table of `element`: one row per

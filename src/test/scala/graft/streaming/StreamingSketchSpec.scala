@@ -1,0 +1,42 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.Sketches
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Pins the sketch/streaming composition: HLL registers are a monotone
+  * max-aggregate, so the BATCH sketch pipeline runs unchanged as a
+  * structured stream — the state is the 64-row register table per key,
+  * arriving batches fold into it, and nothing is ever reprocessed. */
+class StreamingSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed HLL register state == batch sketch over the union; estimates identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = Sketches.hllRegisters(mem.toDS().toDF("key", "el"), col("key"), col("el"))
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    val batch1 = (0 until 300).map(i => ("a", s"e$i"))
+    // overlapping re-delivery (200-299 again) + a second key: max-fold
+    // must absorb duplicates exactly like the batch pipeline
+    val batch2 = (200 until 500).map(i => ("a", s"e$i")) ++
+      (0 until 100).map(i => ("b", s"e$i"))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_regs")
+      .as[(String, Long, Int)].collect().toSet
+    val batchRegs = Sketches.hllRegisters(
+      (batch1 ++ batch2).toDF("key", "el"), col("key"), col("el"))
+    assert(streamed === batchRegs.as[(String, Long, Int)].collect().toSet)
+    val streamedEst = Sketches.hllEstimate(spark.table("hll_regs"))
+      .as[(String, Double)].collect().toMap
+    val batchEst = Sketches.hllEstimate(batchRegs)
+      .as[(String, Double)].collect().toMap
+    assert(streamedEst === batchEst)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-vocabulary induction: byte-pair encoding (Sennrich et al.
+  * 2016) as a DataFrame pipeline — the LLM-pipeline step that turns a
+  * corpus into a merge table. Each round counts adjacent symbol pairs
+  * corpus-wide (frequency-weighted, every adjacent position like the
+  * reference implementation's get_stats), picks the argmax pair under a
+  * total order (count desc, pair asc — deterministic), and merges its
+  * non-overlapping occurrences greedily left-to-right in every word.
+  *
+  * The greedy overlap rule is set-based, not iterative: within a RUN of
+  * consecutive candidate positions (only possible for self-pairs like
+  * 'a a' in "aaaa"), left-to-right merging keeps exactly the
+  * even-offset candidates — an islands window computes that directly.
+  *
+  * Exactness: symbols are strings, counts are integers, ranks are
+  * windows — every step is engine-exact, so a 3-round unrolled oracle
+  * reproduces the output hash-identically.
+  *
+  * 100 TB posture: state is the (word, freq) VOCABULARY (distinct
+  * words pre-aggregated with counts — at web scale millions of rows,
+  * not the corpus), symbol rows explode it ~5×; per round: one short
+  * per-word window pass, one map-combinable pair count, ONE argmax row
+  * to the driver (the same plan-build lookup discipline as
+  * strideForCells), and a per-round localCheckpoint so round k+1 plans
+  * over materialized symbols instead of k stacked window passes. */
+object Vocab {
+
+  /** `rounds` BPE merges over the (word, freq) vocabulary; returns the
+    * final symbol rows `(word, freq, pos, sym)`, pos dense from 0. */
+  def bpeRounds(words: DataFrame, rounds: Int): DataFrame = {
+    var syms = words
+      .select(col("word"), col("freq"), posexplode(split(col("word"), "")))
+      .select(col("word"), col("freq"), col("pos").cast("long").as("pos"),
+        col("col").as("sym"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) syms = mergeRound(syms).localCheckpoint(false)
+    syms
+  }
+
+  private def mergeRound(syms: DataFrame): DataFrame = {
+    val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(byWord))
+    val counts = withNext.where(col("nxt").isNotNull)
+      .groupBy(concat(col("sym"), lit(" "), col("nxt")).as("pair"))
+      .agg(sum(col("freq")).as("cnt"))
+    // one argmax row to the driver — the merge decision is global by
+    // definition; everything downstream stays distributed
+    val bestRow = counts.orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+    if (bestRow.isEmpty) return syms
+    val best = bestRow.head.getString(0)
+    val cand = withNext.withColumn("isc",
+      concat(col("sym"), lit(" "), col("nxt")) === lit(best))
+    val heads = cand.where(col("isc"))
+      .withColumn("grp", col("pos") - row_number().over(byWord))
+      .withColumn("off",
+        col("pos") - min(col("pos")).over(Window.partitionBy(col("word"), col("grp"))))
+      .where(col("off") % 2 === 0)
+      .select(col("word"), col("pos"))
+    val consumed = heads.select(col("word"), (col("pos") + 1L).as("pos"))
+    cand
+      .join(heads.withColumn("is_head", lit(1)), Seq("word", "pos"), "left")
+      .join(consumed.withColumn("is_consumed", lit(1)), Seq("word", "pos"), "left")
+      .where(col("is_consumed").isNull)
+      .select(col("word"), col("freq"), col("pos"),
+        when(col("is_head") === 1, concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym"))
+      .withColumn("pos2", (row_number().over(byWord) - 1).cast("long"))
+      .select(col("word"), col("freq"), col("pos2").as("pos"), col("sym"))
+  }
+}

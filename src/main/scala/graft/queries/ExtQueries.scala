@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Graph, Multimodal, Relevance, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Dedup, Graph, Multimodal, Relevance, Sampling, Similarity, Sketches, TextAnalysis, Vocab}
 import graft.functions.PolyHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -2210,10 +2210,62 @@ object ExtQueries {
       .orderBy("vec_id", "pos")
   }
 
+  // x70 — BPE vocabulary induction (ext/Vocab): 3 merge rounds over the
+  // corpus vocabulary, tokenizer-training as a DataFrame pipeline. The
+  // oracle unrolls the identical rounds (same pair order, same greedy
+  // even-offset overlap rule) — an iterative string algorithm with a
+  // hash-parity gate. One CTE block per round, generated to stay
+  // byte-consistent across rounds.
+  private def bpeRoundSql(r: Int): String =
+    s"""p$r AS (SELECT word, freq, pos, sym,
+      |        lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s$r),
+      |c$r AS (SELECT sym || ' ' || nxt AS pair, SUM(freq) AS cnt
+      |       FROM p$r WHERE nxt IS NOT NULL GROUP BY 1),
+      |b$r AS (SELECT pair FROM c$r ORDER BY cnt DESC, pair LIMIT 1),
+      |cand$r AS (SELECT word, freq, pos, sym, nxt,
+      |                 CASE WHEN sym || ' ' || nxt = (SELECT pair FROM b$r)
+      |                      THEN 1 ELSE 0 END AS isc
+      |          FROM p$r),
+      |runs$r AS (SELECT word, pos,
+      |                 pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+      |          FROM cand$r WHERE isc = 1),
+      |heads$r AS (SELECT word, pos FROM (
+      |             SELECT word, pos, pos - MIN(pos) OVER (PARTITION BY word, grp) AS off
+      |             FROM runs$r)
+      |           WHERE off % 2 = 0),
+      |m$r AS (SELECT c.word, c.freq, c.pos,
+      |              CASE WHEN h.pos IS NOT NULL THEN c.sym || c.nxt ELSE c.sym END AS sym
+      |       FROM cand$r c
+      |       LEFT JOIN heads$r h ON h.word = c.word AND h.pos = c.pos
+      |       LEFT JOIN heads$r x ON x.word = c.word AND x.pos + 1 = c.pos
+      |       WHERE x.pos IS NULL),
+      |s${r + 1} AS (SELECT word, freq,
+      |            ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos, sym
+      |            FROM m$r)""".stripMargin
+  val x70 = Q(
+    "x70_bpe_vocab",
+    s"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      |              FROM documents),
+      |w AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY 1),
+      |s1 AS (SELECT word, freq,
+      |              generate_subscripts(string_split(word, ''), 1) - 1 AS pos,
+      |              unnest(string_split(word, '')) AS sym
+      |       FROM w),
+      |${bpeRoundSql(1)},
+      |${bpeRoundSql(2)},
+      |${bpeRoundSql(3)}
+      |SELECT word, freq, pos, sym FROM s4
+      |ORDER BY word, pos""".stripMargin) { (s, dir) =>
+    val words = Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    Vocab.bpeRounds(words, rounds = 3).orderBy("word", "pos")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
-      x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69)
+      x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70)
 }

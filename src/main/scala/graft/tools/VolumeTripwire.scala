@@ -196,7 +196,20 @@ object VolumeTripwire {
           col("term"), k = 20))),
       Res("x69_randomProject",
         timeMin(Similarity.randomProject(embs1, outDim = 8)),
-        timeMin(Similarity.randomProject(embs10, outDim = 8))))
+        timeMin(Similarity.randomProject(embs10, outDim = 8))),
+      // BPE rounds work on the VOCABULARY (distinct words + counts) —
+      // a 10× corpus with the same vocabulary only inflates the count
+      // aggregation; the per-round merge passes are vocabulary-sized
+      // and must not notice the corpus growth at all
+      Res("x70_bpeRounds", {
+        val w1 = docs1.select(explode(split(trim(col("text")), "\\s+")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        timeMin(graft.ext.Vocab.bpeRounds(w1, rounds = 3))
+      }, {
+        val w10 = docs10.select(explode(split(trim(col("text")), "\\s+")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        timeMin(graft.ext.Vocab.bpeRounds(w10, rounds = 3))
+      }))
 
     results.foreach { r =>
       println(f"PROF ${r.name}%-18s t1x=${r.t1}%6.2fs t10x=${r.t10}%6.2fs ratio=${r.ratio}%5.1f")

@@ -233,6 +233,9 @@ object Dedup {
         posexplode(graft.functions.WordShingles.word_shingles_pos(text, n)))
       .select(col("doc_id"), col("n_words"), col("pos").cast("long").as("pos"),
         md5Hash60(col("col")).as("h"))
+      // consumed twice (df count + join-back): materialize the slim
+      // (id, nw, pos, hash) rows once instead of re-hashing the corpus
+      .localCheckpoint(false)
     val boiler = occ.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("dfh"))
       .where(col("dfh") >= minDf)

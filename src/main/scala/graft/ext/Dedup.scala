@@ -269,6 +269,29 @@ object Dedup {
           col("n_words").cast("double")).as("frac_removed"))
   }
 
+  /** Per-document novelty: the fraction of a doc's DISTINCT word
+    * n-gram shingles whose corpus-wide first occurrence (min doc_id —
+    * ingestion order as novelty order) is this document. The curation
+    * signal behind "new information" weighting: near-copies of earlier
+    * docs score ~0, fresh content ~1 — the rank-free complement of
+    * [[duplicateSpans]] (which locates the copied passages; this prices
+    * the doc). Shares its scale shape: one map-combinable `min` per
+    * shingle hash, join back on the 8-byte hash (AQE-split), per-doc
+    * counts. Output: `(doc_id, n_shingles, n_novel, novelty_ratio)`
+    * with the ratio a single integer-ratio IEEE division. */
+  def noveltyScores(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val sh = df.select(id.as("doc_id"), explode(shingles(text, n)).as("sh"))
+      .select(col("doc_id"), md5Hash60(col("sh")).as("h"))
+    val firsts = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firsts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("doc_id") === col("first_doc")).cast("long")).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty_ratio"))
+  }
+
   /** Exact pairwise n-gram Jaccard via an inverted shingle index:
     * explode distinct shingles, self-join on the shingle to count common
     * shingles per pair, then `jaccard = common / (|a| + |b| - common)`.

@@ -2262,10 +2262,38 @@ object ExtQueries {
     Vocab.bpeRounds(words, rounds = 3).orderBy("word", "pos")
   }
 
+  // x71 — per-doc novelty pricing (Dedup.noveltyScores): fraction of a
+  // doc's distinct 3-gram shingles first seen in THIS doc (min doc_id =
+  // ingestion order). Copies of earlier docs score ~0, fresh content ~1.
+  val x71 = Q(
+    "x71_novelty",
+    """WITH t AS (
+      |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE [tt] END AS sh
+      |  FROM t),
+      |u AS (SELECT doc_id, unnest(sh) AS sh1 FROM s),
+      |hh AS (SELECT doc_id, ('0x' || substring(md5(sh1), 1, 15))::BIGINT AS h FROM u),
+      |f AS (SELECT h, MIN(doc_id) AS first_doc FROM hh GROUP BY h),
+      |j AS (SELECT hh.doc_id, CAST(hh.doc_id = f.first_doc AS BIGINT) AS novel
+      |      FROM hh JOIN f USING (h))
+      |SELECT doc_id, COUNT(*) AS n_shingles, CAST(SUM(novel) AS BIGINT) AS n_novel,
+      |       CAST(SUM(novel) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+      |FROM j GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.noveltyScores(Tables.documents(s, dir), col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
-      x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70)
+      x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71)
 }

@@ -123,6 +123,22 @@ class GraphSketchSpec extends graft.SparkSpec {
     assert(got(3)._3 === 0L)
   }
 
+  // ---- Dedup.noveltyScores ----
+
+  test("noveltyScores: first copy prices 1.0, re-copy 0.0, mixed doc in between") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // all shingles first here
+      (2L, "alpha beta gamma delta epsilon"),   // exact copy -> 0 novel
+      (3L, "alpha beta gamma zeta eta theta"))  // shares 1 of its shingles
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyScores(docs, col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(got(0) === ((1L, 3L, 3L, 1.0)))
+    assert(got(1) === ((2L, 3L, 0L, 0.0)))
+    // doc 3: shingles "alpha beta gamma" (seen in doc 1), +3 fresh
+    assert(got(2) === ((3L, 4L, 3L, 0.75)))
+  }
+
   // ---- Similarity.randomProject ----
 
   test("randomProject: JL distortion bounded in the mean, zero-norm excluded, 8 components") {

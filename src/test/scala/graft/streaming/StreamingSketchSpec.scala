@@ -39,4 +39,24 @@ class StreamingSketchSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(streamedEst === batchEst)
   }
+
+  test("streamed CMS counters (a sum-aggregate) == batch counters over the union") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = Sketches.cmsCounters(mem.toDS().toDF("el"), col("el"))
+      .writeStream.format("memory").queryName("cms_counters")
+      .outputMode("complete").start()
+    val batch1 = (0 until 400).map(i => s"t${i % 50}")
+    val batch2 = (0 until 250).map(i => s"t${i % 31}")
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_counters")
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = Sketches.cmsCounters((batch1 ++ batch2).toDF("el"), col("el"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
 }

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic sampling for training-data pipelines.
   *
@@ -107,6 +108,39 @@ object Sampling {
     d.join(broadcast(rates), Seq("source"))
       .withColumn("keep_flag", (hashBucket(col("doc_id")) < col("rate10k")).cast("int"))
       .select("doc_id", "source", "n_tokens", "rate10k", "keep_flag")
+  }
+
+  /** Temperature-scaled mixture weights (α-sampling as in multilingual
+    * pretraining): weight_s ∝ n_s^α with α = 0.5, flattening the source
+    * distribution between proportional (α=1) and uniform (α→0) — the
+    * knob that stops a dominant source from drowning the tail, computed
+    * FROM the data (where [[tokenBudgetMix]] consumes given weights).
+    *
+    * α is pinned to 0.5 because `sqrt` is the one power IEEE 754
+    * requires correctly rounded — `pow(x, α)` for general α carries no
+    * such guarantee and would tie the oracle to one libm's last ulp.
+    * The weight normalization sums the 8-dp-rounded √n values through
+    * an exact DECIMAL(28,8) accumulator (order-free; exact-conversion
+    * envelope holds to ~2^53/1e8 ≈ 9e7 per-source √tokens ≈ 8e15 tokens
+    * per source — beyond any real corpus).
+    *
+    * 100 TB posture: token counts scan-side, one map-combinable agg to
+    * a source-cardinality frame, the normalizer a broadcast single row.
+    * Output: `(source, n_tokens, w_alpha, weight, target_tokens)`. */
+  def temperatureWeights(docs: DataFrame, id: Column, source: Column,
+      text: Column, budgetTokens: Long): DataFrame = {
+    val d = docs.select(id.as("doc_id"), source.as("source"),
+      TextAnalysis.wsTokenCount(text).cast("long").as("n_tokens"))
+    val per = d.groupBy("source").agg(sum(col("n_tokens")).as("tok"))
+    val withW = per.withColumn("w_alpha", round(sqrt(col("tok").cast("double")), 8))
+    val tot = withW.agg(
+      sum(col("w_alpha").cast(DecimalType(28, 8))).cast("double").as("wsum"))
+    withW.crossJoin(broadcast(tot))
+      .withColumn("weight", round(col("w_alpha") / col("wsum"), 8))
+      .withColumn("target_tokens",
+        floor(col("weight") * lit(budgetTokens.toDouble)).cast("long"))
+      .select(col("source"), col("tok").as("n_tokens"), col("w_alpha"),
+        col("weight"), col("target_tokens"))
   }
 
   /** Deterministic fixed-BUDGET sampling: keep at most `n` rows per

@@ -2290,10 +2290,35 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x72 — temperature mixture weights (Sampling.temperatureWeights):
+  // α=0.5 source flattening computed FROM the data (x59 consumes given
+  // weights); sqrt because IEEE requires it correctly rounded where
+  // pow(x, α) is not. Budget 1M tokens.
+  val x72 = Q(
+    "x72_temperature_mix",
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |per AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tok FROM d GROUP BY source),
+      |w AS (SELECT source, tok, round(sqrt(CAST(tok AS DOUBLE)), 8) AS w_alpha FROM per),
+      |t AS (SELECT CAST(SUM(CAST(w_alpha AS DECIMAL(28, 8))) AS DOUBLE) AS wsum FROM w)
+      |SELECT source, tok AS n_tokens, w_alpha,
+      |       round(w_alpha / wsum, 8) AS weight,
+      |       CAST(floor(round(w_alpha / wsum, 8) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+      |         AS target_tokens
+      |FROM w CROSS JOIN t
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    Sampling.temperatureWeights(Tables.documents(s, dir),
+      col("doc_id"), col("source"), col("text"), budgetTokens = 1000000L)
+      .orderBy("source")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
-      x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71)
+      x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72)
 }

@@ -819,3 +819,28 @@ class ClassOutliersSpec extends graft.SparkSpec {
     assert(out(0) === 3L)               // the flipped vector
   }
 }
+
+class TemperatureWeightsSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ext.Sampling
+
+  test("alpha=0.5 flattens between proportional and uniform; weights sum to ~1") {
+    // 'big' has 16x the tokens of 'small' -> proportional share 16/17,
+    // uniform 1/2; sqrt-temperature lands at 4/5
+    val docs = (Seq.fill(16)(("big", "w w w w")) :+ ("small", "w w w w"))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.temperatureWeights(docs, col("doc_id"), col("source"),
+      col("text"), budgetTokens = 1000L)
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("big")._2 === 64L && got("small")._2 === 4L)
+    assert(math.abs(got("big")._4 - 0.8) < 1e-8)       // sqrt(64)/(8+2)
+    assert(math.abs(got("small")._4 - 0.2) < 1e-8)
+    val propBig = 64.0 / 68.0
+    assert(got("big")._4 < propBig && got("big")._4 > 0.5) // between the regimes
+    assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-6)
+    assert(got.values.map(_._5).sum <= 1000L)          // floor never overspends
+  }
+}

@@ -52,6 +52,46 @@ object Graph {
       .unionAll(pairs.select(col("d").as("src"), col("s").as("dst")))
   }
 
+  /** Per-node triangle counts and local clustering coefficient on a
+    * symmetric edge list — the redundancy-structure probe for the
+    * co-shingle graph (a tight cluster of mutually-overlapping docs is
+    * one boilerplate family; a hub with no triangles is a template
+    * touching many unrelated docs).
+    *
+    * Exact distributed counting in the canonical a<b<c wedge form: join
+    * ordered edges (a<b) with (b<c) to enumerate each wedge once, then
+    * semi-join the closing edge (a<c) — every triangle found exactly
+    * once, never a cross join. Per-node count = triangles touching the
+    * node (via the 3-role union); coefficient = 2T / (deg·(deg−1)),
+    * one integer-ratio IEEE division (degree-1 nodes: 0 by definition,
+    * ANSI-safe).
+    *
+    * 100 TB posture: wedge volume is Σ deg²/2 — the real cost of exact
+    * triangle counting anywhere; the stop-gram df cap upstream
+    * ([[coShingleEdges]]) is what bounds degrees. Joins are hash
+    * equi-joins on node ids (8 bytes); nothing touches text.
+    * Output: `(doc_id, degree, n_triangles, clustering)`. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val ord = e.where(col("src") < col("dst"))
+    val wedges = ord.as("ab")
+      .join(ord.as("bc"), col("ab.dst") === col("bc.src"))
+      .select(col("ab.src").as("a"), col("ab.dst").as("b"), col("bc.dst").as("c"))
+    val tris = wedges.join(ord.as("ac"),
+      col("a") === col("ac.src") && col("c") === col("ac.dst"), "left_semi")
+    val perNode = tris.select(col("a").as("node"))
+      .unionAll(tris.select(col("b").as("node")))
+      .unionAll(tris.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    deg.join(perNode, col("src") === col("node"), "left")
+      .select(col("src").as("doc_id"), col("deg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") < 2, lit(0.0)).otherwise(
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double") /
+            (col("deg") * (col("deg") - lit(1L))).cast("double")).as("clustering"))
+  }
+
   /** Fixed-iteration PageRank on a symmetric edge list.
     *
     * r_0 = 1/N; r_{k+1}(v) = (1−d)/N + d · Σ_{u→v} r_k(u)/deg(u).

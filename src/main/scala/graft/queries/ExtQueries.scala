@@ -1956,9 +1956,9 @@ object ExtQueries {
   // at corpus scale; the oracle carries the identical cap. Bounded
   // subset doc_id<1500 like x6 (the graph build is the same inverted-
   // index primitive; PageRank itself is linear in edges).
-  val x64 = Q(
-    "x64_pagerank",
-    """WITH t AS (
+  // shared by x64/x73: the capped co-shingle edge build (t → deg CTEs)
+  private val coShingleEdgeCtes =
+    """t AS (
       |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS w
       |  FROM documents WHERE doc_id < 1500),
       |s AS (
@@ -1975,7 +1975,10 @@ object ExtQueries {
       |e0 AS (SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
       |       FROM occ a JOIN occ b ON a.h = b.h AND a.doc_id < b.doc_id),
       |e AS (SELECT s AS src, d AS dst FROM e0 UNION ALL SELECT d, s FROM e0),
-      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)""".stripMargin
+  val x64 = Q(
+    "x64_pagerank",
+    s"""WITH $coShingleEdgeCtes,
       |nn AS (SELECT COUNT(*) AS n FROM deg),
       |r0 AS (SELECT src AS node, deg, CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS r
       |       FROM deg CROSS JOIN nn),
@@ -2003,6 +2006,39 @@ object ExtQueries {
       Graph.coShingleEdges(Tables.documents(s, dir).where(col("doc_id") < 1500),
         col("doc_id"), col("text"), n = 3, maxShingleDf = 64L),
       iters = 3, damping = 0.85)
+      .orderBy("doc_id")
+  }
+
+  // x73 — triangle counts + clustering coefficient on the same capped
+  // co-shingle graph as x64 (shared edge CTEs): the redundancy-structure
+  // probe — tight mutually-overlapping clusters vs triangle-free
+  // template hubs. Canonical a<b<c wedge enumeration; integer counts,
+  // one IEEE ratio.
+  val x73 = Q(
+    "x73_triangles",
+    s"""WITH $coShingleEdgeCtes,
+      |wedges AS (
+      |  SELECT ab.s AS a, ab.d AS b, bc.d AS c
+      |  FROM e0 ab JOIN e0 bc ON ab.d = bc.s),
+      |tri AS (
+      |  SELECT w.a, w.b, w.c
+      |  FROM wedges w JOIN e0 t ON t.s = w.a AND t.d = w.c),
+      |pn AS (
+      |  SELECT node, COUNT(*) AS n_triangles FROM (
+      |    SELECT a AS node FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri)
+      |  GROUP BY node)
+      |SELECT d.src AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+      |       CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+      |       CASE WHEN d.deg < 2 THEN CAST(0 AS DOUBLE)
+      |            ELSE CAST(2 AS DOUBLE) * CAST(COALESCE(p.n_triangles, 0) AS DOUBLE)
+      |                 / CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS clustering
+      |FROM deg d LEFT JOIN pn p ON p.node = d.src
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Graph.triangleStats(
+      Graph.coShingleEdges(Tables.documents(s, dir).where(col("doc_id") < 1500),
+        col("doc_id"), col("text"), n = 3, maxShingleDf = 64L))
       .orderBy("doc_id")
   }
 
@@ -2320,5 +2356,5 @@ object ExtQueries {
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
-      x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72)
+      x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x73)
 }

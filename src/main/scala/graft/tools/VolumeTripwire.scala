@@ -197,6 +197,13 @@ object VolumeTripwire {
       Res("x69_randomProject",
         timeMin(Similarity.randomProject(embs1, outDim = 8)),
         timeMin(Similarity.randomProject(embs10, outDim = 8))),
+      // triangle counting's wedge volume is Σdeg² — bounded by the SAME
+      // stop-gram cap as the pageRank row (flood contributes no edges)
+      Res("x73_triangleStats",
+        timeMin(Graph.triangleStats(Graph.coShingleEdges(
+          docs1, col("doc_id"), col("text"), n = 3, maxShingleDf = 16L))),
+        timeMin(Graph.triangleStats(Graph.coShingleEdges(
+          docs10, col("doc_id"), col("text"), n = 3, maxShingleDf = 16L)))),
       // BPE rounds work on the VOCABULARY (distinct words + counts) —
       // a 10× corpus with the same vocabulary only inflates the count
       // aggregation; the per-round merge passes are vocabulary-sized

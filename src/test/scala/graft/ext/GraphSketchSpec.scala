@@ -48,6 +48,25 @@ class GraphSketchSpec extends graft.SparkSpec {
       (3L, 2L), (4L, 5L), (5L, 4L)))
   }
 
+  test("triangleStats: hand-computed counts, pendant scores 0, shared-edge triangles both counted") {
+    def sym(pairs: (Long, Long)*) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    // triangle 1-2-3 with pendant 3-4
+    val g1 = Graph.triangleStats(sym((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(g1(0) === ((1L, 2L, 1L, 1.0)))
+    assert(g1(1) === ((2L, 2L, 1L, 1.0)))
+    assert(g1(2) === ((3L, 3L, 1L, 1.0 / 3.0)))
+    assert(g1(3) === ((4L, 1L, 0L, 0.0)))    // deg<2: defined 0, no div-by-zero
+    // two triangles sharing edge 2-3
+    val g2 = Graph.triangleStats(
+      sym((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(g2.map(r => r._1 -> r._3).toMap ===
+      Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    assert(g2.find(_._1 == 2L).get._4 === 2.0 * 2.0 / (3.0 * 2.0))
+  }
+
   // ---- Sketches.hllDistinct ----
 
   test("hllDistinct: exact baseline right, duplicate-insensitive, sane error") {

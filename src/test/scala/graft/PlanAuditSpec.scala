@@ -340,6 +340,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("x71/x72/x73: text never crosses an exchange; stats broadcast back") {
+    // novelty: combinable min + 8-byte-hash join-back (x56's shape);
+    // temperature mix: per-source agg + broadcast single-row normalizer;
+    // triangles: id-only hash joins over the edge checkpoint
+    val p71 = planOf("x71_novelty")
+    assert(!"Exchange [^\\n]*text".r.findFirstIn(p71).isDefined, p71)
+    assert(shuffles(p71) === 3, p71)
+    val p72 = planOf("x72_temperature_mix")
+    assert(!"Exchange [^\\n]*text".r.findFirstIn(p72).isDefined, p72)
+    assert(p72.contains("BroadcastNestedLoopJoin"), p72) // single-row wsum
+    val p73 = planOf("x73_triangles")
+    assert(!"Exchange [^\\n]*text".r.findFirstIn(p73).isDefined, p73)
+    assert(!p73.contains("CartesianProduct"), p73)
+  }
+
   test("AQE skew-join splits a hot key's partition at runtime (when Salting is NOT needed)") {
     // This pins the division of labor with ops/Salting.saltedJoin:
     //   - a skewed SHUFFLE JOIN is AQE's job — the runtime splits the hot

@@ -44,4 +44,35 @@ object RangeJoin {
       .where(col(t) >= col(start) && col(t) < col(end))
       .drop("__bin")
   }
+
+  /** Keyed interval-overlap join: every (left, right) pair of the same
+    * `key` whose half-open intervals `[lStart, lEnd)` and `[rStart,
+    * rEnd)` overlap (`lStart < rEnd AND rStart < lEnd`). Column sets
+    * must be disjoint apart from `key`.
+    *
+    * Both sides explode to their covered bins and equi-join on
+    * `(key, bin)`. A pair spanning n shared bins would meet n times, so
+    * each pair is claimed by exactly ONE bin — the bin holding the
+    * overlap's start `max(lStart, rStart)`, which both intervals cover
+    * whenever they overlap — making the output exact with no distinct/
+    * dedup shuffle after the join. Same 100 TB posture as
+    * [[pointInInterval]]: one (key, bin) shuffle, replication bounded
+    * by `len/bin + 1` per side.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      key: String, lStart: String, lEnd: String,
+      rStart: String, rEnd: String, binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    def binned(df: DataFrame, s: String, e: String) =
+      df.withColumn("__bin", explode(sequence(
+        floor(unix_timestamp(col(s)) / binSeconds),
+        floor(unix_timestamp(col(e)) / binSeconds))))
+    binned(left, lStart, lEnd)
+      .join(binned(right, rStart, rEnd), Seq(key, "__bin"))
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        col("__bin") === floor(
+          greatest(unix_timestamp(col(lStart)), unix_timestamp(col(rStart)))
+            / binSeconds))
+      .drop("__bin")
+  }
 }

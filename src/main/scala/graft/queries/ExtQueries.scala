@@ -2351,10 +2351,49 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  // x74 — keyed INTERVAL-OVERLAP join (x32 covers only point-in-
+  // interval): click activity windows [ts, ts+20m) vs error windows
+  // [ts, ts+30m) per user, emitting each overlapping pair once with its
+  // overlap length. RangeJoin.intervalOverlap explodes both sides to
+  // 30-minute bins, equi-joins on (user, bin), and has the bin holding
+  // max(start, start) claim the pair — exact output, ONE shuffle, no
+  // dedup. The oracle pays the quadratic same-key join Spark would have
+  // planned without the binning.
+  val x74 = Q(
+    "x74_interval_overlap",
+    """SELECT c.event_id AS event_id, er.event_id AS err_id,
+      |       CAST(date_diff('second', greatest(c.ts, er.ts),
+      |            least(c.ts + INTERVAL 20 MINUTE, er.ts + INTERVAL 30 MINUTE))
+      |         AS BIGINT) AS overlap_sec
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') er
+      |  ON c.user_id = er.user_id
+      | AND c.ts < er.ts + INTERVAL 30 MINUTE
+      | AND er.ts < c.ts + INTERVAL 20 MINUTE
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts").as("c_start"),
+        (col("ts") + expr("INTERVAL 20 MINUTES")).as("c_end"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("e_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("e_end"))
+    graft.ops.RangeJoin.intervalOverlap(clicks, errors, key = "user_id",
+        lStart = "c_start", lEnd = "c_end", rStart = "e_start",
+        rEnd = "e_end", binSeconds = 1800)
+      .select(col("event_id"), col("err_id"),
+        (unix_timestamp(least(col("c_end"), col("e_end"))) -
+          unix_timestamp(greatest(col("c_start"), col("e_start"))))
+          .as("overlap_sec"))
+      .orderBy("event_id", "err_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
-      x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x73)
+      x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
+      x72, x73, x74)
 }

@@ -355,6 +355,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p73.contains("CartesianProduct"), p73)
   }
 
+  test("x74: interval overlap is an equi-join on (key, bin) — no nested loop, bounded shuffles") {
+    // the binning exists precisely so Spark does NOT plan the time
+    // predicates as a nested-loop/cartesian residual; at most the two
+    // join-input exchanges plus the presentation orderBy
+    val p = planOf("x74_interval_overlap")
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(shuffles(p) <= 3, p)
+  }
+
   test("AQE skew-join splits a hot key's partition at runtime (when Salting is NOT needed)") {
     // This pins the division of labor with ops/Salting.saltedJoin:
     //   - a skewed SHUFFLE JOIN is AQE's job — the runtime splits the hot

@@ -346,6 +346,54 @@ class RangeJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop"), plan.take(2000))
   }
+
+  test("interval overlap == naive overlap join, each pair exactly once") {
+    val rnd = new scala.util.Random(11)
+    // lengths from sub-bin to several bins so pairs share many bins
+    val left = (0 until 150).map { i =>
+      val s = rnd.nextInt(100000).toLong
+      (i.toLong, rnd.nextInt(4).toLong, ts(s), ts(s + 1 + rnd.nextInt(6000)))
+    }.toDF("l_id", "user_id", "l_start", "l_end")
+    val right = (0 until 150).map { i =>
+      val s = rnd.nextInt(100000).toLong
+      (1000L + i, rnd.nextInt(4).toLong, ts(s), ts(s + 1 + rnd.nextInt(6000)))
+    }.toDF("r_id", "user_id", "r_start", "r_end")
+    val got = RangeJoin.intervalOverlap(left, right, "user_id",
+        "l_start", "l_end", "r_start", "r_end", binSeconds = 1800)
+      .select("l_id", "r_id").as[(Long, Long)].collect()
+    val naive = left.join(right, Seq("user_id"))
+      .where(col("l_start") < col("r_end") && col("r_start") < col("l_end"))
+      .select("l_id", "r_id").as[(Long, Long)].collect()
+    // toSet equality AND length equality: multi-bin pairs must not
+    // be emitted once per shared bin
+    assert(got.toSet === naive.toSet)
+    assert(got.length === naive.length)
+    assert(naive.nonEmpty)
+  }
+
+  test("interval overlap boundaries: half-open, touching intervals miss") {
+    val left = Seq((1L, 1L, ts(1000), ts(2000))).toDF("l_id", "user_id", "l_start", "l_end")
+    val right = Seq(
+      (10L, 1L, ts(2000), ts(3000)), // touches at l_end -> out (half-open)
+      (11L, 1L, ts(1999), ts(3000)), // 1 s overlap -> in
+      (12L, 1L, ts(0), ts(1000)),    // touches at l_start -> out
+      (13L, 1L, ts(0), ts(1001)),    // 1 s overlap -> in
+      (14L, 2L, ts(1000), ts(2000))  // other key -> out
+    ).toDF("r_id", "user_id", "r_start", "r_end")
+    val got = RangeJoin.intervalOverlap(left, right, "user_id",
+        "l_start", "l_end", "r_start", "r_end", binSeconds = 600)
+      .select("r_id").as[Long].collect().toSet
+    assert(got === Set(11L, 13L))
+  }
+
+  test("interval overlap plan: no nested-loop join") {
+    val left = Seq((1L, 1L, ts(0), ts(100))).toDF("l_id", "user_id", "l_start", "l_end")
+    val right = Seq((2L, 1L, ts(50), ts(150))).toDF("r_id", "user_id", "r_start", "r_end")
+    val plan = RangeJoin.intervalOverlap(left, right, "user_id",
+        "l_start", "l_end", "r_start", "r_end", binSeconds = 60)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan.take(2000))
+  }
 }
 
 class StreamingRangeJoinSpec extends SparkSpec {

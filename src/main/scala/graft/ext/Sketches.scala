@@ -148,4 +148,44 @@ object Sketches {
       .select(col("term"), col("n_exact"), col("cms_estimate"),
         (col("cms_estimate") - col("n_exact")).as("overcount"))
   }
+
+  /** Fixed-grid histogram quantile sketch: per-`key` quantile estimates
+    * of `value` from equi-width bucket counts. The estimate for
+    * quantile num/den is the lower edge of the first bucket where
+    * `den·cum ≥ num·n` — integer arithmetic end to end, so unlike
+    * t-digest/KLL the sketch is deterministic, mergeable (bucket counts
+    * just add), and hash-exact on any engine; error is bounded by
+    * `width`, chosen by the caller. Same family contract as
+    * [[hllDistinct]]/[[cmsTopK]]: `approx_percentile` stays the opaque
+    * production default, this is the variant an oracle can replay.
+    *
+    * 100 TB posture: one map-side-combinable `(key, bucket) → count`
+    * aggregation — wire traffic O(keys × buckets) regardless of row
+    * count — then a window + fold over the tiny histogram itself.
+    *
+    * Output: `(key, n_rows, <one BIGINT lower-edge column per
+    * quantile>)`. */
+  def histogramQuantiles(rows: DataFrame, key: Column, value: Column,
+      width: Long,
+      quantiles: Seq[(String, Int, Int)] =
+        Seq(("p50_est", 1, 2), ("p90_est", 9, 10), ("p99_est", 99, 100)))
+      : DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    quantiles.foreach { case (_, num, den) =>
+      require(num > 0 && num <= den, s"quantile $num/$den out of (0,1]") }
+    val hist = rows.select(key.as("key"),
+        floor(value.cast("double") / width).cast("long").as("bucket"))
+      .groupBy(col("key"), col("bucket")).agg(count(lit(1)).as("c"))
+    val byKey = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(byKey.orderBy("bucket")))
+      .withColumn("n", sum(col("c")).over(byKey))
+    // last bucket always has cum = n ≥ num/den·n, so no quantile column
+    // can come out NULL
+    val qCols = quantiles.map { case (name, num, den) =>
+      min(when(col("cum") * den >= col("n") * num, col("bucket") * width))
+        .as(name)
+    }
+    cum.groupBy(col("key")).agg(max(col("n")).as("n_rows"), qCols: _*)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Graph, Multimodal, Relevance, Sampling, Similarity, Sketches, TextAnalysis, Vocab}
+import graft.ext.{Dedup, Graph, Multimodal, Profile, Relevance, Sampling, Similarity, Sketches, TextAnalysis, Vocab}
 import graft.functions.PolyHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -2389,11 +2389,78 @@ object ExtQueries {
       .orderBy("event_id", "err_id")
   }
 
+  // x75 — DATA PROFILING: per-column row/null/exact-distinct/min/max in
+  // ONE table pass (multi-distinct plans as a single Expand, then a
+  // stack unpivot of the one wide row — no per-column rescan, no join).
+  // Restricted to exact-render types (bigint, varchar): float/timestamp
+  // string rendering is engine-specific and would break hash parity.
+  val x75 = Q(
+    "x75_profile",
+    """WITH p AS (
+      |  SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+      |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+      |         CAST(min(doc_id) AS VARCHAR) AS min_val,
+      |         CAST(max(doc_id) AS VARCHAR) AS max_val
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'source', CAST(count(*) AS BIGINT),
+      |         CAST(count(*) - count(source) AS BIGINT),
+      |         CAST(count(DISTINCT source) AS BIGINT),
+      |         CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'text', CAST(count(*) AS BIGINT),
+      |         CAST(count(*) - count(text) AS BIGINT),
+      |         CAST(count(DISTINCT text) AS BIGINT),
+      |         CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+      |  FROM documents)
+      |SELECT * FROM p ORDER BY col_name""".stripMargin) { (s, dir) =>
+    Profile.profile(Tables.documents(s, dir),
+        Seq("doc_id", "source", "text"))
+      .orderBy("col_name")
+  }
+
+  // x76 — HISTOGRAM QUANTILE SKETCH: per-source p50/p90/p99 of the
+  // whitespace token count from equi-width (32-token) bucket counts.
+  // The sketch family's quantile member (x65 HLL distinct, x68 CMS
+  // heavy hitters): integer arithmetic end to end, so the estimate is
+  // deterministic + mergeable + hash-exact where t-digest/KLL are not;
+  // x17 keeps the exact-percentile baseline. Wire traffic is
+  // O(sources × buckets) regardless of corpus size.
+  val x76 = Q(
+    "x76_hist_quantile",
+    """WITH t AS (
+      |  SELECT source,
+      |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS v
+      |  FROM documents),
+      |h AS (
+      |  SELECT source, CAST(floor(CAST(v AS DOUBLE) / 32) AS BIGINT) AS bucket,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM t GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT source, bucket, c,
+      |         SUM(c) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+      |         SUM(c) OVER (PARTITION BY source) AS n
+      |  FROM h)
+      |SELECT source, CAST(max(n) AS BIGINT) AS n_rows,
+      |       CAST(min(CASE WHEN cum * 2 >= n THEN bucket * 32 END) AS BIGINT) AS p50_est,
+      |       CAST(min(CASE WHEN cum * 10 >= n * 9 THEN bucket * 32 END) AS BIGINT) AS p90_est,
+      |       CAST(min(CASE WHEN cum * 100 >= n * 99 THEN bucket * 32 END) AS BIGINT) AS p99_est
+      |FROM cw GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).select(col("source"),
+      TextAnalysis.wsTokenCount(col("text")).as("v"))
+    Sketches.histogramQuantiles(docs, col("source"), col("v"), width = 32L)
+      .withColumnRenamed("key", "source")
+      .orderBy("source")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
-      x72, x73, x74)
+      x72, x73, x74, x75, x76)
 }

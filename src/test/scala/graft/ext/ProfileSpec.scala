@@ -1,0 +1,40 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (Some(1L), Some("a"), Some("x")),
+    (Some(2L), Some("a"), None),
+    (Some(3L), None, Some("x")),
+    (Some(3L), Some("b"), Some("z"))
+  ).toDF("id", "grp", "txt")
+
+  test("null / distinct / min / max per column, one row per column") {
+    val got = Profile.profile(df, Seq("id", "grp", "txt"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, String, String)].collect()
+    assert(got === Array(
+      ("grp", 4L, 1L, 2L, "a", "b"),
+      ("id", 4L, 0L, 3L, "1", "3"),
+      ("txt", 4L, 1L, 2L, "x", "z")))
+  }
+
+  test("numeric min/max is numeric BEFORE the string render") {
+    // 9 < 10 numerically but "9" > "10" lexicographically — the cast
+    // must happen after the min/max, not before
+    val d = Seq(9L, 10L, 2L).toDF("v")
+    val got = Profile.profile(d, Seq("v"))
+      .select("min_val", "max_val").as[(String, String)].head()
+    assert(got === ("2", "10"))
+  }
+
+  test("plan: ONE file scan — profiling never rescans per column") {
+    val doc = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val p = Profile.profile(doc, Seq("doc_id", "source", "text"))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).length === 1, p)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,5 +71,52 @@ object Vocab {
           .otherwise(col("sym")).as("sym"))
       .withColumn("pos2", (row_number().over(byWord) - 1).cast("long"))
       .select(col("word"), col("freq"), col("pos2").as("pos"), col("sym"))
+  }
+
+  /** Collocation mining: top-`k` adjacent word pairs ranked by a
+    * RATIONAL PMI surrogate. True PMI is `log(p(ab) / (p(a)·p(b)))`;
+    * with the corpus-constant factor dropped and the monotone `log`
+    * removed (x41/x67's engine-portability reasoning — IEEE `log` is
+    * not correctly-rounded, a rational score is exact on any engine),
+    * the ranking-equivalent score is `scale·c(ab) / (c(a)·c(b))`,
+    * computed in integer arithmetic. Overflow envelope:
+    * `c(ab)·scale ≤ 9.2e18` needs total bigrams ≤ ~9.2e10 at the
+    * default scale — beyond that, shrink `scale` (ranking is unchanged
+    * as long as the quotient keeps enough bits).
+    *
+    * `minCount` floors the pair count: a pair seen once between two
+    * hapax words scores maximal PMI on pure noise — the standard
+    * collocation-mining fix.
+    *
+    * 100 TB posture: bigrams are generated scan-side from each doc's
+    * token array (no self-join on position), so the only corpus-scale
+    * shuffles are the two token-keyed counting aggregations; the pair →
+    * unigram joins carry (word, count) pairs, and the final top-k is a
+    * TakeOrderedAndProject, never a global sort of all pairs.
+    */
+  def bigramPmi(docs: DataFrame, text: Column, k: Int,
+      minCount: Long = 3L, scale: Long = 100000000L): DataFrame = {
+    require(k > 0 && minCount >= 1 && scale >= 1)
+    val toks = docs.select(split(trim(text), "\\s+").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    // adjacent pairs via an index transform over the array — emitted
+    // from the scan, zero join
+    val pairs = toks.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
+      .where(col("c_pair") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .withColumn("pmi_score",
+        expr(s"(c_pair * ${scale}L) DIV (c1 * c2)"))
+      .select(col("w1"), col("w2"), col("c_pair"), col("c1"), col("c2"),
+        col("pmi_score"))
+      .orderBy(col("pmi_score").desc, col("w1"), col("w2"))
+      .limit(k)
   }
 }

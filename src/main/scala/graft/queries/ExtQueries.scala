@@ -2456,11 +2456,78 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  // x77 — SNAPSHOT DELTA (SCD-style incremental maintenance): per-
+  // customer 1996-vs-1997 order aggregates classified added / dropped /
+  // changed / same. Both snapshots pre-aggregate to one row per key
+  // before the full-outer join (key-cardinality rows on the wire, never
+  // fact rows); spend goes through the DECIMAL(18,2) accumulator so the
+  // 'same' classification compares exact values, not float accumulation
+  // order.
+  val x77 = Q(
+    "x77_snapshot_delta",
+    """WITH a AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+      |b AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1)
+      |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+      |       a.n_orders AS a_n_orders, a.spend AS a_spend,
+      |       b.n_orders AS b_n_orders, b.spend AS b_spend,
+      |       CASE WHEN a.o_custkey IS NULL THEN 'added'
+      |            WHEN b.o_custkey IS NULL THEN 'dropped'
+      |            WHEN a.n_orders = b.n_orders AND a.spend = b.spend THEN 'same'
+      |            ELSE 'changed' END AS status
+      |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    def snap(yr: Int) = o.where(year(col("o_orderdate")) === yr)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("spend"))
+    graft.ops.SnapshotDiff.delta(snap(1996), snap(1997), "o_custkey",
+        Seq("n_orders", "spend"))
+      .orderBy("o_custkey")
+  }
+
+  // x78 — COLLOCATIONS (bigram PMI): top-50 adjacent word pairs by the
+  // rational PMI surrogate scale·c(ab)/(c(a)·c(b)) — monotone-
+  // equivalent to PMI for ranking with the corpus-constant factor
+  // dropped and no IEEE log anywhere (x41/x67's portability rule), so
+  // integer-exact on both engines. Pairs generate scan-side from each
+  // token array (zero position self-join); min-count 3 suppresses
+  // hapax-pair noise. Oracle builds the same adjacency by zipping two
+  // list slices through DuckDB's positional unnest.
+  val x78 = Q(
+    "x78_bigram_pmi",
+    """WITH toks AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |cu AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS cw
+      |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      |pr AS (
+      |  SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+      |  FROM toks WHERE len(t) >= 2),
+      |cp AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+      |  FROM pr GROUP BY w1, w2 HAVING count(*) >= 3)
+      |SELECT cp.w1, cp.w2, cp.c_pair, a.cw AS c1, b.cw AS c2,
+      |       CAST((cp.c_pair * CAST(100000000 AS BIGINT)) // (a.cw * b.cw)
+      |         AS BIGINT) AS pmi_score
+      |FROM cp JOIN cu a ON a.w = cp.w1 JOIN cu b ON b.w = cp.w2
+      |ORDER BY pmi_score DESC, w1, w2
+      |LIMIT 50""".stripMargin) { (s, dir) =>
+    Vocab.bigramPmi(Tables.documents(s, dir), col("text"), k = 50)
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
-      x72, x73, x74, x75, x76)
+      x72, x73, x74, x75, x76, x77, x78)
 }

@@ -38,3 +38,41 @@ class VocabSpec extends graft.SparkSpec {
       Map("a" -> Seq("a"), "b" -> Seq("b")))
   }
 }
+
+class BigramPmiSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("collocated pair outranks frequent-but-independent pair") {
+    // "new york" always adjacent (3x); "the cat" adjacent 3x but both
+    // words also appear apart, diluting c(a)*c(b)
+    val docs = Seq(
+      "new york new york new york",
+      "the cat the cat the cat the dog a cat"
+    ).toDF("text")
+    val got = Vocab.bigramPmi(docs, col("text"), k = 10, minCount = 3L)
+      .select("w1", "w2", "pmi_score").as[(String, String, Long)].collect()
+    val scores = got.map { case (a, b, s) => (a, b) -> s }.toMap
+    assert(scores(("new", "york")) > scores(("the", "cat")))
+  }
+
+  test("hand-computed score: scale*c_pair DIV (c1*c2)") {
+    val docs = Seq("a b a b a b").toDF("text")
+    // c(a b)=3, c(b a)=2 (below minCount), c(a)=3, c(b)=3
+    val got = Vocab.bigramPmi(docs, col("text"), k = 10, minCount = 3L)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(got === Array(("a", "b", 3L, 3L, 3L, 100000000L * 3 / 9)))
+  }
+
+  test("minCount floors hapax pairs; single-token docs contribute nothing") {
+    val docs = Seq("x y", "z", "").toDF("text")
+    assert(Vocab.bigramPmi(docs, col("text"), k = 10, minCount = 2L).count() === 0)
+  }
+
+  test("plan: top-k is TakeOrderedAndProject, not a global sort") {
+    val docs = Seq("a b c a b").toDF("text")
+    val p = Vocab.bigramPmi(docs, col("text"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}

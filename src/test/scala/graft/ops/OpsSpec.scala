@@ -661,3 +661,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got === Set((0L, 0, 1L), (0L, 1, 1L), (86400L, 0, 1L)))
   }
 }
+
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("all four statuses; keys from either side survive") {
+    val a = Seq((1L, 2L, 10.0), (2L, 1L, 5.0), (3L, 3L, 7.5))
+      .toDF("k", "n", "spend")
+    val b = Seq((1L, 2L, 10.0), (2L, 1L, 6.0), (4L, 1L, 1.0))
+      .toDF("k", "n", "spend")
+    val got = SnapshotDiff.delta(a, b, "k", Seq("n", "spend"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "same", 2L -> "changed", 3L -> "dropped",
+      4L -> "added"))
+  }
+
+  test("a NULL aggregate on a present key is 'same', not 'added'/'dropped'") {
+    // presence is tracked by flags, so (k=1, NULL) on both sides means
+    // the key exists in both snapshots with an equal (null) value
+    val a = Seq((1L, Option.empty[Double]), (2L, Some(3.0))).toDF("k", "v")
+    val b = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double])).toDF("k", "v")
+    val got = SnapshotDiff.delta(a, b, "k", Seq("v"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "same", 2L -> "changed"))
+  }
+
+  test("plan: no nested loop; one row per key in the output") {
+    val a = (0 until 100).map(i => (i.toLong, 1L)).toDF("k", "n")
+    val b = (50 until 150).map(i => (i.toLong, 2L)).toDF("k", "n")
+    val d = SnapshotDiff.delta(a, b, "k", Seq("n"))
+    assert(!d.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    assert(d.count() === 150)
+    assert(d.select("k").distinct().count() === 150)
+  }
+}

@@ -365,9 +365,20 @@ object Similarity {
     * vector (offset avoids id-0 artifacts). Sampled-seed IVF-flat is the
     * classic baseline; refine with [[kmeansLite]] when recall matters
     * more than reproducibility-in-SQL. */
-  def seedCentroids(embs: DataFrame, stride: Int, offset: Int = 7): DataFrame =
+  def seedCentroids(embs: DataFrame, stride: Int, offset: Int = 7): DataFrame = {
+    // satisfiability guard (same loud-refusal contract as the hot-cell
+    // guard): vec_id % stride == offset matches NOTHING when offset >=
+    // stride (a strideForCells on a corpus under ~(offset+1)*cells rows
+    // lands here), and the downstream search would silently return an
+    // empty result the oracle cannot distinguish from a real one
+    require(offset >= 0 && offset < stride,
+      s"seedCentroids: offset=$offset is unsatisfiable under stride=$stride " +
+        s"(vec_id % $stride == $offset matches no row); the corpus is too " +
+        s"small for this cell budget — lower `cells`/`offset` or seed " +
+        s"explicitly")
     embs.where(pmod(col("vec_id"), lit(stride)) === offset)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"), col("norm").as("cnorm"))
+  }
 
   /** Stride that holds the sampled cell/codeword count at ~`cells`
     * regardless of corpus size — the scale knob the sf1 bench row
@@ -502,6 +513,12 @@ object Similarity {
   def pqCodebooks(embs: DataFrame, m: Int, dim: Int, stride: Int,
       offset: Int = 7): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
+    // same satisfiability guard as seedCentroids: an unsatisfiable
+    // sampling predicate yields ZERO codewords and an empty search
+    require(offset >= 0 && offset < stride,
+      s"pqCodebooks: offset=$offset is unsatisfiable under stride=$stride " +
+        s"(vec_id % $stride == $offset matches no row) — lower `cells`/" +
+        s"`offset` or supply refined codebooks")
     val d = dim / m
     val subs = (0 until m).map(s =>
       struct(lit(s).as("sub"), slice(col("emb"), s * d + 1, d).as("cemb")))

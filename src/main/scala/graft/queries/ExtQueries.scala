@@ -528,6 +528,9 @@ object ExtQueries {
   // nprobe=2 probed cells, exact cosine re-rank within cells. The whole
   // index (assignment, probing, ranking) is oracle-expressible; the
   // Lloyd-refined variant (Similarity.kmeansLite) is spec-tested.
+  // DELIBERATELY keeps the constant stride=50 as the before/after
+  // contrast with x63 (its scale-invariant twin) — every other ANN
+  // query (x26/x33/x57/x60/x62) adopts strideForCells.
   val x21 = Q(
     "x21_knn_ivf",
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -651,10 +654,14 @@ object ExtQueries {
   // the unrolled round (assign → decimal-exact re-average → reassign)
   // is plain SQL because kmeansLite's sums are DECIMAL-accumulated —
   // bit-identical to DuckDB regardless of Spark's partition order.
+  // Seed stride is scale-invariant (strideForCells ~40 cells, the x63
+  // doctrine; oracle mirrors via the scalar subquery) — a constant
+  // stride grows cells ∝ N and assignment cost N²/stride.
   val x26 = Q(
     "x26_knn_ivf_lloyd",
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-      |seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % 50 = 7),
+      |seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e
+      |          WHERE vec_id % (SELECT greatest(count(*) // 40, 1) FROM e) = 7),
       |sims0 AS (
       |  SELECT e.vec_id, s.cid, round(list_cosine_similarity(e.emb, s.cemb), 6) AS csim
       |  FROM e CROSS JOIN seeds s),
@@ -697,7 +704,8 @@ object ExtQueries {
       |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
     val embs = normalizedEmb(s, dir)
     val refined = Similarity.kmeansLite(
-      embs, Similarity.seedCentroids(embs, stride = 50), iters = 1)
+      embs, Similarity.seedCentroids(embs, Similarity.strideForCells(embs, 40)),
+      iters = 1)
     Similarity.ivfSearch(embs, refined, (0L until 10L).toSeq, k = 5, nprobe = 2)
       .orderBy("qid", "rank")
   }
@@ -869,13 +877,19 @@ object ExtQueries {
   // via a broadcast query×codeword table, exact re-rank of the top 15.
   // 6-dp-rounded partials + DECIMAL sums keep the approximate ranking
   // bit-stable → the whole chain runs under the oracle gate.
+  // The codebook sampling stride is scale-invariant (strideForCells
+  // ~40 codewords/subspace, the x63 doctrine) — the round-9 sf1 bench
+  // measured the old constant stride at ~39× wall for 10× rows because
+  // codewords grew ∝ N; the oracle mirrors the rule as a scalar
+  // subquery, so results stay bit-identical across SFs by construction.
   val x33 = Q(
     "x33_knn_pq",
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |subs AS (SELECT unnest(range(4)) AS sub),
       |cb AS (
       |  SELECT s.sub, e.vec_id AS cid, e.emb[s.sub*16+1 : s.sub*16+16] AS cemb
-      |  FROM e CROSS JOIN subs s WHERE e.vec_id % 50 = 7),
+      |  FROM e CROSS JOIN subs s
+      |  WHERE e.vec_id % (SELECT greatest(count(*) // 40, 1) FROM e) = 7),
       |sv AS (
       |  SELECT s.sub, e.vec_id, e.emb[s.sub*16+1 : s.sub*16+16] AS semb
       |  FROM e CROSS JOIN subs s),
@@ -912,8 +926,9 @@ object ExtQueries {
       |SELECT qid, neighbor_id, sim, CAST(rank AS INT) AS rank
       |FROM r WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
-    Similarity.pqSearch(normalizedEmb(s, dir), (0L until 10L).toSeq, k = 5,
-      m = 4, stride = 50, rerank = 3)
+    val embs = normalizedEmb(s, dir)
+    Similarity.pqSearch(embs, (0L until 10L).toSeq, k = 5,
+      m = 4, stride = Similarity.strideForCells(embs, 40), rerank = 3)
       .orderBy("qid", "rank")
   }
 
@@ -1592,11 +1607,16 @@ object ExtQueries {
   // bit-identical in both engines) feeds a within-cluster keep-min
   // prune. The oracle unrolls the same round as x26 and reproduces the
   // greedy per-pair rule; the documented cross-cluster-miss limitation
-  // is pinned in SemanticDedupSpec, not here.
+  // is pinned in SemanticDedupSpec, not here. Seed stride is
+  // scale-invariant (strideForCells ~40 cells): cluster population
+  // |c| ≈ N/cells would otherwise SHRINK as cells grew ∝ N, silently
+  // trading recall for speed at scale — fixed cells keep the Σ|c|²
+  // pair work the operator's contract describes.
   val x57 = Q(
     "x57_semantic_dedup",
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-      |seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % 50 = 7),
+      |seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e
+      |          WHERE vec_id % (SELECT greatest(count(*) // 40, 1) FROM e) = 7),
       |sims0 AS (
       |  SELECT e.vec_id, s.cid, round(list_cosine_similarity(e.emb, s.cemb), 6) AS csim
       |  FROM e CROSS JOIN seeds s),
@@ -1631,8 +1651,9 @@ object ExtQueries {
       |       CAST(r.dup_of IS NULL AS INT) AS keep_flag
       |FROM asg a LEFT JOIN rem r ON r.vec_id = a.vec_id
       |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
-    Similarity.semanticDedup(normalizedEmb(s, dir), threshold = 0.4,
-      stride = 50, iters = 1)
+    val embs = normalizedEmb(s, dir)
+    Similarity.semanticDedup(embs, threshold = 0.4,
+      stride = Similarity.strideForCells(embs, 40), iters = 1)
       .orderBy("vec_id")
   }
 
@@ -1740,11 +1761,15 @@ object ExtQueries {
   // x60 — IVF-PQ, the production ANN composite: x21's cell probe bounds
   // WHICH vectors are candidates, x33's ADC bounds the bytes touched per
   // candidate, exact re-rank bounds the error. The oracle is the two
-  // proven CTE sets joined on the candidate list.
+  // proven CTE sets joined on the candidate list. Both sampling strides
+  // (coarse cells AND PQ codewords) are scale-invariant (strideForCells
+  // ~40, the x63 doctrine; round-9 sf1 measured the constant stride at
+  // ~43× wall for 10× rows); one count() job feeds both.
   val x60 = Q(
     "x60_knn_ivf_pq",
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-      |seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % 50 = 7),
+      |seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e
+      |          WHERE vec_id % (SELECT greatest(count(*) // 40, 1) FROM e) = 7),
       |isims AS (
       |  SELECT e.vec_id, s.cid, round(list_cosine_similarity(e.emb, s.cemb), 6) AS csim
       |  FROM e CROSS JOIN seeds s),
@@ -1765,7 +1790,8 @@ object ExtQueries {
       |subs AS (SELECT unnest(range(4)) AS sub),
       |cb AS (
       |  SELECT s.sub, e.vec_id AS cid, e.emb[s.sub*16+1 : s.sub*16+16] AS cemb
-      |  FROM e CROSS JOIN subs s WHERE e.vec_id % 50 = 7),
+      |  FROM e CROSS JOIN subs s
+      |  WHERE e.vec_id % (SELECT greatest(count(*) // 40, 1) FROM e) = 7),
       |sv AS (
       |  SELECT s.sub, e.vec_id, e.emb[s.sub*16+1 : s.sub*16+16] AS semb
       |  FROM e CROSS JOIN subs s),
@@ -1804,8 +1830,9 @@ object ExtQueries {
       |FROM r WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
     val embs = normalizedEmb(s, dir)
-    Similarity.ivfPqSearch(embs, Similarity.seedCentroids(embs, stride = 50),
-      (0L until 10L).toSeq, k = 5, nprobe = 2, m = 4, stride = 50, rerank = 3)
+    val stride = Similarity.strideForCells(embs, 40)
+    Similarity.ivfPqSearch(embs, Similarity.seedCentroids(embs, stride),
+      (0L until 10L).toSeq, k = 5, nprobe = 2, m = 4, stride = stride, rerank = 3)
       .orderBy("qid", "rank")
   }
 
@@ -1850,11 +1877,13 @@ object ExtQueries {
   // (ROW_NUMBER over (csim DESC, cid ASC), NaN ranks excluded — the
   // Spark aggregator skips NaN the same way) and the same greedy
   // keep-min rule; `cid` is the slot-1 (= x57's) assignment, `cid2`
-  // the probed runner-up.
+  // the probed runner-up. Seed stride is scale-invariant
+  // (strideForCells ~40 cells, same rationale as x57).
   val x62 = Q(
     "x62_semantic_dedup_mp",
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-      |seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % 50 = 7),
+      |seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e
+      |          WHERE vec_id % (SELECT greatest(count(*) // 40, 1) FROM e) = 7),
       |sims0 AS (
       |  SELECT e.vec_id, s.cid, round(list_cosine_similarity(e.emb, s.cemb), 6) AS csim
       |  FROM e CROSS JOIN seeds s),
@@ -1896,8 +1925,9 @@ object ExtQueries {
       |FROM e LEFT JOIN prim p ON p.vec_id = e.vec_id
       |LEFT JOIN rem r ON r.vec_id = e.vec_id
       |ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
-    Similarity.semanticDedupMultiProbe(normalizedEmb(s, dir), threshold = 0.4,
-      stride = 50, iters = 1)
+    val embs = normalizedEmb(s, dir)
+    Similarity.semanticDedupMultiProbe(embs, threshold = 0.4,
+      stride = Similarity.strideForCells(embs, 40), iters = 1)
       .orderBy("vec_id")
   }
 

@@ -97,11 +97,19 @@ object Relevance {
         sum(col("c")).cast("double").as("score"))
     // orderBy+limit plans as TakeOrderedAndProject (per-partition top-k,
     // k rows to the driver — the x34 shape), NOT a single-task global
-    // window; the rank window below runs over the k survivors only.
+    // window. Its output contract is ONE partition whose row order IS
+    // the (score DESC, doc_id) sort order, so the global rank is just
+    // the row position, read off with monotonically_increasing_id (the
+    // DataFrame form of a post-take zipWithIndex: ids are
+    // position-ordered within a partition, and partition 0 is the only
+    // one). A `row_number().over(Window.orderBy(...))` here would be
+    // semantically identical over the k survivors — bounded work — but
+    // instantiates an unpartitioned WindowExec, and every run WARNs
+    // "No Partition Defined" into the same stdout tail the bench
+    // driver captures with a ~2,000-char window.
     val top = perDoc.orderBy(col("score").desc, col("doc_id")).limit(k)
     top
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
       .select("doc_id", "dl", "n_hit_terms", "score", "rank")
   }
 }

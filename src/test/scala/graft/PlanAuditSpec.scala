@@ -331,6 +331,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p) // the single-row stats side
     assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined, p)
+    // rank is read off the TakeOrderedAndProject row position — NO
+    // WindowExec anywhere, so no "No Partition Defined" WARN can flood
+    // the driver-captured bench stdout tail
+    assert(!p.contains("Window"), p)
   }
 
   test("x69: random projection is one scan-side transform — only the output sort shuffles") {

@@ -40,28 +40,37 @@ object Similarity {
     * index 1 and the parity mixes; a small multiplier never wraps and
     * its parity would just alternate with the index);
     * y_j = round(Σ_i sign·x_i / √outDim, 6) with a STRICTLY sequential
-    * left-to-right accumulation (`aggregate` here, `list_reduce` in
-    * SQL — same IEEE add order, so parity holds even before the
-    * 6-dp round). Zero-norm vectors are excluded (no direction to
-    * preserve; ANSI-safe, same rule as the kNN family).
+    * left-to-right accumulation — same IEEE add order as DuckDB's
+    * `list_reduce`, so parity holds even before the 6-dp round.
+    * Zero-norm vectors are excluded (no direction to preserve;
+    * ANSI-safe, same rule as the kNN family).
+    *
+    * The Σ sign·x_i inner loop runs as the native codegen'd
+    * [[graft.functions.JlProject]] expression (outDim×dim per row —
+    * the interpreted `transform(sequence, aggregate(...))` form this
+    * replaced was the sf1 suite's CPU soak at ~50M lambda evals;
+    * JlProject reproduces its accumulation order bit-for-bit, pinned in
+    * ExtSpec). Rounding stays Spark's own `round` (one rounding
+    * implementation in the contract), and the ‖y‖²/‖x‖² sums reuse the
+    * native [[dot]] — the same sequential fold the SQL `aggregate`
+    * performed.
     *
     * 100 TB posture: a single scan-side projection — zero shuffles,
     * zero broadcasts; the output explode is bounded by `outDim`.
     * Output: `(vec_id, pos, component, norm_ratio)` where norm_ratio =
     * round(‖y‖²/‖x‖², 6) makes the JL distortion visible per vector. */
   def randomProject(embs: DataFrame, outDim: Int): DataFrame = {
-    val inDim = 32 // the embeddings table's fixed width (TESTDATA.md)
+    // inDim pins the PINNED x69 contract: project the FIRST 32
+    // components (the oracle's range(1, 33)), not the array length —
+    // on the 64-wide embeddings table that is a deliberate truncation
+    val inDim = 32
     val proj = embs.where(col("norm") > 0.0)
       .select(col("vec_id"), col("emb"),
-        expr(s"""transform(sequence(0, ${outDim - 1}), j ->
-          round(aggregate(sequence(1, $inDim), 0.0D,
-            (acc, i) -> acc + (1 - 2 * (((CAST(536870923 AS BIGINT) * (j * 33 + i) + 337)
-                % ${Dedup.HashP}) % 2))
-              * element_at(emb, i)) / sqrt(${outDim}.0D), 6))""").as("proj"))
+        transform(graft.functions.JlProject.jl_project(col("emb"), outDim, inDim),
+          y => round(y, 6)).as("proj"))
     proj
-      .withColumn("norm_ratio", expr(
-        """round(aggregate(proj, 0.0D, (acc, y) -> acc + y * y) /
-             aggregate(emb, 0.0D, (acc, v) -> acc + v * v), 6)"""))
+      .withColumn("norm_ratio",
+        round(dot(col("proj"), col("proj")) / dot(col("emb"), col("emb")), 6))
       .select(col("vec_id"), col("norm_ratio"), posexplode(col("proj")))
       .select(col("vec_id"), col("pos").cast("int").as("pos"),
         col("col").as("component"), col("norm_ratio"))

@@ -180,6 +180,37 @@ class GraphSketchSpec extends graft.SparkSpec {
     assert(ratios.count(r => r > 0.2) > 150)
   }
 
+  test("JlProject: native expression is bit-identical to the interpreted fold") {
+    // the codegen'd inner loop must reproduce the SQL aggregate's
+    // left-to-right IEEE accumulation EXACTLY — this is the hash
+    // contract that keeps x69 under the oracle gate
+    val rnd = new scala.util.Random(13)
+    // 64-wide vectors, like the embeddings table: the contract projects
+    // the FIRST 32 components only (the oracle's range(1, 33)), so the
+    // native inDim=32 must ignore the second half exactly as the
+    // interpreted sequence(1, 32) fold does
+    val embs = (0 until 64).map(i => (i.toLong, Seq.fill(64)(rnd.nextGaussian() * 10)))
+      .toDF("vec_id", "emb").select(col("vec_id"), col("emb").cast("array<double>").as("emb"))
+    val native = embs.select(col("vec_id"),
+      transform(graft.functions.JlProject.jl_project(col("emb"), 8, 32),
+        y => round(y, 6)).as("proj"))
+    val interpreted = embs.select(col("vec_id"),
+      expr(s"""transform(sequence(0, 7), j ->
+        round(aggregate(sequence(1, 32), 0.0D,
+          (acc, i) -> acc + (1 - 2 * (((CAST(536870923 AS BIGINT) * (j * 33 + i) + 337)
+              % ${Dedup.HashP}) % 2))
+            * element_at(emb, i)) / sqrt(8.0D), 6))""").as("proj"))
+    val n = native.orderBy("vec_id").as[(Long, Seq[Double])].collect()
+    val r = interpreted.orderBy("vec_id").as[(Long, Seq[Double])].collect()
+    assert(n.length === 64)
+    n.zip(r).foreach { case ((idN, pN), (idI, pI)) =>
+      assert(idN === idI)
+      // exact bit equality, not tolerance
+      assert(pN.map(java.lang.Double.doubleToLongBits) ===
+        pI.map(java.lang.Double.doubleToLongBits), s"vec $idN: $pN vs $pI")
+    }
+  }
+
   // ---- Relevance.bm25TopK ----
 
   test("bm25: rare term dominates, shorter doc wins at equal tf, ranks dense") {

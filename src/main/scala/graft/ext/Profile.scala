@@ -26,17 +26,33 @@ object Profile {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // the unpivot below interpolates names into a SQL string: a name
+    // containing a quote/space/dot would break parsing — or inject an
+    // arbitrary expression into the plan — unless every identifier is
+    // backtick-quoted and every label literal is escaped. A backtick
+    // inside a name cannot itself be backtick-quoted portably; reject.
+    cols.foreach(c => require(!c.contains("`"),
+      s"profile: column name ${c} contains a backtick and cannot be " +
+        "safely quoted in the unpivot expression — rename it upstream"))
+    // plan-side lookups go through col("`name`") / backticked aliases,
+    // so dots in source names never parse as struct-field access
+    def q(name: String): String = s"`$name`"
     val aggs = cols.flatMap { c =>
       Seq(
-        sum(col(c).isNull.cast("long")).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        sum(col(q(c)).isNull.cast("long")).as(s"__null_$c"),
+        countDistinct(col(q(c))).as(s"__nd_$c"),
+        min(col(q(c))).cast("string").as(s"__min_$c"),
+        max(col(q(c))).cast("string").as(s"__max_$c"))
     }
     val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    // one literal label per column; stack unpivots the single wide row
-    val stackArgs = cols.map(c =>
-      s"'$c', __null_$c, __nd_$c, __min_$c, __max_$c").mkString(", ")
+    // one literal label per column; stack unpivots the single wide row.
+    // Labels are backslash-escaped string literals, aggregate
+    // references backtick-quoted identifiers.
+    val stackArgs = cols.map { c =>
+      val label = c.replace("\\", "\\\\").replace("'", "\\'")
+      s"'$label', ${q(s"__null_$c")}, ${q(s"__nd_$c")}, " +
+        s"${q(s"__min_$c")}, ${q(s"__max_$c")}"
+    }.mkString(", ")
     wide.select(col("__n"), expr(
         s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct, min_val, max_val)"))
       .select(col("col_name"), col("__n").as("n_rows"), col("n_null"),

@@ -79,10 +79,15 @@ object Vocab {
     * removed (x41/x67's engine-portability reasoning — IEEE `log` is
     * not correctly-rounded, a rational score is exact on any engine),
     * the ranking-equivalent score is `scale·c(ab) / (c(a)·c(b))`,
-    * computed in integer arithmetic. Overflow envelope:
-    * `c(ab)·scale ≤ 9.2e18` needs total bigrams ≤ ~9.2e10 at the
-    * default scale — beyond that, shrink `scale` (ranking is unchanged
-    * as long as the quotient keeps enough bits).
+    * computed in integer arithmetic as the SEQUENTIAL floor division
+    * `(c(ab)·scale) div c(a) div c(b)` — for positive integers
+    * `⌊⌊a/b⌋/c⌋ = ⌊a/(b·c)⌋`, so the value is identical to dividing by
+    * the product, but `c(a)·c(b)` (which overflows signed-64 first:
+    * two ~3e9-count unigrams exceed 2^63) is never formed. The one
+    * remaining overflow envelope is `c(ab)·scale ≤ 9.2e18`: total
+    * bigrams ≤ ~9.2e10 at the default scale — beyond that, shrink
+    * `scale` (ranking is unchanged as long as the quotient keeps
+    * enough bits).
     *
     * `minCount` floors the pair count: a pair seen once between two
     * hapax words scores maximal PMI on pure noise — the standard
@@ -113,7 +118,7 @@ object Vocab {
       .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
       .withColumn("pmi_score",
-        expr(s"(c_pair * ${scale}L) DIV (c1 * c2)"))
+        expr(s"(c_pair * ${scale}L) DIV c1 DIV c2"))
       .select(col("w1"), col("w2"), col("c_pair"), col("c1"), col("c2"),
         col("pmi_score"))
       .orderBy(col("pmi_score").desc, col("w1"), col("w2"))

@@ -2527,7 +2527,10 @@ object ExtQueries {
   // rational PMI surrogate scale·c(ab)/(c(a)·c(b)) — monotone-
   // equivalent to PMI for ranking with the corpus-constant factor
   // dropped and no IEEE log anywhere (x41/x67's portability rule), so
-  // integer-exact on both engines. Pairs generate scan-side from each
+  // integer-exact on both engines. Both engines divide SEQUENTIALLY
+  // (⌊⌊a/b⌋/c⌋ = ⌊a/(b·c)⌋ for positive ints), so the c1·c2 product —
+  // which overflows signed-64 before anything else at scale — is
+  // never formed. Pairs generate scan-side from each
   // token array (zero position self-join); min-count 3 suppresses
   // hapax-pair noise. Oracle builds the same adjacency by zipping two
   // list slices through DuckDB's positional unnest.
@@ -2545,7 +2548,7 @@ object ExtQueries {
       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
       |  FROM pr GROUP BY w1, w2 HAVING count(*) >= 3)
       |SELECT cp.w1, cp.w2, cp.c_pair, a.cw AS c1, b.cw AS c2,
-      |       CAST((cp.c_pair * CAST(100000000 AS BIGINT)) // (a.cw * b.cw)
+      |       CAST((cp.c_pair * CAST(100000000 AS BIGINT)) // a.cw // b.cw
       |         AS BIGINT) AS pmi_score
       |FROM cp JOIN cu a ON a.w = cp.w1 JOIN cu b ON b.w = cp.w2
       |ORDER BY pmi_score DESC, w1, w2

@@ -31,6 +31,27 @@ class ProfileSpec extends graft.SparkSpec {
     assert(got === ("2", "10"))
   }
 
+  test("hostile column names: quotes, spaces, dots profile safely; backticks refuse") {
+    // names that would break — or inject expressions into — the stack()
+    // SQL string if identifiers weren't backtick-quoted and labels
+    // weren't escaped
+    val hostile = df.select(
+      col("id").as("id value"),          // space
+      col("grp").as("grp.sub"),          // dot (must NOT parse as struct access)
+      col("txt").as("it's"))             // quote (must not break the label literal)
+    val got = Profile.profile(hostile, Seq("id value", "grp.sub", "it's"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, String, String)].collect()
+    assert(got === Array(
+      ("grp.sub", 4L, 1L, 2L, "a", "b"),
+      ("id value", 4L, 0L, 3L, "1", "3"),
+      ("it's", 4L, 1L, 2L, "x", "z")))
+    val e = intercept[IllegalArgumentException] {
+      Profile.profile(df.select(col("id").as("bad`tick")), Seq("bad`tick"))
+    }
+    assert(e.getMessage.contains("backtick"))
+  }
+
   test("plan: ONE file scan — profiling never rescans per column") {
     val doc = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val p = Profile.profile(doc, Seq("doc_id", "source", "text"))

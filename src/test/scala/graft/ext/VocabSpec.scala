@@ -64,6 +64,22 @@ class BigramPmiSpec extends graft.SparkSpec {
     assert(got === Array(("a", "b", 3L, 3L, 3L, 100000000L * 3 / 9)))
   }
 
+  test("sequential floor division matches the c1*c2 quotient exactly") {
+    // the score divides by c1 then c2 (never forming c1*c2, which is
+    // the first signed-64 overflow at scale); for positive ints
+    // floor(floor(a/b)/c) == floor(a/(b*c)) — pin it on values where
+    // the intermediate quotient is NOT exact
+    val docs = Seq("a b a b a b a a a a b b").toDF("text")
+    // c(a b)=4 (positions 1,3,5,10), c(a)=7, c(b)=5
+    val got = Vocab.bigramPmi(docs, col("text"), k = 10, minCount = 3L)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .find(r => r._1 == "a" && r._2 == "b").get
+    // 4e8/35 = 11428571.43 — the intermediate 4e8/7 is not exact either,
+    // so this pins the floor-composition identity on a non-trivial case
+    val expected = (BigInt(4) * BigInt(100000000L) / (BigInt(7) * BigInt(5))).toLong
+    assert(got === (("a", "b", 4L, 7L, 5L, expected)))
+  }
+
   test("minCount floors hapax pairs; single-token docs contribute nothing") {
     val docs = Seq("x y", "z", "").toDF("text")
     assert(Vocab.bigramPmi(docs, col("text"), k = 10, minCount = 2L).count() === 0)

@@ -31,6 +31,92 @@ import org.apache.spark.sql.SparkSession
   * targeted profiling; `SPARK_GRAFT_RUNS` overrides the run count.
   */
 object Bench {
+
+  /** The driver captures only the LAST ~2,000 chars of stdout (measured:
+    * BENCH_r07's tail field is exactly 2,000 chars and its line — ~3.9 KB
+    * with the 74-query cpu map — lost its front half, "parsed": null;
+    * round 3 failed the same way at ~4.5 KB). 1,800 leaves margin under
+    * the observed window. */
+  private[graft] val StdoutBudget = 1800
+
+  private[graft] def jstr(s: String): String =
+    "\"" + s.replaceAll("[\"\\\\]", "_").replaceAll("[\\x00-\\x1f]", " ").take(200) + "\""
+  private[graft] def r4(d: Double): String =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+  private[graft] def r2(d: Double): String =
+    BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** Build the single stdout JSON line from raw per-query results.
+    *
+    * Tiered fallback order (documented contract, spec-pinned in
+    * BenchLineSpec): the largest tier that fits [[StdoutBudget]] wins.
+    *   1. full names + per-query cpu map
+    *   2. full names, cpu deferred to bench.json
+    *   3. SHORT ids ("x59") at 2 dp, cpu deferred — the tier sized so a
+    *      full-suite run keeps a driver-visible per-query map
+    *   4. totals only (queries deferred to bench.json)
+    *   5. floor: totals + error COUNT only — bounded regardless of how
+    *      many queries failed; always fits
+    * bench.json always carries the full 4-dp per-query/per-run detail.
+    *
+    * Pure function of its inputs so the spec can drive it with
+    * worst-case synthetic data and fail BEFORE the driver's tail window
+    * truncates a real round artifact. */
+  private[graft] def composeStdoutLine(
+      results: Seq[(String, Seq[(Double, Double)], Option[String])],
+      sfDir: String, runs: Int, calib: Seq[Double]): String = {
+    val total = results.flatMap { case (_, ts, _) => ts.map(_._1).minOption }.sum
+    val qs = results.map { case (k, ts, _) =>
+      jstr(k) + ":" + (if (ts.isEmpty) "null" else r4(ts.map(_._1).min))
+    }.mkString("{", ",", "}")
+    // cpu of the min-WALL run (the same run the headline number comes
+    // from), 2 dp to keep the stdout line inside the capture window
+    val cpuMap = results.map { case (k, ts, _) =>
+      val v =
+        if (ts.isEmpty) "null"
+        else {
+          val c = ts.minBy(_._1)._2
+          if (c < 0) "null" else r2(c)
+        }
+      jstr(k) + ":" + v
+    }.mkString("{", ",", "}")
+    // error strings capped harder than other fields: a broken run with
+    // many failures must not push the final line past the capture
+    // window (full messages are on stderr already)
+    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e.take(100)) }
+      .mkString("{", ",", "}")
+    val calJson = calib.map(r4).mkString("[", ",", "]")
+    // Short-id per-query tier: for the full suite the ~25-chars-per-query
+    // full-name map (~1.9 KB at 75 queries) can never fit the 1,800-char
+    // budget, so without this tier the driver-visible stdout permanently
+    // degrades to totals-only. Query ids ("q1", "qr1", "x59") are unique
+    // by construction — verified here, with a fallback to full names if
+    // that ever breaks — and 2-dp walls suffice for the driver's record
+    // (~13 chars/query ≈ 1 KB); full names and 4-dp live in bench.json.
+    val shortIds = results.map { case (k, _, _) => k.takeWhile(_ != '_') }
+    val qsShort =
+      if (shortIds.distinct.size != results.size) qs
+      else results.zip(shortIds).map { case ((_, ts, _), sid) =>
+        jstr(sid) + ":" + (if (ts.isEmpty) "null" else r2(ts.map(_._1).min))
+      }.mkString("{", ",", "}")
+    val jsonWithCpu =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":$cpuMap,"errors":$errs}"""
+    val jsonQueriesOnly =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
+    val jsonShortQueries =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
+    val jsonMinimal =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"queries":"bench.json","cpu":"bench.json","errors":$errs}"""
+    // absolute floor: even a run where every query errors (74 capped
+    // messages ≈ 9 KB) must still emit a parseable headline line
+    val nErr = results.count(_._3.isDefined)
+    val jsonFloor =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"queries":"bench.json","cpu":"bench.json","errors":{"n_failed":$nErr}}"""
+    Seq(jsonWithCpu, jsonQueriesOnly, jsonShortQueries, jsonMinimal)
+      .find(_.length <= StdoutBudget)
+      .getOrElse(jsonFloor)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's cores: the target profile is local[32] on
@@ -131,16 +217,11 @@ object Bench {
     // array always has its start/middle/end triple
     if (selected.isEmpty) calib += calibrate()
     calib += calibrate()
-    def jstr(s: String): String =
-      "\"" + s.replaceAll("[\"\\\\]", "_").replaceAll("[\\x00-\\x1f]", " ").take(200) + "\""
-    def r4(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    def r2(d: Double): String = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val total = results.flatMap { case (_, ts, _) => ts.map(_._1).minOption }.sum
+    val json = composeStdoutLine(results, sfDir, runs, calib.toSeq)
     val qs = results.map { case (k, ts, _) =>
       jstr(k) + ":" + (if (ts.isEmpty) "null" else r4(ts.map(_._1).min))
     }.mkString("{", ",", "}")
-    // cpu of the min-WALL run (the same run the headline number comes
-    // from), 2 dp to keep the stdout line inside the driver's
-    // tail-capture window
     val cpuMap = results.map { case (k, ts, _) =>
       val v =
         if (ts.isEmpty) "null"
@@ -156,54 +237,9 @@ object Bench {
     val cpuDetail = results.map { case (k, ts, _) =>
       jstr(k) + ":" + ts.map(t => if (t._2 < 0) "null" else r4(t._2)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    // error strings capped harder than other fields: a broken run with
-    // many failures must not push the final line past the driver's
-    // tail-capture window (full messages are on stderr already)
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e.take(100)) }
       .mkString("{", ",", "}")
-    val total = results.flatMap { case (_, ts, _) => ts.map(_._1).minOption }.sum
     val calJson = calib.map(r4).mkString("[", ",", "]")
-    // The driver captures only the LAST 2,000 chars of stdout (measured:
-    // BENCH_r07's tail field is exactly 2,000 chars and its line — ~3.9 KB
-    // with the 74-query cpu map — lost its front half, "parsed": null;
-    // round 3 failed the same way at ~4.5 KB). So the stdout line is built
-    // in tiers and the largest tier that fits a 1,800-char budget (margin
-    // under the observed window) wins; the minimal tier carries only the
-    // headline number + calibration + errors and cannot outgrow the
-    // window. bench.json always has the full per-query/per-run detail.
-    val stdoutBudget = 1800
-    // Short-id per-query tier: for the full suite the ~25-chars-per-query
-    // full-name map (~1.9 KB at 75 queries) can never fit the 1,800-char
-    // budget, so without this tier the driver-visible stdout permanently
-    // degrades to totals-only. Query ids ("q1", "qr1", "x59") are unique
-    // by construction — verified here, with a fallback to full names if
-    // that ever breaks — and 2-dp walls suffice for the driver's record
-    // (~13 chars/query ≈ 1 KB); full names and 4-dp live in bench.json.
-    val shortIds = results.map { case (k, _, _) => k.takeWhile(_ != '_') }
-    val qsShort =
-      if (shortIds.distinct.size != results.size) qs
-      else results.zip(shortIds).map { case ((_, ts, _), sid) =>
-        jstr(sid) + ":" + (if (ts.isEmpty) "null" else r2(ts.map(_._1).min))
-      }.mkString("{", ",", "}")
-    val jsonWithCpu =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":$cpuMap,"errors":$errs}"""
-    val jsonQueriesOnly =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
-    val jsonShortQueries =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
-    val jsonMinimal =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"queries":"bench.json","cpu":"bench.json","errors":$errs}"""
-    // absolute floor: even a run where every query errors (74 capped
-    // messages ≈ 9 KB) must still emit a parseable headline line
-    val nErr = results.count(_._3.isDefined)
-    val jsonFloor =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"queries":"bench.json","cpu":"bench.json","errors":{"n_failed":$nErr}}"""
-    val json =
-      if (jsonWithCpu.length <= stdoutBudget) jsonWithCpu
-      else if (jsonQueriesOnly.length <= stdoutBudget) jsonQueriesOnly
-      else if (jsonShortQueries.length <= stdoutBudget) jsonShortQueries
-      else if (jsonMinimal.length <= stdoutBudget) jsonMinimal
-      else jsonFloor
     val jsonFull =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":$cpuMap,"runs_detail":$detail,"cpu_detail":$cpuDetail,"errors":$errs}"""
     try {

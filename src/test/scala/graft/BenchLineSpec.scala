@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench stdout-line contract BEFORE the driver's ~2,000-char
+  * tail window can truncate a round artifact (it already ate BENCH_r03
+  * and BENCH_r07). Drives `Bench.composeStdoutLine` — a pure function —
+  * with worst-case synthetic data over the REAL registered query set,
+  * so registry growth that would overflow the short-id tier fails HERE,
+  * in `sbt test`, not in the next round's driver capture. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val calib = Seq(9.9999, 9.9999, 9.9999)
+
+  private def synth(names: Seq[String], wall: Double = 999.99)
+      : Seq[(String, Seq[(Double, Double)], Option[String])] =
+    names.map(n => (n, Seq((wall, wall)), Option.empty[String]))
+
+  test("full registry at worst-case walls keeps a per-query map inside the budget") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val line = Bench.composeStdoutLine(synth(names), "/root/testdata/sf0.1", 2, calib)
+    assert(line.length <= Bench.StdoutBudget,
+      s"bench stdout line is ${line.length} chars — the driver tail window " +
+        s"(~2,000) will truncate it; shrink a tier or redesign before the " +
+        s"next round artifact degrades")
+    // ...and it must still be a PER-QUERY tier: if this fires, the
+    // registry outgrew the short-id tier and per-query walls would
+    // silently vanish from the round artifact (the BENCH_r08 failure)
+    assert(!line.contains("\"queries\":\"bench.json\""),
+      s"registry (${names.size} queries) no longer fits any per-query " +
+        s"tier — add a denser tier before the driver record degrades")
+  }
+
+  test("short ids stay unique across the registry (the short tier's precondition)") {
+    val ids = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+    assert(ids.distinct.size === ids.size,
+      s"duplicate short ids: ${ids.diff(ids.distinct).distinct.mkString(",")}")
+  }
+
+  test("an all-error run still emits a bounded, headline-bearing line") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val broken = names.map(n =>
+      (n, Seq.empty[(Double, Double)], Some("boom " * 100)))
+    val line = Bench.composeStdoutLine(broken, "/root/testdata/sf0.1", 2, calib)
+    assert(line.length <= Bench.StdoutBudget, s"len=${line.length}")
+    assert(line.contains("\"metric\":\"total\""))
+    assert(line.contains(s"\"n_failed\":${names.size}"))
+  }
+
+  test("documented fallback order: 150 queries degrade to totals-only, still bounded") {
+    // the short-id tier (~13 chars/query) cannot hold ~150 queries in
+    // 1,800 chars; the line must fall through to the totals-only tier
+    // and stay parseable — this pins the DOCUMENTED degradation path,
+    // and the first test above guarantees we notice before the real
+    // registry gets there
+    val names = (1 to 150).map(i => s"x${i}_synthetic_query_name")
+    val line = Bench.composeStdoutLine(synth(names), "/root/testdata/sf0.1", 2, calib)
+    assert(line.length <= Bench.StdoutBudget)
+    assert(line.contains("\"queries\":\"bench.json\""))
+    assert(line.contains("\"metric\":\"total\""))
+  }
+}

@@ -169,13 +169,33 @@ object Sketches {
       width: Long,
       quantiles: Seq[(String, Int, Int)] =
         Seq(("p50_est", 1, 2), ("p90_est", 9, 10), ("p99_est", 99, 100)))
+      : DataFrame =
+    histogramQuantilesFromBuckets(
+      histogramBuckets(rows, key, value, width), width, quantiles)
+
+  /** The sketch STATE of [[histogramQuantiles]]: per-(key, bucket) row
+    * counts. A pure sum-aggregate, so — by the same argument that makes
+    * [[hllRegisters]] (max) and [[cmsCounters]] (sum) streamable — it
+    * runs unchanged as a structured-streaming aggregation: arriving
+    * batches fold in, union-equals-batch (StreamingSketchSpec), and
+    * the finisher below replays quantiles off the materialized state. */
+  def histogramBuckets(rows: DataFrame, key: Column, value: Column,
+      width: Long): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    rows.select(key.as("key"),
+        floor(value.cast("double") / width).cast("long").as("bucket"))
+      .groupBy(col("key"), col("bucket")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Finisher: quantile lower edges from a `(key, bucket, c)` histogram
+    * (the window + fold run over the tiny sketch, never the corpus). */
+  def histogramQuantilesFromBuckets(hist: DataFrame, width: Long,
+      quantiles: Seq[(String, Int, Int)] =
+        Seq(("p50_est", 1, 2), ("p90_est", 9, 10), ("p99_est", 99, 100)))
       : DataFrame = {
     require(width > 0, "bucket width must be positive")
     quantiles.foreach { case (_, num, den) =>
       require(num > 0 && num <= den, s"quantile $num/$den out of (0,1]") }
-    val hist = rows.select(key.as("key"),
-        floor(value.cast("double") / width).cast("long").as("bucket"))
-      .groupBy(col("key"), col("bucket")).agg(count(lit(1)).as("c"))
     val byKey = org.apache.spark.sql.expressions.Window.partitionBy("key")
     val cum = hist
       .withColumn("cum", sum(col("c")).over(byKey.orderBy("bucket")))

@@ -40,6 +40,37 @@ class StreamingSketchSpec extends SparkSpec {
     assert(streamedEst === batchEst)
   }
 
+  test("streamed histogram buckets (a sum-aggregate) == batch; quantiles replay off the state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = Sketches.histogramBuckets(
+        mem.toDS().toDF("key", "v"), col("key"), col("v"), width = 10L)
+      .writeStream.format("memory").queryName("hist_buckets")
+      .outputMode("complete").start()
+    val batch1 = (0 until 200).map(i => ("a", i.toLong)) ++
+      (0 until 50).map(i => ("b", (i * 3).toLong))
+    val batch2 = (100 until 400).map(i => ("a", i.toLong)) // overlapping range
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hist_buckets")
+      .as[(String, Long, Long)].collect().toSet
+    val union = (batch1 ++ batch2).toDF("key", "v")
+    val batch = Sketches.histogramBuckets(union, col("key"), col("v"), 10L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    // the finisher replays quantiles off the materialized sketch state,
+    // identical to the batch pipeline over the union
+    val streamedQ = Sketches.histogramQuantilesFromBuckets(
+        spark.table("hist_buckets"), 10L)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val batchQ = Sketches.histogramQuantiles(union, col("key"), col("v"), 10L)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(streamedQ === batchQ)
+  }
+
   test("streamed CMS counters (a sum-aggregate) == batch counters over the union") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]

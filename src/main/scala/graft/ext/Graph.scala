@@ -68,11 +68,28 @@ object Graph {
     *
     * 100 TB posture: wedge volume is Σ deg²/2 — the real cost of exact
     * triangle counting anywhere; the stop-gram df cap upstream
-    * ([[coShingleEdges]]) is what bounds degrees. Joins are hash
-    * equi-joins on node ids (8 bytes); nothing touches text.
+    * ([[coShingleEdges]]) bounds each SHINGLE's contribution, but a
+    * node appearing in many distinct capped shingles can still
+    * concentrate degree, so the operator also REFUSES a hub loudly at
+    * plan build (`maxDegree`, default 100k → 10^10 wedges from that one
+    * node — the same Σ² failure mode, and the same loud-refusal
+    * contract, as `semanticDedupWithin`'s hot cluster and
+    * `nearDupPairs`' hot bucket). The probe runs over the
+    * already-checkpointed 8-byte edge list — one small aggregation, not
+    * a corpus scan. Joins are hash equi-joins on node ids (8 bytes);
+    * nothing touches text.
     * Output: `(doc_id, degree, n_triangles, clustering)`. */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  def triangleStats(edges: DataFrame, maxDegree: Long = 100000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val hottest = e.groupBy(col("src")).count()
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    require(hottest <= maxDegree,
+      s"triangleStats enumerates sum(deg^2)/2 wedges; the hottest node " +
+        s"has degree $hottest > maxDegree=$maxDegree (10^10 wedges at " +
+        s"100k from that node alone). Tighten the upstream shingle df " +
+        s"cap (coShingleEdges maxShingleDf), drop hub nodes before " +
+        s"counting, or switch to a sampled/approximate triangle count " +
+        s"for hub-heavy graphs")
     val ord = e.where(col("src") < col("dst"))
     val wedges = ord.as("ab")
       .join(ord.as("bc"), col("ab.dst") === col("bc.src"))

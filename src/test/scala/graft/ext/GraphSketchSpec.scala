@@ -67,6 +67,24 @@ class GraphSketchSpec extends graft.SparkSpec {
     assert(g2.find(_._1 == 2L).get._4 === 2.0 * 2.0 / (3.0 * 2.0))
   }
 
+  test("triangleStats: hub flood refuses loudly at plan build, not at execute") {
+    def sym(pairs: (Long, Long)*) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    // a star: node 0 touches everyone — wedge volume is deg² from the
+    // hub alone, the Σdeg² failure mode the guard exists for
+    val star = sym((1L to 50L).map(i => (0L, i)): _*)
+    val e = intercept[IllegalArgumentException] {
+      Graph.triangleStats(star, maxDegree = 49L)
+    }
+    assert(e.getMessage.contains("maxDegree"))
+    assert(e.getMessage.contains("50"))     // reports the measured degree
+    // at the cap: runs; a star has no triangles
+    val ok = Graph.triangleStats(star, maxDegree = 50L)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(ok.forall(_._3 == 0L))
+    assert(ok.find(_._1 == 0L).get._2 === 50L)
+  }
+
   // ---- Sketches.hllDistinct ----
 
   test("hllDistinct: exact baseline right, duplicate-insensitive, sane error") {

@@ -339,6 +339,66 @@ object Dedup {
       .select(col("a"), col("b"), col("containment"))
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    * the MOSS scheme): hash every positional word-`n`-gram, slide a
+    * window of `w` consecutive hashes over the document, and keep each
+    * window's MINIMUM — the guarantee is that any shared run of at
+    * least `w + n − 1` words between two documents yields at least one
+    * shared fingerprint, while the kept set is only ~`2/(w+1)` of the
+    * hashes (vs ALL of them in the x6 inverted index). The selected
+    * set is a pure function of hash VALUES (window minima, duplicates
+    * collapsed per doc), so no tie-break rule is needed and the whole
+    * selection is reproducible in list SQL.
+    *
+    * Sub-`w`-window docs (fewer than `w` shingles) contribute their
+    * single global minimum; the whole-text shingle rule for sub-`n`
+    * docs is inherited from [[shingles]].
+    *
+    * 100 TB posture: fingerprint selection is entirely scan-side
+    * (per-doc array ops, m·w comparisons per doc, no shuffle); only
+    * the (doc_id, 8-byte fp) pairs leave the scan. Output: one row per
+    * distinct (doc_id, fp). */
+  def winnowFingerprints(df: DataFrame, id: Column, text: Column,
+      n: Int, w: Int): DataFrame = {
+    require(n >= 1 && w >= 1, s"n=$n and w=$w must be >= 1")
+    val hs = transform(
+      graft.functions.WordShingles.word_shingles_pos(text, n),
+      s => md5Hash60(s))
+    val m = size(col("__hs"))
+    val fps = array_distinct(
+      when(m <= w, array(array_min(col("__hs"))))
+        .otherwise(transform(sequence(lit(1), m - w + 1),
+          i => array_min(slice(col("__hs"), i, lit(w))))))
+    df.select(id.as("doc_id"), hs.as("__hs"))
+      .select(col("doc_id"), explode(fps).as("fp"))
+  }
+
+  /** Cross-doc similarity pairs from shared winnowing fingerprints —
+    * the x6 shape at winnowed density: the inverted index holds
+    * ~`2/(w+1)` of the n-gram postings, so the bucket self-join
+    * touches proportionally fewer rows for the same ≥(w+n−1)-word
+    * overlap guarantee. Same hot-bucket stop-gram cap as
+    * [[jaccardPairs]] (`maxFpDf`): a boilerplate fingerprint shared by
+    * 100k docs would emit 10^10 pairs from one bucket; capped, each
+    * contributes ≤ maxFpDf². Output: `(doc_a, doc_b, n_shared)`,
+    * doc_a < doc_b. */
+  def sharedFingerprintPairs(df: DataFrame, id: Column, text: Column,
+      n: Int, w: Int, maxFpDf: Long = 64L): DataFrame = {
+    // consumed three times (df count + both sides of the self-join):
+    // materialize the slim (doc_id, 8-byte fp) rows once instead of
+    // re-shingling and re-hashing the corpus per consumer
+    val fp = winnowFingerprints(df, id, text, n, w).localCheckpoint(false)
+    val kept = fp.groupBy(col("fp")).agg(count(lit(1)).as("dfp"))
+      .where(col("dfp") <= maxFpDf)
+      .select(col("fp"))
+    val occ = fp.join(kept, Seq("fp"))
+    occ.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(occ.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   // ---- engine-reproducible hashing ----
 
   /** 60-bit base hash: the first 15 hex chars of md5, as a BIGINT.

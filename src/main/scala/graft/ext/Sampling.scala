@@ -56,6 +56,45 @@ object Sampling {
   def weightedBernoulli(df: DataFrame, key: Column, rate10k: Column): DataFrame =
     df.where(hashBucket(key) < least(greatest(rate10k, lit(0L)), lit(10000L)))
 
+  /** Leakage-free train/val/test split: every row in the same
+    * equivalence GROUP lands wholly in one split, because the hash
+    * decision is keyed on the group's REPRESENTATIVE (min id), not the
+    * row — near-identical documents can never straddle train and test,
+    * the classic eval-contamination leak a row-keyed split invites.
+    * The group is any equivalence the caller proves: the exact-dup
+    * normalization key (x58's nfp), a near-dup cluster label from
+    * [[Dedup.connectedComponents]], a source domain.
+    *
+    * `boundaries` are (name, cumulative-upper-bucket) pairs over the
+    * [0, 10000) hash space, strictly increasing and ending at 10000 —
+    * e.g. `("train",8000),("val",9000),("test",10000)` is 80/10/10.
+    *
+    * 100 TB posture: one combinable min-agg to group cardinality, one
+    * equi-join back (AQE-broadcast when groups are small); the split
+    * decision itself is scan-side integer arithmetic, deterministic on
+    * any cluster (same md5 contract as [[hashBucket]]).
+    * Output: `(id, grp, rep_id, bucket, split)`. */
+  def leakageFreeSplit(df: DataFrame, id: Column, group: Column,
+      boundaries: Seq[(String, Long)] =
+        Seq(("train", 8000L), ("val", 9000L), ("test", 10000L))): DataFrame = {
+    require(boundaries.nonEmpty && boundaries.last._2 == 10000L,
+      s"boundaries must end at 10000, got $boundaries")
+    require(boundaries.map(_._2) == boundaries.map(_._2).sorted &&
+        boundaries.map(_._2).distinct.size == boundaries.size &&
+        boundaries.head._2 > 0,
+      s"boundaries must be strictly increasing in (0, 10000], got $boundaries")
+    val reps = df.select(group.as("grp"), id.as("id"))
+      .groupBy(col("grp")).agg(min(col("id")).as("rep_id"))
+    val split = boundaries.init.foldRight(lit(boundaries.last._1): Column) {
+      case ((name, ub), acc) => when(col("bucket") < ub, lit(name)).otherwise(acc)
+    }
+    df.select(id.as("id"), group.as("grp"))
+      .join(reps, Seq("grp"))
+      .withColumn("bucket", hashBucket(col("rep_id")))
+      .select(col("id"), col("grp"), col("rep_id"), col("bucket"),
+        split.as("split"))
+  }
+
   /** Token-budget corpus mixing: given a TOTAL token budget and target
     * mixture weights per source, derive each source's deterministic
     * keep-rate and flag every document — the "data mixing" step that

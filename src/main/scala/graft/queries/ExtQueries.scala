@@ -2556,11 +2556,85 @@ object ExtQueries {
     Vocab.bigramPmi(Tables.documents(s, dir), col("text"), k = 50)
   }
 
+  // x79 — WINNOWING fingerprint pairs (Schleimer/Wilkerson/Aiken 2003,
+  // the MOSS scheme): hash every positional 3-gram, keep each 4-window's
+  // MINIMUM hash, pair docs sharing a kept fingerprint. The guarantee:
+  // any shared run of >= w+n-1 = 6 words yields a shared fingerprint,
+  // at ~2/(w+1) = 40% of the x6 index density — the cheap first-pass
+  // screen before exact Jaccard. The selection is min-of-window over
+  // values (duplicates collapsed per doc), so no tie-break rule exists
+  // to diverge on; same hot-bucket df cap as x6 (boilerplate
+  // fingerprints are stop-grams, not pair sources).
+  val x79 = Q(
+    "x79_winnow_pairs",
+    """WITH t AS (
+      |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS wd
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(wd) >= 3
+      |              THEN list_transform(range(1, len(wd) - 1),
+      |                     i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2])
+      |              ELSE [tt] END AS sh
+      |  FROM t),
+      |h AS (SELECT doc_id,
+      |             list_transform(sh, x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS hs
+      |      FROM s),
+      |f AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+      |           ELSE list_transform(range(1, len(hs) - 2),
+      |                  i -> list_min(hs[i : i + 3])) END) AS fps
+      |  FROM h),
+      |u AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      |keep AS (SELECT fp FROM u GROUP BY fp HAVING count(*) <= 64),
+      |o AS (SELECT u.doc_id, u.fp FROM u JOIN keep USING (fp)),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM o a JOIN o b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_shared FROM p
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    Dedup.sharedFingerprintPairs(Tables.documents(s, dir),
+      col("doc_id"), col("text"), n = 3, w = 4, maxFpDf = 64L)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // x80 — LEAKAGE-FREE SPLIT: train/val/test assignment keyed on each
+  // exact-dup group's representative (min doc_id over the x58
+  // normalization fingerprint), so duplicated documents can never
+  // straddle train and test — the eval-contamination leak a row-keyed
+  // hash split invites. 80/10/10 over the [0,10000) hash space with
+  // the same md5 bucket contract as x27; swap the nfp for a
+  // connected-components label (x39) to harden against NEAR-dups.
+  val x80 = Q(
+    "x80_leakage_split",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS nfp
+      |  FROM documents),
+      |r AS (SELECT nfp, min(doc_id) AS rep_id FROM g GROUP BY nfp),
+      |j AS (
+      |  SELECT g.doc_id, r.rep_id,
+      |         ('0x' || substring(md5(CAST(r.rep_id AS VARCHAR)), 1, 15))::BIGINT
+      |           % 10000 AS bucket
+      |  FROM g JOIN r USING (nfp))
+      |SELECT doc_id, rep_id, CAST(bucket AS BIGINT) AS bucket,
+      |       CASE WHEN bucket < 8000 THEN 'train'
+      |            WHEN bucket < 9000 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM j ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Sampling.leakageFreeSplit(Tables.documents(s, dir), col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .select(col("id").as("doc_id"), col("rep_id"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
-      x72, x73, x74, x75, x76, x77, x78)
+      x72, x73, x74, x75, x76, x77, x78, x79, x80)
 }

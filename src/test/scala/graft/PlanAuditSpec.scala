@@ -369,6 +369,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) <= 3, p)
   }
 
+  test("x79: corpus is shingled once (checkpoint scan); only 8-byte fp rows shuffle") {
+    // winnowing selection is scan-side; the slim (doc_id, fp) checkpoint
+    // feeds the df-cap agg and both self-join sides, so the md5-per-
+    // shingle work never re-runs. Shuffles: 2× df-cap agg + pair agg +
+    // output sort; text appears in NO exchange.
+    val p = planOf("x79_winnow_pairs")
+    assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(shuffles(p) === 4, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x80: split = one rep agg + join-back + output sort; text never crosses an exchange") {
+    // the split decision is scan-side integer arithmetic on the
+    // representative's hash; only the 32-char group fingerprint and ids
+    // shuffle (rep agg), the join-back broadcasts under AQE
+    val p = planOf("x80_leakage_split")
+    assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined, p)
+    assert(shuffles(p) === 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("AQE skew-join splits a hot key's partition at runtime (when Salting is NOT needed)") {
     // This pins the division of labor with ops/Salting.saltedJoin:
     //   - a skewed SHUFFLE JOIN is AQE's job — the runtime splits the hot

@@ -1,0 +1,110 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins x79 (winnowing fingerprints) and x80 (leakage-free split). */
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val n = 3
+  private val w = 4
+
+  test("winnowing guarantee: a shared run of >= w+n-1 words yields a shared fingerprint") {
+    // 6 shared words (= w+n-1) embedded in otherwise-distinct docs.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"one two $shared three four five six seven"),
+      (2L, s"red green blue $shared yellow purple orange")).toDF("doc_id", "text")
+    val pairs = Dedup.sharedFingerprintPairs(df, col("doc_id"), col("text"), n, w)
+      .collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Long]("doc_a") === 1L)
+    assert(pairs.head.getAs[Long]("doc_b") === 2L)
+    assert(pairs.head.getAs[Long]("n_shared") >= 1L)
+  }
+
+  test("winnowed density is far below full shingle density") {
+    val words = (1 to 400).map(i => s"w${i % 97}x$i").mkString(" ")
+    val df = Seq((1L, words)).toDF("doc_id", "text")
+    val nShingles = 400 - n + 1
+    val nFps = Dedup.winnowFingerprints(df, col("doc_id"), col("text"), n, w).count()
+    // expectation ~ 2/(w+1) = 40%; allow slack, but it must beat 60%
+    assert(nFps < nShingles * 6 / 10, s"$nFps of $nShingles kept")
+  }
+
+  test("sub-w docs contribute exactly their single global minimum") {
+    // 4 words -> 2 shingles (< w windows) -> 1 fingerprint
+    val df = Seq((7L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, col("doc_id"), col("text"), n, w).collect()
+    assert(fps.length === 1)
+  }
+
+  test("hot fingerprint df cap drops boilerplate buckets") {
+    val boiler = "the same exact boilerplate sentence repeated everywhere verbatim"
+    val df = (1L to 10L).map(i => (i, s"$boiler unique$i")).toDF("doc_id", "text")
+    val capped = Dedup.sharedFingerprintPairs(df, col("doc_id"), col("text"), n, w,
+      maxFpDf = 4L)
+    // every fingerprint from the shared sentence has df=10 > 4 -> no pairs
+    assert(capped.count() === 0L)
+    val uncapped = Dedup.sharedFingerprintPairs(df, col("doc_id"), col("text"), n, w,
+      maxFpDf = 64L)
+    assert(uncapped.count() === 45L) // all C(10,2) pairs share the run
+  }
+}
+
+class LeakageSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rows in the same group always land in the same split") {
+    val df = (1L to 300L).map(i => (i, s"g${i % 37}")).toDF("id", "grp")
+    val out = Sampling.leakageFreeSplit(df, col("id"), col("grp"))
+    val perGroup = out.groupBy("grp").agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k"))).as[Long].head()
+    assert(perGroup === 1L)
+    assert(out.count() === 300L) // no row lost on the join-back
+  }
+
+  test("split is keyed on the representative (min id), not the row id") {
+    val df = Seq((5L, "a"), (9000L, "a"), (42L, "b")).toDF("id", "grp")
+    val out = Sampling.leakageFreeSplit(df, col("id"), col("grp")).collect()
+    val byId = out.map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(5L).getAs[Long]("rep_id") === 5L)
+    assert(byId(9000L).getAs[Long]("rep_id") === 5L)
+    assert(byId(9000L).getAs[String]("split") === byId(5L).getAs[String]("split"))
+    val bucket = byId(5L).getAs[Long]("bucket")
+    val expected =
+      if (bucket < 8000L) "train" else if (bucket < 9000L) "val" else "test"
+    assert(byId(5L).getAs[String]("split") === expected)
+  }
+
+  test("custom boundaries partition the hash space as declared") {
+    val df = (1L to 2000L).map(i => (i, i)).toDF("id", "grp") // singleton groups
+    val out = Sampling.leakageFreeSplit(df, col("id"), col("grp"),
+      Seq(("a", 5000L), ("b", 10000L)))
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("a", "b"))
+    // deterministic md5 buckets: roughly half each; pin the exact realized counts
+    assert(counts("a") + counts("b") === 2000L)
+    assert(math.abs(counts("a") - 1000L) < 150, counts.toString)
+    val again = Sampling.leakageFreeSplit(df, col("id"), col("grp"),
+      Seq(("a", 5000L), ("b", 10000L)))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(again === counts) // deterministic
+  }
+
+  test("malformed boundaries are refused loudly") {
+    val df = Seq((1L, "a")).toDF("id", "grp")
+    intercept[IllegalArgumentException] {
+      Sampling.leakageFreeSplit(df, col("id"), col("grp"), Seq(("a", 9000L)))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.leakageFreeSplit(df, col("id"), col("grp"),
+        Seq(("a", 9000L), ("b", 8000L), ("c", 10000L)))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.leakageFreeSplit(df, col("id"), col("grp"),
+        Seq(("a", 0L), ("b", 10000L)))
+    }
+  }
+}

@@ -124,4 +124,52 @@ object Vocab {
       .orderBy(col("pmi_score").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Per-document fluency score under the corpus's own bigram language
+    * model — the classic perplexity-filter signal (a doc whose adjacent
+    * word pairs are RARE given their first word is noise/garble; one
+    * whose pairs are maximally predictable is boilerplate), with the
+    * IEEE-log perplexity replaced by the rational surrogate that the
+    * whole text family uses (x41/x67/x78): each bigram contributes the
+    * scaled MLE conditional `⌊scale·c(w1w2)/c(w1)⌋` and the doc score
+    * is the integer mean over its bigram positions — exact on any
+    * engine, no float anywhere.
+    *
+    * Overflow envelope (x78's): `c_pair·scale ≤ 2^63` → total corpus
+    * bigrams ≤ ~9.2e10 at the default scale; shrink `scale` beyond
+    * that. Per-doc sums are bounded by doc_len·scale.
+    *
+    * 100 TB posture: the corpus never shuffles as text — tokens are
+    * split scan-side, and the only corpus-scale exchanges are the two
+    * combinable counting aggregations (per-doc pairs, corpus unigrams).
+    * The per-doc pair table `(doc_id, w1, w2, n_occ)` is checkpointed
+    * ONCE and reused for both the corpus pair counts and the join-back
+    * (the x56/x79 discipline), so shingling runs once; the count joins
+    * are equi-joins where the count side has exactly one row per key —
+    * no multiplicity blow-up, no skew amplification. */
+  def bigramLmScore(docs: DataFrame, id: Column, text: Column,
+      scale: Long = 100000000L): DataFrame = {
+    require(scale >= 1, s"scale must be positive, got $scale")
+    val toks = docs.select(id.as("doc_id"), split(trim(text), "\\s+").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val docPairs = toks.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint(false)
+    val pairCounts = docPairs.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n_occ")).as("c_pair"))
+    docPairs
+      .join(pairCounts, Seq("w1", "w2"))
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .withColumn("contrib", expr(s"(c_pair * ${scale}L) DIV c1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).as("n_bigrams"),
+        expr("sum(n_occ * contrib) DIV sum(n_occ)").as("lm_score"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
+  }
 }

@@ -2630,11 +2630,45 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x81 — BIGRAM-LM FLUENCY SCORE: each doc scored by the integer mean
+  // of ⌊scale·c(w1w2)/c(w1)⌋ over its adjacent bigrams — the
+  // perplexity-filter quality signal with the IEEE log replaced by the
+  // family's rational surrogate (exact on both engines). Low score =
+  // improbable word transitions (garble); high = boilerplate-
+  // predictable. The per-doc pair table is built once (checkpointed)
+  // and feeds both the corpus pair counts and the join-back.
+  val x81 = Q(
+    "x81_bigram_lm_score",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |cu AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS cw
+      |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      |pr AS (
+      |  SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+      |  FROM toks WHERE len(t) >= 2),
+      |dp AS (
+      |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n_occ
+      |  FROM pr GROUP BY 1, 2, 3),
+      |cp AS (
+      |  SELECT w1, w2, CAST(sum(n_occ) AS BIGINT) AS c_pair
+      |  FROM dp GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT dp.doc_id, dp.n_occ,
+      |         (cp.c_pair * CAST(100000000 AS BIGINT)) // cu.cw AS contrib
+      |  FROM dp JOIN cp USING (w1, w2) JOIN cu ON cu.w = dp.w1)
+      |SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(n_occ * contrib) // sum(n_occ) AS BIGINT) AS lm_score
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Vocab.bigramLmScore(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
-      x72, x73, x74, x75, x76, x77, x78, x79, x80)
+      x72, x73, x74, x75, x76, x77, x78, x79, x80, x81)
 }

@@ -392,6 +392,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("x81: per-doc pairs materialize once; only count aggs and the doc mean shuffle") {
+    // the checkpointed (doc_id, w1, w2, n_occ) table feeds BOTH the
+    // corpus pair counts and the join-back (2 ExistingRDD scans), so
+    // tokenizing/pair-generation never re-runs; shuffles: pair-count
+    // agg + unigram agg + per-doc mean agg + output sort. Count joins
+    // broadcast at this size (shuffled-hash on (w1,w2)/(w1) at scale —
+    // count side has one row per key, no multiplicity blow-up).
+    val p = planOf("x81_bigram_lm_score")
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 2, p)
+    assert(shuffles(p) === 4, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("AQE skew-join splits a hot key's partition at runtime (when Salting is NOT needed)") {
     // This pins the division of labor with ops/Salting.saltedJoin:
     //   - a skewed SHUFFLE JOIN is AQE's job — the runtime splits the hot

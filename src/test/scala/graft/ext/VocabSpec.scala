@@ -92,3 +92,43 @@ class BigramPmiSpec extends graft.SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 }
+
+class BigramLmScoreSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def score(texts: Seq[String], scale: Long): Map[Long, (Long, Long)] =
+    Vocab.bigramLmScore(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text"),
+      col("id"), col("text"), scale)
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, n, s) => d -> (n, s) }.toMap
+
+  test("hand-computed doc means over corpus conditionals") {
+    // corpus: "a b a b" + "a c"; c(a)=3, c(b)=2, c(c)=1
+    // pairs: (a,b)x2 doc0, (b,a)x1 doc0, (a,c)x1 doc1
+    // contrib(a,b)=floor(2*100/3)=66  contrib(b,a)=floor(1*100/2)=50
+    // contrib(a,c)=floor(1*100/3)=33
+    // doc0: n=3, (2*66+50) DIV 3 = 60;  doc1: n=1, 33
+    assert(score(Seq("a b a b", "a c"), 100L) ===
+      Map(0L -> (3L, 60L), 1L -> (1L, 33L)))
+  }
+
+  test("repeated bigram weights the mean by occurrence count") {
+    // one doc "x y x y x y": c(x)=3, pairs (x,y)x3 (b=200), (y,x)x2 (=100)
+    // mean = (3*floor(3*300/3) + 2*floor(2*300/3)) DIV 5
+    val exp = (3L * (3 * 300 / 3) + 2L * (2 * 300 / 3)) / 5L
+    assert(score(Seq("x y x y x y"), 300L) === Map(0L -> (5L, exp)))
+  }
+
+  test("garbled doc scores below fluent doc under the corpus LM") {
+    val fluent = Seq.fill(5)("the cat sat on the mat").mkString(" ")
+    val garble = "mat the on cat sat mat the cat on sat"
+    val got = score(Seq(fluent, fluent, garble), 100000L)
+    assert(got(2L)._2 < got(0L)._2)
+  }
+
+  test("docs under two tokens are absent; empty input yields empty output") {
+    assert(score(Seq("solo", ""), 100L) === Map.empty)
+  }
+}

@@ -204,4 +204,39 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n).drop("__rn")
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: the row goes
+    * to `argmax over s in [0, shards) of h(key, s)` (Thaler/Ravishankar
+    * 1996) — the consistent-placement scheme behind bounded-load
+    * sharded writes. The property a plain `hash(key) % shards` lacks:
+    * growing `shards` by one moves only ~1/(shards+1) of rows (a row
+    * moves ONLY if the new shard's hash wins its rendezvous), so a
+    * resize re-shuffles a sliver of the corpus instead of nearly all
+    * of it.
+    *
+    * Determinism: the per-candidate hash is the family's md5-derived
+    * 60-bit value over `key || ':' || s` (same contract as
+    * [[hashBucket]]), a hash tie falls to the larger shard id via the
+    * struct comparison — a total order with no engine-varying
+    * tie-break.
+    *
+    * 100 TB posture: pure scan-side arithmetic — `shards` codegen'd
+    * md5s per row (a `greatest` over literal-seeded structs, no
+    * higher-order lambda), zero shuffle, zero state. The linear-in-
+    * shards cost is the standard HRW trade; cap at 4096 where a
+    * two-level rendezvous (groups, then members) takes over. */
+  def rendezvousShard(key: Column, shards: Int): Column = {
+    require(shards >= 1 && shards <= 4096,
+      s"shards must be in [1, 4096], got $shards — for more, nest two rendezvous levels")
+    if (shards == 1) lit(0L)
+    else {
+      val cands = (0 until shards).map { s =>
+        struct(
+          Dedup.md5Hash60(concat(key.cast("string"), lit(":"), lit(s.toString)))
+            .as("h"),
+          lit(s.toLong).as("shard"))
+      }
+      greatest(cands: _*).getField("shard")
+    }
+  }
 }

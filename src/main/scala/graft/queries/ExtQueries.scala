@@ -2664,11 +2664,42 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x82 — RENDEZVOUS (HRW) SHARDING: each doc's shard is the argmax of
+  // the md5-derived hash over (doc_id, shard) candidates — consistent
+  // placement where a shard-count resize moves ~1/(S+1) of the corpus
+  // instead of (S-1)/S under hash-mod. The query emits the S=8 and S=9
+  // assignments side by side with the moved flag, so the
+  // minimal-movement property is IN the verified result, not just a
+  // spec claim. Hash ties fall to the larger shard id via the struct
+  // comparison (same total order on both engines).
+  val x82 = Q(
+    "x82_rendezvous_shard",
+    """WITH c AS (
+      |  SELECT doc_id, s,
+      |         ('0x' || substring(md5(doc_id::VARCHAR || ':' || s::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM documents, generate_series(0, 8) t(s))
+      |SELECT doc_id,
+      |       CAST((max(struct_pack(h := h, shard := s)) FILTER (WHERE s < 8)).shard
+      |         AS BIGINT) AS shard8,
+      |       CAST((max(struct_pack(h := h, shard := s))).shard AS BIGINT) AS shard9,
+      |       CAST(CASE WHEN (max(struct_pack(h := h, shard := s)) FILTER (WHERE s < 8)).shard
+      |                  <> (max(struct_pack(h := h, shard := s))).shard
+      |            THEN 1 ELSE 0 END AS BIGINT) AS moved
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"),
+        Sampling.rendezvousShard(col("doc_id"), 8).as("shard8"),
+        Sampling.rendezvousShard(col("doc_id"), 9).as("shard9"))
+      .withColumn("moved",
+        when(col("shard8") =!= col("shard9"), 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
-      x72, x73, x74, x75, x76, x77, x78, x79, x80, x81)
+      x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82)
 }

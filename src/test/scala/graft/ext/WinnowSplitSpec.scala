@@ -108,3 +108,60 @@ class LeakageSplitSpec extends SparkSpec {
     }
   }
 }
+
+/** Pins x82 (rendezvous/HRW sharding). */
+class RendezvousSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def assign(ids: Seq[Long], shards: Int): Map[Long, Long] =
+    ids.toDF("id")
+      .select(col("id"), Sampling.rendezvousShard(col("id"), shards).as("s"))
+      .as[(Long, Long)].collect().toMap
+
+  test("matches an independent per-key argmax over the same md5 family") {
+    // recompute the rendezvous winner with java.security MessageDigest —
+    // no Spark expression shared with the implementation
+    def h(key: String, s: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key:$s".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ids = (1L to 50L).toSeq
+    val expected = ids.map { id =>
+      id -> (0 until 8).maxBy(s => (h(id.toString, s), s)).toLong
+    }.toMap
+    assert(assign(ids, 8) === expected)
+  }
+
+  test("growing the ring by one moves docs ONLY to the new shard") {
+    val ids = (1L to 500L).toSeq
+    val s8 = assign(ids, 8)
+    val s9 = assign(ids, 9)
+    val moved = ids.filter(id => s8(id) != s9(id))
+    // every mover lands on the NEW shard (a rendezvous winner can only
+    // change if the newcomer outbids it) — the consistent-placement law
+    assert(moved.nonEmpty)
+    moved.foreach(id => assert(s9(id) === 8L, s"doc $id moved to ${s9(id)}"))
+    // and the expected movement is ~1/9 of the corpus, not ~8/9
+    assert(moved.size < 500 / 4, s"${moved.size} moved")
+  }
+
+  test("all shards of a 500-doc corpus are populated; shards=1 is constant") {
+    val ids = (1L to 500L).toSeq
+    assert(assign(ids, 8).values.toSet === (0L until 8L).toSet)
+    assert(assign(ids, 1).values.toSet === Set(0L))
+  }
+
+  test("plan is pure scan-side codegen — zero exchanges") {
+    val df = (1L to 10L).toDF("id")
+      .select(Sampling.rendezvousShard(col("id"), 8).as("s"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("shard counts outside [1, 4096] are refused loudly") {
+    intercept[IllegalArgumentException] { Sampling.rendezvousShard(lit(1L), 0) }
+    intercept[IllegalArgumentException] { Sampling.rendezvousShard(lit(1L), 4097) }
+  }
+}

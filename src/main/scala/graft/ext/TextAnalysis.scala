@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -149,4 +149,39 @@ object TextAnalysis {
       bullets: Column, nLines: Column): Column =
     (nWords >= 5 && meanLen >= 3.0 && meanLen <= 10.0 &&
       !hasLorem && bullets * 10 <= nLines * 9).cast("int")
+
+  /** Corpus-contrast keywords: the words most characteristic of the
+    * `inGroupA` slice vs the rest — Monroe et al. 2008's "Fightin'
+    * Words" log-odds with the family's rational treatment: the additive
+    * prior survives as add-one smoothing, the corpus-constant group-size
+    * factor is dropped (monotone for ranking), and the monotone log is
+    * removed, leaving the integer score `⌊scale·(ca+1)/(cb+1)⌋` —
+    * engine-exact, no IEEE transcendental (x41/x67/x78's rule).
+    *
+    * `minTotal` floors `ca+cb`: a hapax seen once in A and never in B
+    * posts 2·scale/1 on pure noise — the same noise-floor rationale as
+    * [[Vocab.bigramPmi]]'s `minCount`.
+    *
+    * Overflow envelope: `(ca+1)·scale ≤ 2^63` → per-word occurrences
+    * ≤ ~9.2e10 at the default scale; shrink `scale` beyond that.
+    *
+    * 100 TB posture: tokens explode scan-side with the group flag
+    * computed in the same projection; ONE combinable aggregation
+    * (conditional sums per word) is the only corpus-scale exchange, and
+    * the top-k is a TakeOrderedAndProject, never a global sort. */
+  def contrastKeywords(docs: DataFrame, text: Column, inGroupA: Column,
+      k: Int, minTotal: Long = 5L, scale: Long = 100000000L): DataFrame = {
+    require(k > 0 && minTotal >= 1 && scale >= 1)
+    docs.select(split(trim(text), "\\s+").as("t"),
+        inGroupA.cast("boolean").as("in_a"))
+      .select(explode(col("t")).as("w"), col("in_a"))
+      .groupBy(col("w"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("cb"))
+      .where(col("ca") + col("cb") >= minTotal)
+      .withColumn("odds_a", expr(s"((ca + 1L) * ${scale}L) DIV (cb + 1L)"))
+      .select(col("w"), col("ca"), col("cb"), col("odds_a"))
+      .orderBy(col("odds_a").desc, col("w"))
+      .limit(k)
+  }
 }

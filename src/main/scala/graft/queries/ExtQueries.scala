@@ -2695,11 +2695,39 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x83 — CONTRAST KEYWORDS (Fightin' Words, rational form): the 50
+  // words most characteristic of the English slice vs the rest, scored
+  // by add-one-smoothed odds ⌊scale·(ca+1)/(cb+1)⌋ — the log-odds
+  // ranking with the corpus-constant factor dropped and no IEEE log.
+  // One combinable conditional-sum agg; top-k via TakeOrdered.
+  val x83 = Q(
+    "x83_contrast_keywords",
+    """WITH toks AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS t,
+      |         lang = 'en' AS in_a
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT w,
+      |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM (SELECT unnest(t) AS w, in_a FROM toks) GROUP BY w
+      |  HAVING sum(CASE WHEN in_a THEN 1 ELSE 0 END)
+      |       + sum(CASE WHEN in_a THEN 0 ELSE 1 END) >= 5)
+      |SELECT w, ca, cb,
+      |       CAST(((ca + 1) * CAST(100000000 AS BIGINT)) // (cb + 1) AS BIGINT)
+      |         AS odds_a
+      |FROM cnt
+      |ORDER BY odds_a DESC, w
+      |LIMIT 50""".stripMargin) { (s, dir) =>
+    TextAnalysis.contrastKeywords(Tables.documents(s, dir), col("text"),
+      col("lang") === "en", k = 50)
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
-      x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82)
+      x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83)
 }

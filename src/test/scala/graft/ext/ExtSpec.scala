@@ -339,6 +339,23 @@ class SamplingSpec extends graft.SparkSpec {
     assert(rows(3L) === ((0.0, 0.0)))
     assert(rows(4L) === ((0.0, 0.0)))
   }
+
+  test("contrast keywords: hand-computed smoothed odds, noise floor, top-k plan") {
+    val docs = Seq(
+      ("en", "the the the cat shared shared"),
+      ("de", "der der der hund shared shared shared")
+    ).toDF("lang", "text")
+    val got = TextAnalysis.contrastKeywords(docs, col("text"),
+      col("lang") === "en", k = 10, minTotal = 3L, scale = 1000L)
+      .as[(String, Long, Long, Long)].collect()
+    // the: ca=3 cb=0 -> 4000; der: ca=0 cb=3 -> 250; shared: 2/3 -> 750
+    assert(got === Array(("the", 3L, 0L, 4000L), ("shared", 2L, 3L, 750L),
+      ("der", 0L, 3L, 250L)))
+    // cat/hund fall under minTotal=3
+    val p = TextAnalysis.contrastKeywords(docs, col("text"),
+      col("lang") === "en", k = 10).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
 
 class LayoutSpec extends graft.SparkSpec {

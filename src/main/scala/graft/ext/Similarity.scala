@@ -449,6 +449,40 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** ANN index QUALITY evaluation: recall@k of [[ivfSearch]] against
+    * the exact [[knnBrute]] ground truth on a fixed query sample — the
+    * measurement that turns "the index is probably fine" into a number
+    * a pipeline can gate on (recall collapsing after a re-shard or a
+    * centroid refresh is the classic silent ANN regression).
+    *
+    * Cost shape: the ground truth is |queries|·N — LINEAR in the
+    * corpus for a fixed query sample (the calibration price paid once
+    * per index build), nothing like x11's all-pairs N². The exact
+    * top-k is checkpointed once and feeds both the hit join and the
+    * per-query spine, so the brute scan runs exactly once; the hit
+    * intersection joins two k·|queries|-row sides. `recall_pct` is
+    * integer (`n_hit·100 div k`) — engine-exact.
+    *
+    * Both rankings break sim ties on the lower neighbor id (the
+    * family's total order), so recall is deterministic even when the
+    * k-th place is tied. */
+  def recallAtK(embs: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val exact = knnBrute(embs,
+      embs.where(col("vec_id").isin(queryIds.map(x => x: Any): _*)), k)
+      .select(col("qid"), col("neighbor_id"))
+      .localCheckpoint(false)
+    val approx = ivfSearch(embs, centroids, queryIds, k, nprobe)
+      .select(col("qid"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("qid", "neighbor_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall_pct", expr(s"n_hit * 100L DIV ${k}L"))
+      .select(col("qid"), col("n_hit"), col("recall_pct"))
+  }
+
   /** Lloyd refinement of a centroid set: `iters` rounds of assign →
     * element-wise re-average, fully distributed (posexplode + one
     * combinable groupBy per round; centroids stay broadcast-sized).

@@ -2723,11 +2723,73 @@ object ExtQueries {
       col("lang") === "en", k = 50)
   }
 
+  // x84 — ANN RECALL@K EVALUATION: the scaled-stride IVF (x63's exact
+  // configuration) measured against the brute-force ground truth (x9's
+  // exact top-5) on the same 10-query sample — recall as a VERIFIED
+  // RESULT, not a claim. The ground truth is |queries|·N (linear for a
+  // fixed sample), the IVF side is the x63 plan, and the intersection
+  // joins two 50-row sides. Integer recall_pct; both rankings share
+  // the (sim desc, neighbor_id) total order so ties cannot diverge.
+  val x84 = Q(
+    "x84_ann_recall",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e
+      |          WHERE vec_id % (SELECT greatest(count(*) // 40, 1) FROM e) = 7),
+      |sims AS (
+      |  SELECT e.vec_id, s.cid, round(list_cosine_similarity(e.emb, s.cemb), 6) AS csim
+      |  FROM e CROSS JOIN seeds s),
+      |best AS (SELECT vec_id, max(csim) AS best_sim FROM sims GROUP BY vec_id),
+      |asg AS (
+      |  SELECT sims.vec_id, min(cid) AS cid
+      |  FROM sims JOIN best ON sims.vec_id = best.vec_id AND sims.csim = best.best_sim
+      |  GROUP BY sims.vec_id),
+      |qprobe AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT vec_id AS qid, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS pr
+      |    FROM sims WHERE vec_id < 10) q
+      |  WHERE pr <= 2),
+      |cand AS (
+      |  SELECT q.qid, a.vec_id FROM asg a JOIN qprobe q ON a.cid = q.cid
+      |  WHERE a.vec_id <> q.qid),
+      |scored AS (
+      |  SELECT cand.qid, cand.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(qe.emb, ce.emb), 6) AS sim
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.qid JOIN e ce ON ce.vec_id = cand.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+      |      FROM scored),
+      |approx AS (SELECT qid, neighbor_id FROM r WHERE rank <= 5),
+      |bp AS (
+      |  SELECT q.vec_id AS qid, e2.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(q.emb, e2.emb), 6) AS sim
+      |  FROM e q, e e2
+      |  WHERE q.vec_id < 10 AND e2.vec_id <> q.vec_id),
+      |br AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+      |       FROM bp),
+      |ex AS (SELECT qid, neighbor_id FROM br WHERE rank <= 5),
+      |hits AS (
+      |  SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_hit
+      |  FROM ex JOIN approx ON ex.qid = approx.qid
+      |                     AND ex.neighbor_id = approx.neighbor_id
+      |  GROUP BY ex.qid)
+      |SELECT q.qid,
+      |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |       CAST((coalesce(h.n_hit, 0) * CAST(100 AS BIGINT)) // CAST(5 AS BIGINT)
+      |         AS BIGINT) AS recall_pct
+      |FROM (SELECT DISTINCT qid FROM ex) q LEFT JOIN hits h ON q.qid = h.qid
+      |ORDER BY q.qid""".stripMargin) { (s, dir) =>
+    val embs = normalizedEmb(s, dir)
+    val stride = Similarity.strideForCells(embs, cells = 40)
+    Similarity.recallAtK(embs, Similarity.seedCentroids(embs, stride),
+      (0L until 10L).toSeq, k = 5, nprobe = 2)
+      .orderBy("qid")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
-      x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83)
+      x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84)
 }

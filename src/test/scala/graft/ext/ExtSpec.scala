@@ -151,6 +151,46 @@ class SimilaritySpec extends SparkSpec {
     assert(knn(0).getAs[Double]("sim") === 1.0)
   }
 
+  test("recallAtK: a single-cell index recovers the exact set (recall 100)") {
+    // 24 deterministic vectors; stride 24 leaves exactly one seed
+    // (vec_id 7), so every vector shares the one cell and the IVF
+    // candidate set IS the corpus — approx must equal exact
+    val rows = (0L until 24L).map { i =>
+      (i, Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
+        (i % 5).toFloat / 4f))
+    }.toDF("vec_id", "embedding")
+    val embs = Similarity.withNorm(rows, col("vec_id"), col("embedding"))
+    val got = Similarity.recallAtK(embs,
+      Similarity.seedCentroids(embs, stride = 24), (0L until 4L).toSeq,
+      k = 3, nprobe = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === (0L until 4L).map(q => (q, 3L, 100L)).toArray)
+  }
+
+  test("recallAtK: integer floor and per-query spine under a lossy index") {
+    val rows = (0L until 40L).map { i =>
+      (i, Array(math.cos(i * 1.3).toFloat, math.sin(i * 2.1).toFloat,
+        math.cos(i * 0.31).toFloat))
+    }.toDF("vec_id", "embedding")
+    val embs = Similarity.withNorm(rows, col("vec_id"), col("embedding"))
+    // stride 8 -> 5 cells (offsets 7,15,23,31,39), nprobe 1: lossy
+    val got = Similarity.recallAtK(embs,
+      Similarity.seedCentroids(embs, stride = 8), (0L until 6L).toSeq,
+      k = 3, nprobe = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1) === (0L until 6L).toArray)       // spine complete
+    got.foreach { case (q, h, pct) =>
+      assert(h >= 0L && h <= 3L, s"q$q n_hit=$h")
+      assert(pct === h * 100L / 3L, s"q$q floor")          // 0/33/66/100
+    }
+    // partition-count invariance (determinism under re-layout)
+    val again = Similarity.recallAtK(embs.repartition(7),
+      Similarity.seedCentroids(embs.repartition(3), stride = 8),
+      (0L until 6L).toSeq, k = 3, nprobe = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(again === got)
+  }
+
   test("strideForCells holds the cell count fixed at any corpus size") {
     def embsOfN(n: Long) = Similarity.withNorm(
       spark.range(n).selectExpr("id AS vec_id",

@@ -483,6 +483,54 @@ object Similarity {
       .select(col("qid"), col("n_hit"), col("recall_pct"))
   }
 
+  /** Per-cell MEDOID selection — the member minimizing the sum of
+    * squared distances to its cell — via the algebraic identity
+    * `Σ_y ||x−y||² = n·||x||² − 2·x·S + Σ_y ||y||²` (S = the cell's
+    * component-wise vector sum): the representative-picking step of
+    * corpus summarization WITHOUT the Σ|c|² pair join that x57's
+    * dedup legitimately needs. Cost is O(N·d): one assignment pass,
+    * one combinable component-sum aggregation (kmeansLite's recipe),
+    * one scoring pass against broadcast per-cell stats, one argmin.
+    * A hot cell costs linear work here, so no cluster-size guard is
+    * needed — the identity IS the guard.
+    *
+    * Exactness: S and Σ||y||² run through the DECIMAL(28,16)
+    * accumulator (partition-order-invariant), per-row dots fold in
+    * fixed array order, the score rounds to 6 dp, and the argmin's
+    * `(ssd, vec_id)` struct order makes ties engine-stable — the whole
+    * selection sits under the oracle gate.
+    *
+    * Output: (cid, n_members, medoid_id, medoid_ssd). */
+  def cellMedoids(embs: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val members = ivfAssign(embs, centroids).join(embs, Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("emb"))
+      .localCheckpoint(false)
+    val comp = members
+      .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("v").cast(DecimalType(28, 16))).cast("double").as("s"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s")).as("sv"))
+    val stats = members
+      .select(col("cid"), dot(col("emb"), col("emb")).as("sq"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("sq").cast(DecimalType(28, 16))).cast("double").as("sumsq"))
+    members
+      .join(broadcast(comp), Seq("cid"))
+      .join(broadcast(stats), Seq("cid"))
+      .withColumn("ssd",
+        round(col("n_members") * dot(col("emb"), col("emb"))
+          - lit(2.0) * dot(col("emb"), col("sv")) + col("sumsq"), 6))
+      .groupBy(col("cid"))
+      .agg(max(col("n_members")).as("n_members"),
+        min(struct(col("ssd"), col("vec_id"))).as("m"))
+      .select(col("cid"), col("n_members"),
+        col("m.vec_id").as("medoid_id"), col("m.ssd").as("medoid_ssd"))
+  }
+
   /** Lloyd refinement of a centroid set: `iters` rounds of assign →
     * element-wise re-average, fully distributed (posexplode + one
     * combinable groupBy per round; centroids stay broadcast-sized).

@@ -2785,11 +2785,56 @@ object ExtQueries {
       .orderBy("qid")
   }
 
+  // x85 — CLUSTER MEDOIDS, pair-join-free: each IVF cell's most central
+  // member via n·||x||² − 2·x·S + Σ||y||² — O(N·d) total where the
+  // naive within-cell pair join pays Σ|c|² (x57 needs the pairs for
+  // dedup; representative-picking does NOT). Component sums and Σ||y||²
+  // run through DECIMAL(28,16); scores round to 6 dp; the argmin tie
+  // falls to the lower vec_id via the struct order.
+  val x85 = Q(
+    "x85_cluster_medoids",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e
+      |          WHERE vec_id % (SELECT greatest(count(*) // 40, 1) FROM e) = 7),
+      |sims AS (
+      |  SELECT e.vec_id, s.cid, round(list_cosine_similarity(e.emb, s.cemb), 6) AS csim
+      |  FROM e CROSS JOIN seeds s),
+      |best AS (SELECT vec_id, max(csim) AS best_sim FROM sims GROUP BY vec_id),
+      |asg AS (
+      |  SELECT sims.vec_id, min(cid) AS cid
+      |  FROM sims JOIN best ON sims.vec_id = best.vec_id AND sims.csim = best.best_sim
+      |  GROUP BY sims.vec_id),
+      |mem AS (SELECT a.cid, a.vec_id, e.emb FROM asg a JOIN e ON e.vec_id = a.vec_id),
+      |cs AS (SELECT cid, unnest(range(1, len(emb) + 1)) AS i, unnest(emb) AS v FROM mem),
+      |sv AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS sv
+      |       FROM (SELECT cid, i, sum(CAST(v AS DECIMAL(28,16))) AS s
+      |             FROM cs GROUP BY cid, i)
+      |       GROUP BY cid),
+      |st AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+      |              CAST(sum(CAST(list_dot_product(emb, emb) AS DECIMAL(28,16)))
+      |                AS DOUBLE) AS sumsq
+      |       FROM mem GROUP BY cid),
+      |sc AS (SELECT mem.cid, mem.vec_id,
+      |              round(st.n_members * list_dot_product(mem.emb, mem.emb)
+      |                    - 2 * list_dot_product(mem.emb, sv.sv) + st.sumsq, 6) AS ssd
+      |       FROM mem JOIN sv USING (cid) JOIN st USING (cid))
+      |SELECT sc.cid, st.n_members,
+      |       (min(struct_pack(ssd := ssd, vec_id := vec_id))).vec_id AS medoid_id,
+      |       (min(struct_pack(ssd := ssd, vec_id := vec_id))).ssd AS medoid_ssd
+      |FROM sc JOIN st USING (cid)
+      |GROUP BY sc.cid, st.n_members
+      |ORDER BY cid""".stripMargin) { (s, dir) =>
+    val embs = normalizedEmb(s, dir)
+    val stride = Similarity.strideForCells(embs, cells = 40)
+    Similarity.cellMedoids(embs, Similarity.seedCentroids(embs, stride))
+      .orderBy("cid")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
-      x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84)
+      x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85)
 }

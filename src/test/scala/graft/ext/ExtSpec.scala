@@ -191,6 +191,59 @@ class SimilaritySpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("cellMedoids: identity result equals the brute pairwise argmin; no pair join in the plan") {
+    val rows = (0L until 24L).map { i =>
+      (i, Array((i % 7).toFloat, math.sin(i * 0.9).toFloat,
+        math.cos(i * 0.4).toFloat))
+    }.toDF("vec_id", "embedding")
+    val embs = Similarity.withNorm(rows, col("vec_id"), col("embedding"))
+    val cents = Similarity.seedCentroids(embs, stride = 8) // cids 7,15,23
+    val got = Similarity.cellMedoids(embs, cents)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+
+    // independent reference: explicit pairwise sum of squared distances
+    val vecs = embs.select(col("vec_id"), col("emb"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val asg = Similarity.ivfAssign(embs, cents)
+      .as[(Long, Long)].collect().groupBy(_._2).view
+      .mapValues(_.map(_._1).toSeq).toMap
+    def ssd(x: Seq[Double], members: Seq[Seq[Double]]): Double =
+      members.map(y => x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum).sum
+    val expected = asg.map { case (cid, ids) =>
+      val ms = ids.map(vecs)
+      val scored = ids.map(id => (id, ssd(vecs(id), ms))).sortBy { case (id, s) => (s, id) }
+      cid -> ((ids.size.toLong, scored.head._1, scored.head._2))
+    }
+    got.foreach { case (cid, n, mid, mssd) =>
+      val (en, emid, essd) = expected(cid)
+      assert(n === en, s"cell $cid size")
+      assert(mid === emid, s"cell $cid medoid")
+      assert(math.abs(mssd - essd) < 1e-5, s"cell $cid ssd $mssd vs $essd")
+    }
+
+    // the scale claim: NO pairwise member join anywhere in the plan
+    val p = Similarity.cellMedoids(embs, cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("cellMedoids: duplicate members tie to the lower vec_id; singleton cell scores 0") {
+    val rows = Seq(
+      (7L, Array(1.0f, 0.0f)),   // centroid seed (stride 8) — cell A
+      (1L, Array(0.9f, 0.1f)),   // near A
+      (2L, Array(0.9f, 0.1f)),   // duplicate of 1 — tie
+      (15L, Array(-1.0f, 0.0f))  // centroid seed — cell B, alone
+    ).toDF("vec_id", "embedding")
+    val embs = Similarity.withNorm(rows, col("vec_id"), col("embedding"))
+    val got = Similarity.cellMedoids(embs, Similarity.seedCentroids(embs, 8))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val byCell = got.map(r => r._1 -> r).toMap
+    // cell 7: members {7,1,2}; 1 and 2 coincide so both minimize — 1 wins
+    assert(byCell(7L)._3 === 1L)
+    assert(byCell(15L)._2 === 1L && byCell(15L)._3 === 15L && byCell(15L)._4 === 0.0)
+  }
+
   test("strideForCells holds the cell count fixed at any corpus size") {
     def embsOfN(n: Long) = Similarity.withNorm(
       spark.range(n).selectExpr("id AS vec_id",

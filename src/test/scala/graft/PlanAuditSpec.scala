@@ -406,6 +406,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x84: exact ground truth materializes once; crossJoins are broadcast-centroid only") {
+    // the checkpointed brute top-k feeds BOTH the hit join and the
+    // per-query spine (2 ExistingRDD scans — the |queries|·N scan runs
+    // once); the only nested-loop joins are the two corpus×broadcast-
+    // centroid similarity evaluations inside ivfSearch (assignment +
+    // query probing), never a member×member pair join
+    val p = planOf("x84_ann_recall")
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 2, p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length === 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(shuffles(p) === 8, p)
+  }
+
+  test("x85: medoids run pair-join-free — the checkpointed members feed three linear passes") {
+    // n·||x||² − 2·x·S + Σ||y||² replaces the within-cell pair join:
+    // the plan has NO join of members against members (no nested-loop
+    // join at all — the assignment crossJoin sits behind the members
+    // checkpoint), no window, and exactly the component-sum agg (2),
+    // stats agg (1), final argmin agg (1) + output sort exchanges
+    val p = planOf("x85_cluster_medoids")
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 3, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(shuffles(p) === 5, p)
+  }
+
   test("AQE skew-join splits a hot key's partition at runtime (when Salting is NOT needed)") {
     // This pins the division of labor with ops/Salting.saltedJoin:
     //   - a skewed SHUFFLE JOIN is AQE's job — the runtime splits the hot

@@ -142,4 +142,44 @@ object Graph {
     }
     ranks.select(col("node").as("doc_id"), col("deg").as("degree"), col("r").as("pr"))
   }
+
+  /** `rounds` of k-core PEELING on a symmetric edge list: each round
+    * drops every node whose current degree is below `k` (and all its
+    * edges), the Batagelj/Zaveršnik decomposition step — the
+    * graph-shaped redundancy filter (a doc surviving a deep 3-core of
+    * the co-shingle graph sits in a densely mutually-overlapping
+    * boilerplate family; a leaf hanging off a hub does not). A FIXED
+    * round count keeps the operator oracle-expressible (each round is
+    * one aggregation + two semi-joins, unrolled in SQL); if the peel
+    * reaches its fixpoint early, later rounds are no-ops, so `rounds`
+    * is a floor on convergence, not a semantic knob.
+    *
+    * Output: `(doc_id, deg)` — survivors of the last round with their
+    * RESIDUAL degree (what round `rounds+1` would peel on).
+    *
+    * 100 TB posture: per round ONE combinable degree count + two
+    * left-semi joins carrying (long, long) edges only, each round
+    * checkpointed so round r+1 plans over materialized edges instead
+    * of r stacked join trees (the pageRank/BPE discipline). Work is
+    * O(E) per round and the edge set only shrinks; round counts are
+    * small by design (the standard full decomposition is iterative-
+    * to-fixpoint — at web scale run rounds until the survivor count
+    * stabilizes, each round one cheap job). */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 16,
+      s"kCorePeel: k=$k rounds=$rounds out of range (k >= 1, 1 <= rounds <= 16)")
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val keepNodes = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select(col("src"))
+        .localCheckpoint(false)
+      e = e.join(keepNodes, Seq("src"), "left_semi")
+        .join(keepNodes.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(false)
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("doc_id"), col("deg"))
+  }
 }

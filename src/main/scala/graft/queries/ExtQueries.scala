@@ -2830,11 +2830,40 @@ object ExtQueries {
       .orderBy("cid")
   }
 
+  // x86 — K-CORE PEELING (3 rounds, k=16) on the same capped co-shingle
+  // graph as x64/x73 (shared edge CTEs): survivors of three
+  // drop-degree-under-16 rounds with their residual degree — the
+  // dense-boilerplate-family filter expressed as unrolled
+  // agg + double-semi-join rounds, hash-exact on both engines.
+  val x86 = Q(
+    "x86_kcore",
+    s"""WITH $coShingleEdgeCtes,
+      |k1 AS (SELECT src FROM deg WHERE deg >= 16),
+      |e1 AS (SELECT e.src, e.dst FROM e
+      |       JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+      |d2 AS (SELECT src, COUNT(*) AS dg FROM e1 GROUP BY src),
+      |k2 AS (SELECT src FROM d2 WHERE dg >= 16),
+      |e2 AS (SELECT e1.src, e1.dst FROM e1
+      |       JOIN k2 a ON e1.src = a.src JOIN k2 b ON e1.dst = b.src),
+      |d3 AS (SELECT src, COUNT(*) AS dg FROM e2 GROUP BY src),
+      |k3 AS (SELECT src FROM d3 WHERE dg >= 16),
+      |e3 AS (SELECT e2.src, e2.dst FROM e2
+      |       JOIN k3 a ON e2.src = a.src JOIN k3 b ON e2.dst = b.src)
+      |SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+      |FROM e3 GROUP BY src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Graph.kCorePeel(
+      Graph.coShingleEdges(Tables.documents(s, dir).where(col("doc_id") < 1500),
+        col("doc_id"), col("text"), n = 3, maxShingleDf = 64L),
+      k = 16, rounds = 3)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
       x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43,
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
-      x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85)
+      x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
+      x86)
 }

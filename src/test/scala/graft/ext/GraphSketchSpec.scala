@@ -250,4 +250,40 @@ class GraphSketchSpec extends graft.SparkSpec {
     val commons = got.filter(r => Set(2L, 3L, 4L)(r._1))
     assert(commons.sortBy(_._5).map(_._1).toSeq === Seq(4L, 2L, 3L))
   }
+
+  // ---- Graph.kCorePeel ----
+
+  private def sym(pairs: (Long, Long)*): org.apache.spark.sql.DataFrame =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("kCorePeel: a path cascades away round by round; a cycle is a fixpoint") {
+    // path 1-2-3-4, k=2: round 1 peels endpoints, round 2 peels the
+    // middle (degrees fell to 1), round 3 is empty
+    val path = sym((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(Graph.kCorePeel(path, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap === Map(2L -> 1L, 3L -> 1L))
+    assert(Graph.kCorePeel(path, k = 2, rounds = 2).count() === 0)
+    assert(Graph.kCorePeel(path, k = 2, rounds = 3).count() === 0)
+    // 4-cycle: every degree is 2 — no round ever peels
+    val cyc = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(Graph.kCorePeel(cyc, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("kCorePeel: a tail dissolves while the attached triangle core survives") {
+    // triangle {1,2,3} + tail 3-4-5, k=2: 5 peels (deg 1), then 4;
+    // the triangle keeps degree 2 throughout
+    val g = sym((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val got = Graph.kCorePeel(g, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCorePeel: out-of-range arguments are refused loudly") {
+    val g = sym((1L, 2L))
+    intercept[IllegalArgumentException] { Graph.kCorePeel(g, k = 0, rounds = 1) }
+    intercept[IllegalArgumentException] { Graph.kCorePeel(g, k = 2, rounds = 0) }
+    intercept[IllegalArgumentException] { Graph.kCorePeel(g, k = 2, rounds = 17) }
+  }
 }

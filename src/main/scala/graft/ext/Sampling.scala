@@ -225,6 +225,59 @@ object Sampling {
     * higher-order lambda), zero shuffle, zero state. The linear-in-
     * shards cost is the standard HRW trade; cap at 4096 where a
     * two-level rendezvous (groups, then members) takes over. */
+  /** DSIR-style target-affinity scoring (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how target-like its HASHED bigram features are,
+    * so a quality/domain slice can be up-weighted by importance
+    * resampling. DSIR's log-weight `Σ count(f)·log(p_tgt(f)/p_raw(f))`
+    * becomes the family's rational surrogate: each feature carries
+    * `r(f) = ⌊scale·(c_tgt(f)+1)/(c_all(f)+1)⌋` (add-one smoothed, no
+    * IEEE log) and the doc score is the n_occ-weighted integer mean of
+    * `r` over its features — the arithmetic-mean analogue of the
+    * geometric importance weight, monotone in "my features look like
+    * the target's" and engine-exact.
+    *
+    * The HASHING is the scale move (straight from the paper): features
+    * are `md5(bigram) mod buckets`, so the feature-count table is
+    * AT MOST `buckets` rows no matter how large the vocabulary — the
+    * join-back is a guaranteed broadcast at any corpus size, and the
+    * only corpus-scale exchanges are the two combinable counting
+    * aggregations (same checkpoint-once discipline as the bigram LM).
+    *
+    * Overflow envelope: `(c_tgt+1)·scale ≤ 2^63` → total target-slice
+    * bigrams ≤ ~9.2e10 at the default scale (x78's rule).
+    *
+    * Output: (doc_id, n_feats, dsir_score). */
+  def dsirAffinity(docs: DataFrame, id: Column, text: Column,
+      inTarget: Column, buckets: Int = 4096,
+      scale: Long = 100000000L): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 22),
+      s"buckets must be in [2, 2^22], got $buckets")
+    require(scale >= 1, s"scale must be positive, got $scale")
+    val dp = docs
+      .select(id.as("doc_id"), inTarget.cast("boolean").as("in_t"),
+        split(trim(text), "\\s+").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("in_t"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"))
+        .as("bg"))
+      .select(col("doc_id"), col("in_t"),
+        pmod(Dedup.md5Hash60(col("bg")), lit(buckets.toLong)).as("h"))
+      .groupBy(col("doc_id"), col("in_t"), col("h"))
+      .agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint(false)
+    val feat = dp.groupBy(col("h"))
+      .agg(sum(col("n_occ")).as("c_all"),
+        sum(when(col("in_t"), col("n_occ")).otherwise(0L)).as("c_tgt"))
+      .withColumn("r", expr(s"((c_tgt + 1L) * ${scale}L) DIV (c_all + 1L)"))
+      .select(col("h"), col("r"))
+    dp.join(broadcast(feat), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).as("n_feats"),
+        expr("sum(n_occ * r) DIV sum(n_occ)").as("dsir_score"))
+      .select(col("doc_id"), col("n_feats"), col("dsir_score"))
+  }
+
   def rendezvousShard(key: Column, shards: Int): Column = {
     require(shards >= 1 && shards <= 4096,
       s"shards must be in [1, 4096], got $shards — for more, nest two rendezvous levels")

@@ -2858,6 +2858,41 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x87 — DSIR TARGET-AFFINITY (importance-resampling selection
+  // scores): every doc scored by the n_occ-weighted integer mean of
+  // ⌊scale·(c_tgt+1)/(c_all+1)⌋ over its HASHED bigram features
+  // (md5 mod 4096 — the paper's trick that caps the feature table at
+  // `buckets` rows, so the ratio join-back broadcasts at ANY corpus
+  // size). Target slice: lang='en'. The rational surrogate of the
+  // DSIR log-weight — no IEEE log, hash-exact.
+  val x87 = Q(
+    "x87_dsir_affinity",
+    """WITH toks AS (
+      |  SELECT doc_id, lang = 'en' AS in_t,
+      |         string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |pr AS (
+      |  SELECT doc_id, in_t, unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+      |  FROM toks WHERE len(t) >= 2),
+      |dp AS (
+      |  SELECT doc_id, in_t,
+      |         ('0x' || substring(md5(w1 || ' ' || w2), 1, 15))::BIGINT % 4096 AS h,
+      |         CAST(count(*) AS BIGINT) AS n_occ
+      |  FROM pr GROUP BY 1, 2, 3),
+      |feat AS (
+      |  SELECT h, CAST(sum(n_occ) AS BIGINT) AS c_all,
+      |         CAST(sum(CASE WHEN in_t THEN n_occ ELSE 0 END) AS BIGINT) AS c_tgt
+      |  FROM dp GROUP BY h),
+      |fr AS (SELECT h, ((c_tgt + 1) * CAST(100000000 AS BIGINT)) // (c_all + 1) AS r
+      |       FROM feat)
+      |SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_feats,
+      |       CAST(sum(n_occ * r) // sum(n_occ) AS BIGINT) AS dsir_score
+      |FROM dp JOIN fr USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Sampling.dsirAffinity(Tables.documents(s, dir), col("doc_id"), col("text"),
+      col("lang") === "en")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -2865,5 +2900,5 @@ object ExtQueries {
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
-      x86)
+      x86, x87)
 }

@@ -165,3 +165,50 @@ class RendezvousSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Sampling.rendezvousShard(lit(1L), 4097) }
   }
 }
+
+/** Pins x87 (DSIR target-affinity selection scores). */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "en", "alpha beta alpha beta"), // target: ab x2, ba x1
+    (2L, "de", "delta gamma"),           // raw-only feature dg
+    (3L, "de", "alpha beta")             // non-target doc, target-like feature
+  ).toDF("doc_id", "lang", "text")
+
+  private def score(scale: Long): Map[Long, (Long, Long)] =
+    Sampling.dsirAffinity(docs, col("doc_id"), col("text"),
+      col("lang") === "en", buckets = 4096, scale = scale)
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, n, s) => d -> (n, s) }.toMap
+
+  test("hand-computed smoothed ratios; target-like non-target doc outranks raw-only doc") {
+    // c(ab)=3/tgt 2, c(ba)=1/tgt 1, c(dg)=1/tgt 0 (4096 buckets — no
+    // collisions among 3 features); r = (c_tgt+1)*scale DIV (c_all+1)
+    // r(ab)=750, r(ba)=1000, r(dg)=500 at scale 1000
+    val got = score(1000L)
+    assert(got === Map(
+      1L -> (3L, (2 * 750L + 1000L) / 3),   // 833
+      2L -> (1L, 500L),
+      3L -> (1L, 750L)))
+    assert(got(3L)._2 > got(2L)._2)          // selection separates them
+  }
+
+  test("deterministic under re-partitioning") {
+    val base = Sampling.dsirAffinity(docs, col("doc_id"), col("text"),
+      col("lang") === "en").as[(Long, Long, Long)].collect().sortBy(_._1)
+    val again = Sampling.dsirAffinity(docs.repartition(5), col("doc_id"),
+      col("text"), col("lang") === "en")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(again === base)
+  }
+
+  test("bucket and scale bounds are refused loudly") {
+    intercept[IllegalArgumentException] {
+      Sampling.dsirAffinity(docs, col("doc_id"), col("text"), lit(true), buckets = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.dsirAffinity(docs, col("doc_id"), col("text"), lit(true), scale = 0L)
+    }
+  }
+}

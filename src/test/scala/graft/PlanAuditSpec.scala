@@ -433,6 +433,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) === 5, p)
   }
 
+  test("x86: the final peel round plans over checkpointed edges — no stacked join trees") {
+    // each peel round checkpoints, so the visible plan is ONE edge
+    // checkpoint scan + the final degree agg + the output sort; no
+    // window, no nested-loop join, (long, long) rows only
+    val p = planOf("x86_kcore")
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 1, p)
+    assert(shuffles(p) === 2, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x87: the hashed feature table joins back as a BROADCAST at any corpus size") {
+    // the checkpointed (doc_id, in_t, h, n_occ) table feeds the feature
+    // agg and the join-back (2 ExistingRDD scans); the ratio side is
+    // capped at `buckets` rows so the join is a BroadcastHashJoin BY
+    // CONSTRUCTION, and the only exchanges are feature agg + doc agg +
+    // output sort
+    val p = planOf("x87_dsir_affinity")
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 2, p)
+    assert("BroadcastExchange".r.findAllIn(p).length === 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(shuffles(p) === 3, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("AQE skew-join splits a hot key's partition at runtime (when Salting is NOT needed)") {
     // This pins the division of labor with ops/Salting.saltedJoin:
     //   - a skewed SHUFFLE JOIN is AQE's job — the runtime splits the hot

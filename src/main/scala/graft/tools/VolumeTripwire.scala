@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Tables
-import graft.ext.{Dedup, Graph, Relevance, Similarity, Sketches}
+import graft.ext.{Dedup, Graph, Relevance, Sampling, Similarity, Sketches}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -216,7 +216,49 @@ object VolumeTripwire {
         val w10 = docs10.select(explode(split(trim(col("text")), "\\s+")).as("word"))
           .groupBy(col("word")).agg(count(lit(1)).as("freq"))
         timeMin(graft.ext.Vocab.bpeRounds(w10, rounds = 3))
-      }))
+      }),
+      // round-10 ops. Winnowing under the flood: the 100k identical
+      // docs share fingerprints with df ~100k — the maxFpDf cap drops
+      // them at the bucket stage, so the flood contributes no pairs
+      Res("x79_winnowPairs",
+        timeMin(Dedup.sharedFingerprintPairs(docs1, col("doc_id"), col("text"),
+          n = 3, w = 4, maxFpDf = 64L)),
+        timeMin(Dedup.sharedFingerprintPairs(docs10, col("doc_id"), col("text"),
+          n = 3, w = 4, maxFpDf = 64L))),
+      // bigram LM under the flood: doc42's bigrams reach count ~100k —
+      // both counting aggs are map-combinable and the count joins carry
+      // one row per key, so the hot keys can't amplify multiplicity
+      Res("x81_bigramLm",
+        timeMin(graft.ext.Vocab.bigramLmScore(docs1, col("doc_id"), col("text"))),
+        timeMin(graft.ext.Vocab.bigramLmScore(docs10, col("doc_id"), col("text")))),
+      // medoids under the duplicate-vector flood: hot cells grow 10× in
+      // membership, but the sum-of-squares identity keeps per-cell work
+      // LINEAR in members (three scan passes + combinable aggs) — the
+      // contrast with a Σ|c|² pair join, in tripwire form
+      Res("x85_cellMedoids",
+        timeMin(Similarity.cellMedoids(embs1,
+          Similarity.seedCentroids(embs1, Similarity.strideForCells(embs1, 40)))),
+        timeMin(Similarity.cellMedoids(embs10,
+          Similarity.seedCentroids(embs10, Similarity.strideForCells(embs10, 40))))),
+      // k-core on the blown graph: the flood contributes no edges (df
+      // cap); each peel round is one combinable count + two semi-joins
+      // over (long, long) edges, so 10× edges cost ~10× per round
+      Res("x86_kCorePeel",
+        timeMin(Graph.kCorePeel(Graph.coShingleEdges(
+          docs1, col("doc_id"), col("text"), n = 3, maxShingleDf = 16L),
+          k = 3, rounds = 3)),
+        timeMin(Graph.kCorePeel(Graph.coShingleEdges(
+          docs10, col("doc_id"), col("text"), n = 3, maxShingleDf = 16L),
+          k = 3, rounds = 3))),
+      // DSIR under the flood: the hashed feature table is ≤ 4096 rows
+      // NO MATTER what the corpus does — the join-back broadcasts, the
+      // two counting aggs combine map-side, the flood's hot features
+      // just carry bigger counts
+      Res("x87_dsirAffinity",
+        timeMin(Sampling.dsirAffinity(docs1, col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(3)) === 0)),
+        timeMin(Sampling.dsirAffinity(docs10, col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(3)) === 0))))
 
     results.foreach { r =>
       println(f"PROF ${r.name}%-18s t1x=${r.t1}%6.2fs t10x=${r.t10}%6.2fs ratio=${r.ratio}%5.1f")

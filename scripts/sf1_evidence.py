@@ -24,9 +24,11 @@ import os
 import subprocess
 import sys
 
-# oracle- or engine-side quadratic BY DESIGN; excluded from the sf1
-# gate (their guards/baselines are spec- and sf0.01-verified instead)
-QUADRATIC = {"x6_dedup_ngram", "x47_containment", "x11_embed_neardup"}
+# engine-side quadratic BY DESIGN: x11's loud >100k-row guard fires at
+# sf1 volume (its baseline is spec- and sf0.01-verified instead). The
+# x6/x47 pair-SQL oracles are doc_id<1500-bounded — constant-cost at
+# any SF (~2 min of DuckDB combined) — so they stay IN the gate.
+QUADRATIC = {"x11_embed_neardup"}
 BENCH_EXCLUDE = {"x11_embed_neardup"}
 
 

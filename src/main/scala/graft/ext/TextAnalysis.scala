@@ -169,6 +169,39 @@ object TextAnalysis {
     * computed in the same projection; ONE combinable aggregation
     * (conditional sums per word) is the only corpus-scale exchange, and
     * the top-k is a TakeOrderedAndProject, never a global sort. */
+  /** Per-document SIMPSON lexical diversity: the probability that two
+    * uniformly drawn token positions hold DIFFERENT words,
+    * `1 − Σ(c_i/n)²` — the diversity complement of the repetition
+    * ratios ([[dupWordRatio]] flags verbatim re-runs; Simpson scores
+    * the whole distribution, so a doc cycling three words forever
+    * scores low where dup-ratio alone can look moderate). Computed as
+    * the integer `(n² − Σc_i²)·scale div n²` — exact on any engine,
+    * no IEEE division.
+    *
+    * Overflow envelope: `n²·scale ≤ 2^63` → per-DOC length ≤ ~30M
+    * tokens at the default scale=10,000 — a per-document bound (not a
+    * corpus bound), far above any real document.
+    *
+    * 100 TB posture: two combinable aggregations (per-doc word counts,
+    * then per-doc moments) — a word count's plan, scan-side tokenize,
+    * no joins. Output: (doc_id, n_tokens, n_distinct, simpson_div). */
+  def simpsonDiversity(docs: DataFrame, id: Column, text: Column,
+      scale: Long = 10000L): DataFrame = {
+    require(scale >= 1, s"scale must be positive, got $scale")
+    docs.where(trim(text) =!= "")
+      .select(id.as("doc_id"), explode(split(trim(text), "\\s+")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .withColumn("simpson_div",
+        expr(s"(n_tokens * n_tokens - sumsq) * ${scale}L DIV (n_tokens * n_tokens)"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("simpson_div"))
+  }
+
   def contrastKeywords(docs: DataFrame, text: Column, inGroupA: Column,
       k: Int, minTotal: Long = 5L, scale: Long = 100000000L): DataFrame = {
     require(k > 0 && minTotal >= 1 && scale >= 1)

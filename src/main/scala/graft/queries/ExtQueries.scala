@@ -2893,6 +2893,32 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x88 — SIMPSON LEXICAL DIVERSITY: P(two random token positions
+  // differ) as the integer (n²−Σc²)·scale div n² — the distribution-
+  // wide diversity signal that catches low-entropy spam the verbatim
+  // dup-ratios (x29) under-flag. Two combinable aggs, no joins.
+  val x88 = Q(
+    "x88_simpson_diversity",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents WHERE trim(text) <> ''),
+      |wc AS (
+      |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM toks GROUP BY doc_id, w),
+      |m AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_distinct,
+      |         CAST(sum(c * c) AS BIGINT) AS sumsq
+      |  FROM wc GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |       CAST((n_tokens * n_tokens - sumsq) * CAST(10000 AS BIGINT)
+      |            // (n_tokens * n_tokens) AS BIGINT) AS simpson_div
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.simpsonDiversity(Tables.documents(s, dir), col("doc_id"),
+      col("text"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -2900,5 +2926,5 @@ object ExtQueries {
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
-      x86, x87)
+      x86, x87, x88)
 }

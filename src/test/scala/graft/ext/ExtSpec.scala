@@ -433,6 +433,19 @@ class SamplingSpec extends graft.SparkSpec {
     assert(rows(4L) === ((0.0, 0.0)))
   }
 
+  test("simpson diversity: hand-computed moments; monoculture 0; empty doc absent") {
+    val docs = Seq(
+      (1L, "a a b"),        // n=3, Σc²=5 -> (9-5)*10000/9 = 4444
+      (2L, "x x x x"),      // monoculture -> 0
+      (3L, "p q r"),        // all distinct -> (9-3)*10000/9 = 6666
+      (4L, "  ")            // blank -> excluded
+    ).toDF("id", "t")
+    val got = TextAnalysis.simpsonDiversity(docs, col("id"), col("t"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 3L, 2L, 4444L), (2L, 4L, 1L, 0L), (3L, 3L, 3L, 6666L)))
+  }
+
   test("contrast keywords: hand-computed smoothed odds, noise floor, top-k plan") {
     val docs = Seq(
       ("en", "the the the cat shared shared"),

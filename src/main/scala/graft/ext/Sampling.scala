@@ -278,6 +278,34 @@ object Sampling {
       .select(col("doc_id"), col("n_feats"), col("dsir_score"))
   }
 
+  /** Deterministic TOKEN-budget corpus cut: walk each stratum's docs in
+    * md5-hash order (tie: key) and keep rows while the RUNNING token
+    * total stays within `budget` — "give me at most N tokens per
+    * source, reproducibly", the token-exact sibling of
+    * [[takePerStratum]]'s row cap (training corpora are sized in
+    * tokens, not documents). A doc is kept iff the cumulative count
+    * THROUGH ITSELF fits the budget; the first overflowing doc and
+    * everything after it drop, so reruns, incremental reprocessing and
+    * a different engine cut the identical corpus.
+    *
+    * Same one-shuffle shape and mega-stratum caveat as
+    * [[takePerStratum]]: the cumulative window rides the stratum
+    * exchange; pre-thin a pathological stratum with [[hashSample]]
+    * first.
+    *
+    * Output: input columns + `n_tok` (whitespace tokens) + `cum_tok`. */
+  def tokenBudgetCut(df: DataFrame, stratum: Column, key: Column,
+      text: Column, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(Dedup.md5Hash60(key.cast("string")).asc_nulls_last,
+        key.asc_nulls_last)
+    df.withColumn("n_tok", size(split(trim(text), "\\s+")).cast("long"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .where(col("cum_tok") <= budget)
+  }
+
   def rendezvousShard(key: Column, shards: Int): Column = {
     require(shards >= 1 && shards <= 4096,
       s"shards must be in [1, 4096], got $shards — for more, nest two rendezvous levels")

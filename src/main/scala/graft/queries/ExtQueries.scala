@@ -2919,6 +2919,32 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x89 — TOKEN-BUDGET CORPUS CUT: keep each source's docs in md5-hash
+  // order while the running token total fits 1,000 — corpora are sized
+  // in TOKENS, and the cut must be engine- and rerun-reproducible
+  // (x48's row cap can't hit a token target). One stratum shuffle; the
+  // cumulative window rides it.
+  val x89 = Q(
+    "x89_token_budget_cut",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+      |         ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tok,
+      |         CAST(sum(n_tok) OVER (PARTITION BY source
+      |                ORDER BY h ASC, doc_id ASC
+      |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      |  FROM t)
+      |SELECT doc_id, source, n_tok, cum_tok
+      |FROM c WHERE cum_tok <= 1000 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Sampling.tokenBudgetCut(Tables.documents(s, dir), col("source"),
+      col("doc_id"), col("text"), budget = 1000L)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -2926,5 +2952,5 @@ object ExtQueries {
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
-      x86, x87, x88)
+      x86, x87, x88, x89)
 }

@@ -166,6 +166,55 @@ class RendezvousSpec extends SparkSpec {
   }
 }
 
+/** Pins x89 (token-budget corpus cut). */
+class TokenBudgetCutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def h60(key: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("keeps the maximal hash-order prefix fitting the budget; overflow doc drops") {
+    // one stratum, docs of 10 tokens each, budget 35 -> exactly the
+    // first 3 docs IN HASH ORDER survive (the 4th would reach 40)
+    val docs = (1L to 6L)
+      .map(i => (i, "s", (1 to 10).map(j => s"w$j").mkString(" ")))
+      .toDF("id", "src", "text")
+    val kept = Sampling.tokenBudgetCut(docs, col("src"), col("id"),
+      col("text"), budget = 35L)
+      .select("id", "cum_tok").as[(Long, Long)].collect().toMap
+    val hashOrder = (1L to 6L).sortBy(i => (h60(i.toString), i))
+    assert(kept.keySet === hashOrder.take(3).toSet)
+    assert(kept(hashOrder(2)) === 30L)   // running total through 3rd doc
+  }
+
+  test("budgets cut per stratum independently; rerun and re-partitioning identical") {
+    val docs = (1L to 40L)
+      .map(i => (i, s"s${i % 3}", (0 to (i % 5).toInt).map(j => s"t$j").mkString(" ")))
+      .toDF("id", "src", "text")
+    val a = Sampling.tokenBudgetCut(docs, col("src"), col("id"),
+      col("text"), budget = 12L)
+      .select("id", "src", "cum_tok").as[(Long, String, Long)].collect().toSet
+    assert(a.nonEmpty)
+    a.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.map(_._3).max <= 12L, s"stratum $src over budget")
+    }
+    val b = Sampling.tokenBudgetCut(docs.repartition(7), col("src"), col("id"),
+      col("text"), budget = 12L)
+      .select("id", "src", "cum_tok").as[(Long, String, Long)].collect().toSet
+    assert(b === a)
+  }
+
+  test("non-positive budgets are refused loudly") {
+    val docs = Seq((1L, "s", "a b")).toDF("id", "src", "text")
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetCut(docs, col("src"), col("id"), col("text"), 0L)
+    }
+  }
+}
+
 /** Pins x87 (DSIR target-affinity selection scores). */
 class DsirSpec extends SparkSpec {
   import spark.implicits._

@@ -87,6 +87,38 @@ object Dedup {
     t.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Scored sibling of [[decontaminate]]: instead of silently DROPPING
+    * any doc sharing a benchmark n-gram, report each doc's overlap —
+    * `(n_shingles, n_hits, contam_pct)` — the audit view a
+    * contamination REVIEW needs (GPT-3's appendix-C style analysis:
+    * how contaminated, not just whether), from which any threshold
+    * policy can be applied downstream as a plain filter.
+    *
+    * Same scale shape as the dropper: only (id, 8-byte hash) pairs
+    * shuffle, the benchmark shingle set is dim-sized and broadcasts,
+    * and the per-doc shingle rows are checkpointed once to feed both
+    * the denominator count and the hit semi-join. Ratio is integer
+    * (`hits·scale div shingles`) — engine-exact. */
+  def contaminationScores(train: DataFrame, benchmark: DataFrame,
+      id: Column, text: Column, n: Int, scale: Long = 10000L): DataFrame = {
+    require(scale >= 1, s"scale must be positive, got $scale")
+    val th = train.select(id.as("doc_id"), explode(shingles(text, n)).as("sh"))
+      .select(col("doc_id"), md5Hash60(col("sh")).as("h"))
+      .localCheckpoint(false)
+    val benchShingles = benchmark
+      .select(explode(shingles(text, n)).as("sh"))
+      .select(md5Hash60(col("sh")).as("h"))
+      .distinct()
+    val nSh = th.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = th.join(benchShingles, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    nSh.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contam_pct", expr(s"n_hits * ${scale}L DIV n_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        col("contam_pct"))
+  }
+
   /** [[decontaminate]] with a Bloom prefilter on the training side — the
     * sketch-accelerated form a 100 TB sweep actually runs. The benchmark
     * shingle hashes build a driver-side Bloom filter (the eval set is

@@ -2945,6 +2945,48 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x90 — CONTAMINATION SCORE REPORT: x38's benchmark/train split
+  // (doc_id < 25 = the pseudo-benchmark) but SCORED per doc instead of
+  // dropped — n-gram overlap counts + integer per-10k fraction, the
+  // audit view a contamination review applies thresholds to. Same
+  // hash-only shuffles; the per-doc shingle rows feed both the
+  // denominator and the hit join from one checkpoint.
+  val x90 = Q(
+    "x90_contamination_report",
+    """WITH d AS (
+      |  SELECT doc_id, trim(text) AS tt, text,
+      |         string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN len(w) >= 5
+      |              THEN list_distinct(list_transform(range(1, len(w) - 3),
+      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+      |              ELSE [tt] END AS sh
+      |  FROM d),
+      |u AS (
+      |  SELECT doc_id, ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT AS h
+      |  FROM s),
+      |bs AS (SELECT DISTINCT h FROM u WHERE doc_id < 25),
+      |nsh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+      |        FROM u WHERE doc_id >= 25 GROUP BY doc_id),
+      |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      |        FROM u WHERE doc_id >= 25 AND h IN (SELECT h FROM bs)
+      |        GROUP BY doc_id)
+      |SELECT n.doc_id, n.n_shingles,
+      |       CAST(coalesce(t.n_hits, 0) AS BIGINT) AS n_hits,
+      |       CAST(coalesce(t.n_hits, 0) * CAST(10000 AS BIGINT) // n.n_shingles
+      |         AS BIGINT) AS contam_pct
+      |FROM nsh n LEFT JOIN hit t ON n.doc_id = t.doc_id
+      |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Dedup.contaminationScores(
+      docs.where(col("doc_id") >= 25),
+      docs.where(col("doc_id") < 25),
+      col("doc_id"), col("text"), n = 5)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -2952,5 +2994,5 @@ object ExtQueries {
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
-      x86, x87, x88, x89)
+      x86, x87, x88, x89, x90)
 }

@@ -724,6 +724,21 @@ class DecontaminateSpec extends graft.SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(10L, 13L))
   }
+
+  test("contamination scores: hand-computed overlap fractions; clean docs report 0") {
+    val bench = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    // bench 5-grams: "a b c d e", "b c d e f"
+    val train = Seq(
+      (10L, "a b c d e x y z"),   // 4 shingles, 1 hit -> 2500/10k
+      (11L, "p q r s t u"),       // 2 shingles, 0 hits
+      (12L, "a b c d e f")        // both shingles hit -> 10000
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationScores(train, bench, col("doc_id"),
+      col("text"), n = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (10L, 4L, 1L, 2500L), (11L, 2L, 0L, 0L), (12L, 2L, 2L, 10000L)))
+  }
 }
 
 class ConnectedComponentsSpec extends graft.SparkSpec {

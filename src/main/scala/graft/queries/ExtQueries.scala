@@ -2987,6 +2987,48 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x91 — PREFIX-FILTERED EXACT JACCARD JOIN: the x6 output contract
+  // (computed over 60-bit shingle hashes) from a prefix-filtered
+  // inverted index — only each doc's (1-t)·|S|+1 RAREST shingles are
+  // indexed, so the candidate join touches a fraction of the postings
+  // and lands on df~1 buckets. The oracle deliberately uses the LINEAR
+  // inverted-index SQL (not x6's quadratic pair scan): same final set
+  // by the prefix-filter exactness lemma.
+  val x91 = Q(
+    "x91_prefix_jaccard",
+    """WITH t AS (
+      |  SELECT doc_id, trim(text) AS tt,
+      |         string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents WHERE doc_id < 1500),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE [tt] END AS sh
+      |  FROM t),
+      |u AS (
+      |  SELECT DISTINCT doc_id,
+      |         ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT AS h
+      |  FROM s),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY doc_id),
+      |c AS (
+      |  SELECT ua.doc_id AS a, ub.doc_id AS b, CAST(count(*) AS BIGINT) AS common
+      |  FROM u ua JOIN u ub ON ua.h = ub.h AND ua.doc_id < ub.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT c.a, c.b,
+      |       CAST(common AS DOUBLE) /
+      |         CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard
+      |FROM c JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
+      |WHERE CAST(common AS DOUBLE) /
+      |      CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    Dedup.prefixJaccardPairs(
+      Tables.documents(s, dir).where(col("doc_id") < 1500),
+      col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .orderBy("a", "b")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -2994,5 +3036,5 @@ object ExtQueries {
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
-      x86, x87, x88, x89, x90)
+      x86, x87, x88, x89, x90, x91)
 }

@@ -982,3 +982,39 @@ class TemperatureWeightsSpec extends graft.SparkSpec {
     assert(got.values.map(_._5).sum <= 1000L)          // floor never overspends
   }
 }
+
+class PrefixJaccardSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("prefix-filtered join == full inverted index (sf0.001 docs, pairs AND scores)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.prefixJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(pref === full) // prefix filter is exact: no pair lost, none added
+    assert(full.nonEmpty)
+  }
+
+  test("crafted: qualifying pair via rare shingles; sub-threshold pair pruned") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // 4 shingles
+      (2L, "alpha beta gamma delta epsilon eta"),    // shares 3 of 4 -> J=3/5
+      (3L, "totally unrelated words here now then")) // J=0 with both
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(df, col("doc_id"), col("text"), 3, 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 0.6)))
+  }
+
+  test("single-shingle docs (prefix = whole set) and threshold=1.0 exact match") {
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(df, col("doc_id"), col("text"), 3, 1.0)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.prefixJaccardPairs(df, col("doc_id"), col("text"), 3, 0.0)
+    }
+  }
+}

@@ -3029,6 +3029,57 @@ object ExtQueries {
       .orderBy("a", "b")
   }
 
+  // x92 — SORTED-NEIGHBORHOOD DEDUP (merge/purge): global sort on a
+  // 12-char lowercase blocking key, window of 8 consecutive rows,
+  // exact hash-Jaccard >= 0.5 inside the window only. Candidate count
+  // is EXACTLY N·7 regardless of skew — the linear-cost regime next to
+  // x6/x91 (inverted index) and x7 (LSH). Spark side ranks with the
+  // two-phase rank (no global window).
+  val x92 = Q(
+    "x92_sorted_neighborhood",
+    """WITH t AS (
+      |  SELECT doc_id, trim(text) AS tt, lower(trim(text)) AS lt,
+      |         string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents WHERE doc_id < 1500),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE [tt] END AS sh
+      |  FROM t),
+      |u AS (
+      |  SELECT DISTINCT doc_id,
+      |         ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT AS h
+      |  FROM s),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY doc_id),
+      |r AS (
+      |  SELECT doc_id,
+      |         row_number() OVER (ORDER BY substring(lt, 1, 12), doc_id) AS rn
+      |  FROM t),
+      |p AS (
+      |  SELECT least(ra.doc_id, rb.doc_id) AS a,
+      |         greatest(ra.doc_id, rb.doc_id) AS b
+      |  FROM r ra JOIN r rb ON rb.rn > ra.rn AND rb.rn < ra.rn + 8),
+      |c AS (
+      |  SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS common
+      |  FROM p JOIN u ua ON ua.doc_id = p.a
+      |         JOIN u ub ON ub.doc_id = p.b AND ub.h = ua.h
+      |  GROUP BY 1, 2)
+      |SELECT c.a, c.b,
+      |       CAST(common AS DOUBLE) /
+      |         CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard
+      |FROM c JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
+      |WHERE CAST(common AS DOUBLE) /
+      |      CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    Dedup.sortedNeighborPairs(
+      Tables.documents(s, dir).where(col("doc_id") < 1500),
+      col("doc_id"), col("text"), keyLen = 12, window = 8, n = 3,
+      threshold = 0.5)
+      .orderBy("a", "b")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -3036,5 +3087,5 @@ object ExtQueries {
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
-      x86, x87, x88, x89, x90, x91)
+      x86, x87, x88, x89, x90, x91, x92)
 }

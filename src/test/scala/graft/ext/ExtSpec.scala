@@ -1018,3 +1018,41 @@ class PrefixJaccardSpec extends graft.SparkSpec {
     }
   }
 }
+
+class SortedNeighborhoodSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("SNM pairs are a subset of the exact inverted-index pairs (sf0.001)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val snm = Dedup.sortedNeighborPairs(docs, col("doc_id"), col("text"),
+      keyLen = 12, window = 8, n = 3, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(snm.subsetOf(full)) // scoring is exact; only recall can differ
+    assert(snm.nonEmpty)       // planted dups share prefixes -> found
+  }
+
+  test("window and blocking-key semantics: close-in-order found, far apart missed") {
+    // 1&2: shared prefix, adjacent in sort order, J>=0.5 -> found.
+    // 8&9: same near-dup strength but prefixes diverge at char 1 ('m'
+    // vs 'z'), and 6 alphabetic spacers push them > window apart.
+    val spacers = Seq("n 1", "o 2", "p 3", "q 4", "r 5", "s 6", "t 7", "u 8")
+      .zipWithIndex.map { case (t, i) => (20L + i, t + " filler words here") }
+    val df = (Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (8L, "mike november oscar papa quebec romeo"),
+      (9L, "zulu november oscar papa quebec romeo")) ++ spacers)
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborPairs(df, col("doc_id"), col("text"),
+      keyLen = 12, window = 8, n = 3, threshold = 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.contains((8L, 9L))) // the documented SNM blocking miss
+    intercept[IllegalArgumentException] {
+      Dedup.sortedNeighborPairs(df, col("doc_id"), col("text"), 12, 1, 3, 0.5)
+    }
+  }
+}

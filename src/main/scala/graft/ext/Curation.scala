@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The one-call curation decision: every per-document keep/drop signal
@@ -81,5 +82,52 @@ object Curation {
           col("keep_sample")).cast("int"))
       .select("doc_id", "predicted", "is_canonical", "keep_lang",
         "keep_quality", "keep_sample", "keep_flag")
+  }
+
+  /** 2-D Pareto (skyline) frontier over integer metric columns: the
+    * docs no other doc weakly dominates — `(x' >= x AND y' >= y)` with
+    * at least one strict. Exact ties on BOTH coordinates are mutually
+    * non-dominating, so a whole tie-group survives together (Börzsönyi/
+    * Kossmann/Stocker ICDE 2001 skyline semantics).
+    *
+    * Plan: the naive dominance test is an N² self-join; the 2-D sweep
+    * is not — (1) per-x max(y) (map-side-combinable groupBy: within an
+    * x-group anything below the max is dominated by the max row),
+    * (2) a strictly-descending-x running max of ymax over the DISTINCT
+    * x values (rows preceding = larger x; survive iff ymax beats it),
+    * (3) join the surviving (x, y) corner set back to pick up every
+    * tied doc. The running max is TWO-PHASE (range sort on x desc,
+    * per-partition window keyed by spark_partition_id, broadcast
+    * exclusive-prefix maxima — `Batching.withBatches`' shape): no
+    * global window, so the sweep over |distinct x| rows (bounded by
+    * the metric's value range, not corpus size) stays distributed.
+    * The corner set joined back is frontier-sized, i.e. broadcast
+    * territory. Output: `(doc_id, x, y)`. */
+  def paretoFrontier(df: DataFrame, id: Column, x: Column, y: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.select(id.as("doc_id"), x.cast("long").as("x"),
+      y.cast("long").as("y"))
+    val gmax = pts.groupBy("x").agg(max(col("y")).as("ymax"))
+      .sort(col("x").desc).withColumn("_pid", spark_partition_id())
+    // exclusive prefix max per partition (numPartitions rows on the
+    // driver — not data); partitions sort before their successors, so
+    // "all strictly-larger x" = earlier rows in this pid + earlier pids
+    val pmax = gmax.groupBy("_pid").agg(max(col("ymax")).as("pm")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var best = Long.MinValue
+    val prefix = pmax.map { case (pid, m) =>
+      val p = best; best = math.max(best, m); (pid, p)
+    }
+    val local = Window.partitionBy(col("_pid")).orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val corners = gmax
+      .withColumn("_lm", max(col("ymax")).over(local))
+      .join(broadcast(prefix.toSeq.toDF("_pid", "_pm")), "_pid")
+      .withColumn("m", greatest(coalesce(col("_lm"), lit(Long.MinValue)),
+        col("_pm")))
+      .where(col("ymax") > col("m"))
+      .select(col("x"), col("ymax").as("y"))
+    pts.join(broadcast(corners), Seq("x", "y")).select("doc_id", "x", "y")
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Graph, Multimodal, Profile, Relevance, Sampling, Similarity, Sketches, TextAnalysis, Vocab}
+import graft.ext.{Curation, Dedup, Graph, Multimodal, Profile, Relevance, Sampling, Similarity, Sketches, TextAnalysis, Vocab}
 import graft.functions.PolyHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -3080,6 +3080,45 @@ object ExtQueries {
       .orderBy("a", "b")
   }
 
+  // x93 — PARETO-FRONTIER DATA SELECTION: the docs on the skyline of
+  // (n_tokens, simpson_div) — no other doc is at least as long AND at
+  // least as lexically diverse with one strict. The oracle states the
+  // N² dominance NOT EXISTS directly; the engine runs the 2-D sweep
+  // (per-x max + running max over distinct x + frontier join-back),
+  // which is one combinable groupBy and a |distinct x|-row window.
+  val x93 = Q(
+    "x93_pareto_frontier",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents WHERE trim(text) <> ''),
+      |wc AS (
+      |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM toks GROUP BY doc_id, w),
+      |m AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         CAST(sum(c * c) AS BIGINT) AS sumsq
+      |  FROM wc GROUP BY doc_id),
+      |mm AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST((n_tokens * n_tokens - sumsq) * CAST(10000 AS BIGINT)
+      |              // (n_tokens * n_tokens) AS BIGINT) AS simpson_div
+      |  FROM m)
+      |SELECT a.doc_id, a.n_tokens, a.simpson_div
+      |FROM mm a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM mm b
+      |  WHERE b.n_tokens >= a.n_tokens AND b.simpson_div >= a.simpson_div
+      |    AND (b.n_tokens > a.n_tokens OR b.simpson_div > a.simpson_div))
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val metrics = TextAnalysis.simpsonDiversity(
+      Tables.documents(s, dir), col("doc_id"), col("text"))
+    Curation.paretoFrontier(metrics, col("doc_id"), col("n_tokens"),
+      col("simpson_div"))
+      .select(col("doc_id"), col("x").as("n_tokens"),
+        col("y").as("simpson_div"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -3087,5 +3126,5 @@ object ExtQueries {
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
-      x86, x87, x88, x89, x90, x91, x92)
+      x86, x87, x88, x89, x90, x91, x92, x93)
 }

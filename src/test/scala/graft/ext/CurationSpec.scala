@@ -45,3 +45,38 @@ class CurationSpec extends graft.SparkSpec {
     assert(got === ((7L, "es", 1, 0, 1, 1, 0)))
   }
 }
+
+class ParetoFrontierSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("crafted frontier: dominated dropped, tie-groups survive together") {
+    val pts = Seq(
+      (1L, 10L, 1L),  // frontier: longest
+      (2L, 8L, 5L),   // frontier
+      (3L, 8L, 5L),   // exact tie with 2 -> both survive
+      (4L, 8L, 4L),   // dominated by 2 (same x, smaller y)
+      (5L, 5L, 9L),   // frontier: most diverse
+      (6L, 4L, 9L),   // dominated by 5 (smaller x, same y)
+      (7L, 3L, 3L))   // dominated by everything above
+      .toDF("doc_id", "mx", "my")
+    val got = Curation.paretoFrontier(pts, col("doc_id"), col("mx"), col("my"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 3L, 5L))
+  }
+
+  test("sweep == naive dominance join on sf0.001 doc metrics") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = TextAnalysis.simpsonDiversity(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_tokens").as("x"), col("simpson_div").as("y"))
+      .localCheckpoint(false)
+    val naive = m.as("a").join(m.as("b"),
+        col("b.x") >= col("a.x") && col("b.y") >= col("a.y") &&
+          (col("b.x") > col("a.x") || col("b.y") > col("a.y")), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    val swept = Curation.paretoFrontier(m, col("doc_id"), col("x"), col("y"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(swept === naive)
+    assert(swept.nonEmpty)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Snapshot delta: classify every key across two snapshots of the same
@@ -43,5 +43,41 @@ object SnapshotDiff {
           .when(same, lit("same"))
           .otherwise(lit("changed")))
       .drop("__in_a", "__in_b")
+  }
+
+  /** Distribution drift between two corpus partitions, as per-category
+    * total-variation contributions in exact integer arithmetic: for
+    * each value of `category`, the per-million rates `r1 = c1·1e6 div
+    * N1`, `r2 = c2·1e6 div N2`, and the TV contribution
+    * `|c1·N2 − c2·N1|·1e6 div N1 div N2` (= `|p1 − p2|` per-million;
+    * half the sum over categories is the total-variation distance).
+    * `inA` is the partition predicate (e.g. `ts < midpoint`).
+    *
+    * Arithmetic contract: products run in DECIMAL(38,0) and the
+    * quotient divides SEQUENTIALLY (`DIV N1 DIV N2` — exact floor
+    * composition, the x78 bigramPmi pattern), so nothing overflows
+    * while `N1·N2·1e6 < 10^38`, i.e. up to ~10^16 rows per side —
+    * beyond any single corpus. Rates are floors, bit-identical in any
+    * engine with integer division; no floats anywhere.
+    *
+    * Plan: ONE scan, ONE map-side-combinable groupBy(category) with
+    * conditional counts, then a broadcast crossJoin of the 1-row
+    * totals — no second pass over the data, no window. */
+  def categoryDrift(df: DataFrame, category: Column, inA: Column): DataFrame = {
+    val per = df
+      .select(category.as("category"), when(inA, 1L).otherwise(0L).as("ina"))
+      .groupBy("category")
+      .agg(sum(col("ina")).as("c1"), sum(lit(1L) - col("ina")).as("c2"))
+    val totals = per.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    per.crossJoin(broadcast(totals))
+      .select(col("category"), col("c1"), col("c2"),
+        expr("CAST(CAST(c1 AS DECIMAL(38,0)) * 1000000 DIV n1 AS BIGINT)")
+          .as("r1_e6"),
+        expr("CAST(CAST(c2 AS DECIMAL(38,0)) * 1000000 DIV n2 AS BIGINT)")
+          .as("r2_e6"),
+        expr("""CAST(abs(CAST(c1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))
+               |        - CAST(c2 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0)))
+               |     * 1000000 DIV n1 DIV n2 AS BIGINT)""".stripMargin)
+          .as("tv_e6"))
   }
 }

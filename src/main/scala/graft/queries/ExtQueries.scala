@@ -3119,6 +3119,37 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x94 — DISTRIBUTION DRIFT (total variation): event_type rate shift
+  // between the stream's first and second halves, in exact per-million
+  // integers (DECIMAL products, sequential DIV — the x78 floor-
+  // composition contract; no floats, no logs). One scan, one
+  // combinable groupBy, broadcast 1-row totals.
+  val x94 = Q(
+    "x94_category_drift",
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+      |              THEN 1 ELSE 0 END AS ina
+      |  FROM events),
+      |per AS (
+      |  SELECT event_type AS category,
+      |         CAST(sum(ina) AS BIGINT) AS c1,
+      |         CAST(sum(1 - ina) AS BIGINT) AS c2
+      |  FROM e GROUP BY 1),
+      |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |             CAST(sum(c2) AS BIGINT) AS n2 FROM per)
+      |SELECT category, c1, c2,
+      |       CAST(CAST(c1 AS HUGEINT) * 1000000 // n1 AS BIGINT) AS r1_e6,
+      |       CAST(CAST(c2 AS HUGEINT) * 1000000 // n2 AS BIGINT) AS r2_e6,
+      |       CAST(abs(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)
+      |            * 1000000 // n1 // n2 AS BIGINT) AS tv_e6
+      |FROM per, t
+      |ORDER BY category""".stripMargin) { (s, dir) =>
+    graft.ops.SnapshotDiff.categoryDrift(Tables.events(s, dir), col("event_type"),
+      col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .orderBy("category")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -3126,5 +3157,5 @@ object ExtQueries {
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
-      x86, x87, x88, x89, x90, x91, x92, x93)
+      x86, x87, x88, x89, x90, x91, x92, x93, x94)
 }

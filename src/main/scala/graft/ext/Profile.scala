@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data profiling: per-column summary statistics in ONE table pass.
@@ -57,5 +57,28 @@ object Profile {
         s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct, min_val, max_val)"))
       .select(col("col_name"), col("__n").as("n_rows"), col("n_null"),
         col("n_distinct"), col("min_val"), col("max_val"))
+  }
+
+  /** Log2-binned histogram of a positive integer measure: one row per
+    * occupied bucket `[2^b, 2^(b+1))` with the entity count and the
+    * measure total inside the bucket. The standard way to LOOK at a
+    * heavy-tailed distribution (duplicate-cluster sizes, degree
+    * distributions, doc lengths) without 10^6 distinct-value rows.
+    *
+    * Bucketing is EXACT integer arithmetic: values join a broadcast
+    * 63-row power-of-two table on a range predicate — no
+    * floor(log2(x)) float, whose rounding at exact powers of two
+    * differs across engines. One combinable groupBy after a broadcast
+    * range join; nothing scales with distinct values. */
+  def log2Hist(df: DataFrame, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val buckets = (0 until 63).map(b => (1L << b,
+      if (b == 62) Long.MaxValue else (1L << (b + 1)) - 1)).toDF("lo", "hi")
+    df.select(value.cast("long").as("v"))
+      .join(broadcast(buckets), col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy(col("lo").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_entities"), sum(col("v")).as("total"))
+      .select(col("bucket_lo"), col("n_entities"), col("total"))
   }
 }

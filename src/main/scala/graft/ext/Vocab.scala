@@ -172,4 +172,35 @@ object Vocab {
         expr("sum(n_occ * contrib) DIV sum(n_occ)").as("lm_score"))
       .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
   }
+
+  /** Vocabulary coverage / out-of-vocabulary report: build the top-`v`
+    * corpus vocabulary (by occurrence count, word-ascending tie-break —
+    * fully deterministic) and score each document's OOV rate against it
+    * in exact per-million integers. The tokenizer-design feedback loop:
+    * how much of each doc a fixed-size vocab fails to cover, and where
+    * coverage collapses (non-target-language and boilerplate-junk docs
+    * surface at the top of the OOV ranking).
+    *
+    * Plan: one tokenize scan feeds BOTH the global count (map-side-
+    * combinable groupBy) and the per-doc scoring; the top-v cut is
+    * `orderBy(count desc, w).limit(v)` — TakeOrderedAndProject, a
+    * per-partition heap + driver merge of v rows, never a global sort —
+    * and the v-row vocab broadcasts to a hash-lookup join. Output:
+    * `(doc_id, n_tok, n_in_vocab, oov_e6)`, floors, no floats. */
+  def oovRates(docs: DataFrame, id: Column, text: Column, v: Int): DataFrame = {
+    require(v >= 1, s"vocab size v=$v must be >= 1")
+    val toks = docs.where(trim(text) =!= "")
+      .select(id.as("doc_id"), explode(split(trim(text), "\\s+")).as("w"))
+      .localCheckpoint(false) // one tokenize, two consumers
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(v)
+      .select(col("w"), lit(1L).as("inv"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("inv"), lit(0L))).as("n_in_vocab"))
+      .withColumn("oov_e6",
+        expr("(n_tok - n_in_vocab) * 1000000L DIV n_tok"))
+      .select(col("doc_id"), col("n_tok"), col("n_in_vocab"), col("oov_e6"))
+  }
 }

@@ -3150,6 +3150,57 @@ object ExtQueries {
       .orderBy("category")
   }
 
+  // x95 — VOCABULARY COVERAGE / OOV RATE: top-256 corpus vocab (count
+  // desc, word asc — total deterministic order), per-doc out-of-vocab
+  // per-million. One tokenize scan feeds both the vocab count and the
+  // scoring; the cut is TakeOrderedAndProject (heap, no global sort)
+  // and the 256-row vocab broadcasts.
+  val x95 = Q(
+    "x95_oov_rate",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents WHERE trim(text) <> ''),
+      |cnt AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
+      |vocab AS (SELECT w FROM cnt ORDER BY cw DESC, w LIMIT 256),
+      |per AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |         CAST(sum(CASE WHEN w IN (SELECT w FROM vocab)
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab
+      |  FROM toks GROUP BY doc_id)
+      |SELECT doc_id, n_tok, n_in_vocab,
+      |       CAST((n_tok - n_in_vocab) * CAST(1000000 AS BIGINT)
+      |            // n_tok AS BIGINT) AS oov_e6
+      |FROM per ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Vocab.oovRates(Tables.documents(s, dir), col("doc_id"), col("text"),
+      v = 256)
+      .orderBy("doc_id")
+  }
+
+  // x96 — DUPLICATE-CLUSTER SIZE HISTOGRAM: x1's exact-dedup groups
+  // log2-binned — the power-law view a dedup review reads (how much
+  // of the corpus sits in 1-copy vs 2-3-copy vs 1000+-copy clusters).
+  // Buckets via a broadcast 63-row power-of-two range join, never
+  // floor(log2(x)) floats (engine rounding differs at exact powers).
+  val x96 = Q(
+    "x96_dup_size_hist",
+    """WITH g AS (
+      |  SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS sz
+      |  FROM documents GROUP BY 1),
+      |b AS (
+      |  SELECT CAST(power(2, r) AS BIGINT) AS lo,
+      |         CAST(power(2, r + 1) AS BIGINT) - 1 AS hi
+      |  FROM (SELECT unnest(range(0, 40)) AS r))
+      |SELECT b.lo AS bucket_lo,
+      |       CAST(count(*) AS BIGINT) AS n_entities,
+      |       CAST(sum(sz) AS BIGINT) AS total
+      |FROM g JOIN b ON g.sz >= b.lo AND g.sz <= b.hi
+      |GROUP BY 1 ORDER BY bucket_lo""".stripMargin) { (s, dir) =>
+    Profile.log2Hist(
+      Dedup.exactGroups(Tables.documents(s, dir), col("doc_id"), col("text")),
+      col("n_copies"))
+      .orderBy("bucket_lo")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -3157,5 +3208,5 @@ object ExtQueries {
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
-      x86, x87, x88, x89, x90, x91, x92, x93, x94)
+      x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96)
 }

@@ -132,3 +132,48 @@ class BigramLmScoreSpec extends graft.SparkSpec {
     assert(score(Seq("solo", ""), 100L) === Map.empty)
   }
 }
+
+class OovRateSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("hand-checked OOV: top-2 vocab, per-doc floors") {
+    // corpus counts: the=4, cat=3, dog=2, xyzzy=1 -> vocab(2) = {the, cat}
+    val df = Seq(
+      (1L, "the cat the cat"),       // 4 tokens, all in vocab -> oov 0
+      (2L, "the dog xyzzy"),         // 1 of 3 in vocab -> oov 666666
+      (3L, "dog the cat"))           // 2 of 3 -> oov 333333
+      .toDF("doc_id", "text")
+    val got = Vocab.oovRates(df, col("doc_id"), col("text"), v = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) === ((4L, 4L, 0L)))
+    assert(got(2L) === ((3L, 1L, 666666L)))
+    assert(got(3L) === ((3L, 2L, 333333L)))
+  }
+
+  test("tie at the vocab cutoff breaks word-ascending (deterministic)") {
+    // counts: aa=2, bb=2, cc=2 -> vocab(2) = {aa, bb} by word order
+    val df = Seq((1L, "aa bb cc"), (2L, "aa bb cc")).toDF("doc_id", "text")
+    val got = Vocab.oovRates(df, col("doc_id"), col("text"), v = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) === 2L && got(2L) === 2L) // cc is the one out
+  }
+}
+
+class Log2HistSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("exact power-of-two boundaries land in the right buckets") {
+    val df = Seq(1L, 1L, 2L, 3L, 4L, 7L, 8L, 1024L).toDF("v")
+    val got = Profile.log2Hist(df, col("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === ((2L, 2L)))       // two 1s
+    assert(got(2L) === ((2L, 5L)))       // 2, 3
+    assert(got(4L) === ((2L, 11L)))      // 4, 7
+    assert(got(8L) === ((1L, 8L)))       // 8 goes UP, not into [4,7]
+    assert(got(1024L) === ((1L, 1024L)))
+    assert(got.keySet === Set(1L, 2L, 4L, 8L, 1024L)) // no empty buckets
+  }
+}

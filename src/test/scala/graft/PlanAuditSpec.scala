@@ -505,4 +505,43 @@ class PlanAuditSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+  test("x91: prefix join is all hash joins — no cartesian, only the per-doc rank window") {
+    val p = planOf("x91_prefix_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the prefix rank window materializes once per self-join side (2);
+    // every windowspecdefinition must be doc_id-partitioned — an
+    // unpartitioned one means the prefix rank regressed to a global sort
+    val wins = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(wins.length === 2 && wins.forall(_.startsWith("doc_id")), s"$wins\n$p")
+  }
+
+  test("x92: SNM rank windows are _pid-partitioned; offsets broadcast; no cartesian") {
+    val p = planOf("x92_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct"), p)
+    val wins = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(wins.nonEmpty && wins.forall(_.startsWith("_pid")), s"$wins\n$p")
+    assert(broadcasts(p) >= 1, p) // the per-partition offset table
+  }
+
+  test("x93: pareto sweep windows are _pid-partitioned; corner set broadcasts back") {
+    val p = planOf("x93_pareto_frontier")
+    val wins = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(wins.nonEmpty && wins.forall(_.startsWith("_pid")), s"$wins\n$p")
+    assert(broadcasts(p) >= 2, p) // prefix-max table + frontier corners
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x95: vocab cut is TakeOrderedAndProject and the vocab side broadcasts") {
+    val p = planOf("x95_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(broadcasts(p) === 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x96: bucket table broadcasts into the range join; one agg shuffle after") {
+    val p = planOf("x96_dup_size_hist")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 63-row range-predicate join
+    assert(broadcasts(p) === 1, p)
+  }
 }

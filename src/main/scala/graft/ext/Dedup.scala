@@ -397,7 +397,14 @@ object Dedup {
     * (array_intersect of two per-doc hash arrays), never a re-join of
     * the occurrence table. The per-doc rank window partitions by doc_id
     * (no global window), and everything that shuffles is (doc_id,
-    * 8-byte hash) slim rows. */
+    * 8-byte hash) slim rows.
+    *
+    * Flood contract (the object-header rule applies here with extra
+    * force): byte-identical copies all emit the SAME prefix hashes, so
+    * a 100k-copy flood puts 100k docs in one prefix bucket — quadratic
+    * by construction, and no cap can save it without breaking
+    * exactness. Run this over [[distinctContents]] output; identical
+    * contents are [[exactGroups]]' job. */
   def prefixJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,

@@ -320,4 +320,64 @@ object Sampling {
       greatest(cands: _*).getField("shard")
     }
   }
+
+  /** Curriculum mixture interleave: a deterministic global training
+    * order in which every source appears in proportion to its size at
+    * every prefix — the property a streaming trainer needs (stop at any
+    * step and the mixture seen so far matches the target mix; no "all
+    * of source A, then all of B" pathology).
+    *
+    * Construction: shuffle each source internally by the id's 60-bit
+    * md5 hash (reproducible shuffle, the x27/x89 discipline), rank
+    * within source, then scale each rank onto the global axis:
+    * `ikey = rn_src · N div c_src` — source s occupies positions spaced
+    * ~N/c_s apart, so sorting by `(ikey, source, rn_src)` yields the
+    * proportional round-robin. Exact integers (DECIMAL product, one
+    * floor), no floats, engine-reproducible.
+    *
+    * 100 TB posture: one source-partitioned rank window (no global
+    * window — the global ORDER is carried by the key, materialized only
+    * if a consumer sorts), a broadcast per-source count join, and a
+    * broadcast 1-row total. Output: `(doc_id, source, rn_src, ikey)`. */
+  def curriculumInterleave(docs: DataFrame, id: Column, source: Column): DataFrame = {
+    val d = docs.select(id.as("doc_id"), source.as("source"),
+      Dedup.md5Hash60(id.cast("string")).as("h"))
+    val ranked = d.withColumn("rn_src", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+    val counts = d.groupBy("source").agg(count(lit(1)).as("cs"))
+    val total = d.agg(count(lit(1)).as("n"))
+    ranked
+      .join(broadcast(counts), Seq("source"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("source"), col("rn_src"),
+        expr("CAST(CAST(rn_src AS DECIMAL(38,0)) * n DIV cs AS BIGINT)")
+          .as("ikey"))
+  }
+
+  /** Per-stratum quantile-rank normalization: replace a raw score with
+    * its within-stratum quantile position `q_e6 = rn·1e6 div c_s`
+    * (rn = rank by (score, id) — the id tie-break makes it total and
+    * rerun-stable). A length threshold that means "top half" should
+    * mean top half in EVERY source — raw-score thresholds pick almost
+    * everything from the verbose source and almost nothing from the
+    * terse one; quantile ranks make one threshold portable across
+    * strata. Exact integers, floors only.
+    *
+    * 100 TB posture: one stratum-partitioned rank window plus a
+    * broadcast per-stratum count join — no global window, no
+    * distribution estimation pass. Output: `(doc_id, stratum, score,
+    * q_e6)`. */
+  def quantileNormalize(df: DataFrame, id: Column, stratum: Column,
+      score: Column): DataFrame = {
+    val d = df.select(id.as("doc_id"), stratum.as("stratum"),
+      score.cast("long").as("score"))
+    val ranked = d.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
+        .orderBy(col("score"), col("doc_id"))).cast("long"))
+    val counts = d.groupBy("stratum").agg(count(lit(1)).as("cs"))
+    ranked.join(broadcast(counts), Seq("stratum"))
+      .select(col("doc_id"), col("stratum"), col("score"),
+        expr("rn * 1000000L DIV cs").as("q_e6"))
+  }
 }

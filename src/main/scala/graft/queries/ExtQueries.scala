@@ -3201,6 +3201,107 @@ object ExtQueries {
       .orderBy("bucket_lo")
   }
 
+  // x97 — CURRICULUM MIXTURE INTERLEAVE: deterministic global training
+  // order where every prefix matches the source mix — per-source
+  // hash-shuffled rank scaled onto the global axis (rn·N div c_s).
+  // One source-partitioned window + two broadcast joins; the global
+  // order lives in the key, not in a global sort.
+  val x97 = Q(
+    "x97_curriculum_interleave",
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source,
+      |         CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+      |              AS BIGINT) AS rn_src
+      |  FROM d),
+      |c AS (SELECT source, CAST(count(*) AS BIGINT) AS cs FROM d GROUP BY source),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+      |SELECT doc_id, r.source, rn_src,
+      |       CAST(CAST(rn_src AS HUGEINT) * n // cs AS BIGINT) AS ikey
+      |FROM r JOIN c ON r.source = c.source, t
+      |ORDER BY ikey, r.source, rn_src""".stripMargin) { (s, dir) =>
+    Sampling.curriculumInterleave(Tables.documents(s, dir), col("doc_id"),
+      col("source"))
+      .orderBy("ikey", "source", "rn_src")
+  }
+
+  // x98 — PER-SOURCE QUANTILE-RANK NORMALIZATION: n_chars replaced by
+  // its within-source quantile position (rn·1e6 div c_s, id
+  // tie-break) — one threshold then means the same thing in every
+  // source. One stratum window + broadcast counts; exact floors.
+  val x98 = Q(
+    "x98_quantile_norm",
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, n_chars,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |                ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+      |  FROM d),
+      |c AS (SELECT source, CAST(count(*) AS BIGINT) AS cs FROM d GROUP BY source)
+      |SELECT doc_id, r.source AS stratum, n_chars AS score,
+      |       CAST(rn * CAST(1000000 AS BIGINT) // cs AS BIGINT) AS q_e6
+      |FROM r JOIN c ON r.source = c.source
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Sampling.quantileNormalize(Tables.documents(s, dir), col("doc_id"),
+      col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  // x99 — IVF CELL LABEL PURITY: the index-quality diagnostic — per
+  // cell, member count, majority label (tie -> min label) and purity
+  // per-million. Same scale-invariant seeding + argmax assignment as
+  // x63 (broadcast centroids, combinable max_by, no embedding
+  // shuffle); the purity agg adds two combinable groupBys on slim
+  // (cid, label) rows.
+  val x99 = Q(
+    "x99_ivf_purity",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e
+      |          WHERE vec_id % (SELECT greatest(count(*) // 40, 1) FROM e) = 7),
+      |sims AS (
+      |  SELECT e.vec_id, s.cid, round(list_cosine_similarity(e.emb, s.cemb), 6) AS csim
+      |  FROM e CROSS JOIN seeds s),
+      |best AS (SELECT vec_id, max(csim) AS best_sim FROM sims GROUP BY vec_id),
+      |asg AS (
+      |  SELECT sims.vec_id, min(cid) AS cid
+      |  FROM sims JOIN best ON sims.vec_id = best.vec_id AND sims.csim = best.best_sim
+      |  GROUP BY sims.vec_id),
+      |pc AS (
+      |  SELECT asg.cid, em.label, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM asg JOIN embeddings em ON asg.vec_id = em.vec_id
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT cid, CAST(sum(cnt) AS BIGINT) AS n_members,
+      |         CAST(max(cnt) AS BIGINT) AS c_major
+      |  FROM pc GROUP BY cid),
+      |lab AS (
+      |  SELECT pc.cid, min(pc.label) AS label_major
+      |  FROM pc JOIN agg ON pc.cid = agg.cid AND pc.cnt = agg.c_major
+      |  GROUP BY 1)
+      |SELECT agg.cid, n_members, label_major,
+      |       CAST(c_major * CAST(1000000 AS BIGINT) // n_members AS BIGINT)
+      |         AS purity_e6
+      |FROM agg JOIN lab ON agg.cid = lab.cid
+      |ORDER BY agg.cid""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val en = Similarity.withNorm(e, col("vec_id"), col("embedding"))
+    val cents = Similarity.seedCentroids(en, Similarity.strideForCells(en, 40))
+    Similarity.ivfAssign(en, cents)
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy("cid", "label").agg(count(lit(1)).as("cnt"))
+      .groupBy("cid")
+      .agg(sum(col("cnt")).as("n_members"),
+        max(col("cnt")).as("c_major"),
+        max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl")))
+          .as("label_major"))
+      .select(col("cid"), col("n_members"), col("label_major"),
+        expr("c_major * 1000000L DIV n_members").as("purity_e6"))
+      .orderBy("cid")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -3208,5 +3309,5 @@ object ExtQueries {
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
-      x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96)
+      x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99)
 }

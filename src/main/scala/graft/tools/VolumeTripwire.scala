@@ -258,7 +258,35 @@ object VolumeTripwire {
         timeMin(Sampling.dsirAffinity(docs1, col("doc_id"), col("text"),
           pmod(col("doc_id"), lit(3)) === 0)),
         timeMin(Sampling.dsirAffinity(docs10, col("doc_id"), col("text"),
-          pmod(col("doc_id"), lit(3)) === 0))))
+          pmod(col("doc_id"), lit(3)) === 0))),
+      // prefix join under the flood: byte-identical copies emit
+      // IDENTICAL prefixes — one 100k-doc bucket, quadratic, no cap
+      // can fix it without breaking exactness. The documented contract
+      // is distinctContents first (identical contents are exactGroups'
+      // job); this row proves the composed pipeline stays linear.
+      Res("x91_prefixJaccard", {
+        val d = Dedup.distinctContents(docs1, col("doc_id"), col("text"))
+        timeMin(Dedup.prefixJaccardPairs(d, col("doc_id"), col("text"),
+          n = 3, threshold = 0.5))
+      }, {
+        val d = Dedup.distinctContents(docs10, col("doc_id"), col("text"))
+        timeMin(Dedup.prefixJaccardPairs(d, col("doc_id"), col("text"),
+          n = 3, threshold = 0.5))
+      }),
+      // SNM is the skew-IMMUNE regime: candidates are N·(window-1) by
+      // construction, flood or no flood — the 100k identical docs just
+      // occupy 100k consecutive sort positions and contribute 100k·7
+      // candidate pairs, scored in bounded per-pair work
+      Res("x92_sortedNeighbor",
+        timeMin(Dedup.sortedNeighborPairs(docs1, col("doc_id"), col("text"),
+          keyLen = 12, window = 8, n = 3, threshold = 0.5)),
+        timeMin(Dedup.sortedNeighborPairs(docs10, col("doc_id"), col("text"),
+          keyLen = 12, window = 8, n = 3, threshold = 0.5))),
+      // OOV under the flood: both sides of the op are map-combinable
+      // token counts; the flood's tokens pile into existing vocab rows
+      Res("x95_oovRates",
+        timeMin(graft.ext.Vocab.oovRates(docs1, col("doc_id"), col("text"), v = 256)),
+        timeMin(graft.ext.Vocab.oovRates(docs10, col("doc_id"), col("text"), v = 256))))
 
     results.foreach { r =>
       println(f"PROF ${r.name}%-18s t1x=${r.t1}%6.2fs t10x=${r.t10}%6.2fs ratio=${r.ratio}%5.1f")

@@ -1056,3 +1056,38 @@ class SortedNeighborhoodSpec extends graft.SparkSpec {
     }
   }
 }
+
+class IvfPuritySpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("purity report: members partition the corpus; majority recomputed naively matches") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val en = Similarity.withNorm(e, col("vec_id"), col("embedding"))
+    val cents = Similarity.seedCentroids(en, Similarity.strideForCells(en, 10))
+    val asg = Similarity.ivfAssign(en, cents).localCheckpoint(false)
+    val report = asg.join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy("cid", "label").agg(count(lit(1)).as("cnt"))
+      .groupBy("cid")
+      .agg(sum(col("cnt")).as("n"), max(col("cnt")).as("cm"),
+        max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl"))).as("lm"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toMap
+    assert(report.values.map(_._1).sum === e.count()) // cells partition the corpus
+    // recompute each cell's majority naively from the assignment
+    val byCell = asg.join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select("cid", "label").as[(Long, Int)].collect()
+      .groupBy(_._1).map { case (cid, rows) =>
+        val hist = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val cm = hist.values.max
+        cid -> (rows.size.toLong, cm, hist.filter(_._2 == cm).keys.max)
+      }
+    byCell.foreach { case (cid, (n, cm, lmMaxTie)) =>
+      val (gn, gcm, glm) = report(cid)
+      assert(gn === n && gcm === cm)
+      // engine tie-break is MIN label; naive max-tie must be >= it
+      assert(glm <= lmMaxTie)
+      assert(cm * 1000000L / n >= 1000000L / report.size.max(1))
+    }
+  }
+}

@@ -83,4 +83,23 @@ object Multimodal {
       (lit(1) + length(col("payload")) % 480).as("height"),
       when(col("kind") === "video", lit(1) + length(col("payload")) % 30)
         .otherwise(1).as("n_frames"))
+
+  /** Deterministic frame-sampling plan: for each video, the frame
+    * indices a decode pass should touch — an even stride hitting at
+    * most `maxFrames` frames, always including frame 0 (the keyframe).
+    * `stride = (n_frames + maxFrames - 1) div maxFrames` (integer,
+    * engine-reproducible — no float ceil), indices `0, s, 2s, ...`.
+    * This is the planning half of frame extraction: the decoder (the
+    * [[FakeDecoder]] seam) consumes these (media_id, frame_idx) rows;
+    * a 100 TB video corpus plans its decode I/O scan-side with zero
+    * shuffle and the row count bounded at videos×maxFrames. */
+  def frameSamplePlan(meta: DataFrame, maxFrames: Int): DataFrame = {
+    require(maxFrames >= 1, s"maxFrames=$maxFrames must be >= 1")
+    meta.where(col("kind") === "video")
+      .withColumn("stride",
+        expr(s"CAST((n_frames + ${maxFrames - 1}) DIV $maxFrames AS INT)"))
+      .select(col("media_id"), col("n_frames"), col("stride"),
+        explode(sequence(lit(0), col("n_frames") - 1, col("stride")))
+          .as("frame_idx"))
+  }
 }

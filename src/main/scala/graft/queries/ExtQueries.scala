@@ -3302,6 +3302,31 @@ object ExtQueries {
       .orderBy("cid")
   }
 
+  // x100 — FRAME-SAMPLING PLAN: per-video decode schedule — integer
+  // stride (n_frames+3) div 4, indices 0, s, 2s... (≤4 frames, frame 0
+  // always). Scan-side explode, zero shuffle; the planning half of
+  // multimodal decode (x12 carries the decoder seam).
+  val x100 = Q(
+    "x100_frame_sample",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST(1 + octet_length(encode(text)) % 30 AS INT) AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |p AS (
+      |  SELECT media_id, n_frames,
+      |         CAST((n_frames + 3) // 4 AS INT) AS stride
+      |  FROM m)
+      |SELECT media_id, n_frames, stride,
+      |       CAST(unnest(range(0, n_frames, stride)) AS INT) AS frame_idx
+      |FROM p
+      |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+    Multimodal.frameSamplePlan(
+      Multimodal.metaColumns(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF()),
+      maxFrames = 4)
+      .orderBy("media_id", "frame_idx")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -3309,5 +3334,6 @@ object ExtQueries {
       x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56, x57,
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
-      x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99)
+      x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99,
+      x100)
 }

@@ -1091,3 +1091,27 @@ class IvfPuritySpec extends graft.SparkSpec {
     }
   }
 }
+
+class FrameSampleSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("stride schedule: <= maxFrames per video, frame 0 always, even spacing") {
+    val meta = Seq(
+      (1L, "video", 1),   // 1 frame  -> stride 1 -> [0]
+      (2L, "video", 4),   // stride 1 -> [0,1,2,3]
+      (3L, "video", 5),   // stride 2 -> [0,2,4]
+      (4L, "video", 30),  // stride 8 -> [0,8,16,24]
+      (5L, "image", 1))   // not video -> absent
+      .toDF("media_id", "kind", "n_frames")
+    val got = Multimodal.frameSamplePlan(meta, maxFrames = 4)
+      .select("media_id", "frame_idx").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got(1L) === Seq(0))
+    assert(got(2L) === Seq(0, 1, 2, 3))
+    assert(got(3L) === Seq(0, 2, 4))
+    assert(got(4L) === Seq(0, 8, 16, 24))
+    assert(!got.contains(5L))
+    assert(got.values.forall(f => f.length <= 4 && f.head === 0))
+  }
+}

@@ -63,11 +63,23 @@ object SnapshotDiff {
     * Plan: ONE scan, ONE map-side-combinable groupBy(category) with
     * conditional counts, then a broadcast crossJoin of the 1-row
     * totals — no second pass over the data, no window. */
-  def categoryDrift(df: DataFrame, category: Column, inA: Column): DataFrame = {
-    val per = df
-      .select(category.as("category"), when(inA, 1L).otherwise(0L).as("ina"))
+  def categoryDrift(df: DataFrame, category: Column, inA: Column): DataFrame =
+    driftFromCounts(categoryCounts(df, category, inA))
+
+  /** The drift STATE: per-category conditional counts `(category, c1,
+    * c2)`. A pure sum-aggregate, so it folds incrementally under
+    * Structured Streaming (complete mode) exactly like the batch
+    * plan — StreamingSketchSpec pins state == batch on a replayed
+    * stream; [[driftFromCounts]] is the batch finisher you run off the
+    * maintained state table. */
+  def categoryCounts(df: DataFrame, category: Column, inA: Column): DataFrame =
+    df.select(category.as("category"), when(inA, 1L).otherwise(0L).as("ina"))
       .groupBy("category")
       .agg(sum(col("ina")).as("c1"), sum(lit(1L) - col("ina")).as("c2"))
+
+  /** Finisher: rates and TV contributions from a counts-state table
+    * (see [[categoryDrift]] for the arithmetic contract). */
+  def driftFromCounts(per: DataFrame): DataFrame = {
     val totals = per.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     per.crossJoin(broadcast(totals))
       .select(col("category"), col("c1"), col("c2"),

@@ -1017,6 +1017,24 @@ class PrefixJaccardSpec extends graft.SparkSpec {
       Dedup.prefixJaccardPairs(df, col("doc_id"), col("text"), 3, 0.0)
     }
   }
+
+  test("seeded random corpora: prefix == full index at three thresholds") {
+    // small word pool -> dense overlap, the regime where the prefix
+    // lemma has to work hardest (many near-threshold pairs)
+    val pool = Array("red", "blue", "green", "dog", "cat", "sun", "sky", "run")
+    for (seed <- Seq(7, 23, 91); t <- Seq(0.3, 0.6, 0.9)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 30L).map { i =>
+        val len = 3 + rnd.nextInt(8)
+        (i, Seq.fill(len)(pool(rnd.nextInt(pool.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val full = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 2, t)
+        .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.prefixJaccardPairs(docs, col("doc_id"), col("text"), 2, t)
+        .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(pref === full, s"seed=$seed t=$t")
+    }
+  }
 }
 
 class SortedNeighborhoodSpec extends graft.SparkSpec {

@@ -111,4 +111,30 @@ class StreamingSketchSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(streamed === batch)
   }
+  test("streamed drift counts (a sum-aggregate) == batch; TV finisher replays off state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int)]
+    val q = graft.ops.SnapshotDiff.categoryCounts(
+        mem.toDS().toDF("cat", "ina"), col("cat"), col("ina") === 1)
+      .writeStream.format("memory").queryName("drift_counts")
+      .outputMode("complete").start()
+    val batch1 = Seq(("click", 1), ("click", 1), ("view", 1), ("click", 0))
+    val batch2 = Seq(("view", 0), ("view", 0), ("click", 1), ("scroll", 0))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamedState = spark.table("drift_counts")
+    val batchState = graft.ops.SnapshotDiff.categoryCounts(
+      (batch1 ++ batch2).toDF("cat", "ina"), col("cat"), col("ina") === 1)
+    assert(streamedState.as[(String, Long, Long)].collect().toSet ===
+      batchState.as[(String, Long, Long)].collect().toSet)
+    val streamedDrift = graft.ops.SnapshotDiff.driftFromCounts(streamedState)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val batchDrift = graft.ops.SnapshotDiff.categoryDrift(
+      (batch1 ++ batch2).toDF("cat", "ina"), col("cat"), col("ina") === 1)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamedDrift === batchDrift)
+  }
 }

@@ -81,4 +81,32 @@ object Profile {
       .agg(count(lit(1)).as("n_entities"), sum(col("v")).as("total"))
       .select(col("bucket_lo"), col("n_entities"), col("total"))
   }
+
+  /** Exact per-stratum order-statistic quantiles of an integer
+    * measure: for each percentile p in `pcts`, the value at sorted
+    * position `ceil(p·n/100)` (= `(p·n + 99) div 100`, 1-based) — the
+    * classic discrete quantile, engine-reproducible because it is a
+    * POSITION in the sorted multiset, not an interpolation (the value
+    * at a position is deterministic even under ties). The data-card
+    * numbers a corpus README quotes.
+    *
+    * Plan: one stratum-partitioned rank window + a broadcast count
+    * join, then one conditional-aggregate groupBy — no global window,
+    * no approximate sketch, columns `p<pct>` in `pcts` order. */
+  def groupQuantiles(df: DataFrame, stratum: Column, value: Column,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts=$pcts must be percentiles in [1, 100]")
+    val d = df.select(stratum.as("stratum"), value.cast("long").as("v"))
+    val ranked = d.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
+        .orderBy(col("v"))).cast("long"))
+    val counts = d.groupBy("stratum").agg(count(lit(1)).as("cs"))
+    val aggs = pcts.map(p =>
+      max(expr(s"CASE WHEN rn = ($p * cs + 99) DIV 100 THEN v END"))
+        .as(s"p$p"))
+    ranked.join(broadcast(counts), Seq("stratum"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n"), aggs: _*)
+  }
 }

@@ -28,6 +28,28 @@ object Similarity {
     df.select(id.as("vec_id"), emb.cast("array<double>").as("emb"))
       .withColumn("norm", l2Norm(col("emb")))
 
+  /** Per-label norm profile: count, min/max/mean of the vectors' L2
+    * norms as 1e-6-scaled integers — the embedding-space health check
+    * (a label whose norms collapse toward 0 or blow out signals a
+    * degenerate encoder or corrupt batch). The norm itself is the same
+    * sequential-fold dot + IEEE sqrt the kNN family uses (bit-identical
+    * in any engine that folds left-to-right), snapped to integers via
+    * round(norm·1e6) so the aggregates are exact — the mean is an
+    * integer floor, never a float accumulation-order artifact.
+    * One scan, one combinable groupBy; embeddings never shuffle (only
+    * (label, long) rows do). */
+  def normProfile(embs: DataFrame, emb: Column, label: Column): DataFrame =
+    embs.select(label.as("label"),
+        round(l2Norm(emb.cast("array<double>")) * lit(1000000.0), 0)
+          .cast("long").as("norm_e6"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        min(col("norm_e6")).as("min_e6"),
+        max(col("norm_e6")).as("max_e6"),
+        sum(col("norm_e6")).as("sum_e6"))
+      .select(col("label"), col("n"), col("min_e6"), col("max_e6"),
+        expr("sum_e6 DIV n").as("mean_e6"))
+
   /** Johnson–Lindenstrauss random projection to `outDim` dimensions
     * with deterministic ±1 Achlioptas signs — the dimensionality-
     * reduction scale path for the ANN family (project once scan-side,

@@ -3327,6 +3327,82 @@ object ExtQueries {
       .orderBy("media_id", "frame_idx")
   }
 
+  // x101 — HOPPING-WINDOW DISTINCT USERS: x51's 1h/30min hop but with
+  // an exact COUNT(DISTINCT) — reach, not volume. Spark's native
+  // window() + distinct agg; the oracle mirrors the hop with the
+  // two-bucket unnest.
+  val x101 = Q(
+    "x101_hopping_distinct",
+    """WITH b AS (
+      |  SELECT epoch_us(ts) // 1800000000 AS hb, user_id FROM events),
+      |w AS (
+      |  SELECT unnest([hb * 1800000000, (hb - 1) * 1800000000]) AS ws, user_id
+      |  FROM b)
+      |SELECT make_timestamp(ws) AS wstart,
+      |       make_timestamp(ws + 3600000000) AS wend,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM w GROUP BY ws
+      |ORDER BY wstart""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("w.start").as("wstart"), col("w.end").as("wend"),
+        col("n_events"), col("n_users"))
+      .orderBy("wstart")
+  }
+
+  // x102 — EMBEDDING NORM PROFILE per label: exact integer min/max/
+  // floor-mean of round(L2·1e6) — the degenerate-encoder check. The
+  // norm is the same sequential-fold dot + IEEE sqrt as the kNN
+  // family; only (label, long) rows shuffle.
+  val x102 = Q(
+    "x102_norm_profile",
+    """WITH e AS (
+      |  SELECT label,
+      |         CAST(round(sqrt(list_dot_product(embedding::DOUBLE[],
+      |                                          embedding::DOUBLE[])) * 1000000)
+      |              AS BIGINT) AS norm_e6
+      |  FROM embeddings)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |       min(norm_e6) AS min_e6, max(norm_e6) AS max_e6,
+      |       CAST(sum(norm_e6) // count(*) AS BIGINT) AS mean_e6
+      |FROM e GROUP BY label
+      |ORDER BY label""".stripMargin) { (s, dir) =>
+    Similarity.normProfile(Tables.embeddings(s, dir), col("embedding"),
+      col("label"))
+      .orderBy("label")
+  }
+
+  // x103 — PER-SOURCE LENGTH QUANTILES: exact order-statistic
+  // p25/p50/p75/p99 of n_chars per source (position ceil(p·n/100) in
+  // the sorted multiset — deterministic under ties, no interpolation,
+  // no sketch). One stratum window + broadcast counts + conditional
+  // agg: the data-card table.
+  val x103 = Q(
+    "x103_length_quantiles",
+    """WITH d AS (SELECT source, n_chars FROM documents),
+      |r AS (
+      |  SELECT source AS stratum, n_chars AS v,
+      |         CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars)
+      |              AS BIGINT) AS rn
+      |  FROM d),
+      |c AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS cs
+      |      FROM d GROUP BY 1)
+      |SELECT r.stratum, CAST(count(*) AS BIGINT) AS n,
+      |       max(CASE WHEN rn = (25 * cs + 99) // 100 THEN v END) AS p25,
+      |       max(CASE WHEN rn = (50 * cs + 99) // 100 THEN v END) AS p50,
+      |       max(CASE WHEN rn = (75 * cs + 99) // 100 THEN v END) AS p75,
+      |       max(CASE WHEN rn = (99 * cs + 99) // 100 THEN v END) AS p99
+      |FROM r JOIN c ON r.stratum = c.stratum
+      |GROUP BY r.stratum
+      |ORDER BY r.stratum""".stripMargin) { (s, dir) =>
+    Profile.groupQuantiles(Tables.documents(s, dir), col("source"),
+      col("n_chars"), Seq(25, 50, 75, 99))
+      .orderBy("stratum")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -3335,5 +3411,5 @@ object ExtQueries {
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
       x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99,
-      x100)
+      x100, x101, x102, x103)
 }

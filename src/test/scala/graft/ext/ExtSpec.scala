@@ -1133,3 +1133,42 @@ class FrameSampleSpec extends graft.SparkSpec {
     assert(got.values.forall(f => f.length <= 4 && f.head === 0))
   }
 }
+
+class NormProfileSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("hand-checked norms: 3-4-5 triangle, floor mean, degenerate label visible") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f), 0),     // norm 5.0 -> 5000000
+      (2L, Array(0.0f, 2.0f), 0),     // norm 2.0 -> 2000000
+      (3L, Array(0.0f, 0.0f), 1))     // collapsed -> 0
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.normProfile(df, col("embedding"), col("label"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(0) === ((2L, 2000000L, 5000000L, 3500000L)))
+    assert(got(1) === ((1L, 0L, 0L, 0L))) // the degenerate-encoder signal
+  }
+}
+
+class GroupQuantilesSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("order-statistic positions: ceil(p*n/100), deterministic under ties") {
+    // n=4: p25 -> pos 1, p50 -> pos 2, p75 -> pos 3, p99 -> pos 4
+    val df = Seq(("s", 10L), ("s", 20L), ("s", 20L), ("s", 40L),
+      ("t", 7L)).toDF("src", "len")
+    val got = Profile.groupQuantiles(df, col("src"), col("len"),
+      Seq(25, 50, 75, 99)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got("s") === ((4L, 10L, 20L, 20L, 40L)))
+    assert(got("t") === ((1L, 7L, 7L, 7L, 7L))) // singleton: all quantiles = it
+    intercept[IllegalArgumentException] {
+      Profile.groupQuantiles(df, col("src"), col("len"), Seq(0))
+    }
+  }
+}

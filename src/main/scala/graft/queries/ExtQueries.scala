@@ -3403,6 +3403,44 @@ object ExtQueries {
       .orderBy("stratum")
   }
 
+  // x104 — LANGUAGE CONFUSION MATRIX: x4's heuristic prediction
+  // cross-tabbed against the metadata lang, with per-true-lang recall
+  // per-million — the eval view that tells you where the language
+  // filter bleeds. One classifier scan + two combinable groupBys +
+  // a broadcast per-lang total join; exact floors.
+  val x104 = Q(
+    "x104_lang_confusion",
+    s"""WITH t AS (
+      |  SELECT doc_id, lang,
+      |         regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+      |         $langHitsSql
+      |  FROM documents),
+      |p AS (
+      |  SELECT lang,
+      |       CASE WHEN has_cjk THEN 'zh'
+      |            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |            WHEN s_de >= s_fr THEN 'de'
+      |            ELSE 'fr' END AS predicted
+      |  FROM t),
+      |cm AS (
+      |  SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+      |  FROM p GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cm GROUP BY 1)
+      |SELECT cm.lang, predicted, n,
+      |       CAST(n * CAST(1000000 AS BIGINT) // n_lang AS BIGINT) AS frac_e6
+      |FROM cm JOIN tot ON cm.lang = tot.lang
+      |ORDER BY cm.lang, predicted""".stripMargin) { (s, dir) =>
+    val cm = Tables.documents(s, dir)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+    val tot = cm.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+    cm.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("predicted"), col("n"),
+        expr("n * 1000000L DIV n_lang").as("frac_e6"))
+      .orderBy("lang", "predicted")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -3411,5 +3449,5 @@ object ExtQueries {
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
       x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99,
-      x100, x101, x102, x103)
+      x100, x101, x102, x103, x104)
 }

@@ -1172,3 +1172,29 @@ class GroupQuantilesSpec extends graft.SparkSpec {
     }
   }
 }
+
+class LangConfusionSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("confusion rows: per-true-lang fractions sum to 1e6 (up to floor loss)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cm = docs
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+    val tot = cm.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+    val got = cm.join(tot, Seq("lang"))
+      .select(col("lang"), col("predicted"), col("n"),
+        expr("n * 1000000L DIV n_lang").as("frac_e6"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byLang = got.groupBy(_._1)
+    byLang.foreach { case (lang, rows) =>
+      val s = rows.map(_._4).sum
+      // floors: sum in (1e6 - #cells, 1e6]
+      assert(s <= 1000000L && s > 1000000L - rows.length, s"$lang -> $s")
+    }
+    // the diagonal dominates for at least one language (sanity: the
+    // classifier is better than random on its own corpus)
+    assert(got.exists(r => r._1 == r._2 && r._4 > 500000L))
+  }
+}

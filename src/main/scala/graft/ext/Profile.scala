@@ -109,4 +109,29 @@ object Profile {
       .groupBy("stratum")
       .agg(count(lit(1)).as("n"), aggs: _*)
   }
+
+  /** Join-key skew profile: the top-`k` heaviest key values plus, on
+    * every row, the table-wide skew factor
+    * `skew_e6 = max_cnt · n_keys · 1e6 div n_rows` (= hottest key's
+    * count over the MEAN key count, per-million — 1e6 means perfectly
+    * uniform). This is the measurement you take BEFORE choosing a
+    * salting factor (x23) or trusting AQE's skew split: a key with
+    * skew_e6 ≫ 1e6 is the partition that will straggle.
+    *
+    * Plan: one combinable count groupBy; the top-k cut is
+    * TakeOrderedAndProject (per-partition heaps, no global sort); the
+    * three scalars ride a broadcast 1-row crossJoin. Exact integers
+    * (DECIMAL product, envelope `max·keys·1e6 < 10^38`). */
+  def keySkew(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val cnt = df.select(key.cast("string").as("key_val"))
+      .groupBy("key_val").agg(count(lit(1)).as("cnt"))
+    val totals = cnt.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    cnt.orderBy(col("cnt").desc, col("key_val")).limit(k)
+      .crossJoin(broadcast(totals))
+      .select(col("key_val"), col("cnt"), col("n_keys"), col("n_rows"),
+        expr("CAST(CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 1000000 DIV n_rows AS BIGINT)")
+          .as("skew_e6"))
+  }
 }

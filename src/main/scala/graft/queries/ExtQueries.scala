@@ -3441,6 +3441,73 @@ object ExtQueries {
       .orderBy("lang", "predicted")
   }
 
+  // x105 — JOIN-KEY SKEW PROFILE: top-10 heaviest l_orderkey values +
+  // the table-wide skew factor (hottest/mean per-million) — the
+  // measurement you take BEFORE choosing a salting factor (x23) or
+  // trusting AQE's skew split. Combinable count + TakeOrdered +
+  // broadcast 1-row totals.
+  val x105 = Q(
+    "x105_key_skew",
+    """WITH c AS (
+      |  SELECT CAST(l_orderkey AS VARCHAR) AS key_val,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |             CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |             CAST(max(cnt) AS BIGINT) AS max_cnt FROM c),
+      |top AS (SELECT key_val, cnt FROM c ORDER BY cnt DESC, key_val LIMIT 10)
+      |SELECT key_val, cnt, n_keys, n_rows,
+      |       CAST(CAST(max_cnt AS HUGEINT) * n_keys * 1000000 // n_rows
+      |            AS BIGINT) AS skew_e6
+      |FROM top, t
+      |ORDER BY cnt DESC, key_val""".stripMargin) { (s, dir) =>
+    Profile.keySkew(Tables.lineitem(s, dir), col("l_orderkey"), k = 10)
+      .orderBy(col("cnt").desc, col("key_val"))
+  }
+
+  // x106 — SIX-TABLE ANALYTIC REVENUE ROLLUP (the TPC-H Q5 shape):
+  // revenue per nation for one region and one order year, with the
+  // local-supplier constraint (c_nationkey = s_nationkey). The only
+  // big-big join is lineitem⋈orders; customer/supplier/nation/region
+  // broadcast; revenue rides the exact DECIMAL accumulator.
+  val x106 = Q(
+    "x106_regional_revenue",
+    """SELECT n_name,
+      |       COUNT(*) AS n_items,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |                     AS DECIMAL(18, 4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |             AND c_nationkey = s_nationkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "EUROPE")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -3449,5 +3516,5 @@ object ExtQueries {
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
       x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99,
-      x100, x101, x102, x103, x104)
+      x100, x101, x102, x103, x104, x105, x106)
 }

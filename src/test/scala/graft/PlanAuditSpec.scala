@@ -544,4 +544,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p) // 63-row range-predicate join
     assert(broadcasts(p) === 1, p)
   }
+  test("x106: four dims broadcast; lineitem joins orders as the ONLY shuffled join") {
+    // the Q5 shape: AQE sizes the dim sides at runtime — assert the
+    // FINAL adaptive plan like the x38 pin does
+    val df = SparkEntry.queries("x106_regional_revenue")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p) // cust/supp/nation/region
+    assert(!p.contains("CartesianProduct"), p)
+    val pushed = "PushedFilters: \\[([^\\]]*)".r.findAllMatchIn(p).mkString
+    assert(p.contains("o_orderdate"), p) // date filter reaches the orders scan side
+  }
 }

@@ -59,3 +59,43 @@ class ProfileSpec extends graft.SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length === 1, p)
   }
 }
+
+class KeySkewSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("hand-checked skew: hot key 6 of 10 rows over 5 keys -> skew 3e6") {
+    // counts: hot=6, a..d=1 each -> n_keys=5, n_rows=10, max=6
+    // skew_e6 = 6*5*1e6/10 = 3,000,000 (3x the uniform mean)
+    val df = (Seq.fill(6)("hot") ++ Seq("a", "b", "c", "d")).toDF("k")
+    val got = Profile.keySkew(df, col("k"), k = 3).collect()
+    assert(got.length === 3)
+    val top = got.head
+    assert(top.getString(0) === "hot" && top.getLong(1) === 6L)
+    assert(top.getLong(2) === 5L && top.getLong(3) === 10L)
+    assert(got.forall(_.getLong(4) === 3000000L)) // table-wide factor on every row
+    // uniform table -> skew exactly 1e6
+    val uni = Seq("a", "b", "c", "d").toDF("k")
+    assert(Profile.keySkew(uni, col("k"), k = 2).collect()
+      .forall(_.getLong(4) === 1000000L))
+  }
+}
+
+class RegionalRevenueSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("Q5 shape: local-supplier constraint prunes cross-nation pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val full = graft.SparkEntry.queries("x106_regional_revenue")(spark, dir)
+      .collect()
+    // every output nation must be a EUROPE nation
+    val euroNations = graft.Tables.nation(spark, dir)
+      .join(graft.Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "EUROPE")
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(full.nonEmpty)
+    assert(full.map(_.getString(0)).toSet.subsetOf(euroNations))
+    // revenue positive and items counted
+    assert(full.forall(r => r.getLong(1) > 0 && r.getDouble(2) > 0))
+  }
+}

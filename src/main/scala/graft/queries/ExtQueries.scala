@@ -3508,6 +3508,99 @@ object ExtQueries {
       .orderBy("n_name")
   }
 
+  // x107 — CROSS-SOURCE NEAR-DUP MATRIX: for every source pair, how
+  // many distinct winnowing fingerprints (x79's density, same df cap)
+  // their documents share — the provenance signal (mirrors,
+  // scrapes-of-scrapes) that per-corpus dedup rates hide. Distinct
+  // (fp, source) rows first, so a passage spammed within one source
+  // counts once; bucket fan-out is bounded by the SOURCE count.
+  val x107 = Q(
+    "x107_cross_source_dups",
+    """WITH t AS (
+      |  SELECT doc_id, source, trim(text) AS tt,
+      |         string_split_regex(trim(text), '\s+') AS wd
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN len(wd) >= 3
+      |              THEN list_transform(range(1, len(wd) - 1),
+      |                     i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2])
+      |              ELSE [tt] END AS sh
+      |  FROM t),
+      |h AS (SELECT doc_id, source,
+      |             list_transform(sh, x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS hs
+      |      FROM s),
+      |f AS (
+      |  SELECT doc_id, source,
+      |         list_distinct(CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+      |           ELSE list_transform(range(1, len(hs) - 2),
+      |                  i -> list_min(hs[i : i + 3])) END) AS fps
+      |  FROM h),
+      |u AS (SELECT doc_id, source, unnest(fps) AS fp FROM f),
+      |keep AS (SELECT fp FROM u GROUP BY fp HAVING count(*) <= 64),
+      |us AS (SELECT DISTINCT u.fp, u.source FROM u JOIN keep USING (fp)),
+      |p AS (
+      |  SELECT a.source AS source_a, b.source AS source_b
+      |  FROM us a JOIN us b ON a.fp = b.fp AND a.source < b.source)
+      |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM p GROUP BY 1, 2
+      |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val fp = Dedup.winnowFingerprints(docs, col("doc_id"), col("text"),
+      n = 3, w = 4).localCheckpoint(false)
+    val kept = fp.groupBy("fp").agg(count(lit(1)).as("dfp"))
+      .where(col("dfp") <= 64).select("fp")
+    val us = fp.join(kept, Seq("fp"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select("fp", "source").distinct()
+    us.select(col("fp"), col("source").as("source_a"))
+      .join(us.select(col("fp"), col("source").as("source_b")), Seq("fp"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
+  // x108 — INTER-ARRIVAL QUANTILES per user: exact p25/p50/p75/p99 of
+  // the microsecond gaps between a user's consecutive events — the
+  // bot-vs-human cadence signal. Lag window per user (partitioned, no
+  // global window) feeding the x103 order-statistic machinery; all
+  // integers.
+  val x108 = Q(
+    "x108_interarrival_quantiles",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events),
+      |d AS (SELECT user_id, us - prev_us AS gap
+      |      FROM e WHERE prev_us IS NOT NULL),
+      |r AS (
+      |  SELECT user_id AS stratum, gap AS v,
+      |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY gap)
+      |              AS BIGINT) AS rn
+      |  FROM d),
+      |c AS (SELECT user_id AS stratum, CAST(count(*) AS BIGINT) AS cs
+      |      FROM d GROUP BY 1)
+      |SELECT r.stratum, CAST(count(*) AS BIGINT) AS n,
+      |       max(CASE WHEN rn = (25 * cs + 99) // 100 THEN v END) AS p25,
+      |       max(CASE WHEN rn = (50 * cs + 99) // 100 THEN v END) AS p50,
+      |       max(CASE WHEN rn = (75 * cs + 99) // 100 THEN v END) AS p75,
+      |       max(CASE WHEN rn = (99 * cs + 99) // 100 THEN v END) AS p99
+      |FROM r JOIN c ON r.stratum = c.stratum
+      |GROUP BY r.stratum
+      |ORDER BY r.stratum""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .where(col("prev_us").isNotNull)
+      .select(col("user_id"), (col("us") - col("prev_us")).as("gap"))
+    Profile.groupQuantiles(gaps, col("user_id"), col("gap"), Seq(25, 50, 75, 99))
+      .orderBy("stratum")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -3516,5 +3609,5 @@ object ExtQueries {
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
       x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99,
-      x100, x101, x102, x103, x104, x105, x106)
+      x100, x101, x102, x103, x104, x105, x106, x107, x108)
 }

@@ -275,3 +275,54 @@ class DsirSpec extends SparkSpec {
     }
   }
 }
+
+class CrossSourceDupSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("sources sharing a long passage pair up; isolated source stays out") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, "sA", passage + " tail one"),
+      (2L, "sB", "head two " + passage),
+      (3L, "sC", "completely different words that share nothing at all here"))
+      .toDF("doc_id", "source", "text")
+    val fp = Dedup.winnowFingerprints(docs, col("doc_id"), col("text"), n = 3, w = 4)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select("fp", "source").distinct()
+    val pairs = fp.select(col("fp"), col("source").as("source_a"))
+      .join(fp.select(col("fp"), col("source").as("source_b")), Seq("fp"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains(("sA", "sB"))) // >= w+n-1 = 6 shared words guarantee
+    assert(pairs.keys.forall { case (a, b) => a != "sC" && b != "sC" })
+  }
+}
+
+class InterarrivalSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("gaps via per-user lag: known cadence yields exact order-statistic quantiles") {
+    // user 1: events at 0s, 10s, 20s, 100s -> gaps 10s, 10s, 80s (micros)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val events = Seq(
+      (1L, 10L, ts(0)), (2L, 10L, ts(10)), (3L, 10L, ts(20)), (4L, 10L, ts(100)))
+      .toDF("event_id", "user_id", "ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .where(col("prev_us").isNotNull)
+      .select(col("user_id"), (col("us") - col("prev_us")).as("gap"))
+    val got = Profile.groupQuantiles(gaps, col("user_id"), col("gap"),
+      Seq(25, 50, 75, 99)).collect().head
+    // n=3: p25 -> pos 1 (10s), p50 -> pos 2 (10s), p75/p99 -> pos 3 (80s)
+    assert(got.getLong(1) === 3L)
+    assert(got.getLong(2) === 10000000L && got.getLong(3) === 10000000L)
+    assert(got.getLong(4) === 80000000L && got.getLong(5) === 80000000L)
+  }
+}

@@ -3601,6 +3601,99 @@ object ExtQueries {
       .orderBy("stratum")
   }
 
+  // x109 — DUPLICATE N-GRAM OCCURRENCE RATE per source: the fraction
+  // of each source's word-5-gram occurrences whose content appears
+  // >= 2 times corpus-wide (Lee et al. 2022's corpus-health number,
+  // per-source). Two combinable (hash[, source]) counting aggs + one
+  // slim hash-keyed join; per-million floors.
+  val x109 = Q(
+    "x109_dup_occurrence_rate",
+    """WITH t AS (
+      |  SELECT doc_id, source, trim(text) AS tt,
+      |         string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN len(w) >= 5
+      |              THEN list_transform(range(1, len(w) - 3),
+      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+      |              ELSE [tt] END AS sh
+      |  FROM t),
+      |occ AS (
+      |  SELECT source, ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT AS h
+      |  FROM s),
+      |ps AS (SELECT source, h, CAST(count(*) AS BIGINT) AS c_sh
+      |       FROM occ GROUP BY 1, 2),
+      |ch AS (SELECT h, CAST(sum(c_sh) AS BIGINT) AS c_h FROM ps GROUP BY 1)
+      |SELECT source,
+      |       CAST(sum(c_sh) AS BIGINT) AS n_occ,
+      |       CAST(sum(CASE WHEN c_h >= 2 THEN c_sh ELSE 0 END) AS BIGINT)
+      |         AS n_dup_occ,
+      |       CAST(sum(CASE WHEN c_h >= 2 THEN c_sh ELSE 0 END)
+      |            * CAST(1000000 AS BIGINT) // sum(c_sh) AS BIGINT) AS dup_e6
+      |FROM ps JOIN ch ON ps.h = ch.h
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val occ = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(graft.functions.WordShingles.word_shingles(col("text"), 5))
+          .as("g"))
+      .select(col("source"), Dedup.md5Hash60(col("g")).as("h"))
+    val ps = occ.groupBy("source", "h").agg(count(lit(1)).as("c_sh"))
+    val ch = ps.groupBy("h").agg(sum(col("c_sh")).as("c_h"))
+    ps.join(ch, Seq("h"))
+      .groupBy("source")
+      .agg(sum(col("c_sh")).as("n_occ"),
+        sum(when(col("c_h") >= 2, col("c_sh")).otherwise(0L)).as("n_dup_occ"))
+      .select(col("source"), col("n_occ"), col("n_dup_occ"),
+        expr("n_dup_occ * 1000000L DIV n_occ").as("dup_e6"))
+      .orderBy("source")
+  }
+
+  // x110 — SHARD BALANCE REPORT: x82's HRW placement at 8 shards,
+  // rolled up to per-shard doc/token loads plus the table-wide skew
+  // factor (max/mean per-million, the x105 shape) — the check that a
+  // consistent-hash layout actually balanced. Scan-side placement,
+  // one combinable groupBy, broadcast 1-row totals.
+  val x110 = Q(
+    "x110_shard_balance",
+    """WITH c0 AS (
+      |  SELECT doc_id, s,
+      |         ('0x' || substring(md5(doc_id::VARCHAR || ':' || s::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM documents, generate_series(0, 7) t(s)),
+      |c AS (
+      |  SELECT c0.doc_id,
+      |         CAST((max(struct_pack(h := h, shard := s))).shard AS BIGINT) AS shard,
+      |         CAST(len(string_split_regex(trim(any_value(d.text)), '\s+'))
+      |              AS BIGINT) AS n_tok
+      |  FROM c0 JOIN documents d ON c0.doc_id = d.doc_id
+      |  GROUP BY c0.doc_id),
+      |per AS (
+      |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |  FROM c GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_shards,
+      |             CAST(sum(n_tokens) AS BIGINT) AS total_tok,
+      |             CAST(max(n_tokens) AS BIGINT) AS max_tok FROM per)
+      |SELECT shard, n_docs, n_tokens,
+      |       CAST(CAST(max_tok AS HUGEINT) * n_shards * 1000000 // total_tok
+      |            AS BIGINT) AS skew_e6
+      |FROM per, t
+      |ORDER BY shard""".stripMargin) { (s, dir) =>
+    val c = Tables.documents(s, dir)
+      .select(Sampling.rendezvousShard(col("doc_id"), 8).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val per = c.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val totals = per.agg(count(lit(1)).as("n_shards"),
+      sum(col("n_tokens")).as("total_tok"), max(col("n_tokens")).as("max_tok"))
+    per.crossJoin(broadcast(totals))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr("CAST(CAST(max_tok AS DECIMAL(38,0)) * n_shards * 1000000 DIV total_tok AS BIGINT)")
+          .as("skew_e6"))
+      .orderBy("shard")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -3609,5 +3702,5 @@ object ExtQueries {
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
       x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99,
-      x100, x101, x102, x103, x104, x105, x106, x107, x108)
+      x100, x101, x102, x103, x104, x105, x106, x107, x108, x109, x110)
 }

@@ -326,3 +326,49 @@ class InterarrivalSpec extends graft.SparkSpec {
     assert(got.getLong(4) === 80000000L && got.getLong(5) === 80000000L)
   }
 }
+
+class DupOccurrenceRateSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("hand-checked: shared passage counts as dup occurrences in BOTH sources") {
+    // 5-gram short-doc fallback: each doc contributes its whole text
+    // as one occurrence. sA has the passage twice (2 dup occ of 2);
+    // sB has it once (1 of 2, the cross-source copy) + 1 unique.
+    val docs = Seq(
+      (1L, "sA", "one two three"),
+      (2L, "sA", "one two three"),
+      (3L, "sB", "one two three"),
+      (4L, "sB", "totally unique text"))
+      .toDF("doc_id", "source", "text")
+    val occ = docs.select(col("source"),
+      explode(graft.functions.WordShingles.word_shingles(col("text"), 5)).as("g"))
+      .select(col("source"), Dedup.md5Hash60(col("g")).as("h"))
+    val ps = occ.groupBy("source", "h").agg(count(lit(1)).as("c_sh"))
+    val ch = ps.groupBy("h").agg(sum(col("c_sh")).as("c_h"))
+    val res = ps.join(ch, Seq("h")).groupBy("source")
+      .agg(sum(col("c_sh")).as("n_occ"),
+        sum(when(col("c_h") >= 2, col("c_sh")).otherwise(0L)).as("n_dup_occ"))
+      .select(col("source"), col("n_occ"), col("n_dup_occ"),
+        expr("n_dup_occ * 1000000L DIV n_occ").as("dup_e6"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(res("sA") === ((2L, 2L, 1000000L)))
+    assert(res("sB") === ((2L, 1L, 500000L)))
+  }
+}
+
+class ShardBalanceSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("loads partition the corpus; skew factor >= 1e6 and on every row") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = graft.SparkEntry.queries("x110_shard_balance")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(got.map(_.getLong(1)).sum === docs.count())
+    val skews = got.map(_.getLong(3)).toSet
+    assert(skews.size === 1 && skews.head >= 1000000L) // table-wide scalar
+    assert(got.length <= 8 && got.length >= 2)          // HRW spreads the keys
+  }
+}

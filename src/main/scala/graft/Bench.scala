@@ -45,6 +45,12 @@ object Bench {
     BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
   private[graft] def r2(d: Double): String =
     BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+  /** Adaptive wall render for the densest per-query tier: 1 dp below
+    * 100 s (sub-second order preserved where queries actually live),
+    * whole seconds above (a 17-minute wall doesn't need decimals). */
+  private[graft] def r1a(d: Double): String =
+    if (d < 99.95) BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    else BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toString
 
   /** Build the single stdout JSON line from raw per-query results.
     *
@@ -54,8 +60,11 @@ object Bench {
     *   2. full names, cpu deferred to bench.json
     *   3. SHORT ids ("x59") at 2 dp, cpu deferred — the tier sized so a
     *      full-suite run keeps a driver-visible per-query map
-    *   4. totals only (queries deferred to bench.json)
-    *   5. floor: totals + error COUNT only — bounded regardless of how
+    *   4. SHORT ids at ADAPTIVE precision (1 dp < 100 s, whole seconds
+    *      above) — the denser tier the registry crossed into at ~125
+    *      queries; 4-dp detail lives in bench.json
+    *   5. totals only (queries deferred to bench.json)
+    *   6. floor: totals + error COUNT only — bounded regardless of how
     *      many queries failed; always fits
     * bench.json always carries the full 4-dp per-query/per-run detail.
     *
@@ -105,6 +114,13 @@ object Bench {
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
     val jsonShortQueries =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
+    val qsShort1dp =
+      if (shortIds.distinct.size != results.size) qs
+      else results.zip(shortIds).map { case ((_, ts, _), sid) =>
+        jstr(sid) + ":" + (if (ts.isEmpty) "null" else r1a(ts.map(_._1).min))
+      }.mkString("{", ",", "}")
+    val jsonShort1dp =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort1dp,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
     val jsonMinimal =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"queries":"bench.json","cpu":"bench.json","errors":$errs}"""
     // absolute floor: even a run where every query errors (74 capped
@@ -112,7 +128,7 @@ object Bench {
     val nErr = results.count(_._3.isDefined)
     val jsonFloor =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"queries":"bench.json","cpu":"bench.json","errors":{"n_failed":$nErr}}"""
-    Seq(jsonWithCpu, jsonQueriesOnly, jsonShortQueries, jsonMinimal)
+    Seq(jsonWithCpu, jsonQueriesOnly, jsonShortQueries, jsonShort1dp, jsonMinimal)
       .find(_.length <= StdoutBudget)
       .getOrElse(jsonFloor)
   }

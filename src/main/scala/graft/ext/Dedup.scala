@@ -831,4 +831,44 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Character-level fuzzy-dup pairs: exact Levenshtein distance over
+    * length-band-blocked candidates. Each doc lands in its own length
+    * band (`length div bandWidth`) AND the next one up, so near-dups
+    * straddling a band boundary still meet; pairs are then deduped, the
+    * distance is computed once per pair on a `prefixLen`-char prefix
+    * (bounding the O(p²) DP), and only pairs within `maxDist` survive.
+    * The record-linkage baseline MinHash can't give you — an exact edit
+    * metric, not a set overlap.
+    *
+    * 100 TB posture: banding restores an equi-join (never all-pairs);
+    * bands fatter than `maxBand` candidates are DROPPED with the same
+    * loud-refusal contract as the LSH bucket caps (a single band of m
+    * docs is m²/2 DP runs — the cap bounds the worst band). Both the
+    * cap and the two-band probe are mirrored verbatim in the oracle.
+    * Output: (id_a, id_b, dist int). */
+  def editDistancePairs(docs: DataFrame, id: Column, text: Column,
+      bandWidth: Int = 32, prefixLen: Int = 200, maxDist: Int = 48,
+      maxBand: Int = 128): DataFrame = {
+    require(bandWidth >= 1 && prefixLen >= 1 && maxDist >= 0 && maxBand >= 2,
+      s"editDistancePairs(bandWidth=$bandWidth, prefixLen=$prefixLen, " +
+        s"maxDist=$maxDist, maxBand=$maxBand): all knobs must be positive")
+    val base = docs.select(id.as("doc_id"),
+      substring(text, 1, prefixLen).as("p"),
+      (length(text).cast("long") / bandWidth).cast("long").as("band"))
+    val cand = base.select(col("doc_id"), col("p"), col("band"))
+      .unionAll(base.select(col("doc_id"), col("p"),
+        (col("band") + 1).as("band")))
+    val bandW = Window.partitionBy(col("band"))
+    val guarded = cand.withColumn("__n", count(lit(1)).over(bandW))
+      .where(col("__n") <= maxBand).drop("__n")
+    val l = guarded.select(col("band"), col("doc_id").as("id_a"), col("p").as("pa"))
+    val r = guarded.select(col("band"), col("doc_id").as("id_b"), col("p").as("pb"))
+    l.join(r, Seq("band")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pa"), col("pb")).cast("int").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
 }

@@ -134,4 +134,47 @@ object Profile {
         expr("CAST(CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 1000000 DIV n_rows AS BIGINT)")
           .as("skew_e6"))
   }
+
+  /** Robust per-stratum outlier profile on a DOUBLE measure: the exact
+    * lower median, the median absolute deviation around it, and the
+    * count of rows deviating more than `nMads`·MAD — the
+    * contamination-resistant outlier rule (a mean/stddev z-score moves
+    * with the outliers it is hunting; the median/MAD pair does not).
+    *
+    * Every statistic is an ORDER STATISTIC or a comparison on raw
+    * doubles — position `(n+1) div 2` in the sorted multiset, an
+    * `abs(v - med)` difference, one `> nMads·mad` predicate. No double
+    * is ever SUMMED, so the result is bit-stable under any partitioning
+    * and reproducible in any ANSI engine.
+    *
+    * Plan: two stratum-partitioned rank windows (values, then
+    * deviations) + broadcast median joins — no global window, no sketch.
+    * Output: (stratum, n, med, mad, n_out). */
+  def medianMadOutliers(df: DataFrame, stratum: Column, value: Column,
+      nMads: Int = 4): DataFrame = {
+    require(nMads >= 1, s"nMads=$nMads must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("v"))
+    val d = df.select(stratum.as("stratum"), value.cast("double").as("v"))
+    val med = d.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(d.groupBy("stratum").agg(count(lit(1)).as("cs"))),
+        Seq("stratum"))
+      .where(col("rn") === expr("(cs + 1) DIV 2"))
+      .select(col("stratum"), col("v").as("med"))
+    val dev = d.join(broadcast(med), Seq("stratum"))
+      .withColumn("adev", abs(col("v") - col("med")))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("adev"))
+    val mad = dev.withColumn("rn", row_number().over(wd).cast("long"))
+      .join(broadcast(d.groupBy("stratum").agg(count(lit(1)).as("cs"))),
+        Seq("stratum"))
+      .where(col("rn") === expr("(cs + 1) DIV 2"))
+      .select(col("stratum"), col("adev").as("mad"))
+    dev.join(broadcast(mad), Seq("stratum"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("adev") > col("mad") * nMads, 1L).otherwise(0L))
+          .as("n_out"))
+  }
 }

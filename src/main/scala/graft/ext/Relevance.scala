@@ -112,4 +112,33 @@ object Relevance {
       .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
       .select("doc_id", "dl", "n_hit_terms", "score", "rank")
   }
+
+  /** Reciprocal-rank fusion of two ranked candidate lists (Cormack et
+    * al. 2009): `rrf = Σ 1e6 div (kRrf + rank_i)` over the lists an item
+    * appears in — the score-free rank ensemble that routinely beats
+    * either input ranking alone (and never needs the two scores to be
+    * commensurable). Inputs are (qid, neighbor_id, rank) frames — e.g.
+    * an exact-cosine ranking and an L2 ranking, or BM25 and ANN.
+    *
+    * Exact integers: each contribution is the FLOOR of 1e6/(kRrf+rank),
+    * so the fused score hash-matches any ANSI engine — no float sums.
+    *
+    * 100 TB posture: one full-outer equi-join on (qid, neighbor_id)
+    * (both sides already cut to top-k per query — k·|queries| rows, not
+    * corpus-sized) and one per-qid rank window. Output: (qid,
+    * neighbor_id, rank_a, rank_b, rrf_e6, rank). */
+  def rrfFuse(a: DataFrame, b: DataFrame, kRrf: Int = 60): DataFrame = {
+    require(kRrf >= 1, s"kRrf=$kRrf must be >= 1")
+    val la = a.select(col("qid"), col("neighbor_id"), col("rank").as("rank_a"))
+    val lb = b.select(col("qid"), col("neighbor_id"), col("rank").as("rank_b"))
+    val fused = la.join(lb, Seq("qid", "neighbor_id"), "full_outer")
+      .withColumn("rrf_e6",
+        coalesce(expr(s"1000000L DIV ($kRrf + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000L DIV ($kRrf + rank_b)"), lit(0L)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_e6").desc, col("neighbor_id"))
+    fused.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("qid"), col("neighbor_id"), col("rank_a"), col("rank_b"),
+        col("rrf_e6"), col("rank"))
+  }
 }

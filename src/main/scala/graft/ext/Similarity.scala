@@ -113,6 +113,23 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Exact top-k EUCLIDEAN neighbors — [[knnBrute]]'s twin on the L2
+    * metric (rank by 6-dp-rounded distance ASC, id tiebreak). On
+    * unnormalized embeddings this ranks genuinely differently from
+    * cosine (magnitude matters), which is exactly why a rank-fusion
+    * consumer wants both. Same plan shape: broadcast queries, one
+    * corpus scan, per-qid rank window. */
+  def knnBruteL2(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("emb").as("qemb")))
+    val diff = zip_with(col("qemb"), col("emb"), (a, b) => a - b)
+    val pairs = corpus.join(q, col("vec_id") =!= col("qid"))
+      .withColumn("dist", round(sqrt(dot(diff, diff)), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("dist"), col("rank"))
+  }
+
   /** Per-class embedding centroid: component-wise mean through the exact
     * DECIMAL accumulator (order/partition-invariant, oracle-exact — the
     * same recipe as [[kmeansLite]]'s re-average, keyed on a LABEL column

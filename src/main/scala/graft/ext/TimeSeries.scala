@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization over an event fact: resample each key's
+  * irregular observations onto a fixed hourly grid, then fill the gaps —
+  * last-observation-carried-forward ([[locfGrid]]) and linear
+  * interpolation ([[lerpGrid]]). The feature-engineering step that turns
+  * an event log into fixed-step model inputs (and the batch analog of the
+  * reference's periodic day-so-far recompute, StreamTest.cpp:830-944,
+  * which re-reads a stream's history onto a wall-clock cadence).
+  *
+  * Float discipline: the filled value is a RAW double carried from one
+  * chosen observation (LOCF) or one lerp whose operand order is fixed and
+  * mirrored verbatim in the oracle SQL — no double SUMs anywhere, so
+  * results are bit-stable under any partitioning.
+  *
+  * 100 TB posture: everything is partitioned per key — the per-(key,hour)
+  * last-event election, the grid explode (replication = the key's active
+  * hour span, never the table width), and the fill windows all ride
+  * hash(key) exchanges; there is no global window and no driver loop. A
+  * key's whole timeline must fit one task (same contract as any
+  * per-entity window op, e.g. x108's inter-arrival gaps).
+  */
+object TimeSeries {
+
+  /** One observation per (key, hour): the value of the LAST event in
+    * that hour (latest `ts`, event id as the deterministic tiebreak),
+    * plus that event's exact microsecond time (the lerp anchor).
+    * Output: (user_id, h timestamp, us bigint, v double). */
+  def hourlyLast(events: DataFrame, key: Column, ts: Column, id: Column,
+      value: Column): DataFrame = {
+    val e = events.select(key.as("user_id"), date_trunc("hour", ts).as("h"),
+      unix_micros(ts).as("us"), id.as("eid"), value.as("v"))
+    val w = Window.partitionBy(col("user_id"), col("h"))
+      .orderBy(col("us").desc, col("eid").desc)
+    e.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("h"), col("us"), col("v"))
+  }
+
+  /** The dense hourly grid per key: every hour from the key's first
+    * observed hour to its last, left-joined with [[hourlyLast]]'s
+    * observations. Output: (user_id, h, us, v) with null (us, v) on gap
+    * hours. The explode is per key — a 30-day-active key emits 720 rows
+    * regardless of corpus size. */
+  def hourlyGrid(obs: DataFrame): DataFrame = {
+    val bounds = obs.groupBy("user_id")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = bounds.select(col("user_id"),
+      explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    grid.join(obs, Seq("user_id", "h"), "left")
+  }
+
+  /** Last-observation-carried-forward on the hourly grid: each gap hour
+    * takes the most recent earlier observation's value. Output:
+    * (user_id, h, v_locf double, observed int), `observed` = 1 on hours
+    * that had an event. The fill is one per-key running `last(ignoreNulls)`
+    * window — no self-join, no as-of lookup. */
+  def locfGrid(events: DataFrame, key: Column, ts: Column, id: Column,
+      value: Column): DataFrame = {
+    val g = hourlyGrid(hourlyLast(events, key, ts, id, value))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("v_locf", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("h"), col("v_locf"),
+        when(col("v").isNotNull, 1).otherwise(0).cast("int").as("observed"))
+  }
+
+  /** Linear interpolation at the grid points: each gap hour h takes
+    * `v_prev + (v_next - v_prev) * ((h - t_prev) / (t_next - t_prev))`
+    * between its neighboring observations (times in raw microseconds);
+    * observed hours pass their own value through; leading/trailing gap
+    * hours (no neighbor on one side) are DROPPED. The operand order of
+    * the lerp is part of the contract — the oracle mirrors it verbatim,
+    * so the doubles are bit-identical. Two backward and two forward
+    * per-key running windows, nothing global. */
+  def lerpGrid(events: DataFrame, key: Column, ts: Column, id: Column,
+      value: Column): DataFrame = {
+    val g = hourlyGrid(hourlyLast(events, key, ts, id, value))
+    val back = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    g.withColumn("t_prev", last(col("us"), ignoreNulls = true).over(back))
+      .withColumn("v_prev", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("t_next", first(col("us"), ignoreNulls = true).over(fwd))
+      .withColumn("v_next", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("v_lerp",
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("v_prev") + (col("v_next") - col("v_prev")) *
+            ((unix_micros(col("h")) - col("t_prev")).cast("double") /
+              (col("t_next") - col("t_prev")).cast("double"))))
+      .where(col("v_lerp").isNotNull)
+      .select(col("user_id"), col("h"), col("v_lerp"),
+        when(col("v").isNotNull, 1).otherwise(0).cast("int").as("observed"))
+  }
+}

@@ -203,4 +203,36 @@ object Vocab {
         expr("(n_tok - n_in_vocab) * 1000000L DIV n_tok"))
       .select(col("doc_id"), col("n_tok"), col("n_in_vocab"), col("oov_e6"))
   }
+
+  /** Sliding-window co-occurrence counts (the word2vec/GloVe context
+    * statistic): every UNORDERED word pair within `window` positions of
+    * each other, counted corpus-wide, floored at `minCount`, top-`k` by
+    * count (ties broken by the pair string — a deterministic total
+    * order). Where [[bigramPmi]] sees only ADJACENT pairs, this sees the
+    * whole context window — the association table a co-occurrence
+    * embedding trains on.
+    *
+    * 100 TB posture: pairs are generated SCAN-SIDE from each doc's token
+    * array (one nested transform — N·window emissions, never a position
+    * self-join; the oracle pays that join, this plan doesn't), the count
+    * is one combinable groupBy, and the top-k cut is
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    * Output: (pair string, cnt bigint). */
+  def cooccurTopK(docs: DataFrame, text: Column, window: Int, k: Int,
+      minCount: Long = 2L): DataFrame = {
+    require(window >= 1 && k >= 1, s"cooccurTopK(window=$window, k=$k)")
+    val pairs = docs
+      .select(when(length(trim(text)) === 0, array().cast("array<string>"))
+        .otherwise(split(trim(text), "\\s+")).as("w"))
+      .select(explode(when(size(col("w")) >= 2,
+        expr(s"""flatten(transform(sequence(0, size(w) - 2), i ->
+                |  transform(sequence(i + 1, least(i + $window, size(w) - 1)), j ->
+                |    concat(least(w[i], w[j]), ' ', greatest(w[i], w[j])))))"""
+          .stripMargin))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
 }

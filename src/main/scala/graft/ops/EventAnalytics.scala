@@ -61,4 +61,29 @@ object EventAnalytics {
         datediff(col("day"), col("cohort")).cast("int").as("day_offset"))
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
+
+  /** Journey trigram mining: every consecutive 3-step event-type pattern
+    * `a>b>c` along each user's timeline (ordered by ts, event id as the
+    * deterministic tiebreak), counted corpus-wide — the behavioral
+    * n-gram table sequence models and funnel designers both start from.
+    * Where [[funnel3]] tests ONE hypothesized path, this surfaces every
+    * observed path with its support.
+    *
+    * 100 TB posture: two lags over one per-user window (a single
+    * hash(user) exchange, no global window), then one combinable count
+    * groupBy whose key space is |event types|³ — tiny regardless of
+    * corpus size. Output: (pattern string, cnt bigint), count-desc with
+    * the pattern string as total-order tiebreak. */
+  def journeyTrigrams(events: DataFrame, user: Column, ts: Column,
+      id: Column, typ: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"), col("eid"))
+    events.select(user.as("user_id"), unix_micros(ts).as("tus"),
+      id.as("eid"), typ.as("et"))
+      .withColumn("e1", lag(col("et"), 2).over(w))
+      .withColumn("e2", lag(col("et"), 1).over(w))
+      .where(col("e1").isNotNull)
+      .select(concat_ws(">", col("e1"), col("e2"), col("et")).as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("cnt"))
+  }
 }

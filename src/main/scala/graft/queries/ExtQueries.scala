@@ -3694,6 +3694,237 @@ object ExtQueries {
       .orderBy("shard")
   }
 
+  // x111 — BLOCKED EDIT-DISTANCE FUZZY-DUP PAIRS: exact Levenshtein over
+  // length-band-blocked candidates (each doc probes its band AND the
+  // next — boundary-straddling near-dups still meet), 200-char prefix
+  // bound on the O(p²) DP, hot bands (>128 candidates) dropped loudly on
+  // both sides. The edit-metric complement to the set-overlap dedup
+  // family (x6/x7/x92): banding restores an equi-join, never all-pairs.
+  val x111 = Q(
+    "x111_edit_distance_pairs",
+    """WITH base AS (
+      |  SELECT doc_id, substring(text, 1, 200) AS p,
+      |         CAST(length(text) // 32 AS BIGINT) AS band
+      |  FROM documents),
+      |cand AS (
+      |  SELECT doc_id, p, band FROM base
+      |  UNION ALL
+      |  SELECT doc_id, p, band + 1 AS band FROM base),
+      |g AS (
+      |  SELECT doc_id, p, band FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY band) AS n_band FROM cand)
+      |  WHERE n_band <= 128),
+      |pr AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb
+      |  FROM g a JOIN g b ON a.band = b.band AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(levenshtein(pa, pb) AS INT) AS dist
+      |FROM pr WHERE levenshtein(pa, pb) <= 48
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Dedup.editDistancePairs(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // x112 — HOURLY-GRID GAP FILL (LOCF): each user's irregular event
+  // values resampled onto a dense hourly grid, gaps carrying the last
+  // observation forward — the fixed-step feature matrix a sequence model
+  // trains on. Per-user grid explode + per-user running window; nothing
+  // global, no as-of self-join.
+  val x112 = Q(
+    "x112_locf_grid",
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h, epoch_us(ts) AS us,
+      |         event_id AS eid, value AS v
+      |  FROM events),
+      |o AS (
+      |  SELECT user_id, h, us, v FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, h
+      |                ORDER BY us DESC, eid DESC) AS rn FROM e)
+      |  WHERE rn = 1),
+      |b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM o GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM b),
+      |j AS (
+      |  SELECT g.user_id, g.h, o.v
+      |  FROM grid g LEFT JOIN o ON g.user_id = o.user_id AND g.h = o.h)
+      |SELECT user_id, h,
+      |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf,
+      |       CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS INT) AS observed
+      |FROM j
+      |ORDER BY user_id, h""".stripMargin) { (s, dir) =>
+    graft.ext.TimeSeries.locfGrid(Tables.events(s, dir), col("user_id"),
+      col("ts"), col("event_id"), col("value"))
+      .orderBy("user_id", "h")
+  }
+
+  // x113 — LINEAR INTERPOLATION AT GRID POINTS: x112's grid, but gap
+  // hours take the lerp between their neighboring observations at exact
+  // microsecond anchors. The lerp's operand order is part of the
+  // contract (mirrored verbatim here), so the doubles are bit-identical.
+  val x113 = Q(
+    "x113_lerp_grid",
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h, epoch_us(ts) AS us,
+      |         event_id AS eid, value AS v
+      |  FROM events),
+      |o AS (
+      |  SELECT user_id, h, us, v FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, h
+      |                ORDER BY us DESC, eid DESC) AS rn FROM e)
+      |  WHERE rn = 1),
+      |b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM o GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM b),
+      |j AS (
+      |  SELECT g.user_id, g.h, o.us, o.v
+      |  FROM grid g LEFT JOIN o ON g.user_id = o.user_id AND g.h = o.h),
+      |f AS (
+      |  SELECT user_id, h, v,
+      |         last_value(us IGNORE NULLS) OVER wb AS t_prev,
+      |         last_value(v IGNORE NULLS) OVER wb AS v_prev,
+      |         first_value(us IGNORE NULLS) OVER wf AS t_next,
+      |         first_value(v IGNORE NULLS) OVER wf AS v_next
+      |  FROM j
+      |  WINDOW wb AS (PARTITION BY user_id ORDER BY h
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY user_id ORDER BY h
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT * FROM (
+      |  SELECT user_id, h,
+      |         CASE WHEN v IS NOT NULL THEN v
+      |              ELSE v_prev + (v_next - v_prev) *
+      |                   (CAST(epoch_us(h) - t_prev AS DOUBLE) /
+      |                    CAST(t_next - t_prev AS DOUBLE)) END AS v_lerp,
+      |         CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS INT) AS observed
+      |  FROM f)
+      |WHERE v_lerp IS NOT NULL
+      |ORDER BY user_id, h""".stripMargin) { (s, dir) =>
+    graft.ext.TimeSeries.lerpGrid(Tables.events(s, dir), col("user_id"),
+      col("ts"), col("event_id"), col("value"))
+      .orderBy("user_id", "h")
+  }
+
+  // x114 — SLIDING-WINDOW CO-OCCURRENCE TOP-50 (the word2vec/GloVe
+  // context statistic): unordered word pairs within 3 positions, counted
+  // corpus-wide. The engine generates pairs SCAN-SIDE from the token
+  // array (N·window emissions); the oracle pays the position self-join
+  // the engine sidesteps.
+  val x114 = Q(
+    "x114_cooccur_topk",
+    """WITH t AS (
+      |  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(trim(text), '\s+') END AS w
+      |  FROM documents),
+      |p AS (
+      |  SELECT unnest(CASE WHEN len(w) >= 2 THEN
+      |    flatten(list_transform(range(1, len(w)), i ->
+      |      list_transform(range(i + 1, least(i + 3, len(w)) + 1), j ->
+      |        concat(least(w[i], w[j]), ' ', greatest(w[i], w[j])))))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS pair
+      |  FROM t)
+      |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+      |FROM p GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin) { (s, dir) =>
+    Vocab.cooccurTopK(Tables.documents(s, dir), col("text"), window = 3, k = 50)
+  }
+
+  // x115 — ROBUST OUTLIER PROFILE (median/MAD) per user on the event
+  // value: exact lower median, median absolute deviation, and the count
+  // beyond 4·MAD — order statistics and comparisons only, no double is
+  // ever summed, so raw doubles hash-match.
+  val x115 = Q(
+    "x115_robust_outliers",
+    """WITH d AS (SELECT user_id AS stratum, value AS v FROM events),
+      |c AS (SELECT stratum, CAST(count(*) AS BIGINT) AS cs FROM d GROUP BY 1),
+      |r AS (SELECT stratum, v,
+      |             CAST(row_number() OVER (PARTITION BY stratum ORDER BY v) AS BIGINT) AS rn
+      |      FROM d),
+      |med AS (SELECT r.stratum, v AS med FROM r JOIN c USING (stratum)
+      |        WHERE rn = (cs + 1) // 2),
+      |dev AS (SELECT d.stratum, abs(d.v - med.med) AS adev, med.med
+      |        FROM d JOIN med USING (stratum)),
+      |rd AS (SELECT stratum, adev,
+      |              CAST(row_number() OVER (PARTITION BY stratum ORDER BY adev) AS BIGINT) AS rn
+      |       FROM dev),
+      |mad AS (SELECT rd.stratum, adev AS mad FROM rd JOIN c USING (stratum)
+      |        WHERE rn = (cs + 1) // 2)
+      |SELECT dev.stratum, CAST(count(*) AS BIGINT) AS n,
+      |       max(dev.med) AS med, max(mad.mad) AS mad,
+      |       CAST(sum(CASE WHEN dev.adev > mad.mad * 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+      |FROM dev JOIN mad USING (stratum)
+      |GROUP BY dev.stratum
+      |ORDER BY stratum""".stripMargin) { (s, dir) =>
+    Profile.medianMadOutliers(Tables.events(s, dir), col("user_id"), col("value"))
+      .orderBy("stratum")
+  }
+
+  // x116 — JOURNEY TRIGRAM MINING: every consecutive 3-step event-type
+  // path per user, counted corpus-wide — the behavioral n-gram table.
+  // Two lags over one per-user window + one combinable groupBy whose key
+  // space is |event types|³.
+  val x116 = Q(
+    "x116_journey_trigrams",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id AS eid, event_type AS et
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id,
+      |         lag(et, 2) OVER (PARTITION BY user_id ORDER BY tus, eid) AS e1,
+      |         lag(et, 1) OVER (PARTITION BY user_id ORDER BY tus, eid) AS e2,
+      |         et
+      |  FROM e)
+      |SELECT e1 || '>' || e2 || '>' || et AS pattern, CAST(count(*) AS BIGINT) AS cnt
+      |FROM l WHERE e1 IS NOT NULL
+      |GROUP BY 1 ORDER BY cnt DESC, pattern""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.journeyTrigrams(Tables.events(s, dir),
+      col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy(col("cnt").desc, col("pattern"))
+  }
+
+  // x117 — RECIPROCAL-RANK FUSION of the exact cosine and exact L2
+  // rankings (Cormack et al. 2009): floor-division contributions keep
+  // the fused score integer-exact. Both inputs are already top-20 per
+  // query, so the fusion join touches k·|queries| rows, never the corpus.
+  val x117 = Q(
+    "x117_rrf_fusion",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(q.emb, e.emb), 6) AS sim,
+      |         round(list_distance(q.emb, e.emb), 6) AS dist
+      |  FROM e q, e
+      |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+      |ra AS (SELECT qid, neighbor_id,
+      |              CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS INT) AS rank_a
+      |       FROM p QUALIFY rank_a <= 20),
+      |rb AS (SELECT qid, neighbor_id,
+      |              CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS INT) AS rank_b
+      |       FROM p QUALIFY rank_b <= 20),
+      |f AS (
+      |  SELECT coalesce(ra.qid, rb.qid) AS qid,
+      |         coalesce(ra.neighbor_id, rb.neighbor_id) AS neighbor_id,
+      |         ra.rank_a, rb.rank_b,
+      |         coalesce(1000000 // (60 + ra.rank_a), 0)
+      |           + coalesce(1000000 // (60 + rb.rank_b), 0) AS rrf_e6
+      |  FROM ra FULL OUTER JOIN rb
+      |    ON ra.qid = rb.qid AND ra.neighbor_id = rb.neighbor_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+      |             ORDER BY rrf_e6 DESC, neighbor_id) AS INT) AS rank FROM f)
+      |SELECT qid, neighbor_id, rank_a, rank_b, CAST(rrf_e6 AS BIGINT) AS rrf_e6, rank
+      |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+    val embs = normalizedEmb(s, dir)
+    val queries = embs.where(col("vec_id") < 5)
+    val a = Similarity.knnBrute(embs, queries, k = 20)
+      .select(col("qid"), col("neighbor_id"), col("rank"))
+    val b = Similarity.knnBruteL2(embs, queries, k = 20)
+      .select(col("qid"), col("neighbor_id"), col("rank"))
+    Relevance.rrfFuse(a, b, kRrf = 60)
+      .where(col("rank") <= 10)
+      .orderBy("qid", "rank")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -3702,5 +3933,6 @@ object ExtQueries {
       x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71,
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
       x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99,
-      x100, x101, x102, x103, x104, x105, x106, x107, x108, x109, x110)
+      x100, x101, x102, x103, x104, x105, x106, x107, x108, x109, x110,
+      x111, x112, x113, x114, x115, x116, x117)
 }

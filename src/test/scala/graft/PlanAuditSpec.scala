@@ -544,6 +544,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p) // 63-row range-predicate join
     assert(broadcasts(p) === 1, p)
   }
+  test("x111: band blocking is an equi-join — no cartesian, no global window") {
+    val p = planOf("x111_edit_distance_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the hot-band guard's count window is band-partitioned, never global
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"), p)
+  }
+
+  test("x112/x113: grid-fill windows are user-partitioned; the grid join is the only wide join") {
+    for (n <- Seq("x112_locf_grid", "x113_lerp_grid")) {
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct"), s"$n: $p")
+      // every windowspecdefinition names the user_id partition key
+      val specs = "windowspecdefinition\\(([^,]*)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(specs.nonEmpty && specs.forall(_.contains("user_id")), s"$n: $specs")
+    }
+  }
+
+  test("x114: co-occurrence pairs generate scan-side — zero joins, TakeOrdered cut") {
+    val p = planOf("x114_cooccur_topk")
+    assert(!p.contains("Join"), p) // the oracle pays a position self-join; this plan must not
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(shuffles(p) === 1, p)   // the single count groupBy
+  }
+
+  test("x115: medians join back as broadcasts; rank windows are stratum-partitioned") {
+    val p = planOf("x115_robust_outliers")
+    assert(broadcasts(p) >= 3, p) // cs, med, mad side-tables
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("stratum")), specs.toString)
+  }
+
+  test("x116: journey lags ride ONE hash(user) window exchange + one count groupBy") {
+    val p = planOf("x116_journey_trigrams")
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")), specs.toString)
+    assert(shuffles(p) === 3, p) // window exchange + partial/final agg + output sort
+  }
+
+  test("x117: fusion joins top-k lists only; the corpus-side scans broadcast the queries") {
+    val p = planOf("x117_rrf_fusion")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(broadcasts(p) >= 2, p) // the two knnBrute query sides
+    assert(p.contains("FullOuter") || p.contains("full_outer") ||
+      p.contains("FullOuterJoin") || p.contains(", FullOuter"), p)
+  }
+
   test("x106: four dims broadcast; lineitem joins orders as the ONLY shuffled join") {
     // the Q5 shape: AQE sizes the dim sides at runtime — assert the
     // FINAL adaptive plan like the x38 pin does

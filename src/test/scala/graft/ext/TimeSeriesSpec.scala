@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Pins the round-10 fifth batch: grid fill (LOCF + lerp), blocked edit
+  * distance, window co-occurrence, median/MAD outliers, journey
+  * trigrams, and reciprocal-rank fusion — hand-computed fixtures only.
+  */
+class TimeSeriesSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // user 1: two events in hour 01 (the later one must win), a 2-hour
+  // gap, then one event in hour 04
+  private val events = Seq(
+    (1L, ts("2024-01-01 01:10:00"), 1L, 10.0),
+    (1L, ts("2024-01-01 01:50:00"), 2L, 20.0),
+    (1L, ts("2024-01-01 04:30:00"), 3L, 50.0)
+  ).toDF("user_id", "ts", "event_id", "value")
+
+  test("locfGrid: dense hourly grid, last-in-hour election, carry-forward") {
+    val got = TimeSeries.locfGrid(events, col("user_id"), col("ts"),
+      col("event_id"), col("value"))
+      .orderBy("h")
+      .as[(Long, Timestamp, Double, Int)].collect()
+    assert(got === Array(
+      (1L, ts("2024-01-01 01:00:00"), 20.0, 1), // last event in hour wins
+      (1L, ts("2024-01-01 02:00:00"), 20.0, 0),
+      (1L, ts("2024-01-01 03:00:00"), 20.0, 0),
+      (1L, ts("2024-01-01 04:00:00"), 50.0, 1)))
+  }
+
+  test("locfGrid: equal-ts events in one hour break ties by event id") {
+    val tie = Seq(
+      (7L, ts("2024-01-01 00:30:00"), 1L, 1.0),
+      (7L, ts("2024-01-01 00:30:00"), 2L, 2.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries.locfGrid(tie, col("user_id"), col("ts"),
+      col("event_id"), col("value")).select("v_locf").as[Double].head()
+    assert(got === 2.0)
+  }
+
+  test("lerpGrid: gap hours interpolate between microsecond anchors") {
+    val got = TimeSeries.lerpGrid(events, col("user_id"), col("ts"),
+      col("event_id"), col("value"))
+      .orderBy("h")
+      .as[(Long, Timestamp, Double, Int)].collect()
+    // anchors: 01:50 (v=20) and 04:30 (v=50), span 160 min;
+    // 02:00 is 10/160 = 1/16 in → 21.875; 03:00 is 70/160 = 7/16 → 33.125
+    // (both exact binary fractions — the lerp must reproduce them bit-for-bit)
+    assert(got === Array(
+      (1L, ts("2024-01-01 01:00:00"), 20.0, 1),
+      (1L, ts("2024-01-01 02:00:00"), 21.875, 0),
+      (1L, ts("2024-01-01 03:00:00"), 33.125, 0),
+      (1L, ts("2024-01-01 04:00:00"), 50.0, 1)))
+  }
+
+  test("editDistancePairs: near-dups meet, boundary straddle meets, distance exact") {
+    val docs = Seq(
+      (1L, "a" * 64),                  // band 2 (and probe 3)
+      (2L, "a" * 63 + "b"),            // band 1 boundary? 64 chars → band 2; one substitution
+      (3L, "a" * 31),                  // band 0, probes band 1
+      (4L, "a" * 33),                  // band 1 — straddle pair with 3 (dist 2)
+      (5L, "z" * 200 + "q" * 200)      // far away, alone in its band
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, col("doc_id"), col("text"))
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect()
+    // (1,2): one substitution; (3,4): two inserts across the 31/33 band
+    // boundary (meets via the band+1 probe); (1,4)/(2,4): 33 vs 64 chars
+    // = 31 inserts, inside maxDist=48 via doc 4's probe into band 2
+    assert(got === Array((1L, 2L, 1), (1L, 4L, 31), (2L, 4L, 31), (3L, 4L, 2)))
+  }
+
+  test("editDistancePairs: a band fatter than maxBand is dropped whole") {
+    val flood = (1L to 300L).map(i => (i, "x" * 50)).toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(flood, col("doc_id"), col("text")).count() === 0L)
+  }
+
+  test("cooccurTopK: window semantics, unordered normalization, count order") {
+    val docs = Seq(
+      Tuple1("d c b a"),  // reversed — pairs must still normalize to sorted order
+      Tuple1("a b c d"),
+      Tuple1("")          // empty doc contributes nothing
+    ).toDF("text")
+    val got = Vocab.cooccurTopK(docs, col("text"), window = 2, k = 10,
+      minCount = 2L).as[(String, Long)].collect()
+    // per doc (window 2): positions 0-1,0-2,1-2,1-3,2-3 → both docs yield
+    // the same unordered pair set {ab, ac, bc, bd, cd} → every count = 2
+    assert(got === Array(("a b", 2L), ("a c", 2L), ("b c", 2L),
+      ("b d", 2L), ("c d", 2L)))
+  }
+
+  test("cooccurTopK: minCount floors and k cuts deterministically") {
+    val docs = Seq(Tuple1("a b"), Tuple1("a b"), Tuple1("x y")).toDF("text")
+    val got = Vocab.cooccurTopK(docs, col("text"), window = 3, k = 1,
+      minCount = 2L).as[(String, Long)].collect()
+    assert(got === Array(("a b", 2L))) // "x y" count 1 floored out
+  }
+
+  test("medianMadOutliers: hand-computed median, MAD, outlier count") {
+    val d = (1 to 7).map(v => (1L, v.toDouble)) :+ ((1L, 100.0))
+    val got = Profile.medianMadOutliers(d.toDF("user_id", "value"),
+      col("user_id"), col("value"))
+      .as[(Long, Long, Double, Double, Long)].head()
+    // sorted 1..7,100: lower median = 4th = 4; adev sorted
+    // 0,1,1,2,2,3,3,96 → MAD = 4th = 2; only 96 > 4·2
+    assert(got === ((1L, 8L, 4.0, 2.0, 1L)))
+  }
+
+  test("journeyTrigrams: ordered paths with id tiebreak, corpus counts") {
+    val e = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, "A"),
+      (1L, ts("2024-01-01 00:00:02"), 2L, "B"),
+      (1L, ts("2024-01-01 00:00:03"), 3L, "C"),
+      (1L, ts("2024-01-01 00:00:03"), 4L, "D"), // equal ts → id orders it AFTER C
+      (2L, ts("2024-01-01 00:00:01"), 5L, "A"),
+      (2L, ts("2024-01-01 00:00:02"), 6L, "B"),
+      (2L, ts("2024-01-01 00:00:03"), 7L, "C")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.EventAnalytics.journeyTrigrams(e, col("user_id"),
+      col("ts"), col("event_id"), col("event_type"))
+      .orderBy(col("cnt").desc, col("pattern"))
+      .as[(String, Long)].collect()
+    assert(got === Array(("A>B>C", 2L), ("B>C>D", 1L)))
+  }
+
+  test("rrfFuse: floor-division scores, missing list contributes zero") {
+    val a = Seq((0L, 1L, 1), (0L, 2L, 2)).toDF("qid", "neighbor_id", "rank")
+    val b = Seq((0L, 2L, 1), (0L, 3L, 2)).toDF("qid", "neighbor_id", "rank")
+    val got = Relevance.rrfFuse(a, b, kRrf = 60)
+      .orderBy("rank")
+      .select("neighbor_id", "rrf_e6", "rank")
+      .as[(Long, Long, Int)].collect()
+    // n2: 1e6/61 + 1e6/62 = 16393 + 16129 = 32522; n1: 16393; n3: 16129
+    assert(got === Array((2L, 32522L, 1), (1L, 16393L, 2), (3L, 16129L, 3)))
+  }
+
+  test("knnBruteL2: euclidean rank differs from cosine on unnormalized vectors") {
+    val embs = Similarity.withNorm(
+      Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(30.0f, 40.0f)), (2L, Seq(0.0f, 2.0f)))
+        .toDF("vec_id", "embedding"), col("vec_id"), col("embedding"))
+    val l2 = Similarity.knnBruteL2(embs, embs.where(col("vec_id") === 0), k = 2)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    // L2: dist to 2 = sqrt(1+4) ≈ 2.236 < dist to 1 = sqrt(29²+40²)
+    assert(l2.map(_._2).toSeq === Seq(2L, 1L))
+    val cos = Similarity.knnBrute(embs, embs.where(col("vec_id") === 0), k = 2)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    // cosine: 1 scores 0.6, 2 scores 0 → opposite order
+    assert(cos.map(_._2).toSeq === Seq(1L, 2L))
+  }
+}

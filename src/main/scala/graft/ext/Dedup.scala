@@ -875,4 +875,26 @@ object Dedup {
         levenshtein(col("pa"), col("pb"), maxDist).cast("int").as("dist"))
       .where(col("dist") >= 0)
   }
+
+  /** Normalization-aware exact dedup: canonicalize (lowercase, strip
+    * sentence punctuation, collapse whitespace runs, trim) BEFORE
+    * hashing, so trivially-reformatted copies that byte-exact dedup
+    * ([[exactGroups]]) misses land in one group. `n_raw_variants`
+    * counts the distinct RAW byte contents inside each group — the
+    * measure of what canonicalization bought over x1.
+    *
+    * Same 100 TB shape as exactGroups: the normalize is scan-side
+    * column math, then ONE combinable groupBy on the 16-byte digest
+    * (raw variants via a distinct-digest count, still one exchange).
+    * Output: (norm_hash, keep_id, n_copies, n_raw_variants). */
+  def normalizedGroups(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(text), "[.,!?;:]", ""), "\\s+", " "))
+    docs.select(id.as("doc_id"), md5(canon).as("norm_hash"),
+      md5(text).as("raw_hash"))
+      .groupBy("norm_hash")
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        count_distinct(col("raw_hash")).as("n_raw_variants"))
+  }
 }

@@ -177,4 +177,65 @@ object Profile {
         sum(when(col("adev") > col("mad") * nMads, 1L).otherwise(0L))
           .as("n_out"))
   }
+
+  /** k-anonymity audit over a quasi-identifier tuple: every equivalence
+    * class (distinct combination of the `qids` columns) with its size
+    * and an `at_risk` flag for classes smaller than `k` — the release
+    * gate a governance review runs before a corpus with demographic-ish
+    * columns ships. ONE combinable groupBy; the class-count key space
+    * is the product of qid cardinalities, not the corpus.
+    * Output: (qids..., n, at_risk int). */
+  def kAnonymity(df: DataFrame, qids: Seq[Column], k: Int): DataFrame = {
+    require(qids.nonEmpty && k >= 2, s"kAnonymity(qids=${qids.size}, k=$k)")
+    df.groupBy(qids: _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", when(col("n") < k, 1).otherwise(0).cast("int"))
+  }
+
+  /** Gini concentration of an integer measure across strata (how
+    * unevenly tokens spread over sources): the classic rank formula
+    * `Σ(2·rank − n − 1)·x_(rank) · 1e6 div (n·Σx)` over the strata
+    * sorted by (measure, stratum) — 0 = perfectly even, →1e6 = one
+    * stratum owns everything. Exact integers end to end.
+    *
+    * The rank is computed by a self-join on the per-stratum AGGREGATE
+    * (|strata| rows — broadcast, trivial), not a global window: the
+    * corpus-sized input sees only one combinable groupBy.
+    * Output: one row (n_strata, total, gini_e6). */
+  def giniConcentration(df: DataFrame, stratum: Column, measure: Column)
+      : DataFrame = {
+    val per = df.select(stratum.as("s"), measure.cast("long").as("x"))
+      .groupBy("s").agg(sum(col("x")).as("x"))
+    val l = per.select(col("s"), col("x"))
+    val r = per.select(col("s").as("s2"), col("x").as("x2"))
+    val ranked = l.join(broadcast(r),
+        col("x2") < col("x") || (col("x2") === col("x") && col("s2") <= col("s")))
+      .groupBy("s", "x").agg(count(lit(1)).as("rank"))
+    ranked.agg(count(lit(1)).as("n_strata"), sum(col("x")).as("total"),
+        sum((col("rank") * 2 - lit(1)) * col("x")).as("wsum"))
+      .select(col("n_strata"), col("total"),
+        expr("(wsum - n_strata * total) * 1000000L DIV (n_strata * total)")
+          .as("gini_e6"))
+  }
+
+  /** Per-group top-k rows by an integer measure WITHOUT a rank window:
+    * the [[graft.functions.TopKByMeasureAgg]] typed aggregator collapses
+    * each group to a ≤k-row sorted state map-side, so the exchange
+    * carries k rows per (group × partition) instead of whole groups —
+    * the plan `row_number() OVER (PARTITION BY grp)` cannot give you on
+    * a 100 TB fact with million-row groups.
+    * Output: (grp, rank 1..k, id, m) under (m DESC, id ASC). */
+  def groupTopK(df: DataFrame, grp: Column, id: Column, measure: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val agg = udaf(new graft.functions.TopKByMeasureAgg(k),
+      ExpressionEncoder[graft.functions.IdMeasure]())
+    df.select(grp.as("grp"), id.cast("long").as("id"),
+        measure.cast("long").as("m"))
+      .groupBy("grp")
+      .agg(agg(col("id"), col("m")).as("top"))
+      .select(col("grp"), posexplode(col("top")))
+      .select(col("grp"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("id"), col("col.m").as("m"))
+  }
 }

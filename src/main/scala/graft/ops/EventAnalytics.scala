@@ -86,4 +86,29 @@ object EventAnalytics {
       .select(concat_ws(">", col("e1"), col("e2"), col("et")).as("pattern"))
       .groupBy("pattern").agg(count(lit(1)).as("cnt"))
   }
+
+  /** First-order transition matrix over each user's event-type sequence
+    * (the empirical Markov chain): for every (from, to) pair of
+    * CONSECUTIVE events, the count and the row-normalized rate
+    * `cnt·1e6 div Σcnt(from)` — integer-exact, so it hash-matches.
+    * The state-machine summary [[journeyTrigrams]]'s 3-step paths
+    * marginalize to.
+    *
+    * One per-user lag window (hash(user) exchange), one combinable
+    * count groupBy on a |types|²-bounded key space, and the per-from
+    * totals join back as a BROADCAST (|types| rows at any scale). */
+  def transitionRates(events: DataFrame, user: Column, ts: Column,
+      id: Column, typ: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"), col("eid"))
+    val pairs = events.select(user.as("user_id"), unix_micros(ts).as("tus"),
+      id.as("eid"), typ.as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("cnt")).as("tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        expr("cnt * 1000000L DIV tot").as("rate_e6"))
+  }
 }

@@ -3925,6 +3925,103 @@ object ExtQueries {
       .orderBy("qid", "rank")
   }
 
+  // x118 — NORMALIZATION-AWARE EXACT DEDUP: canonicalize (lowercase,
+  // strip sentence punctuation, collapse whitespace) before hashing, so
+  // reformatted copies x1's byte hash misses land in one group;
+  // n_raw_variants measures what canonicalization bought. Scan-side
+  // normalize + ONE digest groupBy — x1's scale shape exactly.
+  val x118 = Q(
+    "x118_normalized_dedup",
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+      |                               '\s+', ' ', 'g'))) AS norm_hash,
+      |       MIN(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies,
+      |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
+      |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin) { (s, dir) =>
+    Dedup.normalizedGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .orderBy("norm_hash")
+  }
+
+  // x119 — EVENT-TYPE TRANSITION MATRIX (empirical Markov chain): counts
+  // and integer row-normalized rates for every consecutive (from, to)
+  // pair per user. One per-user lag window, |types|²-bounded count
+  // groupBy, broadcast row totals.
+  val x119 = Q(
+    "x119_transition_rates",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id AS eid, event_type AS et
+      |           FROM events),
+      |l AS (SELECT lag(et, 1) OVER (PARTITION BY user_id ORDER BY tus, eid) AS from_type,
+      |             et AS to_type FROM e),
+      |p AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS tot FROM p GROUP BY 1)
+      |SELECT p.from_type, p.to_type, p.cnt,
+      |       CAST(cnt * 1000000 // tot AS BIGINT) AS rate_e6
+      |FROM p JOIN t USING (from_type) ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.transitionRates(Tables.events(s, dir),
+      col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy("from_type", "to_type")
+  }
+
+  // x120 — K-ANONYMITY AUDIT over the (lang, source, length-bucket)
+  // quasi-identifier tuple: every equivalence class with its size and
+  // an at-risk flag for classes under k=5 — the pre-release governance
+  // gate. One combinable groupBy on a bounded key space.
+  val x120 = Q(
+    "x120_k_anonymity",
+    """SELECT lang, source, CAST(length(text) // 100 AS BIGINT) AS len_bucket,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS INT) AS at_risk
+      |FROM documents GROUP BY 1, 2, 3
+      |ORDER BY lang, source, len_bucket""".stripMargin) { (s, dir) =>
+    Profile.kAnonymity(Tables.documents(s, dir),
+      Seq(col("lang"), col("source"),
+        (length(col("text")).cast("long") / 100).cast("long").as("len_bucket")),
+      k = 5)
+      .orderBy("lang", "source", "len_bucket")
+  }
+
+  // x121 — TOKEN-SHARE GINI across sources: how unevenly the corpus's
+  // tokens concentrate (0 = even, →1e6 = one source owns everything) —
+  // the data-mixture governance number. Rank via a broadcast self-join
+  // on the 20-row per-source aggregate, never a global window; exact
+  // integers end to end.
+  val x121 = Q(
+    "x121_token_gini",
+    """WITH per AS (
+      |  SELECT source AS s,
+      |         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |                  ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS x
+      |  FROM documents GROUP BY 1),
+      |r AS (SELECT s, x, CAST(row_number() OVER (ORDER BY x, s) AS BIGINT) AS rank FROM per)
+      |SELECT CAST(count(*) AS BIGINT) AS n_strata, CAST(sum(x) AS BIGINT) AS total,
+      |       CAST((sum((2 * rank - 1) * x) - count(*) * sum(x)) * 1000000
+      |            // (count(*) * sum(x)) AS BIGINT) AS gini_e6
+      |FROM r""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Profile.giniConcentration(docs, col("source"),
+      TextAnalysis.wsTokenCount(col("text")))
+  }
+
+  // x122 — PER-GROUP TOP-K WITHOUT A WINDOW: each source's 3 longest
+  // docs via the typed combinable TopKByMeasureAgg — groups collapse to
+  // ≤k-row states map-side, so no task ever holds a whole group (the
+  // rank-window plan the oracle runs cannot say that).
+  val x122 = Q(
+    "x122_group_topk",
+    """WITH r AS (
+      |  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |              ORDER BY length(text) DESC, doc_id) AS INT) AS rank
+      |  FROM documents)
+      |SELECT source, rank, doc_id, n_chars FROM r WHERE rank <= 3
+      |ORDER BY source, rank""".stripMargin) { (s, dir) =>
+    Profile.groupTopK(Tables.documents(s, dir), col("source"), col("doc_id"),
+      length(col("text")), k = 3)
+      .select(col("grp").as("source"), col("rank"), col("id").as("doc_id"),
+        col("m").as("n_chars"))
+      .orderBy("source", "rank")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -3934,5 +4031,5 @@ object ExtQueries {
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
       x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99,
       x100, x101, x102, x103, x104, x105, x106, x107, x108, x109, x110,
-      x111, x112, x113, x114, x115, x116, x117)
+      x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122)
 }

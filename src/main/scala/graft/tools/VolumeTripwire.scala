@@ -286,7 +286,54 @@ object VolumeTripwire {
       // token counts; the flood's tokens pile into existing vocab rows
       Res("x95_oovRates",
         timeMin(graft.ext.Vocab.oovRates(docs1, col("doc_id"), col("text"), v = 256)),
-        timeMin(graft.ext.Vocab.oovRates(docs10, col("doc_id"), col("text"), v = 256))))
+        timeMin(graft.ext.Vocab.oovRates(docs10, col("doc_id"), col("text"), v = 256))),
+      // fifth batch. Edit distance under the flood: the 100k identical
+      // copies all land in ONE length band, which blows past maxBand and
+      // is dropped whole — the same silent-cap contract as the LSH
+      // bucket caps (identical contents are exactGroups' job, not an
+      // O(p·maxDist) DP's); densified organic bands cap the same way
+      Res("x111_editDistance",
+        timeMin(Dedup.editDistancePairs(docs1, col("doc_id"), col("text"))),
+        timeMin(Dedup.editDistancePairs(docs10, col("doc_id"), col("text")))),
+      // grid fill under the skewed 10× fact (user 7 owns ~90% of rows):
+      // the per-(user,hour) election compacts the flood to one obs per
+      // hour BEFORE the grid explode, so the grid itself never grows —
+      // only the election window sees 10× rows
+      {
+        val events = Tables.events(spark, sfDir)
+          .select("event_id", "user_id", "ts", "value")
+        val events10 = blow(events, "event_id", 10, 100000000L)
+          .withColumn("user_id",
+            when(col("event_id") >= 100000000L, lit(7L)).otherwise(col("user_id")))
+        Res("x112_locfGrid",
+          timeMin(graft.ext.TimeSeries.locfGrid(events,
+            col("user_id"), col("ts"), col("event_id"), col("value"))),
+          timeMin(graft.ext.TimeSeries.locfGrid(events10,
+            col("user_id"), col("ts"), col("event_id"), col("value"))))
+      },
+      // co-occurrence under the flood: doc42's pairs reach count ~100k
+      // but the count agg is map-combinable and the key space is
+      // vocabulary-bounded — the flood piles into existing counters
+      Res("x114_cooccur",
+        timeMin(graft.ext.Vocab.cooccurTopK(docs1, col("text"), window = 3, k = 50)),
+        timeMin(graft.ext.Vocab.cooccurTopK(docs10, col("text"), window = 3, k = 50))),
+      // journey trigrams under the same user-7 skew: one user's
+      // partition carries ~90% of the fact through the lag window — a
+      // straggler by design (per-entity order is the semantic), but
+      // strictly linear in that user's rows; the count groupBy after is
+      // |event types|³-bounded
+      {
+        val events = Tables.events(spark, sfDir)
+          .select("event_id", "user_id", "ts", "event_type")
+        val events10 = blow(events, "event_id", 10, 100000000L)
+          .withColumn("user_id",
+            when(col("event_id") >= 100000000L, lit(7L)).otherwise(col("user_id")))
+        Res("x116_journeys",
+          timeMin(graft.ops.EventAnalytics.journeyTrigrams(events,
+            col("user_id"), col("ts"), col("event_id"), col("event_type"))),
+          timeMin(graft.ops.EventAnalytics.journeyTrigrams(events10,
+            col("user_id"), col("ts"), col("event_id"), col("event_type"))))
+      })
 
     results.foreach { r =>
       println(f"PROF ${r.name}%-18s t1x=${r.t1}%6.2fs t10x=${r.t10}%6.2fs ratio=${r.ratio}%5.1f")

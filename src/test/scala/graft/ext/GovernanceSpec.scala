@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Pins the governance/profile batch: normalization-aware dedup,
+  * transition rates, k-anonymity, Gini concentration, and the
+  * window-free group top-k aggregator — hand-computed fixtures.
+  */
+class GovernanceSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("normalizedGroups: case/punct/whitespace variants collapse; raw variants counted") {
+    val docs = Seq(
+      (3L, "Hello, World!"),
+      (1L, "hello  world"),
+      (2L, "HELLO WORLD."),
+      (4L, "something else")
+    ).toDF("doc_id", "text")
+    val got = Dedup.normalizedGroups(docs, col("doc_id"), col("text"))
+      .orderBy(col("n_copies").desc)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length === 2)
+    val (_, keepId, nCopies, nRaw) = got(0)
+    assert((keepId, nCopies, nRaw) === ((1L, 3L, 3L))) // three raw forms, one canon
+    assert((got(1)._3, got(1)._4) === ((1L, 1L)))
+  }
+
+  test("normalizedGroups: identical raw bytes count as ONE raw variant") {
+    val docs = Seq((1L, "same text"), (2L, "same text")).toDF("doc_id", "text")
+    val got = Dedup.normalizedGroups(docs, col("doc_id"), col("text"))
+      .as[(String, Long, Long, Long)].head()
+    assert((got._2, got._3, got._4) === ((1L, 2L, 1L)))
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("transitionRates: counts and floor rates per from-state") {
+    val e = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, "A"),
+      (1L, ts("2024-01-01 00:00:02"), 2L, "A"),
+      (1L, ts("2024-01-01 00:00:03"), 3L, "B"),
+      (2L, ts("2024-01-01 00:00:01"), 4L, "A"),
+      (2L, ts("2024-01-01 00:00:02"), 5L, "C")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.EventAnalytics.transitionRates(e, col("user_id"),
+      col("ts"), col("event_id"), col("event_type"))
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long)].collect()
+    // from A: A→A 1, A→B 1, A→C 1 (tot 3, floor rate 333333 each)
+    assert(got === Array(
+      ("A", "A", 1L, 333333L), ("A", "B", 1L, 333333L), ("A", "C", 1L, 333333L)))
+  }
+
+  test("kAnonymity: classes under k flag at_risk, others don't") {
+    val df = Seq(
+      ("en", "s1"), ("en", "s1"), ("en", "s1"),
+      ("de", "s2")
+    ).toDF("lang", "source")
+    val got = Profile.kAnonymity(df, Seq(col("lang"), col("source")), k = 2)
+      .orderBy("lang")
+      .as[(String, String, Long, Int)].collect()
+    assert(got === Array(("de", "s2", 1L, 1), ("en", "s1", 3L, 0)))
+  }
+
+  test("giniConcentration: all-to-one is (n-1)/n, even split is 0, ties rank deterministically") {
+    // (0, 10): G = 1/2 exactly → 500000
+    val skew = Seq(("a", 0L), ("b", 10L)).toDF("s", "x")
+    assert(Profile.giniConcentration(skew, col("s"), col("x"))
+      .as[(Long, Long, Long)].head() === ((2L, 10L, 500000L)))
+    // four equal strata → 0
+    val even = Seq(("a", 5L), ("b", 5L), ("c", 5L), ("d", 5L)).toDF("s", "x")
+    assert(Profile.giniConcentration(even, col("s"), col("x"))
+      .as[(Long, Long, Long)].head()._3 === 0L)
+    // rows pre-aggregate per stratum: b = 4+6, a = 10 → equal → 0
+    val multi = Seq(("a", 10L), ("b", 4L), ("b", 6L)).toDF("s", "x")
+    assert(Profile.giniConcentration(multi, col("s"), col("x"))
+      .as[(Long, Long, Long)].head() === ((2L, 20L, 0L)))
+  }
+
+  test("groupTopK: (m DESC, id ASC) order, ties by id, k cap — across partitions") {
+    val df = Seq(
+      ("g", 1L, 10L), ("g", 2L, 30L), ("g", 3L, 30L), ("g", 4L, 20L),
+      ("g", 5L, 5L), ("h", 6L, 1L)
+    ).toDF("grp", "id", "m").repartition(5) // force the merge path
+    val got = Profile.groupTopK(df, col("grp"), col("id"), col("m"), k = 3)
+      .orderBy("grp", "rank")
+      .as[(String, Int, Long, Long)].collect()
+    assert(got === Array(
+      ("g", 1, 2L, 30L), ("g", 2, 3L, 30L), ("g", 3, 4L, 20L),
+      ("h", 1, 6L, 1L)))
+  }
+
+  test("TopKByMeasureAgg: reduce/merge laws on raw buffers") {
+    import graft.functions.{IdMeasure, TopKByMeasureAgg}
+    val a = new TopKByMeasureAgg(2)
+    val b1 = Seq(IdMeasure(1, 9), IdMeasure(2, 5))
+    val b2 = Seq(IdMeasure(3, 7), IdMeasure(4, 6))
+    assert(a.merge(b1, b2) === Seq(IdMeasure(1, 9), IdMeasure(3, 7)))
+    assert(a.merge(b2, b1) === a.merge(b1, b2)) // commutative
+    assert(a.reduce(b1, IdMeasure(9, 9)) === Seq(IdMeasure(1, 9), IdMeasure(9, 9)))
+    assert(a.reduce(b1, IdMeasure(9, 1)) === b1) // below the floor: no-op
+  }
+}

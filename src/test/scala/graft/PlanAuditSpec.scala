@@ -595,6 +595,40 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("FullOuterJoin") || p.contains(", FullOuter"), p)
   }
 
+  test("x118: normalize is scan-side — one digest groupBy + output sort, no join") {
+    val p = planOf("x118_normalized_dedup")
+    assert(!p.contains("Join"), p)
+    assert(shuffles(p) === 3, p) // partial/final agg exchange + distinct-variant expand + sort
+  }
+
+  test("x119: transition totals join back as a BROADCAST; lag window is user-partitioned") {
+    val p = planOf("x119_transition_rates")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")), specs.toString)
+  }
+
+  test("x120: k-anonymity is ONE combinable groupBy + sort — no window, no join") {
+    val p = planOf("x120_k_anonymity")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(shuffles(p) === 2, p) // agg exchange + output sort
+  }
+
+  test("x121: gini rank rides a broadcast self-join on the 20-row aggregate — no global window") {
+    val p = planOf("x121_token_gini")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // inequality rank join, tiny side
+    assert(broadcasts(p) === 1, p)
+  }
+
+  test("x122: group top-k is a typed ObjectHashAggregate — no rank window anywhere") {
+    val p = planOf("x122_group_topk")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p) // the typed TopK aggregator
+    assert(!p.contains("Join"), p)
+  }
+
   test("x106: four dims broadcast; lineitem joins orders as the ONLY shuffled join") {
     // the Q5 shape: AQE sizes the dim sides at runtime — assert the
     // FINAL adaptive plan like the x38 pin does

@@ -111,4 +111,35 @@ object EventAnalytics {
       .select(col("from_type"), col("to_type"), col("cnt"),
         expr("cnt * 1000000L DIV tot").as("rate_e6"))
   }
+
+  /** Funnel timing by signup cohort: per first-event-day cohort, how
+    * many users reached each [[funnel3]] stage and the EXACT median
+    * time-to-convert between consecutive stages (microseconds, the
+    * `(50·n+99) div 100` order-statistic convention, matching
+    * [[graft.ext.Profile.groupQuantiles]]) — the
+    * "how long does conversion take, and is it drifting by cohort"
+    * readout. Stratifying by cohort is also what keeps the median
+    * scale-safe: every rank window is cohort-partitioned, so there is
+    * no global median (which would need a global sort or a sketch).
+    * Output: (cohort, n_s1, n_s2, n_s3, p50_t12_us, p50_t23_us) —
+    * medians null for cohorts with no converting users. */
+  def funnelTiming(events: DataFrame, user: Column, ts: Column, typ: Column,
+      s1: String, s2: String, s3: String): DataFrame = {
+    val f = funnel3(events, user, ts, typ, s1, s2, s3)
+    val cohorts = events.groupBy(user.as("user_id"))
+      .agg(date_trunc("day", min(ts)).as("cohort"))
+    val fc = f.join(cohorts, Seq("user_id"))
+    val counts = fc.groupBy("cohort").agg(
+      count(lit(1)).as("n_s1"),
+      sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_s2"),
+      sum(when(col("stage") === 3, 1L).otherwise(0L)).as("n_s3"))
+    def med(d: DataFrame, out: String) =
+      graft.ext.Profile.groupQuantiles(d, col("cohort"), col("d"), Seq(50))
+        .select(col("stratum").as("cohort"), col("p50").as(out))
+    val d12 = med(fc.where(col("t2").isNotNull)
+      .select(col("cohort"), (col("t2") - col("t1")).as("d")), "p50_t12_us")
+    val d23 = med(fc.where(col("t3").isNotNull)
+      .select(col("cohort"), (col("t3") - col("t2")).as("d")), "p50_t23_us")
+    counts.join(d12, Seq("cohort"), "left").join(d23, Seq("cohort"), "left")
+  }
 }

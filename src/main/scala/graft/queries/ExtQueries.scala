@@ -4022,6 +4022,58 @@ object ExtQueries {
       .orderBy("source", "rank")
   }
 
+  // x123 — FUNNEL TIMING BY COHORT: x52's ordered funnel plus the
+  // EXACT median time-to-convert between stages, stratified by
+  // first-event-day cohort — stratification is also what keeps the
+  // median scale-safe (cohort-partitioned rank windows, no global
+  // median/sort). Microsecond integers end to end.
+  val x123 = Q(
+    "x123_funnel_timing",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_type AS et, ts FROM events),
+      |t1 AS (
+      |  SELECT user_id, min(CASE WHEN et = 'signup' THEN tus END) AS t1
+      |  FROM e GROUP BY user_id
+      |  HAVING min(CASE WHEN et = 'signup' THEN tus END) IS NOT NULL),
+      |t2 AS (
+      |  SELECT e.user_id, t1.t1,
+      |         min(CASE WHEN et = 'click' AND tus > t1.t1 THEN tus END) AS t2
+      |  FROM e JOIN t1 USING (user_id) GROUP BY e.user_id, t1.t1),
+      |t3 AS (
+      |  SELECT e.user_id, t2.t1, t2.t2,
+      |         min(CASE WHEN et = 'purchase' AND tus > t2.t2 THEN tus END) AS t3
+      |  FROM e JOIN t2 USING (user_id) GROUP BY e.user_id, t2.t1, t2.t2),
+      |coh AS (
+      |  SELECT user_id, date_trunc('day', min(ts)) AS cohort FROM events GROUP BY 1),
+      |fc AS (SELECT t3.*, coh.cohort FROM t3 JOIN coh USING (user_id)),
+      |counts AS (
+      |  SELECT cohort, CAST(count(*) AS BIGINT) AS n_s1,
+      |         CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_s2,
+      |         CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_s3
+      |  FROM fc GROUP BY 1),
+      |r12 AS (
+      |  SELECT cohort, t2 - t1 AS d,
+      |         CAST(row_number() OVER (PARTITION BY cohort ORDER BY t2 - t1) AS BIGINT) AS rn
+      |  FROM fc WHERE t2 IS NOT NULL),
+      |c12 AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cs FROM r12 GROUP BY 1),
+      |m12 AS (SELECT r12.cohort, d AS p50_t12_us FROM r12 JOIN c12 USING (cohort)
+      |        WHERE rn = (50 * cs + 99) // 100),
+      |r23 AS (
+      |  SELECT cohort, t3 - t2 AS d,
+      |         CAST(row_number() OVER (PARTITION BY cohort ORDER BY t3 - t2) AS BIGINT) AS rn
+      |  FROM fc WHERE t3 IS NOT NULL),
+      |c23 AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cs FROM r23 GROUP BY 1),
+      |m23 AS (SELECT r23.cohort, d AS p50_t23_us FROM r23 JOIN c23 USING (cohort)
+      |        WHERE rn = (50 * cs + 99) // 100)
+      |SELECT counts.cohort, n_s1, n_s2, n_s3, m12.p50_t12_us, m23.p50_t23_us
+      |FROM counts LEFT JOIN m12 USING (cohort) LEFT JOIN m23 USING (cohort)
+      |ORDER BY cohort""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.funnelTiming(Tables.events(s, dir),
+      col("user_id"), col("ts"), col("event_type"),
+      "signup", "click", "purchase")
+      .orderBy("cohort")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -4031,5 +4083,6 @@ object ExtQueries {
       x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85,
       x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99,
       x100, x101, x102, x103, x104, x105, x106, x107, x108, x109, x110,
-      x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122)
+      x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
+      x123)
 }

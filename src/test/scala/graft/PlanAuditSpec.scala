@@ -629,6 +629,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("x123: every funnel/median window is partitioned (user or cohort) — nothing global") {
+    val p = planOf("x123_funnel_timing")
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty &&
+      specs.forall(s => s.contains("user_id") || s.contains("cohort") ||
+        s.contains("stratum")), specs.toString)
+  }
+
   test("x106: four dims broadcast; lineitem joins orders as the ONLY shuffled join") {
     // the Q5 shape: AQE sizes the dim sides at runtime — assert the
     // FINAL adaptive plan like the x38 pin does

@@ -53,6 +53,23 @@ class GovernanceSpec extends graft.SparkSpec {
       ("A", "A", 1L, 333333L), ("A", "B", 1L, 333333L), ("A", "C", 1L, 333333L)))
   }
 
+  test("funnelTiming: cohort counts and exact median stage lags") {
+    val e = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-01 00:10:00"), "click"),     // d12 = 600 s
+      (1L, ts("2024-01-01 00:20:00"), "purchase"),  // d23 = 600 s
+      (2L, ts("2024-01-01 01:00:00"), "signup"),
+      (2L, ts("2024-01-01 01:30:00"), "click"),     // d12 = 1800 s, no purchase
+      (3L, ts("2024-01-01 02:00:00"), "view")       // never signs up: excluded
+    ).toDF("user_id", "ts", "event_type")
+    val got = graft.ops.EventAnalytics.funnelTiming(e, col("user_id"),
+      col("ts"), col("event_type"), "signup", "click", "purchase")
+      .select("n_s1", "n_s2", "n_s3", "p50_t12_us", "p50_t23_us")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // lower median of (600 s, 1800 s) at rn = (50·2+99)/100 = 1 → 600 s
+    assert(got === Array((2L, 2L, 1L, 600L * 1000000L, 600L * 1000000L)))
+  }
+
   test("kAnonymity: classes under k flag at_risk, others don't") {
     val df = Seq(
       ("en", "s1"), ("en", "s1"), ("en", "s1"),

@@ -82,12 +82,17 @@ object TimeSeries {
     val g = hourlyGrid(hourlyLast(events, key, ts, id, value))
     val back = Window.partitionBy(col("user_id")).orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(col("user_id")).orderBy(col("h"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the forward neighbor as a RUNNING window over h DESC: semantically
+    // `first(ignoreNulls)` over (currentRow, unboundedFollowing), but an
+    // UnboundedFollowing frame makes WindowExec recompute the aggregate
+    // per row — O(rows²) per key (measured 43 s vs 2 s at sf0.1); the
+    // reversed running frame is the O(rows) incremental path
+    val fwd = Window.partitionBy(col("user_id")).orderBy(col("h").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     g.withColumn("t_prev", last(col("us"), ignoreNulls = true).over(back))
       .withColumn("v_prev", last(col("v"), ignoreNulls = true).over(back))
-      .withColumn("t_next", first(col("us"), ignoreNulls = true).over(fwd))
-      .withColumn("v_next", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("t_next", last(col("us"), ignoreNulls = true).over(fwd))
+      .withColumn("v_next", last(col("v"), ignoreNulls = true).over(fwd))
       .withColumn("v_lerp",
         when(col("v").isNotNull, col("v"))
           .otherwise(col("v_prev") + (col("v_next") - col("v_prev")) *

@@ -876,6 +876,45 @@ object Dedup {
       .where(col("dist") >= 0)
   }
 
+  /** Corpus saturation curve: split the corpus into `buckets` doc-id
+    * slices and measure, per slice, how many word-5-gram OCCURRENCES it
+    * contributes vs how many of its n-grams are NEW (first seen in that
+    * slice) — the diminishing-returns readout that tells you whether
+    * the next 10% of a crawl still adds content or just repeats it
+    * (the corpus-level integral of [[noveltyScores]]'s per-doc ratio).
+    *
+    * `nDocs` is resolved once at plan build (the [[graft.ext.Similarity.strideForCells]]
+    * doctrine) so the slicing is scale-invariant; the oracle mirrors it
+    * as a scalar subquery. Two combinable counting aggs over the hash
+    * stream + a `buckets`-row broadcast self-join for the cumulative —
+    * no window anywhere. Output: (bucket, n_occ, n_new, new_e6,
+    * cum_new) ordered by bucket. */
+  def noveltyCurve(df: DataFrame, id: Column, text: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    val nDocs = df.count()
+    require(nDocs > 0, "noveltyCurve: empty corpus")
+    def bucketOf(name: String): Column = // integer floor, mirrored as `// n` in SQL
+      least(expr(s"$name * $buckets DIV ${nDocs}L"), lit(buckets - 1)).cast("long")
+    val occ = df.select(id.as("doc_id"),
+        explode(graft.functions.WordShingles.word_shingles(text, 5)).as("g"))
+      .select(col("doc_id"), md5Hash60(col("g")).as("h"))
+    val perBucket = occ.groupBy(bucketOf("doc_id").as("bucket"))
+      .agg(count(lit(1)).as("n_occ"))
+    val news = occ.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(bucketOf("first_doc").as("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+    val base = perBucket.join(news, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_occ"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val cum = base.select(col("bucket").as("b2"), col("n_new").as("nn2"))
+    base.join(broadcast(cum), col("b2") <= col("bucket"))
+      .groupBy("bucket", "n_occ", "n_new")
+      .agg(sum(col("nn2")).as("cum_new"))
+      .select(col("bucket"), col("n_occ"), col("n_new"),
+        expr("n_new * 1000000L DIV n_occ").as("new_e6"), col("cum_new"))
+  }
+
   /** Normalization-aware exact dedup: canonicalize (lowercase, strip
     * sentence punctuation, collapse whitespace runs, trim) BEFORE
     * hashing, so trivially-reformatted copies that byte-exact dedup

@@ -142,4 +142,32 @@ object EventAnalytics {
       .select(col("cohort"), (col("t3") - col("t2")).as("d")), "p50_t23_us")
     counts.join(d12, Seq("cohort"), "left").join(d23, Seq("cohort"), "left")
   }
+
+  /** Rolling active users: for every observed day, the EXACT count of
+    * distinct users active in the trailing `windowDays` window (WAU for
+    * 7), the day's own actives (DAU), and the integer stickiness ratio
+    * `dau·1e6 div wau` — the engagement triple, exactly (a rolling SUM
+    * of daily DAU would double-count multi-day users; a sketch would
+    * approximate).
+    *
+    * The exact trick without a rolling-distinct state: each (user, day)
+    * activity row COVERS the `windowDays` window-end days it belongs
+    * to — a bounded scan-side explode (×windowDays replication, never
+    * corpus²) — then one distinct + one combinable count per cover day.
+    * Output: (day, dau, wau, stickiness_e6) for observed days only. */
+  def rollingActives(events: DataFrame, user: Column, ts: Column,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays=$windowDays must be >= 1")
+    val ud = events.select(user.as("user_id"), date_trunc("day", ts).as("day"))
+      .distinct()
+    val wau = ud.select(col("user_id"), explode(expr(
+        s"sequence(day, day + interval ${windowDays - 1} days, interval 1 day)"))
+        .as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000000L DIV wau").as("stickiness_e6"))
+  }
 }

@@ -4074,6 +4074,64 @@ object ExtQueries {
       .orderBy("cohort")
   }
 
+  // x124 — CORPUS SATURATION CURVE: per doc-id decile, total word-5-gram
+  // occurrences vs n-grams FIRST SEEN in that decile — the
+  // diminishing-returns readout for "does the next crawl slice still
+  // add content". Decile width derives from a plan-build count (the
+  // x63 scale-invariance doctrine; the oracle mirrors it as a scalar
+  // subquery); cumulative rides a 10-row broadcast self-join, no window.
+  val x124 = Q(
+    "x124_novelty_curve",
+    """WITH t AS (
+      |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 5
+      |              THEN list_transform(range(1, len(w) - 3),
+      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+      |              ELSE [tt] END AS sh
+      |  FROM t),
+      |occ AS (SELECT doc_id, ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT AS h FROM s),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |ob AS (SELECT CAST(least(doc_id * 10 // n_docs, 9) AS BIGINT) AS bucket, h FROM occ, n),
+      |per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_occ FROM ob GROUP BY 1),
+      |fs AS (SELECT h, min(doc_id) AS first_doc FROM occ GROUP BY 1),
+      |nw AS (SELECT CAST(least(first_doc * 10 // n_docs, 9) AS BIGINT) AS bucket,
+      |              CAST(count(*) AS BIGINT) AS n_new
+      |       FROM fs, n GROUP BY 1),
+      |base AS (SELECT per.bucket, n_occ, CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+      |         FROM per LEFT JOIN nw USING (bucket)),
+      |c AS (SELECT a.bucket, a.n_occ, a.n_new, CAST(sum(b.n_new) AS BIGINT) AS cum_new
+      |      FROM base a JOIN base b ON b.bucket <= a.bucket
+      |      GROUP BY 1, 2, 3)
+      |SELECT bucket, n_occ, n_new, CAST(n_new * 1000000 // n_occ AS BIGINT) AS new_e6, cum_new
+      |FROM c ORDER BY bucket""".stripMargin) { (s, dir) =>
+    Dedup.noveltyCurve(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .orderBy("bucket")
+  }
+
+  // x125 — ROLLING ACTIVE USERS (DAU/WAU/stickiness): exact trailing
+  // 7-day distinct actives per day via the bounded cover-day explode —
+  // never a rolling-distinct state, never a sketch; stickiness as an
+  // integer ratio.
+  val x125 = Q(
+    "x125_rolling_actives",
+    """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |cover AS (SELECT DISTINCT user_id, day FROM (
+      |  SELECT user_id,
+      |         unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day
+      |  FROM ud)),
+      |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM cover GROUP BY 1),
+      |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1)
+      |SELECT dau.day, dau.dau, wau.wau,
+      |       CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_e6
+      |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.rollingActives(Tables.events(s, dir),
+      col("user_id"), col("ts"), windowDays = 7)
+      .orderBy("day")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -4084,5 +4142,5 @@ object ExtQueries {
       x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99,
       x100, x101, x102, x103, x104, x105, x106, x107, x108, x109, x110,
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
-      x123)
+      x123, x124, x125)
 }

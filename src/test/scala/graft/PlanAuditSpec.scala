@@ -638,6 +638,16 @@ class PlanAuditSpec extends SparkSpec {
         s.contains("stratum")), specs.toString)
   }
 
+  test("x124/x125: saturation + rolling actives run window-free, no cartesian") {
+    for (n <- Seq("x124_novelty_curve", "x125_rolling_actives")) {
+      val p = planOf(n)
+      assert(!p.contains("Window"), s"$n: $p")
+      assert(!p.contains("CartesianProduct"), s"$n: $p")
+    }
+    // the 10-row cumulative self-join broadcasts
+    assert(planOf("x124_novelty_curve").contains("BroadcastNestedLoopJoin"))
+  }
+
   test("x106: four dims broadcast; lineitem joins orders as the ONLY shuffled join") {
     // the Q5 shape: AQE sizes the dim sides at runtime — assert the
     // FINAL adaptive plan like the x38 pin does

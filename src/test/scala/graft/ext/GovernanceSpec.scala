@@ -109,6 +109,36 @@ class GovernanceSpec extends graft.SparkSpec {
       ("h", 1, 6L, 1L)))
   }
 
+  test("noveltyCurve: per-slice occurrence/new counts, floor rate, cumulative") {
+    // short docs fall back to whole-text shingles: contents a,a,a,b
+    val docs = Seq((0L, "a"), (1L, "a"), (2L, "a"), (3L, "b"))
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyCurve(docs, col("doc_id"), col("text"), buckets = 2)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // bucket 0 = docs 0-1 (2 occ, "a" first seen), bucket 1 = docs 2-3
+    // (2 occ, only "b" new — doc 2's "a" repeats)
+    assert(got === Array(
+      (0L, 2L, 1L, 500000L, 1L),
+      (1L, 2L, 1L, 500000L, 2L)))
+  }
+
+  test("rollingActives: trailing-window distinct, not a rolling sum of DAU") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),
+      (2L, ts("2024-01-01 12:00:00"))
+    ).toDF("user_id", "ts")
+    val got = graft.ops.EventAnalytics.rollingActives(e, col("user_id"),
+      col("ts"), windowDays = 2)
+      .orderBy("day")
+      .as[(Timestamp, Long, Long, Long)].collect()
+    // day 2's WAU counts user 1 ONCE despite two active days (a rolling
+    // DAU sum would say 3); trailing cover day 3 has no DAU row → dropped
+    assert(got === Array(
+      (ts("2024-01-01 00:00:00"), 2L, 2L, 1000000L),
+      (ts("2024-01-02 00:00:00"), 1L, 2L, 500000L)))
+  }
+
   test("TopKByMeasureAgg: reduce/merge laws on raw buffers") {
     import graft.functions.{IdMeasure, TopKByMeasureAgg}
     val a = new TopKByMeasureAgg(2)

@@ -218,6 +218,52 @@ object Profile {
           .as("gini_e6"))
   }
 
+  /** Decile lift table over an integer measure: entities ranked by
+    * (measure DESC, id ASC), split into `buckets` equal-population
+    * slices, each with its entity count, measure total, share, and
+    * cumulative share — "the top 10% of customers carry X% of revenue".
+    *
+    * The global rank is the TWO-PHASE kind ([[graft.ops.Batching]]'s
+    * contract): a range sort stamps partition ids, per-partition ranks
+    * run in parallel, and broadcast prefix offsets make them global —
+    * no single task ever holds the whole ranking (the `ntile()` window
+    * the oracle runs would). The driver sees only one count row per
+    * partition at plan build. Cumulative rides a `buckets`-row
+    * broadcast self-join. Output: (bucket, n_entities, total_m,
+    * share_e6, cum_share_e6). */
+  def decileLift(df: DataFrame, id: Column, measure: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(id.as("id"), measure.cast("long").as("m"))
+    val sorted = base.sort(col("m").desc, col("id"))
+      .withColumn("_pid", spark_partition_id())
+    val counts = sorted.groupBy("_pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.iterator.map(_._2).sum
+    require(total > 0, "decileLift: empty input")
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val off = acc; acc += c; (pid, off) }
+    val perBucket = sorted
+      .withColumn("_lrn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_pid")).orderBy(col("m").desc, col("id"))).cast("long"))
+      .join(broadcast(offsets.toSeq.toDF("_pid", "_off")), "_pid")
+      .withColumn("bucket", // integer floor — `/` on Columns is FP division
+        expr(s"least((_off + _lrn - 1) * $buckets DIV ${total}L, ${buckets - 1})"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_entities"), sum(col("m")).as("total_m"))
+    val cum = perBucket.select(col("bucket").as("b2"), col("total_m").as("m2"))
+    perBucket.join(broadcast(cum), col("b2") <= col("bucket"))
+      .groupBy("bucket", "n_entities", "total_m")
+      .agg(sum(col("m2")).as("cum_m"))
+      .crossJoin(broadcast(perBucket.agg(sum(col("total_m")).as("grand"))))
+      .select(col("bucket"), col("n_entities"), col("total_m"),
+        expr("total_m * 1000000L DIV grand").as("share_e6"),
+        expr("cum_m * 1000000L DIV grand").as("cum_share_e6"))
+  }
+
   /** Per-group top-k rows by an integer measure WITHOUT a rank window:
     * the [[graft.functions.TopKByMeasureAgg]] typed aggregator collapses
     * each group to a ≤k-row sorted state map-side, so the exchange

@@ -4132,6 +4132,121 @@ object ExtQueries {
       .orderBy("day")
   }
 
+  // x126 — SESSION QUALITY BY DAY: x40's sessions rolled up to per-day
+  // exact duration/size quantiles (p50/p95 duration, p50 events) — the
+  // engagement-health daily readout. Sessionize window + the x108
+  // order-statistic machinery, all partitioned.
+  val x126 = Q(
+    "x126_session_stats",
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) AS tus FROM events),
+      |m AS (
+      |  SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+      |  FROM e),
+      |s AS (
+      |  SELECT *, SUM(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+      |                     THEN 1 ELSE 0 END)
+      |         OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |               ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM m),
+      |sess AS (
+      |  SELECT user_id, session_seq, min(ts) AS session_start,
+      |         CAST(count(*) AS BIGINT) AS n_events,
+      |         (max(tus) - min(tus)) // 1000000 AS duration_secs
+      |  FROM s GROUP BY user_id, session_seq),
+      |d AS (SELECT date_trunc('day', session_start) AS stratum, duration_secs, n_events
+      |      FROM sess),
+      |rd AS (SELECT stratum, duration_secs AS v,
+      |              CAST(row_number() OVER (PARTITION BY stratum ORDER BY duration_secs) AS BIGINT) AS rn
+      |       FROM d),
+      |cd AS (SELECT stratum, CAST(count(*) AS BIGINT) AS cs FROM d GROUP BY 1),
+      |qd AS (SELECT rd.stratum, CAST(count(*) AS BIGINT) AS n,
+      |              max(CASE WHEN rn = (50 * cs + 99) // 100 THEN v END) AS p50_dur,
+      |              max(CASE WHEN rn = (95 * cs + 99) // 100 THEN v END) AS p95_dur
+      |       FROM rd JOIN cd USING (stratum) GROUP BY rd.stratum),
+      |re AS (SELECT stratum, n_events AS v,
+      |              CAST(row_number() OVER (PARTITION BY stratum ORDER BY n_events) AS BIGINT) AS rn
+      |       FROM d),
+      |qe AS (SELECT re.stratum, max(CASE WHEN rn = (50 * cs + 99) // 100 THEN v END) AS p50_events
+      |       FROM re JOIN cd USING (stratum) GROUP BY re.stratum)
+      |SELECT qd.stratum, n, p50_dur, p95_dur, p50_events
+      |FROM qd JOIN qe USING (stratum) ORDER BY stratum""".stripMargin) { (s, dir) =>
+    val sess = graft.ops.Sessionize.sessionize(Tables.events(s, dir),
+      col("user_id"), col("ts"), col("event_id"), gapMicros = 1800000000L)
+    val d = sess.select(date_trunc("day", col("session_start")).as("stratum"),
+      col("duration_secs"), col("n_events"))
+    val qd = Profile.groupQuantiles(d, col("stratum"), col("duration_secs"), Seq(50, 95))
+      .select(col("stratum"), col("n"),
+        col("p50").as("p50_dur"), col("p95").as("p95_dur"))
+    val qe = Profile.groupQuantiles(d, col("stratum"), col("n_events"), Seq(50))
+      .select(col("stratum"), col("p50").as("p50_events"))
+    qd.join(qe, Seq("stratum")).orderBy("stratum")
+  }
+
+  // x127 — CUSTOMER SPEND DECILE LIFT TABLE: customers ranked by total
+  // order value (exact cents), split into ten equal-population slices
+  // with revenue shares and cumulative shares — "the top 10% carry
+  // 17%". The global rank is Batching's TWO-PHASE kind (range sort +
+  // per-partition ranks + broadcast prefix offsets); the oracle's
+  // single row_number window is exactly the plan this avoids.
+  val x127 = Q(
+    "x127_spend_deciles",
+    """WITH sp AS (SELECT o_custkey AS id,
+      |                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+      |            FROM orders GROUP BY 1),
+      |r AS (SELECT id, m, CAST(row_number() OVER (ORDER BY m DESC, id) AS BIGINT) AS rn FROM sp),
+      |n AS (SELECT count(*) AS cnt FROM sp),
+      |b AS (SELECT CAST(least((rn - 1) * 10 // cnt, 9) AS BIGINT) AS bucket, m FROM r, n),
+      |per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_entities,
+      |               CAST(sum(m) AS BIGINT) AS total_m FROM b GROUP BY 1),
+      |g AS (SELECT CAST(sum(total_m) AS BIGINT) AS grand FROM per),
+      |c AS (SELECT a.bucket, a.n_entities, a.total_m, CAST(sum(x.total_m) AS BIGINT) AS cum_m
+      |      FROM per a JOIN per x ON x.bucket <= a.bucket GROUP BY 1, 2, 3)
+      |SELECT bucket, n_entities, total_m,
+      |       CAST(total_m * 1000000 // grand AS BIGINT) AS share_e6,
+      |       CAST(cum_m * 1000000 // grand AS BIGINT) AS cum_share_e6
+      |FROM c, g ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    Profile.decileLift(spend, col("o_custkey"), col("cents"), buckets = 10)
+      .orderBy("bucket")
+  }
+
+  // x128 — PRICE-PER-UNIT ROBUST OUTLIERS per brand: the x115
+  // median/MAD machinery on lineitem's unit price joined to the part
+  // dim (broadcast). Per-row division is deterministic; no double sums.
+  val x128 = Q(
+    "x128_price_outliers",
+    """WITH d AS (SELECT p_brand AS stratum, l_extendedprice / l_quantity AS v
+      |           FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |c AS (SELECT stratum, CAST(count(*) AS BIGINT) AS cs FROM d GROUP BY 1),
+      |r AS (SELECT stratum, v,
+      |             CAST(row_number() OVER (PARTITION BY stratum ORDER BY v) AS BIGINT) AS rn
+      |      FROM d),
+      |med AS (SELECT r.stratum, v AS med FROM r JOIN c USING (stratum)
+      |        WHERE rn = (cs + 1) // 2),
+      |dev AS (SELECT d.stratum, abs(d.v - med.med) AS adev, med.med
+      |        FROM d JOIN med USING (stratum)),
+      |rd AS (SELECT stratum, adev,
+      |              CAST(row_number() OVER (PARTITION BY stratum ORDER BY adev) AS BIGINT) AS rn
+      |       FROM dev),
+      |mad AS (SELECT rd.stratum, adev AS mad FROM rd JOIN c USING (stratum)
+      |        WHERE rn = (cs + 1) // 2)
+      |SELECT dev.stratum, CAST(count(*) AS BIGINT) AS n,
+      |       max(dev.med) AS med, max(mad.mad) AS mad,
+      |       CAST(sum(CASE WHEN dev.adev > mad.mad * 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+      |FROM dev JOIN mad USING (stratum)
+      |GROUP BY dev.stratum
+      |ORDER BY stratum""".stripMargin) { (s, dir) =>
+    val d = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), (col("l_extendedprice") / col("l_quantity")).as("v"))
+    Profile.medianMadOutliers(d, col("p_brand"), col("v"))
+      .orderBy("stratum")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -4142,5 +4257,5 @@ object ExtQueries {
       x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99,
       x100, x101, x102, x103, x104, x105, x106, x107, x108, x109, x110,
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
-      x123, x124, x125)
+      x123, x124, x125, x126, x127, x128)
 }

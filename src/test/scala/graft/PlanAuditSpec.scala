@@ -648,6 +648,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(planOf("x124_novelty_curve").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("x127: the global rank is _pid-partitioned two-phase — no single-task window") {
+    val p = planOf("x127_spend_deciles")
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    assert(p.contains("rangepartitioning"), p) // the range sort the offsets ride
+  }
+
+  test("x128: part dim broadcasts into the unit-price scan; windows are brand-partitioned") {
+    val p = planOf("x128_price_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("stratum")), specs.toString)
+  }
+
   test("x106: four dims broadcast; lineitem joins orders as the ONLY shuffled join") {
     // the Q5 shape: AQE sizes the dim sides at runtime — assert the
     // FINAL adaptive plan like the x38 pin does

@@ -139,6 +139,26 @@ class GovernanceSpec extends graft.SparkSpec {
       (ts("2024-01-02 00:00:00"), 1L, 2L, 500000L)))
   }
 
+  test("decileLift: two-phase global rank buckets, shares, cumulative") {
+    val df = Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L))
+      .toDF("id", "m").repartition(3) // rank must survive multiple partitions
+    val got = Profile.decileLift(df, col("id"), col("m"), buckets = 2)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (0L, 2L, 70L, 700000L, 700000L),
+      (1L, 2L, 30L, 300000L, 1000000L)))
+  }
+
+  test("decileLift: equal measures rank by id — deterministic under any partitioning") {
+    val df = Seq((9L, 5L), (1L, 5L), (5L, 5L), (3L, 5L)).toDF("id", "m")
+      .repartition(4)
+    val got = Profile.decileLift(df, col("id"), col("m"), buckets = 4)
+      .orderBy("bucket").as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._2).toSeq === Seq(1L, 1L, 1L, 1L)) // one per bucket
+    assert(got.map(_._4).toSeq === Seq(250000L, 250000L, 250000L, 250000L))
+  }
+
   test("TopKByMeasureAgg: reduce/merge laws on raw buffers") {
     import graft.functions.{IdMeasure, TopKByMeasureAgg}
     val a = new TopKByMeasureAgg(2)

@@ -170,4 +170,49 @@ object EventAnalytics {
       .select(col("day"), col("dau"), col("wau"),
         expr("dau * 1000000L DIV wau").as("stickiness_e6"))
   }
+
+  /** Market-basket 2-itemsets over sessions (association mining's
+    * frequent-pair stage): each session's DISTINCT item set, every
+    * unordered pair's support, the single-item supports, and the
+    * integer lift `sup_ab·n_sess·1e6 div (sup_a·sup_b)` — lift > 1e6
+    * means the pair co-occurs MORE than independence predicts (the
+    * "bought together" signal).
+    *
+    * Scale shape: sessions come from [[Sessionize.assign]]'s one
+    * exchange; each session's item set is a bounded `collect_set`
+    * (|item vocabulary|, not session length); pairs expand SCAN-SIDE
+    * from the sorted set (no self-join — the oracle pays the position
+    * join); supports join back as BROADCASTS (|items| and |items|²/2
+    * rows); the lift product runs in DECIMAL(38) so `n_sess²·1e6`
+    * cannot overflow. Output: (item_a, item_b, sup_ab, sup_a, sup_b,
+    * lift_e6). */
+  def basketPairs(events: DataFrame, user: Column, ts: Column, id: Column,
+      item: Column, gapMicros: Long): DataFrame = {
+    val sess = Sessionize.assign(events, user, ts, id, gapMicros,
+      extra = Seq(item.as("item")))
+      .groupBy("key", "session_seq")
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+      .localCheckpoint(false) // one sessionization, three consumers
+    val nSess = sess.agg(count(lit(1)).as("n_sess"))
+    val sing = sess.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("sup"))
+    val pairs = sess.select(explode(when(size(col("items")) >= 2,
+        expr("""flatten(transform(sequence(0, size(items) - 2), i ->
+               |  transform(sequence(i + 1, size(items) - 1), j ->
+               |    struct(items[i] AS item_a, items[j] AS item_b))))"""
+          .stripMargin))
+        .otherwise(array().cast("array<struct<item_a:string,item_b:string>>")))
+        .as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("sup_ab"))
+    pairs
+      .join(broadcast(sing.select(col("item").as("item_a"), col("sup").as("sup_a"))),
+        Seq("item_a"))
+      .join(broadcast(sing.select(col("item").as("item_b"), col("sup").as("sup_b"))),
+        Seq("item_b"))
+      .crossJoin(broadcast(nSess))
+      .select(col("item_a"), col("item_b"), col("sup_ab"), col("sup_a"), col("sup_b"),
+        expr("CAST(CAST(sup_ab AS DECIMAL(38,0)) * n_sess * 1000000 DIV (sup_a * sup_b) AS BIGINT)")
+          .as("lift_e6"))
+  }
 }

@@ -30,10 +30,14 @@ object Sessionize {
 
   /** One row per (key, session): start/end, event count, exact duration
     * in whole seconds. `gapMicros` is the inactivity threshold. */
-  def sessionize(df: DataFrame, key: Column, ts: Column, order: Column,
-      gapMicros: Long): DataFrame = {
-    val base = df.select(key.as("key"), ts.as("ts"),
-      unix_micros(ts).as("tus"), order.as("ord"))
+  /** Per-event session assignment: the input rows (plus any extra
+    * columns `df` carries through via `extra`) stamped with their
+    * (key, session_seq) — the building block [[sessionize]] aggregates
+    * and basket mining consumes raw. Same one-exchange shape. */
+  def assign(df: DataFrame, key: Column, ts: Column, order: Column,
+      gapMicros: Long, extra: Seq[Column] = Seq.empty): DataFrame = {
+    val base = df.select((Seq(key.as("key"), ts.as("ts"),
+      unix_micros(ts).as("tus"), order.as("ord")) ++ extra): _*)
     val w = Window.partitionBy(col("key")).orderBy(col("tus"), col("ord"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(col("tus"), 1).over(w)
@@ -42,6 +46,12 @@ object Sessionize {
         when(col("tus") - coalesce(prev, lit(Long.MinValue / 2)) > gapMicros, 1)
           .otherwise(0))
       .withColumn("session_seq", sum(col("new_sess")).over(run).cast("int"))
+      .drop("new_sess")
+  }
+
+  def sessionize(df: DataFrame, key: Column, ts: Column, order: Column,
+      gapMicros: Long): DataFrame = {
+    assign(df, key, ts, order, gapMicros)
       .groupBy(col("key"), col("session_seq"))
       .agg(
         min(col("ts")).as("session_start"),

@@ -4247,6 +4247,52 @@ object ExtQueries {
       .orderBy("stratum")
   }
 
+  // x129 — MARKET-BASKET PAIRS over sessions (association mining's
+  // frequent-2-itemset stage): per-session distinct items, pair
+  // supports, and integer lift vs independence. Pairs expand scan-side
+  // from the sorted set; supports broadcast back; DECIMAL(38) lift.
+  val x129 = Q(
+    "x129_basket_pairs",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+      |m AS (
+      |  SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+      |  FROM e),
+      |s AS (
+      |  SELECT *, SUM(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+      |                     THEN 1 ELSE 0 END)
+      |         OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |               ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM m),
+      |sess AS (
+      |  SELECT user_id, session_seq, list_sort(list_distinct(list(event_type))) AS items
+      |  FROM s GROUP BY user_id, session_seq),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_sess FROM sess),
+      |sing AS (
+      |  SELECT item, CAST(count(*) AS BIGINT) AS sup FROM (
+      |    SELECT unnest(items) AS item FROM sess) GROUP BY 1),
+      |pairs AS (
+      |  SELECT unnest(CASE WHEN len(items) >= 2 THEN
+      |           flatten(list_transform(range(1, len(items)), i ->
+      |             list_transform(range(i + 1, len(items) + 1), j ->
+      |               items[i] || '|' || items[j])))
+      |         ELSE CAST([] AS VARCHAR[]) END) AS pair
+      |  FROM sess),
+      |ps AS (SELECT pair, CAST(count(*) AS BIGINT) AS sup_ab FROM pairs GROUP BY 1),
+      |f AS (
+      |  SELECT string_split(pair, '|')[1] AS item_a, string_split(pair, '|')[2] AS item_b,
+      |         sup_ab FROM ps)
+      |SELECT item_a, item_b, sup_ab, sa.sup AS sup_a, sb.sup AS sup_b,
+      |       CAST(CAST(sup_ab AS HUGEINT) * n_sess * 1000000 // (sa.sup * sb.sup) AS BIGINT) AS lift_e6
+      |FROM f JOIN sing sa ON f.item_a = sa.item
+      |       JOIN sing sb ON f.item_b = sb.item, n
+      |ORDER BY item_a, item_b""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.basketPairs(Tables.events(s, dir),
+      col("user_id"), col("ts"), col("event_id"), col("event_type"),
+      gapMicros = 1800000000L)
+      .orderBy("item_a", "item_b")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -4257,5 +4303,5 @@ object ExtQueries {
       x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99,
       x100, x101, x102, x103, x104, x105, x106, x107, x108, x109, x110,
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
-      x123, x124, x125, x126, x127, x128)
+      x123, x124, x125, x126, x127, x128, x129)
 }

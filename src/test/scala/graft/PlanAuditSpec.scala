@@ -664,6 +664,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(specs.nonEmpty && specs.forall(_.contains("stratum")), specs.toString)
   }
 
+  test("x129: pairs expand scan-side; supports broadcast back; no position self-join") {
+    val p = planOf("x129_basket_pairs")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p) // sup_a, sup_b
+    assert(!p.contains("SortMergeJoin"), p) // the oracle's pair join never appears
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.forall(_.contains("key")), specs.toString) // sessionize only
+  }
+
   test("x106: four dims broadcast; lineitem joins orders as the ONLY shuffled join") {
     // the Q5 shape: AQE sizes the dim sides at runtime — assert the
     // FINAL adaptive plan like the x38 pin does

@@ -159,6 +159,27 @@ class GovernanceSpec extends graft.SparkSpec {
     assert(got.map(_._4).toSeq === Seq(250000L, 250000L, 250000L, 250000L))
   }
 
+  test("basketPairs: session item sets, pair supports, lift vs independence") {
+    val e = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, ts("2024-01-01 00:05:00"), 2L, "B"),
+      (1L, ts("2024-01-01 00:10:00"), 3L, "C"),
+      (1L, ts("2024-01-01 00:12:00"), 4L, "A"), // dup item: counted once
+      (2L, ts("2024-01-01 00:00:00"), 5L, "B"),
+      (2L, ts("2024-01-01 00:01:00"), 6L, "A"),
+      (2L, ts("2024-01-01 09:00:00"), 7L, "A")  // past the gap: own session
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.EventAnalytics.basketPairs(e, col("user_id"),
+      col("ts"), col("event_id"), col("event_type"), gapMicros = 1800000000L)
+      .orderBy("item_a", "item_b")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    // 3 sessions; sup A=3, B=2, C=1; AB in two sessions → lift exactly 1e6
+    assert(got === Array(
+      ("A", "B", 2L, 3L, 2L, 1000000L),
+      ("A", "C", 1L, 3L, 1L, 1000000L),
+      ("B", "C", 1L, 2L, 1L, 1500000L)))
+  }
+
   test("TopKByMeasureAgg: reduce/merge laws on raw buffers") {
     import graft.functions.{IdMeasure, TopKByMeasureAgg}
     val a = new TopKByMeasureAgg(2)

@@ -333,6 +333,25 @@ object VolumeTripwire {
             col("user_id"), col("ts"), col("event_id"), col("event_type"))),
           timeMin(graft.ops.EventAnalytics.journeyTrigrams(events10,
             col("user_id"), col("ts"), col("event_id"), col("event_type"))))
+      },
+      // basket pairs under the same user-7 skew: user 7's ~90k events
+      // collapse into few giant sessions, but each session's state is
+      // the DISTINCT item set (bounded by |event types|), so the
+      // collect_set and the scan-side pair expansion never see the
+      // session LENGTH — only the sessionize window walks the 90k rows
+      {
+        val events = Tables.events(spark, sfDir)
+          .select("event_id", "user_id", "ts", "event_type")
+        val events10 = blow(events, "event_id", 10, 100000000L)
+          .withColumn("user_id",
+            when(col("event_id") >= 100000000L, lit(7L)).otherwise(col("user_id")))
+        Res("x129_basketPairs",
+          timeMin(graft.ops.EventAnalytics.basketPairs(events,
+            col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            gapMicros = 1800000000L)),
+          timeMin(graft.ops.EventAnalytics.basketPairs(events10,
+            col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            gapMicros = 1800000000L)))
       })
 
     results.foreach { r =>

@@ -171,6 +171,31 @@ object EventAnalytics {
         expr("dau * 1000000L DIV wau").as("stickiness_e6"))
   }
 
+  /** Last-touch attribution: every conversion event credited to the
+    * most recent PRIOR non-conversion event on the same user's
+    * timeline, with the exact median conversion lag per attributed
+    * channel — the marketing-analytics staple. One per-user running
+    * window (frame ends at 1 PRECEDING so a conversion never credits
+    * itself) + the order-statistic median per channel; all integer
+    * microseconds. Output: (channel, n, p50_gap_us). */
+  def lastTouchAttribution(events: DataFrame, user: Column, ts: Column,
+      id: Column, typ: Column, conversion: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"), col("eid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val p = events.select(user.as("user_id"), unix_micros(ts).as("tus"),
+      id.as("eid"), typ.as("et"))
+      .withColumn("channel",
+        last(when(col("et") =!= conversion, col("et")), ignoreNulls = true).over(w))
+      .withColumn("ctus",
+        last(when(col("et") =!= conversion, col("tus")), ignoreNulls = true).over(w))
+      .where(col("et") === conversion && col("channel").isNotNull)
+      .select(col("channel"), (col("tus") - col("ctus")).as("gap"))
+    graft.ext.Profile.groupQuantiles(p, col("channel"), col("gap"), Seq(50))
+      .select(col("stratum").as("channel"), col("n"),
+        col("p50").as("p50_gap_us"))
+  }
+
   /** Market-basket 2-itemsets over sessions (association mining's
     * frequent-pair stage): each session's DISTINCT item set, every
     * unordered pair's support, the single-item supports, and the

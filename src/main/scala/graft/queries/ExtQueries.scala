@@ -4293,6 +4293,78 @@ object ExtQueries {
       .orderBy("item_a", "item_b")
   }
 
+  // x130 — ROLLUP REVENUE (region → nation → grand total): multi-level
+  // aggregates via Spark's rollup/Expand in ONE pass over the fact —
+  // the OLAP subtotal surface (x106 computes one level; this computes
+  // all three without rescanning). Exact cents; grouping() bits make
+  // the level explicit.
+  val x130 = Q(
+    "x130_rollup_revenue",
+    """WITH f AS (
+      |  SELECT r_name, n_name,
+      |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |  JOIN region   ON n_regionkey = r_regionkey)
+      |SELECT coalesce(r_name, '(all)') AS region, coalesce(n_name, '(all)') AS nation,
+      |       CAST(grouping(r_name) * 2 + grouping(n_name) AS INT) AS lvl,
+      |       CAST(sum(cents) AS BIGINT) AS cents
+      |FROM f
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY lvl, region, nation""".stripMargin) { (s, dir) =>
+    val f = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long").as("cents"))
+    f.rollup(col("r_name"), col("n_name"))
+      .agg(sum(col("cents")).as("cents"),
+        (grouping(col("r_name")) * 2 + grouping(col("n_name"))).cast("int").as("lvl"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        col("lvl"), col("cents"))
+      .orderBy("lvl", "region", "nation")
+  }
+
+  // x131 — LAST-TOUCH ATTRIBUTION: each purchase credited to the most
+  // recent prior non-purchase event, with exact median conversion lag
+  // per channel. The window frame ends at 1 PRECEDING so a conversion
+  // never credits itself.
+  val x131 = Q(
+    "x131_attribution",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id AS eid, event_type AS et
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, tus, et,
+      |         last_value(CASE WHEN et <> 'purchase' THEN et END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY tus, eid
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel,
+      |         last_value(CASE WHEN et <> 'purchase' THEN tus END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY tus, eid
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ctus
+      |  FROM e),
+      |p AS (SELECT channel, tus - ctus AS gap FROM w
+      |      WHERE et = 'purchase' AND channel IS NOT NULL),
+      |r AS (SELECT channel, gap,
+      |             CAST(row_number() OVER (PARTITION BY channel ORDER BY gap) AS BIGINT) AS rn
+      |      FROM p),
+      |c AS (SELECT channel, CAST(count(*) AS BIGINT) AS cs FROM p GROUP BY 1)
+      |SELECT r.channel, max(cs) AS n,
+      |       max(CASE WHEN rn = (50 * cs + 99) // 100 THEN gap END) AS p50_gap_us
+      |FROM r JOIN c USING (channel)
+      |GROUP BY r.channel
+      |ORDER BY channel""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.lastTouchAttribution(Tables.events(s, dir),
+      col("user_id"), col("ts"), col("event_id"), col("event_type"), "purchase")
+      .orderBy("channel")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -4303,5 +4375,5 @@ object ExtQueries {
       x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99,
       x100, x101, x102, x103, x104, x105, x106, x107, x108, x109, x110,
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
-      x123, x124, x125, x126, x127, x128, x129)
+      x123, x124, x125, x126, x127, x128, x129, x130, x131)
 }

@@ -673,6 +673,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(specs.forall(_.contains("key")), specs.toString) // sessionize only
   }
 
+  test("x130: rollup is ONE Expand pass over the fact; three dims broadcast") {
+    val df = SparkEntry.queries("x130_rollup_revenue")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), p) // the rollup grouping-sets pass
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x131: attribution windows are user-partitioned; median is channel-partitioned") {
+    val p = planOf("x131_attribution")
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty &&
+      specs.forall(s => s.contains("user_id") || s.contains("stratum")),
+      specs.toString)
+  }
+
   test("x106: four dims broadcast; lineitem joins orders as the ONLY shuffled join") {
     // the Q5 shape: AQE sizes the dim sides at runtime — assert the
     // FINAL adaptive plan like the x38 pin does

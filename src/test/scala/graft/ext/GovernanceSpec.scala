@@ -180,6 +180,25 @@ class GovernanceSpec extends graft.SparkSpec {
       ("B", "C", 1L, 2L, 1L, 1500000L)))
   }
 
+  test("lastTouchAttribution: credits the last PRIOR non-conversion, never itself") {
+    val e = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 00:10:00"), 2L, "purchase"), // view, gap 600 s
+      (1L, ts("2024-01-01 00:20:00"), 3L, "click"),
+      (1L, ts("2024-01-01 00:30:00"), 4L, "purchase"), // click, gap 600 s
+      (1L, ts("2024-01-01 00:50:00"), 5L, "purchase"), // STILL click (1800 s),
+      (2L, ts("2024-01-01 00:00:00"), 6L, "purchase")  // nothing prior: dropped
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.EventAnalytics.lastTouchAttribution(e, col("user_id"),
+      col("ts"), col("event_id"), col("event_type"), "purchase")
+      .orderBy("channel")
+      .as[(String, Long, Long)].collect()
+    // click gaps sorted (600, 1800): lower median position 1 → 600 s
+    assert(got === Array(
+      ("click", 2L, 600L * 1000000L),
+      ("view", 1L, 600L * 1000000L)))
+  }
+
   test("TopKByMeasureAgg: reduce/merge laws on raw buffers") {
     import graft.functions.{IdMeasure, TopKByMeasureAgg}
     val a = new TopKByMeasureAgg(2)

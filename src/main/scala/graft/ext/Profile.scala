@@ -264,6 +264,30 @@ object Profile {
         expr("cum_m * 1000000L DIV grand").as("cum_share_e6"))
   }
 
+  /** Approximate functional-dependency strength `lhs → rhs`: per
+    * determinant value, the row count, distinct dependent count, the
+    * MODE dependent (count desc, value asc — deterministic), and the
+    * integer strength `mode_count·1e6 div n` (1e6 = the FD holds
+    * exactly). The schema-discovery / data-quality probe: a column
+    * pair with strength ≈ 1e6 is a dependency worth enforcing; ≈ 1/|rhs
+    * domain| is noise. Two combinable groupBys on (lhs, rhs) — key
+    * space is the value-pair domain, not the corpus — and one
+    * lhs-partitioned rank for the mode. Output: (lhs, n, n_rhs,
+    * mode_rhs, mode_c, strength_e6). */
+  def fdStrength(df: DataFrame, lhs: Column, rhs: Column): DataFrame = {
+    val g = df.select(lhs.cast("string").as("lhs"), rhs.cast("string").as("rhs"))
+      .groupBy("lhs", "rhs").agg(count(lit(1)).as("c"))
+    val t = g.groupBy("lhs").agg(sum(col("c")).as("n"),
+      count(lit(1)).as("n_rhs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lhs")).orderBy(col("c").desc, col("rhs"))
+    val m = g.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("lhs"), col("rhs").as("mode_rhs"), col("c").as("mode_c"))
+    t.join(m, Seq("lhs"))
+      .select(col("lhs"), col("n"), col("n_rhs"), col("mode_rhs"), col("mode_c"),
+        expr("mode_c * 1000000L DIV n").as("strength_e6"))
+  }
+
   /** Per-group top-k rows by an integer measure WITHOUT a rank window:
     * the [[graft.functions.TopKByMeasureAgg]] typed aggregator collapses
     * each group to a ≤k-row sorted state map-side, so the exchange

@@ -196,6 +196,30 @@ object EventAnalytics {
         col("p50").as("p50_gap_us"))
   }
 
+  /** Point-in-time-correct per-event features: for EVERY event, stats
+    * computed over the user's strictly PRIOR rows only (frame ends at
+    * 1 PRECEDING) — prior event count, prior conversion count, and
+    * microseconds since the previous event. This is the leakage-free
+    * feature-generation contract sequence models need: a feature row
+    * at time t must not see t or later (the same discipline as
+    * [[lastTouchAttribution]]'s frame). One hash(user) window exchange
+    * shared by all three features; NULL `us_since_prev` on each user's
+    * first event is part of the contract. Output: (event_id, n_prior,
+    * n_prior_conv, us_since_prev). */
+  def pitFeatures(events: DataFrame, user: Column, ts: Column, id: Column,
+      typ: Column, conversion: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"), col("eid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events.select(user.as("user_id"), unix_micros(ts).as("tus"),
+      id.as("eid"), typ.as("et"))
+      .select(col("eid").as("event_id"),
+        count(lit(1)).over(w).as("n_prior"),
+        coalesce(sum(when(col("et") === conversion, 1L).otherwise(0L)).over(w),
+          lit(0L)).as("n_prior_conv"),
+        (col("tus") - last(col("tus")).over(w)).as("us_since_prev"))
+  }
+
   /** Market-basket 2-itemsets over sessions (association mining's
     * frequent-pair stage): each session's DISTINCT item set, every
     * unordered pair's support, the single-item supports, and the

@@ -4365,6 +4365,48 @@ object ExtQueries {
       .orderBy("channel")
   }
 
+  // x132 — POINT-IN-TIME FEATURES: per-event expanding stats over each
+  // user's strictly PRIOR rows (frame ends at 1 PRECEDING) — the
+  // leakage-free feature-generation contract. One user-key window
+  // exchange shared by all three features.
+  val x132 = Q(
+    "x132_pit_features",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type AS et FROM events)
+      |SELECT event_id,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_prior,
+      |       CAST(coalesce(sum(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END) OVER w, 0) AS BIGINT) AS n_prior_conv,
+      |       tus - last_value(tus) OVER w AS us_since_prev
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.pitFeatures(Tables.events(s, dir),
+      col("user_id"), col("ts"), col("event_id"), col("event_type"), "purchase")
+      .orderBy("event_id")
+  }
+
+  // x133 — FUNCTIONAL-DEPENDENCY STRENGTH (source → lang): per source,
+  // the mode language and the integer share it explains — the
+  // schema-discovery probe (1e6 = the FD holds exactly). Two
+  // value-domain-bounded groupBys + one lhs-partitioned mode rank.
+  val x133 = Q(
+    "x133_fd_strength",
+    """WITH g AS (SELECT source AS lhs, lang AS rhs, CAST(count(*) AS BIGINT) AS c
+      |           FROM documents GROUP BY 1, 2),
+      |t AS (SELECT lhs, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_rhs
+      |      FROM g GROUP BY 1),
+      |m AS (SELECT lhs, rhs AS mode_rhs, c AS mode_c FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY lhs ORDER BY c DESC, rhs) AS rn
+      |        FROM g) WHERE rn = 1)
+      |SELECT t.lhs, n, n_rhs, mode_rhs, mode_c,
+      |       CAST(mode_c * 1000000 // n AS BIGINT) AS strength_e6
+      |FROM t JOIN m USING (lhs)
+      |ORDER BY lhs""".stripMargin) { (s, dir) =>
+    Profile.fdStrength(Tables.documents(s, dir), col("source"), col("lang"))
+      .orderBy("lhs")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -4375,5 +4417,5 @@ object ExtQueries {
       x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99,
       x100, x101, x102, x103, x104, x105, x106, x107, x108, x109, x110,
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
-      x123, x124, x125, x126, x127, x128, x129, x130, x131)
+      x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133)
 }

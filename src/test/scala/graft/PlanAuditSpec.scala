@@ -691,6 +691,15 @@ class PlanAuditSpec extends SparkSpec {
       specs.toString)
   }
 
+  test("x132/x133: PIT and FD windows are entity-partitioned, never global") {
+    for ((n, key) <- Seq("x132_pit_features" -> "user_id",
+        "x133_fd_strength" -> "lhs")) {
+      val specs = "windowspecdefinition\\(([^,]*)".r
+        .findAllMatchIn(planOf(n)).map(_.group(1)).toSeq
+      assert(specs.nonEmpty && specs.forall(_.contains(key)), s"$n: $specs")
+    }
+  }
+
   test("x106: four dims broadcast; lineitem joins orders as the ONLY shuffled join") {
     // the Q5 shape: AQE sizes the dim sides at runtime — assert the
     // FINAL adaptive plan like the x38 pin does

@@ -199,6 +199,37 @@ class GovernanceSpec extends graft.SparkSpec {
       ("view", 1L, 600L * 1000000L)))
   }
 
+  test("pitFeatures: strictly-prior frame — a row never sees itself or later") {
+    val e = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 00:10:00"), 2L, "purchase"),
+      (1L, ts("2024-01-01 00:30:00"), 3L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.EventAnalytics.pitFeatures(e, col("user_id"),
+      col("ts"), col("event_id"), col("event_type"), "purchase")
+      .orderBy("event_id")
+      .as[(Long, Long, Long, Option[Long])].collect()
+    assert(got === Array(
+      (1L, 0L, 0L, None),                       // first event sees nothing
+      (2L, 1L, 0L, Some(600L * 1000000L)),      // its own purchase NOT counted
+      (3L, 2L, 1L, Some(1200L * 1000000L))))
+  }
+
+  test("fdStrength: mode share per determinant, count-desc value-asc tie-break") {
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "z"), ("b", "z"),
+      ("c", "p"), ("c", "q")  // tie: mode must be 'p' (value asc)
+    ).toDF("s", "l")
+    val got = Profile.fdStrength(df, col("s"), col("l"))
+      .orderBy("lhs")
+      .as[(String, Long, Long, String, Long, Long)].collect()
+    assert(got === Array(
+      ("a", 4L, 2L, "x", 3L, 750000L),
+      ("b", 2L, 1L, "z", 2L, 1000000L),
+      ("c", 2L, 2L, "p", 1L, 500000L)))
+  }
+
   test("TopKByMeasureAgg: reduce/merge laws on raw buffers") {
     import graft.functions.{IdMeasure, TopKByMeasureAgg}
     val a = new TopKByMeasureAgg(2)

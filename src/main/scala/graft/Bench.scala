@@ -63,8 +63,15 @@ object Bench {
     *   4. SHORT ids at ADAPTIVE precision (1 dp < 100 s, whole seconds
     *      above) — the denser tier the registry crossed into at ~125
     *      queries; 4-dp detail lives in bench.json
-    *   5. totals only (queries deferred to bench.json)
-    *   6. floor: totals + error COUNT only — bounded regardless of how
+    *   5. COMPACT-STRING tier: `"queries":"id:sec id:sec ..."` (one
+    *      JSON string, space-separated, adaptive precision) with
+    *      `"queries_fmt":"id:sec"` marking it as per-query data — JSON
+    *      map-entry overhead (4 chars/query of quotes+punctuation)
+    *      drops to 2, which at 146 registered queries is the difference
+    *      between a per-query artifact and the totals-only sentinel;
+    *      holds to ~190 queries at worst-case walls
+    *   6. totals only (queries deferred to bench.json)
+    *   7. floor: totals + error COUNT only — bounded regardless of how
     *      many queries failed; always fits
     * bench.json always carries the full 4-dp per-query/per-run detail.
     *
@@ -121,6 +128,24 @@ object Bench {
       }.mkString("{", ",", "}")
     val jsonShort1dp =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort1dp,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
+    // compact-string tier: the id:sec pairs as ONE JSON string — 2
+    // chars/query of separator overhead instead of the map's 4, the
+    // cheapest encoding that keeps per-query walls in the driver
+    // artifact; "queries_fmt" distinguishes it from the "bench.json"
+    // degradation sentinel. Skipped (falls through to totals-only) if
+    // short ids ever collide.
+    val jsonCompact =
+      if (shortIds.distinct.size != results.size) null
+      else {
+        // NOT jstr (it caps at 200 chars — fine for names/errors, fatal
+        // here): ids are alphanumeric by the registry's naming rule and
+        // values are numeric, so the body needs no JSON escaping
+        val body = results.zip(shortIds).map { case ((_, ts, _), sid) =>
+          sid.replaceAll("[^A-Za-z0-9]", "") + ":" +
+            (if (ts.isEmpty) "null" else r1a(ts.map(_._1).min))
+        }.mkString(" ")
+        s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries_fmt":"id:sec","queries":"$body","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
+      }
     val jsonMinimal =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"queries":"bench.json","cpu":"bench.json","errors":$errs}"""
     // absolute floor: even a run where every query errors (74 capped
@@ -128,7 +153,8 @@ object Bench {
     val nErr = results.count(_._3.isDefined)
     val jsonFloor =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"queries":"bench.json","cpu":"bench.json","errors":{"n_failed":$nErr}}"""
-    Seq(jsonWithCpu, jsonQueriesOnly, jsonShortQueries, jsonShort1dp, jsonMinimal)
+    Seq(jsonWithCpu, jsonQueriesOnly, jsonShortQueries, jsonShort1dp, jsonCompact, jsonMinimal)
+      .filter(_ != null)
       .find(_.length <= StdoutBudget)
       .getOrElse(jsonFloor)
   }

@@ -47,13 +47,24 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains(s"\"n_failed\":${names.size}"))
   }
 
-  test("documented fallback order: 150 queries degrade to totals-only, still bounded") {
-    // the short-id tier (~13 chars/query) cannot hold ~150 queries in
-    // 1,800 chars; the line must fall through to the totals-only tier
-    // and stay parseable — this pins the DOCUMENTED degradation path,
-    // and the first test above guarantees we notice before the real
-    // registry gets there
-    val names = (1 to 150).map(i => s"x${i}_synthetic_query_name")
+  test("compact-string tier carries its format marker and every short id") {
+    // drive a registry size that overflows the short-id JSON-map tiers
+    // but fits the compact string (the tier the real 146-query registry
+    // lands in at worst-case walls)
+    val names = (1 to 160).map(i => s"x${i}_synthetic_query_name")
+    val line = Bench.composeStdoutLine(synth(names), "/root/testdata/sf0.1", 2, calib)
+    assert(line.length <= Bench.StdoutBudget)
+    assert(line.contains("\"queries_fmt\":\"id:sec\""), line.take(200))
+    assert(line.contains("x160:1000"), "compact tier lost a query entry")
+  }
+
+  test("documented fallback order: 250 queries degrade to totals-only, still bounded") {
+    // even the compact tier (~10 chars/query) cannot hold ~250 queries
+    // in 1,800 chars; the line must fall through to the totals-only
+    // tier and stay parseable — this pins the DOCUMENTED degradation
+    // path, and the first test above guarantees we notice before the
+    // real registry gets there
+    val names = (1 to 250).map(i => s"x${i}_synthetic_query_name")
     val line = Bench.composeStdoutLine(synth(names), "/root/testdata/sf0.1", 2, calib)
     assert(line.length <= Bench.StdoutBudget)
     assert(line.contains("\"queries\":\"bench.json\""))

@@ -308,4 +308,69 @@ object Profile {
       .select(col("grp"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("id"), col("col.m").as("m"))
   }
+
+  /** Referential-integrity audit of one FK edge: child rows whose key
+    * has no parent. The child is pre-aggregated to (key, row_count)
+    * FIRST, so the anti-join runs at KEY cardinality, not row
+    * cardinality — on a 100 TB fact with million-row keys the join
+    * input shrinks by that factor before any parent data moves (dims
+    * broadcast; fact-fact parents hash-join on keys only). NULL child
+    * keys are counted separately (`n_null_rows`), not as orphans — SQL
+    * FK semantics. Output: one row (edge, n_rows, n_keys, n_null_rows,
+    * n_orphan_keys, n_orphan_rows, orphan_ppm). */
+  def riEdge(child: DataFrame, childKey: Column, parent: DataFrame,
+      parentKey: Column, edge: String): DataFrame = {
+    val g = child.select(childKey.cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    val p = parent.select(parentKey.cast("long").as("pk")).distinct()
+    val orphans = g.where(col("k").isNotNull)
+      .join(p, col("k") === col("pk"), "left_anti")
+    val base = g.agg(
+      coalesce(sum(col("c")), lit(0L)).as("n_rows"),
+      count(col("k")).as("n_keys"),
+      coalesce(sum(when(col("k").isNull, col("c"))), lit(0L)).as("n_null_rows"))
+    val orph = orphans.agg(
+      count(lit(1)).as("n_orphan_keys"),
+      coalesce(sum(col("c")), lit(0L)).as("n_orphan_rows"))
+    base.crossJoin(broadcast(orph))
+      .select(lit(edge).as("edge"), col("n_rows"), col("n_keys"),
+        col("n_null_rows"), col("n_orphan_keys"), col("n_orphan_rows"),
+        expr("CASE WHEN n_rows = 0 THEN 0L ELSE n_orphan_rows * 1000000L DIV n_rows END")
+          .as("orphan_ppm"))
+  }
+
+  /** Benford first-digit audit: the leading decimal digit distribution
+    * of a positive integer measure vs Benford's law, the fraud /
+    * synthetic-data / unit-mixing screen. The digit comes from the
+    * integer's STRING head — exact on any engine (no float log10 at
+    * bucket boundaries). Expected shares are the canonical rounded ppm
+    * constants (they sum to exactly 1e6), shared verbatim with the
+    * oracle. One scan-side projection + a 9-row groupBy + a broadcast
+    * total — no windows, no second pass. Rows with measure <= 0 are
+    * excluded (Benford is defined on positive magnitudes).
+    * Output per digit 1..9: (digit, n, obs_ppm, exp_ppm, dev_ppm). */
+  val benfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+  def benfordAudit(df: DataFrame, measure: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = df.select(measure.cast("long").as("m"))
+      .where(col("m") > 0)
+      .select(substring(col("m").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      // ≤9 rows, consumed twice (report + total): checkpointing the
+      // aggregate keeps the claim honest — ONE scan of the fact
+      .localCheckpoint(false)
+    val exp = broadcast(benfordPpm.toDF("digit", "exp_ppm"))
+    // right join from the expected table so digits absent from the data
+    // still emit a row (n=0) — the audit must show the hole
+    digits.join(exp, Seq("digit"), "right")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(digits.agg(coalesce(sum(col("n")), lit(0L)).as("total"))))
+      .select(col("digit"), col("n"),
+        expr("CASE WHEN total = 0 THEN 0L ELSE n * 1000000L DIV total END").as("obs_ppm"),
+        col("exp_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+  }
 }

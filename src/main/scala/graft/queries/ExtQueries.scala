@@ -4407,6 +4407,78 @@ object ExtQueries {
       .orderBy("lhs")
   }
 
+  // x134 — REFERENTIAL-INTEGRITY AUDIT: orphaned child keys across the
+  // star schema's five FK edges. Each edge pre-aggregates the child to
+  // (key, row_count) so the anti-join runs at KEY cardinality — the
+  // 100 TB posture for fact-side FK checks. NULL keys counted apart
+  // (SQL FK semantics), never as orphans.
+  private def riEdgeSql(edge: String, child: String, ck: String,
+      parent: String, pk: String): String =
+    s"""SELECT '$edge' AS edge,
+       |       CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
+       |       CAST(count(k) AS BIGINT) AS n_keys,
+       |       CAST(coalesce(sum(CASE WHEN k IS NULL THEN c END), 0) AS BIGINT) AS n_null_rows,
+       |       CAST(coalesce(sum(CASE WHEN orphan THEN 1 END), 0) AS BIGINT) AS n_orphan_keys,
+       |       CAST(coalesce(sum(CASE WHEN orphan THEN c END), 0) AS BIGINT) AS n_orphan_rows,
+       |       CAST(CASE WHEN coalesce(sum(c), 0) = 0 THEN 0
+       |            ELSE coalesce(sum(CASE WHEN orphan THEN c END), 0) * 1000000 // coalesce(sum(c), 0) END AS BIGINT) AS orphan_ppm
+       |FROM (
+       |  SELECT k, c,
+       |         k IS NOT NULL AND k NOT IN (SELECT $pk FROM $parent WHERE $pk IS NOT NULL) AS orphan
+       |  FROM (SELECT $ck AS k, CAST(count(*) AS BIGINT) AS c FROM $child GROUP BY 1))""".stripMargin
+  val x134 = Q(
+    "x134_ri_orphans",
+    Seq(
+      riEdgeSql("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      riEdgeSql("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      riEdgeSql("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      riEdgeSql("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      riEdgeSql("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY edge")) { (s, dir) =>
+    Seq(
+      Profile.riEdge(Tables.customer(s, dir), col("c_nationkey"),
+        Tables.nation(s, dir), col("n_nationkey"), "customer->nation"),
+      Profile.riEdge(Tables.lineitem(s, dir), col("l_orderkey"),
+        Tables.orders(s, dir), col("o_orderkey"), "lineitem->orders"),
+      Profile.riEdge(Tables.lineitem(s, dir), col("l_partkey"),
+        Tables.part(s, dir), col("p_partkey"), "lineitem->part"),
+      Profile.riEdge(Tables.lineitem(s, dir), col("l_suppkey"),
+        Tables.supplier(s, dir), col("s_suppkey"), "lineitem->supplier"),
+      Profile.riEdge(Tables.orders(s, dir), col("o_custkey"),
+        Tables.customer(s, dir), col("c_custkey"), "orders->customer"))
+      .reduce(_.unionAll(_)).orderBy("edge")
+  }
+
+  // x135 — BENFORD FIRST-DIGIT AUDIT on line-item cents: the fraud /
+  // synthetic-data screen. Digit from the integer's string head (exact
+  // on any engine — no float log10 at bucket edges); expected shares
+  // are the canonical rounded ppm constants (sum exactly 1e6), shared
+  // verbatim with the oracle. One scan + 9-row groupBy + broadcast
+  // total. TPC-H prices are uniform, NOT Benford — the audit's job is
+  // to SAY so, and the big dev_ppm values are the verified result.
+  val x135 = Q(
+    "x135_benford",
+    s"""WITH d AS (
+      |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem)
+      |  WHERE cents > 0),
+      |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      |e AS (SELECT * FROM (VALUES ${Profile.benfordPpm
+        .map { case (d, p) => s"($d, ${p})" }.mkString(", ")}) AS t(digit, exp_ppm)),
+      |t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total FROM g)
+      |SELECT CAST(e.digit AS INT) AS digit, CAST(coalesce(g.n, 0) AS BIGINT) AS n,
+      |       CAST(CASE WHEN total = 0 THEN 0
+      |            ELSE coalesce(g.n, 0) * 1000000 // total END AS BIGINT) AS obs_ppm,
+      |       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+      |       CAST(abs(CASE WHEN total = 0 THEN 0
+      |            ELSE coalesce(g.n, 0) * 1000000 // total END - e.exp_ppm) AS BIGINT) AS dev_ppm
+      |FROM e LEFT JOIN g USING (digit), t
+      |ORDER BY digit""".stripMargin) { (s, dir) =>
+    Profile.benfordAudit(Tables.lineitem(s, dir),
+      round(col("l_extendedprice") * 100, 0).cast("long"))
+      .orderBy("digit")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -4417,5 +4489,6 @@ object ExtQueries {
       x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99,
       x100, x101, x102, x103, x104, x105, x106, x107, x108, x109, x110,
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
-      x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133)
+      x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
+      x134, x135)
 }

@@ -700,6 +700,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x134: every anti-join runs at key granularity — aggregate below the join") {
+    val df = SparkEntry.queries("x134_ri_orphans")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // five edges, each LeftAnti; no plan may anti-join raw fact rows —
+    // the child side under every anti join is the (key, count) aggregate
+    assert("LeftAnti".r.findAllIn(p).length === 5, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the singleton aggregate sides of the final assembly broadcast
+    assert(broadcasts(p) >= 5, p)
+  }
+
+  test("x135: one fact scan, 9-row digit aggregate, broadcast expected table + total") {
+    val df = SparkEntry.queries("x135_benford")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("WindowExec"), p) // no window anywhere
+    // lineitem read once: the digit aggregate is checkpointed, so both
+    // its consumers (report rows + total) read the 9-row RDD, not the fact
+    assert("Scan parquet".r.findAllIn(p).length <= 1, p)
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 2, p)
+    assert(broadcasts(p) >= 2, p) // expected-ppm table and the total row
+  }
+
   test("x106: four dims broadcast; lineitem joins orders as the ONLY shuffled join") {
     // the Q5 shape: AQE sizes the dim sides at runtime — assert the
     // FINAL adaptive plan like the x38 pin does

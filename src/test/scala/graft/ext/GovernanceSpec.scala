@@ -230,6 +230,52 @@ class GovernanceSpec extends graft.SparkSpec {
       ("c", 2L, 2L, "p", 1L, 500000L)))
   }
 
+  test("riEdge: orphans at key granularity, NULL keys counted apart, ppm floor") {
+    val child = Seq(
+      (Some(1L), "r1"), (Some(1L), "r2"), (Some(2L), "r3"),
+      (Some(9L), "r4"), (Some(9L), "r5"), (Some(9L), "r6"), // orphan key, 3 rows
+      (None: Option[Long], "r7")                            // NULL: not an orphan
+    ).toDF("fk", "payload")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Profile.riEdge(child, col("fk"), parent, col("pk"), "c->p")
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    // n_rows=7, n_keys=3 (non-null distinct), n_null_rows=1,
+    // orphan_keys=1 (9), orphan_rows=3, ppm = 3*1e6 div 7 = 428571
+    assert(got === (("c->p", 7L, 3L, 1L, 1L, 3L, 428571L)))
+  }
+
+  test("riEdge: clean edge reports zero orphans; empty child reports zero ppm") {
+    val child = Seq(1L, 2L).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val clean = Profile.riEdge(child, col("fk"), parent, col("pk"), "e")
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    assert(clean === (("e", 2L, 2L, 0L, 0L, 0L, 0L)))
+    val empty = Profile.riEdge(child.where(lit(false)), col("fk"),
+        parent, col("pk"), "e")
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    assert(empty === (("e", 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("benfordAudit: string-head digits, absent digits emit n=0, constants sum to 1e6") {
+    assert(Profile.benfordPpm.map(_._2).sum === 1000000L)
+    // values: 123, 19, 2000, 250, 777, 0 and -5 excluded
+    val df = Seq(123L, 19L, 2000L, 250L, 777L, 0L, -5L).toDF("v")
+    val got = Profile.benfordAudit(df, col("v"))
+      .orderBy("digit")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(got.length === 9) // all nine digits present in the report
+    val byDigit = got.map(g => g._1 -> g).toMap
+    assert(byDigit(1)._2 === 2L) // 123, 19
+    assert(byDigit(2)._2 === 2L) // 2000, 250
+    assert(byDigit(7)._2 === 1L) // 777
+    assert(byDigit(3)._2 === 0L) // absent digit still reported
+    // obs_ppm floors: 2*1e6 div 5 = 400000; dev vs 301030 = 98970
+    assert(byDigit(1)._3 === 400000L)
+    assert(byDigit(1)._5 === math.abs(400000L - 301030L))
+    // digits absent from data: obs 0, dev = exp
+    assert(byDigit(3)._3 === 0L && byDigit(3)._5 === 124939L)
+  }
+
   test("TopKByMeasureAgg: reduce/merge laws on raw buffers") {
     import graft.functions.{IdMeasure, TopKByMeasureAgg}
     val a = new TopKByMeasureAgg(2)

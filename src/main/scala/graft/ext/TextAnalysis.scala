@@ -217,4 +217,29 @@ object TextAnalysis {
       .orderBy(col("odds_a").desc, col("w"))
       .limit(k)
   }
+
+  /** Per-stratum vocabulary statistics: token count, TYPE count
+    * (distinct tokens), hapax count (types seen exactly once in the
+    * stratum), type-token ratio and hapax share (×1e6, floor) — the
+    * vocabulary-richness / boilerplate-contamination screen (a scraped
+    * corpus whose hapax share collapses is template spam; one whose TTR
+    * explodes is OCR noise). Tokens are `[a-z0-9]+` runs of the
+    * lowercased text — the regex both engines implement identically.
+    *
+    * 100 TB posture: tokens explode scan-side, then ONE combinable
+    * (stratum, token) groupBy — key space is the vocabulary, not the
+    * corpus — and a vocabulary-sized rollup per stratum. No windows, no
+    * joins. Output: (stratum, n_tokens, n_types, n_hapax, ttr_e6,
+    * hapax_share_e6). */
+  def vocabStats(docs: DataFrame, stratum: Column, text: Column): DataFrame =
+    docs.select(stratum.as("stratum"),
+        explode(regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .groupBy("stratum", "w").agg(count(lit(1)).as("c"))
+      .groupBy("stratum").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("stratum"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000L DIV n_tokens").as("ttr_e6"),
+        expr("n_hapax * 1000000L DIV n_types").as("hapax_share_e6"))
 }

@@ -264,4 +264,35 @@ object EventAnalytics {
         expr("CAST(CAST(sup_ab AS DECIMAL(38,0)) * n_sess * 1000000 DIV (sup_a * sup_b) AS BIGINT)")
           .as("lift_e6"))
   }
+
+  /** Hour-of-week seasonal baseline: per (ISO dow 1-7, hour 0-23) slot,
+    * the observed-slot count, total events, floor mean (×100), and the
+    * PEAK slot instance (its date, count, and ratio-to-mean ×1e6) — the
+    * traffic-anomaly baseline every ops dashboard runs on. "Observed
+    * slots" = (date, hour) pairs that actually have events; both engine
+    * and oracle define the mean over those, so absence handling can
+    * never diverge.
+    *
+    * 100 TB posture: two combinable groupBys — the fact collapses to
+    * (date, dow, hour) counts in one scan-side pass (key space ≤ days ×
+    * 24, not rows), then ≤ 168 baseline rows; the peak is a max(struct)
+    * over the slot counts, never a window over the fact. All integers.
+    * Output: (dow, hr, n_slots, total, mean_e2, max_c, max_date,
+    * max_ratio_e6). */
+  def seasonalBaseline(events: DataFrame, ts: Column): DataFrame = {
+    val slots = events
+      .select((weekday(ts) + lit(1)).cast("int").as("dow"),
+        hour(ts).cast("int").as("hr"),
+        date_format(ts, "yyyy-MM-dd").as("d"))
+      .groupBy("dow", "hr", "d").agg(count(lit(1)).as("c"))
+    slots.groupBy("dow", "hr").agg(
+        count(lit(1)).as("n_slots"),
+        sum(col("c")).as("total"),
+        // lexicographic struct max: highest count, then latest date
+        max(struct(col("c"), col("d"))).as("peak"))
+      .select(col("dow"), col("hr"), col("n_slots"), col("total"),
+        expr("total * 100L DIV n_slots").as("mean_e2"),
+        col("peak.c").as("max_c"), col("peak.d").as("max_date"),
+        expr("peak.c * n_slots * 1000000L DIV total").as("max_ratio_e6"))
+  }
 }

@@ -4479,6 +4479,52 @@ object ExtQueries {
       .orderBy("digit")
   }
 
+  // x136 — HOUR-OF-WEEK SEASONAL BASELINE: per (iso dow, hour) slot,
+  // observed-slot mean and the peak instance's ratio-to-mean — the
+  // traffic-anomaly baseline. Two combinable groupBys (key space ≤
+  // days×24 then ≤168), peak via max(struct) — no window over the fact.
+  val x136 = Q(
+    "x136_seasonality",
+    """WITH s AS (
+      |  SELECT CAST(isodow(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hr,
+      |         strftime(ts, '%Y-%m-%d') AS d, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |b AS (
+      |  SELECT dow, hr, CAST(count(*) AS BIGINT) AS n_slots,
+      |         CAST(sum(c) AS BIGINT) AS total,
+      |         max({'c': c, 'd': d}) AS peak
+      |  FROM s GROUP BY 1, 2)
+      |SELECT dow, hr, n_slots, total,
+      |       CAST(total * 100 // n_slots AS BIGINT) AS mean_e2,
+      |       CAST(peak.c AS BIGINT) AS max_c, peak.d AS max_date,
+      |       CAST(peak.c * n_slots * 1000000 // total AS BIGINT) AS max_ratio_e6
+      |FROM b
+      |ORDER BY dow, hr""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.seasonalBaseline(Tables.events(s, dir), col("ts"))
+      .orderBy("dow", "hr")
+  }
+
+  // x137 — VOCABULARY STATS (hapax share + type-token ratio) per source:
+  // the vocabulary-richness / template-spam screen. One (stratum, token)
+  // combinable groupBy — key space is the vocabulary, not the corpus.
+  val x137 = Q(
+    "x137_vocab_stats",
+    """WITH w AS (
+      |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |g AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2)
+      |SELECT source AS stratum,
+      |       CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_types,
+      |       CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT) AS n_hapax,
+      |       CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_e6,
+      |       CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) * 1000000 // count(*) AS BIGINT) AS hapax_share_e6
+      |FROM g GROUP BY source
+      |ORDER BY stratum""".stripMargin) { (s, dir) =>
+    TextAnalysis.vocabStats(Tables.documents(s, dir), col("source"), col("text"))
+      .orderBy("stratum")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -4490,5 +4536,5 @@ object ExtQueries {
       x100, x101, x102, x103, x104, x105, x106, x107, x108, x109, x110,
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
-      x134, x135)
+      x134, x135, x136, x137)
 }

@@ -725,6 +725,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(broadcasts(p) >= 2, p) // expected-ppm table and the total row
   }
 
+  test("x136: seasonal baseline is two combinable groupBys — no window, no join") {
+    val p = planOf("x136_seasonality")
+    assert(!p.contains("WindowExec") && !p.contains("Join"), p)
+    assert(shuffles(p) <= 3, p) // slot keys, baseline keys, output sort
+  }
+
+  test("x137: vocab stats shuffle on (stratum, token) then stratum — no window, no join") {
+    val p = planOf("x137_vocab_stats")
+    assert(!p.contains("WindowExec") && !p.contains("Join"), p)
+    assert(shuffles(p) <= 3, p)
+    assert(p.contains("Generate explode"), p) // tokens expand scan-side
+  }
+
   test("x106: four dims broadcast; lineitem joins orders as the ONLY shuffled join") {
     // the Q5 shape: AQE sizes the dim sides at runtime — assert the
     // FINAL adaptive plan like the x38 pin does

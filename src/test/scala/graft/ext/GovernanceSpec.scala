@@ -276,6 +276,50 @@ class GovernanceSpec extends graft.SparkSpec {
     assert(byDigit(3)._3 === 0L && byDigit(3)._5 === 124939L)
   }
 
+  test("seasonalBaseline: ISO dow, observed-slot mean floor, peak tie-breaks to later date") {
+    val e = Seq(
+      // Mondays 2024-01-01 and 2024-01-08, hour 10: counts 3 and 1
+      (1L, ts("2024-01-01 10:00:01")), (2L, ts("2024-01-01 10:30:00")),
+      (3L, ts("2024-01-01 10:59:59")), (4L, ts("2024-01-08 10:15:00")),
+      // Sunday 2024-01-07 hour 0: single slot
+      (5L, ts("2024-01-07 00:00:00"))
+    ).toDF("event_id", "ts")
+    val got = graft.ops.EventAnalytics.seasonalBaseline(e, col("ts"))
+      .orderBy("dow", "hr")
+      .as[(Int, Int, Long, Long, Long, Long, String, Long)].collect()
+    // Monday = ISO 1; mean over 2 observed slots = 4/2 → 200 e2;
+    // peak (3, 2024-01-01); ratio 3*2*1e6 div 4 = 1500000
+    assert(got(0) === ((1, 10, 2L, 4L, 200L, 3L, "2024-01-01", 1500000L)))
+    // Sunday = ISO 7, singleton slot: mean=100 e2, ratio 1e6
+    assert(got(1) === ((7, 0, 1L, 1L, 100L, 1L, "2024-01-07", 1000000L)))
+  }
+
+  test("seasonalBaseline: equal peak counts resolve to the LATER date (struct max)") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-08 10:00:00"))
+    ).toDF("event_id", "ts")
+    val got = graft.ops.EventAnalytics.seasonalBaseline(e, col("ts"))
+      .as[(Int, Int, Long, Long, Long, Long, String, Long)].head()
+    assert(got._7 === "2024-01-08") // tie on c=1: lexicographic max takes later d
+  }
+
+  test("vocabStats: lowercased [a-z0-9]+ tokens, hapax and TTR floors per stratum") {
+    val docs = Seq(
+      ("a", "The the DOG! dog2 ran."),   // tokens: the, the, dog, dog2, ran
+      ("a", "dog2 jumped"),              // dog2 again → not hapax
+      ("b", ""),                         // contributes nothing
+      ("b", "x x x")                     // one type, zero hapax
+    ).toDF("source", "text")
+    val got = TextAnalysis.vocabStats(docs, col("source"), col("text"))
+      .orderBy("stratum")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // a: 7 tokens {the:2, dog:1, dog2:2, ran:1, jumped:1} → 5 types, 3 hapax
+    assert(got(0) === (("a", 7L, 5L, 3L,
+      5L * 1000000L / 7L, 3L * 1000000L / 5L)))
+    // b: 3 tokens, 1 type, 0 hapax → ttr 333333, hapax share 0
+    assert(got(1) === (("b", 3L, 1L, 0L, 333333L, 0L)))
+  }
+
   test("TopKByMeasureAgg: reduce/merge laws on raw buffers") {
     import graft.functions.{IdMeasure, TopKByMeasureAgg}
     val a = new TopKByMeasureAgg(2)

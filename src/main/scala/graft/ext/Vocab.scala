@@ -235,4 +235,71 @@ object Vocab {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    * PageRank over the word co-occurrence graph. Candidate words are
+    * `[a-z0-9]+` runs of the lowercased text of length >= `minLen`
+    * (the POS-filter surrogate — short function words drop out);
+    * edges connect candidates within `window` positions of the
+    * FILTERED sequence, weighted by co-occurrence count; rank is
+    * r_{k+1}(v) = (1−d)/N + d·Σ_u r_k(u)·w(u,v)/W(u) with W(u) the
+    * node's total edge weight.
+    *
+    * Exactness contract (hardened from [[Graph.pageRank]]'s): each
+    * contribution is the fixed double chain `r / W * w · 1e15` FLOORED
+    * to an exact integer — floor is engine-identical where a
+    * double→DECIMAL cast is not (Spark rounds HALF_UP, DuckDB half-even;
+    * with the extra weight multiply a tie actually lands on the
+    * boundary). Per-node sums stay < 1e15 < 2^53, so the integer sum,
+    * its double cast, and the /1e15 + damping blend are all IEEE-exact
+    * and order-independent — k unrolled iterations stay hash-exact
+    * against the oracle.
+    *
+    * 100 TB posture: pairs expand scan-side from the token array (no
+    * position self-join), the graph is VOCABULARY²-bounded (and far
+    * sparser — only within-window pairs), per iteration one equi-join
+    * + one combinable groupBy over checkpointed edges, TakeOrdered
+    * top-k at the end. Output: (word, tw, pr) — top `k` by rank. */
+  def textRank(docs: DataFrame, text: Column, window: Int, iters: Int,
+      k: Int, minLen: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(window >= 1 && iters >= 1 && iters <= 8 && k >= 1 && minLen >= 1,
+      s"textRank(window=$window, iters=$iters, k=$k, minLen=$minLen)")
+    val pairs = docs
+      .select(filter(regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0)),
+        w => length(w) >= minLen).as("w"))
+      .select(explode(when(size(col("w")) >= 2,
+        expr(s"""flatten(transform(sequence(0, size(w) - 2), i ->
+                |  transform(sequence(i + 1, least(i + $window, size(w) - 1)), j ->
+                |    concat(least(w[i], w[j]), ' ', greatest(w[i], w[j])))))"""
+          .stripMargin))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+    val und = pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .select(split(col("pair"), " ").getItem(0).as("w1"),
+        split(col("pair"), " ").getItem(1).as("w2"), col("cnt"))
+      .where(col("w1") =!= col("w2")) // no self-loops
+    val e = und.select(col("w1").as("src"), col("w2").as("dst"), col("cnt"))
+      .unionAll(und.select(col("w2").as("src"), col("w1").as("dst"), col("cnt")))
+      .localCheckpoint(false)
+    val tw = e.groupBy(col("src")).agg(sum(col("cnt")).as("tw"))
+    val nRow = tw.agg(count(lit(1)).as("n"))
+    val attrs = tw.crossJoin(broadcast(nRow))
+      .select(col("src").as("node"), col("tw"), col("n"))
+      .localCheckpoint(false)
+    var ranks = attrs.select(col("node"), col("tw"),
+      (lit(1.0) / col("n").cast("double")).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(e, col("node") === col("src"))
+        .select(col("dst"),
+          floor(col("r") / col("tw").cast("double") * col("cnt").cast("double")
+            * lit(1.0e15)).as("c"))
+      val inbound = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s15"))
+      ranks = attrs.join(inbound, col("node") === col("dst"))
+        .select(col("node"), col("tw"),
+          ((lit(1.0) - lit(damping)) / col("n").cast("double") +
+            lit(damping) * (col("s15").cast("double") / lit(1.0e15))).as("r"))
+    }
+    ranks.select(col("node").as("word"), col("tw"), col("r").as("pr"))
+      .orderBy(col("pr").desc, col("word"))
+      .limit(k)
+  }
 }

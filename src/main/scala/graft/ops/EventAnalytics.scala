@@ -265,6 +265,54 @@ object EventAnalytics {
           .as("lift_e6"))
   }
 
+  /** Time-constrained three-step funnel ("window funnel"): per DAY, how
+    * many step-3 conversions completed the ordered chain s1 < s2 < s3
+    * within `windowUs` — where the chain may start at ANY s1
+    * occurrence, not just the user's first ([[funnel3]]'s semantics).
+    * Greedy-latest is exact for three stages: the latest s2 before the
+    * conversion maximizes the set of usable s1s (the running-last frame
+    * is monotone — if ANY earlier s2 had an s1 before it, the latest
+    * does too), and the latest s1 before that s2 maximizes the chain
+    * start, so span = t3 − max-start is the MINIMAL span and the
+    * within-window test is exact.
+    *
+    * One hash(user) exchange carries both stacked running windows
+    * (frames end at 1 PRECEDING — a step never matches itself); the
+    * per-day median span is entity-partitioned order statistics. All
+    * integer microseconds. Output: (day, n_conv, n_completed,
+    * completion_ppm, p50_span_us — NULL when no completions). */
+  def windowFunnel(events: DataFrame, user: Column, ts: Column, id: Column,
+      typ: Column, s1: String, s2: String, s3: String,
+      windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"windowUs=$windowUs must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"), col("eid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val base = events.select(user.as("user_id"), unix_micros(ts).as("tus"),
+      id.as("eid"), typ.as("et"),
+      date_format(ts, "yyyy-MM-dd").as("day"))
+    val withS1 = base.withColumn("ls",
+      last(when(col("et") === s1, col("tus")), ignoreNulls = true).over(w))
+    val withS2 = withS1.withColumn("lc",
+      last(when(col("et") === s2, struct(col("tus").as("t"), col("ls").as("ls"))),
+        ignoreNulls = true).over(w))
+    val conv = withS2.where(col("et") === s3)
+      .select(col("day"),
+        (col("lc").isNotNull && col("lc.ls").isNotNull &&
+          col("tus") - col("lc.ls") <= windowUs).as("ok"),
+        (col("tus") - col("lc.ls")).as("span"))
+    val counts = conv.groupBy("day").agg(
+      count(lit(1)).as("n_conv"),
+      coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)).as("n_completed"))
+    val med = graft.ext.Profile.groupQuantiles(
+      conv.where(col("ok")), col("day"), col("span"), Seq(50))
+      .select(col("stratum").as("day"), col("p50").as("p50_span_us"))
+    counts.join(med, Seq("day"), "left")
+      .select(col("day"), col("n_conv"), col("n_completed"),
+        expr("n_completed * 1000000L DIV n_conv").as("completion_ppm"),
+        col("p50_span_us"))
+  }
+
   /** Hour-of-week seasonal baseline: per (ISO dow 1-7, hour 0-23) slot,
     * the observed-slot count, total events, floor mean (×100), and the
     * PEAK slot instance (its date, count, and ratio-to-mean ×1e6) — the

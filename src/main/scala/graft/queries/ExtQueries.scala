@@ -4525,6 +4525,95 @@ object ExtQueries {
       .orderBy("stratum")
   }
 
+  // x138 — TEXTRANK KEYWORDS: weighted PageRank over the word
+  // co-occurrence graph (Mihalcea & Tarau 2004) — corpus-level keyword
+  // extraction. Pairs expand scan-side (x114's shape), the graph is
+  // vocabulary-bounded, each iteration is one equi-join + one
+  // DECIMAL-exact combinable groupBy (x64's exactness contract).
+  private val trIterSql: String = (1 to 3).map { it =>
+    val prev = if (it == 1) "r0" else s"r${it - 1}"
+    s"""i$it AS (SELECT e.dst AS node,
+       |         CAST(SUM(CAST(floor(r.r / CAST(r.tw AS DOUBLE) * CAST(e.cnt AS DOUBLE) * CAST(1e15 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s15
+       |       FROM $prev r JOIN e ON e.src = r.node GROUP BY e.dst),
+       |r$it AS (SELECT t.src AS node, t.tw,
+       |              (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+       |              + CAST(0.85 AS DOUBLE) * (CAST(i$it.s15 AS DOUBLE) / CAST(1e15 AS DOUBLE)) AS r
+       |       FROM i$it JOIN tw t ON t.src = i$it.node CROSS JOIN nn)""".stripMargin
+  }.mkString(",\n")
+  val x138 = Q(
+    "x138_textrank",
+    s"""WITH t AS (
+      |  SELECT list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |                     x -> length(x) >= 5) AS w
+      |  FROM documents),
+      |p AS (
+      |  SELECT unnest(CASE WHEN len(w) >= 2 THEN
+      |    flatten(list_transform(range(1, len(w)), i ->
+      |      list_transform(range(i + 1, least(i + 3, len(w)) + 1), j ->
+      |        concat(least(w[i], w[j]), ' ', greatest(w[i], w[j])))))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS pair
+      |  FROM t),
+      |u AS (
+      |  SELECT string_split(pair, ' ')[1] AS w1, string_split(pair, ' ')[2] AS w2,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM p GROUP BY 1, 2 HAVING w1 <> w2),
+      |e AS (SELECT w1 AS src, w2 AS dst, cnt FROM u
+      |      UNION ALL SELECT w2 AS src, w1 AS dst, cnt FROM u),
+      |tw AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS tw FROM e GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS n FROM tw),
+      |r0 AS (SELECT src AS node, tw, CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS r
+      |       FROM tw CROSS JOIN nn),
+      |$trIterSql
+      |SELECT node AS word, tw, r AS pr
+      |FROM r3 ORDER BY pr DESC, word LIMIT 30""".stripMargin) { (s, dir) =>
+    Vocab.textRank(Tables.documents(s, dir), col("text"),
+      window = 3, iters = 3, k = 30, minLen = 5)
+  }
+
+  // x139 — WINDOW FUNNEL: ordered view→click→purchase chains completed
+  // within 6 h, chain may start at ANY view (greedy-latest is exact for
+  // 3 stages — see EventAnalytics.windowFunnel). One hash(user)
+  // exchange for both stacked running windows; per-day medians are
+  // entity-partitioned order statistics.
+  val x139 = Q(
+    "x139_window_funnel",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id AS eid, event_type AS et,
+      |         strftime(ts, '%Y-%m-%d') AS day
+      |  FROM events),
+      |w1 AS (
+      |  SELECT *, last_value(CASE WHEN et = 'view' THEN tus END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY tus, eid
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ls
+      |  FROM e),
+      |w2 AS (
+      |  SELECT *, last_value(CASE WHEN et = 'click' THEN {'t': tus, 'ls': ls} END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY tus, eid
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+      |  FROM w1),
+      |c AS (
+      |  SELECT day, lc.ls IS NOT NULL AND tus - lc.ls <= 21600000000 AS ok,
+      |         tus - lc.ls AS span
+      |  FROM w2 WHERE et = 'purchase'),
+      |counts AS (SELECT day, CAST(count(*) AS BIGINT) AS n_conv,
+      |                  CAST(coalesce(sum(CASE WHEN ok THEN 1 END), 0) AS BIGINT) AS n_completed
+      |           FROM c GROUP BY 1),
+      |r AS (SELECT day, span, CAST(row_number() OVER (PARTITION BY day ORDER BY span) AS BIGINT) AS rn
+      |      FROM c WHERE ok),
+      |cs AS (SELECT day, CAST(count(*) AS BIGINT) AS cs FROM c WHERE ok GROUP BY 1),
+      |med AS (SELECT r.day, max(CASE WHEN rn = (50 * cs + 99) // 100 THEN span END) AS p50_span_us
+      |        FROM r JOIN cs USING (day) GROUP BY r.day)
+      |SELECT counts.day, n_conv, n_completed,
+      |       CAST(n_completed * 1000000 // n_conv AS BIGINT) AS completion_ppm,
+      |       med.p50_span_us
+      |FROM counts LEFT JOIN med USING (day)
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.windowFunnel(Tables.events(s, dir),
+      col("user_id"), col("ts"), col("event_id"), col("event_type"),
+      "view", "click", "purchase", windowUs = 21600000000L)
+      .orderBy("day")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -4536,5 +4625,5 @@ object ExtQueries {
       x100, x101, x102, x103, x104, x105, x106, x107, x108, x109, x110,
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
-      x134, x135, x136, x137)
+      x134, x135, x136, x137, x138, x139)
 }

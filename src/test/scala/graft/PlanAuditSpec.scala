@@ -738,6 +738,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p) // tokens expand scan-side
   }
 
+  test("x138: textrank plans over checkpointed edges; top-k is TakeOrdered; no cartesian") {
+    val p = planOf("x138_textrank")
+    assert(p.contains("Scan ExistingRDD"), p) // edges + attrs checkpointed once
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("x139: every window is user- or day-partitioned — never global") {
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(planOf("x139_window_funnel")).map(_.group(1)).toSeq
+    assert(specs.nonEmpty &&
+      specs.forall(s => s.contains("user_id") || s.contains("stratum")), specs.toString)
+  }
+
   test("x106: four dims broadcast; lineitem joins orders as the ONLY shuffled join") {
     // the Q5 shape: AQE sizes the dim sides at runtime — assert the
     // FINAL adaptive plan like the x38 pin does

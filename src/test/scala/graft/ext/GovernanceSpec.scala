@@ -320,6 +320,50 @@ class GovernanceSpec extends graft.SparkSpec {
     assert(got(1) === (("b", 3L, 1L, 0L, 333333L, 0L)))
   }
 
+  test("windowFunnel: greedy-latest chain, strictly-prior frames, window cutoff") {
+    val e = Seq(
+      // user 1: view 00:00, click 00:10, purchase 00:20 → span 1200 s, ok
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 00:10:00"), 2L, "click"),
+      (1L, ts("2024-01-01 00:20:00"), 3L, "purchase"),
+      // user 2: view, then a LATER view narrows the chain; purchase ok
+      (2L, ts("2024-01-01 01:00:00"), 4L, "view"),
+      (2L, ts("2024-01-01 05:00:00"), 5L, "view"),
+      (2L, ts("2024-01-01 05:30:00"), 6L, "click"),
+      (2L, ts("2024-01-01 05:40:00"), 7L, "purchase"), // span 40 min from the LATE view
+      // user 3: click before any view → chain incomplete
+      (3L, ts("2024-01-02 00:00:00"), 8L, "click"),
+      (3L, ts("2024-01-02 00:01:00"), 9L, "purchase"),
+      // user 4: full chain but wider than the 1 h window
+      (4L, ts("2024-01-03 00:00:00"), 10L, "view"),
+      (4L, ts("2024-01-03 02:00:00"), 11L, "click"),
+      (4L, ts("2024-01-03 02:10:00"), 12L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.EventAnalytics.windowFunnel(e, col("user_id"),
+      col("ts"), col("event_id"), col("event_type"),
+      "view", "click", "purchase", windowUs = 3600000000L)
+      .orderBy("day")
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+    assert(got === Array(
+      // day 1: users 1+2 both complete; spans 1200 s and 2400 s → p50 = 1200 s
+      ("2024-01-01", 2L, 2L, 1000000L, Some(1200L * 1000000L)),
+      ("2024-01-02", 1L, 0L, 0L, None),
+      ("2024-01-03", 1L, 0L, 0L, None)))
+  }
+
+  test("windowFunnel: a purchase never chains through itself or later events") {
+    val e = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "purchase"), // nothing prior
+      (1L, ts("2024-01-01 00:01:00"), 2L, "view"),
+      (1L, ts("2024-01-01 00:02:00"), 3L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.EventAnalytics.windowFunnel(e, col("user_id"),
+      col("ts"), col("event_id"), col("event_type"),
+      "view", "click", "purchase", windowUs = 3600000000L)
+      .as[(String, Long, Long, Long, Option[Long])].head()
+    assert(got === (("2024-01-01", 1L, 0L, 0L, None)))
+  }
+
   test("TopKByMeasureAgg: reduce/merge laws on raw buffers") {
     import graft.functions.{IdMeasure, TopKByMeasureAgg}
     val a = new TopKByMeasureAgg(2)

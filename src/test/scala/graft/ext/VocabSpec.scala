@@ -177,3 +177,38 @@ class Log2HistSpec extends graft.SparkSpec {
     assert(got.keySet === Set(1L, 2L, 4L, 8L, 1024L)) // no empty buckets
   }
 }
+
+/** Pins textRank (x138): weighted-PageRank arithmetic on hand graphs. */
+class TextRankSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("textRank: path graph — hub outranks leaves, exact floor-scaled arithmetic") {
+    val docs = Seq("alpha bravo charlie").toDF("text")
+    val got = Vocab.textRank(docs, col("text"), window = 1, iters = 1,
+      k = 10, minLen = 5)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // edges: alpha-bravo (1), bravo-charlie (1); tw: alpha 1, bravo 2,
+    // charlie 1; N=3, r0 = 1/3. Reproduce the EXACT double chain:
+    val r0 = 1.0 / 3.0
+    def c(r: Double, tw: Long, w: Long) = math.floor(r / tw.toDouble * w.toDouble * 1.0e15)
+    val inAlpha = c(r0, 2, 1)               // from bravo
+    val inBravo = c(r0, 1, 1) + c(r0, 1, 1) // from alpha and charlie
+    def blend(s: Double) = (1.0 - 0.85) / 3.0 + 0.85 * (s / 1.0e15)
+    assert(got("alpha") === ((1L, blend(inAlpha))))
+    assert(got("bravo") === ((2L, blend(inBravo))))
+    assert(got("charlie") === got("alpha"))
+    assert(got("bravo")._2 > got("alpha")._2) // the hub outranks the leaves
+  }
+
+  test("textRank: minLen filters short words; repeated word makes no self-loop") {
+    // "of" drops (len<5); window spans the FILTERED sequence
+    val docs = Seq("alpha of bravo", "gamma gamma").toDF("text")
+    val words = Vocab.textRank(docs, col("text"), window = 1, iters = 1,
+      k = 10, minLen = 5)
+      .as[(String, Long, Double)].collect().map(_._1).toSet
+    // gamma-gamma is a self-pair -> excluded; gamma has no other edge,
+    // so it is not a node at all
+    assert(words === Set("alpha", "bravo"))
+  }
+}

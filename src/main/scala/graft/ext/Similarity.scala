@@ -826,4 +826,31 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
   }
+
+  /** Pairwise cosine similarity between SLICE centroids (slice = any
+    * corpus partition key: language, source, time bucket) — the
+    * embedding-drift matrix. Two slices whose centroids diverge
+    * (csim ≪ 1) embed different content; a new crawl slice drifting
+    * from its predecessor is the retrain/contamination signal.
+    *
+    * 100 TB posture: the corpus collapses to |slices|·dim rows in one
+    * combinable DECIMAL groupBy ([[labelCentroids]]); the pair matrix
+    * is a BROADCAST self-join over |slices| rows (a<b, no diagonal).
+    * Cosine arithmetic and 6-dp rounding follow [[classOutliers]]'s
+    * oracle-exact contract. Output: (slice_a, slice_b, n_a, n_b, csim). */
+  def sliceCentroidSim(df: DataFrame, slice: Column, emb: Column): DataFrame = {
+    val cents = labelCentroids(df, slice, emb)
+    val counts = df.select(slice.as("label")).groupBy("label")
+      .agg(count(lit(1)).as("n"))
+    val c = cents.join(counts, Seq("label"))
+      .select(col("label"), col("cemb"), col("cnorm"), col("n"))
+      .localCheckpoint(false) // |slices| rows, consumed by both join sides
+    val a = c.select(col("label").as("slice_a"), col("cemb").as("ea"),
+      col("cnorm").as("na"), col("n").as("n_a"))
+    val b = c.select(col("label").as("slice_b"), col("cemb").as("eb"),
+      col("cnorm").as("nb"), col("n").as("n_b"))
+    a.join(broadcast(b), col("slice_a") < col("slice_b"))
+      .select(col("slice_a"), col("slice_b"), col("n_a"), col("n_b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("csim"))
+  }
 }

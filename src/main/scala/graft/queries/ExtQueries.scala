@@ -4614,6 +4614,33 @@ object ExtQueries {
       .orderBy("day")
   }
 
+  // x140 — EMBEDDING DRIFT MATRIX: pairwise cosine between per-language
+  // slice centroids (documents⋈embeddings on doc_id=vec_id). The corpus
+  // collapses to |langs|·dim rows in one DECIMAL groupBy; the matrix is
+  // a broadcast self-join over |langs| rows. x50's exactness contract.
+  val x140 = Q(
+    "x140_centroid_drift",
+    """WITH j AS (
+      |  SELECT d.lang, e.embedding::DOUBLE[] AS emb
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+      |u AS (SELECT lang, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos FROM j),
+      |avgc AS (
+      |  SELECT lang, pos, CAST(SUM(CAST(v AS DECIMAL(28, 16))) AS DOUBLE) / count(*) AS m
+      |  FROM u GROUP BY lang, pos),
+      |cents AS (SELECT lang, list(m ORDER BY pos) AS cemb FROM avgc GROUP BY lang),
+      |cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY lang),
+      |c AS (SELECT cents.lang, cemb, n FROM cents JOIN cnt USING (lang))
+      |SELECT a.lang AS slice_a, b.lang AS slice_b, a.n AS n_a, b.n AS n_b,
+      |       round(list_cosine_similarity(a.cemb, b.cemb), 6) AS csim
+      |FROM c a JOIN c b ON a.lang < b.lang
+      |ORDER BY slice_a, slice_b""".stripMargin) { (s, dir) =>
+    val j = Tables.documents(s, dir)
+      .join(Tables.embeddings(s, dir),
+        col("doc_id") === col("vec_id"))
+    Similarity.sliceCentroidSim(j, col("lang"), col("embedding"))
+      .orderBy("slice_a", "slice_b")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -4625,5 +4652,5 @@ object ExtQueries {
       x100, x101, x102, x103, x104, x105, x106, x107, x108, x109, x110,
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
-      x134, x135, x136, x137, x138, x139)
+      x134, x135, x136, x137, x138, x139, x140)
 }

@@ -753,6 +753,14 @@ class PlanAuditSpec extends SparkSpec {
       specs.forall(s => s.contains("user_id") || s.contains("stratum")), specs.toString)
   }
 
+  test("x140: centroid pair matrix joins only checkpointed slice rows, broadcast") {
+    val p = planOf("x140_centroid_drift")
+    assert(p.contains("Scan ExistingRDD"), p)  // |slices|-row table checkpointed
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
   test("x106: four dims broadcast; lineitem joins orders as the ONLY shuffled join") {
     // the Q5 shape: AQE sizes the dim sides at runtime — assert the
     // FINAL adaptive plan like the x38 pin does

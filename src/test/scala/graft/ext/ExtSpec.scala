@@ -320,6 +320,21 @@ class SimilaritySpec extends SparkSpec {
       assert(sim === 1.0)
     }
   }
+
+  test("sliceCentroidSim: orthogonal slices 0, identical slices 1, a<b only") {
+    val rows = Seq(
+      ("a", Array(2.0f, 0.0f)), ("a", Array(4.0f, 0.0f)),  // centroid (3, 0)
+      ("b", Array(0.0f, 1.0f)), ("b", Array(0.0f, 3.0f)),  // centroid (0, 2)
+      ("c", Array(6.0f, 0.0f))                             // centroid (6, 0) ∥ a
+    ).toDF("slice", "embedding")
+    val got = Similarity.sliceCentroidSim(rows, col("slice"), col("embedding"))
+      .orderBy("slice_a", "slice_b")
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(got === Array(
+      ("a", "b", 2L, 2L, 0.0),
+      ("a", "c", 2L, 1L, 1.0),
+      ("b", "c", 2L, 1L, 0.0)))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

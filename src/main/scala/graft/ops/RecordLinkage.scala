@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Blocked record linkage (Fellegi & Sunter 1969, the candidate +
+  * field-agreement half): probable-duplicate pairs of STRUCTURED
+  * records scored by integer field-agreement weights — the
+  * entity-resolution step master-data pipelines run before any merge.
+  * The text twin is [[graft.ext.Dedup.editDistancePairs]] (x111); this
+  * operator is its structured-record sibling and shares the blocking
+  * contract.
+  *
+  * Blocking: records group by (hard key, numeric band); every record
+  * probes its own band and band+1, so pairs straddling a band boundary
+  * still meet ([[graft.ext.Dedup.editDistancePairs]]'s scheme,
+  * candidates == all same-key pairs with |band diff| <= 1). The numeric
+  * value is SHIFTED positive before banding: Spark's `DIV` truncates
+  * toward zero while DuckDB's `//` floors, so negative bands would
+  * diverge between engine and oracle — positive bands make the two
+  * identical.
+  *
+  * Hot blocks (> `maxBlock` probe rows) are dropped WHOLE — identical
+  * contract to x111's band cap: a block that dense means the blocking
+  * key does not discriminate, and all-pairs inside it is the quadratic
+  * work blocking exists to avoid. The oracle mirrors the cap.
+  *
+  * 100 TB posture: one probe-table union (2× the records), a
+  * block-partitioned count window (block-sized partitions by
+  * construction), one equi-join on (key, band) bounded by maxBlock²
+  * per block, distinct at pair granularity. Scores are integer
+  * conditional ladders; the top-k cut is TakeOrderedAndProject.
+  */
+object RecordLinkage {
+
+  /** Candidate pairs of `df` records with integer agreement scores.
+    * `hard` must agree exactly (blocking key); `cents` is the numeric
+    * compare field (banded, proximity-scored); `seg` is a categorical
+    * compare field. Score = 40·[seg equal] + (50 if |Δcents| <= tight,
+    * 20 if <= loose, else 0); tiers: >= 70 match, >= 40 possible, else
+    * weak. Output: (id_a, id_b, score, tier) — top `k` by (score DESC,
+    * id_a, id_b). */
+  def linkPairs(df: DataFrame, id: Column, hard: Column, cents: Column,
+      seg: Column, tight: Long = 2000L, loose: Long = 10000L,
+      shift: Long = 100000L, maxBlock: Int = 256, k: Int = 100): DataFrame = {
+    require(tight <= loose && loose >= 1, s"tight=$tight loose=$loose")
+    require(maxBlock >= 2 && k >= 1, s"maxBlock=$maxBlock k=$k")
+    val base = df.select(id.cast("long").as("k"), hard.as("nat"),
+      seg.as("seg"), cents.cast("long").as("cents"))
+      .withColumn("band", expr(s"(cents + ${shift}L) DIV ${loose}L"))
+    val probes = base.unionAll(base.withColumn("band", col("band") + 1))
+    val bw = Window.partitionBy(col("nat"), col("band"))
+    val guarded = probes.withColumn("__n", count(lit(1)).over(bw))
+      .where(col("__n") <= maxBlock).drop("__n")
+    val l = guarded.select(col("nat"), col("band"), col("k").as("id_a"),
+      col("seg").as("seg_a"), col("cents").as("c_a"))
+    val r = guarded.select(col("nat"), col("band"), col("k").as("id_b"),
+      col("seg").as("seg_b"), col("cents").as("c_b"))
+    l.join(r, Seq("nat", "band")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("seg_a") === col("seg_b")).as("seg_eq"),
+        abs(col("c_a") - col("c_b")).as("d"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        (when(col("seg_eq"), 40).otherwise(0) +
+          when(col("d") <= tight, 50).when(col("d") <= loose, 20).otherwise(0))
+          .cast("int").as("score"))
+      .withColumn("tier",
+        when(col("score") >= 70, "match")
+          .when(col("score") >= 40, "possible").otherwise("weak"))
+      .orderBy(col("score").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+}

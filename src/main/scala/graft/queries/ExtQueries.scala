@@ -4641,6 +4641,69 @@ object ExtQueries {
       .orderBy("slice_a", "slice_b")
   }
 
+  // x141 — BLOCKED RECORD LINKAGE: probable-duplicate customers by
+  // (nation, balance-band) blocking + integer field-agreement scores —
+  // x111's blocking contract on structured records. Bands are shifted
+  // positive so Spark DIV (truncate) and DuckDB // (floor) agree.
+  val x141 = Q(
+    "x141_record_linkage",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer),
+      |b AS (SELECT *, (cents + 100000) // 10000 AS band FROM c),
+      |p AS (SELECT k, nat, seg, cents, band FROM b
+      |      UNION ALL SELECT k, nat, seg, cents, band + 1 FROM b),
+      |g AS (SELECT *, count(*) OVER (PARTITION BY nat, band) AS bn FROM p),
+      |f AS (SELECT * FROM g WHERE bn <= 256),
+      |pairs AS (
+      |  SELECT DISTINCT a.k AS id_a, b.k AS id_b, a.seg = b.seg AS seg_eq,
+      |         abs(a.cents - b.cents) AS d
+      |  FROM f a JOIN f b ON a.nat = b.nat AND a.band = b.band AND a.k < b.k)
+      |SELECT id_a, id_b,
+      |       CAST(CASE WHEN seg_eq THEN 40 ELSE 0 END +
+      |            CASE WHEN d <= 2000 THEN 50 WHEN d <= 10000 THEN 20 ELSE 0 END AS INT) AS score,
+      |       CASE WHEN (CASE WHEN seg_eq THEN 40 ELSE 0 END +
+      |                  CASE WHEN d <= 2000 THEN 50 WHEN d <= 10000 THEN 20 ELSE 0 END) >= 70 THEN 'match'
+      |            WHEN (CASE WHEN seg_eq THEN 40 ELSE 0 END +
+      |                  CASE WHEN d <= 2000 THEN 50 WHEN d <= 10000 THEN 20 ELSE 0 END) >= 40 THEN 'possible'
+      |            ELSE 'weak' END AS tier
+      |FROM pairs
+      |ORDER BY score DESC, id_a, id_b LIMIT 100""".stripMargin) { (s, dir) =>
+    graft.ops.RecordLinkage.linkPairs(Tables.customer(s, dir),
+      col("c_custkey"), col("c_nationkey"),
+      round(col("c_acctbal") * 100, 0).cast("long"), col("c_mktsegment"))
+  }
+
+  // x142 — CUBE REVENUE (segment × priority): all four grouping sets in
+  // ONE Expand pass over the joined fact (x130 computes the ROLLUP
+  // lattice; CUBE adds the cross-margins). Exact cents, grouping bits.
+  val x142 = Q(
+    "x142_cube_revenue",
+    """WITH f AS (
+      |  SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |SELECT coalesce(seg, '(all)') AS segment, coalesce(pri, '(all)') AS priority,
+      |       CAST(grouping(seg) * 2 + grouping(pri) AS INT) AS lvl,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(cents) AS BIGINT) AS cents
+      |FROM f
+      |GROUP BY CUBE (seg, pri)
+      |ORDER BY lvl, segment, priority""".stripMargin) { (s, dir) =>
+    val f = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    f.cube(col("seg"), col("pri"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"),
+        (grouping(col("seg")) * 2 + grouping(col("pri"))).cast("int").as("lvl"))
+      .select(coalesce(col("seg"), lit("(all)")).as("segment"),
+        coalesce(col("pri"), lit("(all)")).as("priority"),
+        col("lvl"), col("n_orders"), col("cents"))
+      .orderBy("lvl", "segment", "priority")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -4652,5 +4715,5 @@ object ExtQueries {
       x100, x101, x102, x103, x104, x105, x106, x107, x108, x109, x110,
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
-      x134, x135, x136, x137, x138, x139, x140)
+      x134, x135, x136, x137, x138, x139, x140, x141, x142)
 }

@@ -761,6 +761,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), p)
   }
 
+  test("x141: linkage windows are block-partitioned; top-k is TakeOrdered") {
+    val p = planOf("x141_record_linkage")
+    val specs = "windowspecdefinition\\(([^,]*, [^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(s => s.contains("nat") && s.contains("band")),
+      specs.toString)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x142: cube is ONE Expand pass; customer dim broadcast") {
+    val df = SparkEntry.queries("x142_cube_revenue")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(p).length >= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x106: four dims broadcast; lineitem joins orders as the ONLY shuffled join") {
     // the Q5 shape: AQE sizes the dim sides at runtime — assert the
     // FINAL adaptive plan like the x38 pin does

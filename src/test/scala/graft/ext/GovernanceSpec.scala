@@ -364,6 +364,38 @@ class GovernanceSpec extends graft.SparkSpec {
     assert(got === (("2024-01-01", 1L, 0L, 0L, None)))
   }
 
+  test("linkPairs: score ladder, band-straddle pairs meet, negative balances band safely") {
+    // nation 1: ids 1,2 same seg, 500 cents apart (tight) → 90 match;
+    // ids 1,3 seg differs, 9_500 apart (loose, straddles a band edge) → 20 weak;
+    // nation 2: id 4 negative cents — must not collide with nation 1
+    val df = Seq(
+      (1L, 1, "AUTO", 5000L), (2L, 1, "AUTO", 5500L), (3L, 1, "BIKE", 14500L),
+      (4L, 2, "AUTO", -95000L)
+    ).toDF("k", "nat", "seg", "cents")
+    val got = graft.ops.RecordLinkage.linkPairs(df, col("k"), col("nat"),
+      col("cents"), col("seg"))
+      .as[(Long, Long, Int, String)].collect()
+    // (1,2): band 10=10, d=500, seg eq → 90; (1,3): bands 10/11 straddle,
+    // d=9500, seg differs → 20; (2,3): bands 10/11, d=9000 → 20
+    assert(got === Array(
+      (1L, 2L, 90, "match"),
+      (1L, 3L, 20, "weak"),
+      (2L, 3L, 20, "weak")))
+  }
+
+  test("linkPairs: hot blocks drop WHOLE; distinct claims each pair once") {
+    // 300 records in one (nation, band) bucket exceed maxBlock=256 via
+    // probes → the block drops entirely, no pairs from it; a clean
+    // two-record block elsewhere still pairs exactly once
+    val hot = (1L to 300L).map(i => (i, 1, "AUTO", 1000L))
+    val ok = Seq((1001L, 2, "AUTO", 1000L), (1002L, 2, "AUTO", 1200L))
+    val df = (hot ++ ok).toDF("k", "nat", "seg", "cents")
+    val got = graft.ops.RecordLinkage.linkPairs(df, col("k"), col("nat"),
+      col("cents"), col("seg"), k = 10000)
+      .as[(Long, Long, Int, String)].collect()
+    assert(got === Array((1001L, 1002L, 90, "match")))
+  }
+
   test("TopKByMeasureAgg: reduce/merge laws on raw buffers") {
     import graft.functions.{IdMeasure, TopKByMeasureAgg}
     val a = new TopKByMeasureAgg(2)

@@ -45,4 +45,62 @@ object Layout {
       .sortWithinPartitions(col("__z"), tiebreak)
       .drop("__z")
   }
+
+  /** Zone-map (block min/max) statistics: group rows into blocks of
+    * `blockSize` consecutive `blockKey` values and record, per block,
+    * the row count and the min/max of the sort measure — exactly the
+    * per-row-group metadata parquet keeps, computed here as a TABLE so
+    * pruning power is measurable before you commit to a layout.
+    * Output: (blk, n_rows, min_m, max_m), one row per occupied block.
+    *
+    * 100 TB posture: one combinable groupBy at block cardinality
+    * (rows / blockSize) — the stats table is 4–5 orders of magnitude
+    * smaller than the data and is itself the thing a scan planner
+    * broadcasts. */
+  def zoneMapStats(df: DataFrame, blockKey: Column, measure: Column,
+      blockSize: Long): DataFrame = {
+    require(blockSize >= 2, s"blockSize=$blockSize must be >= 2")
+    df.select(blockKey.cast("long").as("k"), measure.cast("long").as("m"))
+      .select(expr(s"k DIV ${blockSize}L").as("blk"), col("m"))
+      .groupBy("blk")
+      .agg(count(lit(1)).as("n_rows"), min(col("m")).as("min_m"),
+        max(col("m")).as("max_m"))
+  }
+
+  /** Pruning audit of a zone map for the range predicate
+    * `lo <= m <= hi`: one row with total/pruned block and row counts,
+    * the exact matching-row count, and the two ppm ratios a layout
+    * decision hangs on — `pruned_rows_ppm` (fraction of the table a
+    * zone-aware scan SKIPS: blocks whose [min,max] misses the range
+    * entirely) vs `match_ppm` (fraction it actually WANTS). The gap
+    * between `1e6 − pruned_rows_ppm` and `match_ppm` is the read
+    * amplification the current layout still pays; z-ordering or
+    * sorting by `m` closes it.
+    *
+    * One pass computes both sides: per-block stats AND the true match
+    * count fold into the same groupBy, then a single-row finish. */
+  def zonePruneAudit(df: DataFrame, blockKey: Column, measure: Column,
+      blockSize: Long, lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"lo=$lo must be <= hi=$hi")
+    val stats = df
+      .select(blockKey.cast("long").as("k"), measure.cast("long").as("m"))
+      .select(expr(s"k DIV ${blockSize}L").as("blk"), col("m"))
+      .groupBy("blk")
+      .agg(count(lit(1)).as("n_rows"), min(col("m")).as("min_m"),
+        max(col("m")).as("max_m"),
+        sum(when(col("m") >= lo && col("m") <= hi, 1L).otherwise(0L))
+          .as("n_match"))
+    stats.agg(
+        count(lit(1)).as("blocks_total"),
+        sum(col("n_rows")).as("rows_total"),
+        sum(when(col("max_m") < lo || col("min_m") > hi, 1L).otherwise(0L))
+          .as("blocks_pruned"),
+        sum(when(col("max_m") < lo || col("min_m") > hi, col("n_rows"))
+          .otherwise(lit(0L))).as("rows_pruned"),
+        sum(col("n_match")).as("rows_match"))
+      .select(col("blocks_total"), col("rows_total"), col("blocks_pruned"),
+        col("rows_pruned"), col("rows_match"),
+        expr("rows_pruned * 1000000L DIV rows_total").as("pruned_rows_ppm"),
+        expr("rows_match * 1000000L DIV rows_total").as("match_ppm"))
+  }
 }

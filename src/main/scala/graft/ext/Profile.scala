@@ -352,6 +352,95 @@ object Profile {
   val benfordPpm: Seq[(Int, Long)] = Seq(
     1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
     6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+  /** Exact pairwise covariance matrix over integer-valued measures in
+    * ONE table pass: for every unordered column pair (x, y) — including
+    * the diagonal, whose cov is the variance — the row count, the two
+    * sums, and the truncated sample covariance
+    * `cov_q = (n·Σxy − Σx·Σy) div (n·(n−1))`.
+    *
+    * The feature-correlation screen a pipeline runs before picking
+    * quality-filter thresholds (a signal that is 0.99-correlated with
+    * one you already gate on buys nothing). Everything is EXACT
+    * integer/DECIMAL arithmetic — the double-accumulation `corr()`
+    * built-in is order-dependent and can never hash-match an oracle —
+    * and both engines truncate integral division toward zero, so the
+    * quotient is reproducible for negative covariances too.
+    *
+    * 100 TB posture: one scan, one combinable aggregation producing a
+    * SINGLE wide row (k + k·(k+1)/2 accumulators), then a driver-free
+    * `stack` unpivot of that row into the k·(k+1)/2-row result — no
+    * joins, no second pass, no per-pair rescan. Overflow envelope:
+    * sums ride DECIMAL(38,0); with per-row |x·y| ≤ 10^14 (two 10^7
+    * cent measures) the n·Σxy term stays inside 38 digits up to
+    * ~10^17 rows — far past the 100 TB fact.
+    *
+    * Output: (col_x, col_y, n_rows, sum_x, sum_y, cov_q) with sums as
+    * BIGINT (callers keep per-measure totals under 2^63) and pairs in
+    * `cols` order. */
+  def covMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, s"covMatrix needs >= 2 columns, got ${cols.size}")
+    require(cols.forall(c => c._1.matches("[A-Za-z0-9_]+")),
+      s"covMatrix column labels must be identifier-safe: ${cols.map(_._1)}")
+    import org.apache.spark.sql.types.DecimalType
+    val d = df.select(cols.map { case (n, c) => c.cast("long").as(n) }: _*)
+    val dec = (n: String) => col(n).cast(DecimalType(38, 0))
+    val pairs = for { i <- cols.indices; j <- i until cols.size }
+      yield (cols(i)._1, cols(j)._1)
+    val aggs =
+      cols.map { case (n, _) => sum(dec(n)).as(s"__s_$n") } ++
+        pairs.map { case (x, y) =>
+          sum(dec(x) * dec(y)).as(s"__d_${x}__$y") }
+    val wide = d.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = pairs.map { case (x, y) =>
+      s"'$x', '$y', `__s_$x`, `__s_$y`, `__d_${x}__$y`"
+    }.mkString(", ")
+    wide.select(col("__n").as("n_rows"), expr(
+        s"stack(${pairs.size}, $stackArgs) AS (col_x, col_y, __sx, __sy, __dot)"))
+      .select(col("col_x"), col("col_y"), col("n_rows"),
+        col("__sx").cast("long").as("sum_x"),
+        col("__sy").cast("long").as("sum_y"),
+        expr("CAST((CAST(n_rows AS DECIMAL(38,0)) * __dot - __sx * __sy) " +
+          "DIV (CAST(n_rows AS DECIMAL(38,0)) * (n_rows - 1)) AS BIGINT)")
+          .as("cov_q"))
+  }
+
+  /** Join-cardinality statistics for one equi-join edge WITHOUT
+    * materializing the join: both sides pre-aggregate to (key, count)
+    * histograms, and `Σ c_left(k)·c_right(k)` over the key-level merge
+    * IS the exact equi-join row count — the optimizer-statistics
+    * primitive (join reorder, broadcast decisions, skew planning all
+    * start from this number, and at 100 TB you cannot afford to learn
+    * it by running the join).
+    *
+    * Plan: two combinable count groupBys (each at its own KEY
+    * cardinality), one key-level inner join between the histograms,
+    * one final fold to a single row. The fact tables themselves never
+    * shuffle — only (key, count) pairs do. Exact integers; the product
+    * sum rides DECIMAL(38,0) (envelope: join output < 10^38 rows).
+    *
+    * Output: one row (edge, n_left, n_right, keys_left, keys_right,
+    * keys_matched, join_rows, max_key_rows). */
+  def joinCardStats(left: DataFrame, leftKey: Column, right: DataFrame,
+      rightKey: Column, edge: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val l = left.select(leftKey.cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cl"))
+    val r = right.select(rightKey.cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cr"))
+    val lt = l.agg(sum(col("cl")).as("n_left"), count(lit(1)).as("keys_left"))
+    val rt = r.agg(sum(col("cr")).as("n_right"), count(lit(1)).as("keys_right"))
+    val m = l.join(r, Seq("k"))
+      .agg(count(lit(1)).as("keys_matched"),
+        coalesce(sum(col("cl").cast(DecimalType(38, 0)) * col("cr")), lit(0L))
+          .cast(DecimalType(38, 0)).as("join_dec"),
+        coalesce(max(col("cl").cast(DecimalType(38, 0)) * col("cr")), lit(0L))
+          .cast("long").as("max_key_rows"))
+    lt.crossJoin(broadcast(rt)).crossJoin(broadcast(m))
+      .select(lit(edge).as("edge"), col("n_left"), col("n_right"),
+        col("keys_left"), col("keys_right"), col("keys_matched"),
+        col("join_dec").cast("long").as("join_rows"), col("max_key_rows"))
+  }
+
   def benfordAudit(df: DataFrame, measure: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

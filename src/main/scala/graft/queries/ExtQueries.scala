@@ -4704,6 +4704,129 @@ object ExtQueries {
       .orderBy("lvl", "segment", "priority")
   }
 
+  // x143 — EXACT COVARIANCE MATRIX over lineitem's four money/measure
+  // columns in ONE pass: a single combinable aggregation builds all
+  // k + k(k+1)/2 accumulators (sums + pair dot products, DECIMAL-exact),
+  // then a stack unpivot emits the 10-pair matrix. The double-based
+  // corr() built-in is accumulation-order-dependent and could never
+  // hash-match; this is the engine-reproducible form.
+  val x143 = Q(
+    "x143_cov_matrix",
+    """WITH c AS (
+      |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+      |         CAST(round(l_discount * 100) AS BIGINT) AS disc,
+      |         CAST(round(l_tax * 100) AS BIGINT) AS tax
+      |  FROM lineitem),
+      |w AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         sum(CAST(qty AS HUGEINT)) AS s_qty, sum(CAST(price AS HUGEINT)) AS s_price,
+      |         sum(CAST(disc AS HUGEINT)) AS s_disc, sum(CAST(tax AS HUGEINT)) AS s_tax,
+      |         sum(CAST(qty AS HUGEINT) * qty) AS d_qty_qty,
+      |         sum(CAST(qty AS HUGEINT) * price) AS d_qty_price,
+      |         sum(CAST(qty AS HUGEINT) * disc) AS d_qty_disc,
+      |         sum(CAST(qty AS HUGEINT) * tax) AS d_qty_tax,
+      |         sum(CAST(price AS HUGEINT) * price) AS d_price_price,
+      |         sum(CAST(price AS HUGEINT) * disc) AS d_price_disc,
+      |         sum(CAST(price AS HUGEINT) * tax) AS d_price_tax,
+      |         sum(CAST(disc AS HUGEINT) * disc) AS d_disc_disc,
+      |         sum(CAST(disc AS HUGEINT) * tax) AS d_disc_tax,
+      |         sum(CAST(tax AS HUGEINT) * tax) AS d_tax_tax
+      |  FROM c),
+      |p AS (
+      |  SELECT 'qty' AS col_x, 'qty' AS col_y, s_qty AS sx, s_qty AS sy, d_qty_qty AS dot, n FROM w
+      |  UNION ALL SELECT 'qty', 'price', s_qty, s_price, d_qty_price, n FROM w
+      |  UNION ALL SELECT 'qty', 'disc', s_qty, s_disc, d_qty_disc, n FROM w
+      |  UNION ALL SELECT 'qty', 'tax', s_qty, s_tax, d_qty_tax, n FROM w
+      |  UNION ALL SELECT 'price', 'price', s_price, s_price, d_price_price, n FROM w
+      |  UNION ALL SELECT 'price', 'disc', s_price, s_disc, d_price_disc, n FROM w
+      |  UNION ALL SELECT 'price', 'tax', s_price, s_tax, d_price_tax, n FROM w
+      |  UNION ALL SELECT 'disc', 'disc', s_disc, s_disc, d_disc_disc, n FROM w
+      |  UNION ALL SELECT 'disc', 'tax', s_disc, s_tax, d_disc_tax, n FROM w
+      |  UNION ALL SELECT 'tax', 'tax', s_tax, s_tax, d_tax_tax, n FROM w)
+      |SELECT col_x, col_y, n AS n_rows,
+      |       CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+      |       CAST((n * dot - sx * sy) // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS cov_q
+      |FROM p
+      |ORDER BY col_x, col_y""".stripMargin) { (s, dir) =>
+    Profile.covMatrix(Tables.lineitem(s, dir), Seq(
+        "qty" -> round(col("l_quantity") * 100, 0),
+        "price" -> round(col("l_extendedprice") * 100, 0),
+        "disc" -> round(col("l_discount") * 100, 0),
+        "tax" -> round(col("l_tax") * 100, 0)))
+      .orderBy("col_x", "col_y")
+  }
+
+  // x144 — ZONE-MAP PRUNING AUDIT: block min/max stats over the orders
+  // fact (block = 4096 consecutive orderkeys, measure = orderdate as
+  // epoch days) folded into one pruning-power row for a Q1-1995
+  // half-year predicate. The answer to "is this table worth
+  // re-clustering?" computed without touching any layout.
+  val x144 = Q(
+    "x144_zone_prune",
+    """WITH b AS (
+      |  SELECT o_orderkey // 4096 AS blk,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS m
+      |  FROM orders),
+      |s AS (
+      |  SELECT blk, CAST(count(*) AS BIGINT) AS n_rows,
+      |         min(m) AS min_m, max(m) AS max_m,
+      |         CAST(sum(CASE WHEN m BETWEEN 9131 AND 9311 THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      |  FROM b GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS blocks_total,
+      |       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+      |       CAST(sum(CASE WHEN max_m < 9131 OR min_m > 9311 THEN 1 ELSE 0 END) AS BIGINT) AS blocks_pruned,
+      |       CAST(sum(CASE WHEN max_m < 9131 OR min_m > 9311 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_pruned,
+      |       CAST(sum(n_match) AS BIGINT) AS rows_match,
+      |       CAST(sum(CASE WHEN max_m < 9131 OR min_m > 9311 THEN n_rows ELSE 0 END) * 1000000 // sum(n_rows) AS BIGINT) AS pruned_rows_ppm,
+      |       CAST(sum(n_match) * 1000000 // sum(n_rows) AS BIGINT) AS match_ppm
+      |FROM s""".stripMargin) { (s, dir) =>
+    // 9131/9311 = 1995-01-01 / 1995-06-30 as epoch days — shared
+    // constants with the oracle, derived once, not at query time
+    graft.ext.Layout.zonePruneAudit(Tables.orders(s, dir),
+      col("o_orderkey"),
+      datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")),
+      blockSize = 4096L, lo = 9131L, hi = 9311L)
+  }
+
+  // x145 — JOIN-CARDINALITY STATS via key histograms: the exact
+  // |A ⋈ B| of the schema's three fact joins computed at KEY
+  // cardinality — the fact rows never shuffle, only (key, count)
+  // pairs. The optimizer-statistics primitive behind join reordering
+  // and broadcast planning.
+  private def joinCardSql(edge: String, lt: String, lk: String,
+      rt: String, rk: String): String =
+    s"""SELECT '$edge' AS edge, n_left, n_right, keys_left, keys_right,
+       |       keys_matched, join_rows, max_key_rows
+       |FROM (
+       |  SELECT CAST(sum(cl) AS BIGINT) AS n_left, CAST(count(*) AS BIGINT) AS keys_left
+       |  FROM (SELECT $lk AS k, CAST(count(*) AS BIGINT) AS cl FROM $lt GROUP BY 1)),
+       |     (
+       |  SELECT CAST(sum(cr) AS BIGINT) AS n_right, CAST(count(*) AS BIGINT) AS keys_right
+       |  FROM (SELECT $rk AS k, CAST(count(*) AS BIGINT) AS cr FROM $rt GROUP BY 1)),
+       |     (
+       |  SELECT CAST(count(*) AS BIGINT) AS keys_matched,
+       |         CAST(coalesce(sum(CAST(cl AS HUGEINT) * cr), 0) AS BIGINT) AS join_rows,
+       |         CAST(coalesce(max(CAST(cl AS HUGEINT) * cr), 0) AS BIGINT) AS max_key_rows
+       |  FROM (SELECT $lk AS k, CAST(count(*) AS BIGINT) AS cl FROM $lt GROUP BY 1) l
+       |  JOIN (SELECT $rk AS k, CAST(count(*) AS BIGINT) AS cr FROM $rt GROUP BY 1) r
+       |  USING (k))""".stripMargin
+  val x145 = Q(
+    "x145_join_card",
+    Seq(
+      joinCardSql("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      joinCardSql("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      joinCardSql("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY edge")) { (s, dir) =>
+    Profile.joinCardStats(Tables.lineitem(s, dir), col("l_orderkey"),
+        Tables.orders(s, dir), col("o_orderkey"), "lineitem->orders")
+      .unionByName(Profile.joinCardStats(Tables.lineitem(s, dir), col("l_partkey"),
+        Tables.part(s, dir), col("p_partkey"), "lineitem->part"))
+      .unionByName(Profile.joinCardStats(Tables.orders(s, dir), col("o_custkey"),
+        Tables.customer(s, dir), col("c_custkey"), "orders->customer"))
+      .orderBy("edge")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -4715,5 +4838,6 @@ object ExtQueries {
       x100, x101, x102, x103, x104, x105, x106, x107, x108, x109, x110,
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
-      x134, x135, x136, x137, x138, x139, x140, x141, x142)
+      x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
+      x145)
 }

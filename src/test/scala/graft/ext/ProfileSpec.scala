@@ -99,3 +99,101 @@ class RegionalRevenueSpec extends graft.SparkSpec {
     assert(full.forall(r => r.getLong(1) > 0 && r.getDouble(2) > 0))
   }
 }
+
+class CovMatrixSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // hand-checkable: x = (1,2,3), y = (2,4,6) → cov(x,y) = 2·var(x)
+  private val d = Seq((1L, 2L, 7L), (2L, 4L, 7L), (3L, 6L, 7L))
+    .toDF("x", "y", "c")
+
+  test("diagonal is the variance, constant column covaries with nothing") {
+    val got = Profile.covMatrix(d, Seq(
+        "x" -> col("x"), "y" -> col("y"), "c" -> col("c")))
+      .orderBy("col_x", "col_y")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    val m = got.map(r => (r._1, r._2) -> r._6).toMap
+    assert(m(("x", "x")) === 1L)   // sample var of 1,2,3
+    assert(m(("x", "y")) === 2L)   // y = 2x → cov = 2·var(x)
+    assert(m(("y", "y")) === 4L)   // var(2,4,6)
+    assert(m(("x", "c")) === 0L)
+    assert(m(("c", "c")) === 0L)
+    assert(got.forall(_._3 === 3L)) // n_rows everywhere
+    assert(got.length === 6)        // 3 cols → 6 unordered pairs
+  }
+
+  test("negative covariance truncates toward zero like the oracle's //") {
+    // x = (1,2,3), z = (3,2,1) → cov = -var(x) = -1; and a pair whose
+    // exact quotient is -1.5 must truncate to -1 (not floor to -2)
+    val dz = Seq((1L, 3L, 6L), (2L, 2L, 3L), (3L, 1L, 0L)).toDF("x", "z", "w")
+    val got = Profile.covMatrix(dz, Seq(
+        "x" -> col("x"), "z" -> col("z"), "w" -> col("w")))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._6).toMap
+    assert(got(("x", "z")) === -1L)
+    assert(got(("x", "w")) === -3L)  // cov = -3 exactly
+    assert(got(("z", "w")) === 3L)
+  }
+
+  test("label hygiene: non-identifier labels refuse loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Profile.covMatrix(d, Seq("a b" -> col("x"), "y" -> col("y")))
+    }
+    assert(e.getMessage.contains("identifier-safe"))
+  }
+}
+
+class JoinCardSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("histogram product equals the materialized equi-join count") {
+    val l = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")       // counts 3,1,1
+    val r = Seq(1L, 1L, 2L, 4L).toDF("k")           // counts 2,1,1
+    val got = Profile.joinCardStats(l, col("k"), r, col("k"), "e")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].head()
+    val actual = l.join(r, Seq("k")).count()
+    assert(got === (("e", 5L, 4L, 3L, 3L, 2L, actual, 6L)))
+    assert(actual === 7L) // 3·2 + 1·1
+  }
+
+  test("disjoint keys: zero matched, zero join rows, not null") {
+    val l = Seq(1L, 2L).toDF("k")
+    val r = Seq(3L).toDF("k")
+    val got = Profile.joinCardStats(l, col("k"), r, col("k"), "e")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got === (("e", 2L, 1L, 2L, 1L, 0L, 0L, 0L)))
+  }
+}
+
+class ZoneMapSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // keys 0..9 in blocks of 4 → blocks {0,1,2}; measure clustered so
+  // block 0 holds 0..3, block 1 holds 40..43, block 2 holds 80..81
+  private val d = (0L to 9L).map(k => (k, if (k < 4) k else if (k < 8) k + 36 else k + 72))
+    .toDF("k", "m")
+
+  test("block stats: count and min/max per block") {
+    val got = Layout.zoneMapStats(d, col("k"), col("m"), 4L)
+      .orderBy("blk").as[(Long, Long, Long, Long)].collect()
+    assert(got === Array((0L, 4L, 0L, 3L), (1L, 4L, 40L, 43L), (2L, 2L, 80L, 81L)))
+  }
+
+  test("prune audit: clustered layout prunes non-overlapping blocks exactly") {
+    val got = Layout.zonePruneAudit(d, col("k"), col("m"), 4L, lo = 40L, hi = 50L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    // blocks 0 (max 3 < 40) and 2 (min 80 > 50) prune; block 1 matches fully
+    assert(got === ((3L, 10L, 2L, 6L, 4L, 600000L, 400000L)))
+  }
+
+  test("scrambled layout prunes nothing — the audit exposes read amplification") {
+    val bad = Seq((0L, 0L), (1L, 100L), (4L, 1L), (5L, 99L)).toDF("k", "m")
+    val got = Layout.zonePruneAudit(bad, col("k"), col("m"), 4L, lo = 40L, hi = 60L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    // every block spans the predicate → zero pruned, zero matches
+    assert(got === ((2L, 4L, 0L, 0L, 0L, 0L, 0L)))
+  }
+}

@@ -182,4 +182,52 @@ object Graph {
     e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("doc_id"), col("deg"))
   }
+
+  /** Link prediction over the co-shingle graph: for every NON-edge pair
+    * (a, b) with at least one common neighbor, the common-neighbor
+    * count and the resource-allocation index `Σ_z 1e6 div deg(z)` over
+    * shared neighbors z — the Zhou/Lü/Zhang score that beats plain
+    * common-neighbors by discounting hub intermediaries, here in exact
+    * integer form so the oracle hash-matches. The "which docs are
+    * about to become near-dups" probe: a high-RA non-edge is a pair
+    * the next crawl increment will likely connect.
+    *
+    * 100 TB posture: candidate pairs come ONLY from wedge enumeration
+    * (join edges on the shared mid-node) — Σ deg² work, the same
+    * irreducible bound as [[triangleStats]], guarded by the same loud
+    * `maxDegree` refusal; existing edges leave via an anti-join on the
+    * ordered edge list; the top-`k` cut is TakeOrderedAndProject
+    * (per-partition heaps), never a global sort. All joins carry
+    * 8-byte node ids.
+    * Output: top `k` rows (a, b, cn, ra_e6) by (ra_e6, cn desc, a, b). */
+  def linkPrediction(edges: DataFrame, k: Int, maxDegree: Long = 100000L)
+      : DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val hottest = deg.agg(coalesce(max(col("deg")), lit(0L))).head().getLong(0)
+    require(hottest <= maxDegree,
+      s"linkPrediction enumerates sum(deg^2)/2 wedges; the hottest node " +
+        s"has degree $hottest > maxDegree=$maxDegree. Tighten the " +
+        s"upstream shingle df cap (coShingleEdges maxShingleDf) or drop " +
+        s"hub nodes before scoring")
+    // wedge a—z—b with a<b: both legs read the SAME mid-node partition,
+    // weighted by the mid-node's degree discount
+    val mid = e.join(deg, Seq("src"))
+      .select(col("src").as("z"), col("dst").as("leaf"),
+        expr("1000000L DIV deg").as("w"))
+    val pairs = mid.as("ea")
+      .join(mid.as("eb"),
+        col("ea.z") === col("eb.z") && col("ea.leaf") < col("eb.leaf"))
+      .select(col("ea.leaf").as("a"), col("eb.leaf").as("b"), col("ea.w"))
+    val ord = e.where(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    // aggregate to pair cardinality FIRST, then anti-join the (much
+    // smaller) pair set against existing edges — not the wedge stream
+    pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"), sum(col("w")).as("ra_e6"))
+      .join(ord, Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_e6").desc, col("cn").desc, col("a"), col("b"))
+      .limit(k)
+  }
 }

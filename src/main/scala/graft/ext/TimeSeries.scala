@@ -102,4 +102,35 @@ object TimeSeries {
       .select(col("user_id"), col("h"), col("v_lerp"),
         when(col("v").isNotNull, 1).otherwise(0).cast("int").as("observed"))
   }
+
+  /** Finite-history EWMA over each key's LAST `taps` observations
+    * (newest first, weight 2^(taps−1−i) for the i-th most recent): the
+    * exact integer form `num div den` with `den = 2^taps − 2^(taps−k)`
+    * for a key with k <= taps observations — equivalent to α=1/2
+    * exponential smoothing truncated to a fixed window, which is what
+    * makes it BOTH engine-reproducible (no float power chain) and
+    * scale-safe (per-key state is `taps` rows, not history).
+    *
+    * Plan: one key-partitioned rank window (newest-first), a `taps`
+    * cut, one combinable weighted-sum groupBy. The smoothed level vs
+    * the latest raw value is the per-key trend signal.
+    * Output: (key, k_used, ewma_m, last_m). */
+  def ewmaLast(df: DataFrame, key: Column, ts: Column, order: Column,
+      measure: Column, taps: Int): DataFrame = {
+    require(taps >= 1 && taps <= 62, s"taps=$taps must be in [1, 62]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("tus").desc, col("ord").desc)
+    df.select(key.as("key"), unix_micros(ts).as("tus"), order.as("ord"),
+        measure.cast("long").as("m"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= taps)
+      .groupBy("key")
+      .agg(count(lit(1)).as("k_used"),
+        sum(expr(s"m * shiftleft(1L, $taps - rn)")).as("num"),
+        max(when(col("rn") === 1, col("m"))).as("last_m"))
+      .select(col("key"), col("k_used"),
+        expr(s"num DIV (shiftleft(1L, $taps) - shiftleft(1L, $taps - k_used))")
+          .as("ewma_m"),
+        col("last_m"))
+  }
 }

@@ -302,4 +302,32 @@ object Vocab {
       .orderBy(col("pr").desc, col("word"))
       .limit(k)
   }
+
+  /** Hashing-trick bag-of-words profile: every whitespace token hashed
+    * into one of `buckets` fixed slots ([[graft.functions.PolyHash]] —
+    * codegen'd, oracle-reproducible), aggregated per stratum. The
+    * fixed-dimension featurization step (Weinberger et al.'s hashing
+    * trick) plus its collision report: `n_distinct` per slot tells you
+    * whether `buckets` is big enough BEFORE you train on the vectors.
+    *
+    * 100 TB posture: tokens explode scan-side and immediately collapse
+    * into a (stratum × buckets)-key combinable groupBy — output is
+    * O(strata · buckets) regardless of corpus size; the distinct-token
+    * count shuffles (stratum, bucket, token) once at vocabulary
+    * cardinality, never corpus cardinality.
+    * Output: (stratum, bucket, n_tokens, n_distinct). */
+  def featureHashProfile(docs: DataFrame, text: Column, stratum: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    docs.select(stratum.as("stratum"),
+        explode(split(trim(text), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("stratum"),
+        pmod(graft.functions.PolyHash.poly_hash(col("tok")), lit(buckets.toLong))
+          .cast("int").as("bucket"),
+        col("tok"))
+      .groupBy("stratum", "bucket")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"))
+  }
 }

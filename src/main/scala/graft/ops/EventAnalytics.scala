@@ -343,4 +343,48 @@ object EventAnalytics {
         col("peak.c").as("max_c"), col("peak.d").as("max_date"),
         expr("peak.c * n_slots * 1000000L DIV total").as("max_ratio_e6"))
   }
+
+  /** Discrete survival curve over session durations with right-censor
+    * accounting: sessions still active near the observation edge (their
+    * last event within `gapMicros` of the corpus max timestamp) cannot
+    * be known to have ENDED — the classic right-censoring — so they are
+    * excluded from the survival denominator and reported separately.
+    * For each threshold t in `minuteMarks`: sessions observed to last
+    * >= t minutes, the censored count still alive at t, and
+    * `surv_ppm = n_alive·1e6 div n_uncensored` — the engagement
+    * half-life read a product review starts from.
+    *
+    * 100 TB posture: ONE user-key exchange (sessionize) collapses
+    * events to session rows; the threshold fan-out joins the SESSION
+    * table (not events) to a broadcast marks list; the corpus max rides
+    * a broadcast single row. Output: one row per mark. */
+  def survivalCurve(events: DataFrame, user: Column, ts: Column,
+      order: Column, gapMicros: Long, minuteMarks: Seq[Int]): DataFrame = {
+    require(minuteMarks.nonEmpty && minuteMarks.forall(_ >= 0),
+      s"minuteMarks=$minuteMarks must be non-negative")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sess = graft.ops.Sessionize
+      .sessionize(events, user, ts, order, gapMicros)
+      .select(col("duration_secs"), unix_micros(col("session_end")).as("eus"))
+    val edge = sess.agg(max(col("eus")).as("max_eus"))
+    val flagged = sess.crossJoin(broadcast(edge))
+      .select(col("duration_secs"),
+        (col("eus") > col("max_eus") - gapMicros).cast("int").as("censored"))
+      .localCheckpoint(false)
+    val marks = broadcast(minuteMarks.toDF("t_min"))
+    flagged.crossJoin(marks)
+      .groupBy("t_min")
+      .agg(
+        sum(when(col("censored") === 0 &&
+          col("duration_secs") >= col("t_min") * 60L, 1L).otherwise(0L))
+          .as("n_alive"),
+        sum(when(col("censored") === 1 &&
+          col("duration_secs") >= col("t_min") * 60L, 1L).otherwise(0L))
+          .as("n_censored_alive"),
+        sum(lit(1L) - col("censored")).as("n_uncensored"))
+      .select(col("t_min"), col("n_alive"), col("n_censored_alive"),
+        expr("CASE WHEN n_uncensored = 0 THEN 0L " +
+          "ELSE n_alive * 1000000L DIV n_uncensored END").as("surv_ppm"))
+  }
 }

@@ -4827,6 +4827,134 @@ object ExtQueries {
       .orderBy("edge")
   }
 
+  // x146 — FEATURE HASHING (the hashing trick): whitespace tokens →
+  // poly_hash % 64 slots, per-language slot totals + collision counts.
+  // Fixed-dimension featurization whose output is O(strata·buckets)
+  // no matter the corpus; the native PolyHash expression keeps the
+  // hash inside codegen and the oracle reproduces it with list_reduce.
+  val x146 = Q(
+    "x146_feature_hash",
+    """WITH tok AS (
+      |  SELECT lang,
+      |         unnest(list_filter(string_split_regex(trim(text), '\s+'), c -> c <> '')) AS tok
+      |  FROM documents),
+      |h AS (
+      |  SELECT lang, tok,
+      |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                list_transform(list_filter(string_split(tok, ''), c -> c <> ''),
+      |                               c -> CAST(ascii(c) AS BIGINT))),
+      |              (a, c) -> (a * 31 + c) % 1000000007) % 64 AS INT) AS bucket
+      |  FROM tok)
+      |SELECT lang AS stratum, bucket, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+      |FROM h GROUP BY 1, 2
+      |ORDER BY stratum, bucket""".stripMargin) { (s, dir) =>
+    Vocab.featureHashProfile(Tables.documents(s, dir), col("text"),
+        col("lang"), buckets = 64)
+      .orderBy("stratum", "bucket")
+  }
+
+  // x147 — SESSION SURVIVAL CURVE with right-censoring: the share of
+  // sessions observed to survive past each minute mark, sessions still
+  // alive at the observation edge held out of the denominator. One
+  // user-key exchange; thresholds fan out over the SESSION table only.
+  val x147 = Q(
+    "x147_survival",
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+      |m AS (
+      |  SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+      |  FROM e),
+      |s AS (
+      |  SELECT *, SUM(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+      |                     THEN 1 ELSE 0 END)
+      |         OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |               ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM m),
+      |sess AS (
+      |  SELECT user_id, session_seq,
+      |         (max(tus) - min(tus)) // 1000000 AS duration_secs,
+      |         max(tus) AS eus
+      |  FROM s GROUP BY 1, 2),
+      |mx AS (SELECT max(eus) AS max_eus FROM sess),
+      |f AS (
+      |  SELECT duration_secs,
+      |         CASE WHEN eus > max_eus - 1800000000 THEN 1 ELSE 0 END AS censored
+      |  FROM sess, mx),
+      |marks AS (SELECT unnest([0, 1, 2, 5, 10, 15, 30, 60]) AS t_min)
+      |SELECT t_min,
+      |       CAST(sum(CASE WHEN censored = 0 AND duration_secs >= t_min * 60
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_alive,
+      |       CAST(sum(CASE WHEN censored = 1 AND duration_secs >= t_min * 60
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_censored_alive,
+      |       CAST(CASE WHEN sum(1 - censored) = 0 THEN 0
+      |            ELSE sum(CASE WHEN censored = 0 AND duration_secs >= t_min * 60
+      |                          THEN 1 ELSE 0 END) * 1000000 // sum(1 - censored)
+      |            END AS BIGINT) AS surv_ppm
+      |FROM f CROSS JOIN marks
+      |GROUP BY t_min
+      |ORDER BY t_min""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.survivalCurve(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), gapMicros = 1800000000L,
+        minuteMarks = Seq(0, 1, 2, 5, 10, 15, 30, 60))
+      .orderBy("t_min")
+  }
+
+  // x148 — LINK PREDICTION over the co-shingle graph: top-50 NON-edge
+  // pairs by exact-integer resource-allocation index (Σ 1e6 div deg(z)
+  // over common neighbors). Wedge-join candidates, pair-level
+  // aggregation BEFORE the existing-edge anti-join, TakeOrdered top-k.
+  val x148 = Q(
+    "x148_link_pred",
+    s"""WITH $coShingleEdgeCtes,
+      |mid AS (
+      |  SELECT e.src AS z, e.dst AS leaf, 1000000 // d.deg AS w
+      |  FROM e JOIN deg d ON d.src = e.src),
+      |p AS (
+      |  SELECT ea.leaf AS a, eb.leaf AS b, ea.w
+      |  FROM mid ea JOIN mid eb ON ea.z = eb.z AND ea.leaf < eb.leaf),
+      |g AS (
+      |  SELECT a, b, CAST(count(*) AS BIGINT) AS cn, CAST(sum(w) AS BIGINT) AS ra_e6
+      |  FROM p GROUP BY 1, 2),
+      |ng AS (
+      |  SELECT g.* FROM g LEFT JOIN e0 ON g.a = e0.s AND g.b = e0.d
+      |  WHERE e0.s IS NULL)
+      |SELECT a, b, cn, ra_e6 FROM ng
+      |ORDER BY ra_e6 DESC, cn DESC, a, b
+      |LIMIT 50""".stripMargin) { (s, dir) =>
+    Graph.linkPrediction(
+      Graph.coShingleEdges(Tables.documents(s, dir).where(col("doc_id") < 1500),
+        col("doc_id"), col("text"), n = 3, maxShingleDf = 64L),
+      k = 50)
+  }
+
+  // x149 — EWMA ORDER LEVEL per customer (α=1/2 over the last 8
+  // orders, exact integer weights 128…1): the finite-history
+  // exponential smoothing a spend-forecast feature store keeps. One
+  // key-partitioned rank window + one combinable weighted groupBy.
+  val x149 = Q(
+    "x149_ewma_spend",
+    """WITH o AS (
+      |  SELECT o_custkey AS key, epoch_us(o_orderdate) AS tus,
+      |         o_orderkey AS ord,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS m
+      |  FROM orders),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY tus DESC, ord DESC) AS rn
+      |  FROM o),
+      |f AS (SELECT * FROM r WHERE rn <= 8)
+      |SELECT key, CAST(count(*) AS BIGINT) AS k_used,
+      |       CAST(sum(m * (CAST(1 AS BIGINT) << (8 - rn)))
+      |            // ((CAST(1 AS BIGINT) << 8) - (CAST(1 AS BIGINT) << (8 - count(*))))
+      |            AS BIGINT) AS ewma_m,
+      |       max(CASE WHEN rn = 1 THEN m END) AS last_m
+      |FROM f GROUP BY key
+      |ORDER BY key""".stripMargin) { (s, dir) =>
+    graft.ext.TimeSeries.ewmaLast(Tables.orders(s, dir), col("o_custkey"),
+        col("o_orderdate"), col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0), taps = 8)
+      .orderBy("key")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -4839,5 +4967,5 @@ object ExtQueries {
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
-      x145)
+      x145, x146, x147, x148, x149)
 }

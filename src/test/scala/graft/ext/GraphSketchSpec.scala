@@ -307,3 +307,39 @@ class GraphSketchSpec extends graft.SparkSpec {
     intercept[IllegalArgumentException] { Graph.kCorePeel(g, k = 2, rounds = 17) }
   }
 }
+
+class LinkPredictionSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // path graph 1—2—3—4 (undirected, both directions): non-edges with a
+  // common neighbor are (1,3) via 2 and (2,4) via 3; (1,4) shares none
+  private def sym(pairs: (Long, Long)*) =
+    pairs.flatMap(p => Seq(p, p.swap)).toDF("src", "dst")
+
+  test("path graph: RA index discounts by the mid-node's degree") {
+    val got = Graph.linkPrediction(sym((1L, 2L), (2L, 3L), (3L, 4L)), k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    // deg(2) = deg(3) = 2 → each predicted pair scores 1e6/2
+    assert(got === Array((1L, 3L, 1L, 500000L), (2L, 4L, 1L, 500000L)))
+  }
+
+  test("existing edges are excluded; multiple common neighbors sum") {
+    // square 1—2—3—4—1: (1,3) and (2,4) are the diagonals, each with
+    // TWO common neighbors of degree 2 → cn=2, ra = 2·(1e6/2)
+    val got = Graph.linkPrediction(
+        sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)), k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+    // no output row is an existing edge
+    assert(!got.exists(r => Set((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))(r._1 -> r._2)))
+  }
+
+  test("hub refusal: a node above maxDegree refuses loudly") {
+    val star = sym((1L to 9L).map(i => (0L, i)): _*)
+    val e = intercept[IllegalArgumentException] {
+      Graph.linkPrediction(star, k = 5, maxDegree = 4L)
+    }
+    assert(e.getMessage.contains("hottest node"))
+  }
+}

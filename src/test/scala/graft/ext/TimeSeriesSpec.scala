@@ -152,3 +152,43 @@ class TimeSeriesSpec extends graft.SparkSpec {
     assert(cos.map(_._2).toSeq === Seq(1L, 2L))
   }
 }
+
+class EwmaSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def df(rows: (Long, Long, Long, Long)*) =
+    rows.toDF("k", "t", "o", "m")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"), col("o"), col("m"))
+
+  test("full history: newest weight 2^(taps-1), exact integer quotient") {
+    // key 1: values 10 (old), 20 (new) with taps=2 → (20·2 + 10·1) div 3 = 16
+    val got = TimeSeries.ewmaLast(df((1L, 1L, 1L, 10L), (1L, 2L, 2L, 20L)),
+        col("k"), col("ts"), col("o"), col("m"), taps = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array((1L, 2L, 16L, 20L)))
+  }
+
+  test("short history renormalizes the denominator; only last taps used") {
+    val rows = (1L to 5L).map(i => (7L, i, i, i * 100L)) // 100..500
+    // taps=4 keeps 500,400,300,200 with weights 8,4,2,1 → 6400/15 = 426
+    val got = TimeSeries.ewmaLast(df(rows: _*),
+        col("k"), col("ts"), col("o"), col("m"), taps = 4)
+      .as[(Long, Long, Long, Long)].head()
+    assert(got === ((7L, 4L, 426L, 500L)))
+    // single observation: ewma IS the observation (den = 2^t − 2^(t−1))
+    val one = TimeSeries.ewmaLast(df((9L, 1L, 1L, 123L)),
+        col("k"), col("ts"), col("o"), col("m"), taps = 4)
+      .as[(Long, Long, Long, Long)].head()
+    assert(one === ((9L, 1L, 123L, 123L)))
+  }
+
+  test("ties on timestamp break by the order column, newest first") {
+    val got = TimeSeries.ewmaLast(
+        df((1L, 5L, 1L, 100L), (1L, 5L, 2L, 900L)),
+        col("k"), col("ts"), col("o"), col("m"), taps = 2)
+      .as[(Long, Long, Long, Long)].head()
+    // o=2 is newest → last_m = 900; (900·2 + 100) div 3 = 633
+    assert(got === ((1L, 2L, 633L, 900L)))
+  }
+}

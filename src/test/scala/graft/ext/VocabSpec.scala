@@ -212,3 +212,26 @@ class TextRankSpec extends graft.SparkSpec {
     assert(words === Set("alpha", "bravo"))
   }
 }
+
+class FeatureHashSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("tokens land in poly_hash % buckets; totals and collisions per stratum") {
+    val docs = Seq(("en", "a b a"), ("en", "b"), ("de", "a")).toDF("lang", "text")
+    val got = Vocab.featureHashProfile(docs, col("text"), col("lang"), 16)
+      .orderBy("stratum", "bucket")
+      .as[(String, Int, Long, Long)].collect()
+    val ha = (graft.functions.PolyHash.hash("a") % 16).toInt
+    val hb = (graft.functions.PolyHash.hash("b") % 16).toInt
+    assert(got.toSet === Set(
+      ("de", ha, 1L, 1L), ("en", ha, 2L, 1L), ("en", hb, 2L, 1L)))
+  }
+
+  test("empty and whitespace-only docs contribute nothing") {
+    val docs = Seq(("en", ""), ("en", "   "), ("en", "x")).toDF("lang", "text")
+    val got = Vocab.featureHashProfile(docs, col("text"), col("lang"), 8)
+      .agg(sum("n_tokens")).as[Long].head()
+    assert(got === 1L)
+  }
+}

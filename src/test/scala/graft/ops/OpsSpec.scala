@@ -696,3 +696,41 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(d.select("k").distinct().count() === 150)
   }
 }
+
+class SurvivalSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val GAP = 1800000000L // 30 min in micros
+
+  private def ev(rows: (Long, Long, Long)*) =
+    rows.toDF("user_id", "t", "event_id")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"), col("event_id"))
+
+  test("survival drops at each mark; censored sessions leave the denominator") {
+    val m = 60000000L // one minute in micros
+    val e = ev(
+      // user 1: one 10-minute session ending long before the edge
+      (1L, 0L, 1L), (1L, 10L * m, 2L),
+      // user 2: a zero-length session well before the edge
+      (2L, 20L * m, 3L),
+      // user 3: a 2-minute session touching the corpus max → censored
+      (3L, 200L * m, 4L), (3L, 202L * m, 5L))
+    val got = graft.ops.EventAnalytics.survivalCurve(e, col("user_id"),
+        col("ts"), col("event_id"), GAP, Seq(0, 1, 5, 15))
+      .orderBy("t_min").as[(Int, Long, Long, Long)].collect()
+    // uncensored: sessions of user1 (10 min) and user2 (0 min)
+    assert(got === Array(
+      (0, 2L, 1L, 1000000L),   // everyone alive at 0
+      (1, 1L, 1L, 500000L),    // user2's instant session is gone
+      (5, 1L, 0L, 500000L),    // censored session only OBSERVED to 2 min
+      (15, 0L, 0L, 0L)))       // the 10-min session ends before 15
+  }
+
+  test("all censored: denominator zero, surv_ppm reports 0, not a crash") {
+    val got = graft.ops.EventAnalytics.survivalCurve(ev((1L, 0L, 1L)),
+        col("user_id"), col("ts"), col("event_id"), GAP, Seq(0, 1))
+      .orderBy("t_min").as[(Int, Long, Long, Long)].collect()
+    assert(got === Array((0, 0L, 1L, 0L), (1, 0L, 0L, 0L)))
+  }
+}

@@ -794,4 +794,79 @@ class PlanAuditSpec extends SparkSpec {
     val pushed = "PushedFilters: \\[([^\\]]*)".r.findAllMatchIn(p).mkString
     assert(p.contains("o_orderdate"), p) // date filter reaches the orders scan side
   }
+
+  test("x143: one wide-row aggregate + stack — no joins, 4-column ReadSchema") {
+    val p = planOf("x143_cov_matrix")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("WindowExec"), p)
+    // partial agg + single-partition final + output sort
+    assert(shuffles(p) <= 2, p)
+    val f = formattedOf("x143_cov_matrix")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(f).get.group(1)
+    assert(read.split(",").length === 4, read)
+  }
+
+  test("x144: zone map = one block groupBy folding to a single row; 2-column scan") {
+    val p = planOf("x144_zone_prune")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("WindowExec"), p)
+    val f = formattedOf("x144_zone_prune")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(f).get.group(1)
+    assert(read.split(",").length === 2, read)
+  }
+
+  test("x145: join stats run at KEY cardinality — aggregates sit below every join") {
+    val df = SparkEntry.queries("x145_join_card")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the histogram merge is a key-level join; singleton totals broadcast
+    assert(broadcasts(p) >= 6, p) // per edge: two totals + matched row
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("x146: feature hashing is scan-side explode + two combinable groupBys") {
+    val p = planOf("x146_feature_hash")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("WindowExec"), p)
+    assert(p.contains("poly_hash"), p) // the native expression, not a UDF
+    assert(!p.toLowerCase.contains("batchevalpython"), p)
+  }
+
+  test("x147: survival = ONE user-key exchange; thresholds fan out over sessions only") {
+    val df = SparkEntry.queries("x147_survival")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // sessionize's windows and the session agg share one user hash exchange
+    val userExchanges = "Exchange hashpartitioning\\(user".r.findAllIn(p).length
+    assert(userExchanges <= 1, p)
+    // the mark fan-out joins the checkpointed SESSION rdd, never the fact
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct") ||
+      "BroadcastNestedLoopJoin".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("x148: link prediction aggregates pairs BEFORE the anti-join; TakeOrdered top-k") {
+    val df = SparkEntry.queries("x148_link_pred")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the anti join's left input is the aggregated pair set (cn/ra built
+    // below the join), so the anti join never sees the wedge stream
+    assert(p.contains("LeftAnti"), p)
+    val anti = p.linesIterator.indexWhere(_.contains("LeftAnti"))
+    val aggBelow = p.linesIterator.drop(anti + 1)
+      .takeWhile(l => !l.contains("LeftAnti"))
+      .exists(_.contains("HashAggregate"))
+    assert(aggBelow, p)
+  }
+
+  test("x149: EWMA = one key-partitioned rank window + one groupBy; no global window") {
+    val p = planOf("x149_ewma_spend")
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("key")), specs.toString)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -208,4 +208,49 @@ object Sketches {
     }
     cum.groupBy(col("key")).agg(max(col("n")).as("n_rows"), qCols: _*)
   }
+
+  /** Pairwise vocabulary-overlap estimate between keys from MERGED HLL
+    * registers: for every key pair (a < b), the two single-key
+    * estimates, the UNION estimate read off the elementwise-max
+    * register table (the sketch-merge law — no data re-read), the
+    * inclusion-exclusion overlap `est_a + est_b − est_union`, and the
+    * exact overlap baseline so the estimator's error is visible.
+    *
+    * This is why mergeable sketches exist at 100 TB: per-key register
+    * tables are built ONCE (64 rows per key), and any of the k·(k−1)/2
+    * pair unions folds those fixed-size states — the exact path pays a
+    * vocabulary-cardinality self-join per pair.
+    * Output: (ka, kb, est_a, est_b, est_union, overlap_est, n_overlap_exact). */
+  def hllOverlap(elements: DataFrame, key: Column, element: Column): DataFrame = {
+    val base = elements.select(key.as("key"), element.as("el"))
+    val regs = hllRegisters(base, col("key"), col("el")).localCheckpoint(false)
+    val singles = hllEstimate(regs)
+    val keys = regs.select(col("key")).distinct()
+    val pairs = keys.as("x").join(keys.as("y"),
+        col("x.key") < col("y.key"))
+      .select(col("x.key").as("ka"), col("y.key").as("kb"))
+    val merged = broadcast(pairs).join(regs,
+        col("key") === col("ka") || col("key") === col("kb"))
+      .groupBy(col("ka"), col("kb"), col("bucket"))
+      .agg(max(col("mj")).as("mj"))
+      .select(struct(col("ka"), col("kb")).as("key"),
+        col("bucket"), col("mj"))
+    val uest = hllEstimate(merged)
+      .select(col("key.ka").as("ka"), col("key.kb").as("kb"),
+        col("hll_estimate").as("est_union"))
+    val dd = base.distinct().localCheckpoint(false)
+    val exact = dd.as("u").join(dd.as("v"),
+        col("u.el") === col("v.el") && col("u.key") < col("v.key"))
+      .groupBy(col("u.key").as("ka"), col("v.key").as("kb"))
+      .agg(count(lit(1)).as("n_overlap_exact"))
+    uest
+      .join(singles.select(col("key").as("ka"), col("hll_estimate").as("est_a")), Seq("ka"))
+      .join(singles.select(col("key").as("kb"), col("hll_estimate").as("est_b")), Seq("kb"))
+      .join(exact, Seq("ka", "kb"), "left")
+      .na.fill(0L, Seq("n_overlap_exact"))
+      .select(col("ka"), col("kb"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("overlap_est"),
+        col("n_overlap_exact"))
+  }
 }

@@ -133,4 +133,62 @@ object TimeSeries {
           .as("ewma_m"),
         col("last_m"))
   }
+
+  /** Per-key least-squares trend slope over an integer series, in EXACT
+    * rational form: `slope_e6 = (n·Σxy − Σx·Σy)·1e6 div (n·Σx² − (Σx)²)`
+    * — the regression slope scaled to ppm, computed entirely in
+    * DECIMAL(38) sums so any engine reproduces it bit-for-bit (a
+    * float `regr_slope` never could). Callers pass the series already
+    * aggregated to one row per (key, x).
+    *
+    * One combinable groupBy; a key with a degenerate x-spread (single
+    * point — zero denominator) reports NULL rather than dividing.
+    * Output: (key, n, sum_y, slope_e6). */
+  def trendSlope(df: DataFrame, key: Column, x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    df.select(key.as("key"), x.cast("long").as("x"), y.cast("long").as("y"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+      .select(col("key"), col("n"), col("sy").cast("long").as("sum_y"),
+        expr("""CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST((CAST(n AS DECIMAL(38,0)) * sxy - sx * sy) * 1000000
+                     DIV (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx) AS BIGINT)
+                END""").as("slope_e6"))
+  }
+
+  /** CUSUM changepoint screen per key: with per-x deviations scaled to
+    * integers as `dev = n·y − Σy` (so the mean-centering is EXACT — no
+    * rational mean), the running cumulative sum's peak |CUSUM| position
+    * is the classic single-changepoint estimate. A series that drifts
+    * shows a sharp peak; a stable one hovers near zero.
+    *
+    * Plan: one combinable totals groupBy broadcast back, one
+    * key-partitioned running window, one key-partitioned rank to take
+    * the peak (earliest x on ties — deterministic). DECIMAL(38)
+    * accumulators (envelope: n·Σ|y| < 10^38).
+    * Output: (key, n, peak_x, peak_cusum). */
+  def cusumPeak(df: DataFrame, key: Column, x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(abs(col("cusum")).desc, col("x"))
+    val d = df.select(key.as("key"), x.cast("long").as("x"),
+      y.cast("long").as("y"))
+    val totals = d.groupBy("key")
+      .agg(count(lit(1)).as("n"), sum(col("y").cast(DecimalType(38, 0))).as("total"))
+    d.join(broadcast(totals), Seq("key"))
+      .withColumn("dev",
+        col("n") * col("y").cast(DecimalType(38, 0)) - col("total"))
+      .withColumn("cusum", sum(col("dev")).over(w))
+      .withColumn("rn", row_number().over(rw))
+      .where(col("rn") === 1)
+      .select(col("key"), col("n"), col("x").as("peak_x"),
+        col("cusum").cast("long").as("peak_cusum"))
+  }
 }

@@ -387,4 +387,41 @@ object EventAnalytics {
         expr("CASE WHEN n_uncensored = 0 THEN 0L " +
           "ELSE n_alive * 1000000L DIV n_uncensored END").as("surv_ppm"))
   }
+
+  /** Entry/exit/bounce profile per event type: for each type, how many
+    * sessions START with it, END with it, or consist of it alone — the
+    * landing/exit-page report. Entry and exit are `min_by`/`max_by`
+    * over the total (tus, order) order within the session — combinable
+    * aggregates, no second window after sessionization.
+    *
+    * Plan: one user-key exchange (session assignment windows + the
+    * session agg share it), then THREE type-cardinality aggregates over
+    * the checkpointed session table, assembled by full-outer joins at
+    * type cardinality with a broadcast session total.
+    * Output per type: (event_type, n_entry, n_exit, n_bounce,
+    * entry_ppm, exit_ppm). */
+  def entryExitStats(events: DataFrame, user: Column, ts: Column,
+      order: Column, typ: Column, gapMicros: Long): DataFrame = {
+    val sess = graft.ops.Sessionize
+      .assign(events, user, ts, order, gapMicros, extra = Seq(typ.as("typ")))
+      .groupBy(col("key"), col("session_seq"))
+      .agg(
+        min_by(col("typ"), struct(col("tus"), col("ord"))).as("entry_typ"),
+        max_by(col("typ"), struct(col("tus"), col("ord"))).as("exit_typ"),
+        count(lit(1)).as("n_events"))
+      .localCheckpoint(false)
+    val entries = sess.groupBy(col("entry_typ").as("event_type"))
+      .agg(count(lit(1)).as("n_entry"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+    val exits = sess.groupBy(col("exit_typ").as("event_type"))
+      .agg(count(lit(1)).as("n_exit"))
+    val total = sess.agg(count(lit(1)).as("n_sessions"))
+    entries.join(exits, Seq("event_type"), "full_outer")
+      .na.fill(0L, Seq("n_entry", "n_bounce", "n_exit"))
+      .crossJoin(broadcast(total))
+      .select(col("event_type"), col("n_entry"), col("n_exit"),
+        col("n_bounce"),
+        expr("n_entry * 1000000L DIV n_sessions").as("entry_ppm"),
+        expr("n_exit * 1000000L DIV n_sessions").as("exit_ppm"))
+  }
 }

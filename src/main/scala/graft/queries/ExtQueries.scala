@@ -4955,6 +4955,187 @@ object ExtQueries {
       .orderBy("key")
   }
 
+  // shared CTEs: per-(region, epoch-day) revenue cents — the daily
+  // series x150 fits a trend to and x153 scans for a changepoint
+  private val regionDailyCtes =
+    """f AS (
+      |  SELECT r_name AS key,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+      |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |  JOIN region   ON n_regionkey = r_regionkey),
+      |d AS (SELECT key, x, CAST(sum(cents) AS BIGINT) AS y FROM f GROUP BY 1, 2)""".stripMargin
+  private def regionDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("key"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .as("x"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long").as("cents"))
+      .groupBy("key", "x").agg(sum(col("cents")).as("y"))
+
+  // x150 — REGRESSION TREND per region: the least-squares slope of
+  // daily revenue in exact-rational ppm form. One daily pre-agg + one
+  // combinable moment groupBy — no float regr_slope, no window.
+  val x150 = Q(
+    "x150_trend_slope",
+    s"""WITH $regionDailyCtes,
+      |w AS (
+      |  SELECT key, CAST(count(*) AS BIGINT) AS n,
+      |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |         sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM d GROUP BY 1)
+      |SELECT key, n, CAST(sy AS BIGINT) AS sum_y,
+      |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |            ELSE CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+      |            END AS slope_e6
+      |FROM w
+      |ORDER BY key""".stripMargin) { (s, dir) =>
+    graft.ext.TimeSeries.trendSlope(regionDaily(s, dir),
+        col("key"), col("x"), col("y"))
+      .orderBy("key")
+  }
+
+  // x151 — ENTRY/EXIT/BOUNCE per event type: which events open and
+  // close sessions, and which stand alone. min_by/max_by over the
+  // total session order — combinable, no second window after
+  // sessionization; assembly joins run at TYPE cardinality.
+  val x151 = Q(
+    "x151_entry_exit",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type AS typ, epoch_us(ts) AS tus FROM events),
+      |m AS (
+      |  SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+      |  FROM e),
+      |s AS (
+      |  SELECT *, SUM(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+      |                     THEN 1 ELSE 0 END)
+      |         OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |               ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM m),
+      |r AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY user_id, session_seq ORDER BY tus, event_id) AS ra,
+      |         row_number() OVER (PARTITION BY user_id, session_seq ORDER BY tus DESC, event_id DESC) AS rd
+      |  FROM s),
+      |sess AS (
+      |  SELECT user_id, session_seq,
+      |         max(CASE WHEN ra = 1 THEN typ END) AS entry_typ,
+      |         max(CASE WHEN rd = 1 THEN typ END) AS exit_typ,
+      |         CAST(count(*) AS BIGINT) AS n_events
+      |  FROM r GROUP BY 1, 2),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM sess),
+      |en AS (
+      |  SELECT entry_typ AS event_type, CAST(count(*) AS BIGINT) AS n_entry,
+      |         CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+      |  FROM sess GROUP BY 1),
+      |ex AS (SELECT exit_typ AS event_type, CAST(count(*) AS BIGINT) AS n_exit
+      |       FROM sess GROUP BY 1)
+      |SELECT coalesce(en.event_type, ex.event_type) AS event_type,
+      |       coalesce(n_entry, 0) AS n_entry, coalesce(n_exit, 0) AS n_exit,
+      |       coalesce(n_bounce, 0) AS n_bounce,
+      |       CAST(coalesce(n_entry, 0) * 1000000 // n_sessions AS BIGINT) AS entry_ppm,
+      |       CAST(coalesce(n_exit, 0) * 1000000 // n_sessions AS BIGINT) AS exit_ppm
+      |FROM en FULL OUTER JOIN ex ON en.event_type = ex.event_type, tot
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.entryExitStats(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        gapMicros = 1800000000L)
+      .orderBy("event_type")
+  }
+
+  // x152 — CROSS-SOURCE VOCABULARY OVERLAP from MERGED HLL registers:
+  // inclusion-exclusion on the deterministic sketch (union = register
+  // max — the merge law), exact overlap alongside as the error gate.
+  // Registers built once; every pair union folds 64-row states.
+  val x152 = Q(
+    "x152_hll_overlap",
+    """WITH t AS (
+      |  SELECT source,
+      |         unnest(list_filter(string_split_regex(trim(text), '\s+'), c -> c <> '')) AS el
+      |  FROM documents),
+      |dd AS (SELECT DISTINCT source, el FROM t),
+      |hh AS (SELECT source, ('0x' || substring(md5(el), 1, 15))::BIGINT AS h FROM t),
+      |fb AS (SELECT source, h & 63 AS bucket, h >> 6 AS w2 FROM hh),
+      |rho AS (SELECT source, bucket,
+      |               CASE WHEN w2 = 0 THEN 55 ELSE 55 - length(bin(w2)) END AS rho
+      |        FROM fb),
+      |regs AS (SELECT source, bucket, MAX(rho) AS mj FROM rho GROUP BY 1, 2),
+      |est1 AS (
+      |  SELECT source,
+      |         CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64 AS DOUBLE))
+      |           * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+      |           / CAST(present_sum + (64 - n_present) * (CAST(1 AS BIGINT) << 55) AS DOUBLE) AS est
+      |  FROM (SELECT source,
+      |               SUM(CAST(1 AS BIGINT) << CAST(55 - mj AS INT)) AS present_sum,
+      |               COUNT(*) AS n_present
+      |        FROM regs GROUP BY 1)),
+      |ks AS (SELECT DISTINCT source FROM regs),
+      |pairs AS (SELECT a.source AS ka, b.source AS kb FROM ks a JOIN ks b ON a.source < b.source),
+      |mregs AS (
+      |  SELECT ka, kb, bucket, MAX(mj) AS mj
+      |  FROM pairs JOIN regs ON regs.source = ka OR regs.source = kb
+      |  GROUP BY 1, 2, 3),
+      |estu AS (
+      |  SELECT ka, kb,
+      |         CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64 AS DOUBLE))
+      |           * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+      |           / CAST(present_sum + (64 - n_present) * (CAST(1 AS BIGINT) << 55) AS DOUBLE) AS est
+      |  FROM (SELECT ka, kb,
+      |               SUM(CAST(1 AS BIGINT) << CAST(55 - mj AS INT)) AS present_sum,
+      |               COUNT(*) AS n_present
+      |        FROM mregs GROUP BY 1, 2)),
+      |exact AS (
+      |  SELECT u.source AS ka, v.source AS kb, CAST(count(*) AS BIGINT) AS n_overlap_exact
+      |  FROM dd u JOIN dd v ON u.el = v.el AND u.source < v.source
+      |  GROUP BY 1, 2)
+      |SELECT estu.ka, estu.kb, a.est AS est_a, b.est AS est_b, estu.est AS est_union,
+      |       a.est + b.est - estu.est AS overlap_est,
+      |       coalesce(n_overlap_exact, 0) AS n_overlap_exact
+      |FROM estu
+      |JOIN est1 a ON a.source = estu.ka
+      |JOIN est1 b ON b.source = estu.kb
+      |LEFT JOIN exact ON exact.ka = estu.ka AND exact.kb = estu.kb
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Sketches.hllOverlap(
+      docs.select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("el"))
+        .where(col("el") =!= ""),
+      col("source"), col("el"))
+      .orderBy("ka", "kb")
+  }
+
+  // x153 — CUSUM CHANGEPOINT per region: peak |cumulative deviation|
+  // of the daily revenue series, mean-centering exact via n·y − Σy.
+  // One totals broadcast + key-partitioned running and rank windows.
+  val x153 = Q(
+    "x153_cusum",
+    s"""WITH $regionDailyCtes,
+      |t2 AS (SELECT key, CAST(count(*) AS BIGINT) AS n, sum(CAST(y AS HUGEINT)) AS total
+      |       FROM d GROUP BY 1),
+      |c AS (
+      |  SELECT d.key, d.x, t2.n,
+      |         SUM(CAST(t2.n AS HUGEINT) * d.y - t2.total)
+      |           OVER (PARTITION BY d.key ORDER BY d.x ROWS UNBOUNDED PRECEDING) AS cusum
+      |  FROM d JOIN t2 USING (key)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY abs(cusum) DESC, x) AS rn
+      |      FROM c)
+      |SELECT key, n, x AS peak_x, CAST(cusum AS BIGINT) AS peak_cusum
+      |FROM r WHERE rn = 1
+      |ORDER BY key""".stripMargin) { (s, dir) =>
+    graft.ext.TimeSeries.cusumPeak(regionDaily(s, dir),
+        col("key"), col("x"), col("y"))
+      .orderBy("key")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -4967,5 +5148,5 @@ object ExtQueries {
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
-      x145, x146, x147, x148, x149)
+      x145, x146, x147, x148, x149, x150, x151, x152, x153)
 }

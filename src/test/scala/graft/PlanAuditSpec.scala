@@ -869,4 +869,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(specs.nonEmpty && specs.forall(_.contains("key")), specs.toString)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x150: trend slope = daily pre-agg + ONE moment groupBy; dims broadcast; no window") {
+    val df = SparkEntry.queries("x150_trend_slope")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p) // cust/nation/region
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x151: entry/exit = ONE user-key exchange; assembly joins at type cardinality") {
+    val df = SparkEntry.queries("x151_entry_exit")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val userExchanges = "Exchange hashpartitioning\\(user".r.findAllIn(p).length
+    assert(userExchanges <= 1, p)
+    // the three per-type aggregates read the checkpointed SESSION rdd
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x152: overlap folds checkpointed 64-row registers — raw tokens cross one exchange only") {
+    val df = SparkEntry.queries("x152_hll_overlap")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // registers and the distinct set are checkpointed once; the pair
+    // fan-out (non-equi broadcast join) touches register rows only
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("x153: cusum windows are key-partitioned; totals broadcast back") {
+    val df = SparkEntry.queries("x153_cusum")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("key")), specs.toString)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -343,3 +343,39 @@ class LinkPredictionSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("hottest node"))
   }
 }
+
+class HllOverlapSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("inclusion-exclusion identity holds exactly on the sketch's own terms") {
+    // identical element sets → union estimate == each single estimate,
+    // so overlap_est == est_a == est_b exactly (same registers)
+    val els = (1 to 200).flatMap(i => Seq(("s1", s"tok$i"), ("s2", s"tok$i")))
+      .toDF("k", "el")
+    val got = Sketches.hllOverlap(els, col("k"), col("el"))
+      .as[(String, String, Double, Double, Double, Double, Long)].head()
+    assert(got._1 === "s1" && got._2 === "s2")
+    assert(got._3 === got._4 && got._4 === got._5) // identical registers
+    assert(got._6 === got._3)                      // a + b − union = a
+    assert(got._7 === 200L)
+  }
+
+  test("disjoint sets: exact overlap 0; estimate stays near zero") {
+    val els = ((1 to 300).map(i => ("s1", s"a$i")) ++
+      (1 to 300).map(i => ("s2", s"b$i"))).toDF("k", "el")
+    val r = Sketches.hllOverlap(els, col("k"), col("el"))
+      .as[(String, String, Double, Double, Double, Double, Long)].head()
+    assert(r._7 === 0L)
+    // raw-HLL estimator noise at m=64, but the union must dominate both
+    assert(r._5 >= r._3 && r._5 >= r._4)
+    assert(math.abs(r._6) < r._5 * 0.5)
+  }
+
+  test("three keys → three pairs, all orderings a < b") {
+    val els = Seq(("a", "x"), ("b", "x"), ("c", "y")).toDF("k", "el")
+    val got = Sketches.hllOverlap(els, col("k"), col("el"))
+      .select("ka", "kb").as[(String, String)].collect().toSet
+    assert(got === Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+}

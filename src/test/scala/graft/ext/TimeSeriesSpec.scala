@@ -192,3 +192,46 @@ class EwmaSpec extends graft.SparkSpec {
     assert(got === ((1L, 2L, 633L, 900L)))
   }
 }
+
+class TrendCusumSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("trend slope: exact rational ppm on hand series; flat is zero") {
+    // y = 3x + 7 over x = 1..4 → slope exactly 3 → 3_000_000 ppm
+    val rising = Seq((1L, 10L), (2L, 13L), (3L, 16L), (4L, 19L))
+      .map { case (x, y) => ("a", x, y) }
+    val flat = Seq(("b", 1L, 5L), ("b", 2L, 5L), ("b", 9L, 5L))
+    val got = TimeSeries.trendSlope((rising ++ flat).toDF("k", "x", "y"),
+        col("k"), col("x"), col("y"))
+      .orderBy("key").as[(String, Long, Long, Option[Long])].collect()
+    assert(got === Array(("a", 4L, 58L, Some(3000000L)), ("b", 3L, 15L, Some(0L))))
+  }
+
+  test("degenerate x-spread (single point) yields NULL, not a crash") {
+    val got = TimeSeries.trendSlope(Seq(("a", 5L, 9L)).toDF("k", "x", "y"),
+        col("k"), col("x"), col("y"))
+      .as[(String, Long, Long, Option[Long])].head()
+    assert(got === (("a", 1L, 9L, None)))
+  }
+
+  test("cusum peak finds a level shift at the shift point") {
+    // key a: 10,10,10,20,20,20 — mean 15; dev·n = 6y−90:
+    // cusums: -30,-60,-90,-60,-30,0 → peak |.| at x=3 (-90)
+    val d = Seq(10L, 10L, 10L, 20L, 20L, 20L).zipWithIndex
+      .map { case (y, i) => ("a", (i + 1).toLong, y) }
+    val got = TimeSeries.cusumPeak(d.toDF("k", "x", "y"),
+        col("k"), col("x"), col("y"))
+      .as[(String, Long, Long, Long)].head()
+    assert(got === (("a", 6L, 3L, -90L)))
+  }
+
+  test("cusum tie takes the earliest x; stable series peaks near zero") {
+    // 5,5,5: all cusums are exactly 0 → earliest x wins
+    val d = Seq(("a", 1L, 5L), ("a", 2L, 5L), ("a", 3L, 5L))
+    val got = TimeSeries.cusumPeak(d.toDF("k", "x", "y"),
+        col("k"), col("x"), col("y"))
+      .as[(String, Long, Long, Long)].head()
+    assert(got === (("a", 3L, 1L, 0L)))
+  }
+}

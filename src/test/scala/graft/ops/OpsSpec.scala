@@ -734,3 +734,44 @@ class SurvivalSpec extends SparkSpec {
     assert(got === Array((0, 0L, 1L, 0L), (1, 0L, 0L, 0L)))
   }
 }
+
+class EntryExitSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("entry/exit/bounce accounting over two sessions") {
+    val m = 60000000L
+    val e = Seq(
+      // user 1, session 1: view → click (entry view, exit click)
+      (1L, 0L, 1L, "view"), (1L, m, 2L, "click"),
+      // user 1, session 2 (gap > 30 min): lone "buy" → bounce
+      (1L, 100L * m, 3L, "buy"),
+      // user 2: lone "view" → bounce
+      (2L, 0L, 4L, "view"))
+      .toDF("user_id", "t", "event_id", "typ")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"),
+        col("event_id"), col("typ"))
+    val got = graft.ops.EventAnalytics.entryExitStats(e, col("user_id"),
+        col("ts"), col("event_id"), col("typ"), 1800000000L)
+      .orderBy("event_type")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      ("buy", 1L, 1L, 1L, 333333L, 333333L),
+      ("click", 0L, 1L, 0L, 0L, 333333L),
+      ("view", 2L, 1L, 1L, 666666L, 333333L)))
+  }
+
+  test("simultaneous timestamps break entry/exit by the order column") {
+    val e = Seq((1L, 5L, 1L, "a"), (1L, 5L, 2L, "b"))
+      .toDF("user_id", "t", "event_id", "typ")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"),
+        col("event_id"), col("typ"))
+    val got = graft.ops.EventAnalytics.entryExitStats(e, col("user_id"),
+        col("ts"), col("event_id"), col("typ"), 1800000000L)
+      .orderBy("event_type")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      ("a", 1L, 0L, 0L, 1000000L, 0L),
+      ("b", 0L, 1L, 0L, 0L, 1000000L)))
+  }
+}

@@ -253,4 +253,60 @@ object Sketches {
         (col("est_a") + col("est_b") - col("est_union")).as("overlap_est"),
         col("n_overlap_exact"))
   }
+
+  /** Exportable deterministic Bloom filter: `words`·64 bits over the
+    * element stream, `d` seeded hashes per element (same 2-universal
+    * family as the CMS), materialized as one BIGINT bitmask row per
+    * word — the artifact you hand to ANOTHER system (a scan prefilter,
+    * a router, next week's decontamination run) rather than an opaque
+    * in-plan `bloom_filter_agg`. Duplicates are absorbed by OR, so the
+    * input needs no pre-distinct.
+    *
+    * `bit_or` is a monotone combinable aggregate → the table is
+    * map-side combined to ≤ `words` rows per partition before the
+    * exchange, per-shard filters merge by elementwise OR, and the SAME
+    * frame runs as a structured-streaming aggregation (pinned in
+    * StreamingSketchSpec). Every word emits a row (zeros included) —
+    * an exported filter's width is part of its contract.
+    *
+    * Layout: 62 bits per word, not 64 — the top two bit positions are
+    * never used, so every mask (and every OR of masks) stays a
+    * POSITIVE int64. That keeps the artifact readable in any engine
+    * without two's-complement gymnastics (ANSI engines overflow-check
+    * `1 << 63`; DuckDB refuses it outright).
+    * Output: (word_idx, bits, n_set). */
+  def bloomBits(elements: DataFrame, element: Column,
+      words: Int = 16, d: Int = 3): DataFrame = {
+    val spark = elements.sparkSession
+    import spark.implicits._
+    val allWords = (0L until words.toLong).toDF("word_idx")
+    bloomWords(elements, element, words, d)
+      .join(broadcast(allWords), Seq("word_idx"), "right")
+      .na.fill(0L, Seq("bits"))
+      .select(col("word_idx"), col("bits"),
+        bit_count(col("bits")).as("n_set"))
+  }
+
+  /** The occupied-word aggregate alone — the STREAMING-safe core (the
+    * width-completing outer join above is a batch finisher; streams
+    * read their zero words off the absent state rows). One combinable
+    * bit_or groupBy; ≤ `words` state rows total. */
+  def bloomWords(elements: DataFrame, element: Column,
+      words: Int, d: Int): DataFrame = {
+    require(words >= 1 && words <= 1024, s"words=$words out of range")
+    require(d >= 1 && d <= 8, s"d=$d out of range")
+    val spark = elements.sparkSession
+    import spark.implicits._
+    val nbits = words * 62L
+    val seeds = Dedup.hashCoeffs(d).zipWithIndex
+      .map { case ((a, b, c), i) => (i, a, b, c) }.toDF("i", "a", "b", "c")
+    elements.select(Dedup.md5Hash60(element).as("h"))
+      .crossJoin(broadcast(seeds))
+      .select((((col("a") * col("h").bitwiseAND(lit(1073741823L)) +
+        col("b") * shiftright(col("h"), 30) + col("c")) % lit(Dedup.HashP))
+        % lit(nbits)).as("bit"))
+      .select(expr("bit DIV 62").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 62 AS INT))").as("mask"))
+      .groupBy("word_idx").agg(expr("bit_or(mask)").as("bits"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-sequence event analytics: funnels and retention cohorts —
@@ -423,5 +424,64 @@ object EventAnalytics {
         col("n_bounce"),
         expr("n_entry * 1000000L DIV n_sessions").as("entry_ppm"),
         expr("n_exit * 1000000L DIV n_sessions").as("exit_ppm"))
+  }
+
+  /** Linear (equal-credit) multi-touch attribution: each conversion's
+    * credit splits 1e6 ppm EQUALLY over the touches in its journey —
+    * the events since the previous conversion — where x131's last-touch
+    * gives everything to the final one. Conversions with no prior touch
+    * credit the `(direct)` channel whole. Exact integers: per-touch
+    * credit is `1e6 div k` with the `1e6 mod k` remainder assigned to
+    * the journey's FIRST touch, so total credit is conversions·1e6
+    * EXACTLY (an invariant the spec pins; truncated shares alone would
+    * leak up to k−1 ppm per journey).
+    *
+    * 100 TB posture: journeys form with ONE user-key window pass
+    * (running conversion count); per-journey touch counts are a
+    * combinable agg joined back at (user × journey) cardinality; the
+    * channel rollup is type-cardinality. Output per channel:
+    * (channel, n_touches, n_journeys, credit_e6). */
+  def linearAttribution(events: DataFrame, user: Column, ts: Column,
+      order: Column, typ: Column, convType: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("ord"))
+    val run = w.rowsBetween(Window.unboundedPreceding, -1)
+    val base = events.select(user.as("user_id"), unix_micros(ts).as("tus"),
+        order.as("ord"), typ.as("typ"))
+      .withColumn("is_conv", (col("typ") === convType).cast("long"))
+      .withColumn("journey",
+        coalesce(sum(col("is_conv")).over(run), lit(0L)) + 1)
+      .localCheckpoint(false)
+    val journeys = base.groupBy(col("user_id"), col("journey"))
+      .agg(max(col("is_conv")).as("converted"),
+        sum(lit(1L) - col("is_conv")).as("n_touch"))
+    val converted = journeys.where(col("converted") === 1L)
+    val touches = base.where(col("is_conv") === 0L)
+      .withColumn("touch_rank", row_number().over(
+        Window.partitionBy(col("user_id"), col("journey"))
+          .orderBy(col("tus"), col("ord"))))
+      .join(converted.select(col("user_id"), col("journey"), col("n_touch")),
+        Seq("user_id", "journey"))
+      .select(col("typ").as("channel"),
+        (expr("1000000L DIV n_touch") +
+          when(col("touch_rank") === 1, expr("1000000L % n_touch"))
+            .otherwise(lit(0L))).as("credit"))
+    val byChannel = touches.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit")).as("credit_e6"))
+    val direct = converted.where(col("n_touch") === 0L)
+      .agg(count(lit(1)).as("n_direct"))
+      .where(col("n_direct") > 0)
+      .select(lit("(direct)").as("channel"), lit(0L).as("n_touches"),
+        (col("n_direct") * 1000000L).as("credit_e6"))
+    val journeysPerChannel = base.where(col("is_conv") === 0L)
+      .join(converted.select(col("user_id"), col("journey")),
+        Seq("user_id", "journey"), "left_semi")
+      .select(col("typ").as("channel"), col("user_id"), col("journey"))
+      .distinct()
+      .groupBy("channel").agg(count(lit(1)).as("n_journeys"))
+    byChannel.join(journeysPerChannel, Seq("channel"), "left")
+      .na.fill(0L, Seq("n_journeys"))
+      .select(col("channel"), col("n_touches"), col("n_journeys"), col("credit_e6"))
+      .unionByName(direct.select(col("channel"), col("n_touches"),
+        lit(0L).as("n_journeys"), col("credit_e6")))
   }
 }

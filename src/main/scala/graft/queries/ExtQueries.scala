@@ -5136,6 +5136,92 @@ object ExtQueries {
       .orderBy("key")
   }
 
+  // x154 — EXPORTABLE BLOOM FILTER: the 16-word (62 bits/word, always-
+  // positive masks) deterministic bloom of the benchmark token set as a
+  // TABLE — the artifact another system consumes, vs x43's in-plan
+  // prefilter. bit_or is monotone-combinable → shard-mergeable and a
+  // valid streaming aggregate (StreamingSketchSpec).
+  private val bloomSeedRows = graft.ext.Dedup.hashCoeffs(3).zipWithIndex
+    .map { case ((a, b, c), i) => s"($i, $a, $b, $c)" }.mkString(", ")
+  val x154 = Q(
+    "x154_bloom_export",
+    s"""WITH seeds(i, a, b, c) AS (VALUES $bloomSeedRows),
+      |toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), c -> c <> '')) AS el
+      |  FROM documents WHERE doc_id < 500),
+      |hh AS (SELECT ('0x' || substring(md5(el), 1, 15))::BIGINT AS h FROM toks),
+      |bs AS (
+      |  SELECT ((a * (h & 1073741823) + b * (h >> 30) + c) % 1000000007) % 992 AS bit
+      |  FROM hh CROSS JOIN seeds),
+      |occ AS (
+      |  SELECT bit // 62 AS word_idx,
+      |         bit_or(CAST(1 AS BIGINT) << CAST(bit % 62 AS INT)) AS bits
+      |  FROM bs GROUP BY 1),
+      |w AS (SELECT unnest(range(0, 16)) AS word_idx)
+      |SELECT w.word_idx, coalesce(occ.bits, 0) AS bits,
+      |       CAST(bit_count(coalesce(occ.bits, 0)) AS INT) AS n_set
+      |FROM w LEFT JOIN occ USING (word_idx)
+      |ORDER BY word_idx""".stripMargin) { (s, dir) =>
+    Sketches.bloomBits(
+      Tables.documents(s, dir).where(col("doc_id") < 500)
+        .select(explode(split(trim(col("text")), "\\s+")).as("el"))
+        .where(col("el") =!= ""),
+      col("el"), words = 16, d = 3)
+      .orderBy("word_idx")
+  }
+
+  // x155 — LINEAR MULTI-TOUCH ATTRIBUTION: each purchase's 1e6 ppm of
+  // credit splits equally over its journey's touches (remainder to the
+  // first touch, so credit conserves EXACTLY); x131's last-touch is the
+  // single-beneficiary special case. One user window forms journeys.
+  val x155 = Q(
+    "x155_linear_attribution",
+    """WITH e AS (
+      |  SELECT user_id, event_id AS ord, event_type AS typ, epoch_us(ts) AS tus
+      |  FROM events),
+      |b AS (SELECT *, CASE WHEN typ = 'purchase' THEN 1 ELSE 0 END AS is_conv FROM e),
+      |j AS (
+      |  SELECT *, coalesce(SUM(is_conv) OVER (PARTITION BY user_id ORDER BY tus, ord
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS journey
+      |  FROM b),
+      |jn AS (
+      |  SELECT user_id, journey, MAX(is_conv) AS converted,
+      |         CAST(SUM(1 - is_conv) AS BIGINT) AS n_touch
+      |  FROM j GROUP BY 1, 2),
+      |conv AS (SELECT * FROM jn WHERE converted = 1),
+      |t AS (
+      |  SELECT j.user_id, j.journey, j.typ,
+      |         row_number() OVER (PARTITION BY j.user_id, j.journey ORDER BY j.tus, j.ord) AS touch_rank,
+      |         c.n_touch
+      |  FROM j JOIN conv c ON j.user_id = c.user_id AND j.journey = c.journey
+      |  WHERE j.is_conv = 0),
+      |cr AS (
+      |  SELECT typ AS channel, user_id, journey,
+      |         1000000 // n_touch
+      |           + CASE WHEN touch_rank = 1 THEN 1000000 % n_touch ELSE 0 END AS credit
+      |  FROM t),
+      |bc AS (
+      |  SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+      |         CAST(sum(credit) AS BIGINT) AS credit_e6
+      |  FROM cr GROUP BY 1),
+      |jc AS (
+      |  SELECT channel, CAST(count(*) AS BIGINT) AS n_journeys
+      |  FROM (SELECT DISTINCT channel, user_id, journey FROM cr) GROUP BY 1),
+      |dir AS (SELECT CAST(count(*) AS BIGINT) AS n_direct FROM conv WHERE n_touch = 0),
+      |drow AS (
+      |  SELECT '(direct)' AS channel, CAST(0 AS BIGINT) AS n_touches,
+      |         CAST(0 AS BIGINT) AS n_journeys, n_direct * 1000000 AS credit_e6
+      |  FROM dir WHERE n_direct > 0)
+      |SELECT channel, n_touches, coalesce(n_journeys, 0) AS n_journeys, credit_e6
+      |FROM bc LEFT JOIN jc USING (channel)
+      |UNION ALL SELECT channel, n_touches, n_journeys, credit_e6 FROM drow
+      |ORDER BY channel""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.linearAttribution(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        convType = "purchase")
+      .orderBy("channel")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -5148,5 +5234,5 @@ object ExtQueries {
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
-      x145, x146, x147, x148, x149, x150, x151, x152, x153)
+      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155)
 }

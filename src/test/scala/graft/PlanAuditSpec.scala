@@ -910,4 +910,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(specs.nonEmpty && specs.forall(_.contains("key")), specs.toString)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x154: bloom export = ONE bit_or groupBy; broadcast width completion; no window") {
+    val df = SparkEntry.queries("x154_bloom_export")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("bit_or"), p)
+    // seeds and the 16-row word table broadcast; tokens shuffle once at
+    // word cardinality (partial bit_or combines map-side)
+    assert(broadcasts(p) >= 1, p)
+    assert("partial_bit_or|bit_or".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("x155: attribution = ONE user-key journey window; rollups at type cardinality") {
+    val df = SparkEntry.queries("x155_linear_attribution")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // every window partitions by user (journey form + touch rank)
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")), specs.toString)
+    // journeys checkpointed once; consumers read the RDD, not the fact
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -379,3 +379,41 @@ class HllOverlapSpec extends graft.SparkSpec {
     assert(got === Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
 }
+
+class BloomBitsSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def filt(els: Seq[String]) =
+    Sketches.bloomBits(els.toDF("el"), col("el"), words = 4, d = 3)
+
+  test("every inserted element's d probe bits are set; width always emitted") {
+    val els = (1 to 40).map(i => s"tok$i")
+    val got = filt(els).orderBy("word_idx")
+      .as[(Long, Long, Int)].collect()
+    assert(got.map(_._1) === (0L until 4L).toArray) // all words, zeros included
+    val words = got.map(r => r._1 -> r._2).toMap
+    // recompute each element's probes the long way and check membership
+    val coeffs = Dedup.hashCoeffs(3)
+    val probes = els.toDF("el")
+      .select(Dedup.md5Hash60(col("el")).as("h"))
+      .as[Long].collect()
+      .flatMap(h => coeffs.map { case (a, b, c) =>
+        ((a * (h & 1073741823L) + b * (h >>> 30) + c) % Dedup.HashP) % (4 * 62L) })
+    probes.foreach { bit =>
+      assert((words(bit / 62) & (1L << (bit % 62).toInt)) !== 0L, s"bit $bit unset")
+    }
+    // 62-bit layout: no mask ever reaches the sign bits
+    assert(got.forall(_._2 >= 0L))
+    assert(got.map(_._3).sum === got.map(r => java.lang.Long.bitCount(r._2)).sum)
+  }
+
+  test("merge law: OR of two shard filters == filter of the union") {
+    val s1 = (1 to 30).map(i => s"a$i")
+    val s2 = (20 to 60).map(i => s"a$i") // overlap on purpose
+    val m1 = filt(s1).as[(Long, Long, Int)].collect().map(r => r._1 -> r._2).toMap
+    val m2 = filt(s2).as[(Long, Long, Int)].collect().map(r => r._1 -> r._2).toMap
+    val whole = filt(s1 ++ s2).as[(Long, Long, Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(whole === m1.map { case (k, v) => k -> (v | m2(k)) })
+  }
+}

@@ -775,3 +775,52 @@ class EntryExitSpec extends SparkSpec {
       ("b", 0L, 1L, 0L, 0L, 1000000L)))
   }
 }
+
+class LinearAttributionSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def ev(rows: (Long, Long, Long, String)*) =
+    rows.toDF("user_id", "t", "event_id", "typ")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"),
+        col("event_id"), col("typ"))
+
+  test("equal split with remainder to the first touch; credit conserves exactly") {
+    // user 1: view, click, email, purchase → 3 touches share 1e6:
+    // 333333 each, +1 remainder to the FIRST (view)
+    val e = ev((1L, 1L, 1L, "view"), (1L, 2L, 2L, "click"),
+      (1L, 3L, 3L, "email"), (1L, 4L, 4L, "purchase"))
+    val got = graft.ops.EventAnalytics.linearAttribution(e, col("user_id"),
+        col("ts"), col("event_id"), col("typ"), "purchase")
+      .orderBy("channel").as[(String, Long, Long, Long)].collect()
+    assert(got === Array(
+      ("click", 1L, 1L, 333333L),
+      ("email", 1L, 1L, 333333L),
+      ("view", 1L, 1L, 333334L)))
+    assert(got.map(_._4).sum === 1000000L) // conservation
+  }
+
+  test("journeys reset after each conversion; direct conversions credit (direct)") {
+    val e = ev(
+      // user 1: view → purchase | purchase (no touches → direct)
+      (1L, 1L, 1L, "view"), (1L, 2L, 2L, "purchase"), (1L, 3L, 3L, "purchase"),
+      // user 2: click after the data's last purchase → never credited
+      (2L, 1L, 4L, "click"))
+    val got = graft.ops.EventAnalytics.linearAttribution(e, col("user_id"),
+        col("ts"), col("event_id"), col("typ"), "purchase")
+      .orderBy("channel").as[(String, Long, Long, Long)].collect()
+    assert(got === Array(
+      ("(direct)", 0L, 0L, 1000000L),
+      ("view", 1L, 1L, 1000000L)))
+    assert(got.map(_._4).sum === 2L * 1000000L) // 2 conversions, both conserved
+  }
+
+  test("a channel touching twice in one journey counts one journey, two touches") {
+    val e = ev((1L, 1L, 1L, "view"), (1L, 2L, 2L, "view"),
+      (1L, 3L, 3L, "purchase"))
+    val got = graft.ops.EventAnalytics.linearAttribution(e, col("user_id"),
+        col("ts"), col("event_id"), col("typ"), "purchase")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got === Array(("view", 2L, 1L, 1000000L)))
+  }
+}

@@ -137,4 +137,25 @@ class StreamingSketchSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long)].collect().toSet
     assert(streamedDrift === batchDrift)
   }
+
+  test("streamed bloom words (bit_or — monotone) == batch filter over the union") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = Sketches.bloomWords(mem.toDS().toDF("el"), col("el"), words = 4, d = 3)
+      .writeStream.format("memory").queryName("bloom_words")
+      .outputMode("complete").start()
+    val b1 = (1 to 50).map(i => s"e$i")
+    val b2 = (30 to 90).map(i => s"e$i") // replayed overlap must OR-absorb
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bloom_words")
+      .as[(Long, Long)].collect().toSet
+    val batch = Sketches.bloomWords((b1 ++ b2).toDF("el"), col("el"),
+        words = 4, d = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
 }

@@ -5222,6 +5222,45 @@ object ExtQueries {
       .orderBy("channel")
   }
 
+  // x156 — JSON FIELD ANALYTICS: extract `props.k` scan-side
+  // (get_json_object — codegen'd, no UDF) and run exact per-type order-
+  // statistic quantiles over it. The semi-structured column promoted to
+  // a first-class measure without a schema migration; parse cost is one
+  // projection, rows with a missing/malformed field are counted, not
+  // silently dropped.
+  val x156 = Q(
+    "x156_props_stats",
+    """WITH e AS (
+      |  SELECT event_type AS stratum,
+      |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+      |  FROM events),
+      |nn AS (SELECT stratum, CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+      |       FROM e GROUP BY 1),
+      |d AS (SELECT stratum, v FROM e WHERE v IS NOT NULL),
+      |c AS (SELECT stratum, CAST(count(*) AS BIGINT) AS cs FROM d GROUP BY 1),
+      |r AS (SELECT stratum, v,
+      |             CAST(row_number() OVER (PARTITION BY stratum ORDER BY v) AS BIGINT) AS rn
+      |      FROM d),
+      |q AS (SELECT r.stratum, CAST(count(*) AS BIGINT) AS n,
+      |             max(CASE WHEN rn = (25 * cs + 99) // 100 THEN v END) AS p25,
+      |             max(CASE WHEN rn = (50 * cs + 99) // 100 THEN v END) AS p50,
+      |             max(CASE WHEN rn = (95 * cs + 99) // 100 THEN v END) AS p95
+      |      FROM r JOIN c USING (stratum) GROUP BY r.stratum)
+      |SELECT q.stratum, n, p25, p50, p95, n_missing
+      |FROM q JOIN nn ON nn.stratum = q.stratum
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir).select(col("event_type").as("stratum"),
+      get_json_object(col("props"), "$.k").cast("long").as("v"))
+    val missing = e.groupBy("stratum")
+      .agg(sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_missing"))
+    Profile.groupQuantiles(e.where(col("v").isNotNull),
+        col("stratum"), col("v"), Seq(25, 50, 95))
+      .join(broadcast(missing), Seq("stratum"))
+      .select(col("stratum"), col("n"), col("p25"), col("p50"), col("p95"),
+        col("n_missing"))
+      .orderBy("stratum")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -5234,5 +5273,5 @@ object ExtQueries {
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
-      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155)
+      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156)
 }

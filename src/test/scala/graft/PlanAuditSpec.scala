@@ -936,4 +936,14 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan ExistingRDD".r.findAllIn(p).length >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x156: JSON extract is scan-side codegen (no UDF); quantile window is type-partitioned") {
+    val p = planOf("x156_props_stats")
+    assert(p.contains("get_json_object"), p)
+    assert(!p.toLowerCase.contains("batchevalpython"), p)
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("stratum")), specs.toString)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

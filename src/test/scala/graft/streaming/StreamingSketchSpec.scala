@@ -158,4 +158,25 @@ class StreamingSketchSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(streamed === batch)
   }
+
+  test("streamed covariance accumulators (sum/count) == batch matrix over the union") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = graft.ext.Profile.covMatrix(mem.toDS().toDF("x", "y"),
+        Seq("x" -> col("x"), "y" -> col("y")))
+      .writeStream.format("memory").queryName("cov_state")
+      .outputMode("complete").start()
+    mem.addData((1L, 2L), (2L, 4L))
+    q.processAllAvailable()
+    mem.addData((3L, 6L), (4L, 9L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cov_state")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    val batch = graft.ext.Profile.covMatrix(
+        Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 9L)).toDF("x", "y"),
+        Seq("x" -> col("x"), "y" -> col("y")))
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
 }

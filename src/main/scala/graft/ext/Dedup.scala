@@ -936,4 +936,30 @@ object Dedup {
         count(lit(1)).as("n_copies"),
         count_distinct(col("raw_hash")).as("n_raw_variants"))
   }
+
+  /** Cluster-level dedup keeper election: x39's connected components
+    * joined back to a quality measure, electing per cluster the member
+    * with the HIGHEST quality (ties to the lowest id — total order) and
+    * reporting what dropping the rest saves. Pairs tell you what is
+    * duplicated; this is the table the actual delete runs from.
+    *
+    * 100 TB posture: components ship (id, cluster) longs only; the
+    * quality join is an equi-join at member cardinality; the election
+    * is ONE combinable max(struct) groupBy — never a cluster window.
+    * Output: (cluster, keeper_id, n_members, chars_total, chars_saved). */
+  def clusterKeepers(pairs: DataFrame, quality: DataFrame, id: Column,
+      measure: Column): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val q = quality.select(id.cast("long").as("doc_id"),
+      measure.cast("long").as("m"))
+    cc.join(q, Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("m")).as("chars_total"),
+        max(struct(col("m"), (-col("doc_id")).as("nid"))).as("peak"))
+      .select(col("cluster"),
+        (-col("peak.nid")).as("keeper_id"),
+        col("n_members"), col("chars_total"),
+        (col("chars_total") - col("peak.m")).as("chars_saved"))
+  }
 }

@@ -92,4 +92,41 @@ object SnapshotDiff {
                |     * 1000000 DIV n1 DIV n2 AS BIGINT)""".stripMargin)
           .as("tv_e6"))
   }
+
+  /** Fact-vs-header reconciliation of one money column: per header key,
+    * the booked total against the sum DERIVED from its detail lines
+    * (per-LINE cents rounding, then an exact integer sum — the rounding
+    * contract is part of the operator's definition and the oracle
+    * mirrors it). One summary row: exact matches, small mismatches
+    * (|diff| <= `tolCents`), real breaks, headers with no lines at all,
+    * and the max/total absolute drift — the closing-the-books audit
+    * (the reference never cross-checks its own rollups; a warehouse
+    * MUST).
+    *
+    * 100 TB posture: details pre-aggregate to key cardinality BEFORE
+    * meeting the header (combinable sum; with AQE both sides hash on
+    * the same key, one co-partitioned join, no broadcast of a fact).
+    * Output: (n_headers, n_no_lines, n_exact, n_within_tol, n_breaks,
+    * max_abs_diff, total_abs_diff). */
+  def reconcileTotals(headers: DataFrame, headerKey: Column,
+      bookedCents: Column, details: DataFrame, detailKey: Column,
+      lineCents: Column, tolCents: Long): DataFrame = {
+    require(tolCents >= 0, s"tolCents=$tolCents must be >= 0")
+    val h = headers.select(headerKey.cast("long").as("k"),
+      bookedCents.cast("long").as("booked"))
+    val d = details.select(detailKey.cast("long").as("k"),
+        lineCents.cast("long").as("c"))
+      .groupBy("k").agg(sum(col("c")).as("derived"))
+    h.join(d, Seq("k"), "left")
+      .select(col("k"), col("booked"), col("derived"),
+        (col("derived") - col("booked")).as("diff"))
+      .agg(count(lit(1)).as("n_headers"),
+        sum(when(col("derived").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+        sum(when(col("diff") === 0L, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("diff") =!= 0L && abs(col("diff")) <= tolCents, 1L)
+          .otherwise(0L)).as("n_within_tol"),
+        sum(when(abs(col("diff")) > tolCents, 1L).otherwise(0L)).as("n_breaks"),
+        coalesce(max(abs(col("diff"))), lit(0L)).as("max_abs_diff"),
+        coalesce(sum(abs(col("diff"))), lit(0L)).as("total_abs_diff"))
+  }
 }

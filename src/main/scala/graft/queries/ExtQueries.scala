@@ -5261,6 +5261,72 @@ object ExtQueries {
       .orderBy("stratum")
   }
 
+  // x157 — HEADER/DETAIL RECONCILIATION: orders.o_totalprice audited
+  // against the per-line derived total (line-level cents rounding — the
+  // contract both engines share). Details pre-aggregate to key
+  // cardinality before meeting the header; one co-partitioned join.
+  val x157 = Q(
+    "x157_reconcile_totals",
+    """WITH dl AS (
+      |  SELECT l_orderkey AS k,
+      |         CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT) AS c
+      |  FROM lineitem),
+      |d AS (SELECT k, CAST(sum(c) AS BIGINT) AS derived FROM dl GROUP BY 1),
+      |h AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS booked
+      |      FROM orders),
+      |j AS (SELECT h.k, booked, derived, derived - booked AS diff
+      |      FROM h LEFT JOIN d USING (k))
+      |SELECT CAST(count(*) AS BIGINT) AS n_headers,
+      |       CAST(sum(CASE WHEN derived IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+      |       CAST(sum(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      |       CAST(sum(CASE WHEN diff <> 0 AND abs(diff) <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_tol,
+      |       CAST(sum(CASE WHEN abs(diff) > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_breaks,
+      |       CAST(coalesce(max(abs(diff)), 0) AS BIGINT) AS max_abs_diff,
+      |       CAST(coalesce(sum(abs(diff)), 0) AS BIGINT) AS total_abs_diff
+      |FROM j""".stripMargin) { (s, dir) =>
+    graft.ops.SnapshotDiff.reconcileTotals(
+      Tables.orders(s, dir), col("o_orderkey"),
+      round(col("o_totalprice") * 100, 0),
+      Tables.lineitem(s, dir), col("l_orderkey"),
+      round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * (lit(1) + col("l_tax")) * 100, 0),
+      tolCents = 5L)
+  }
+
+  // x158 — NEAR-DUP CLUSTER KEEPERS: x39's connected components closed
+  // into the actionable delete list — per cluster, the highest-quality
+  // member kept (n_chars desc, id asc) and the bytes dropping the rest
+  // saves. Election is one combinable max(struct), never a window.
+  val x158 = Q(
+    "x158_cluster_keepers",
+    s"""WITH RECURSIVE $x7Ctes,
+      |pr AS ($x7Select),
+      |edges AS (SELECT a AS u, b AS v FROM pr UNION ALL SELECT b, a FROM pr),
+      |reach(id, label) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id),
+      |cc AS (SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id),
+      |mem AS (SELECT cc.cluster, cc.doc_id, d.n_chars
+      |        FROM cc JOIN documents d USING (doc_id)),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
+      |       FROM mem),
+      |gg AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+      |              CAST(sum(n_chars) AS BIGINT) AS chars_total
+      |       FROM mem GROUP BY 1),
+      |kp AS (SELECT cluster, doc_id AS keeper_id, n_chars AS keeper_chars
+      |       FROM rk WHERE rn = 1)
+      |SELECT gg.cluster, keeper_id, n_members, chars_total,
+      |       chars_total - keeper_chars AS chars_saved
+      |FROM gg JOIN kp USING (cluster)
+      |ORDER BY cluster""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Dedup.clusterKeepers(
+      Dedup.minhashPairs(docs, col("doc_id"), col("text")),
+      docs, col("doc_id"), col("n_chars"))
+      .orderBy("cluster")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -5273,5 +5339,5 @@ object ExtQueries {
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
-      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156)
+      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158)
 }

@@ -946,4 +946,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(specs.nonEmpty && specs.forall(_.contains("stratum")), specs.toString)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x157: details aggregate to key cardinality BELOW the header join; one summary row") {
+    val df = SparkEntry.queries("x157_reconcile_totals")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the join's right side is the (key, sum) aggregate, not raw lines
+    val joinLine = p.linesIterator.indexWhere(l =>
+      l.contains("Join") && l.contains("LeftOuter"))
+    assert(joinLine >= 0, p)
+    assert(p.linesIterator.drop(joinLine + 1).exists(_.contains("HashAggregate")), p)
+  }
+
+  test("x158: keeper election is a combinable max(struct) groupBy, not a cluster window") {
+    val df = SparkEntry.queries("x158_cluster_keepers")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only windows belong to the upstream CC/LSH machinery — the
+    // election itself must appear as partial_max of a struct
+    assert("partial_max\\(struct".r.findAllIn(p).nonEmpty
+      || "partial_max\\(peak".r.findAllIn(p).nonEmpty
+      || p.contains("max(struct"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -407,3 +407,22 @@ class GovernanceSpec extends graft.SparkSpec {
     assert(a.reduce(b1, IdMeasure(9, 1)) === b1) // below the floor: no-op
   }
 }
+
+class ClusterKeepersSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("keeper is the highest-quality member, id breaks ties; savings add up") {
+    // clusters {1,2,3} (via pairs 1-2, 2-3) and {7,8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val docs = Seq((1L, 50L), (2L, 90L), (3L, 90L), (7L, 10L), (8L, 10L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.clusterKeepers(pairs, docs, col("doc_id"), col("n_chars"))
+      .orderBy("cluster").as[(Long, Long, Long, Long, Long)].collect()
+    // cluster 1: quality tie 90 between 2 and 3 → keeper 2 (lower id)
+    // cluster 7: tie 10 → keeper 7
+    assert(got === Array(
+      (1L, 2L, 3L, 230L, 140L),
+      (7L, 7L, 2L, 20L, 10L)))
+  }
+}

@@ -30,3 +30,31 @@ class CategoryDriftSpec extends graft.SparkSpec {
     assert(got("b") === ((0L, 2L, 1000000L)))
   }
 }
+
+class ReconcileSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("exact / tolerated / broken / lineless headers classify correctly") {
+    val h = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L))
+      .toDF("k", "booked")
+    val d = Seq(
+      (1L, 60L), (1L, 40L),   // exact
+      (2L, 103L),             // +3 → within tol 5
+      (3L, 10L))              // −90 → break; header 4 has no lines
+      .toDF("k", "c")
+    val got = graft.ops.SnapshotDiff.reconcileTotals(
+        h, col("k"), col("booked"), d, col("k"), col("c"), tolCents = 5L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got === ((4L, 1L, 1L, 1L, 1L, 90L, 93L)))
+  }
+
+  test("all reconciled: zero breaks, zero drift") {
+    val h = Seq((1L, 7L)).toDF("k", "booked")
+    val d = Seq((1L, 7L)).toDF("k", "c")
+    val got = graft.ops.SnapshotDiff.reconcileTotals(
+        h, col("k"), col("booked"), d, col("k"), col("c"), tolCents = 0L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got === ((1L, 0L, 1L, 0L, 0L, 0L, 0L)))
+  }
+}

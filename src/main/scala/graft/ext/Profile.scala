@@ -234,24 +234,7 @@ object Profile {
   def decileLift(df: DataFrame, id: Column, measure: Column,
       buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"buckets=$buckets must be >= 2")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val base = df.select(id.as("id"), measure.cast("long").as("m"))
-    val sorted = base.sort(col("m").desc, col("id"))
-      .withColumn("_pid", spark_partition_id())
-    val counts = sorted.groupBy("_pid").count().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val total = counts.iterator.map(_._2).sum
-    require(total > 0, "decileLift: empty input")
-    var acc = 0L
-    val offsets = counts.map { case (pid, c) => val off = acc; acc += c; (pid, off) }
-    val perBucket = sorted
-      .withColumn("_lrn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("_pid")).orderBy(col("m").desc, col("id"))).cast("long"))
-      .join(broadcast(offsets.toSeq.toDF("_pid", "_off")), "_pid")
-      .withColumn("bucket", // integer floor — `/` on Columns is FP division
-        expr(s"least((_off + _lrn - 1) * $buckets DIV ${total}L, ${buckets - 1})"))
+    val perBucket = globalBuckets(df, id, measure, buckets)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_entities"), sum(col("m")).as("total_m"))
     val cum = perBucket.select(col("bucket").as("b2"), col("total_m").as("m2"))
@@ -262,6 +245,61 @@ object Profile {
       .select(col("bucket"), col("n_entities"), col("total_m"),
         expr("total_m * 1000000L DIV grand").as("share_e6"),
         expr("cum_m * 1000000L DIV grand").as("cum_share_e6"))
+  }
+
+  /** Per-entity equal-population bucket by global rank (measure DESC,
+    * id ASC — bucket 0 = the top slice): the TWO-PHASE global rank
+    * shared by [[decileLift]] and RFM-style segmentations. A range sort
+    * stamps partition ids, per-partition ranks run in parallel, and
+    * broadcast prefix offsets make them global — no single task ever
+    * holds the whole ranking (the `ntile()` window an oracle runs
+    * would). Output: (id, m, bucket). */
+  def globalBuckets(df: DataFrame, id: Column, measure: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(id.as("id"), measure.cast("long").as("m"))
+    val sorted = base.sort(col("m").desc, col("id"))
+      .withColumn("_pid", spark_partition_id())
+    val counts = sorted.groupBy("_pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.iterator.map(_._2).sum
+    require(total > 0, "globalBuckets: empty input")
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val off = acc; acc += c; (pid, off) }
+    sorted
+      .withColumn("_lrn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_pid")).orderBy(col("m").desc, col("id"))).cast("long"))
+      .join(broadcast(offsets.toSeq.toDF("_pid", "_off")), "_pid")
+      .withColumn("bucket", // integer floor — `/` on Columns is FP division
+        expr(s"least((_off + _lrn - 1) * $buckets DIV ${total}L, ${buckets - 1})"))
+      .select(col("id"), col("m"), col("bucket"))
+  }
+
+  /** RFM segmentation: every entity bucketed into `buckets` equal-
+    * population slices independently by recency, frequency, and
+    * monetary value (bucket 0 = best in each dimension), rolled up to
+    * segment cells. Three two-phase global rankings ([[globalBuckets]]
+    * — the scale-honest price of data-adaptive cuts; fixed thresholds
+    * would be free and wrong), three co-keyed joins at entity
+    * cardinality, one ≤`buckets`³-row rollup.
+    * Output: (r_bucket, f_bucket, m_bucket, n_entities, monetary_total). */
+  def rfmSegments(df: DataFrame, id: Column, recency: Column,
+      frequency: Column, monetary: Column, buckets: Int = 4): DataFrame = {
+    val base = df.select(id.as("id"), recency.cast("long").as("r"),
+      frequency.cast("long").as("f"), monetary.cast("long").as("mv"))
+      .localCheckpoint(false)
+    val rb = globalBuckets(base, col("id"), col("r"), buckets)
+      .select(col("id"), col("bucket").as("r_bucket"))
+    val fb = globalBuckets(base, col("id"), col("f"), buckets)
+      .select(col("id"), col("bucket").as("f_bucket"))
+    val mb = globalBuckets(base, col("id"), col("mv"), buckets)
+      .select(col("id"), col("bucket").as("m_bucket"), col("m"))
+    rb.join(fb, Seq("id")).join(mb, Seq("id"))
+      .groupBy("r_bucket", "f_bucket", "m_bucket")
+      .agg(count(lit(1)).as("n_entities"), sum(col("m")).as("monetary_total"))
   }
 
   /** Approximate functional-dependency strength `lhs → rhs`: per

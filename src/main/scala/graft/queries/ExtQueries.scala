@@ -5327,6 +5327,45 @@ object ExtQueries {
       .orderBy("cluster")
   }
 
+  // x159 — RFM SEGMENTATION: customers cut into 4×4×4 equal-population
+  // recency/frequency/monetary cells (bucket 0 = best). Three TWO-PHASE
+  // global rankings (Profile.globalBuckets — the oracle pays the
+  // ntile-style global window this plan exists to avoid), entity-key
+  // joins, one 64-row rollup.
+  val x159 = Q(
+    "x159_rfm_segments",
+    """WITH c AS (
+      |  SELECT o_custkey AS id,
+      |         max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS r,
+      |         CAST(count(*) AS BIGINT) AS f,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mv
+      |  FROM orders GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM c),
+      |rb AS (SELECT id, least((row_number() OVER (ORDER BY r DESC, id) - 1) * 4 // total, 3) AS r_bucket
+      |       FROM c, n),
+      |fb AS (SELECT id, least((row_number() OVER (ORDER BY f DESC, id) - 1) * 4 // total, 3) AS f_bucket
+      |       FROM c, n),
+      |mb AS (SELECT id, mv, least((row_number() OVER (ORDER BY mv DESC, id) - 1) * 4 // total, 3) AS m_bucket
+      |       FROM c, n)
+      |SELECT r_bucket, f_bucket, m_bucket,
+      |       CAST(count(*) AS BIGINT) AS n_entities,
+      |       CAST(sum(mv) AS BIGINT) AS monetary_total
+      |FROM rb JOIN fb USING (id) JOIN mb USING (id)
+      |GROUP BY 1, 2, 3
+      |ORDER BY r_bucket, f_bucket, m_bucket""".stripMargin) { (s, dir) =>
+    val cust = Tables.orders(s, dir)
+      .select(col("o_custkey").as("id"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("id")
+      .agg(max(col("day")).as("r"), count(lit(1)).as("f"),
+        sum(col("cents")).as("mv"))
+    Profile.rfmSegments(cust, col("id"), col("r"), col("f"), col("mv"),
+        buckets = 4)
+      .orderBy("r_bucket", "f_bucket", "m_bucket")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -5339,5 +5378,5 @@ object ExtQueries {
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
-      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158)
+      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159)
 }

@@ -971,4 +971,15 @@ class PlanAuditSpec extends SparkSpec {
       || p.contains("max(struct"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x159: all three rankings are the two-phase kind — every window is _pid-partitioned") {
+    val df = SparkEntry.queries("x159_rfm_segments")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    assert("rangepartitioning".r.findAllIn(p).length >= 3, p) // three range sorts
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -426,3 +426,40 @@ class ClusterKeepersSpec extends graft.SparkSpec {
       (7L, 7L, 2L, 20L, 10L)))
   }
 }
+
+class RfmSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("globalBuckets: equal-population quartiles by (m DESC, id) across partitions") {
+    // 8 entities, m = 80..10 → quartiles of 2; ties broken by id
+    val d = (1L to 8L).map(i => (i, 90L - i * 10L)).toDF("id", "m")
+      .repartition(3) // force the multi-partition two-phase path
+    val got = Profile.globalBuckets(d, col("id"), col("m"), 4)
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    assert(got.map(_._3) === Array(0L, 0L, 1L, 1L, 2L, 2L, 3L, 3L))
+  }
+
+  test("rfm: segment counts cover all entities; best cell holds the best customer") {
+    val cust = Seq(
+      // id, recency(day), frequency, monetary
+      (1L, 100L, 10L, 1000L),  // best on every axis
+      (2L, 90L, 8L, 800L),
+      (3L, 50L, 5L, 500L),
+      (4L, 40L, 4L, 400L),
+      (5L, 30L, 3L, 300L),
+      (6L, 20L, 2L, 200L),
+      (7L, 10L, 1L, 100L),
+      (8L, 5L, 1L, 50L)
+    ).toDF("id", "r", "f", "mv")
+    val got = Profile.rfmSegments(cust, col("id"), col("r"), col("f"),
+        col("mv"), buckets = 4)
+      .orderBy("r_bucket", "f_bucket", "m_bucket")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._4).sum === 8L)
+    // perfectly correlated dims → everyone sits on the diagonal
+    assert(got === Array(
+      (0L, 0L, 0L, 2L, 1800L), (1L, 1L, 1L, 2L, 900L),
+      (2L, 2L, 2L, 2L, 500L), (3L, 3L, 3L, 2L, 150L)))
+  }
+}

@@ -5366,6 +5366,71 @@ object ExtQueries {
       .orderBy("r_bucket", "f_bucket", "m_bucket")
   }
 
+  // x160 — POWER-LAW FIT of the doc-length distribution: x96's log2
+  // histogram composed with x150's exact-rational regression, on the
+  // log-log plane via EXACT integer log2 (bit length — the HLL rho
+  // trick), so the heavy-tail exponent estimate is engine-reproducible
+  // where a float ln-regression never is. slope_e6 ≈ −(α−1)·1e6 for a
+  // Zipf-ish tail.
+  val x160 = Q(
+    "x160_powerlaw_fit",
+    """WITH v AS (SELECT n_chars AS v FROM documents WHERE n_chars >= 1),
+      |h AS (
+      |  SELECT length(bin(v)) - 1 AS b, CAST(count(*) AS BIGINT) AS n
+      |  FROM v GROUP BY 1),
+      |pts AS (
+      |  SELECT CAST(b AS BIGINT) AS x, CAST(length(bin(n)) - 1 AS BIGINT) AS y
+      |  FROM h),
+      |w AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |         sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM pts)
+      |SELECT 'n_chars' AS measure, n AS n_buckets, CAST(sy AS BIGINT) AS sum_y,
+      |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |            ELSE CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+      |            END AS slope_e6
+      |FROM w""".stripMargin) { (s, dir) =>
+    val hist = Profile.log2Hist(
+      Tables.documents(s, dir).where(col("n_chars") >= 1), col("n_chars"))
+    val pts = hist.select(
+      (length(bin(col("bucket_lo"))) - 1).cast("long").as("x"),
+      (length(bin(col("n_entities"))) - 1).cast("long").as("y"))
+    graft.ext.TimeSeries.trendSlope(pts.select(lit("n_chars").as("k"),
+        col("x"), col("y")), col("k"), col("x"), col("y"))
+      .select(col("key").as("measure"), col("n").as("n_buckets"),
+        col("sum_y"), col("slope_e6"))
+  }
+
+  // x161 — FULFILLMENT SLA: ship-lag day quantiles per order priority
+  // (the p99 a contract cares about), exact order statistics, the
+  // lineitem⋈orders join co-keyed on orderkey.
+  val x161 = Q(
+    "x161_ship_lag",
+    """WITH d AS (
+      |  SELECT o_orderpriority AS stratum,
+      |         date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS v
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |c AS (SELECT stratum, CAST(count(*) AS BIGINT) AS cs FROM d GROUP BY 1),
+      |r AS (SELECT stratum, v,
+      |             CAST(row_number() OVER (PARTITION BY stratum ORDER BY v) AS BIGINT) AS rn
+      |      FROM d)
+      |SELECT r.stratum, CAST(count(*) AS BIGINT) AS n,
+      |       max(CASE WHEN rn = (50 * cs + 99) // 100 THEN v END) AS p50,
+      |       max(CASE WHEN rn = (90 * cs + 99) // 100 THEN v END) AS p90,
+      |       max(CASE WHEN rn = (99 * cs + 99) // 100 THEN v END) AS p99
+      |FROM r JOIN c USING (stratum)
+      |GROUP BY r.stratum
+      |ORDER BY stratum""".stripMargin) { (s, dir) =>
+    val d = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("stratum"),
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+          .as("v"))
+    Profile.groupQuantiles(d, col("stratum"), col("v"), Seq(50, 90, 99))
+      .orderBy("stratum")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -5378,5 +5443,5 @@ object ExtQueries {
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
-      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159)
+      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161)
 }

@@ -982,4 +982,26 @@ class PlanAuditSpec extends SparkSpec {
     assert("rangepartitioning".r.findAllIn(p).length >= 3, p) // three range sorts
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x160: power-law fit never touches the corpus twice — hist + slope, no window") {
+    val df = SparkEntry.queries("x160_powerlaw_fit")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec"), p)
+    // count scans in the FINAL adaptive section only (toString echoes
+    // the full Initial Plan below it, double-counting the same scan)
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(finalSection).length <= 1, p) // one corpus read
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x161: ship-lag quantile windows are priority-partitioned; counts broadcast") {
+    val df = SparkEntry.queries("x161_ship_lag")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("stratum")), specs.toString)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

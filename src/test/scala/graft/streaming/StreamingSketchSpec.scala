@@ -179,4 +179,42 @@ class StreamingSketchSpec extends SparkSpec {
       .as[(String, String, Long, Long, Long, Long)].collect().toSet
     assert(streamed === batch)
   }
+
+  test("streamed zone-map stats (count/min/max — all combinable) == batch blocks") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = graft.ext.Layout.zoneMapStats(mem.toDS().toDF("k", "m"),
+        col("k"), col("m"), blockSize = 4L)
+      .writeStream.format("memory").queryName("zone_state")
+      .outputMode("complete").start()
+    mem.addData((0L, 10L), (1L, 5L), (5L, 99L))
+    q.processAllAvailable()
+    mem.addData((2L, 1L), (6L, 42L), (9L, 7L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("zone_state")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = graft.ext.Layout.zoneMapStats(
+        Seq((0L, 10L), (1L, 5L), (5L, 99L), (2L, 1L), (6L, 42L), (9L, 7L))
+          .toDF("k", "m"), col("k"), col("m"), blockSize = 4L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("streamed regression moments (trendSlope) == batch slope over the union") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = graft.ext.TimeSeries.trendSlope(mem.toDS().toDF("k", "x", "y"),
+        col("k"), col("x"), col("y"))
+      .writeStream.format("memory").queryName("slope_state")
+      .outputMode("complete").start()
+    mem.addData(("a", 1L, 10L), ("a", 2L, 13L))
+    q.processAllAvailable()
+    mem.addData(("a", 3L, 16L), ("a", 4L, 19L), ("b", 1L, 5L), ("b", 2L, 5L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("slope_state")
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(streamed === Set(("a", 4L, 58L, Some(3000000L)), ("b", 2L, 10L, Some(0L))))
+  }
 }

@@ -352,6 +352,72 @@ object VolumeTripwire {
           timeMin(graft.ops.EventAnalytics.basketPairs(events10,
             col("user_id"), col("ts"), col("event_id"), col("event_type"),
             gapMicros = 1800000000L)))
+      },
+      // seventh batch. Link prediction under the flood: the 100k
+      // identical docs' shingles all have df ≈ 100k >> the stop-gram
+      // cap and contribute NO edges (the x64/x73 guard); organic 10×
+      // docs grow the wedge volume ~linearly because per-shingle pair
+      // fan-out stays capped at df²
+      Res("x148_linkPred",
+        timeMin(Graph.linkPrediction(Graph.coShingleEdges(
+          docs1, col("doc_id"), col("text"), n = 3, maxShingleDf = 16L), k = 50)),
+        timeMin(Graph.linkPrediction(Graph.coShingleEdges(
+          docs10, col("doc_id"), col("text"), n = 3, maxShingleDf = 16L), k = 50))),
+      // HLL overlap under the flood: registers absorb the 100k copies
+      // map-side (max-fold); the exact-overlap branch joins DISTINCT
+      // (key, token) sets, so byte-identical copies add zero rows there
+      Res("x152_hllOverlap",
+        timeMin(Sketches.hllOverlap(
+          docs1.select(pmod(col("doc_id"), lit(4)).cast("string").as("k"),
+            explode(split(trim(col("text")), "\\s+")).as("el"))
+            .where(col("el") =!= ""), col("k"), col("el"))),
+        timeMin(Sketches.hllOverlap(
+          docs10.select(pmod(col("doc_id"), lit(4)).cast("string").as("k"),
+            explode(split(trim(col("text")), "\\s+")).as("el"))
+            .where(col("el") =!= ""), col("k"), col("el")))),
+      // cluster keepers under the flood: minhashPairs' distinct-contents
+      // guard collapses the 100k copies before LSH; CC pointer-doubling
+      // stays O(log d); the election is a combinable max(struct)
+      Res("x158_clusterKeepers", {
+        val q1 = docs1.select(col("doc_id"), length(col("text")).as("n_chars"))
+        timeMin(Dedup.clusterKeepers(
+          Dedup.minhashPairs(docs1, col("doc_id"), col("text")),
+          q1, col("doc_id"), col("n_chars")))
+      }, {
+        val q10 = docs10.select(col("doc_id"), length(col("text")).as("n_chars"))
+        timeMin(Dedup.clusterKeepers(
+          Dedup.minhashPairs(docs10, col("doc_id"), col("text")),
+          q10, col("doc_id"), col("n_chars")))
+      }), {
+        // survival + attribution under the user-7 skew (one user owns
+        // ~90% of the 10× fact): journeys/sessions form in ONE ordered
+        // walk of that user's partition — linear by construction; the
+        // rollups after are type- or threshold-bounded
+        val events = Tables.events(spark, sfDir)
+          .select("event_id", "user_id", "ts", "event_type")
+        val events10 = blow(events, "event_id", 10, 100000000L)
+          .withColumn("user_id",
+            when(col("event_id") >= 100000000L, lit(7L)).otherwise(col("user_id")))
+        Res("x147_survival",
+          timeMin(graft.ops.EventAnalytics.survivalCurve(events,
+            col("user_id"), col("ts"), col("event_id"),
+            gapMicros = 1800000000L, minuteMarks = Seq(0, 1, 5, 15))),
+          timeMin(graft.ops.EventAnalytics.survivalCurve(events10,
+            col("user_id"), col("ts"), col("event_id"),
+            gapMicros = 1800000000L, minuteMarks = Seq(0, 1, 5, 15))))
+      }, {
+        val events = Tables.events(spark, sfDir)
+          .select("event_id", "user_id", "ts", "event_type")
+        val events10 = blow(events, "event_id", 10, 100000000L)
+          .withColumn("user_id",
+            when(col("event_id") >= 100000000L, lit(7L)).otherwise(col("user_id")))
+        Res("x155_linearAttr",
+          timeMin(graft.ops.EventAnalytics.linearAttribution(events,
+            col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            convType = "purchase")),
+          timeMin(graft.ops.EventAnalytics.linearAttribution(events10,
+            col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            convType = "purchase")))
       })
 
     results.foreach { r =>

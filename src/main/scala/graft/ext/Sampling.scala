@@ -380,4 +380,49 @@ object Sampling {
       .select(col("doc_id"), col("stratum"), col("score"),
         expr("rn * 1000000L DIV cs").as("q_e6"))
   }
+
+  /** Proportional stratified sample with EXACT largest-remainder
+    * allocation: per-stratum quotas `budget·n_s div N` plus one extra
+    * row for the `budget − Σquota` strata with the largest remainders
+    * (ties by stratum — total order), rows then chosen by deterministic
+    * md5 rank within each stratum. Allocation error vs true proportions
+    * is < 1 row per stratum and the total is EXACTLY `budget` — the
+    * eval-set builder's contract (x48's fixed per-stratum budget is the
+    * other regime).
+    *
+    * 100 TB posture: quotas live on the |strata|-row aggregate (the
+    * remainder rank is a broadcast self-join count, not a global
+    * window); row selection is one stratum-partitioned rank window.
+    * Output: (stratum, id, rk) — exactly `budget` rows. */
+  def proportionalSample(df: DataFrame, stratum: Column, id: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget=$budget must be >= 1")
+    val base = df.select(stratum.cast("string").as("s"), id.as("id"))
+    val sizes = base.groupBy("s").agg(count(lit(1)).as("n_s"))
+    val tot = sizes.agg(sum(col("n_s")).as("n_total"))
+    val quotas = sizes.crossJoin(broadcast(tot))
+      .select(col("s"), col("n_s"),
+        expr(s"${budget}L * n_s DIV n_total").as("quota"),
+        expr(s"(${budget}L * n_s) % n_total").as("rem"))
+      .localCheckpoint(false)
+    val leftover = broadcast(quotas
+      .agg((lit(budget) - sum(col("quota"))).as("extra")))
+    val ranked = quotas.as("a")
+      .join(broadcast(quotas.select(col("s").as("s2"), col("rem").as("rem2"))),
+        col("rem2") > col("rem") ||
+          (col("rem2") === col("rem") && col("s2") <= col("s")))
+      .groupBy(col("a.s"), col("a.quota"))
+      .agg(count(lit(1)).as("rrank"))
+      .crossJoin(leftover)
+      .select(col("s"),
+        (col("quota") + when(col("rrank") <= col("extra"), 1L).otherwise(0L))
+          .as("final_quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    base.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(ranked), Seq("s"))
+      .where(col("rk") <= col("final_quota"))
+      .select(col("s").as("stratum"), col("id"), col("rk"))
+  }
 }

@@ -129,4 +129,31 @@ object SnapshotDiff {
         coalesce(max(abs(col("diff"))), lit(0L)).as("max_abs_diff"),
         coalesce(sum(abs(col("diff"))), lit(0L)).as("total_abs_diff"))
   }
+
+  /** Incremental aggregation by STATE MERGE: a running (key, total)
+    * state table folded with a delta slice's partial aggregate via one
+    * key-cardinality full-outer join — the lambda-architecture batch
+    * path that never re-reads history. The output carries the state,
+    * delta, and merged totals PLUS an independently-recomputed full
+    * total and its diff, so the merge law (state ⊕ delta == full) is a
+    * visible column (always 0), not a comment — the same
+    * contract-made-data shape as hllDistinct's n_exact.
+    *
+    * 100 TB posture: the full-recompute column is the AUDIT branch you
+    * run at toy scale and drop in production; the merge path reads only
+    * the delta and the key-cardinality state. Aggregates must be
+    * commutative monoids on exact types (longs here). */
+  def incrementalMerge(state: DataFrame, delta: DataFrame, full: DataFrame,
+      key: Column, measure: Column): DataFrame = {
+    def agg(df: DataFrame, out: String) =
+      df.select(key.as("k"), measure.cast("long").as("m"))
+        .groupBy("k").agg(sum(col("m")).as(out))
+    agg(state, "cents_state")
+      .join(agg(delta, "cents_delta"), Seq("k"), "full_outer")
+      .na.fill(0L, Seq("cents_state", "cents_delta"))
+      .withColumn("cents_total", col("cents_state") + col("cents_delta"))
+      .join(agg(full, "cents_full"), Seq("k"), "full_outer")
+      .na.fill(0L, Seq("cents_state", "cents_delta", "cents_total", "cents_full"))
+      .withColumn("merge_diff", col("cents_total") - col("cents_full"))
+  }
 }

@@ -5431,6 +5431,83 @@ object ExtQueries {
       .orderBy("stratum")
   }
 
+  // x162 — INCREMENTAL STATE MERGE: regional revenue kept as a running
+  // state table, a 1996+ delta folded in by one key-cardinality
+  // full-outer join; the independently recomputed full total rides
+  // along so the merge law (state ⊕ delta == full) is a VISIBLE zero
+  // column, not a comment.
+  val x162 = Q(
+    "x162_incremental_agg",
+    """WITH o AS (
+      |  SELECT n_name AS k, o_orderdate AS d,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS m
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |st AS (SELECT k, CAST(sum(m) AS BIGINT) AS cents_state FROM o
+      |       WHERE d < TIMESTAMP '1996-01-01' GROUP BY 1),
+      |de AS (SELECT k, CAST(sum(m) AS BIGINT) AS cents_delta FROM o
+      |       WHERE d >= TIMESTAMP '1996-01-01' GROUP BY 1),
+      |fu AS (SELECT k, CAST(sum(m) AS BIGINT) AS cents_full FROM o GROUP BY 1),
+      |mg AS (
+      |  SELECT coalesce(st.k, de.k) AS k,
+      |         coalesce(cents_state, 0) AS cents_state,
+      |         coalesce(cents_delta, 0) AS cents_delta,
+      |         coalesce(cents_state, 0) + coalesce(cents_delta, 0) AS cents_total
+      |  FROM st FULL OUTER JOIN de ON st.k = de.k)
+      |SELECT coalesce(mg.k, fu.k) AS k,
+      |       coalesce(cents_state, 0) AS cents_state,
+      |       coalesce(cents_delta, 0) AS cents_delta,
+      |       coalesce(cents_total, 0) AS cents_total,
+      |       coalesce(cents_full, 0) AS cents_full,
+      |       coalesce(cents_total, 0) - coalesce(cents_full, 0) AS merge_diff
+      |FROM mg FULL OUTER JOIN fu ON mg.k = fu.k
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("k"), col("o_orderdate").as("d"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("m"))
+    val split = lit("1996-01-01").cast("timestamp")
+    graft.ops.SnapshotDiff.incrementalMerge(
+        o.where(col("d") < split), o.where(col("d") >= split), o,
+        col("k"), col("m"))
+      .orderBy("k")
+  }
+
+  // x163 — PROPORTIONAL SAMPLE with exact largest-remainder allocation:
+  // a 100-row eval set over sources, quotas within 1 row of true
+  // proportions, total EXACTLY the budget; rows picked by deterministic
+  // md5 rank. The remainder rank is a broadcast self-join count, never
+  // a global window.
+  val x163 = Q(
+    "x163_proportional_sample",
+    """WITH b AS (SELECT source AS s, doc_id AS id FROM documents),
+      |sz AS (SELECT s, CAST(count(*) AS BIGINT) AS n_s FROM b GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM sz),
+      |q AS (
+      |  SELECT s, n_s, 100 * n_s // n_total AS quota, (100 * n_s) % n_total AS rem
+      |  FROM sz, t),
+      |lo AS (SELECT 100 - CAST(sum(quota) AS BIGINT) AS extra FROM q),
+      |rkq AS (
+      |  SELECT a.s, a.quota, CAST(count(*) AS BIGINT) AS rrank
+      |  FROM q a JOIN q b2 ON b2.rem > a.rem OR (b2.rem = a.rem AND b2.s <= a.s)
+      |  GROUP BY a.s, a.quota),
+      |fq AS (
+      |  SELECT s, quota + CASE WHEN rrank <= extra THEN 1 ELSE 0 END AS final_quota
+      |  FROM rkq, lo),
+      |rr AS (
+      |  SELECT s, id,
+      |         CAST(row_number() OVER (PARTITION BY s ORDER BY md5(CAST(id AS VARCHAR)), id) AS BIGINT) AS rk
+      |  FROM b)
+      |SELECT rr.s AS stratum, rr.id, rr.rk
+      |FROM rr JOIN fq ON rr.s = fq.s
+      |WHERE rr.rk <= fq.final_quota
+      |ORDER BY stratum, rk""".stripMargin) { (s, dir) =>
+    Sampling.proportionalSample(Tables.documents(s, dir),
+        col("source"), col("doc_id"), budget = 100L)
+      .orderBy("stratum", "rk")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -5443,5 +5520,5 @@ object ExtQueries {
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
-      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161)
+      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163)
 }

@@ -1004,4 +1004,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(specs.nonEmpty && specs.forall(_.contains("stratum")), specs.toString)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x162: merge path joins key-cardinality aggregates; dims broadcast") {
+    val df = SparkEntry.queries("x162_incremental_agg")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p) // customer + nation
+    assert(!p.contains("CartesianProduct"), p)
+    // both outer joins sit ABOVE aggregates (key-cardinality inputs)
+    assert("FullOuter".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("x163: allocation runs on the strata aggregate; row rank is stratum-partitioned") {
+    val df = SparkEntry.queries("x163_proportional_sample")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("s#") || specs.forall(_.contains("s"))), specs.toString)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -463,3 +463,48 @@ class RfmSpec extends graft.SparkSpec {
       (2L, 2L, 2L, 2L, 500L), (3L, 3L, 3L, 2L, 150L)))
   }
 }
+
+class ProportionalSampleSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("largest-remainder allocation: total is exactly the budget, error < 1 row") {
+    // sizes 5, 3, 2 with budget 7 → exact shares 3.5, 2.1, 1.4 →
+    // quotas 3,2,1 (sum 6), leftover 1 goes to the largest remainder (a: .5)
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .zipWithIndex.map { case (s, i) => (s, i.toLong) }.toDF("s", "id")
+    val got = Sampling.proportionalSample(df, col("s"), col("id"), budget = 7L)
+      .groupBy("stratum").agg(count(lit(1)).as("n"))
+      .orderBy("stratum").as[(String, Long)].collect()
+    assert(got === Array(("a", 4L), ("b", 2L), ("c", 1L)))
+    assert(got.map(_._2).sum === 7L)
+  }
+
+  test("deterministic: same input, same sample; ranks contiguous from 1") {
+    val df = (1L to 50L).map(i => (if (i % 2 == 0) "x" else "y", i)).toDF("s", "id")
+    val a = Sampling.proportionalSample(df, col("s"), col("id"), 10L)
+      .orderBy("stratum", "rk").as[(String, Long, Long)].collect()
+    val b = Sampling.proportionalSample(df, col("s"), col("id"), 10L)
+      .orderBy("stratum", "rk").as[(String, Long, Long)].collect()
+    assert(a === b)
+    assert(a.filter(_._1 == "x").map(_._3) === (1L to 5L).toArray)
+  }
+}
+
+class IncrementalMergeSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("state ⊕ delta == full — merge_diff is zero everywhere, keys union correctly") {
+    val state = Seq(("a", 10L), ("a", 5L), ("b", 7L)).toDF("k", "m")
+    val delta = Seq(("a", 1L), ("c", 9L)).toDF("k", "m") // c is delta-only
+    val full = state.unionAll(delta)
+    val got = graft.ops.SnapshotDiff.incrementalMerge(state, delta, full,
+        col("k"), col("m"))
+      .orderBy("k").as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      ("a", 15L, 1L, 16L, 16L, 0L),
+      ("b", 7L, 0L, 7L, 7L, 0L),
+      ("c", 0L, 9L, 9L, 9L, 0L)))
+  }
+}

@@ -500,4 +500,32 @@ object Profile {
         col("exp_ppm"))
       .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
   }
+
+  /** Per-stratum WEIGHTED lower median of an integer measure: the
+    * smallest value v whose running weight (ordered by value, id)
+    * reaches `(W+1) div 2` — "the median document BY TOKENS" instead of
+    * by count, the form corpus data cards actually need (a million
+    * 10-char stubs should not drag the size median to 10). Exact
+    * integer order statistics: reproducible on any engine, no
+    * interpolation.
+    *
+    * Plan: one stratum-partitioned running-sum window + a broadcast
+    * totals join + one conditional-min groupBy — no global window.
+    * Output: (stratum, n, w_total, wmedian). */
+  def weightedMedian(df: DataFrame, stratum: Column, value: Column,
+      weight: Column, order: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("v"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val d = df.select(stratum.as("stratum"), value.cast("long").as("v"),
+        weight.cast("long").as("wt"), order.as("id"))
+    val totals = d.groupBy("stratum")
+      .agg(count(lit(1)).as("n"), sum(col("wt")).as("w_total"))
+    d.withColumn("cumw", sum(col("wt")).over(w))
+      .join(broadcast(totals), Seq("stratum"))
+      .where(col("cumw") >= expr("(w_total + 1) DIV 2"))
+      .groupBy("stratum", "n", "w_total")
+      .agg(min(col("v")).as("wmedian"))
+      .select(col("stratum"), col("n"), col("w_total"), col("wmedian"))
+  }
 }

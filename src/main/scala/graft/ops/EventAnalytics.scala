@@ -484,4 +484,31 @@ object EventAnalytics {
       .unionByName(direct.select(col("channel"), col("n_touches"),
         lit(0L).as("n_journeys"), col("credit_e6")))
   }
+
+  /** Churn-label builder: per signup cohort (month of first event), the
+    * users whose LAST activity predates the observation edge by more
+    * than `horizonMicros` — the leakage-safe label a retention model
+    * trains on (the edge comes from the data itself, so rebuilding on a
+    * longer extract moves the labels consistently).
+    *
+    * Plan: ONE combinable (min, max) groupBy collapses events to a row
+    * per user; the corpus edge broadcasts; the cohort rollup is
+    * month-cardinality. Output: (cohort, n_users, n_churned, churn_ppm). */
+  def churnLabels(events: DataFrame, user: Column, ts: Column,
+      horizonMicros: Long): DataFrame = {
+    require(horizonMicros > 0, s"horizonMicros=$horizonMicros must be > 0")
+    val u = events.select(user.as("user_id"), ts.as("ts"),
+        unix_micros(ts).as("tus"))
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("first_ts"), max(col("tus")).as("last_us"))
+      .localCheckpoint(false)
+    val edge = u.agg(max(col("last_us")).as("max_us"))
+    u.crossJoin(broadcast(edge))
+      .select(date_trunc("month", col("first_ts")).as("cohort"),
+        when(col("last_us") < col("max_us") - horizonMicros, 1L)
+          .otherwise(0L).as("churned"))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n_users"), sum(col("churned")).as("n_churned"))
+      .withColumn("churn_ppm", expr("n_churned * 1000000L DIV n_users"))
+  }
 }

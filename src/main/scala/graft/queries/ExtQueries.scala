@@ -5508,6 +5508,57 @@ object ExtQueries {
       .orderBy("stratum", "rk")
   }
 
+  // x164 — TOKEN-WEIGHTED MEDIAN doc length per source: the corpus
+  // median BY TOKENS, not by document count (a million stubs must not
+  // drag it). Exact weighted order statistic: running-weight window per
+  // stratum + broadcast totals + conditional min.
+  val x164 = Q(
+    "x164_weighted_median",
+    """WITH d AS (
+      |  SELECT source AS stratum, doc_id AS id, n_chars AS v,
+      |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS wt
+      |  FROM documents),
+      |t AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n, CAST(sum(wt) AS BIGINT) AS w_total
+      |      FROM d GROUP BY 1),
+      |r AS (
+      |  SELECT stratum, v, wt,
+      |         SUM(wt) OVER (PARTITION BY stratum ORDER BY v, id
+      |                       ROWS UNBOUNDED PRECEDING) AS cumw
+      |  FROM d)
+      |SELECT r.stratum, t.n, t.w_total, min(v) AS wmedian
+      |FROM r JOIN t ON r.stratum = t.stratum
+      |WHERE cumw >= (w_total + 1) // 2
+      |GROUP BY r.stratum, t.n, t.w_total
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    Profile.weightedMedian(Tables.documents(s, dir), col("source"),
+        col("n_chars"), TextAnalysis.wsTokenCount(col("text")).cast("long"),
+        col("doc_id"))
+      .orderBy("stratum")
+  }
+
+  // x165 — CHURN LABELS per signup cohort: users silent for the final
+  // 30 days of the extract, the edge derived from the data itself. One
+  // (min, max) groupBy per user; month-cardinality rollup.
+  val x165 = Q(
+    "x165_churn_labels",
+    """WITH u AS (
+      |  SELECT user_id, min(ts) AS first_ts, max(epoch_us(ts)) AS last_us
+      |  FROM events GROUP BY 1),
+      |mx AS (SELECT max(last_us) AS max_us FROM u)
+      |SELECT date_trunc('month', first_ts) AS cohort,
+      |       CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(CASE WHEN last_us < max_us - 2592000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+      |       CAST(sum(CASE WHEN last_us < max_us - 2592000000000 THEN 1 ELSE 0 END) * 1000000
+      |            // count(*) AS BIGINT) AS churn_ppm
+      |FROM u, mx
+      |GROUP BY 1
+      |ORDER BY cohort""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.churnLabels(Tables.events(s, dir),
+        col("user_id"), col("ts"), horizonMicros = 2592000000000L)
+      .orderBy("cohort")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -5520,5 +5571,5 @@ object ExtQueries {
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
-      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163)
+      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165)
 }

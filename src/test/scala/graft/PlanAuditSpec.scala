@@ -1025,4 +1025,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(specs.nonEmpty && specs.forall(_.contains("s#") || specs.forall(_.contains("s"))), specs.toString)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x164: weighted median windows are stratum-partitioned; totals broadcast") {
+    val df = SparkEntry.queries("x164_weighted_median")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("stratum")), specs.toString)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x165: churn = one per-user groupBy; edge broadcasts; no window") {
+    val df = SparkEntry.queries("x165_churn_labels")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec"), p)
+    assert(p.contains("Scan ExistingRDD"), p) // per-user table checkpointed once
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

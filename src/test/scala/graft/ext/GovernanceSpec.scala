@@ -508,3 +508,47 @@ class IncrementalMergeSpec extends graft.SparkSpec {
       ("c", 0L, 9L, 9L, 9L, 0L)))
   }
 }
+
+class WeightedMedianChurnSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("weighted median: heavy rows dominate; plain median would differ") {
+    // values 10×(w1 each) and one 100 with w=20: W=30, threshold 15
+    // → cumw crosses 15 inside the ten w1 rows? cum at v=10 rows: each
+    // row v=10.. wait values: ten rows v=10 w=1 (cum 10), one row v=100
+    // w=20 (cum 30) → threshold (30+1)/2=15 crossed at v=100
+    val rows = (1L to 10L).map(i => ("a", 10L, 1L, i)) :+ (("a", 100L, 20L, 11L))
+    val got = Profile.weightedMedian(rows.toDF("s", "v", "w", "id"),
+        col("s"), col("v"), col("w"), col("id"))
+      .as[(String, Long, Long, Long)].head()
+    assert(got === (("a", 11L, 30L, 100L)))
+    // by-count median of the same data is 10 — the weight moved it
+  }
+
+  test("uniform weights reduce to the plain lower median") {
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L))
+      .zipWithIndex.map { case ((s, v), i) => (s, v, 1L, i.toLong) }
+    val got = Profile.weightedMedian(rows.toDF("s", "v", "w", "id"),
+        col("s"), col("v"), col("w"), col("id"))
+      .as[(String, Long, Long, Long)].head()
+    assert(got._4 === 2L) // (4+1) div 2 = 2nd position
+  }
+
+  test("churn: silent users labeled per cohort; the edge user never churns") {
+    val D = 86400000000L // one day in micros
+    val e = Seq(
+      (1L, 0L), (1L, 100L * D),          // active at the edge
+      (2L, 0L),                          // silent since day 0 → churned
+      (3L, 65L * D), (3L, 68L * D))      // last seen day 68 → churned (edge 100)
+      .toDF("user_id", "t")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"))
+    val got = graft.ops.EventAnalytics.churnLabels(e, col("user_id"),
+        col("ts"), horizonMicros = 30L * D)
+      .orderBy("cohort")
+      .select("n_users", "n_churned", "churn_ppm")
+      .as[(Long, Long, Long)].collect()
+    // cohorts: month 0 (users 1, 2) and month of day 65 (user 3)
+    assert(got === Array((2L, 1L, 500000L), (1L, 1L, 1000000L)))
+  }
+}

@@ -130,4 +130,37 @@ object Curation {
       .select(col("x"), col("ymax").as("y"))
     pts.join(broadcast(corners), Seq("x", "y")).select("doc_id", "x", "y")
   }
+
+  /** Two-level Merkle-style dataset fingerprint per stratum: docs fold
+    * into fixed-size blocks (`md5` over the id-ordered concat of
+    * per-doc content hashes), blocks fold into one root per stratum —
+    * the reproducibility stamp two sites compare before trusting "same
+    * corpus" (and the per-block table localizes WHERE a mismatch
+    * lives: same root = same data; differing root = diff the ~N/1024
+    * block hashes, not N docs).
+    *
+    * 100 TB posture: per-group state is bounded by `blockSize` docs at
+    * level 1 and (ids-span / blockSize) block hashes at level 2 —
+    * never the corpus; both folds are ordinary groupBys whose sort is
+    * group-local. Output: (stratum, n_docs, n_blocks, root_hash). */
+  def merkleFingerprint(docs: DataFrame, stratum: Column, id: Column,
+      text: Column, blockSize: Long = 1024L): DataFrame = {
+    require(blockSize >= 2, s"blockSize=$blockSize must be >= 2")
+    val d = docs.select(stratum.as("s"), id.cast("long").as("id"),
+        md5(text).as("h"))
+      .select(col("s"), col("id"), expr(s"id DIV ${blockSize}L").as("blk"), col("h"))
+    val blocks = d.groupBy("s", "blk")
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("", transform(
+          array_sort(collect_list(struct(col("id"), col("h")))),
+          x => x.getField("h")))).as("bh"))
+    blocks.groupBy("s")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_blocks"),
+        md5(concat_ws("", transform(
+          array_sort(collect_list(struct(col("blk"), col("bh")))),
+          x => x.getField("bh")))).as("root_hash"))
+      .select(col("s").as("stratum"), col("n_docs"), col("n_blocks"),
+        col("root_hash"))
+  }
 }

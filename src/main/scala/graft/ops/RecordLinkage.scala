@@ -72,4 +72,43 @@ object RecordLinkage {
       .orderBy(col("score").desc, col("id_a"), col("id_b"))
       .limit(k)
   }
+
+  /** Pseudonymization audit: re-key an id with a salted hash and prove,
+    * in one row per edge, that the release is SAFE (collision count —
+    * two ids mapping to one pseudonym silently merges people) and
+    * USEFUL (the child join's exact cardinality under raw vs pseudo
+    * keys, via key-histogram products — the join a downstream consumer
+    * runs must return the same rows). The governance gate between
+    * "hashed the column" and "shipped the dataset".
+    *
+    * Plan: key-cardinality aggregates only — the parent distinct, two
+    * histogram joins; child facts never shuffle raw rows. Output:
+    * (n_keys, n_pseudo, n_collisions, join_rows_raw, join_rows_pseudo,
+    * join_diff). */
+  def pseudonymizeAudit(parent: DataFrame, parentKey: Column,
+      child: DataFrame, childKey: Column, salt: String): DataFrame = {
+    def pseudo(c: Column): Column =
+      substring(md5(concat(lit(salt), lit(":"), c.cast("string"))), 1, 16)
+    val p = parent.select(parentKey.cast("long").as("k")).distinct()
+      .localCheckpoint(false)
+    val keys = p.agg(count(lit(1)).as("n_keys"))
+    val pseu = p.select(pseudo(col("k")).as("pk"))
+      .agg(count_distinct(col("pk")).as("n_pseudo"))
+    val ch = child.select(childKey.cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val rawJoin = ch.join(p, Seq("k"), "left_semi")
+      .agg(coalesce(sum(col("c")), lit(0L)).as("join_rows_raw"))
+    val pseudoJoin = ch.select(pseudo(col("k")).as("pk"), col("c"))
+      .groupBy("pk").agg(sum(col("c")).as("c"))
+      .join(p.select(pseudo(col("k")).as("pk")).distinct(), Seq("pk"), "left_semi")
+      .agg(coalesce(sum(col("c")), lit(0L)).as("join_rows_pseudo"))
+    keys.crossJoin(broadcast(pseu))
+      .crossJoin(broadcast(rawJoin))
+      .crossJoin(broadcast(pseudoJoin))
+      .select(col("n_keys"), col("n_pseudo"),
+        (col("n_keys") - col("n_pseudo")).as("n_collisions"),
+        col("join_rows_raw"), col("join_rows_pseudo"),
+        (col("join_rows_pseudo") - col("join_rows_raw")).as("join_diff"))
+  }
 }

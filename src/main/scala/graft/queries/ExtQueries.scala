@@ -5559,6 +5559,59 @@ object ExtQueries {
       .orderBy("cohort")
   }
 
+  // x166 — MERKLE DATASET FINGERPRINT per source: two-level md5 fold
+  // (docs → 1024-doc blocks → root), the reproducibility stamp that
+  // also LOCALIZES a mismatch to a block. Group-local sorts only;
+  // per-group state bounded by the block size.
+  val x166 = Q(
+    "x166_merkle_root",
+    """WITH d AS (
+      |  SELECT source AS s, doc_id AS id, doc_id // 1024 AS blk, md5(text) AS h
+      |  FROM documents),
+      |b AS (
+      |  SELECT s, blk, CAST(count(*) AS BIGINT) AS n_docs,
+      |         md5(string_agg(h, '' ORDER BY id)) AS bh
+      |  FROM d GROUP BY 1, 2)
+      |SELECT s AS stratum, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |       CAST(count(*) AS BIGINT) AS n_blocks,
+      |       md5(string_agg(bh, '' ORDER BY blk)) AS root_hash
+      |FROM b GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    Curation.merkleFingerprint(Tables.documents(s, dir), col("source"),
+        col("doc_id"), col("text"), blockSize = 1024L)
+      .orderBy("stratum")
+  }
+
+  // x167 — PSEUDONYMIZATION AUDIT: salted-hash re-keying of customers
+  // proven collision-free AND join-preserving (exact child-join
+  // cardinality under raw vs pseudo keys) in one row — the governance
+  // gate between "hashed the column" and "shipped the dataset".
+  val x167 = Q(
+    "x167_pseudonymize_audit",
+    """WITH p AS (SELECT DISTINCT c_custkey AS k FROM customer),
+      |keys AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM p),
+      |ps AS (
+      |  SELECT CAST(count(DISTINCT substring(md5('graft:' || CAST(k AS VARCHAR)), 1, 16)) AS BIGINT) AS n_pseudo
+      |  FROM p),
+      |ch AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+      |rj AS (
+      |  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS join_rows_raw
+      |  FROM ch WHERE k IN (SELECT k FROM p)),
+      |pj AS (
+      |  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS join_rows_pseudo
+      |  FROM (SELECT substring(md5('graft:' || CAST(k AS VARCHAR)), 1, 16) AS pk,
+      |               sum(c) AS c
+      |        FROM ch GROUP BY 1)
+      |  WHERE pk IN (SELECT DISTINCT substring(md5('graft:' || CAST(k AS VARCHAR)), 1, 16) FROM p))
+      |SELECT n_keys, n_pseudo, n_keys - n_pseudo AS n_collisions,
+      |       join_rows_raw, join_rows_pseudo,
+      |       join_rows_pseudo - join_rows_raw AS join_diff
+      |FROM keys, ps, rj, pj""".stripMargin) { (s, dir) =>
+    graft.ops.RecordLinkage.pseudonymizeAudit(
+      Tables.customer(s, dir), col("c_custkey"),
+      Tables.orders(s, dir), col("o_custkey"), salt = "graft")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -5571,5 +5624,5 @@ object ExtQueries {
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
-      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165)
+      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167)
 }

@@ -1045,4 +1045,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") ||
       p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("x166: merkle folds are two group-local aggregations — no window, no join") {
+    val p = planOf("x166_merkle_root")
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("Join"), p)
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("x167: pseudonymize audit runs at key cardinality; singletons broadcast") {
+    val df = SparkEntry.queries("x167_pseudonymize_audit")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec"), p)
+    assert(broadcasts(p) >= 3, p)
+  }
 }

@@ -80,3 +80,50 @@ class ParetoFrontierSpec extends graft.SparkSpec {
     assert(swept.nonEmpty)
   }
 }
+
+class MerkleSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val docs = Seq(
+    ("a", 1L, "hello"), ("a", 2L, "world"), ("a", 1030L, "far"),
+    ("b", 1L, "hello"))
+    .toDF("s", "id", "text")
+
+  test("same content, same root; any doc change moves the root") {
+    val r1 = Curation.merkleFingerprint(docs, col("s"), col("id"),
+      col("text"), 1024L).orderBy("stratum")
+      .as[(String, Long, Long, String)].collect()
+    assert(r1.map(r => (r._1, r._2, r._3)) === Array(("a", 3L, 2L), ("b", 1L, 1L)))
+    val r2 = Curation.merkleFingerprint(docs.repartition(7), col("s"),
+      col("id"), col("text"), 1024L).orderBy("stratum")
+      .as[(String, Long, Long, String)].collect()
+    assert(r1 === r2) // partitioning-independent
+    val mutated = docs.withColumn("text",
+      when(col("id") === 2L && col("s") === "a", lit("WORLD")).otherwise(col("text")))
+    val r3 = Curation.merkleFingerprint(mutated, col("s"), col("id"),
+      col("text"), 1024L).orderBy("stratum")
+      .as[(String, Long, Long, String)].collect()
+    assert(r3(0)._4 !== r1(0)._4) // a's root moved
+    assert(r3(1)._4 === r1(1)._4) // b untouched
+  }
+
+  test("block isolation: a change in block 1 keeps block 0's hash") {
+    val base = Curation.merkleFingerprint(docs.where(col("s") === "a"),
+      col("s"), col("id"), col("text"), 1024L)
+    // recompute block table directly to compare block hashes
+    val blocks = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(col("s"), col("id"), expr("id DIV 1024L").as("blk"), md5(col("text")).as("h"))
+        .groupBy("s", "blk")
+        .agg(md5(concat_ws("", transform(
+          array_sort(collect_list(struct(col("id"), col("h")))),
+          x => x.getField("h")))).as("bh"))
+    val b1 = blocks(docs.where(col("s") === "a"))
+      .orderBy("blk").as[(String, Long, String)].collect()
+    val mutated = docs.where(col("s") === "a").withColumn("text",
+      when(col("id") === 1030L, lit("FAR")).otherwise(col("text")))
+    val b2 = blocks(mutated).orderBy("blk").as[(String, Long, String)].collect()
+    assert(b1(0)._3 === b2(0)._3) // block 0 stable
+    assert(b1(1)._3 !== b2(1)._3) // block 1 moved
+  }
+}

@@ -5612,6 +5612,97 @@ object ExtQueries {
       Tables.orders(s, dir), col("o_custkey"), salt = "graft")
   }
 
+  // x168 — SEASONAL INDEX: month-of-year revenue index per region
+  // (1e6 = that region's average month). Two combinable aggregates and
+  // a region-cardinality broadcast join; exact integers.
+  val x168 = Q(
+    "x168_seasonal_index",
+    """WITH f AS (
+      |  SELECT r_name AS region, CAST(month(o_orderdate) AS INT) AS m,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey),
+      |rm AS (SELECT region, m, CAST(sum(cents) AS BIGINT) AS cents
+      |       FROM f GROUP BY 1, 2),
+      |rt AS (SELECT region, CAST(sum(cents) AS BIGINT) AS rcents,
+      |              CAST(count(*) AS BIGINT) AS n_months
+      |       FROM rm GROUP BY 1)
+      |SELECT rm.region, rm.m, rm.cents,
+      |       CAST(rm.cents * n_months * 1000000 // rcents AS BIGINT) AS idx_e6
+      |FROM rm JOIN rt ON rm.region = rt.region
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val f = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"),
+        month(col("o_orderdate")).cast("int").as("m"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val rm = f.groupBy("region", "m").agg(sum(col("cents")).as("cents"))
+    val rt = rm.groupBy("region")
+      .agg(sum(col("cents")).as("rcents"), count(lit(1)).as("n_months"))
+    rm.join(broadcast(rt), Seq("region"))
+      .select(col("region"), col("m"), col("cents"),
+        expr("cents * n_months * 1000000L DIV rcents").as("idx_e6"))
+      .orderBy("region", "m")
+  }
+
+  // x169 — ABC INVENTORY CLASSES: parts ranked by revenue via the
+  // two-phase globalBuckets machinery (1000 slices), bucket-level
+  // cumulative shares classified A (≤80%), B (≤95%), C. The oracle pays
+  // the single global row_number window this plan avoids.
+  val x169 = Q(
+    "x169_abc_classes",
+    """WITH f AS (
+      |  SELECT l_partkey AS id,
+      |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |p AS (SELECT id, CAST(sum(cents) AS BIGINT) AS m FROM f GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM p),
+      |r AS (SELECT id, m,
+      |             least((row_number() OVER (ORDER BY m DESC, id) - 1) * 1000 // total, 999) AS bucket
+      |      FROM p, n),
+      |b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_entities,
+      |             CAST(sum(m) AS BIGINT) AS total_m
+      |      FROM r GROUP BY 1),
+      |g AS (SELECT CAST(sum(total_m) AS BIGINT) AS grand FROM b),
+      |c AS (
+      |  SELECT bucket, n_entities, total_m,
+      |         CAST(sum(total_m) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+      |              * 1000000 // grand AS BIGINT) AS cum_share_e6
+      |  FROM b, g),
+      |cl AS (
+      |  SELECT CASE WHEN cum_share_e6 <= 800000 THEN 'A'
+      |              WHEN cum_share_e6 <= 950000 THEN 'B'
+      |              ELSE 'C' END AS abc_class, n_entities, total_m
+      |  FROM c)
+      |SELECT abc_class, CAST(sum(n_entities) AS BIGINT) AS n_parts,
+      |       CAST(sum(total_m) AS BIGINT) AS cents,
+      |       CAST(sum(total_m) * 1000000 // max(g.grand) AS BIGINT) AS share_e6
+      |FROM cl, g
+      |GROUP BY 1
+      |ORDER BY abc_class""".stripMargin) { (s, dir) =>
+    val per = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("id"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long").as("cents"))
+      .groupBy("id").agg(sum(col("cents")).as("m"))
+    val lift = Profile.decileLift(per, col("id"), col("m"), buckets = 1000)
+      .localCheckpoint(false)
+    val grand = lift.agg(sum(col("total_m")).as("grand"))
+    lift.crossJoin(broadcast(grand))
+      .select(
+        when(col("cum_share_e6") <= 800000L, "A")
+          .when(col("cum_share_e6") <= 950000L, "B").otherwise("C")
+          .as("abc_class"),
+        col("n_entities"), col("total_m"), col("grand"))
+      .groupBy("abc_class")
+      .agg(sum(col("n_entities")).as("n_parts"), sum(col("total_m")).as("cents"),
+        expr("CAST(sum(total_m) * 1000000 DIV max(grand) AS BIGINT)").as("share_e6"))
+      .orderBy("abc_class")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -5624,5 +5715,5 @@ object ExtQueries {
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
-      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167)
+      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169)
 }

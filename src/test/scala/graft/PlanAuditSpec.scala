@@ -1060,4 +1060,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), p)
     assert(broadcasts(p) >= 3, p)
   }
+
+  test("x168: seasonal index = two combinable aggs + broadcast region join; no window") {
+    val df = SparkEntry.queries("x168_seasonal_index")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x169: ABC ranking is the two-phase kind — windows are _pid-partitioned") {
+    val df = SparkEntry.queries("x169_abc_classes")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

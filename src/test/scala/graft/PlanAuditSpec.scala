@@ -1070,13 +1070,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("x169: ABC ranking is the two-phase kind — windows are _pid-partitioned") {
+  test("x169: ABC classifies the CHECKPOINTED bucket table — no window above it") {
+    // the two-phase ranking itself is decileLift's machinery, pinned by
+    // the x127 audit; here the 1000-row bucket table is checkpointed
+    // and the final plan must only aggregate it (no global window, no
+    // corpus re-read)
     val df = SparkEntry.queries("x169_abc_classes")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    val specs = "windowspecdefinition\\(([^,]*)".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
-    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("WindowExec"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
   }
 }

@@ -5703,6 +5703,72 @@ object ExtQueries {
       .orderBy("abc_class")
   }
 
+  // x170 — CHAO1 VOCABULARY RICHNESS per source: the species-richness
+  // lower bound `D + F1²/(2F2)` from the frequency-of-frequencies
+  // (bias-corrected form when F2 = 0) — "how much vocabulary haven't
+  // we seen yet", exact integers, two combinable aggregates.
+  val x170 = Q(
+    "x170_chao1",
+    """WITH toks AS (
+      |  SELECT source,
+      |         unnest(list_filter(string_split_regex(trim(text), '\s+'), c -> c <> '')) AS tok
+      |  FROM documents),
+      |tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+      |ff AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_distinct,
+      |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM tc GROUP BY 1)
+      |SELECT source, n_distinct, f1, f2,
+      |       n_distinct + CASE WHEN f2 = 0 THEN f1 * (f1 - 1) // 2
+      |                         ELSE f1 * f1 // (2 * f2) END AS chao1
+      |FROM ff
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val tc = Tables.documents(s, dir)
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    tc.groupBy("source")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("n_distinct"), col("f1"), col("f2"),
+        (col("n_distinct") + when(col("f2") === 0L,
+          expr("f1 * (f1 - 1) DIV 2")).otherwise(expr("f1 * f1 DIV (2 * f2)")))
+          .as("chao1"))
+      .orderBy("source")
+  }
+
+  // x171 — PAIRWISE EMD over doc-length distributions: the CDF-
+  // difference form in exact cross-multiplied integers over the dense
+  // log2 bin spine (gaps carry constant CDF diff — they count). The
+  // "how FAR did the mass move" drift metric TV (x94) can't see.
+  val x171 = Q(
+    "x171_emd_lengths",
+    """WITH d AS (
+      |  SELECT source AS s, length(bin(n_chars)) - 1 AS b
+      |  FROM documents WHERE n_chars >= 1),
+      |c AS (SELECT s, b, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+      |spine AS (SELECT unnest(range(0, 63)) AS b),
+      |ks AS (SELECT DISTINCT s FROM c),
+      |dense AS (
+      |  SELECT ks.s, spine.b, coalesce(c.n, 0) AS n
+      |  FROM ks CROSS JOIN spine LEFT JOIN c ON c.s = ks.s AND c.b = spine.b),
+      |cum AS (
+      |  SELECT s, b, SUM(n) OVER (PARTITION BY s ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM dense),
+      |tot AS (SELECT s, max(cum) AS nt FROM cum GROUP BY 1)
+      |SELECT a.s AS sa, b2.s AS sb, CAST(ta.nt AS BIGINT) AS n_a, CAST(tb.nt AS BIGINT) AS n_b,
+      |       CAST(sum(abs(a.cum * tb.nt - b2.cum * ta.nt)) AS BIGINT) AS emd_x
+      |FROM cum a JOIN cum b2 ON a.b = b2.b AND a.s < b2.s
+      |JOIN tot ta ON ta.s = a.s
+      |JOIN tot tb ON tb.s = b2.s
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Profile.log2Emd(Tables.documents(s, dir), col("source"), col("n_chars"))
+      .orderBy("sa", "sb")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -5715,5 +5781,5 @@ object ExtQueries {
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
-      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169)
+      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170, x171)
 }

@@ -1082,4 +1082,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("Scan parquet"), p)
   }
+
+  test("x170: chao1 = two combinable aggs at vocab cardinality; no window, no join") {
+    val p = planOf("x170_chao1")
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x171: EMD pair join runs on the checkpointed 63-row-per-stratum CDF, not the corpus") {
+    val df = SparkEntry.queries("x171_emd_lengths")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD"), p)
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(!finalSection.contains("Scan parquet"), p) // corpus read only before the checkpoint
+  }
 }

@@ -552,3 +552,33 @@ class WeightedMedianChurnSpec extends graft.SparkSpec {
     assert(got === Array((2L, 1L, 500000L), (1L, 1L, 1000000L)))
   }
 }
+
+class Chao1EmdSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("log2Emd: identical distributions score 0; a one-bin shift scores n_a·n_b·gap") {
+    // strata a and b identical (all values 8..15 → bin 3); c shifted to
+    // bin 5 → |CDF diff| = 1 at bins 3 and 4 → emd = 2 · (2·2)
+    val df = (Seq.fill(2)(("a", 10L)) ++ Seq.fill(2)(("b", 12L)) ++
+      Seq.fill(2)(("c", 40L))).toDF("s", "v")
+    val got = Profile.log2Emd(df, col("s"), col("v"))
+      .orderBy("sa", "sb").as[(String, String, Long, Long, Long)].collect()
+    assert(got === Array(
+      ("a", "b", 2L, 2L, 0L),
+      ("a", "c", 2L, 2L, 8L),
+      ("b", "c", 2L, 2L, 8L)))
+  }
+
+  test("EMD sees distance where TV is blind: near vs far moves differ") {
+    // base mass at bin 3; 'near' moves it to bin 4, 'far' to bin 10 —
+    // TV between base and either is identical (all mass displaced),
+    // EMD grows with the distance
+    val df = (Seq.fill(4)(("base", 8L)) ++ Seq.fill(4)(("near", 16L)) ++
+      Seq.fill(4)(("far", 1024L))).toDF("s", "v")
+    val got = Profile.log2Emd(df, col("s"), col("v"))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    assert(got(("base", "near")) < got(("base", "far")))
+  }
+}

@@ -425,4 +425,65 @@ object Sampling {
       .where(col("rk") <= col("final_quota"))
       .select(col("s").as("stratum"), col("id"), col("rk"))
   }
+
+  /** Deterministic NEGATIVE sampling for contrastive training: for each
+    * doc, `k` ring negatives — the docs at positions `(p + j·step) mod
+    * N` of the id-sorted slice — minus any candidate that is actually a
+    * NEAR-DUP of the anchor (MinHash pairs: a "negative" that is a
+    * duplicate poisons the loss; exact dups are a subset). Ring
+    * spacing with a step coprime-ish to N spreads negatives across the
+    * corpus; everything is reproducible arithmetic, no RNG.
+    *
+    * Plan: positions from a broadcast self-join count on the BOUNDED
+    * anchor slice (never a global window — the x67 lesson); ring
+    * lookups are equi-joins on position; the near-dup exclusion is one
+    * anti-join against the banded-LSH pair set.
+    * Output: (doc_id, j, neg_id). */
+  def negativeSamples(docs: DataFrame, id: Column, text: Column,
+      k: Int, step: Long): DataFrame = {
+    require(k >= 1 && k <= 64, s"k=$k out of range")
+    require(step >= 1, s"step=$step must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.select(id.cast("long").as("doc_id"), text.as("text"))
+      .localCheckpoint(false)
+    val ids = d.select(col("doc_id")).localCheckpoint(false)
+    val pos = ids.as("a")
+      .join(broadcast(ids.select(col("doc_id").as("id2"))),
+        col("id2") < col("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("p"))
+      .unionByName(ids.as("z").join(broadcast(ids.select(col("doc_id").as("id2"))),
+        col("id2") < col("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(0L).as("p")))
+      .localCheckpoint(false)
+    val n = pos.count()
+    val js = broadcast((1 to k).map(_.toLong).toDF("j"))
+    val wanted = pos.crossJoin(js)
+      .select(col("doc_id"), col("j"),
+        expr(s"(p + j * ${step}L) % ${n}L").as("np"))
+    val byPos = pos.select(col("p").as("np"), col("doc_id").as("neg_id"))
+    val cand = wanted.join(byPos, Seq("np"))
+      .where(col("neg_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("j"), col("neg_id"))
+    // near-dup exclusion at CONTENT-REPRESENTATIVE granularity: LSH
+    // pairs are emitted between per-content representatives (exact dups
+    // collapse first), so map both sides of a candidate to their rep —
+    // equal reps = exact dup, paired reps = near dup; both are poison
+    val reps = d.groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("rep"))
+    val docRep = d.select(col("doc_id"), md5(col("text")).as("__h"))
+      .join(reps, Seq("__h")).select(col("doc_id"), col("rep"))
+      .localCheckpoint(false)
+    val pairs = graft.ext.Dedup.minhashPairs(d, col("doc_id"), col("text"))
+      .select(col("a"), col("b"))
+    val sym = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    cand
+      .join(docRep.select(col("doc_id"), col("rep").as("rep_a")), Seq("doc_id"))
+      .join(docRep.select(col("doc_id").as("neg_id"), col("rep").as("rep_b")),
+        Seq("neg_id"))
+      .where(col("rep_a") =!= col("rep_b"))
+      .join(sym.select(col("a").as("rep_a"), col("b").as("rep_b")),
+        Seq("rep_a", "rep_b"), "left_anti")
+      .select(col("doc_id"), col("j"), col("neg_id"))
+  }
 }

@@ -5769,6 +5769,45 @@ object ExtQueries {
       .orderBy("sa", "sb")
   }
 
+  // x172 — DETERMINISTIC NEGATIVE SAMPLING: 8 ring negatives per doc
+  // (step 347 over the id-sorted slice), minus anything that is
+  // actually the anchor's exact or near dup at content-representative
+  // granularity (a duplicate "negative" poisons a contrastive loss).
+  // No RNG anywhere; the near-dup exclusion is x7's banded-LSH pair
+  // set reused verbatim.
+  val x172 = Q(
+    "x172_negative_samples",
+    s"""WITH sl AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+      |${x7Ctes.replace("FROM documents", "FROM sl")},
+      |pr AS ($x7Select),
+      |ids AS (SELECT doc_id FROM sl),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ids),
+      |pos AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS p
+      |        FROM ids),
+      |js AS (SELECT CAST(unnest(range(1, 9)) AS BIGINT) AS j),
+      |wanted AS (
+      |  SELECT doc_id, j, (p + j * 347) % n AS np FROM pos CROSS JOIN js, nn),
+      |byPos AS (SELECT p AS np, doc_id AS neg_id FROM pos),
+      |cnd AS (
+      |  SELECT w.doc_id, w.j, b2.neg_id
+      |  FROM wanted w JOIN byPos b2 USING (np)
+      |  WHERE b2.neg_id <> w.doc_id),
+      |reps AS (SELECT md5(text) AS hh, min(doc_id) AS rep FROM sl GROUP BY 1),
+      |dr AS (SELECT s2.doc_id, r.rep FROM sl s2 JOIN reps r ON md5(s2.text) = r.hh),
+      |sym AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr)
+      |SELECT c2.doc_id, c2.j, c2.neg_id
+      |FROM cnd c2
+      |JOIN dr da ON da.doc_id = c2.doc_id
+      |JOIN dr db ON db.doc_id = c2.neg_id
+      |LEFT JOIN sym ON sym.a = da.rep AND sym.b = db.rep
+      |WHERE da.rep <> db.rep AND sym.a IS NULL
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Sampling.negativeSamples(
+      Tables.documents(s, dir).where(col("doc_id") < 1000),
+      col("doc_id"), col("text"), k = 8, step = 347L)
+      .orderBy("doc_id", "j")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -5781,5 +5820,5 @@ object ExtQueries {
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
-      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170, x171)
+      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170, x171, x172)
 }

@@ -1097,4 +1097,13 @@ class PlanAuditSpec extends SparkSpec {
     val finalSection = p.split("== Initial Plan ==")(0)
     assert(!finalSection.contains("Scan parquet"), p) // corpus read only before the checkpoint
   }
+
+  test("x172: no global window — positions come from the broadcast self-join count") {
+    val df = SparkEntry.queries("x172_negative_samples")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the LSH machinery may window per-band; nothing may window globally
+    assert(!"Window \\[".r.findAllIn(p).exists(_ => p.contains("windowspecdefinition()")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

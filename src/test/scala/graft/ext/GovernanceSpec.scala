@@ -582,3 +582,39 @@ class Chao1EmdSpec extends graft.SparkSpec {
     assert(got(("base", "near")) < got(("base", "far")))
   }
 }
+
+class NegativeSamplesSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("ring negatives are deterministic, never self, near/exact dups excluded") {
+    // 6 distinct docs; 2 and 5 byte-identical → same content rep
+    val d = docs((1L, "alpha beta gamma delta"), (2L, "same same text here"),
+      (3L, "totally different words now"), (4L, "yet another document body"),
+      (5L, "same same text here"), (6L, "final unique content piece"))
+    val got = Sampling.negativeSamples(d, col("doc_id"), col("text"),
+        k = 2, step = 1L)
+      .orderBy("doc_id", "j").as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._1 !== r._3)) // never self
+    // 2 and 5 are exact dups: neither may be the other's negative
+    assert(!got.contains((2L, 1L, 5L)) && !got.contains((2L, 2L, 5L)))
+    assert(!got.exists(r => Set(r._1, r._3) === Set(2L, 5L)))
+    // determinism
+    val again = Sampling.negativeSamples(d, col("doc_id"), col("text"),
+        k = 2, step = 1L)
+      .orderBy("doc_id", "j").as[(Long, Long, Long)].collect()
+    assert(got === again)
+  }
+
+  test("step spreads negatives: k=3, step over a 7-doc ring hits distinct positions") {
+    val d = docs((1L to 7L).map(i => (i, s"unique words number $i plus filler $i")): _*)
+    val got = Sampling.negativeSamples(d, col("doc_id"), col("text"),
+        k = 3, step = 2L)
+      .as[(Long, Long, Long)].collect()
+    val mine = got.filter(_._1 === 1L).map(_._3).toSet
+    assert(mine === Set(3L, 5L, 7L)) // positions 0+2,0+4,0+6
+  }
+}

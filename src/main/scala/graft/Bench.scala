@@ -70,6 +70,11 @@ object Bench {
     *      drops to 2, which at 146 registered queries is the difference
     *      between a per-query artifact and the totals-only sentinel;
     *      holds to ~190 queries at worst-case walls
+    *   5b. SLOWEST-FIRST compact tier: when even 5 overflows, the
+    *      slowest walls pack greedily until the budget and the
+    *      remainder folds into an explicit `rest:<sum>` pair +
+    *      `queries_omitted` count — bounded at ANY registry size, and
+    *      the omission is visible, never silent
     *   6. totals only (queries deferred to bench.json)
     *   7. floor: totals + error COUNT only — bounded regardless of how
     *      many queries failed; always fits
@@ -146,6 +151,42 @@ object Bench {
         }.mkString(" ")
         s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries_fmt":"id:sec","queries":"$body","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
       }
+    // slowest-first compact tier: when even the compact string outgrows
+    // the budget (the registry crossed ~185 queries at worst-case
+    // walls), keep the per-query walls that MATTER — the slowest ones,
+    // greedily packed until the budget — and fold the remainder into
+    // one `rest:<sum>` pair plus an omitted count. Bounded at ANY
+    // registry size, and the omission is explicit, never silent.
+    val jsonCompactTop =
+      if (shortIds.distinct.size != results.size) null
+      else {
+        val pairs = results.zip(shortIds).map { case ((_, ts, _), sid) =>
+          val wall = ts.map(_._1).minOption
+          (sid.replaceAll("[^A-Za-z0-9]", ""), wall,
+            wall.map(r1a).getOrElse("null"))
+        }.sortBy { case (_, w, _) => -w.getOrElse(0.0) }
+        def overhead(nOmitted: Int, restSum: Double): Int =
+          s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries_fmt":"id:sec slowest-first","queries_omitted":$nOmitted,"queries":" rest:${r1a(restSum)}","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}""".length
+        var used = 0
+        var taken = Vector.empty[String]
+        var restSum = 0.0
+        var omitted = 0
+        pairs.foreach { case (sid, w, rendered) =>
+          val entry = sid + ":" + rendered
+          val sep = if (taken.isEmpty) 0 else 1
+          if (omitted == 0 &&
+            used + sep + entry.length + overhead(results.size, total) <= StdoutBudget) {
+            used += sep + entry.length
+            taken :+= entry
+          } else {
+            omitted += 1
+            restSum += w.getOrElse(0.0)
+          }
+        }
+        val body = taken.mkString(" ") +
+          (if (omitted > 0) s" rest:${r1a(restSum)}" else "")
+        s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries_fmt":"id:sec slowest-first","queries_omitted":$omitted,"queries":"$body","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
+      }
     val jsonMinimal =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"queries":"bench.json","cpu":"bench.json","errors":$errs}"""
     // absolute floor: even a run where every query errors (74 capped
@@ -153,7 +194,8 @@ object Bench {
     val nErr = results.count(_._3.isDefined)
     val jsonFloor =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"queries":"bench.json","cpu":"bench.json","errors":{"n_failed":$nErr}}"""
-    Seq(jsonWithCpu, jsonQueriesOnly, jsonShortQueries, jsonShort1dp, jsonCompact, jsonMinimal)
+    Seq(jsonWithCpu, jsonQueriesOnly, jsonShortQueries, jsonShort1dp,
+        jsonCompact, jsonCompactTop, jsonMinimal)
       .filter(_ != null)
       .find(_.length <= StdoutBudget)
       .getOrElse(jsonFloor)

@@ -243,8 +243,13 @@ object Profile {
       .agg(sum(col("m2")).as("cum_m"))
       .crossJoin(broadcast(perBucket.agg(sum(col("total_m")).as("grand"))))
       .select(col("bucket"), col("n_entities"), col("total_m"),
-        expr("total_m * 1000000L DIV grand").as("share_e6"),
-        expr("cum_m * 1000000L DIV grand").as("cum_share_e6"))
+        // DECIMAL(38) product: total_m·1e6 overflows int64 once the
+        // measure total passes ~9.2e12 (cents at sf1 — MEASURED by the
+        // round-10 sf1 run, x127 ARITHMETIC_OVERFLOW)
+        expr("CAST(CAST(total_m AS DECIMAL(38,0)) * 1000000 DIV grand AS BIGINT)")
+          .as("share_e6"),
+        expr("CAST(CAST(cum_m AS DECIMAL(38,0)) * 1000000 DIV grand AS BIGINT)")
+          .as("cum_share_e6"))
   }
 
   /** Per-entity equal-population bucket by global rank (measure DESC,
@@ -260,8 +265,15 @@ object Profile {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(id.as("id"), measure.cast("long").as("m"))
+    // CHECKPOINTED: the range sort's partition boundaries are sampled
+    // per evaluation — without materializing here, the counts job below
+    // and the rank job later can see DIFFERENT boundaries, giving two
+    // partitions overlapping offsets and colliding global ranks
+    // (measured at sf1: 992 non-empty buckets instead of 1000 before
+    // this pin; sf0.1 and below happened to evaluate identically)
     val sorted = base.sort(col("m").desc, col("id"))
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val counts = sorted.groupBy("_pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val total = counts.iterator.map(_._2).sum

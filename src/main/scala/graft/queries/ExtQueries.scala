@@ -4203,8 +4203,8 @@ object ExtQueries {
       |c AS (SELECT a.bucket, a.n_entities, a.total_m, CAST(sum(x.total_m) AS BIGINT) AS cum_m
       |      FROM per a JOIN per x ON x.bucket <= a.bucket GROUP BY 1, 2, 3)
       |SELECT bucket, n_entities, total_m,
-      |       CAST(total_m * 1000000 // grand AS BIGINT) AS share_e6,
-      |       CAST(cum_m * 1000000 // grand AS BIGINT) AS cum_share_e6
+      |       CAST(CAST(total_m AS HUGEINT) * 1000000 // grand AS BIGINT) AS share_e6,
+      |       CAST(CAST(cum_m AS HUGEINT) * 1000000 // grand AS BIGINT) AS cum_share_e6
       |FROM c, g ORDER BY bucket""".stripMargin) { (s, dir) =>
     val spend = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
@@ -5629,7 +5629,7 @@ object ExtQueries {
       |              CAST(count(*) AS BIGINT) AS n_months
       |       FROM rm GROUP BY 1)
       |SELECT rm.region, rm.m, rm.cents,
-      |       CAST(rm.cents * n_months * 1000000 // rcents AS BIGINT) AS idx_e6
+      |       CAST(CAST(rm.cents AS HUGEINT) * n_months * 1000000 // rcents AS BIGINT) AS idx_e6
       |FROM rm JOIN rt ON rm.region = rt.region
       |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
     val f = Tables.orders(s, dir)
@@ -5644,7 +5644,8 @@ object ExtQueries {
       .agg(sum(col("cents")).as("rcents"), count(lit(1)).as("n_months"))
     rm.join(broadcast(rt), Seq("region"))
       .select(col("region"), col("m"), col("cents"),
-        expr("cents * n_months * 1000000L DIV rcents").as("idx_e6"))
+        expr("CAST(CAST(cents AS DECIMAL(38,0)) * n_months * 1000000 DIV rcents AS BIGINT)")
+          .as("idx_e6"))
       .orderBy("region", "m")
   }
 
@@ -5669,8 +5670,8 @@ object ExtQueries {
       |g AS (SELECT CAST(sum(total_m) AS BIGINT) AS grand FROM b),
       |c AS (
       |  SELECT bucket, n_entities, total_m,
-      |         CAST(sum(total_m) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
-      |              * 1000000 // grand AS BIGINT) AS cum_share_e6
+      |         CAST(CAST(sum(total_m) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+      |              AS HUGEINT) * 1000000 // grand AS BIGINT) AS cum_share_e6
       |  FROM b, g),
       |cl AS (
       |  SELECT CASE WHEN cum_share_e6 <= 800000 THEN 'A'
@@ -5679,7 +5680,7 @@ object ExtQueries {
       |  FROM c)
       |SELECT abc_class, CAST(sum(n_entities) AS BIGINT) AS n_parts,
       |       CAST(sum(total_m) AS BIGINT) AS cents,
-      |       CAST(sum(total_m) * 1000000 // max(g.grand) AS BIGINT) AS share_e6
+      |       CAST(CAST(sum(total_m) AS HUGEINT) * 1000000 // max(g.grand) AS BIGINT) AS share_e6
       |FROM cl, g
       |GROUP BY 1
       |ORDER BY abc_class""".stripMargin) { (s, dir) =>
@@ -5699,7 +5700,8 @@ object ExtQueries {
         col("n_entities"), col("total_m"), col("grand"))
       .groupBy("abc_class")
       .agg(sum(col("n_entities")).as("n_parts"), sum(col("total_m")).as("cents"),
-        expr("CAST(sum(total_m) * 1000000 DIV max(grand) AS BIGINT)").as("share_e6"))
+        expr("CAST(CAST(sum(total_m) AS DECIMAL(38,0)) * 1000000 DIV max(grand) AS BIGINT)")
+          .as("share_e6"))
       .orderBy("abc_class")
   }
 

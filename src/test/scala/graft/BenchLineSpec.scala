@@ -58,16 +58,29 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("x160:1000"), "compact tier lost a query entry")
   }
 
-  test("documented fallback order: 250 queries degrade to totals-only, still bounded") {
-    // even the compact tier (~10 chars/query) cannot hold ~250 queries
-    // in 1,800 chars; the line must fall through to the totals-only
-    // tier and stay parseable — this pins the DOCUMENTED degradation
-    // path, and the first test above guarantees we notice before the
-    // real registry gets there
+  test("250+ queries: slowest-first tier keeps the heavy walls, folds the rest, stays bounded") {
+    // even the plain compact tier (~10 chars/query) cannot hold ~250
+    // queries in 1,800 chars; instead of the old totals-only cliff, the
+    // slowest-first tier greedily packs the walls that matter and folds
+    // the remainder into an EXPLICIT rest:<sum> pair + omitted count
     val names = (1 to 250).map(i => s"x${i}_synthetic_query_name")
-    val line = Bench.composeStdoutLine(synth(names), "/root/testdata/sf0.1", 2, calib)
-    assert(line.length <= Bench.StdoutBudget)
-    assert(line.contains("\"queries\":\"bench.json\""))
-    assert(line.contains("\"metric\":\"total\""))
+    // make walls distinguishable: x250 slowest ... x1 fastest
+    val res = names.zipWithIndex.map { case (n, i) =>
+      (n, Seq(((i + 1).toDouble, (i + 1).toDouble)), Option.empty[String])
+    }
+    val line = Bench.composeStdoutLine(res, "/root/testdata/sf0.1", 2, calib)
+    assert(line.length <= Bench.StdoutBudget, s"len=${line.length}")
+    assert(line.contains("\"queries_fmt\":\"id:sec slowest-first\""), line)
+    assert(!line.contains("\"queries\":\"bench.json\""), line)
+    assert(line.contains("x250:250"), line)     // the slowest wall is present
+    assert(line.contains(" rest:"), line)       // the fold is explicit
+    assert("\"queries_omitted\":([0-9]+)".r.findFirstMatchIn(line)
+      .exists(_.group(1).toInt > 0), line)
+    // totals-only remains the floor below the slowest-first tier: an
+    // id-collision registry (tier precondition fails) still degrades safely
+    val clash = (1 to 250).map(i => s"x1_clash_$i")
+    val line2 = Bench.composeStdoutLine(synth(clash), "/root/testdata/sf0.1", 2, calib)
+    assert(line2.length <= Bench.StdoutBudget)
+    assert(line2.contains("\"queries\":\"bench.json\""))
   }
 }

@@ -972,14 +972,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("x159: all three rankings are the two-phase kind — every window is _pid-partitioned") {
+  test("x159: rankings fold checkpointed two-phase buckets — no window in the final plan") {
+    // the three globalBuckets rankings (range sort + _pid windows) run
+    // below their localCheckpoints — the two-phase property itself is
+    // pinned by the x127 audit on the same machinery; here the final
+    // plan must only join and roll up the checkpointed bucket tables
     val df = SparkEntry.queries("x159_rfm_segments")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    val specs = "windowspecdefinition\\(([^,]*)".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
-    assert("rangepartitioning".r.findAllIn(p).length >= 3, p) // three range sorts
+    assert(!p.contains("WindowExec"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 

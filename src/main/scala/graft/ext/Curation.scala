@@ -163,4 +163,45 @@ object Curation {
       .select(col("s").as("stratum"), col("n_docs"), col("n_blocks"),
         col("root_hash"))
   }
+
+  /** Per-block content hashes — [[merkleFingerprint]]'s level 1,
+    * exposed for diffing. Output: (s, blk, n_docs, bh). */
+  def merkleBlocks(docs: DataFrame, stratum: Column, id: Column,
+      text: Column, blockSize: Long): DataFrame = {
+    require(blockSize >= 2, s"blockSize=$blockSize must be >= 2")
+    docs.select(stratum.as("s"), id.cast("long").as("id"), md5(text).as("h"))
+      .select(col("s"), col("id"), expr(s"id DIV ${blockSize}L").as("blk"), col("h"))
+      .groupBy("s", "blk")
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("", transform(
+          array_sort(collect_list(struct(col("id"), col("h")))),
+          x => x.getField("h")))).as("bh"))
+  }
+
+  /** Merkle snapshot diff: compare two corpus snapshots at BLOCK
+    * granularity — the localization [[merkleFingerprint]]'s root
+    * promises, delivered: a changed doc names its ~blockSize-doc block,
+    * not the corpus. Statuses: `changed` (both sides, different hash),
+    * `only_a` / `only_b` (block present on one side). Blocks whose
+    * hashes agree are DROPPED — the output is the work list.
+    *
+    * 100 TB posture: each side collapses to block cardinality (rows /
+    * blockSize) BEFORE the full-outer join; the join compares ~32-byte
+    * hashes, never documents. Output: (s, blk, status, n_docs_a,
+    * n_docs_b). */
+  def merkleDiff(a: DataFrame, b: DataFrame, stratum: Column, id: Column,
+      text: Column, blockSize: Long = 1024L): DataFrame = {
+    val ba = merkleBlocks(a, stratum, id, text, blockSize)
+      .select(col("s"), col("blk"), col("n_docs").as("n_docs_a"), col("bh").as("bh_a"))
+    val bb = merkleBlocks(b, stratum, id, text, blockSize)
+      .select(col("s"), col("blk"), col("n_docs").as("n_docs_b"), col("bh").as("bh_b"))
+    ba.join(bb, Seq("s", "blk"), "full_outer")
+      .withColumn("status",
+        when(col("bh_a").isNull, "only_b")
+          .when(col("bh_b").isNull, "only_a")
+          .when(col("bh_a") =!= col("bh_b"), "changed"))
+      .where(col("status").isNotNull)
+      .na.fill(0L, Seq("n_docs_a", "n_docs_b"))
+      .select(col("s"), col("blk"), col("status"), col("n_docs_a"), col("n_docs_b"))
+  }
 }

@@ -486,4 +486,46 @@ object Sampling {
         Seq("rep_a", "rep_b"), "left_anti")
       .select(col("doc_id"), col("j"), col("neg_id"))
   }
+
+  /** Consistent-hash RING assignment with virtual nodes: `vnodes`
+    * replicas per shard hashed onto the 60-bit ring, every key owned by
+    * the first vnode at-or-after its hash (wrapping) — the classic
+    * design whose property is MINIMAL MOVEMENT under shard count
+    * change, vs [[rendezvousShard]]'s per-key max-score. Reported as a
+    * per-shard load profile so the vnode count's variance is visible
+    * (more vnodes → tighter balance).
+    *
+    * Plan: the vnode table is S·R rows, broadcast; each key finds its
+    * successor via one conditional min(struct) aggregate over the
+    * broadcast ring — never a sort, never a shuffle of the ring. Exact
+    * integers end to end. Output per shard: (shard, n_keys, load_ppm). */
+  def hashRingLoad(keys: DataFrame, key: Column, shards: Int,
+      vnodes: Int): DataFrame = {
+    require(shards >= 2 && vnodes >= 1 && shards * vnodes <= 4096,
+      s"ring size ${shards}x$vnodes out of range")
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val ring = broadcast(
+      (0 until shards).flatMap(sh => (0 until vnodes).map(r => (sh, r)))
+        .toDF("shard", "replica")
+        .select(col("shard"),
+          graft.ext.Dedup.md5Hash60(
+            concat(col("shard").cast("string"), lit(":"), col("replica").cast("string")))
+            .as("vh")))
+    val hk = keys.select(key.as("k"))
+      .select(col("k"), graft.ext.Dedup.md5Hash60(col("k").cast("string")).as("hk"))
+    val assigned = hk.crossJoin(ring)
+      .groupBy("k", "hk")
+      .agg(
+        min(when(col("vh") >= col("hk"), struct(col("vh"), col("shard"))))
+          .as("succ"),
+        min(struct(col("vh"), col("shard"))).as("wrap"))
+      .select(col("k"),
+        coalesce(col("succ.shard"), col("wrap.shard")).as("shard"))
+    val total = assigned.agg(count(lit(1)).as("n_total"))
+    assigned.groupBy("shard").agg(count(lit(1)).as("n_keys"))
+      .crossJoin(broadcast(total))
+      .select(col("shard").cast("long").as("shard"), col("n_keys"),
+        expr("n_keys * 1000000L DIV n_total").as("load_ppm"))
+  }
 }

@@ -5810,6 +5810,86 @@ object ExtQueries {
       .orderBy("doc_id", "j")
   }
 
+  // x173 — MERKLE SNAPSHOT DIFF: snapshot B mutates every 97th doc,
+  // drops every 101st and everything past 400, and adds relabeled
+  // copies of every 251st under high ids — the diff localizes ALL of
+  // it to 64-doc blocks (changed / only_a / only_b) comparing hashes,
+  // never documents. Matching blocks are dropped: the output IS the
+  // work list.
+  val x173 = Q(
+    "x173_merkle_diff",
+    """WITH a AS (SELECT source AS s, doc_id, text FROM documents),
+      |b AS (
+      |  SELECT source AS s, doc_id,
+      |         CASE WHEN doc_id % 97 = 3 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 101 <> 7 AND doc_id < 400
+      |  UNION ALL
+      |  SELECT source AS s, doc_id + 1000000, text
+      |  FROM documents WHERE doc_id % 251 = 5),
+      |ba AS (
+      |  SELECT s, doc_id // 64 AS blk, CAST(count(*) AS BIGINT) AS n_docs_a,
+      |         md5(string_agg(md5(text), '' ORDER BY doc_id)) AS bh_a
+      |  FROM a GROUP BY 1, 2),
+      |bb AS (
+      |  SELECT s, doc_id // 64 AS blk, CAST(count(*) AS BIGINT) AS n_docs_b,
+      |         md5(string_agg(md5(text), '' ORDER BY doc_id)) AS bh_b
+      |  FROM b GROUP BY 1, 2),
+      |j AS (
+      |  SELECT coalesce(ba.s, bb.s) AS s, coalesce(ba.blk, bb.blk) AS blk,
+      |         CASE WHEN bh_a IS NULL THEN 'only_b'
+      |              WHEN bh_b IS NULL THEN 'only_a'
+      |              WHEN bh_a <> bh_b THEN 'changed' END AS status,
+      |         coalesce(n_docs_a, 0) AS n_docs_a, coalesce(n_docs_b, 0) AS n_docs_b
+      |  FROM ba FULL OUTER JOIN bb ON ba.s = bb.s AND ba.blk = bb.blk)
+      |SELECT s, blk, status, n_docs_a, n_docs_b
+      |FROM j WHERE status IS NOT NULL
+      |ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val a = docs.select(col("source"), col("doc_id"), col("text"))
+    val b = docs
+      .where(col("doc_id") % 101 =!= 7 && col("doc_id") < 400)
+      .select(col("source"), col("doc_id"),
+        when(col("doc_id") % 97 === 3, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.where(col("doc_id") % 251 === 5)
+        .select(col("source"), (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Curation.merkleDiff(a, b, col("source"), col("doc_id"), col("text"),
+        blockSize = 64L)
+      .orderBy("s", "blk", "status")
+  }
+
+  // x174 — CONSISTENT-HASH RING load profile: 8 shards × 16 vnodes on
+  // the 60-bit ring, every orderkey owned by its clockwise successor
+  // vnode (wrapping) — the minimal-movement sharding design, with the
+  // per-shard load variance the vnode count controls made visible.
+  // Successor = one conditional min(struct) over the broadcast ring.
+  val x174 = Q(
+    "x174_hash_ring",
+    """WITH ring AS (
+      |  SELECT shard,
+      |         ('0x' || substring(md5(CAST(shard AS VARCHAR) || ':' || CAST(replica AS VARCHAR)), 1, 15))::BIGINT AS vh
+      |  FROM (SELECT unnest(range(0, 8)) AS shard) s
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS replica) r),
+      |k AS (
+      |  SELECT o_orderkey AS k0,
+      |         ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hk
+      |  FROM orders),
+      |asg AS (
+      |  SELECT k0,
+      |         coalesce(min(CASE WHEN vh >= hk THEN {'vh': vh, 'shard': shard} END).shard,
+      |                  min({'vh': vh, 'shard': shard}).shard) AS shard
+      |  FROM k CROSS JOIN ring GROUP BY k0),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM asg)
+      |SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_keys,
+      |       CAST(count(*) * 1000000 // n_total AS BIGINT) AS load_ppm
+      |FROM asg, t
+      |GROUP BY shard, n_total
+      |ORDER BY shard""".stripMargin) { (s, dir) =>
+    Sampling.hashRingLoad(Tables.orders(s, dir), col("o_orderkey"),
+        shards = 8, vnodes = 16)
+      .orderBy("shard")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -5822,5 +5902,5 @@ object ExtQueries {
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
-      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170, x171, x172)
+      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170, x171, x172, x173, x174)
 }

@@ -1108,4 +1108,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!"Window \\[".r.findAllIn(p).exists(_ => p.contains("windowspecdefinition()")), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x173: diff joins block-cardinality hashes — documents never cross the outer join") {
+    val df = SparkEntry.queries("x173_merkle_diff")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("FullOuter".r.findAllIn(p).nonEmpty, p)
+    // both outer-join inputs are the block aggregates
+    val joinLine = p.linesIterator.indexWhere(_.contains("FullOuter"))
+    assert(p.linesIterator.drop(joinLine + 1).exists(_.contains("Aggregate")), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("x174: ring broadcasts; assignment is one combinable min(struct) aggregate") {
+    val df = SparkEntry.queries("x174_hash_ring")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // keys × 128-row ring
+    assert(!p.contains("WindowExec"), p)
+    assert("partial_min".r.findAllIn(p).nonEmpty, p)
+  }
 }

@@ -127,3 +127,24 @@ class MerkleSpec extends graft.SparkSpec {
     assert(b1(1)._3 !== b2(1)._3) // block 1 moved
   }
 }
+
+class MerkleDiffSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("diff localizes changes, drops identical blocks, flags one-sided blocks") {
+    val a = Seq(("s", 1L, "x"), ("s", 2L, "y"), ("s", 70L, "z"), ("s", 140L, "w"))
+      .toDF("src", "id", "text")
+    // block 0 changed (doc 2 edited), block 1 identical, block 2 dropped,
+    // block 3 added
+    val b = Seq(("s", 1L, "x"), ("s", 2L, "Y"), ("s", 70L, "z"), ("s", 200L, "n"))
+      .toDF("src", "id", "text")
+    val got = Curation.merkleDiff(a, b, col("src"), col("id"), col("text"),
+        blockSize = 64L)
+      .orderBy("blk").as[(String, Long, String, Long, Long)].collect()
+    assert(got === Array(
+      ("s", 0L, "changed", 2L, 2L),
+      ("s", 2L, "only_a", 1L, 0L),
+      ("s", 3L, "only_b", 0L, 1L)))
+  }
+}

@@ -618,3 +618,43 @@ class NegativeSamplesSpec extends graft.SparkSpec {
     assert(mine === Set(3L, 5L, 7L)) // positions 0+2,0+4,0+6
   }
 }
+
+class HashRingSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("every key lands on exactly one shard; loads sum to the key count") {
+    val keys = (1L to 500L).toDF("k")
+    val got = Sampling.hashRingLoad(keys, col("k"), shards = 4, vnodes = 8)
+      .orderBy("shard").as[(Long, Long, Long)].collect()
+    assert(got.map(_._2).sum === 500L)
+    assert(got.map(_._1).toSet.subsetOf((0L until 4L).toSet))
+    // with 8 vnodes the worst shard should not own everything
+    assert(got.map(_._2).max < 500L)
+  }
+
+  test("minimal movement: adding a shard moves only a fraction of keys") {
+    val keys = (1L to 400L).toDF("k")
+    def assign(shards: Int) = {
+      val ring = (0 until shards).flatMap(sh => (0 until 8).map(r => (sh, r)))
+        .toDF("shard", "replica")
+        .select(col("shard"), Dedup.md5Hash60(
+          concat(col("shard").cast("string"), lit(":"), col("replica").cast("string"))).as("vh"))
+      keys.select(col("k"), Dedup.md5Hash60(col("k").cast("string")).as("hk"))
+        .crossJoin(broadcast(ring))
+        .groupBy("k", "hk")
+        .agg(min(when(col("vh") >= col("hk"), struct(col("vh"), col("shard")))).as("succ"),
+          min(struct(col("vh"), col("shard"))).as("wrap"))
+        .select(col("k"), coalesce(col("succ.shard"), col("wrap.shard")).as("shard"))
+        .as[(Long, Int)].collect().toMap
+    }
+    val before = assign(4)
+    val after = assign(5) // shard 4's vnodes added; 0..3's unchanged
+    val moved = before.keys.count(k => before(k) != after(k))
+    // only keys captured by the new shard's vnodes move — far under half
+    assert(moved > 0 && moved < 200, s"moved=$moved")
+    assert(after.values.toSet.contains(4))
+    // and everything that moved, moved TO the new shard
+    assert(before.keys.filter(k => before(k) != after(k)).forall(after(_) == 4))
+  }
+}

@@ -100,7 +100,11 @@ object Layout {
         sum(col("n_match")).as("rows_match"))
       .select(col("blocks_total"), col("rows_total"), col("blocks_pruned"),
         col("rows_pruned"), col("rows_match"),
-        expr("rows_pruned * 1000000L DIV rows_total").as("pruned_rows_ppm"),
-        expr("rows_match * 1000000L DIV rows_total").as("match_ppm"))
+        // empty input → rows_total 0/NULL: ppm columns short-circuit to
+        // NULL rather than riding a zero denominator into ANSI error
+        expr("CASE WHEN coalesce(rows_total, 0L) = 0L THEN CAST(NULL AS BIGINT) " +
+          "ELSE rows_pruned * 1000000L DIV rows_total END").as("pruned_rows_ppm"),
+        expr("CASE WHEN coalesce(rows_total, 0L) = 0L THEN CAST(NULL AS BIGINT) " +
+          "ELSE rows_match * 1000000L DIV rows_total END").as("match_ppm"))
   }
 }

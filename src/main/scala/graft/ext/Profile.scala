@@ -290,6 +290,33 @@ object Profile {
       .select(col("id"), col("m"), col("bucket"))
   }
 
+  /** 0-based global POSITION by `id` ascending — the same two-phase
+    * range-sort + broadcast-prefix-offset rank as [[globalBuckets]],
+    * extracted for callers that need the position itself (x172's ring
+    * negatives replaced an O(N²) broadcast self-join count with this).
+    * No single task ever holds the whole ranking, and the sort is
+    * localCheckpoint-pinned for the same sampled-boundary-determinism
+    * reason as [[globalBuckets]]. Output: (id, p). */
+  def globalRank(df: DataFrame, id: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df.select(id.as("id")).sort(col("id"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = sorted.groupBy("_pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) =>
+      val off = acc; acc += c; (pid, off)
+    }
+    sorted
+      .withColumn("_lrn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_pid")).orderBy(col("id"))).cast("long"))
+      .join(broadcast(offsets.toSeq.toDF("_pid", "_off")), "_pid")
+      .select(col("id"), (col("_off") + col("_lrn") - lit(1L)).as("p"))
+  }
+
   /** RFM segmentation: every entity bucketed into `buckets` equal-
     * population slices independently by recency, frequency, and
     * monetary value (bucket 0 = best in each dimension), rolled up to
@@ -449,8 +476,11 @@ object Profile {
       .select(col("col_x"), col("col_y"), col("n_rows"),
         col("__sx").cast("long").as("sum_x"),
         col("__sy").cast("long").as("sum_y"),
-        expr("CAST((CAST(n_rows AS DECIMAL(38,0)) * __dot - __sx * __sy) " +
-          "DIV (CAST(n_rows AS DECIMAL(38,0)) * (n_rows - 1)) AS BIGINT)")
+        // n < 2 → sample covariance undefined: NULL, never a division
+        // error (ANSI) or silent null-by-accident (the trendSlope idiom)
+        expr("CASE WHEN n_rows < 2 THEN CAST(NULL AS BIGINT) ELSE " +
+          "CAST((CAST(n_rows AS DECIMAL(38,0)) * __dot - __sx * __sy) " +
+          "DIV (CAST(n_rows AS DECIMAL(38,0)) * (n_rows - 1)) AS BIGINT) END")
           .as("cov_q"))
   }
 

@@ -398,6 +398,14 @@ object Sampling {
       budget: Long): DataFrame = {
     require(budget >= 1, s"budget=$budget must be >= 1")
     val base = df.select(stratum.cast("string").as("s"), id.as("id"))
+      .localCheckpoint(false)
+    // loud refusal, not a silent short output: with budget > N the
+    // largest-remainder quotas exceed stratum sizes and the EXACTLY-
+    // budget-rows contract cannot hold
+    val nTotal = base.count()
+    require(budget <= nTotal,
+      s"proportionalSample: budget=$budget exceeds population n_total=$nTotal" +
+        " — the exactly-budget-rows contract is unsatisfiable; cap the budget")
     val sizes = base.groupBy("s").agg(count(lit(1)).as("n_s"))
     val tot = sizes.agg(sum(col("n_s")).as("n_total"))
     val quotas = sizes.crossJoin(broadcast(tot))
@@ -434,10 +442,13 @@ object Sampling {
     * spacing with a step coprime-ish to N spreads negatives across the
     * corpus; everything is reproducible arithmetic, no RNG.
     *
-    * Plan: positions from a broadcast self-join count on the BOUNDED
-    * anchor slice (never a global window — the x67 lesson); ring
-    * lookups are equi-joins on position; the near-dup exclusion is one
-    * anti-join against the banded-LSH pair set.
+    * Plan: positions from the two-phase global rank
+    * ([[Profile.globalRank]]: range sort + broadcast prefix offsets —
+    * never a global window per the x67 lesson, and never the earlier
+    * O(N²) broadcast self-join count, which had no size guard and
+    * quadratic work at ANY corpus size); ring lookups are equi-joins on
+    * position; the near-dup exclusion is one anti-join against the
+    * banded-LSH pair set.
     * Output: (doc_id, j, neg_id). */
   def negativeSamples(docs: DataFrame, id: Column, text: Column,
       k: Int, step: Long): DataFrame = {
@@ -448,13 +459,8 @@ object Sampling {
     val d = docs.select(id.cast("long").as("doc_id"), text.as("text"))
       .localCheckpoint(false)
     val ids = d.select(col("doc_id")).localCheckpoint(false)
-    val pos = ids.as("a")
-      .join(broadcast(ids.select(col("doc_id").as("id2"))),
-        col("id2") < col("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("p"))
-      .unionByName(ids.as("z").join(broadcast(ids.select(col("doc_id").as("id2"))),
-        col("id2") < col("doc_id"), "left_anti")
-        .select(col("doc_id"), lit(0L).as("p")))
+    val pos = graft.ext.Profile.globalRank(ids, col("doc_id"))
+      .select(col("id").as("doc_id"), col("p"))
       .localCheckpoint(false)
     val n = pos.count()
     val js = broadcast((1 to k).map(_.toLong).toDF("j"))
@@ -495,33 +501,36 @@ object Sampling {
     * per-shard load profile so the vnode count's variance is visible
     * (more vnodes → tighter balance).
     *
-    * Plan: the vnode table is S·R rows, broadcast; each key finds its
-    * successor via one conditional min(struct) aggregate over the
-    * broadcast ring — never a sort, never a shuffle of the ring. Exact
-    * integers end to end. Output per shard: (shard, n_keys, load_ppm). */
+    * Load is DISTINCT-KEY load: repeated key values collapse before
+    * assignment (a key occupies one ring position no matter how many
+    * rows carry it), so `n_keys`/`load_ppm` profile the keyspace, not
+    * the row stream — weight by a row count upstream if you want
+    * row-volume balance.
+    *
+    * Plan: the ring (≤ 4096 vnodes) is deterministic at PLAN BUILD —
+    * shard/replica labels hashed with the same [[graft.functions.Md5Hash60]]
+    * the rows use — so it is embedded SORTED in a native binary-search
+    * [[graft.functions.RingSuccessor]] expression: each key pays one
+    * O(log V) lookup inside whole-stage codegen, ZERO row amplification
+    * (the earlier keys × ring BroadcastNestedLoopJoin was a ×V
+    * materialization — the one plan that fails the 100 TB test). Exact
+    * integers end to end; the DuckDB oracle keeps its declarative
+    * cross-join form — same semantics, different plan.
+    * Output per shard: (shard, n_keys, load_ppm). */
   def hashRingLoad(keys: DataFrame, key: Column, shards: Int,
       vnodes: Int): DataFrame = {
     require(shards >= 2 && vnodes >= 1 && shards * vnodes <= 4096,
       s"ring size ${shards}x$vnodes out of range")
-    val spark = keys.sparkSession
-    import spark.implicits._
-    val ring = broadcast(
-      (0 until shards).flatMap(sh => (0 until vnodes).map(r => (sh, r)))
-        .toDF("shard", "replica")
-        .select(col("shard"),
-          graft.ext.Dedup.md5Hash60(
-            concat(col("shard").cast("string"), lit(":"), col("replica").cast("string")))
-            .as("vh")))
-    val hk = keys.select(key.as("k"))
-      .select(col("k"), graft.ext.Dedup.md5Hash60(col("k").cast("string")).as("hk"))
-    val assigned = hk.crossJoin(ring)
-      .groupBy("k", "hk")
-      .agg(
-        min(when(col("vh") >= col("hk"), struct(col("vh"), col("shard"))))
-          .as("succ"),
-        min(struct(col("vh"), col("shard"))).as("wrap"))
-      .select(col("k"),
-        coalesce(col("succ.shard"), col("wrap.shard")).as("shard"))
+    // sorted by (vh, shard): binary-search ties resolve to the smaller
+    // shard, matching the oracle's min(struct(vh, shard)) reduction
+    val ring = (0 until shards)
+      .flatMap(sh => (0 until vnodes).map(r =>
+        (graft.functions.Md5Hash60.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$sh:$r")), sh)))
+      .sorted
+    val assigned = keys.select(key.as("k")).distinct()
+      .select(graft.functions.RingSuccessor.ring_successor(
+        graft.ext.Dedup.md5Hash60(col("k").cast("string")), ring).as("shard"))
     val total = assigned.agg(count(lit(1)).as("n_total"))
     assigned.groupBy("shard").agg(count(lit(1)).as("n_keys"))
       .crossJoin(broadcast(total))

@@ -112,8 +112,13 @@ object TimeSeries {
     * scale-safe (per-key state is `taps` rows, not history).
     *
     * Plan: one key-partitioned rank window (newest-first), a `taps`
-    * cut, one combinable weighted-sum groupBy. The smoothed level vs
-    * the latest raw value is the per-key trend signal.
+    * cut, one combinable weighted-sum groupBy. The weighted numerator
+    * rides DECIMAL(38,0) — the per-row product m·2^(taps−rn) passes
+    * 2^63 already at |m| ≥ 4 with taps near the cap, so the int64 form
+    * silently wrapped; the weight itself (≤ 2^61) and the quotient
+    * (≤ max|m|) both fit BIGINT, so only the accumulator widens and the
+    * output schema is unchanged. The smoothed level vs the latest raw
+    * value is the per-key trend signal.
     * Output: (key, k_used, ewma_m, last_m). */
   def ewmaLast(df: DataFrame, key: Column, ts: Column, order: Column,
       measure: Column, taps: Int): DataFrame = {
@@ -126,10 +131,12 @@ object TimeSeries {
       .where(col("rn") <= taps)
       .groupBy("key")
       .agg(count(lit(1)).as("k_used"),
-        sum(expr(s"m * shiftleft(1L, $taps - rn)")).as("num"),
+        sum(expr(
+          s"CAST(m AS DECIMAL(38,0)) * CAST(shiftleft(1L, $taps - rn) AS DECIMAL(38,0))"))
+          .as("num"),
         max(when(col("rn") === 1, col("m"))).as("last_m"))
       .select(col("key"), col("k_used"),
-        expr(s"num DIV (shiftleft(1L, $taps) - shiftleft(1L, $taps - k_used))")
+        expr(s"CAST(num DIV (shiftleft(1L, $taps) - shiftleft(1L, $taps - k_used)) AS BIGINT)")
           .as("ewma_m"),
         col("last_m"))
   }

@@ -5862,7 +5862,10 @@ object ExtQueries {
   // the 60-bit ring, every orderkey owned by its clockwise successor
   // vnode (wrapping) — the minimal-movement sharding design, with the
   // per-shard load variance the vnode count controls made visible.
-  // Successor = one conditional min(struct) over the broadcast ring.
+  // Successor = a native binary-search ring_successor expression over
+  // the plan-build-time sorted ring (zero row amplification); the
+  // oracle keeps the declarative keys × ring cross-join — same
+  // semantics, deliberately different plan.
   val x174 = Q(
     "x174_hash_ring",
     """WITH ring AS (

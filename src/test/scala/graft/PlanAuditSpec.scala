@@ -1120,12 +1120,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), p)
   }
 
-  test("x174: ring broadcasts; assignment is one combinable min(struct) aggregate") {
+  test("x174: native ring_successor lookup — NO keys×ring join, no amplification") {
     val df = SparkEntry.queries("x174_hash_ring")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastNestedLoopJoin"), p) // keys × 128-row ring
+    // the r10 plan materialized keys × 128-row ring through a
+    // BroadcastNestedLoopJoin (10.8 s suite max at sf0.1) — the fixed
+    // plan pays one O(log V) binary search per row instead; the only
+    // remaining BNLJ is the single-row n_total crossJoin finish
+    // (AQE prints final + initial plan, so count the final section only)
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalP).length <= 1, p)
+    // the successor expression folds into an aggregate's result
+    // projection in the physical string — pin it on the optimized plan
+    assert(df.queryExecution.optimizedPlan.toString.contains("ring_successor"), p)
     assert(!p.contains("WindowExec"), p)
-    assert("partial_min".r.findAllIn(p).nonEmpty, p)
   }
 }

@@ -489,6 +489,17 @@ class ProportionalSampleSpec extends graft.SparkSpec {
     assert(a === b)
     assert(a.filter(_._1 == "x").map(_._3) === (1L to 5L).toArray)
   }
+
+  test("budget beyond the population refuses loudly — never a silent short sample") {
+    val df = (1L to 5L).map(i => ("s", i)).toDF("s", "id")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.proportionalSample(df, col("s"), col("id"), budget = 6L)
+    }
+    assert(e.getMessage.contains("exceeds population"))
+    // budget == population is the boundary: every row selected
+    val all = Sampling.proportionalSample(df, col("s"), col("id"), budget = 5L)
+    assert(all.count() === 5L)
+  }
 }
 
 class IncrementalMergeSpec extends graft.SparkSpec {
@@ -656,5 +667,50 @@ class HashRingSpec extends graft.SparkSpec {
     assert(after.values.toSet.contains(4))
     // and everything that moved, moved TO the new shard
     assert(before.keys.filter(k => before(k) != after(k)).forall(after(_) == 4))
+  }
+
+  test("native ring_successor matches the declarative crossJoin reference per shard") {
+    // the oracle keeps the keys × ring cross-join min(struct) form; the
+    // engine ships the binary-search expression — loads must be identical
+    val keys = (1L to 1000L).toDF("k")
+    val ring = (0 until 6).flatMap(sh => (0 until 16).map(r => (sh, r)))
+      .toDF("shard", "replica")
+      .select(col("shard"), Dedup.md5Hash60(
+        concat(col("shard").cast("string"), lit(":"), col("replica").cast("string"))).as("vh"))
+    val ref = keys.select(col("k"), Dedup.md5Hash60(col("k").cast("string")).as("hk"))
+      .crossJoin(broadcast(ring))
+      .groupBy("k", "hk")
+      .agg(min(when(col("vh") >= col("hk"), struct(col("vh"), col("shard")))).as("succ"),
+        min(struct(col("vh"), col("shard"))).as("wrap"))
+      .select(coalesce(col("succ.shard"), col("wrap.shard")).as("shard"))
+      .groupBy("shard").count()
+      .as[(Int, Long)].collect().toMap.map { case (s, n) => (s.toLong, n) }
+    val got = Sampling.hashRingLoad(keys, col("k"), shards = 6, vnodes = 16)
+      .select(col("shard"), col("n_keys")).as[(Long, Long)].collect().toMap
+    assert(got === ref)
+  }
+
+  test("ring_successor lookup: successor, exact hit, wrap, tie-break") {
+    import graft.functions.RingSuccessor.lookup
+    val vhs = Array(10L, 20L, 20L, 30L)
+    val shards = Array(3, 1, 2, 0) // sorted by (vh, shard): ties 20→shards 1 then 2
+    assert(lookup(5L, vhs, shards) === 3) // below all → first vnode
+    assert(lookup(10L, vhs, shards) === 3) // exact hit owns the key
+    assert(lookup(11L, vhs, shards) === 1) // tie at 20 → smaller shard
+    assert(lookup(21L, vhs, shards) === 0)
+    assert(lookup(30L, vhs, shards) === 0)
+    assert(lookup(31L, vhs, shards) === 3) // past the last vnode → wrap to 0th
+    assert(lookup(Long.MaxValue, vhs, shards) === 3)
+  }
+
+  test("hashRingLoad reports DISTINCT-key load: duplicate key values collapse") {
+    val dup = ((1L to 100L) ++ (1L to 100L) ++ Seq.fill(50)(7L)).toDF("k")
+    val uniq = (1L to 100L).toDF("k")
+    val a = Sampling.hashRingLoad(dup, col("k"), shards = 4, vnodes = 8)
+      .select(col("shard"), col("n_keys")).as[(Long, Long)].collect().toMap
+    val b = Sampling.hashRingLoad(uniq, col("k"), shards = 4, vnodes = 8)
+      .select(col("shard"), col("n_keys")).as[(Long, Long)].collect().toMap
+    assert(a === b)
+    assert(a.values.sum === 100L)
   }
 }

@@ -191,6 +191,17 @@ class EwmaSpec extends graft.SparkSpec {
     // o=2 is newest → last_m = 900; (900·2 + 100) div 3 = 633
     assert(got === ((1L, 2L, 633L, 900L)))
   }
+
+  test("taps at the 62 cap: m·2^61 rides DECIMAL, no int64 wrap") {
+    // constant series m=1000 with k=3 observations at taps=62: the top
+    // weight alone (1000·2^61) is ~2.3e21, far past 2^63 — the old long
+    // accumulator wrapped negative; EWMA of a constant must be exact
+    val rows = (1L to 3L).map(i => (1L, i, i, 1000L))
+    val got = TimeSeries.ewmaLast(df(rows: _*),
+        col("k"), col("ts"), col("o"), col("m"), taps = 62)
+      .as[(Long, Long, Long, Long)].head()
+    assert(got === ((1L, 3L, 1000L, 1000L)))
+  }
 }
 
 class TrendCusumSpec extends graft.SparkSpec {

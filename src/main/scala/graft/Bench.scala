@@ -202,6 +202,25 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // STDOUT QUARANTINE: the driver's capture window is the stdout TAIL
+    // (~2,000 chars), and round 10 lost ⅔ of it to a benign shutdown
+    // stack trace that something printed to stdout above the metric
+    // line (round 7 died the same way). Rebinding System.out to the
+    // stderr descriptor BEFORE Spark initializes means every later
+    // printer — log4j console appenders, uncaught-handler traces,
+    // third-party System.out.println — lands on stderr; the saved
+    // handle below is the ONLY path to the real stdout, used exactly
+    // once for the final JSON line.
+    val realOut = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+    System.setOut(new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.err), true))
+    // scala.Console captured the original System.out at class load —
+    // rebind it for the run so stray scala-level println quarantines too
+    scala.Console.withOut(System.out) { run(realOut) }
+  }
+
+  private def run(realOut: java.io.PrintStream): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's cores: the target profile is local[32] on
     // a 32-cpu box, and an unset env var must not quietly bench at 4
@@ -332,7 +351,8 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
     spark.stop()
     System.out.flush()
-    println(json)
-    System.out.flush()
+    System.err.flush()
+    realOut.println(json)
+    realOut.flush()
   }
 }

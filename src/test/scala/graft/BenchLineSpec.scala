@@ -31,6 +31,29 @@ class BenchLineSpec extends AnyFunSuite {
         s"tier — add a denser tier before the driver record degrades")
   }
 
+  test("registry growth keeps headroom in the driver's correctness artifacts") {
+    // the bench stdout tier guard above already fired once (r10, 185
+    // queries); this is the same early-warning style for the OTHER two
+    // driver artifacts that scale with the registry.
+    val qNames = SparkEntry.queries.keySet
+    // CORRECTNESS_r{N}.json: ~135 bytes/entry measured at round 10 —
+    // budget 64 KiB at a 160-byte worst case leaves headroom to ~400
+    // queries; fails HERE before an unknown driver cap truncates it
+    assert(qNames.size * 160 <= 64 * 1024,
+      s"registry (${qNames.size} queries) puts the per-query correctness " +
+        "artifact past the 64 KiB budget — confirm the driver cap first")
+    // oracle_sql.json is parsed whole by the driver: keep it bounded
+    val oracleBytes = SparkEntry.oracleSql.valuesIterator
+      .map(_.getBytes("UTF-8").length.toLong).sum
+    assert(oracleBytes <= 4L * 1024 * 1024,
+      s"oracle_sql.json payload is $oracleBytes bytes — past the 4 MiB budget")
+    // the zero-unverified-queries invariant: every registered query
+    // carries an oracle, and no oracle is orphaned
+    assert(SparkEntry.oracleSql.keySet === qNames,
+      s"oracle/queries key drift: only-in-queries=${qNames diff SparkEntry.oracleSql.keySet}, " +
+        s"only-in-oracle=${SparkEntry.oracleSql.keySet diff qNames}")
+  }
+
   test("short ids stay unique across the registry (the short tier's precondition)") {
     val ids = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
     assert(ids.distinct.size === ids.size,

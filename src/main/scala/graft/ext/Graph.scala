@@ -199,21 +199,34 @@ object Graph {
     * ordered edge list; the top-`k` cut is TakeOrderedAndProject
     * (per-partition heaps), never a global sort. All joins carry
     * 8-byte node ids.
+    *
+    * `maxMidDegree` (finite ⇒ the FULL-CORPUS contract, x175): mid
+    * nodes above it are pruned before wedge enumeration — the classic
+    * hub-removal approximation (scores become "RA over common
+    * neighbors of degree ≤ D"; a hub intermediary contributed at most
+    * 1e6/D anyway, the RA discount's own point). This bounds the wedge
+    * work at N·D² STRUCTURALLY, so the loud refusal is unnecessary and
+    * skipped — at 100 TB a data-dependent refusal is a pager, a
+    * structural bound is a plan.
     * Output: top `k` rows (a, b, cn, ra_e6) by (ra_e6, cn desc, a, b). */
-  def linkPrediction(edges: DataFrame, k: Int, maxDegree: Long = 100000L)
-      : DataFrame = {
+  def linkPrediction(edges: DataFrame, k: Int, maxDegree: Long = 100000L,
+      maxMidDegree: Long = Long.MaxValue): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val hottest = deg.agg(coalesce(max(col("deg")), lit(0L))).head().getLong(0)
-    require(hottest <= maxDegree,
-      s"linkPrediction enumerates sum(deg^2)/2 wedges; the hottest node " +
-        s"has degree $hottest > maxDegree=$maxDegree. Tighten the " +
-        s"upstream shingle df cap (coShingleEdges maxShingleDf) or drop " +
-        s"hub nodes before scoring")
+    if (maxMidDegree == Long.MaxValue) {
+      val hottest = deg.agg(coalesce(max(col("deg")), lit(0L))).head().getLong(0)
+      require(hottest <= maxDegree,
+        s"linkPrediction enumerates sum(deg^2)/2 wedges; the hottest node " +
+          s"has degree $hottest > maxDegree=$maxDegree. Tighten the " +
+          s"upstream shingle df cap (coShingleEdges maxShingleDf), drop " +
+          s"hub nodes before scoring, or set maxMidDegree for the " +
+          s"structurally-bounded hub-pruned contract")
+    }
     // wedge a—z—b with a<b: both legs read the SAME mid-node partition,
     // weighted by the mid-node's degree discount
     val mid = e.join(deg, Seq("src"))
+      .where(col("deg") <= maxMidDegree)
       .select(col("src").as("z"), col("dst").as("leaf"),
         expr("1000000L DIV deg").as("w"))
     val pairs = mid.as("ea")

@@ -5893,6 +5893,55 @@ object ExtQueries {
       .orderBy("shard")
   }
 
+  // x175 — LINK PREDICTION, FULL CORPUS (round-11 promotion of x148):
+  // the same resource-allocation scoring with NO doc_id slice — what
+  // bounds the wedge work is STRUCTURE, not a fixture: shingle df cap
+  // 16 (hot shingles never mint edges) and mid-node degree cap 64
+  // (hub-removal: scores are RA over common neighbors of degree ≤ 64,
+  // wedge work ≤ N·64² by construction — a hub contributed ≤ 1e6/64
+  // per wedge anyway). x148 keeps the 1500-doc slice as the cheap
+  // regression pin; this is the contract a 100 TB corpus would run.
+  val x175 = Q(
+    "x175_link_pred_full",
+    """WITH t AS (
+      |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE [tt] END AS sh
+      |  FROM t),
+      |u AS (SELECT doc_id, unnest(sh) AS sh1 FROM s),
+      |hh AS (SELECT doc_id, ('0x' || substring(md5(sh1), 1, 15))::BIGINT AS h FROM u),
+      |keep AS (SELECT h FROM hh GROUP BY h HAVING COUNT(*) <= 16),
+      |occ AS (SELECT hh.doc_id, hh.h FROM hh JOIN keep USING (h)),
+      |e0 AS (SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+      |       FROM occ a JOIN occ b ON a.h = b.h AND a.doc_id < b.doc_id),
+      |e AS (SELECT s AS src, d AS dst FROM e0 UNION ALL SELECT d, s FROM e0),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      |mid AS (
+      |  SELECT e.src AS z, e.dst AS leaf, 1000000 // d.deg AS w
+      |  FROM e JOIN deg d ON d.src = e.src WHERE d.deg <= 64),
+      |p AS (
+      |  SELECT ea.leaf AS a, eb.leaf AS b, ea.w
+      |  FROM mid ea JOIN mid eb ON ea.z = eb.z AND ea.leaf < eb.leaf),
+      |g AS (
+      |  SELECT a, b, CAST(count(*) AS BIGINT) AS cn, CAST(sum(w) AS BIGINT) AS ra_e6
+      |  FROM p GROUP BY 1, 2),
+      |ng AS (
+      |  SELECT g.* FROM g LEFT JOIN e0 ON g.a = e0.s AND g.b = e0.d
+      |  WHERE e0.s IS NULL)
+      |SELECT a, b, cn, ra_e6 FROM ng
+      |ORDER BY ra_e6 DESC, cn DESC, a, b
+      |LIMIT 50""".stripMargin) { (s, dir) =>
+    Graph.linkPrediction(
+      Graph.coShingleEdges(Tables.documents(s, dir),
+        col("doc_id"), col("text"), n = 3, maxShingleDf = 16L),
+      k = 50, maxMidDegree = 64L)
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -5905,5 +5954,5 @@ object ExtQueries {
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
-      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170, x171, x172, x173, x174)
+      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170, x171, x172, x173, x174, x175)
 }

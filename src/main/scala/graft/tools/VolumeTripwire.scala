@@ -418,7 +418,75 @@ object VolumeTripwire {
           timeMin(graft.ops.EventAnalytics.linearAttribution(events10,
             col("user_id"), col("ts"), col("event_id"), col("event_type"),
             convType = "purchase")))
-      })
+      }, {
+        // ring sharding under a KEY FLOOD: one key value repeated 500k×
+        // on top of 10× distinct keys — the distinct-key collapse plus
+        // the O(log V) ring_successor expression must keep this linear
+        // (the r10 crossJoin form paid ×128 row amplification here)
+        val keys1 = Tables.orders(spark, sfDir).select("o_orderkey")
+        val keys10 = blow(keys1, "o_orderkey", 10, 10000000L)
+          .unionAll(spark.range(500000).select(lit(77L).as("o_orderkey")))
+        Res("x174_hashRing",
+          timeMin(Sampling.hashRingLoad(keys1, col("o_orderkey"), 8, 16)),
+          timeMin(Sampling.hashRingLoad(keys10, col("o_orderkey"), 8, 16)))
+      },
+      // negative sampling over the flood corpus: the 100k identical docs
+      // collapse to one content representative before LSH, positions come
+      // from the two-phase rank (no O(N²) self-join since round 11), and
+      // the candidate set is exactly N·k rows
+      Res("x172_negSamples",
+        timeMin(Sampling.negativeSamples(docs1, col("doc_id"), col("text"),
+          k = 4, step = 997L)),
+        timeMin(Sampling.negativeSamples(docs10, col("doc_id"), col("text"),
+          k = 4, step = 997L))),
+      // pairwise EMD with the flood concentrated in ONE stratum: the
+      // corpus folds into 63-bin CDFs per stratum in a single combinable
+      // pass, so a 100k-doc hot stratum costs one partial agg, and the
+      // pair join runs on the dimension-sized CDF table
+      Res("x171_emdLengths", {
+        val d1 = docs1.select(pmod(col("doc_id"), lit(4)).cast("string").as("s"),
+          length(col("text")).as("len"))
+        timeMin(graft.ext.Profile.log2Emd(d1, col("s"), col("len")))
+      }, {
+        val d10 = docs10.select(
+          when(col("doc_id") >= 10000000L, lit("hot"))
+            .otherwise(pmod(col("doc_id"), lit(4)).cast("string")).as("s"),
+          length(col("text")).as("len"))
+        timeMin(graft.ext.Profile.log2Emd(d10, col("s"), col("len")))
+      },
+      // merkle fingerprint with the whole flood inside one stratum:
+      // block hashing is group-local (sort within 1024-doc blocks), so
+      // the hot stratum shards into ~100 dense blocks, never one task
+      ), Res("x166_merkleRoot", {
+        val d1 = docs1.select(pmod(col("doc_id"), lit(4)).cast("string").as("s"),
+          col("doc_id"), col("text"))
+        timeMin(graft.ext.Curation.merkleFingerprint(d1, col("s"),
+          col("doc_id"), col("text")))
+      }, {
+        val d10 = docs10.select(
+          when(col("doc_id") >= 10000000L, lit("hot"))
+            .otherwise(pmod(col("doc_id"), lit(4)).cast("string")).as("s"),
+          col("doc_id"), col("text"))
+        timeMin(graft.ext.Curation.merkleFingerprint(d10, col("s"),
+          col("doc_id"), col("text")))
+      }),
+      // merkle diff a-vs-mutated-a at 1× and 10×+flood: the outer join
+      // compares BLOCK tables (≤ n/1024 rows), documents never cross it
+      Res("x173_merkleDiff", {
+        val d1 = docs1.select(lit("d").as("s"), col("doc_id"), col("text"))
+        val m1 = d1.withColumn("text",
+          when(col("doc_id") % 97 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        timeMin(graft.ext.Curation.merkleDiff(d1, m1, col("s"),
+          col("doc_id"), col("text")))
+      }, {
+        val d10 = docs10.select(lit("d").as("s"), col("doc_id"), col("text"))
+        val m10 = d10.withColumn("text",
+          when(col("doc_id") % 97 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        timeMin(graft.ext.Curation.merkleDiff(d10, m10, col("s"),
+          col("doc_id"), col("text")))
+      }))
 
     results.foreach { r =>
       println(f"PROF ${r.name}%-18s t1x=${r.t1}%6.2fs t10x=${r.t10}%6.2fs ratio=${r.ratio}%5.1f")

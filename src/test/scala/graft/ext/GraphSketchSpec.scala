@@ -342,6 +342,22 @@ class LinkPredictionSpec extends graft.SparkSpec {
     }
     assert(e.getMessage.contains("hottest node"))
   }
+
+  test("maxMidDegree prunes hub INTERMEDIARIES structurally — no refusal, leaves kept") {
+    // star 0—{1..9} plus path 1—10—2: with the degree-9 hub pruned as a
+    // mid node (cap 4), (1,2) keeps only its path intermediary 10
+    // (deg 2 → ra 5e5) and the hub contributes nothing; without the cap
+    // the same graph refuses at maxDegree=4
+    val g = sym(((1L to 9L).map(i => (0L, i)) ++ Seq((1L, 10L), (10L, 2L))): _*)
+    val got = Graph.linkPrediction(g, k = 100, maxDegree = 4L, maxMidDegree = 4L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.contains((1L, 2L, 1L, 500000L)))
+    // pairs whose ONLY common neighbor is the hub are gone entirely
+    assert(!got.exists(r => r._1 === 3L && r._2 === 4L))
+    // hub endpoints still appear: (0, 2) via mid 1 (deg 2... 1's degree
+    // is 0-1,1-10 = 2 ≤ cap) — the prune removes hubs as MIDS only
+    assert(got.exists(r => r._1 === 0L))
+  }
 }
 
 class HllOverlapSpec extends graft.SparkSpec {

@@ -962,4 +962,42 @@ object Dedup {
         col("n_members"), col("chars_total"),
         (col("chars_total") - col("peak.m")).as("chars_saved"))
   }
+
+  /** Content-defined chunking at WORD granularity — the Rabin/LBFS idea
+    * with the repo's reproducible hash as the boundary oracle: a word
+    * whose `md5Hash60 mod mask == 0` OPENS a new chunk (expected chunk
+    * length ≈ `mask` words), so an insertion early in a document shifts
+    * only the chunk it lands in — every later boundary re-synchronizes,
+    * which is exactly why CDC beats fixed-size blocks for storage-level
+    * dedup of edited corpora. Position 0 always opens chunk 0.
+    *
+    * 100 TB posture: boundary detection is pure scan-side column math
+    * on the exploded words; chunk assembly is ONE per-document
+    * gaps-and-islands window (running sum of boundary flags, bounded by
+    * doc length) + a group-local sorted fold into the chunk hash (the
+    * [[graft.ext.Curation.merkleFingerprint]] idiom) — no self-join, no
+    * global anything. Chunk-hash equality across docs then powers
+    * chunk-level dedup accounting at a groupBy.
+    * Output: (doc_id, chunk_idx, start_pos, n_words, chunk_hash). */
+  def cdcChunks(docs: DataFrame, id: Column, text: Column,
+      mask: Int = 64): DataFrame = {
+    require(mask >= 2 && mask <= 65536, s"mask=$mask out of range")
+    val w = docs
+      .select(id.as("doc_id"), posexplode(split(trim(text), "\\s+")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("word"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w.withColumn("opens",
+        when(col("pos") > 0 &&
+          pmod(md5Hash60(col("word")), lit(mask.toLong)) === 0, 1L)
+          .otherwise(0L))
+      .withColumn("chunk_idx", sum(col("opens")).over(byPos))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(min(col("pos")).as("start_pos"),
+        count(lit(1)).as("n_words"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")))).as("chunk_hash"))
+  }
 }

@@ -107,4 +107,38 @@ object Layout {
         expr("CASE WHEN coalesce(rows_total, 0L) = 0L THEN CAST(NULL AS BIGINT) " +
           "ELSE rows_match * 1000000L DIV rows_total END").as("match_ppm"))
   }
+
+  /** Partition-completeness audit: per key, every DAY between the key's
+    * first and last event should exist as a partition — report the span,
+    * what's present, what's missing, and WHERE the first hole is. The
+    * backfill-planning primitive a 100 TB ingestion runs nightly: a
+    * missing day is a silent correctness bug in every downstream
+    * windowed aggregate, and the first-gap date is the backfill cursor.
+    *
+    * 100 TB posture: the fact collapses to (key, day) at one partial-
+    * aggregated groupBy; the expected-day explode runs per KEY and is
+    * bounded by that key's calendar span (a 10-year key emits 3,653
+    * rows, independent of row volume); the gap finder is an anti-join
+    * at day cardinality. Output: (key, span_days, present_days,
+    * missing_days, first_missing date|null). */
+  def partitionGaps(df: DataFrame, key: Column, ts: Column): DataFrame = {
+    val obs = df.select(key.as("k"), to_date(ts).as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val bounds = obs.groupBy("k")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+        count(lit(1)).as("present_days"))
+    val missing = bounds
+      .select(col("k"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .join(obs.select("k", "day"), Seq("k", "day"), "left_anti")
+      .groupBy("k").agg(min(col("day")).as("first_missing"))
+    bounds
+      .select(col("k").as("key"),
+        (datediff(col("d1"), col("d0")) + 1).cast("long").as("span_days"),
+        col("present_days"))
+      .withColumn("missing_days", col("span_days") - col("present_days"))
+      .join(missing.select(col("k").as("key"), col("first_missing")),
+        Seq("key"), "left")
+  }
 }

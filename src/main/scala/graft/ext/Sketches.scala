@@ -309,4 +309,44 @@ object Sketches {
         expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 62 AS INT))").as("mask"))
       .groupBy("word_idx").agg(expr("bit_or(mask)").as("bits"))
   }
+
+  /** Bloom-pruned semi-join audit — the classic distributed semi-join
+    * reduction, with its error EXACTLY accounted: build the 62-bit-word
+    * filter over the DIM keys ([[bloomWords]] layout), probe every FACT
+    * key, and report what a bloom-pruned scan would keep vs the true
+    * semi-join. Output, ONE row: (n_fact, n_pass, n_match, n_false_pos,
+    * fp_ppm) with `n_pass = n_match + n_false_pos` (no false negatives,
+    * ever — the property the audit makes visible).
+    *
+    * 100 TB posture: the filter is ≤ 8 KiB, collected at PLAN BUILD and
+    * embedded in a codegen'd [[graft.functions.BloomContains]] probe —
+    * the fact side pays d multiply-mod-tests per row scan-side, no join
+    * and no shuffle for the pruning decision itself; the exact-truth
+    * leg (needed only by the AUDIT, not by a production prune) is one
+    * broadcast left-semi against the distinct dim keys. This is the
+    * operator you run once to size `words`/`d` before wiring the same
+    * expression in front of a 100 TB shuffle. */
+  def bloomPruneAudit(fact: DataFrame, factKey: Column, dim: DataFrame,
+      dimKey: Column, words: Int, d: Int): DataFrame = {
+    val dimKeys = dim.select(dimKey.cast("string").as("k")).distinct()
+      .localCheckpoint(false)
+    val wordRows = bloomWords(dimKeys, col("k"), words, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val wordArr = (0 until words).map(i => wordRows.getOrElse(i.toLong, 0L))
+    val seeds = Dedup.hashCoeffs(d)
+    val probe = fact.select(factKey.cast("string").as("k"))
+      .select(col("k"),
+        graft.functions.BloomContains.bloom_contains(
+          Dedup.md5Hash60(col("k")), wordArr, seeds).as("pass"))
+    probe
+      .join(broadcast(dimKeys.select(col("k"), lit(1L).as("m"))), Seq("k"), "left")
+      .agg(count(lit(1)).as("n_fact"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("pass") && col("m").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .select(col("n_fact"), col("n_pass"), col("n_match"), col("n_false_pos"),
+        expr("CASE WHEN n_fact - n_match = 0 THEN 0L " +
+          "ELSE n_false_pos * 1000000L DIV (n_fact - n_match) END").as("fp_ppm"))
+  }
 }

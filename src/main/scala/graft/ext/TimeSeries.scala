@@ -198,4 +198,35 @@ object TimeSeries {
       .select(col("key"), col("n"), col("x").as("peak_x"),
         col("cusum").cast("long").as("peak_cusum"))
   }
+
+  /** SCD TYPE-2 interval build from a change-event stream: per key,
+    * collapse consecutive events carrying the SAME value (only real
+    * transitions mint versions), then stamp each surviving version with
+    * `[valid_from, valid_to)` — `valid_to` is the next version's start,
+    * NULL on the current (open) version — and a 1-based version number.
+    * The dimension-history primitive every warehouse maintains; the
+    * as-of join ([[graft.ops.AsofJoin]]) is its read side.
+    *
+    * Determinism: ties on `ts` break by the event-id order column, so
+    * the interval set is a pure function of the input. 100 TB posture:
+    * three per-KEY windows (lag to detect the transition, lead for the
+    * close, rank for the version) on ONE hash(key) exchange — Spark
+    * reuses the partitioning across same-keyed windows; nothing global,
+    * no self-join (the lag/lead formulation replaces the naive
+    * event×next-event range join).
+    * Output: (key, version, value, valid_from, valid_to). */
+  def scd2Intervals(events: DataFrame, key: Column, ts: Column,
+      order: Column, value: Column): DataFrame = {
+    val byTime = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("vf"), col("ord"))
+    val d = events.select(key.as("key"), ts.as("vf"), order.as("ord"),
+      value.as("value"))
+    d.withColumn("prev", lag(col("value"), 1).over(byTime))
+      // first event per key opens version 1; later events only on change
+      .where(col("prev").isNull || col("prev") =!= col("value"))
+      .withColumn("valid_to", lead(col("vf"), 1).over(byTime))
+      .withColumn("version", row_number().over(byTime).cast("long"))
+      .select(col("key"), col("version"), col("value"),
+        col("vf").as("valid_from"), col("valid_to"))
+  }
 }

@@ -5942,6 +5942,160 @@ object ExtQueries {
       k = 50, maxMidDegree = 64L)
   }
 
+  // x176 — SCD TYPE-2 INTERVALS: per user, runs of equal consecutive
+  // event_type collapse into versioned [valid_from, valid_to) rows —
+  // the dimension-history build (x15's as-of join is its read side).
+  // Three per-key windows on one hash(user) exchange, nothing global.
+  val x176 = Q(
+    "x176_scd2_intervals",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |v AS (SELECT user_id, ts, event_id, event_type FROM e
+      |      WHERE prev IS NULL OR prev <> event_type),
+      |w AS (
+      |  SELECT user_id AS key,
+      |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+      |         event_type AS value, ts AS valid_from,
+      |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM v)
+      |SELECT key, version, value, valid_from, valid_to FROM w
+      |ORDER BY key, version""".stripMargin) { (s, dir) =>
+    graft.ext.TimeSeries.scd2Intervals(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy("key", "version")
+  }
+
+  // x177 — CONTENT-DEFINED CHUNK dedup accounting: word-granularity
+  // Rabin-style chunking (boundary word ≡ md5Hash60 mod 64 == 0, so an
+  // edit shifts ONE chunk and later boundaries re-sync), then per-source
+  // chunk-level dup rate — the storage-dedup lens on the corpus that
+  // byte-identical doc dedup (x1) can't see. Boundary detection is
+  // scan-side; assembly is one per-doc window + group-local fold.
+  val x177 = Q(
+    "x177_cdc_chunks",
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id, source,
+      |         unnest(list_transform(range(1, len(w) + 1),
+      |                i -> {'pos': i - 1, 'word': w[i]})) AS pw
+      |  FROM t),
+      |e AS (SELECT doc_id, source, pw.pos AS pos, pw.word AS word FROM u),
+      |b AS (
+      |  SELECT *, CASE WHEN pos > 0 AND
+      |                  ('0x' || substring(md5(word), 1, 15))::BIGINT % 64 = 0
+      |                 THEN 1 ELSE 0 END AS opens
+      |  FROM e),
+      |c AS (
+      |  SELECT *, SUM(opens) OVER (PARTITION BY doc_id ORDER BY pos
+      |              ROWS UNBOUNDED PRECEDING) AS chunk_idx
+      |  FROM b),
+      |h AS (
+      |  SELECT doc_id, source, chunk_idx,
+      |         CAST(COUNT(*) AS BIGINT) AS n_words,
+      |         md5(string_agg(word, ' ' ORDER BY pos)) AS ch
+      |  FROM c GROUP BY 1, 2, 3)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |       CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_distinct_chunks,
+      |       CAST((COUNT(*) - COUNT(DISTINCT ch)) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm,
+      |       CAST(SUM(n_words) * 100 // COUNT(*) AS BIGINT) AS mean_words_e2
+      |FROM h GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.ext.Dedup.cdcChunks(docs, col("doc_id"), col("text"), mask = 64)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_hash")).as("n_distinct_chunks"),
+        expr("(count(1) - count(DISTINCT chunk_hash)) * 1000000L DIV count(1)")
+          .as("dup_ppm"),
+        expr("sum(n_words) * 100L DIV count(1)").as("mean_words_e2"))
+      .orderBy("source")
+  }
+
+  // x178 — PARTITION-GAP audit: per user, expected daily partitions
+  // (first..last active day) vs present ones, plus the first hole —
+  // the backfill cursor. Day explode is per key and calendar-bounded.
+  val x178 = Q(
+    "x178_partition_gaps",
+    """WITH obs AS (
+      |  SELECT user_id AS k, CAST(ts AS DATE) AS day FROM events GROUP BY 1, 2),
+      |b AS (
+      |  SELECT k, min(day) AS d0, max(day) AS d1,
+      |         CAST(COUNT(*) AS BIGINT) AS present_days
+      |  FROM obs GROUP BY 1),
+      |ex AS (
+      |  SELECT k, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM b),
+      |miss AS (
+      |  SELECT e.k, min(e.day) AS first_missing
+      |  FROM ex e LEFT JOIN obs o ON o.k = e.k AND o.day = e.day
+      |  WHERE o.k IS NULL GROUP BY 1)
+      |SELECT b.k AS key,
+      |       CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS span_days,
+      |       present_days,
+      |       CAST(date_diff('day', d0, d1) + 1 - present_days AS BIGINT) AS missing_days,
+      |       m.first_missing
+      |FROM b LEFT JOIN miss m ON m.k = b.k
+      |ORDER BY key""".stripMargin) { (s, dir) =>
+    graft.ext.Layout.partitionGaps(Tables.events(s, dir),
+        col("user_id"), col("ts"))
+      .orderBy("key")
+  }
+
+  // x179 — BLOOM-PRUNED SEMI-JOIN audit: the 512×62-bit filter over
+  // BUILDING-segment customer keys probes every order scan-side through
+  // the codegen'd bloom_contains expression (collected at plan build,
+  // zero joins for the prune decision — the x174 embed-don't-join
+  // pattern); the oracle runs the declarative word-join form. Exact
+  // false-positive accounting — the number you size words/d with
+  // before wiring the same prune in front of a 100 TB shuffle.
+  val x179 = Q(
+    "x179_bloom_semijoin",
+    s"""WITH seeds(i, a, b, c) AS (VALUES $bloomSeedRows),
+      |dk AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+      |       FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |dh AS (SELECT ('0x' || substring(md5(k), 1, 15))::BIGINT AS h FROM dk),
+      |bs AS (
+      |  SELECT ((a * (h & 1073741823) + b * (h >> 30) + c) % 1000000007) % 31744 AS bit
+      |  FROM dh CROSS JOIN seeds),
+      |occ AS (
+      |  SELECT bit // 62 AS word_idx,
+      |         bit_or(CAST(1 AS BIGINT) << CAST(bit % 62 AS INT)) AS bits
+      |  FROM bs GROUP BY 1),
+      |pk AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+      |pb AS (
+      |  SELECT k,
+      |         ((a * (h & 1073741823) + b * (h >> 30) + c) % 1000000007) % 31744 AS bit
+      |  FROM (SELECT k, ('0x' || substring(md5(k), 1, 15))::BIGINT AS h FROM pk)
+      |  CROSS JOIN seeds),
+      |passes AS (
+      |  SELECT pb.k,
+      |         (COUNT(*) = SUM(CASE WHEN (coalesce(occ.bits, 0) >> CAST(pb.bit % 62 AS INT)) & 1 = 1
+      |                              THEN 1 ELSE 0 END)) AS pass
+      |  FROM pb LEFT JOIN occ ON occ.word_idx = pb.bit // 62
+      |  GROUP BY pb.k),
+      |t AS (
+      |  SELECT f.k, p.pass, CASE WHEN dk.k IS NOT NULL THEN 1 ELSE 0 END AS m
+      |  FROM (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders) f
+      |  JOIN passes p USING (k) LEFT JOIN dk ON dk.k = f.k)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+      |       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |       CAST(SUM(m) AS BIGINT) AS n_match,
+      |       CAST(SUM(CASE WHEN pass AND m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+      |       CAST(CASE WHEN COUNT(*) - SUM(m) = 0 THEN 0
+      |            ELSE SUM(CASE WHEN pass AND m = 0 THEN 1 ELSE 0 END) * 1000000
+      |                 // (COUNT(*) - SUM(m)) END AS BIGINT) AS fp_ppm
+      |FROM t""".stripMargin) { (s, dir) =>
+    Sketches.bloomPruneAudit(
+      Tables.orders(s, dir), col("o_custkey"),
+      Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING"),
+      col("c_custkey"), words = 512, d = 3)
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -5954,5 +6108,6 @@ object ExtQueries {
       x111, x112, x113, x114, x115, x116, x117, x118, x119, x120, x121, x122,
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
-      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170, x171, x172, x173, x174, x175)
+      x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170, x171, x172, x173, x174, x175,
+      x176, x177, x178, x179)
 }

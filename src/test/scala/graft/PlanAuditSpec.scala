@@ -1137,3 +1137,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), p)
   }
 }
+
+/** Round-11 ninth-batch plan pins (x175–x179). */
+class PlanAuditSpec2 extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("x175: full-corpus link prediction — top-k is a heap cut, never a global sort") {
+    val p = planOf("x175_link_pred_full")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("x176: SCD2 rides ONE hash(key) exchange across all three windows") {
+    val df = SparkEntry.queries("x176_scd2_intervals")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // lag-filter, lead, and version rank all partition by the same key:
+    // exactly one hashpartitioning(key) exchange in the FINAL plan
+    // (plus the output range sort)
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning\\(key".r.findAllIn(finalP).length === 1, p)
+    assert("Window \\[".r.findAllIn(finalP).nonEmpty, p)
+  }
+
+  test("x177: CDC chunking — per-doc window, no self-join, group-local chunk fold") {
+    val df = SparkEntry.queries("x177_cdc_chunks")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x178: calendar explode happens at day cardinality, not row cardinality") {
+    val df = SparkEntry.queries("x178_partition_gaps")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the generator must sit above the (k, day) aggregate, never on the scan
+    val genLine = p.linesIterator.indexWhere(_.contains("Generate explode"))
+    assert(genLine >= 0, p)
+    assert(p.linesIterator.drop(genLine + 1).exists(_.contains("HashAggregate")), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("x179: the bloom probe is scan-side expression work — no join for the prune") {
+    val df = SparkEntry.queries("x179_bloom_semijoin")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(df.queryExecution.optimizedPlan.toString.contains("bloom_contains"), p)
+    // the only join is the broadcast left-outer against distinct dim keys
+    // (the audit's exact-truth leg); the probe itself joins nothing
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(finalP).length === 1, p)
+    assert(!finalP.contains("SortMergeJoin"), p)
+  }
+}

@@ -433,3 +433,100 @@ class BloomBitsSpec extends graft.SparkSpec {
     assert(whole === m1.map { case (k, v) => k -> (v | m2(k)) })
   }
 }
+
+class BloomPruneSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("no false negatives ever; accounting columns reconcile") {
+    val dim = (1L to 50L).map(i => i * 7L).toDF("k") // 7, 14, ..., 350
+    val fact = (1L to 700L).toDF("k")
+    val got = Sketches.bloomPruneAudit(fact, col("k"), dim, col("k"),
+        words = 8, d = 3)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (nFact, nPass, nMatch, nFp, fpPpm) = got
+    assert(nFact === 700L)
+    assert(nMatch === 50L) // all 50 dim keys occur in 1..700
+    assert(nPass === nMatch + nFp) // every true match passes — no FN
+    assert(fpPpm === nFp * 1000000L / (nFact - nMatch))
+  }
+
+  test("native bloom_contains agrees with the declarative word-join probe per key") {
+    val dimKeys = (1L to 80L).map(i => s"d$i")
+    val factKeys = (1L to 400L).map(i => if (i % 5 == 0) s"d${i / 5}" else s"f$i")
+    val words = 8; val d = 3
+    val wordRows = Sketches.bloomWords(dimKeys.toDF("k"), col("k"), words, d)
+      .as[(Long, Long)].collect().toMap
+    val wordArr = (0 until words).map(i => wordRows.getOrElse(i.toLong, 0L))
+    val seeds = Dedup.hashCoeffs(d)
+    val native = factKeys.toDF("k")
+      .select(col("k"), graft.functions.BloomContains.bloom_contains(
+        Dedup.md5Hash60(col("k")), wordArr, seeds).as("pass"))
+      .as[(String, Boolean)].collect().toMap
+    // declarative twin: d probes per key, all bits must hit
+    val declarative = factKeys.map { k =>
+      val h = graft.functions.Md5Hash60.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(k))
+      k -> seeds.forall { case (a, b, c) =>
+        val bit = ((a * (h & 1073741823L) + b * (h >>> 30) + c) % Dedup.HashP) % (words * 62L)
+        (wordArr((bit / 62L).toInt) & (1L << (bit % 62L).toInt)) != 0L
+      }
+    }.toMap
+    assert(native === declarative)
+    // and every dim key present among the fact keys passes
+    factKeys.filter(dimKeys.contains).foreach(k => assert(native(k)))
+  }
+
+  test("dim keys absent from the fact side do not distort the audit") {
+    val dim = (1000L to 1100L).toDF("k") // disjoint from fact
+    val fact = (1L to 200L).toDF("k")
+    val got = Sketches.bloomPruneAudit(fact, col("k"), dim, col("k"),
+        words = 8, d = 3)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got._3 === 0L) // no true matches
+    assert(got._2 === got._4) // everything passing is a false positive
+  }
+}
+
+class CdcChunkSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def chunks(rows: (Long, String)*) =
+    Dedup.cdcChunks(rows.toDF("doc_id", "text"), col("doc_id"), col("text"),
+      mask = 4) // small mask → boundaries every ~4 words on test data
+
+  test("chunks partition the doc: contiguous, start at 0, words sum to doc length") {
+    val text = (1 to 60).map(i => s"w$i").mkString(" ")
+    val got = chunks((1L, text)).orderBy("chunk_idx")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(got.head._3 === 0L) // first chunk starts at position 0
+    assert(got.map(_._4).sum === 60L)
+    // each chunk starts where the previous ended
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 === a._3 + a._4)
+      case _ =>
+    }
+  }
+
+  test("CDC re-sync: a prepended word changes ONLY the first chunk's hash") {
+    val words = (1 to 80).map(i => s"tok$i")
+    val a = chunks((1L, words.mkString(" ")))
+      .select(col("chunk_hash")).as[String].collect().toSet
+    val b = chunks((1L, ("INSERTED" +: words).mkString(" ")))
+      .select(col("chunk_hash")).as[String].collect().toSet
+    // every chunk after the first boundary re-synchronizes: the two docs
+    // share all chunks except the (changed) leading one
+    assert((a diff b).size <= 1, s"a-only=${(a diff b).size}")
+    assert((b diff a).size <= 1, s"b-only=${(b diff a).size}")
+    assert((a intersect b).nonEmpty)
+  }
+
+  test("identical docs produce identical chunk hash multisets — chunk-level dedup sees them") {
+    val text = (1 to 40).map(i => s"v$i").mkString(" ")
+    val got = chunks((1L, text), (2L, text))
+      .groupBy("chunk_hash").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+    assert(got.forall(_._2 === 2L))
+  }
+}

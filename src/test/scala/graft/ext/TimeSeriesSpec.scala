@@ -246,3 +246,81 @@ class TrendCusumSpec extends graft.SparkSpec {
     assert(got === (("a", 3L, 1L, 0L)))
   }
 }
+
+class Scd2Spec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def scd(rows: (Long, Long, Long, String)*) =
+    TimeSeries.scd2Intervals(
+      rows.toDF("u", "t", "o", "v")
+        .select(col("u"), timestamp_micros(col("t")).as("ts"), col("o"), col("v")),
+      col("u"), col("ts"), col("o"), col("v"))
+
+  test("runs collapse; intervals chain; the open version has NULL valid_to") {
+    // user 1: A A B A → versions A[1,3) B[3,4) A[4,∞)
+    val got = scd((1L, 1L, 1L, "A"), (1L, 2L, 2L, "A"), (1L, 3L, 3L, "B"),
+        (1L, 4L, 4L, "A"))
+      .orderBy("version")
+      .select(col("version"), col("value"),
+        unix_micros(col("valid_from")).as("f"), unix_micros(col("valid_to")).as("t"))
+      .as[(Long, String, Long, Option[Long])].collect()
+    assert(got === Array((1L, "A", 1L, Some(3L)), (2L, "B", 3L, Some(4L)),
+      (3L, "A", 4L, None)))
+  }
+
+  test("interval chaining invariant: valid_to == next version's valid_from, per key") {
+    val rows = for (u <- 1L to 3L; i <- 1L to 20L)
+      yield (u, i * 10L + u, i, if ((i / 3) % 2 == 0) "X" else "Y")
+    val got = scd(rows: _*)
+      .select(col("key"), col("version"),
+        unix_micros(col("valid_from")).as("f"), unix_micros(col("valid_to")).as("t"))
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .groupBy(_._1).values
+    got.foreach { vs =>
+      val s = vs.sortBy(_._2)
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 === Some(b._3))
+        case _ =>
+      }
+      assert(s.last._4.isEmpty) // exactly one open version per key
+      assert(s.map(_._2).toSeq === (1L to s.length).toSeq)
+    }
+  }
+
+  test("timestamp ties break by the order column") {
+    // same ts: order 1=A, 2=B → B is the later state
+    val got = scd((1L, 5L, 1L, "A"), (1L, 5L, 2L, "B"))
+      .orderBy("version").select("value").as[String].collect()
+    assert(got === Array("A", "B"))
+  }
+}
+
+class PartitionGapsSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def gaps(rows: (Long, String)*) =
+    graft.ext.Layout.partitionGaps(
+      rows.toDF("k", "d").select(col("k"), to_timestamp(col("d")).as("ts")),
+      col("k"), col("ts"))
+
+  test("holes found, first gap named, dense keys report zero missing") {
+    val got = gaps(
+        (1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 11:00:00"),
+        (1L, "2024-01-05 09:00:00"), // missing Jan 3, 4
+        (2L, "2024-02-01 00:00:00"), (2L, "2024-02-02 23:59:59"))
+      .orderBy("key")
+      .select(col("key"), col("span_days"), col("present_days"),
+        col("missing_days"), col("first_missing").cast("string"))
+      .as[(Long, Long, Long, Long, Option[String])].collect()
+    assert(got(0) === ((1L, 5L, 3L, 2L, Some("2024-01-03"))))
+    assert(got(1) === ((2L, 2L, 2L, 0L, None)))
+  }
+
+  test("multiple events per day collapse before the calendar explode") {
+    val rows = (1L to 500L).map(i => (9L, s"2024-03-01 ${i % 24}:00:30"))
+    val got = gaps(rows: _*).as[(Long, Long, Long, Long, Option[java.sql.Date])].head()
+    assert(got === ((9L, 1L, 1L, 0L, None)))
+  }
+}

@@ -310,6 +310,63 @@ object Sketches {
       .groupBy("word_idx").agg(expr("bit_or(mask)").as("bits"))
   }
 
+  /** KMV (k-minimum-values) distinct sketch per key, audited against
+    * the exact distinct count. The sketch is the k smallest DISTINCT
+    * 60-bit hashes of `element` ([[graft.functions.KMinValuesAgg]]);
+    * with hashes uniform on [0, 2^60) the estimator is
+    * `est = (k-1) · 2^60 / h_(k)` when the buffer filled, else the
+    * buffer size IS the exact count. All arithmetic DECIMAL(38) →
+    * BIGINT, so the estimate — not just the sketch — is bit-identical
+    * to the oracle's order-statistics SQL.
+    *
+    * Why KMV next to [[hllDistinct]]: same O(1)-per-key wire, but the
+    * sketch VALUES compose — the k smallest of a union are the merge
+    * of the operands' buffers (the Aggregator's merge law, pinned in
+    * StreamingSketchSpec), so per-shard sketches roll up losslessly,
+    * and the kth order statistic doubles as a uniform sample of the
+    * key's distinct elements.
+    *
+    * 100 TB posture: ONE exchange; the aggregator dedups inside its
+    * O(k) buffer, so there is no pre-distinct pass and each partition
+    * ships ≤ k longs per key. The exact leg (distinct + count) exists
+    * for the AUDIT only — a production rollup drops it. Output:
+    * (key, n_exact, n_sketch, kth_min, est_distinct, err_ppm). */
+  def kmvDistinct(elements: DataFrame, key: Column, element: Column,
+      k: Int = 64): DataFrame = {
+    val base = elements.select(key.as("key"),
+      Dedup.md5Hash60(element.cast("string")).as("h"))
+    val sk = kmvMins(base, col("key"), col("h"), k, prehashed = true)
+      .select(col("key"), size(col("mins")).cast("long").as("n_sketch"),
+        element_at(col("mins"), -1).as("kth_min"))
+    val exact = base.distinct().groupBy("key").agg(count(lit(1)).as("n_exact"))
+    sk.join(exact, Seq("key"))
+      .withColumn("est_distinct",
+        when(col("n_sketch") < k, col("n_sketch"))
+          .otherwise(expr(s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) " +
+            "* 1152921504606846976 DIV kth_min AS BIGINT)")))
+      .select(col("key"), col("n_exact"), col("n_sketch"), col("kth_min"),
+        col("est_distinct"),
+        expr("CAST(CAST(abs(est_distinct - n_exact) AS DECIMAL(38,0)) " +
+          "* 1000000 DIV n_exact AS BIGINT)").as("err_ppm"))
+  }
+
+  /** The streaming-safe KMV core alone: `(key, mins)` with `mins` the
+    * sorted ≤ k smallest distinct 60-bit hashes. ONE combinable
+    * aggregation with O(k) state — runs unchanged as a
+    * structured-streaming complete-mode aggregation (merge law pinned
+    * in StreamingSketchSpec); [[kmvDistinct]]'s exact-audit leg is a
+    * batch finisher. `prehashed = true` means `element` already IS the
+    * 60-bit hash column. */
+  def kmvMins(elements: DataFrame, key: Column, element: Column, k: Int,
+      prehashed: Boolean = false): DataFrame = {
+    require(k >= 2 && k <= 4096, s"k=$k out of range [2, 4096]")
+    val agg = udaf(new graft.functions.KMinValuesAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val h = if (prehashed) element else Dedup.md5Hash60(element.cast("string"))
+    elements.select(key.as("key"), h.as("h"))
+      .groupBy("key").agg(agg(col("h")).as("mins"))
+  }
+
   /** Bloom-pruned semi-join audit — the classic distributed semi-join
     * reduction, with its error EXACTLY accounted: build the 62-bit-word
     * filter over the DIM keys ([[bloomWords]] layout), probe every FACT

@@ -229,4 +229,59 @@ object TimeSeries {
       .select(col("key"), col("version"), col("value"),
         col("vf").as("valid_from"), col("valid_to"))
   }
+
+  /** Rank (Spearman) autocorrelation of each key's daily series at the
+    * given lags — "does yesterday/last week predict today" with an
+    * EXACT RATIONAL answer: `spearman_e6 = 1e6 − 6e6·Σd² / (n(n²−1))`
+    * over row_number ranks, so no float moments and no square root
+    * (Pearson's √(ΣxΣy) denominator is irrational — hash-unprovable;
+    * rank correlation is the drop-in monotone-association measure that
+    * stays in integer arithmetic). Ranks tie-break by day — documented,
+    * deterministic, and mirrored in the oracle; with cent-valued
+    * revenues ties are rare and the bias negligible.
+    *
+    * Lag semantics: POSITION lag on the observed sequence (rn+lag on
+    * the present days), not calendar lag — gaps drop no pairs and the
+    * measure stays defined on sparse series; callers wanting strict
+    * calendar lags densify with [[locfGrid]] first.
+    *
+    * 100 TB posture: the daily rollup is the ONLY data-scale exchange;
+    * after it the series is DAYS long — O(days) per key regardless of
+    * corpus row count — so the lag self-join and the four keyed
+    * windows all run at day cardinality. Σd² ≤ n³ and the e6 products
+    * ride DECIMAL(38); n is calendar-bounded, so nothing here grows
+    * with the 100 TB. Output: (key, lag, n_pairs, sum_d2, spearman_e6)
+    * for keys·lags with ≥ 2 pairs. */
+  def rankAutocorr(df: DataFrame, key: Column, day: Column,
+      measure: Column, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(l => l >= 1 && l <= 365),
+      s"lags=$lags must be within [1, 365]")
+    val daily = df.groupBy(key.as("key"), day.as("day"))
+      .agg(sum(measure).as("v"))
+    val wk = Window.partitionBy(col("key")).orderBy(col("day"))
+    val seq0 = daily.withColumn("rn", row_number().over(wk))
+      .localCheckpoint(false) // one rollup, |lags| self-join consumers
+    val pairs = lags.map { l =>
+      seq0.as("a").join(seq0.as("b"),
+          col("a.key") === col("b.key") && col("b.rn") === col("a.rn") + l)
+        .select(col("a.key").as("key"), lit(l.toLong).as("lag"),
+          col("a.day").as("day_a"), col("a.v").as("va"),
+          col("b.day").as("day_b"), col("b.v").as("vb"))
+    }.reduce(_.unionAll(_))
+    val wx = Window.partitionBy(col("key"), col("lag"))
+      .orderBy(col("va"), col("day_a"))
+    val wy = Window.partitionBy(col("key"), col("lag"))
+      .orderBy(col("vb"), col("day_b"))
+    pairs
+      .withColumn("rx", row_number().over(wx).cast("long"))
+      .withColumn("ry", row_number().over(wy).cast("long"))
+      .groupBy("key", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sum_d2"))
+      .where(col("n_pairs") >= 2)
+      .select(col("key"), col("lag"), col("n_pairs"), col("sum_d2"),
+        expr("CAST(1000000 - CAST(6000000 AS DECIMAL(38,0)) * sum_d2 " +
+          "DIV (CAST(n_pairs AS DECIMAL(38,0)) * (n_pairs * n_pairs - 1)) " +
+          "AS BIGINT)").as("spearman_e6"))
+  }
 }

@@ -6096,6 +6096,83 @@ object ExtQueries {
       col("c_custkey"), words = 512, d = 3)
   }
 
+  // x180 — KMV DISTINCT SKETCH: distinct users per event type via the
+  // k-minimum-values order-statistics sketch (k=64), audited against
+  // the exact count. The typed KMinValuesAgg dedups INSIDE its O(k)
+  // buffer — one exchange, ≤ k longs per (key × partition) on the wire,
+  // map-side combinable and streaming-mergeable (merge law pinned in
+  // StreamingSketchSpec). Estimator (k-1)·2^60/h_(k) rides DECIMAL(38),
+  // so the ESTIMATE, not just the sketch, is hash-provable; the oracle
+  // recomputes it from the same md5 hashes as plain order statistics.
+  val x180 = Q(
+    "x180_kmv_distinct",
+    """WITH h AS (
+      |  SELECT DISTINCT event_type AS key,
+      |         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+      |  FROM h),
+      |s AS (
+      |  SELECT key,
+      |         CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |         CAST(SUM(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_sketch,
+      |         CAST(MAX(CASE WHEN rn <= 64 THEN h END) AS BIGINT) AS kth_min
+      |  FROM r GROUP BY key),
+      |e AS (
+      |  SELECT *, CAST(CASE WHEN n_sketch < 64 THEN n_sketch
+      |                 ELSE (63::HUGEINT * 1152921504606846976) // kth_min
+      |            END AS BIGINT) AS est_distinct
+      |  FROM s)
+      |SELECT key, n_exact, n_sketch, kth_min, est_distinct,
+      |       CAST(abs(est_distinct - n_exact)::HUGEINT * 1000000 // n_exact AS BIGINT) AS err_ppm
+      |FROM e ORDER BY key""".stripMargin) { (s, dir) =>
+    Sketches.kmvDistinct(Tables.events(s, dir), col("event_type"),
+        col("user_id"), k = 64)
+      .orderBy("key")
+  }
+
+  // x181 — RANK (SPEARMAN) AUTOCORRELATION of each order priority's
+  // daily revenue at lags 1 and 7 — exact-rational monotone-association
+  // (Pearson needs a square root; Spearman's 1e6 − 6e6·Σd²/(n(n²−1))
+  // stays in integers, tie-broken by day). Position lag on the observed
+  // sequence; the daily rollup is the only data-scale exchange — after
+  // it everything is day-cardinality, O(days) per key at ANY corpus
+  // size (days are calendar-bounded, rows are not).
+  val x181 = Q(
+    "x181_rank_autocorr",
+    """WITH d AS (
+      |  SELECT o_orderpriority AS key, CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY day) AS rn
+      |  FROM d),
+      |p AS (
+      |  SELECT a.key, CAST(l.lag AS BIGINT) AS lag,
+      |         a.day AS day_a, a.v AS va, b.day AS day_b, b.v AS vb
+      |  FROM r a JOIN (VALUES (1), (7)) l(lag) ON true
+      |       JOIN r b ON b.key = a.key AND b.rn = a.rn + l.lag),
+      |k AS (
+      |  SELECT key, lag,
+      |         CAST(row_number() OVER (PARTITION BY key, lag ORDER BY va, day_a) AS BIGINT) AS rx,
+      |         CAST(row_number() OVER (PARTITION BY key, lag ORDER BY vb, day_b) AS BIGINT) AS ry
+      |  FROM p),
+      |s AS (
+      |  SELECT key, lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |         CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+      |  FROM k GROUP BY 1, 2)
+      |SELECT key, lag, n_pairs, sum_d2,
+      |       CAST(1000000 - 6000000::HUGEINT * sum_d2
+      |            // (n_pairs::HUGEINT * (n_pairs * n_pairs - 1)) AS BIGINT) AS spearman_e6
+      |FROM s WHERE n_pairs >= 2
+      |ORDER BY key, lag""".stripMargin) { (s, dir) =>
+    graft.ext.TimeSeries.rankAutocorr(Tables.orders(s, dir),
+        col("o_orderpriority"), to_date(col("o_orderdate")),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"), lags = Seq(1, 7))
+      .orderBy("key", "lag")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -6109,5 +6186,5 @@ object ExtQueries {
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
       x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170, x171, x172, x173, x174, x175,
-      x176, x177, x178, x179)
+      x176, x177, x178, x179, x180, x181)
 }

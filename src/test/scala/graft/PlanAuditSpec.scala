@@ -1194,4 +1194,26 @@ class PlanAuditSpec2 extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(finalP).length === 1, p)
     assert(!finalP.contains("SortMergeJoin"), p)
   }
+
+  test("x180: the KMV sketch is an O(k) aggregate — no window, no sort of the hash stream") {
+    val df = SparkEntry.queries("x180_kmv_distinct")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the oracle pays a per-key row_number over ALL distinct hashes;
+    // the engine must not: the buffer dedups and truncates at k
+    assert(!p.contains("Window"), p)
+    // the typed udaf plans as ObjectHashAggregate (partial + final)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("x181: every autocorr window is keyed — day-cardinality, nothing global") {
+    val df = SparkEntry.queries("x181_rank_autocorr")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    // rn + (rx, ry per lag branch): every Window partitions by key/lag
+    val windows = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, p)
+    assert(!finalP.contains("Exchange SinglePartition"), p)
+  }
 }

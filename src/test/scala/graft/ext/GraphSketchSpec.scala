@@ -529,4 +529,45 @@ class CdcChunkSpec extends graft.SparkSpec {
       .as[(String, Long)].collect()
     assert(got.forall(_._2 === 2L))
   }
+
+  // ---- Sketches.kmvDistinct (KMinValuesAgg) ----
+
+  test("KMV below capacity: sketch IS the exact count, zero error") {
+    val rows = (1 to 10).map(i => ("k", s"e$i")) ++
+      (1 to 10).map(i => ("k", s"e$i")) // duplicates dedup in-buffer
+    val got = Sketches.kmvDistinct(rows.toDF("key", "el"),
+        col("key"), col("el"), k = 64)
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(got._2 === 10L) // n_exact
+    assert(got._3 === 10L) // n_sketch: duplicates absorbed
+    assert(got._5 === 10L) // est_distinct == exact below capacity
+    assert(got._6 === 0L)  // err_ppm
+  }
+
+  test("KMV at capacity: buffer = k smallest distinct hashes, estimator matches hand math") {
+    val rows = (1 to 500).map(i => ("k", s"e$i"))
+    val df = rows.toDF("key", "el")
+    val mins = Sketches.kmvMins(df, col("key"), col("el"), k = 16)
+      .select(explode(col("mins"))).as[Long].collect().toSeq
+    val allH = df.select(graft.ext.Dedup.md5Hash60(col("el").cast("string")))
+      .as[Long].collect().toSet.toSeq.sorted
+    assert(mins === allH.take(16)) // exactly the 16 smallest distinct
+    assert(mins === mins.sorted && mins.distinct === mins)
+    val got = Sketches.kmvDistinct(df, col("key"), col("el"), k = 16)
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    val expectEst = (BigInt(15) * BigInt(2).pow(60) / BigInt(allH(15))).toLong
+    assert(got._4 === allH(15))   // kth_min
+    assert(got._5 === expectEst)  // (k-1)·2^60 / h_(k)
+    // k=16 gives ~26% sigma; assert the estimate is in a loose sane band
+    assert(got._5 > 100L && got._5 < 2500L, s"est=${got._5}")
+  }
+
+  test("KMV merge law: result is partitioning-invariant (1 vs 32 partitions)") {
+    val rows = (1 to 3000).map(i => (s"g${i % 3}", s"e${i % 700}"))
+    def run(parts: Int) =
+      Sketches.kmvMins(rows.toDF("key", "el").repartition(parts),
+          col("key"), col("el"), k = 32)
+        .as[(String, Seq[Long])].collect().toMap
+    assert(run(1) === run(32))
+  }
 }

@@ -323,4 +323,55 @@ class PartitionGapsSpec extends graft.SparkSpec {
     val got = gaps(rows: _*).as[(Long, Long, Long, Long, Option[java.sql.Date])].head()
     assert(got === ((9L, 1L, 1L, 0L, None)))
   }
+
+  // ---- TimeSeries.rankAutocorr ----
+
+  private def acf(lags: Seq[Int], rows: (String, String, Long)*) =
+    TimeSeries.rankAutocorr(
+      rows.toDF("k", "d", "m").withColumn("d", to_date(col("d"))),
+      col("k"), col("d"), col("m"), lags)
+      .orderBy("key", "lag")
+
+  test("rankAutocorr: monotone series is +1e6 at every lag; reversed is -1e6") {
+    val up = (1 to 12).map(i => ("u", f"2024-01-$i%02d", i * 10L))
+    val down = (1 to 12).map(i => ("d", f"2024-01-$i%02d", 1000L - i * 10L))
+    val got = acf(Seq(1, 3), up ++ down: _*)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // increasing series: ranks align, sum_d2 = 0, spearman = +1e6
+    assert(got.filter(_._1 == "u").map(r => (r._2, r._4, r._5)).toSeq ===
+      Seq((1L, 0L, 1000000L), (3L, 0L, 1000000L)))
+    // decreasing series: x still increases with t inside each pair set?
+    // no — pairs (x_t, x_{t+l}) are BOTH decreasing, so ranks align too
+    assert(got.filter(_._1 == "d").forall(_._5 === 1000000L))
+  }
+
+  test("rankAutocorr: alternating series is negative at lag 1, +1e6 at lag 2") {
+    val alt = (1 to 10).map(i =>
+      ("a", f"2024-02-$i%02d", if (i % 2 == 0) 100L else 10L + i))
+    val got = acf(Seq(1, 2), alt: _*)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._5).toMap
+    assert(got(1L) < 0L, s"lag1=${got(1L)}")
+    assert(got(2L) === 1000000L)
+  }
+
+  test("rankAutocorr: position lag skips calendar gaps; hand-checked sum_d2") {
+    // days 1,2,3,10,11 — position lag 1 pairs across the gap too
+    val rows = Seq(("g", "2024-03-01", 1L), ("g", "2024-03-02", 2L),
+      ("g", "2024-03-03", 3L), ("g", "2024-03-10", 4L), ("g", "2024-03-11", 5L))
+    val got = acf(Seq(1), rows: _*).as[(String, Long, Long, Long, Long)].head()
+    assert(got._3 === 4L)        // 4 pairs from 5 observations
+    assert(got._4 === 0L)        // monotone: d = 0
+    assert(got._5 === 1000000L)
+  }
+
+  test("rankAutocorr: multiple rows per day roll up before ranking; <2 pairs drops out") {
+    val rows = Seq(("m", "2024-04-01", 5L), ("m", "2024-04-01", 7L),
+      ("m", "2024-04-02", 20L)) // one pair only at lag 1
+    assert(acf(Seq(1), rows: _*).count() === 0L)
+    val rows3 = rows ++ Seq(("m", "2024-04-03", 30L))
+    val got = acf(Seq(1), rows3: _*).as[(String, Long, Long, Long, Long)].head()
+    assert(got._3 === 2L) // daily rollup: (12, 20, 30) -> 2 pairs
+    assert(got._5 === 1000000L)
+  }
 }

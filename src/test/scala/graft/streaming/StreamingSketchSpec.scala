@@ -217,4 +217,29 @@ class StreamingSketchSpec extends SparkSpec {
       .as[(String, Long, Long, Option[Long])].collect().toSet
     assert(streamed === Set(("a", 4L, 58L, Some(3000000L)), ("b", 2L, 10L, Some(0L))))
   }
+
+  test("streamed KMV buffers == batch over the union — the k-min merge law under re-delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = Sketches.kmvMins(mem.toDS().toDF("key", "el"),
+        col("key"), col("el"), k = 16)
+      .writeStream.format("memory").queryName("kmv_state")
+      .outputMode("complete").start()
+    val batch1 = (0 until 200).map(i => ("a", s"e$i"))
+    // overlap 100-199 re-delivered + a small second key (below capacity)
+    val batch2 = (100 until 400).map(i => ("a", s"e$i")) ++
+      (0 until 9).map(i => ("b", s"e$i"))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("kmv_state")
+      .as[(String, Seq[Long])].collect().toMap
+    val batch = Sketches.kmvMins((batch1 ++ batch2).toDF("key", "el"),
+        col("key"), col("el"), k = 16)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(streamed === batch)
+    assert(streamed("a").size === 16 && streamed("b").size === 9)
+  }
 }

@@ -103,6 +103,49 @@ object Curation {
     * the metric's value range, not corpus size) stays distributed.
     * The corner set joined back is frontier-sized, i.e. broadcast
     * territory. Output: `(doc_id, x, y)`. */
+  /** Data-contract verification suite: one output row PER CONSTRAINT
+    * with exact violation accounting — the machine-checkable "is this
+    * table fit to train on / join against" gate a pipeline runs before
+    * consuming a new drop. Row-level checks (not-null, range, domain,
+    * sign) are conditional sums evaluated in ONE scan pass (combinable,
+    * zero extra exchanges); NULL fails a check unless the predicate
+    * itself admits it — constraint semantics, not SQL three-valued
+    * comparison semantics (`coalesce(pred, false)`).
+    *
+    * The uniqueness constraint is the one check that cannot be a scan:
+    * it pays one exchange carrying ONLY the key columns (a PK-width
+    * wire, not the row), and `n_violations` counts the surplus rows
+    * beyond one per key. 100 TB posture: the row-check leg reads each
+    * block once and ships a handful of longs per partition; uniqueness
+    * is the same slim shuffle any exact distinct pays.
+    *
+    * Output: (check_name, n_rows, n_violations, viol_ppm, pass). */
+  def contractAudit(df: DataFrame, rowChecks: Seq[(String, Column)],
+      uniqueKeyName: String, uniqueKey: Seq[Column]): DataFrame = {
+    require(rowChecks.nonEmpty, "at least one row check required")
+    require(uniqueKey.nonEmpty, "unique key columns required")
+    val sums = count(lit(1)).cast("long").as("n_rows") +:
+      rowChecks.zipWithIndex.map { case ((_, pred), i) =>
+        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"v$i")
+      }
+    val agg = df.agg(sums.head, sums.tail: _*)
+    val stackArgs = rowChecks.zipWithIndex
+      .map { case ((nm, _), i) => s"'$nm', v$i" }.mkString(", ")
+    val rowsOut = agg.selectExpr("n_rows",
+        s"stack(${rowChecks.size}, $stackArgs) AS (check_name, n_violations)")
+      .select(col("check_name"), col("n_rows"), col("n_violations"))
+    val uniq = df.groupBy(uniqueKey: _*).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).cast("long").as("n_keys"),
+        sum(col("c")).cast("long").as("n_rows"))
+      .select(lit(uniqueKeyName).as("check_name"), col("n_rows"),
+        (col("n_rows") - col("n_keys")).as("n_violations"))
+    rowsOut.unionByName(uniq)
+      .select(col("check_name"), col("n_rows"), col("n_violations"),
+        expr("n_violations * 1000000L DIV n_rows").as("viol_ppm"),
+        expr("CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)")
+          .as("pass"))
+  }
+
   def paretoFrontier(df: DataFrame, id: Column, x: Column, y: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -39,6 +39,56 @@ object TextAnalysis {
         when(nChars.between(100, 2000), 30.0).otherwise(0.0) +
         when(nPunct > 0, 20.0).otherwise(0.0))
 
+  /** Count of maximal `[aeiou]+` runs in the lowered text — the cheap
+    * syllable proxy. Counted portably as length(runs→"~") −
+    * length(runs→"") (each run contributes exactly one char to the
+    * first and zero to the second), so any regexp engine without a
+    * count-matches primitive reproduces it bit-identically. */
+  def vowelRuns(text: Column): Column =
+    (length(regexp_replace(lower(text), "[aeiou]+", "~")) -
+      length(regexp_replace(lower(text), "[aeiou]+", ""))).cast("long")
+
+  /** Words with no vowel at all ("123", "xyz", bare punctuation) — the
+    * +1-syllable floor the per-text run count can't see. One
+    * higher-order filter per row; acceptable off the hot path (the x2
+    * token counters that run 8× per row are native expressions). */
+  def vowellessWords(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L)).otherwise(
+      size(filter(split(trim(lower(text)), "\\s+"),
+        w => !w.rlike("[aeiou]"))).cast("long"))
+
+  /** Per-document Flesch-reading-ease proxy in exact e3 fixed point:
+    * `fre_e3 = 206835 − 1015·w DIV s − 84600·syl DIV w` with
+    * w = whitespace words, s = terminal-mark count ([.!?], floor 1),
+    * syl = vowel runs + vowel-less-word floor. The classic
+    * 206.835 − 1.015(w/s) − 84.6(syl/w) with every coefficient scaled
+    * ×1000 and every division integer-truncated IDENTICALLY in the
+    * oracle — the readability gate stays hash-provable instead of
+    * float-fuzzy. Empty docs (w = 0) are excluded, documented.
+    *
+    * 100 TB posture: pure scan-side column math, zero exchanges —
+    * embarrassingly parallel like the rest of this module. `passthrough`
+    * carries rollup keys (e.g. source) through the projection so the
+    * caller never joins the corpus back to itself for them.
+    * Output: (doc_id, n_words, n_sentences, n_syllables, passthrough…,
+    * fre_e3). */
+  def readability(docs: DataFrame, id: Column, text: Column,
+      passthrough: Seq[String] = Nil): DataFrame =
+    docs.select(
+        (id.as("doc_id") +: text.as("__text__") +: passthrough.map(col)): _*)
+      .select(
+        (col("doc_id") +:
+          wsTokenCount(col("__text__")).cast("long").as("n_words") +:
+          greatest(lit(1L), size(regexp_extract_all(col("__text__"),
+            lit("[.!?]"), lit(0))).cast("long")).as("n_sentences") +:
+          (vowelRuns(col("__text__")) +
+            vowellessWords(col("__text__"))).as("n_syllables") +:
+          passthrough.map(col)): _*)
+      .where(col("n_words") > 0)
+      .withColumn("fre_e3",
+        expr("206835 - 1015 * n_words DIV n_sentences " +
+          "- 84600 * n_syllables DIV n_words"))
+
   /** Stopword lists per language for the heuristic language ID. */
   val langStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),

@@ -6173,6 +6173,87 @@ object ExtQueries {
       .orderBy("key", "lag")
   }
 
+  // x182 — READABILITY SCORING per source: Flesch-reading-ease proxy in
+  // exact e3 fixed point (206835 − 1015·w/s − 84600·syl/w, integer DIV
+  // both engines — truncation toward zero verified identical). Syllables
+  // = vowel runs + vowel-less-word floor, counted portably as the
+  // length-difference trick (runs→"~" vs runs→""). Pure scan-side math;
+  // the per-source rollup is the only exchange.
+  val x182 = Q(
+    "x182_readability",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS w,
+      |         greatest(CAST(1 AS BIGINT),
+      |                  CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)) AS s,
+      |         CAST(length(regexp_replace(lower(text), '[aeiou]+', '~', 'g'))
+      |              - length(regexp_replace(lower(text), '[aeiou]+', '', 'g')) AS BIGINT)
+      |         + CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                w -> NOT regexp_matches(w, '[aeiou]'))) AS BIGINT) AS syl
+      |  FROM documents),
+      |f AS (
+      |  SELECT source, w, s, syl,
+      |         206835 - 1015 * w // s - 84600 * syl // w AS fre_e3
+      |  FROM t WHERE w > 0)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(fre_e3) // COUNT(*) AS BIGINT) AS mean_fre_e3,
+      |       CAST(SUM(CASE WHEN fre_e3 >= 70000 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+      |       CAST(SUM(CASE WHEN fre_e3 < 30000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard,
+      |       CAST(1000 * SUM(syl) // SUM(w) AS BIGINT) AS syl_per_word_e3
+      |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    TextAnalysis.readability(Tables.documents(s, dir), col("doc_id"),
+        col("text"), passthrough = Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(fre_e3) DIV count(1)").as("mean_fre_e3"),
+        sum(when(col("fre_e3") >= 70000, 1L).otherwise(0L)).as("n_easy"),
+        sum(when(col("fre_e3") < 30000, 1L).otherwise(0L)).as("n_hard"),
+        expr("1000 * sum(n_syllables) DIV sum(n_words)").as("syl_per_word_e3"))
+      .orderBy("source")
+  }
+
+  // x183 — DATA-CONTRACT AUDIT over lineitem: Deequ-style constraint
+  // suite, one row per constraint with exact violation counts. Five
+  // row-level checks fold in ONE scan pass (conditional sums, NULL
+  // fails closed via coalesce(pred, false)); the PK-uniqueness check is
+  // the one exchange, carrying only the 2-column key. The gate you run
+  // before consuming a new data drop.
+  val x183 = Q(
+    "x183_contract_audit",
+    """WITH r AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |         CAST(SUM(CASE WHEN coalesce(l_shipdate IS NOT NULL, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+      |         CAST(SUM(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+      |         CAST(SUM(CASE WHEN coalesce(l_extendedprice > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+      |         CAST(SUM(CASE WHEN coalesce(l_returnflag IN ('A', 'N', 'R'), FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+      |         CAST(SUM(CASE WHEN coalesce(l_discount BETWEEN 0 AND 0.1, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v4
+      |  FROM lineitem),
+      |u AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows
+      |  FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+      |s AS (
+      |  SELECT 'shipdate_not_null' AS check_name, n_rows, v0 AS n_violations FROM r
+      |  UNION ALL SELECT 'qty_range', n_rows, v1 FROM r
+      |  UNION ALL SELECT 'price_positive', n_rows, v2 FROM r
+      |  UNION ALL SELECT 'returnflag_domain', n_rows, v3 FROM r
+      |  UNION ALL SELECT 'discount_range', n_rows, v4 FROM r
+      |  UNION ALL SELECT 'pk_unique', n_rows, n_rows - n_keys FROM u)
+      |SELECT check_name, n_rows, n_violations,
+      |       CAST(n_violations * 1000000 // n_rows AS BIGINT) AS viol_ppm,
+      |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+      |FROM s ORDER BY check_name""".stripMargin) { (s, dir) =>
+    Curation.contractAudit(Tables.lineitem(s, dir),
+        Seq(
+          "shipdate_not_null" -> col("l_shipdate").isNotNull,
+          "qty_range" -> col("l_quantity").between(1, 50),
+          "price_positive" -> (col("l_extendedprice") > 0),
+          "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+          "discount_range" -> col("l_discount").between(0, 0.1)),
+        "pk_unique", Seq(col("l_orderkey"), col("l_linenumber")))
+      .orderBy("check_name")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -6186,5 +6267,5 @@ object ExtQueries {
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
       x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170, x171, x172, x173, x174, x175,
-      x176, x177, x178, x179, x180, x181)
+      x176, x177, x178, x179, x180, x181, x182, x183)
 }

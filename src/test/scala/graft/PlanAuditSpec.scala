@@ -1206,6 +1206,29 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p)
   }
 
+  test("x182: readability is scan-side math — zero joins, one rollup exchange + sort") {
+    val df = SparkEntry.queries("x182_readability")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("Join"), p) // passthrough keys, never a self-join
+    // source rollup + output sort, nothing else
+    assert("Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(finalP).length === 2, p)
+  }
+
+  test("x183: contract audit joins nothing — conditional-sum scan + slim PK exchange") {
+    val df = SparkEntry.queries("x183_contract_audit")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("Join"), p)
+    // the uniqueness leg reads only the 2 key columns (toString may
+    // truncate the line, so match the prefix, not a closed struct<>)
+    assert(finalP.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int"), p)
+  }
+
   test("x181: every autocorr window is keyed — day-cardinality, nothing global") {
     val df = SparkEntry.queries("x181_rank_autocorr")(spark, dir)
     df.collect()

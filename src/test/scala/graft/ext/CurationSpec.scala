@@ -147,4 +147,42 @@ class MerkleDiffSpec extends graft.SparkSpec {
       ("s", 2L, "only_a", 1L, 0L),
       ("s", 3L, "only_b", 0L, 1L)))
   }
+
+}
+
+/** Contract audit (x183): violation accounting with NULL-fails-closed
+  * semantics and the surplus-rows uniqueness count. */
+class ContractAuditSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("contractAudit: exact violation counts, NULL fails closed, pass flags") {
+    val rows = Seq[(java.lang.Long, java.lang.Long, java.lang.Double, String)](
+      (1L, 1L, 10.0, "A"),   // clean
+      (1L, 2L, -5.0, "N"),   // negative value
+      (2L, 1L, null, "R"),   // NULL value -> fails the range check
+      (3L, 1L, 999.0, "X"),  // out of domain
+      (3L, 1L, 20.0, "A"))   // duplicate (3,1) key
+      .toDF("k1", "k2", "v", "flag")
+    val got = Curation.contractAudit(rows,
+        Seq("v_positive" -> (col("v") > 0),
+          "flag_domain" -> col("flag").isin("A", "N", "R")),
+        "pk_unique", Seq(col("k1"), col("k2")))
+      .orderBy("check_name")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      ("flag_domain", 5L, 1L, 200000L, 0L),
+      ("pk_unique", 5L, 1L, 200000L, 0L),   // 4 keys, 5 rows -> 1 surplus
+      ("v_positive", 5L, 2L, 400000L, 0L))) // -5 AND the NULL
+  }
+
+  test("contractAudit: a clean table passes every check with zero ppm") {
+    val rows = Seq((1L, 1L, 1.0, "A"), (2L, 1L, 2.0, "N"))
+      .toDF("k1", "k2", "v", "flag")
+    val got = Curation.contractAudit(rows,
+        Seq("v_positive" -> (col("v") > 0)),
+        "pk_unique", Seq(col("k1"), col("k2")))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.forall(r => r._3 === 0L && r._4 === 0L && r._5 === 1L))
+  }
 }

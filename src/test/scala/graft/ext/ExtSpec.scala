@@ -1213,3 +1213,41 @@ class LangConfusionSpec extends graft.SparkSpec {
     assert(got.exists(r => r._1 == r._2 && r._4 > 500000L))
   }
 }
+
+/** Readability proxy (x182): exact fixed-point FRE over hand-countable
+  * sentences — the heuristic's every term is pinned, not eyeballed. */
+class ReadabilitySpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("readability: hand-computed counts and FRE on a known sentence") {
+    // "the cat sat on a mat. it is flat!" -> w=9, s=2 marks,
+    // vowel runs: the(1) cat(1) sat(1) on(1) a(1) mat.(1) it(1) is(1)
+    // flat!(1) = 9, no vowel-less words -> syl=9
+    val df = Seq((1L, "the cat sat on a mat. it is flat!"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got === ((1L,
+      9L, 2L, 9L,
+      206835L - 1015L * 9 / 2 - 84600L * 9 / 9)))
+  }
+
+  test("readability: vowel-less words get the +1 floor; runs count maximal groups") {
+    // "xyz 123 queueing" -> words 3, runs: queueing has 'ueuei' as ONE
+    // maximal run -> 1; xyz and 123 have none but floor +1 each -> syl 3
+    val df = Seq((1L, "xyz 123 queueing")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got._2 === 3L)
+    assert(got._4 === 3L)
+    assert(got._3 === 1L) // no terminal marks -> sentence floor of 1
+  }
+
+  test("readability: empty and whitespace docs are excluded, not scored") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "ok.")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq(3L))
+  }
+}

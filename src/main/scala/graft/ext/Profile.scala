@@ -386,6 +386,41 @@ object Profile {
         col("col.id").as("id"), col("col.m").as("m"))
   }
 
+  /** Candidate-key discovery: per column, the exact distinct and
+    * non-null counts → uniqueness ppm and an is-key verdict (a column
+    * is a key iff its distinct count equals the ROW count — which also
+    * rules out NULLs, since count(distinct) skips them). The schema
+    * audit you run before trusting a join key or choosing a bucketing
+    * column on a new drop; [[fdStrength]] is the pairwise sequel.
+    *
+    * 100 TB posture: ONE pass via Spark's multi-count-distinct Expand —
+    * ×|cols| row amplification BEFORE the partial distinct absorbs it,
+    * with |cols| schema-bounded (single digits), vs |cols| separate
+    * scans of a 100 TB fact. The documented trade; the wire after
+    * partial aggregation is (value, column-tag) pairs at distinct
+    * cardinality. Output: (column_name, n_rows, n_nonnull, n_distinct,
+    * uniq_ppm, is_key), one row per audited column. */
+  def keyCandidates(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.size <= 32,
+      s"audit 1..32 columns, got ${cols.size}")
+    def safe(c: String): String = c.replaceAll("[^A-Za-z0-9_]", "_")
+    val aggs = count(lit(1)).cast("long").as("n_rows") +:
+      cols.flatMap(c => Seq(
+        count(col(c)).cast("long").as(s"nn_${safe(c)}"),
+        countDistinct(col(c)).cast("long").as(s"nd_${safe(c)}")))
+    val agg = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', nn_${safe(c)}, nd_${safe(c)}").mkString(", ")
+    agg.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) " +
+          "AS (column_name, n_nonnull, n_distinct)")
+      .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"),
+        expr("n_distinct * 1000000L DIV n_rows").as("uniq_ppm"),
+        expr("CAST(CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END " +
+          "AS BIGINT)").as("is_key"))
+  }
+
   /** Referential-integrity audit of one FK edge: child rows whose key
     * has no parent. The child is pre-aggregated to (key, row_count)
     * FIRST, so the anti-join runs at KEY cardinality, not row

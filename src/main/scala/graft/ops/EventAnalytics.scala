@@ -266,6 +266,67 @@ object EventAnalytics {
           .as("lift_e6"))
   }
 
+  /** Apriori level-3 on the session item sets: frequent TRIPLES with
+    * support pruning — the "bought together" signal one order deeper
+    * than [[basketPairs]]. The apriori property does the scale work:
+    * items below `minSup` are pruned from every session's set BEFORE
+    * the cubic expansion (an infrequent item cannot appear in a
+    * frequent triple), so the scan-side triple explode runs over
+    * C(|frequent items in session|, 3), not C(|vocabulary|, 3).
+    *
+    * Scale shape: one sessionization exchange; the prune is a
+    * broadcast semi-join of exploded items against the (≤ n_sess /
+    * minSup row) frequent-item table plus one keyed re-collect; the
+    * triple counts are a combinable groupBy; single-item supports join
+    * back as broadcasts; lift runs in DECIMAL(38)
+    * (`sup_abc·n_sess²·1e6 / (sa·sb·sc)` — > 1e6 means the triple
+    * co-occurs more than three-way independence predicts). Output:
+    * (item_a, item_b, item_c, sup_abc, sup_a, sup_b, sup_c, lift_e6)
+    * for triples with `sup_abc ≥ minSup`. */
+  def basketTriples(events: DataFrame, user: Column, ts: Column, id: Column,
+      item: Column, gapMicros: Long, minSup: Long): DataFrame = {
+    require(minSup >= 1, s"minSup=$minSup must be >= 1")
+    val sess = Sessionize.assign(events, user, ts, id, gapMicros,
+        extra = Seq(item.as("item")))
+      .groupBy("key", "session_seq")
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+      .localCheckpoint(false) // one sessionization, three consumers
+    val nSess = sess.agg(count(lit(1)).as("n_sess"))
+    val sing = sess.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("sup"))
+      .localCheckpoint(false)
+    val freq = sing.where(col("sup") >= minSup)
+    val kept = sess
+      .select(col("key"), col("session_seq"), explode(col("items")).as("item"))
+      .join(broadcast(freq.select(col("item"))), Seq("item"), "left_semi")
+      .groupBy("key", "session_seq")
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+    val triples = kept.select(explode(when(size(col("items")) >= 3,
+        expr("""flatten(flatten(transform(sequence(0, size(items) - 3), i ->
+               |  transform(sequence(i + 1, size(items) - 2), j ->
+               |    transform(sequence(j + 1, size(items) - 1), k ->
+               |      struct(items[i] AS item_a, items[j] AS item_b,
+               |             items[k] AS item_c))))))""".stripMargin))
+        .otherwise(array().cast(
+          "array<struct<item_a:string,item_b:string,item_c:string>>")))
+        .as("t"))
+      .select(col("t.item_a"), col("t.item_b"), col("t.item_c"))
+      .groupBy("item_a", "item_b", "item_c").agg(count(lit(1)).as("sup_abc"))
+      .where(col("sup_abc") >= minSup)
+    triples
+      .join(broadcast(sing.select(col("item").as("item_a"), col("sup").as("sup_a"))),
+        Seq("item_a"))
+      .join(broadcast(sing.select(col("item").as("item_b"), col("sup").as("sup_b"))),
+        Seq("item_b"))
+      .join(broadcast(sing.select(col("item").as("item_c"), col("sup").as("sup_c"))),
+        Seq("item_c"))
+      .crossJoin(broadcast(nSess))
+      .select(col("item_a"), col("item_b"), col("item_c"), col("sup_abc"),
+        col("sup_a"), col("sup_b"), col("sup_c"),
+        expr("CAST(CAST(sup_abc AS DECIMAL(38,0)) * n_sess * n_sess " +
+          "* 1000000 DIV (sup_a * sup_b * sup_c) AS BIGINT)").as("lift_e6"))
+  }
+
   /** Time-constrained three-step funnel ("window funnel"): per DAY, how
     * many step-3 conversions completed the ordered chain s1 < s2 < s3
     * within `windowUs` — where the chain may start at ANY s1

@@ -6254,6 +6254,98 @@ object ExtQueries {
       .orderBy("check_name")
   }
 
+  // x184 — CANDIDATE-KEY DISCOVERY over orders: per column, exact
+  // distinct/non-null counts → uniqueness ppm + is-key verdict. One
+  // scan via the multi-count-distinct Expand (×6 pre-partial-agg, the
+  // documented trade vs 6 scans of a 100 TB fact); the oracle pays six
+  // COUNT(DISTINCT)s. The audit you run before trusting a join key.
+  val x184 = Q(
+    "x184_key_candidates",
+    """WITH a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |         CAST(COUNT(o_orderkey) AS BIGINT) AS nn0, CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd0,
+      |         CAST(COUNT(o_custkey) AS BIGINT) AS nn1, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd1,
+      |         CAST(COUNT(o_orderstatus) AS BIGINT) AS nn2, CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd2,
+      |         CAST(COUNT(o_totalprice) AS BIGINT) AS nn3, CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd3,
+      |         CAST(COUNT(o_orderdate) AS BIGINT) AS nn4, CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd4,
+      |         CAST(COUNT(o_orderpriority) AS BIGINT) AS nn5, CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd5
+      |  FROM orders),
+      |s AS (
+      |  SELECT 'o_orderkey' AS column_name, n_rows, nn0 AS n_nonnull, nd0 AS n_distinct FROM a
+      |  UNION ALL SELECT 'o_custkey', n_rows, nn1, nd1 FROM a
+      |  UNION ALL SELECT 'o_orderstatus', n_rows, nn2, nd2 FROM a
+      |  UNION ALL SELECT 'o_totalprice', n_rows, nn3, nd3 FROM a
+      |  UNION ALL SELECT 'o_orderdate', n_rows, nn4, nd4 FROM a
+      |  UNION ALL SELECT 'o_orderpriority', n_rows, nn5, nd5 FROM a)
+      |SELECT column_name, n_rows, n_nonnull, n_distinct,
+      |       CAST(n_distinct * 1000000 // n_rows AS BIGINT) AS uniq_ppm,
+      |       CAST(CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END AS BIGINT) AS is_key
+      |FROM s ORDER BY column_name""".stripMargin) { (s, dir) =>
+    Profile.keyCandidates(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+      .orderBy("column_name")
+  }
+
+  // x185 — FREQUENT TRIPLES (apriori level 3): session item sets →
+  // minSup-pruned items → scan-side cubic expansion over the PRUNED
+  // sets only (the apriori property: an infrequent item cannot appear
+  // in a frequent triple) → DECIMAL(38) three-way independence lift.
+  // The oracle pays the same pruning declaratively.
+  val x185 = Q(
+    "x185_basket_triples",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+      |m AS (
+      |  SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+      |  FROM e),
+      |s AS (
+      |  SELECT *, SUM(CASE WHEN prev IS NULL OR tus - prev > 14400000000
+      |                     THEN 1 ELSE 0 END)
+      |         OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |               ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM m),
+      |sess AS (
+      |  SELECT user_id, session_seq, list_sort(list_distinct(list(event_type))) AS items
+      |  FROM s GROUP BY user_id, session_seq),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_sess FROM sess),
+      |sing AS (
+      |  SELECT item, CAST(count(*) AS BIGINT) AS sup FROM (
+      |    SELECT unnest(items) AS item FROM sess) GROUP BY 1),
+      |freq AS (SELECT item FROM sing WHERE sup >= 10),
+      |kept AS (
+      |  SELECT user_id, session_seq, list_sort(list(item)) AS items
+      |  FROM (SELECT user_id, session_seq, unnest(items) AS item FROM sess) u
+      |  JOIN freq USING (item)
+      |  GROUP BY user_id, session_seq),
+      |tr AS (
+      |  SELECT unnest(CASE WHEN len(items) >= 3 THEN
+      |           flatten(flatten(list_transform(range(1, len(items) - 1), i ->
+      |             list_transform(range(i + 1, len(items)), j ->
+      |               list_transform(range(j + 1, len(items) + 1), k ->
+      |                 items[i] || '|' || items[j] || '|' || items[k])))))
+      |         ELSE CAST([] AS VARCHAR[]) END) AS t
+      |  FROM kept),
+      |ts AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS sup_abc FROM tr GROUP BY 1
+      |  HAVING count(*) >= 10),
+      |f AS (
+      |  SELECT string_split(t, '|')[1] AS item_a, string_split(t, '|')[2] AS item_b,
+      |         string_split(t, '|')[3] AS item_c, sup_abc FROM ts)
+      |SELECT item_a, item_b, item_c, sup_abc,
+      |       sa.sup AS sup_a, sb.sup AS sup_b, sc.sup AS sup_c,
+      |       CAST(CAST(sup_abc AS HUGEINT) * n_sess * n_sess * 1000000
+      |            // (sa.sup * sb.sup * sc.sup) AS BIGINT) AS lift_e6
+      |FROM f JOIN sing sa ON f.item_a = sa.item
+      |       JOIN sing sb ON f.item_b = sb.item
+      |       JOIN sing sc ON f.item_c = sc.item, n
+      |ORDER BY item_a, item_b, item_c""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.basketTriples(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        gapMicros = 14400000000L, minSup = 10L)
+      .orderBy("item_a", "item_b", "item_c")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -6267,5 +6359,5 @@ object ExtQueries {
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
       x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170, x171, x172, x173, x174, x175,
-      x176, x177, x178, x179, x180, x181, x182, x183)
+      x176, x177, x178, x179, x180, x181, x182, x183, x184, x185)
 }

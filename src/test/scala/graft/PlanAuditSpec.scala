@@ -1229,6 +1229,29 @@ class PlanAuditSpec2 extends SparkSpec {
       "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int"), p)
   }
 
+  test("x184: key discovery is one Expand scan — never |cols| scans, never a join") {
+    val df = SparkEntry.queries("x184_key_candidates")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("Join"), p)
+    assert("Expand".r.findAllIn(finalP).length === 1, p)
+    assert("FileScan parquet".r.findAllIn(finalP).length === 1, p)
+  }
+
+  test("x185: apriori triples — broadcast-only joins, no shuffle join anywhere") {
+    val df = SparkEntry.queries("x185_basket_triples")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    // frequent-item prune + 3 support joins broadcast; n_sess is a
+    // 1-row broadcast crossjoin; nothing ever sort-merge-joins (at
+    // sf0.001 the triple set is empty and AQE may prune the broadcast
+    // joins entirely — the pin is the NEGATIVE claim)
+    assert(!finalP.contains("SortMergeJoin"), p)
+    assert(!finalP.contains("ShuffledHashJoin"), p)
+  }
+
   test("x181: every autocorr window is keyed — day-cardinality, nothing global") {
     val df = SparkEntry.queries("x181_rank_autocorr")(spark, dir)
     df.collect()

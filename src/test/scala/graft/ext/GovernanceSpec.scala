@@ -714,3 +714,69 @@ class HashRingSpec extends graft.SparkSpec {
     assert(a.values.sum === 100L)
   }
 }
+
+/** Apriori triples (x185): prune-before-expand and three-way lift. */
+class BasketTriplesSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("basketTriples: infrequent items are pruned BEFORE expansion; lift hand-checked") {
+    // sessions: {A,B,C} x3, {A,B,C,Z} x1 (Z infrequent), {A} x1
+    val rows = (0 until 3).flatMap { u =>
+      Seq((u.toLong, ts(s"2024-01-01 0$u:00:00"), u * 10L + 1, "A"),
+        (u.toLong, ts(s"2024-01-01 0$u:01:00"), u * 10L + 2, "B"),
+        (u.toLong, ts(s"2024-01-01 0$u:02:00"), u * 10L + 3, "C"))
+    } ++ Seq(
+      (7L, ts("2024-01-01 05:00:00"), 71L, "A"),
+      (7L, ts("2024-01-01 05:01:00"), 72L, "B"),
+      (7L, ts("2024-01-01 05:02:00"), 73L, "C"),
+      (7L, ts("2024-01-01 05:03:00"), 74L, "Z"), // sup(Z)=1 < minSup
+      (9L, ts("2024-01-01 06:00:00"), 91L, "A"))
+    val e = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.EventAnalytics.basketTriples(e, col("user_id"),
+        col("ts"), col("event_id"), col("event_type"),
+        gapMicros = 1800000000L, minSup = 2L)
+      .as[(String, String, String, Long, Long, Long, Long, Long)].collect()
+    // only (A,B,C) survives: Z-containing triples never materialize
+    assert(got.length === 1)
+    val r = got.head
+    assert((r._1, r._2, r._3) === (("A", "B", "C")))
+    assert(r._4 === 4L) // sup_abc: all four 3-item sessions
+    assert((r._5, r._6, r._7) === ((5L, 4L, 4L))) // sup A, B, C
+    // lift = 4·5²·1e6 / (5·4·4) with n_sess = 5
+    assert(r._8 === 4L * 5 * 5 * 1000000L / (5 * 4 * 4))
+  }
+
+  test("basketTriples: sessions with < 3 frequent items contribute nothing") {
+    val e = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, ts("2024-01-01 00:01:00"), 2L, "B"),
+      (2L, ts("2024-01-01 00:00:00"), 3L, "A"),
+      (2L, ts("2024-01-01 00:01:00"), 4L, "B"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(graft.ops.EventAnalytics.basketTriples(e, col("user_id"),
+      col("ts"), col("event_id"), col("event_type"),
+      gapMicros = 1800000000L, minSup = 1L).count() === 0L)
+  }
+}
+
+/** Candidate-key discovery (x184): exact counts, NULL and dup handling. */
+class KeyCandidatesSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("keyCandidates: key, duplicate, and nullable columns classified exactly") {
+    val df = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, 10L, 100L), (2L, 10L, null), (3L, 20L, 300L), (4L, 20L, 300L))
+      .toDF("id", "grp", "opt")
+    val got = graft.ext.Profile.keyCandidates(df, Seq("id", "grp", "opt"))
+      .orderBy("column_name")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      ("grp", 4L, 4L, 2L, 500000L, 0L),
+      ("id", 4L, 4L, 4L, 1000000L, 1L),
+      // 3 non-null, 2 distinct: nulls also disqualify via n_distinct < n_rows
+      ("opt", 4L, 3L, 2L, 500000L, 0L)))
+  }
+}

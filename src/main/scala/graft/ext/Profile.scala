@@ -619,6 +619,66 @@ object Profile {
     * diff — they must count), a stratum-partitioned cum window over
     * ≤63 rows, one |strata|²·63 pair join — everything after the first
     * aggregate is strata-bounded. Output: (sa, sb, n_a, n_b, emd_x). */
+  /** Bucketed two-sample Kolmogorov–Smirnov drift: for each stratum,
+    * the KS statistic between ITS value distribution and the REST of
+    * the corpus, on [[log2Emd]]'s shared 63-bin log2 grid — KS is the
+    * max-deviation lens and EMD the area lens over the same CDFs, and
+    * together they answer "does this source's length profile diverge,
+    * and is the divergence a spike or a drift".
+    *
+    * Exact integer cross-multiplication, no float CDFs:
+    * `ks_ppm = max_b |cum_s(b)·n_rest − cum_rest(b)·n_s| · 1e6 /
+    * (n_s·n_rest)` in DECIMAL(38); `ks_bin` is the argmax bin
+    * (smallest bin wins ties — pinned by the struct-max tiebreak).
+    * The REST distribution is the global minus the stratum's own
+    * cumulative, computed from the SAME 63-bin table — no second pass
+    * over the corpus.
+    *
+    * 100 TB posture: identical to log2Emd — the corpus folds into
+    * per-stratum 63-bin counts in one combinable pass; everything
+    * after runs on the dimension-sized CDF table. Strata covering the
+    * whole corpus (n_rest = 0) drop out, documented.
+    * Output: (s, n_s, n_rest, ks_ppm, ks_bin). */
+  def log2Ks(df: DataFrame, stratum: Column, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(stratum.cast("string").as("s"),
+        value.cast("long").as("v"))
+      .where(col("v") >= 1)
+      .select(col("s"), (length(bin(col("v"))) - 1).cast("long").as("b"))
+      .groupBy("s", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val spine = broadcast((0L until 63L).toDF("b"))
+    val strata = counts.select(col("s")).distinct()
+    val dense = strata.crossJoin(spine)
+      .join(counts, Seq("s", "b"), "left")
+      .na.fill(0L, Seq("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = dense.withColumn("cum", sum(col("n")).over(w))
+      .localCheckpoint(false)
+    val gcum = cum.groupBy("b").agg(sum(col("cum")).as("gcum"))
+    val tot = cum.groupBy("s").agg(max(col("cum")).as("n_s"))
+    val nTot = tot.agg(sum(col("n_s")).as("n_tot"))
+    cum.join(broadcast(gcum), Seq("b"))
+      .join(broadcast(tot), Seq("s"))
+      .crossJoin(broadcast(nTot))
+      .where(col("n_tot") > col("n_s"))
+      .select(col("s"), col("n_s"),
+        (col("n_tot") - col("n_s")).as("n_rest"),
+        expr("abs(CAST(cum AS DECIMAL(38,0)) * (n_tot - n_s) " +
+          "- CAST(gcum - cum AS DECIMAL(38,0)) * n_s)").as("dx"),
+        (-col("b")).as("nb"))
+      .groupBy("s", "n_s", "n_rest")
+      .agg(max(struct(col("dx"), col("nb"))).as("m"))
+      .select(col("s"), col("n_s"), col("n_rest"),
+        expr("CAST(CAST(m.dx AS DECIMAL(38,0)) * 1000000 " +
+          "DIV (CAST(n_s AS DECIMAL(38,0)) * n_rest) AS BIGINT)")
+          .as("ks_ppm"),
+        (-col("m.nb")).as("ks_bin"))
+  }
+
   def log2Emd(df: DataFrame, stratum: Column, value: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -537,4 +537,44 @@ object Sampling {
       .select(col("shard").cast("long").as("shard"), col("n_keys"),
         expr("n_keys * 1000000L DIV n_total").as("load_ppm"))
   }
+
+  /** Deterministic training-epoch shuffle audit: every epoch re-shards
+    * the corpus by `h = md5Hash60(epoch ':' id)` — a fresh pseudorandom
+    * permutation per epoch that any engine reproduces bit-identically
+    * (no RNG, no materialized shuffle files; the consumer reads shard
+    * s in h-order and gets the epoch's permutation). The audit emits,
+    * per (epoch, shard): the row count, the shard's first read cursor
+    * (min h), an order-insensitive checksum (Σh mod 2^60 — proves the
+    * ASSIGNMENT, not just the counts, against the oracle), and the
+    * load share vs the whole corpus.
+    *
+    * 100 TB posture: the epoch replication is a broadcast crossjoin
+    * against an |epochs|-row literal (scan-side, bounded small — the
+    * audit checks a handful of epochs, training streams one); all
+    * aggregates are combinable; no windows, no sort — ordering is the
+    * CONSUMER's h-order read, not a plan stage here.
+    * Output: (epoch, shard, n_docs, min_h, checksum, load_ppm). */
+  def epochShuffle(df: DataFrame, id: Column, epochs: Int,
+      shards: Int): DataFrame = {
+    require(epochs >= 1 && epochs <= 16, s"epochs=$epochs out of range")
+    require(shards >= 2 && shards <= 4096, s"shards=$shards out of range")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val eDf = broadcast((0L until epochs.toLong).toDF("epoch"))
+    val base = df.select(id.cast("long").as("id"))
+    val nTot = base.agg(count(lit(1)).as("n_total"))
+    base.crossJoin(eDf)
+      .select(col("epoch"),
+        Dedup.md5Hash60(concat(col("epoch"), lit(":"), col("id"))).as("h"))
+      .select(col("epoch"), col("h"),
+        pmod(col("h"), lit(shards.toLong)).as("shard"))
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"), min(col("h")).as("min_h"),
+        expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 1152921504606846976 " +
+          "AS BIGINT)").as("checksum"))
+      .crossJoin(broadcast(nTot))
+      .select(col("epoch"), col("shard"), col("n_docs"), col("min_h"),
+        col("checksum"),
+        expr("n_docs * 1000000L DIV n_total").as("load_ppm"))
+  }
 }

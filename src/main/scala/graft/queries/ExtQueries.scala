@@ -6346,6 +6346,73 @@ object ExtQueries {
       .orderBy("item_a", "item_b", "item_c")
   }
 
+  // x186 — DETERMINISTIC EPOCH SHUFFLE audit: 3 epochs × 8 shards of
+  // the corpus by h = md5Hash60(epoch ':' doc_id) — reproducible
+  // per-epoch permutations with zero RNG and zero shuffle-file state.
+  // The Σh mod 2^60 checksum proves the ASSIGNMENT against the oracle,
+  // not just the counts. Combinable aggs only; no window, no sort.
+  val x186 = Q(
+    "x186_epoch_shuffle",
+    """WITH ids AS (SELECT doc_id AS id FROM documents),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ids),
+      |e AS (SELECT CAST(unnest(range(0, 3)) AS BIGINT) AS epoch),
+      |h AS (
+      |  SELECT epoch,
+      |         ('0x' || substring(md5(CAST(epoch AS VARCHAR) || ':' || CAST(id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM ids CROSS JOIN e),
+      |s AS (SELECT epoch, h, h % 8 AS shard FROM h)
+      |SELECT epoch, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(MIN(h) AS BIGINT) AS min_h,
+      |       CAST(SUM(h::HUGEINT) % 1152921504606846976 AS BIGINT) AS checksum,
+      |       CAST(COUNT(*) * 1000000 // n_total AS BIGINT) AS load_ppm
+      |FROM s, n GROUP BY epoch, shard, n_total
+      |ORDER BY epoch, shard""".stripMargin) { (s, dir) =>
+    Sampling.epochShuffle(Tables.documents(s, dir), col("doc_id"),
+        epochs = 3, shards = 8)
+      .orderBy("epoch", "shard")
+  }
+
+  // x187 — BUCKETED KS DRIFT per source vs the REST of the corpus on
+  // doc length: the max-deviation companion to x171's EMD over the
+  // same 63-bin log2 CDFs (spike vs drift). Exact integer
+  // cross-multiplied CDFs in DECIMAL(38); REST = global − own
+  // cumulative from the SAME bin table, no second corpus pass.
+  val x187 = Q(
+    "x187_ks_drift",
+    """WITH d AS (
+      |  SELECT source AS s, length(bin(n_chars)) - 1 AS b
+      |  FROM documents WHERE n_chars >= 1),
+      |c AS (SELECT s, b, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+      |spine AS (SELECT unnest(range(0, 63)) AS b),
+      |ks AS (SELECT DISTINCT s FROM c),
+      |dense AS (
+      |  SELECT ks.s, spine.b, coalesce(c.n, 0) AS n
+      |  FROM ks CROSS JOIN spine LEFT JOIN c ON c.s = ks.s AND c.b = spine.b),
+      |cum AS (
+      |  SELECT s, b, SUM(n) OVER (PARTITION BY s ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM dense),
+      |g AS (SELECT b, SUM(cum) AS gcum FROM cum GROUP BY 1),
+      |tot AS (SELECT s, CAST(max(cum) AS BIGINT) AS n_s FROM cum GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM tot),
+      |dx AS (
+      |  SELECT cum.s, tot.n_s, n_tot - tot.n_s AS n_rest,
+      |         abs(cum.cum::HUGEINT * (n_tot - tot.n_s)
+      |             - (g.gcum - cum.cum)::HUGEINT * tot.n_s) AS dx,
+      |         cum.b
+      |  FROM cum JOIN g USING (b) JOIN tot ON tot.s = cum.s, nt
+      |  WHERE n_tot > tot.n_s),
+      |mx AS (
+      |  SELECT s, n_s, n_rest, max(dx) AS mdx FROM dx GROUP BY 1, 2, 3)
+      |SELECT mx.s AS s, mx.n_s, mx.n_rest,
+      |       CAST(mdx * 1000000 // (mx.n_s::HUGEINT * mx.n_rest) AS BIGINT) AS ks_ppm,
+      |       CAST(min(dx.b) AS BIGINT) AS ks_bin
+      |FROM mx JOIN dx ON dx.s = mx.s AND dx.dx = mx.mdx
+      |GROUP BY 1, 2, 3, mdx
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    Profile.log2Ks(Tables.documents(s, dir), col("source"), col("n_chars"))
+      .orderBy("s")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -6359,5 +6426,6 @@ object ExtQueries {
       x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
       x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170, x171, x172, x173, x174, x175,
-      x176, x177, x178, x179, x180, x181, x182, x183, x184, x185)
+      x176, x177, x178, x179, x180, x181, x182, x183, x184, x185, x186,
+      x187)
 }

@@ -1252,6 +1252,31 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(!finalP.contains("ShuffledHashJoin"), p)
   }
 
+  test("x186: epoch shuffle is combinable aggregation — no window, no shuffle join") {
+    val df = SparkEntry.queries("x186_epoch_shuffle")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("Window"), p)
+    assert(!finalP.contains("SortMergeJoin"), p)
+    // the epoch replication is a broadcast nested loop vs a 3-row
+    // literal — bounded by |epochs|, never by a data-sized side
+    assert(finalP.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x187: KS folds the corpus to 63-bin counts before any join") {
+    val df = SparkEntry.queries("x187_ks_drift")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("SortMergeJoin"), p)
+    // the cumulative window sits behind the bin-table localCheckpoint
+    // (invisible here); what the FINAL plan must show is that every
+    // join input is broadcast-sized — no shuffled join of any kind
+    assert(!finalP.contains("ShuffledHashJoin"), p)
+    assert(!finalP.contains("CartesianProduct"), p)
+  }
+
   test("x181: every autocorr window is keyed — day-cardinality, nothing global") {
     val df = SparkEntry.queries("x181_rank_autocorr")(spark, dir)
     df.collect()

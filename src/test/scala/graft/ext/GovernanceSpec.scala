@@ -780,3 +780,72 @@ class KeyCandidatesSpec extends graft.SparkSpec {
       ("opt", 4L, 3L, 2L, 500000L, 0L)))
   }
 }
+
+/** Epoch shuffle (x186): determinism, per-epoch independence, checksum. */
+class EpochShuffleSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("epochShuffle: deterministic, partition-invariant, checksum matches hand math") {
+    val ids = (1L to 200L).toDF("doc_id")
+    def run(parts: Int) =
+      Sampling.epochShuffle(ids.repartition(parts), col("doc_id"),
+          epochs = 2, shards = 4)
+        .orderBy("epoch", "shard")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val a = run(1)
+    assert(a === run(16)) // assignment is a pure function of (epoch, id)
+    // recompute one (epoch, shard) cell's checksum from first principles
+    val hs = ids.select(graft.ext.Dedup.md5Hash60(
+        concat(lit(0L), lit(":"), col("doc_id"))).as("h"))
+      .as[Long].collect()
+    val cell = hs.filter(h => h % 4 == 1)
+    val row = a.find(r => r._1 == 0L && r._2 == 1L).get
+    assert(row._3 === cell.length.toLong)
+    assert(row._4 === cell.min)
+    assert(row._5 === (cell.map(BigInt(_)).sum % BigInt(2).pow(60)).toLong)
+    // counts per epoch cover the corpus exactly once
+    assert(a.filter(_._1 == 0L).map(_._3).sum === 200L)
+  }
+
+  test("epochShuffle: different epochs are different permutations") {
+    val ids = (1L to 500L).toDF("doc_id")
+    val byEpoch = Sampling.epochShuffle(ids, col("doc_id"), epochs = 2, shards = 4)
+      .select("epoch", "shard", "checksum")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    // the shard checksums differ between epochs (re-shard really happened)
+    val e0 = byEpoch(0L).map(r => (r._2, r._3)).toSet
+    val e1 = byEpoch(1L).map(r => (r._2, r._3)).toSet
+    assert(e0 !== e1)
+  }
+}
+
+/** Bucketed KS drift (x187): hand-separable strata and the zero case. */
+class Log2KsSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("log2Ks: disjoint bins give KS = 1e6 at the separating bin") {
+    // A: 40 values in bin 0 (v=1); B: 60 values in bin 1 (v=2..3)
+    val rows = (1 to 40).map(i => ("A", 1L)) ++ (1 to 60).map(i => ("B", 2L))
+    val got = Profile.log2Ks(rows.toDF("s", "v"), col("s"), col("v"))
+      .orderBy("s").as[(String, Long, Long, Long, Long)].collect()
+    // at bin 0: cum_A = 40, rest cum = 0 -> |40·60 − 0·40| / (40·60) = 1
+    assert(got === Array(("A", 40L, 60L, 1000000L, 0L),
+      ("B", 60L, 40L, 1000000L, 0L)))
+  }
+
+  test("log2Ks: identical distributions drift zero; argmax tie picks smallest bin") {
+    val rows = (1 to 30).flatMap(i => Seq(("A", (i % 7 + 1).toLong),
+      ("B", (i % 7 + 1).toLong)))
+    val got = Profile.log2Ks(rows.toDF("s", "v"), col("s"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.forall(r => r._4 === 0L))
+    assert(got.forall(r => r._5 === 0L)) // all-tied max -> smallest bin
+  }
+
+  test("log2Ks: a lone stratum (rest empty) drops out") {
+    val rows = (1 to 10).map(i => ("only", i.toLong))
+    assert(Profile.log2Ks(rows.toDF("s", "v"), col("s"), col("v")).count() === 0L)
+  }
+}

@@ -560,7 +560,57 @@ object VolumeTripwire {
             dim, col("c_custkey"), words = 512, d = 3)),
           timeMin(Sketches.bloomPruneAudit(fact10, col("o_custkey"),
             dim, col("c_custkey"), words = 512, d = 3)))
-      })
+      }, {
+        // KMV under a VALUE flood: one element repeated 500k× on top of
+        // 10× rows — the O(k) buffer absorbs the repeats in-place (the
+        // dedup-on-insert contract), so the hot value costs one probe
+        // per row and the wire still carries ≤ k longs per partition
+        val ev1 = Tables.events(spark, sfDir).select("event_type", "user_id")
+        val ev10 = blow(ev1, "user_id", 10, 10000000L)
+          .unionAll(spark.range(500000)
+            .select(lit("purchase").as("event_type"), lit(42L).as("user_id")))
+        Res("x180_kmv",
+          timeMin(Sketches.kmvDistinct(ev1, col("event_type"), col("user_id"), k = 64)),
+          timeMin(Sketches.kmvDistinct(ev10, col("event_type"), col("user_id"), k = 64)))
+      }, {
+        // apriori triples with 9/10 of the blown corpus on ONE hot user:
+        // the hot user's sessions still bound the expansion by their own
+        // DISTINCT item sets (vocab-bounded), and the minSup prune keeps
+        // the candidate space fixed no matter the flood
+        val events = Tables.events(spark, sfDir)
+          .select("event_id", "user_id", "ts", "event_type")
+        val events10 = blow(events, "event_id", 10, 100000000L)
+          .withColumn("user_id",
+            when(col("event_id") >= 100000000L, lit(7L)).otherwise(col("user_id")))
+        Res("x185_triples",
+          timeMin(graft.ops.EventAnalytics.basketTriples(events,
+            col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            gapMicros = 14400000000L, minSup = 10L)),
+          timeMin(graft.ops.EventAnalytics.basketTriples(events10,
+            col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            gapMicros = 14400000000L, minSup = 10L)))
+      },
+      // epoch shuffle at 10×+flood: scan-side hash + combinable aggs —
+      // the flood ids re-hash like any others; nothing accumulates
+      Res("x186_epochShuffle",
+        timeMin(Sampling.epochShuffle(docs1.select("doc_id"), col("doc_id"),
+          epochs = 3, shards = 8)),
+        timeMin(Sampling.epochShuffle(docs10.select("doc_id"), col("doc_id"),
+          epochs = 3, shards = 8))),
+      // KS drift with the whole flood inside ONE stratum: the corpus
+      // folds to per-stratum 63-bin counts in a single combinable pass
+      // (same contract as the x171 EMD row)
+      Res("x187_ksDrift", {
+        val d1 = docs1.select(pmod(col("doc_id"), lit(4)).cast("string").as("s"),
+          length(col("text")).as("len"))
+        timeMin(graft.ext.Profile.log2Ks(d1, col("s"), col("len")))
+      }, {
+        val d10 = docs10.select(
+          when(col("doc_id") >= 10000000L, lit("hot"))
+            .otherwise(pmod(col("doc_id"), lit(4)).cast("string")).as("s"),
+          length(col("text")).as("len"))
+        timeMin(graft.ext.Profile.log2Ks(d10, col("s"), col("len")))
+      }))
 
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_TRIPWIRE")

@@ -124,6 +124,12 @@ object Curation {
       uniqueKeyName: String, uniqueKey: Seq[Column]): DataFrame = {
     require(rowChecks.nonEmpty, "at least one row check required")
     require(uniqueKey.nonEmpty, "unique key columns required")
+    // check names are spliced into a selectExpr stack() literal — keep
+    // them identifier-like so a quote can't break (or smuggle into) the
+    // expression string
+    (rowChecks.map(_._1) :+ uniqueKeyName).foreach { nm =>
+      require(nm.matches("[A-Za-z0-9_.-]+"), s"check name '$nm' not identifier-like")
+    }
     val sums = count(lit(1)).cast("long").as("n_rows") +:
       rowChecks.zipWithIndex.map { case ((_, pred), i) =>
         sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"v$i")

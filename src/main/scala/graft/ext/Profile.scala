@@ -403,6 +403,12 @@ object Profile {
   def keyCandidates(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.size <= 32,
       s"audit 1..32 columns, got ${cols.size}")
+    // column names are spliced into a selectExpr stack() literal — the
+    // v-aliases are sanitized below, but the quoted display name must
+    // not be able to close the string literal
+    cols.foreach { c =>
+      require(!c.contains("'"), s"column name '$c' may not contain a quote")
+    }
     def safe(c: String): String = c.replaceAll("[^A-Za-z0-9_]", "_")
     val aggs = count(lit(1)).cast("long").as("n_rows") +:
       cols.flatMap(c => Seq(

@@ -538,6 +538,68 @@ object Sampling {
         expr("n_keys * 1000000L DIV n_total").as("load_ppm"))
   }
 
+  /** Group-aware (cluster-safe) k-fold assignment: every document
+    * lands in the fold of its NEAR-DUP CLUSTER representative — x7's
+    * banded-LSH pairs → x39's connected components → fold =
+    * md5(rep) mod k — so two near-duplicates can never straddle a
+    * train/validation boundary (the cross-validation leakage x80's
+    * two-way split guards against, generalized to k folds). Singleton
+    * docs are their own representative.
+    *
+    * The output CARRIES ITS PROOF: `n_cross_pairs` counts LSH pairs
+    * whose endpoints fall in different folds, attributed to the `a`
+    * endpoint's fold — zero everywhere BY CONSTRUCTION (same cluster →
+    * same rep → same fold), and the column makes the gate mechanical
+    * rather than trusted.
+    *
+    * 100 TB posture: the pair/CC machinery is x39's (banded LSH, never
+    * all-pairs; pointer-doubling CC); fold mapping is scan-side hash;
+    * the audit legs are key-cardinality joins of (doc_id, fold) pairs.
+    * Output per fold: (fold, n_docs, n_clusters, load_ppm,
+    * n_cross_pairs). */
+  def groupedKFold(docs: DataFrame, id: Column, text: Column,
+      kf: Int): DataFrame = {
+    require(kf >= 2 && kf <= 64, s"kf=$kf out of range [2, 64]")
+    val pairs = Dedup.minhashPairs(docs, id, text).localCheckpoint(false)
+    val cc = Dedup.connectedComponents(pairs)
+    // minhashPairs collapses byte-identical contents to their min-id
+    // representative BEFORE pairing, so exact copies never appear in the
+    // pair set — the worst leak of all. Fold by content representative
+    // first (x1's exact group), then lift the rep to its LSH cluster.
+    val src = docs.select(id.as("doc_id"), text.as("__text__"))
+    val withCrep = src
+      .withColumn("__ch", md5(col("__text__")))
+      .join(src.groupBy(md5(col("__text__")).as("__ch"))
+        .agg(min(col("doc_id")).as("crep")), Seq("__ch"))
+      .select(col("doc_id"), col("crep"))
+    val withFold = withCrep
+      .join(cc.withColumnRenamed("doc_id", "crep"), Seq("crep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("crep")).as("rep"))
+      .select(col("doc_id"), col("rep"),
+        pmod(Dedup.md5Hash60(col("rep").cast("string")), lit(kf.toLong))
+          .as("fold"))
+      .localCheckpoint(false)
+    val perFold = withFold.groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"))
+    val nTot = withFold.agg(count(lit(1)).as("n_total"))
+    val cross = pairs
+      .join(withFold.select(col("doc_id").as("a"), col("fold").as("fold_a")),
+        Seq("a"))
+      .join(withFold.select(col("doc_id").as("b"), col("fold").as("fold_b")),
+        Seq("b"))
+      .where(col("fold_a") =!= col("fold_b"))
+      .groupBy(col("fold_a").as("fold"))
+      .agg(count(lit(1)).as("n_cross_pairs"))
+    perFold.join(cross, Seq("fold"), "left")
+      .na.fill(0L, Seq("n_cross_pairs"))
+      .crossJoin(broadcast(nTot))
+      .select(col("fold"), col("n_docs"), col("n_clusters"),
+        expr("n_docs * 1000000L DIV n_total").as("load_ppm"),
+        col("n_cross_pairs"))
+  }
+
   /** Deterministic training-epoch shuffle audit: every epoch re-shards
     * the corpus by `h = md5Hash60(epoch ':' id)` — a fresh pseudorandom
     * permutation per epoch that any engine reproduces bit-identically

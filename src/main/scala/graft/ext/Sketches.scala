@@ -350,6 +350,62 @@ object Sketches {
           "* 1000000 DIV n_exact AS BIGINT)").as("err_ppm"))
   }
 
+  /** KMV sketch ALGEBRA: estimate two key sets' distinct sizes, their
+    * union, and their overlap — the join-cardinality question ("how
+    * many customer keys will this orders scan actually hit?") answered
+    * from two O(k) sketches instead of a key-scale join. The union
+    * sketch is the k smallest of the two operands' buffers — valid
+    * because any of the union's k smallest hashes must sit in one
+    * side's bottom-k (the KMV merge law); overlap follows by
+    * inclusion–exclusion, clamped at 0. The exact legs (distinct
+    * counts + the hash-equality overlap) ship alongside for the audit,
+    * as everywhere in this module.
+    *
+    * 100 TB posture: both sides fold to ≤ k longs via one combinable
+    * aggregation (side tag = the grouping key, partial agg collapses
+    * each partition before the exchange); the union re-sketch runs on
+    * 2k rows. The exact-overlap audit leg is the only key-cardinality
+    * exchange — a production estimate drops it. Output, ONE row:
+    * (n_a_exact, n_b_exact, n_overlap_exact, est_a, est_b, est_union,
+    * overlap_est, err_ppm). */
+  def kmvOverlap(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+      k: Int = 256): DataFrame = {
+    require(k >= 2 && k <= 4096, s"k=$k out of range [2, 4096]")
+    val ha = a.select(Dedup.md5Hash60(aKey.cast("string")).as("h"),
+      lit("a").as("side"))
+    val hb = b.select(Dedup.md5Hash60(bKey.cast("string")).as("h"),
+      lit("b").as("side"))
+    val sk = kmvMins(ha.unionAll(hb), col("side"), col("h"), k,
+      prehashed = true).localCheckpoint(false)
+    val merged = kmvMins(
+      sk.select(explode(col("mins")).as("h"), lit("u").as("side")),
+      col("side"), col("h"), k, prehashed = true)
+    val ests = sk.unionByName(merged)
+      .select(col("key"), size(col("mins")).cast("long").as("n_sk"),
+        element_at(col("mins"), -1).as("kth"))
+      .select(col("key"),
+        when(col("n_sk") < k, col("n_sk"))
+          .otherwise(expr(s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) " +
+            "* 1152921504606846976 DIV kth AS BIGINT)")).as("est"))
+      .groupBy()
+      .agg(max(when(col("key") === "a", col("est"))).as("est_a"),
+        max(when(col("key") === "b", col("est"))).as("est_b"),
+        max(when(col("key") === "u", col("est"))).as("est_union"))
+    val da = ha.select("h").distinct().localCheckpoint(false)
+    val db = hb.select("h").distinct().localCheckpoint(false)
+    val exact = da.agg(count(lit(1)).as("n_a_exact"))
+      .crossJoin(db.agg(count(lit(1)).as("n_b_exact")))
+      .crossJoin(da.join(db, Seq("h")).agg(count(lit(1)).as("n_overlap_exact")))
+    broadcast(exact).crossJoin(broadcast(ests))
+      .withColumn("overlap_est",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .select(col("n_a_exact"), col("n_b_exact"), col("n_overlap_exact"),
+        col("est_a"), col("est_b"), col("est_union"), col("overlap_est"),
+        expr("CAST(CAST(abs(overlap_est - n_overlap_exact) AS DECIMAL(38,0)) " +
+          "* 1000000 DIV greatest(1L, n_overlap_exact) AS BIGINT)")
+          .as("err_ppm"))
+  }
+
   /** The streaming-safe KMV core alone: `(key, mins)` with `mins` the
     * sorted ≤ k smallest distinct 60-bit hashes. ONE combinable
     * aggregation with O(k) state — runs unchanged as a

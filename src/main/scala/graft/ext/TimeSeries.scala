@@ -252,6 +252,48 @@ object TimeSeries {
     * ride DECIMAL(38); n is calendar-bounded, so nothing here grows
     * with the 100 TB. Output: (key, lag, n_pairs, sum_d2, spearman_e6)
     * for keys·lags with ≥ 2 pairs. */
+  /** Rolling z-score anomaly with EXACT integer math: flag day t when
+    * its value deviates from the TRAILING window's mean by more than
+    * `c` standard deviations — without ever forming a float mean or
+    * variance. With n = trailing rows, s = Σv, ss = Σv²:
+    * `z² = (n·x − s)² / (n·ss − s²)`, so the flag is the integer
+    * comparison `(n·x − s)² > c²·(n·ss − s²)` in DECIMAL(38) — the
+    * control-chart / [[cusumPeak]] companion that reacts to single-day
+    * spikes instead of sustained shifts. The frame ends at 1 PRECEDING:
+    * a day never judges itself. Emits BOTH sides of the comparison
+    * (z2_num, z2_den), so the margin is auditable without floats.
+    *
+    * 100 TB posture: one daily rollup is the only data-scale exchange;
+    * the trailing-window sums are per-key windows at day cardinality
+    * (calendar-bounded). Output: flagged days only —
+    * (key, day, v, n_win, z2_num, z2_den). */
+  def rollingZscore(df: DataFrame, key: Column, day: Column,
+      measure: Column, win: Int, c: Int, minN: Int = 8): DataFrame = {
+    require(win >= 2 && win <= 365, s"win=$win out of range")
+    require(c >= 1 && minN >= 2 && minN <= win,
+      s"c=$c / minN=$minN out of range")
+    val daily = df.groupBy(key.as("key"), day.as("day"))
+      .agg(sum(measure).as("v"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(-win, -1)
+    daily
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("s", sum(col("v")).over(w))
+      .withColumn("ss",
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).over(w))
+      .where(col("n_win") >= minN)
+      .withColumn("z2_num",
+        expr("CAST((CAST(n_win AS DECIMAL(38,0)) * v - s) " +
+          "* (CAST(n_win AS DECIMAL(38,0)) * v - s) AS DECIMAL(38,0))"))
+      .withColumn("z2_den",
+        expr("CAST(CAST(n_win AS DECIMAL(38,0)) * ss " +
+          "- CAST(s AS DECIMAL(38,0)) * s AS DECIMAL(38,0))"))
+      .where(expr(s"z2_num > ${c.toLong * c} * z2_den"))
+      .select(col("key"), col("day"), col("v"), col("n_win"),
+        col("z2_num").cast("string").as("z2_num"),
+        col("z2_den").cast("string").as("z2_den"))
+  }
+
   def rankAutocorr(df: DataFrame, key: Column, day: Column,
       measure: Column, lags: Seq[Int]): DataFrame = {
     require(lags.nonEmpty && lags.forall(l => l >= 1 && l <= 365),

@@ -327,6 +327,43 @@ object EventAnalytics {
           "* 1000000 DIV (sup_a * sup_b * sup_c) AS BIGINT)").as("lift_e6"))
   }
 
+  /** Half-life-decayed leaderboard with EXACT power-of-two decay: each
+    * event contributes `2^(30 − age_epochs)` where `age_epochs =
+    * age_days DIV halfLifeDays` relative to the newest event's day —
+    * integer-exact "exponential" decay (the float `exp(−λ·age)` form
+    * is hash-unprovable; snapping the half-life to whole epochs keeps
+    * every weight a power of two and every score a BIGINT sum). Events
+    * older than 30 epochs contribute zero — at ≤ 2^−30 of a fresh
+    * event they were noise anyway, and the cap bounds the weight so
+    * corpus-scale sums stay far from 2^63.
+    *
+    * The reference date is the data's own max timestamp (deterministic
+    * re-runs; no wall clock). 100 TB posture: the reference date is a
+    * 1-row broadcast; weights are scan-side; the score is ONE
+    * combinable groupBy + a TakeOrdered top-k — no global sort.
+    * Output: (item, score, n_events, n_live) top-k by (score DESC,
+    * item), where n_live counts the events still inside the horizon. */
+  def decayedTopK(events: DataFrame, item: Column, ts: Column,
+      halfLifeDays: Int, k: Int): DataFrame = {
+    require(halfLifeDays >= 1 && halfLifeDays <= 365,
+      s"halfLifeDays=$halfLifeDays out of range")
+    require(k >= 1 && k <= 10000, s"k=$k out of range")
+    val refDay = events.agg(max(to_date(ts)).as("ref_day"))
+    events.select(item.as("item"), to_date(ts).as("day"))
+      .crossJoin(broadcast(refDay))
+      .select(col("item"),
+        expr(s"datediff(ref_day, day) DIV $halfLifeDays").as("epochs"))
+      .select(col("item"),
+        when(col("epochs") <= 30,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - epochs AS INT))"))
+          .otherwise(lit(0L)).as("w"))
+      .groupBy("item")
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_events"),
+        sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_live"))
+      .orderBy(col("score").desc, col("item"))
+      .limit(k)
+  }
+
   /** Time-constrained three-step funnel ("window funnel"): per DAY, how
     * many step-3 conversions completed the ordered chain s1 < s2 < s3
     * within `windowUs` — where the chain may start at ANY s1

@@ -6413,6 +6413,147 @@ object ExtQueries {
       .orderBy("s")
   }
 
+  // x188 — KMV SKETCH ALGEBRA: join-cardinality estimate (orders keys
+  // vs customer keys) from two O(k=256) sketches — union = k smallest
+  // of the operand buffers (merge law), overlap by inclusion–exclusion;
+  // exact legs alongside for the audit. The oracle recomputes all three
+  // estimators as order statistics on the same md5 hashes.
+  val x188 = Q(
+    "x188_kmv_overlap",
+    """WITH ka AS (SELECT DISTINCT ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h FROM orders),
+      |kb AS (SELECT DISTINCT ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h FROM customer),
+      |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ka),
+      |rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM kb),
+      |ru AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+      |       FROM (SELECT h FROM ka UNION SELECT h FROM kb)),
+      |ea AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_x,
+      |              CAST(SUM(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_sk,
+      |              CAST(MAX(CASE WHEN rn <= 256 THEN h END) AS BIGINT) AS kth FROM ra),
+      |eb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_x,
+      |              CAST(SUM(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_sk,
+      |              CAST(MAX(CASE WHEN rn <= 256 THEN h END) AS BIGINT) AS kth FROM rb),
+      |eu AS (SELECT CAST(SUM(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_sk,
+      |              CAST(MAX(CASE WHEN rn <= 256 THEN h END) AS BIGINT) AS kth FROM ru),
+      |ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap FROM ka JOIN kb USING (h)),
+      |est AS (
+      |  SELECT ea.n_x AS n_a_exact, eb.n_x AS n_b_exact, ov.n_overlap AS n_overlap_exact,
+      |         CAST(CASE WHEN ea.n_sk < 256 THEN ea.n_sk
+      |              ELSE (255::HUGEINT * 1152921504606846976) // ea.kth END AS BIGINT) AS est_a,
+      |         CAST(CASE WHEN eb.n_sk < 256 THEN eb.n_sk
+      |              ELSE (255::HUGEINT * 1152921504606846976) // eb.kth END AS BIGINT) AS est_b,
+      |         CAST(CASE WHEN eu.n_sk < 256 THEN eu.n_sk
+      |              ELSE (255::HUGEINT * 1152921504606846976) // eu.kth END AS BIGINT) AS est_union
+      |  FROM ea, eb, eu, ov)
+      |SELECT n_a_exact, n_b_exact, n_overlap_exact, est_a, est_b, est_union,
+      |       greatest(0, est_a + est_b - est_union) AS overlap_est,
+      |       CAST(abs(greatest(0, est_a + est_b - est_union) - n_overlap_exact)::HUGEINT
+      |            * 1000000 // greatest(1, n_overlap_exact) AS BIGINT) AS err_ppm
+      |FROM est""".stripMargin) { (s, dir) =>
+    Sketches.kmvOverlap(Tables.orders(s, dir), col("o_custkey"),
+      Tables.customer(s, dir), col("c_custkey"), k = 256)
+  }
+
+  // x189 — GROUP-AWARE K-FOLD: every doc folds with its near-dup
+  // cluster representative (x7 LSH pairs → x39 CC → md5(rep) mod 5), so
+  // near-duplicates never straddle a CV boundary; the n_cross_pairs
+  // column is the mechanical proof (zero by construction).
+  val x189 = Q(
+    "x189_grouped_kfold",
+    s"""WITH RECURSIVE $x7Ctes,
+      |pr AS ($x7Select),
+      |edges AS (SELECT a AS u, b AS v FROM pr UNION ALL SELECT b, a FROM pr),
+      |reach(id, label) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id),
+      |cc AS (SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id),
+      |cg AS (SELECT md5(text) AS ch, min(doc_id) AS crep FROM documents GROUP BY 1),
+      |base AS (
+      |  SELECT d.doc_id, coalesce(cc.cluster, cg.crep) AS rep
+      |  FROM documents d JOIN cg ON md5(d.text) = cg.ch
+      |  LEFT JOIN cc ON cc.doc_id = cg.crep),
+      |wf AS (
+      |  SELECT doc_id, rep,
+      |         ('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold
+      |  FROM base),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM wf),
+      |pf AS (
+      |  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters
+      |  FROM wf GROUP BY fold),
+      |cr AS (
+      |  SELECT wa.fold AS fold, CAST(COUNT(*) AS BIGINT) AS n_cross_pairs
+      |  FROM pr JOIN wf wa ON wa.doc_id = pr.a JOIN wf wb ON wb.doc_id = pr.b
+      |  WHERE wa.fold <> wb.fold GROUP BY 1)
+      |SELECT pf.fold, pf.n_docs, pf.n_clusters,
+      |       CAST(pf.n_docs * 1000000 // n_total AS BIGINT) AS load_ppm,
+      |       coalesce(cr.n_cross_pairs, CAST(0 AS BIGINT)) AS n_cross_pairs
+      |FROM pf LEFT JOIN cr ON cr.fold = pf.fold, n
+      |ORDER BY pf.fold""".stripMargin) { (s, dir) =>
+    Sampling.groupedKFold(Tables.documents(s, dir), col("doc_id"),
+        col("text"), kf = 5)
+      .orderBy("fold")
+  }
+
+  // x190 — ROLLING Z-SCORE anomaly per order priority's daily revenue:
+  // flag day t when (n·x − s)² > 9·(n·ss − s²) over the trailing
+  // 28-day frame (ends at 1 PRECEDING — a day never judges itself) —
+  // the exact-integer control chart; num/den emitted as strings so the
+  // margin is auditable without floats.
+  val x190 = Q(
+    "x190_rolling_zscore",
+    """WITH d AS (
+      |  SELECT o_orderpriority AS key, CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM orders GROUP BY 1, 2),
+      |w AS (
+      |  SELECT key, day, v,
+      |         CAST(COUNT(*) OVER tw AS BIGINT) AS n_win,
+      |         CAST(SUM(v) OVER tw AS BIGINT) AS s,
+      |         SUM(v::HUGEINT * v) OVER tw AS ss
+      |  FROM d
+      |  WINDOW tw AS (PARTITION BY key ORDER BY day
+      |                ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+      |f AS (
+      |  SELECT key, day, v, n_win,
+      |         (n_win::HUGEINT * v - s) * (n_win::HUGEINT * v - s) AS z2_num,
+      |         n_win::HUGEINT * ss - s::HUGEINT * s AS z2_den
+      |  FROM w WHERE n_win >= 8)
+      |SELECT key, day, v, n_win,
+      |       CAST(z2_num AS VARCHAR) AS z2_num, CAST(z2_den AS VARCHAR) AS z2_den
+      |FROM f WHERE z2_num > 9 * z2_den
+      |ORDER BY key, day""".stripMargin) { (s, dir) =>
+    graft.ext.TimeSeries.rollingZscore(Tables.orders(s, dir),
+        col("o_orderpriority"), to_date(col("o_orderdate")),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        win = 28, c = 3, minN = 8)
+      .orderBy("key", "day")
+  }
+
+  // x191 — HALF-LIFE-DECAYED LEADERBOARD: event types scored by
+  // Σ 2^(30 − age_days DIV 7) relative to the data's max day — exact
+  // power-of-two decay (float exp(−λt) is hash-unprovable), 30-epoch
+  // horizon caps the weight and zeroes the ancient tail. One combinable
+  // groupBy + top-k; the reference date is a 1-row broadcast.
+  val x191 = Q(
+    "x191_decayed_topk",
+    """WITH r AS (SELECT CAST(MAX(ts) AS DATE) AS ref_day FROM events),
+      |w AS (
+      |  SELECT event_type AS item,
+      |         CASE WHEN date_diff('day', CAST(ts AS DATE), ref_day) // 7 <= 30
+      |              THEN CAST(1 AS BIGINT) << CAST(30 - date_diff('day', CAST(ts AS DATE), ref_day) // 7 AS INT)
+      |              ELSE CAST(0 AS BIGINT) END AS w
+      |  FROM events, r)
+      |SELECT item, CAST(SUM(w) AS BIGINT) AS score,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_live
+      |FROM w GROUP BY item
+      |ORDER BY score DESC, item
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.decayedTopK(Tables.events(s, dir),
+      col("event_type"), col("ts"), halfLifeDays = 7, k = 10)
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -6427,5 +6568,5 @@ object ExtQueries {
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
       x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170, x171, x172, x173, x174, x175,
       x176, x177, x178, x179, x180, x181, x182, x183, x184, x185, x186,
-      x187)
+      x187, x188, x189, x190, x191)
 }

@@ -1277,6 +1277,45 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(!finalP.contains("CartesianProduct"), p)
   }
 
+  test("x188: sketch algebra never sorts the hash stream — aggregates only") {
+    val df = SparkEntry.queries("x188_kmv_overlap")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    // the oracle pays three global row_number sorts; the engine's three
+    // sketches are O(k) buffers — no window anywhere
+    assert(!finalP.contains("Window"), p)
+    assert(finalP.contains("ObjectHashAggregate"), p)
+  }
+
+  test("x189: grouped k-fold never goes cartesian; fold mapping is scan-side hash") {
+    val df = SparkEntry.queries("x189_grouped_kfold")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("CartesianProduct"), p)
+    assert(!finalP.contains("Window"), p) // no rank anywhere — hash folds
+  }
+
+  test("x190: rolling z-score windows are keyed on the daily rollup") {
+    val df = SparkEntry.queries("x190_rolling_zscore")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert("Window \\[[^\\]]*\\], \\[key#".r.findAllIn(finalP).nonEmpty, p)
+    assert(!finalP.contains("Join"), p) // trailing frames, no self-join
+  }
+
+  test("x191: decayed leaderboard is TakeOrdered over one combinable agg") {
+    val df = SparkEntry.queries("x191_decayed_topk")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("TakeOrderedAndProject"), p)
+    assert(!finalP.contains("Window"), p)
+    assert(!finalP.contains("SortMergeJoin"), p)
+  }
+
   test("x181: every autocorr window is keyed — day-cardinality, nothing global") {
     val df = SparkEntry.queries("x181_rank_autocorr")(spark, dir)
     df.collect()

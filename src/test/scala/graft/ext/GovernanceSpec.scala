@@ -849,3 +849,71 @@ class Log2KsSpec extends graft.SparkSpec {
     assert(Profile.log2Ks(rows.toDF("s", "v"), col("s"), col("v")).count() === 0L)
   }
 }
+
+/** Group-aware k-fold (x189): exact dups and near dups co-fold; proof column. */
+class GroupedKFoldSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("groupedKFold on the sf0.001 corpus: full coverage, zero cross-fold pairs") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Sampling.groupedKFold(docs, col("doc_id"), col("text"), kf = 5)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).sorted.toSeq === (0L until 5L))
+    assert(got.map(_._2).sum === docs.count())      // every doc in a fold
+    assert(got.forall(_._5 === 0L))                 // the leakage proof
+    assert(got.forall(r => r._3 <= r._2))           // clusters <= docs
+  }
+
+  test("groupedKFold: byte-identical copies land in the SAME fold (the crep fix)") {
+    val text = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text), (3L, text),
+      (10L, "completely different content here about other things entirely " +
+        (1 to 50).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // recompute per-doc folds through the same machinery: run with kf=5
+    // and assert the three copies contribute to ONE fold's n_docs >= 3
+    val got = Sampling.groupedKFold(docs, col("doc_id"), col("text"), kf = 5)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._2).sum === 4L)
+    assert(got.exists(_._2 >= 3L)) // the 3 copies share min-id rep 1 -> one fold
+    assert(got.forall(_._5 === 0L))
+  }
+}
+
+/** Half-life-decayed leaderboard (x191): exact power-of-two weights. */
+class DecayedTopKSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("decayedTopK: recency beats raw count; weights hand-computed") {
+    // 'old' fires 4x at 2 half-lives back (w=2^28 each);
+    // 'fresh' fires 2x today (w=2^30 each) -> fresh outscores old
+    val e = Seq(
+      ("old", ts("2024-01-01 10:00:00")), ("old", ts("2024-01-01 11:00:00")),
+      ("old", ts("2024-01-02 10:00:00")), ("old", ts("2024-01-02 11:00:00")),
+      ("fresh", ts("2024-01-15 10:00:00")), ("fresh", ts("2024-01-15 11:00:00")))
+      .toDF("event_type", "ts")
+    val got = graft.ops.EventAnalytics.decayedTopK(e, col("event_type"),
+        col("ts"), halfLifeDays = 7, k = 10)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq("fresh", "old"))
+    assert(got(0)._2 === 2L * (1L << 30))
+    // old: ages 14 and 13 days -> epochs 2 and 1 -> 2·2^28 + 2·2^29
+    assert(got(1)._2 === 2L * (1L << 28) + 2L * (1L << 29))
+    assert(got(1)._3 === 4L && got(1)._4 === 4L)
+  }
+
+  test("decayedTopK: events beyond the 30-epoch horizon score zero but count") {
+    val e = Seq(
+      ("t", ts("2020-01-01 00:00:00")),  // ancient: > 30 epochs back
+      ("t", ts("2024-06-01 00:00:00")))
+      .toDF("event_type", "ts")
+    val got = graft.ops.EventAnalytics.decayedTopK(e, col("event_type"),
+        col("ts"), halfLifeDays = 7, k = 10)
+      .as[(String, Long, Long, Long)].head()
+    assert(got._2 === (1L << 30)) // only the fresh event scores
+    assert(got._3 === 2L && got._4 === 1L)
+  }
+}

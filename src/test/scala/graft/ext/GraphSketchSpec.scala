@@ -571,3 +571,35 @@ class CdcChunkSpec extends graft.SparkSpec {
     assert(run(1) === run(32))
   }
 }
+
+/** KMV sketch algebra (x188): union/overlap estimates with exact audits. */
+class KmvOverlapSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("kmvOverlap below capacity: estimates ARE exact, err_ppm = 0") {
+    // |A| = 100, |B| = 80, overlap 30 — all under k=256
+    val a = (1 to 100).map(i => s"k$i").toDF("k")
+    val b = (71 to 150).map(i => s"k$i").toDF("k")
+    val got = Sketches.kmvOverlap(a, col("k"), b, col("k"), k = 256)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got === ((100L, 80L, 30L, 100L, 80L, 150L, 30L, 0L)))
+  }
+
+  test("kmvOverlap: disjoint sets estimate zero overlap (below capacity)") {
+    val a = (1 to 50).map(i => s"a$i").toDF("k")
+    val b = (1 to 50).map(i => s"b$i").toDF("k")
+    val got = Sketches.kmvOverlap(a, col("k"), b, col("k"), k = 256)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got._3 === 0L && got._7 === 0L && got._8 === 0L)
+  }
+
+  test("kmvOverlap at capacity: identical sets give est_union == est_a == est_b") {
+    val a = (1 to 2000).map(i => s"k$i").toDF("k")
+    val got = Sketches.kmvOverlap(a, col("k"), a, col("k"), k = 64)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got._4 === got._5 && got._5 === got._6) // same sketch thrice
+    assert(got._7 === got._4) // overlap_est = est (inclusion-exclusion)
+    assert(got._3 === 2000L)
+  }
+}

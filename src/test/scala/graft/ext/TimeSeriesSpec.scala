@@ -374,4 +374,40 @@ class PartitionGapsSpec extends graft.SparkSpec {
     assert(got._3 === 2L) // daily rollup: (12, 20, 30) -> 2 pairs
     assert(got._5 === 1000000L)
   }
+
+  // ---- TimeSeries.rollingZscore ----
+
+  private def zs(win: Int, c: Int, minN: Int, rows: (String, String, Long)*) =
+    TimeSeries.rollingZscore(
+      rows.toDF("k", "d", "m").withColumn("d", to_date(col("d"))),
+      col("k"), col("d"), col("m"), win, c, minN)
+
+  test("rollingZscore: a spike over a flat-with-jitter baseline flags; hand-checked num/den") {
+    // alternating 100/102 for 10 days, then a 200 spike
+    val base = (1 to 10).map(i =>
+      ("a", f"2024-01-$i%02d", if (i % 2 == 0) 102L else 100L))
+    val rows = base :+ (("a", "2024-01-11", 200L))
+    val got = zs(28, 3, 8, rows: _*)
+      .as[(String, java.sql.Date, Long, Long, String, String)].collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r._3 === 200L && r._4 === 10L)
+    // n=10, s=1010, ss=10×100²+jitter: Σv² = 5·100² + 5·102² = 102020
+    val num = BigInt(10L * 200 - 1010).pow(2)
+    val den = BigInt(10) * 102020 - BigInt(1010) * 1010
+    assert(BigInt(r._5) === num && BigInt(r._6) === den)
+    assert(num > 9 * den)
+  }
+
+  test("rollingZscore: constant series never flags (zero variance, zero deviation)") {
+    val rows = (1 to 15).map(i => ("c", f"2024-02-$i%02d", 50L))
+    assert(zs(28, 3, 8, rows: _*).count() === 0L)
+  }
+
+  test("rollingZscore: warm-up days below minN are never judged") {
+    // a wild value on day 3 can't flag: only 2 trailing rows exist
+    val rows = Seq(("w", "2024-03-01", 10L), ("w", "2024-03-02", 11L),
+      ("w", "2024-03-03", 99999L))
+    assert(zs(28, 3, 3, rows: _*).count() === 0L)
+  }
 }

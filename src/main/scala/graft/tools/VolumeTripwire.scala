@@ -610,7 +610,61 @@ object VolumeTripwire {
             .otherwise(pmod(col("doc_id"), lit(4)).cast("string")).as("s"),
           length(col("text")).as("len"))
         timeMin(graft.ext.Profile.log2Ks(d10, col("s"), col("len")))
-      }))
+      }), {
+        // KMV overlap under a 500k single-VALUE flood on one side: the
+        // dedup-on-insert buffer collapses the repeats to one slot, the
+        // union re-sketch runs over ≤ 2k exploded mins (driver-scale),
+        // and the exact audit legs are combinable count-distincts
+        val oa1 = Tables.orders(spark, sfDir).select("o_custkey")
+        val oa10 = blow(oa1, "o_custkey", 10, 0L)
+          .unionAll(spark.range(500000).select(lit(424242L).as("o_custkey")))
+        val cb = Tables.customer(spark, sfDir).select("c_custkey")
+        Res("x188_kmvOverlap",
+          timeMin(Sketches.kmvOverlap(oa1, col("o_custkey"), cb, col("c_custkey"), k = 256)),
+          timeMin(Sketches.kmvOverlap(oa10, col("o_custkey"), cb, col("c_custkey"), k = 256)))
+      },
+      // grouped k-fold over the byte-identical flood: minhashPairs
+      // collapses the 100k copies to ONE content representative before
+      // any banding, so the flood adds one md5 group (one fold member),
+      // not 100k LSH candidates — the same guard that bounds x7
+      Res("x189_groupedKFold",
+        timeMin(Sampling.groupedKFold(docs1, col("doc_id"), col("text"), kf = 5)),
+        timeMin(Sampling.groupedKFold(docs10, col("doc_id"), col("text"), kf = 5))),
+      {
+        // rolling z-score with 9/10 of the blown corpus on ONE hot key:
+        // the trailing frame is per-key ordered-by-day, so the hot key
+        // is one task's local sort over its own DAILY rollup (≤ days
+        // rows after the first combinable groupBy), never a global sort
+        val events = Tables.events(spark, sfDir)
+          .select("event_id", "user_id", "ts", "value")
+        val events10 = blow(events, "event_id", 10, 100000000L)
+          .withColumn("user_id",
+            when(col("event_id") >= 100000000L, lit(7L)).otherwise(col("user_id")))
+        val cents = expr("CAST(round(value * 100) AS BIGINT)")
+        Res("x190_rollingZscore",
+          timeMin(graft.ext.TimeSeries.rollingZscore(events,
+            col("user_id"), to_date(col("ts")), cents, win = 28, c = 3)),
+          timeMin(graft.ext.TimeSeries.rollingZscore(events10,
+            col("user_id"), to_date(col("ts")), cents, win = 28, c = 3)))
+      }, {
+        // decayed top-k under a 500k flood of one hot ITEM: weights are
+        // scan-side shifts, the Σ is combinable (map-side partial eats
+        // the flood), and the final ranking is TakeOrdered over the
+        // item-cardinality rollup — flood volume never crosses the wire
+        val base = Tables.events(spark, sfDir)
+          .select("event_id", "event_type", "ts")
+        val events = base.select("event_type", "ts")
+        val hotTs = base.agg(max(col("ts")).as("ts"))
+        val events10 = blow(base, "event_id", 10, 100000000L)
+          .select("event_type", "ts")
+          .unionAll(spark.range(500000).crossJoin(hotTs)
+            .select(lit("hot_item").as("event_type"), col("ts")))
+        Res("x191_decayedTopK",
+          timeMin(graft.ops.EventAnalytics.decayedTopK(events,
+            col("event_type"), col("ts"), halfLifeDays = 7, k = 10)),
+          timeMin(graft.ops.EventAnalytics.decayedTopK(events10,
+            col("event_type"), col("ts"), halfLifeDays = 7, k = 10)))
+      })
 
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_TRIPWIRE")

@@ -700,6 +700,94 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** LSH estimator-calibration audit: for every banded candidate pair,
+    * compare the SIGNATURE estimate of Jaccard (fraction of matching
+    * MinHash components — the number the banding decision is implicitly
+    * trusting) against the exact Jaccard over the hashed shingle sets,
+    * folded into estimate deciles. The output is the reliability table a
+    * dedup pipeline reads before picking `threshold`/`bands`: if decile
+    * 5 (est 0.5–0.6) shows mean-absolute-error of 0.2, the band
+    * parameters are lying and the downstream keep/drop boundary is
+    * noise. Columns: `(decile, n_pairs, mae_e6, mean_exact_e6)` — all
+    * exact integers (est/exact in e6 fixed point, means by integer DIV).
+    *
+    * 100 TB posture: candidate generation is byte-identical to
+    * [[minhashPairs]] (distinct contents → one checkpointed hash stream
+    * → banded buckets with the `maxBucket` hot-bucket guard), so the
+    * audit costs the SAME plan the production pairer runs plus two slim
+    * per-pair hash joins on doc id (signatures: numHashes longs/row;
+    * sets: the verification payload the pairer already carries) and one
+    * combinable 11-key decile rollup. Nothing new is quadratic; the
+    * audit rides the guards that bound the pairer.
+    *
+    * Reference contract: calibrates the estimator of Broder's MinHash
+    * (resemblance estimation) as used by `minhashPairs`
+    * (reference behavior: StreamTest.cpp has no near-dup machinery —
+    * this is the beyond-reference LLM-pipeline surface). */
+  def lshCalibration(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+      maxBucket: Int = 1 << 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    require(rows <= 2, "band packing mh0*p+mh1 holds <= 2 rows per band")
+    val coeffs = hashCoeffs(numHashes)
+    val hashed = distinctContents(df, id, text)
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .select(col("doc_id"), md5Hash60(col("sh")).as("h"))
+      .localCheckpoint(false)
+    val mins = coeffs.zipWithIndex.map { case (abc, i) =>
+      min(seededHash(col("h"), abc)).as(s"mh_$i")
+    }
+    val sigs = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .localCheckpoint(false)
+    val hsets = hashed.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"))
+    val bandCols = (0 until bands).map { bIdx =>
+      val bh = (0 until rows).map(r => col(s"mh_${bIdx * rows + r}"))
+        .reduce((acc, m) => acc * lit(HashP) + m)
+      struct(lit(bIdx).as("band"), bh.as("bh"))
+    }
+    val bucketW = Window.partitionBy(col("band"), col("bh"))
+    val guarded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .withColumn("__n", count(lit(1)).over(bucketW))
+      .where(col("__n") <= maxBucket)
+      .drop("__n")
+    val l = guarded.select(col("band"), col("bh"), col("doc_id").as("a"))
+    val r = guarded.select(col("band"), col("bh"), col("doc_id").as("b"))
+    val candidates = l.join(r, Seq("band", "bh")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sa = sigs.select(
+      (col("doc_id").as("a") +:
+        (0 until numHashes).map(i => col(s"mh_$i").as(s"sa_$i"))): _*)
+    val sb = sigs.select(
+      (col("doc_id").as("b") +:
+        (0 until numHashes).map(i => col(s"mh_$i").as(s"sb_$i"))): _*)
+    val matchCol = (0 until numHashes)
+      .map(i => when(col(s"sa_$i") === col(s"sb_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = candidates.join(sa, Seq("a")).join(sb, Seq("b"))
+      .select(col("a"), col("b"), matchCol.as("matches"))
+      .withColumn("est_e6", expr(s"matches * 1000000 DIV $numHashes"))
+    val ex = candidates
+      .join(hsets.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
+      .join(hsets.select(col("doc_id").as("b"), col("hs").as("hb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("ni"),
+        size(array_union(col("ha"), col("hb"))).cast("long").as("nu"))
+      .withColumn("exact_e6", expr("ni * 1000000 DIV nu"))
+    est.join(ex, Seq("a", "b"))
+      .withColumn("decile", expr("CAST(est_e6 DIV 100000 AS INT)"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("abs(est_e6 - exact_e6)")).as("__sae"),
+        sum(col("exact_e6")).as("__se"))
+      .withColumn("mae_e6", expr("__sae DIV n_pairs"))
+      .withColumn("mean_exact_e6", expr("__se DIV n_pairs"))
+      .select("decile", "n_pairs", "mae_e6", "mean_exact_e6")
+  }
+
   // ---- near-dup clustering ----
 
   /** Connected components over a near-dup pair set via min-label

@@ -143,6 +143,60 @@ object Graph {
     ranks.select(col("node").as("doc_id"), col("deg").as("degree"), col("r").as("pr"))
   }
 
+  /** Personalized PageRank (random walk with restart): like [[pageRank]]
+    * but the teleport lands on a SEED set instead of uniformly — the
+    * "influence of these documents" query (which corpus regions a set of
+    * known-good seeds irrigates, or how far a contamination seed set
+    * bleeds). `isSeed` is a deterministic predicate over the node id
+    * (kept a Column function so both the engine and an oracle can state
+    * the same seed set without shipping one); restart mass is
+    * `1e12 div |seeds|` on seeds, 0 elsewhere, and each iteration
+    * computes `r ← (15·p + 85·Σ inbound (r div deg)) div 100` — the
+    * whole walk in e12 fixed-point BIGINT, damping 0.85 as the exact
+    * rational 85/100. Unlike [[pageRank]]'s DECIMAL(28,16)-truncated
+    * doubles, NO float ever appears: every operation is integer
+    * multiply/divide/sum, so the scores are bit-identical on any
+    * engine with no double→decimal rounding-mode edge (which is where
+    * a mixed float/decimal variant of this operator actually diverged
+    * between engines at the 16th decimal). Mass leaks ≤1 e12-unit per
+    * division — ~1e-12 relative, invisible at ranking granularity.
+    * Nodes with no inbound edges keep their restart term via the left
+    * join (unlike [[pageRank]]'s inner join, a seed leaf must not lose
+    * its mass).
+    *
+    * 100 TB posture: identical shape to [[pageRank]] — per iteration
+    * ONE equi-join (ranks ⋈ edges on src) + one map-side-combinable
+    * groupBy(dst); the seed count is a broadcast 1-row crossjoin at
+    * plan build; attrs and edges are localCheckpointed once so k
+    * iterations plan over materialized inputs. Nothing quadratic,
+    * nothing driver-side. */
+  def personalizedPageRank(edges: DataFrame, isSeed: Column => Column,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters=$iters out of range [1, 10]")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nSeed = deg.where(isSeed(col("src"))).agg(count(lit(1)).as("ns"))
+    val attrs = deg.crossJoin(broadcast(nSeed))
+      .select(col("src").as("node"), col("deg"),
+        when(isSeed(col("src")),
+          expr("CAST(1000000000000 AS BIGINT) DIV ns"))
+          .otherwise(lit(0L)).as("p"))
+      .localCheckpoint(false)
+    var ranks = attrs.select(col("node"), col("deg"), col("p"),
+      col("p").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(e, col("node") === col("src"))
+        .select(col("dst"), expr("r DIV deg").as("c"))
+      val inbound = contrib.groupBy(col("dst")).agg(sum(col("c")).as("sint"))
+      ranks = attrs.join(inbound, col("node") === col("dst"), "left")
+        .select(col("node"), col("deg"), col("p"),
+          expr("(15 * p + 85 * coalesce(sint, CAST(0 AS BIGINT))) DIV 100")
+            .as("r"))
+    }
+    ranks.select(col("node").as("doc_id"), col("deg").as("degree"),
+      col("r").as("ppr_e12"))
+  }
+
   /** `rounds` of k-core PEELING on a symmetric edge list: each round
     * drops every node whose current degree is below `k` (and all its
     * edges), the Batagelj/Zaveršnik decomposition step — the

@@ -102,4 +102,40 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, col("stride")))
           .as("frame_idx"))
   }
+
+  /** Aspect-preserving letterbox geometry: for each media row, the
+    * resize-and-pad plan a vision-model preprocessor executes to map an
+    * arbitrary (width, height) onto a fixed `targetW`×`targetH` canvas —
+    * the planning half of image resize, exactly as [[frameSamplePlan]]
+    * is the planning half of frame extraction (the pixel work lives
+    * behind the [[FakeDecoder]] seam; the geometry does not need pixels).
+    *
+    * All integer fixed-point, engine-reproducible: `scale_e6 =
+    * min(targetW·1e6 div width, targetH·1e6 div height)` (the limiting
+    * dimension governs), `dst_* = dim·scale_e6 div 1e6` (never exceeds
+    * the target, by construction of the floor), symmetric pads
+    * `(target − dst) div 2`, and an `upscaled` flag for rows the plan
+    * would stretch (scale_e6 > 1e6) — the rows a quality gate might
+    * route to a different pipeline instead.
+    *
+    * 100 TB posture: pure scan-side arithmetic on the metadata columns —
+    * zero joins, zero exchanges, whole-stage-codegen end to end; a
+    * 100 TB media corpus plans its entire resize pass in the same scan
+    * that reads the envelope. */
+  def resizePlan(meta: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW >= 1 && targetW <= 16384 && targetH >= 1 && targetH <= 16384,
+      s"resizePlan target ${targetW}x$targetH out of range")
+    meta.select(col("media_id"), col("kind"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .withColumn("scale_e6",
+        least(expr(s"CAST($targetW AS BIGINT) * 1000000 DIV width"),
+          expr(s"CAST($targetH AS BIGINT) * 1000000 DIV height")))
+      .withColumn("dst_w", expr("CAST(width * scale_e6 DIV 1000000 AS INT)"))
+      .withColumn("dst_h", expr("CAST(height * scale_e6 DIV 1000000 AS INT)"))
+      .withColumn("pad_x", expr(s"CAST(($targetW - dst_w) DIV 2 AS INT)"))
+      .withColumn("pad_y", expr(s"CAST(($targetH - dst_h) DIV 2 AS INT)"))
+      .withColumn("upscaled",
+        (col("scale_e6") > 1000000L).cast("int"))
+  }
 }

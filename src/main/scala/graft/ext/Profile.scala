@@ -192,6 +192,42 @@ object Profile {
       .withColumn("at_risk", when(col("n") < k, 1).otherwise(0).cast("int"))
   }
 
+  /** l-diversity audit — [[kAnonymity]]'s sibling gate: a class can be
+    * large (k-anonymous) yet still leak if everyone in it shares the
+    * SAME sensitive value, so each quasi-identifier equivalence class is
+    * scored by how many DISTINCT sensitive values it contains
+    * (`l_distinct`), how concentrated the modal value is
+    * (`max_share_ppm` — the recursive-(c,l) signal), and an `at_risk`
+    * flag for classes under `l` (Machanavajjhala et al. 2007). Exact
+    * integers end to end.
+    *
+    * 100 TB posture: two stacked combinable groupBys — corpus →
+    * (qids, sensitive) cells → qid classes — so the only data-scale
+    * exchange carries one row per OCCUPIED cell (bounded by the qid ×
+    * sensitive key-space product, not the corpus), and the second
+    * rollup is |cells| → |classes|. No join anywhere; a hot class is a
+    * map-side partial like any other.
+    * Output: (qids..., n, l_distinct, max_share_ppm, at_risk). */
+  def lDiversity(df: DataFrame, qids: Seq[(String, Column)],
+      sensitive: Column, l: Int): DataFrame = {
+    require(qids.nonEmpty && l >= 2 && l <= 1000000,
+      s"lDiversity(qids=${qids.size}, l=$l)")
+    val named = qids.map { case (nm, c) => c.as(nm) }
+    val qidCols = qids.map { case (nm, _) => col(nm) }
+    val cells = df
+      .select((named :+ sensitive.cast("string").as("__s")): _*)
+      .groupBy((qidCols :+ col("__s")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    cells.groupBy(qidCols: _*)
+      .agg(sum(col("__cnt")).as("n"),
+        count(lit(1)).as("l_distinct"),
+        max(col("__cnt")).as("__maxc"))
+      .withColumn("max_share_ppm", expr("__maxc * 1000000 DIV n"))
+      .withColumn("at_risk",
+        when(col("l_distinct") < l, 1).otherwise(0).cast("int"))
+      .drop("__maxc")
+  }
+
   /** Gini concentration of an integer measure across strata (how
     * unevenly tokens spread over sources): the classic rank formula
     * `Σ(2·rank − n − 1)·x_(rank) · 1e6 div (n·Σx)` over the strata

@@ -6554,6 +6554,147 @@ object ExtQueries {
       col("event_type"), col("ts"), halfLifeDays = 7, k = 10)
   }
 
+  // x192 — L-DIVERSITY governance audit (x120's sibling): each
+  // (lang, len-bucket) quasi-identifier class scored by distinct
+  // sensitive `source` values, modal-source concentration in ppm, and
+  // an at-risk flag under l=3 — the "large but homogeneous class"
+  // leak k-anonymity misses. Two stacked combinable groupBys; the only
+  // data-scale exchange carries occupied (qi, sensitive) cells.
+  val x192 = Q(
+    "x192_l_diversity",
+    """WITH cells AS (
+      |  SELECT lang, CAST(length(text) // 200 AS BIGINT) AS len_bucket,
+      |         source AS sv, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY 1, 2, 3)
+      |SELECT lang, len_bucket,
+      |       CAST(sum(cnt) AS BIGINT) AS n,
+      |       CAST(count(*) AS BIGINT) AS l_distinct,
+      |       CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS max_share_ppm,
+      |       CAST(CASE WHEN count(*) < 3 THEN 1 ELSE 0 END AS INT) AS at_risk
+      |FROM cells GROUP BY 1, 2
+      |ORDER BY lang, len_bucket""".stripMargin) { (s, dir) =>
+    Profile.lDiversity(Tables.documents(s, dir),
+      Seq(("lang", col("lang")),
+        ("len_bucket", expr("CAST(length(text) DIV 200 AS BIGINT)"))),
+      col("source"), l = 3)
+      .orderBy("lang", "len_bucket")
+  }
+
+  // x193 — LETTERBOX RESIZE GEOMETRY for the media table: the
+  // aspect-preserving scale/pad plan onto a 224×224 canvas in exact e6
+  // fixed point — the planning half of image preprocessing (pixels stay
+  // behind the FakeDecoder seam). Pure scan-side arithmetic: zero
+  // joins, zero exchanges besides the output sort.
+  val x193 = Q(
+    "x193_resize_plan",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS kind,
+      |         encode(text) AS payload
+      |  FROM documents),
+      |g AS (
+      |  SELECT media_id, kind,
+      |         CAST(1 + octet_length(payload) % 640 AS BIGINT) AS width,
+      |         CAST(1 + octet_length(payload) % 480 AS BIGINT) AS height
+      |  FROM m),
+      |sc AS (
+      |  SELECT *, least(224 * 1000000 // width, 224 * 1000000 // height) AS scale_e6
+      |  FROM g),
+      |d AS (
+      |  SELECT *, CAST(width * scale_e6 // 1000000 AS INT) AS dst_w,
+      |            CAST(height * scale_e6 // 1000000 AS INT) AS dst_h
+      |  FROM sc)
+      |SELECT media_id, kind, width, height,
+      |       CAST(scale_e6 AS BIGINT) AS scale_e6, dst_w, dst_h,
+      |       CAST((224 - dst_w) // 2 AS INT) AS pad_x,
+      |       CAST((224 - dst_h) // 2 AS INT) AS pad_y,
+      |       CAST(CASE WHEN scale_e6 > 1000000 THEN 1 ELSE 0 END AS INT) AS upscaled
+      |FROM d ORDER BY media_id""".stripMargin) { (s, dir) =>
+    Multimodal.resizePlan(
+      Multimodal.metaColumns(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF()),
+      targetW = 224, targetH = 224)
+      .orderBy("media_id")
+  }
+
+  // x194 — LSH ESTIMATOR CALIBRATION: x7's banded candidates, each
+  // scored by |signature estimate − exact Jaccard| and folded into
+  // estimate deciles — the reliability table that justifies (or
+  // indicts) the band parameters before a threshold ships. Candidate
+  // generation is byte-identical to x7 (same guards); the audit adds
+  // two slim per-pair joins and an 11-key combinable rollup.
+  val x194 = Q(
+    "x194_lsh_calibration",
+    s"""WITH $x7Ctes,
+      |sm AS (
+      |  SELECT c.a, c.b,
+      |         CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT) AS matches
+      |  FROM cand c
+      |  JOIN m ma ON ma.doc_id = c.a
+      |  JOIN m mb ON mb.doc_id = c.b AND mb.i = ma.i
+      |  GROUP BY c.a, c.b),
+      |ex AS (
+      |  SELECT c.a, c.b,
+      |         CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS ni,
+      |         CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS BIGINT) AS nu
+      |  FROM cand c JOIN ha sa ON sa.doc_id = c.a JOIN ha sb ON sb.doc_id = c.b),
+      |p AS (
+      |  SELECT sm.a, sm.b, matches * 1000000 // 64 AS est_e6,
+      |         ni * 1000000 // nu AS exact_e6
+      |  FROM sm JOIN ex ON ex.a = sm.a AND ex.b = sm.b)
+      |SELECT CAST(est_e6 // 100000 AS INT) AS decile,
+      |       CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(sum(abs(est_e6 - exact_e6)) // count(*) AS BIGINT) AS mae_e6,
+      |       CAST(sum(exact_e6) // count(*) AS BIGINT) AS mean_exact_e6
+      |FROM p GROUP BY 1
+      |ORDER BY decile""".stripMargin) { (s, dir) =>
+    Dedup.lshCalibration(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .orderBy("decile")
+  }
+
+  // x195 — PERSONALIZED PAGERANK (random walk with restart) from the
+  // node%50=0 seed set on x64's capped co-shingle graph: which corpus
+  // regions the seeds irrigate. UNLIKE x64, the whole walk is e12
+  // fixed-point BIGINT (damping as the rational 85/100) — zero floats,
+  // so parity needs no double→decimal rounding-mode luck; left-join
+  // restart so seed leaves keep their mass; 3 unrolled iterations.
+  val x195 = Q(
+    "x195_ppr",
+    s"""WITH $coShingleEdgeCtes,
+      |ns AS (SELECT COUNT(*) AS ns FROM deg WHERE src % 50 = 0),
+      |a AS (SELECT d.src AS node, d.deg,
+      |             CASE WHEN d.src % 50 = 0
+      |                  THEN 1000000000000 // ns.ns
+      |                  ELSE 0 END AS p
+      |      FROM deg d CROSS JOIN ns),
+      |r0 AS (SELECT node, deg, p, p AS r FROM a),
+      |i1 AS (SELECT e.dst AS node, CAST(SUM(r.r // r.deg) AS BIGINT) AS s
+      |       FROM r0 r JOIN e ON e.src = r.node GROUP BY e.dst),
+      |r1 AS (SELECT a.node, a.deg, a.p,
+      |              (15 * a.p + 85 * COALESCE(i1.s, 0)) // 100 AS r
+      |       FROM a LEFT JOIN i1 ON i1.node = a.node),
+      |i2 AS (SELECT e.dst AS node, CAST(SUM(r.r // r.deg) AS BIGINT) AS s
+      |       FROM r1 r JOIN e ON e.src = r.node GROUP BY e.dst),
+      |r2 AS (SELECT a.node, a.deg, a.p,
+      |              (15 * a.p + 85 * COALESCE(i2.s, 0)) // 100 AS r
+      |       FROM a LEFT JOIN i2 ON i2.node = a.node),
+      |i3 AS (SELECT e.dst AS node, CAST(SUM(r.r // r.deg) AS BIGINT) AS s
+      |       FROM r2 r JOIN e ON e.src = r.node GROUP BY e.dst),
+      |r3 AS (SELECT a.node, a.deg, a.p,
+      |              (15 * a.p + 85 * COALESCE(i3.s, 0)) // 100 AS r
+      |       FROM a LEFT JOIN i3 ON i3.node = a.node)
+      |SELECT node AS doc_id, CAST(deg AS BIGINT) AS degree,
+      |       CAST(r AS BIGINT) AS ppr_e12
+      |FROM r3 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Graph.personalizedPageRank(
+      Graph.coShingleEdges(Tables.documents(s, dir).where(col("doc_id") < 1500),
+        col("doc_id"), col("text"), n = 3, maxShingleDf = 64L),
+      isSeed = c => c % 50 === 0, iters = 3)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -6568,5 +6709,5 @@ object ExtQueries {
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
       x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170, x171, x172, x173, x174, x175,
       x176, x177, x178, x179, x180, x181, x182, x183, x184, x185, x186,
-      x187, x188, x189, x190, x191)
+      x187, x188, x189, x190, x191, x192, x193, x194, x195)
 }

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Tables
-import graft.ext.{Dedup, Graph, Relevance, Sampling, Similarity, Sketches}
+import graft.ext.{Dedup, Graph, Multimodal, Profile, Relevance, Sampling, Similarity, Sketches}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -664,7 +664,51 @@ object VolumeTripwire {
             col("event_type"), col("ts"), halfLifeDays = 7, k = 10)),
           timeMin(graft.ops.EventAnalytics.decayedTopK(events10,
             col("event_type"), col("ts"), halfLifeDays = 7, k = 10)))
-      })
+      }, {
+        // l-diversity with the whole flood inside ONE quasi-identifier
+        // class: two stacked combinable groupBys — the hot class is a
+        // map-side partial, and the exchange carries occupied cells,
+        // never rows
+        val d1 = Tables.documents(spark, sfDir)
+          .select("doc_id", "lang", "source", "text")
+        val d10 = blow(d1, "doc_id", 10, 1000000L)
+          .withColumn("lang",
+            when(col("doc_id") >= 1000000L, lit("hot")).otherwise(col("lang")))
+        def ld(d: DataFrame) = Profile.lDiversity(d,
+          Seq(("lang", col("lang")),
+            ("len_bucket", expr("CAST(length(text) DIV 200 AS BIGINT)"))),
+          col("source"), l = 3)
+        Res("x192_lDiversity", timeMin(ld(d1)), timeMin(ld(d10)))
+      }, {
+        // resize geometry at 10×: pure scan-side arithmetic — the only
+        // cost is reading the envelope columns
+        val m1 = Multimodal.metaColumns(
+          Multimodal.mediaFromDocuments(spark,
+            Tables.documents(spark, sfDir)).toDF())
+        val m10 = Multimodal.metaColumns(
+          Multimodal.mediaFromDocuments(spark,
+            blow(Tables.documents(spark, sfDir), "doc_id", 10, 1000000L)).toDF())
+        Res("x193_resizePlan",
+          timeMin(Multimodal.resizePlan(m1, 224, 224)),
+          timeMin(Multimodal.resizePlan(m10, 224, 224)))
+      },
+      // calibration under the byte-identical flood: candidate generation
+      // is x7's (distinct-contents collapse + maxBucket guard), so the
+      // 100k copies fold to one representative before any banding; the
+      // audit joins are per-candidate, not per-row
+      Res("x194_lshCalibration",
+        timeMin(Dedup.lshCalibration(docs1, col("doc_id"), col("text"))),
+        timeMin(Dedup.lshCalibration(docs10, col("doc_id"), col("text")))),
+      // ppr on the df-capped co-shingle graph: the flood's shared
+      // shingles blow past the df cap and mint zero edges (the x175
+      // structural bound); iterations are equi-join + combinable agg
+      Res("x195_ppr",
+        timeMin(Graph.personalizedPageRank(
+          Graph.coShingleEdges(docs1, col("doc_id"), col("text"),
+            n = 3, maxShingleDf = 16L), c => c % 50 === 0, iters = 3)),
+        timeMin(Graph.personalizedPageRank(
+          Graph.coShingleEdges(docs10, col("doc_id"), col("text"),
+            n = 3, maxShingleDf = 16L), c => c % 50 === 0, iters = 3))))
 
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_TRIPWIRE")

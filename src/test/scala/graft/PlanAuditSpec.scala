@@ -1146,6 +1146,10 @@ class PlanAuditSpec2 extends SparkSpec {
     SparkEntry.queries(name)(spark, dir)
       .queryExecution.executedPlan.toString
 
+  private def shuffles(p: String): Int =
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(p).length
+
   test("x175: full-corpus link prediction — top-k is a heap cut, never a global sort") {
     val p = planOf("x175_link_pred_full")
     assert(p.contains("TakeOrderedAndProject"), p)
@@ -1314,6 +1318,48 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(finalP.contains("TakeOrderedAndProject"), p)
     assert(!finalP.contains("Window"), p)
     assert(!finalP.contains("SortMergeJoin"), p)
+  }
+
+  test("x192: l-diversity is two stacked combinable groupBys — join-free") {
+    val df = SparkEntry.queries("x192_l_diversity")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("Join"), p)
+    assert(!finalP.contains("Window"), p)
+    // cells exchange + class exchange + output sort, nothing else
+    assert(shuffles(finalP) <= 3, p)
+  }
+
+  test("x193: resize geometry is scan-side — no join, no aggregate, only the output sort moves rows") {
+    val df = SparkEntry.queries("x193_resize_plan")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("Join"), p)
+    assert(!finalP.contains("HashAggregate"), p)
+    assert(shuffles(finalP) <= 1, p)
+  }
+
+  test("x194: calibration rides x7's guards — banded buckets, never a cartesian pair space") {
+    val df = SparkEntry.queries("x194_lsh_calibration")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("CartesianProduct"), p)
+    assert(!finalP.contains("BroadcastNestedLoopJoin"), p)
+    // the maxBucket hot-bucket guard window survives into the audit
+    assert(finalP.contains("Window"), p)
+  }
+
+  test("x195: ppr iterations reference checkpoints; the seed-count crossjoin never re-runs") {
+    // Same discipline as x64: 3 iterations × the edge checkpoint + the
+    // node-attrs checkpoint in r0 and each blend join — the broadcast
+    // 1-row ns crossJoin lives BEHIND the attrs checkpoint.
+    val p = planOf("x195_ppr")
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 7, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("x181: every autocorr window is keyed — day-cardinality, nothing global") {

@@ -94,6 +94,35 @@ class DedupSpec extends SparkSpec {
     assert(capped === Set.empty)
   }
 
+  test("lshCalibration: identical shingle sets land in decile 10 with zero error; pair mass = candidates") {
+    // docs 1/2 differ only in whitespace → DIFFERENT bytes (both survive
+    // distinctContents) but the SAME word-shingle set → all 64 signature
+    // components match (est 1e6) and exact Jaccard is 1e6 → decile 10,
+    // mae 0. Docs 3/4 share most shingles (near dup); doc 5 is noise.
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick  brown fox jumps over the lazy dog today"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (5L, "completely unrelated content with nothing shared at all ok")
+    ).toDF("doc_id", "text")
+    val cal = Dedup.lshCalibration(df, col("doc_id"), col("text"))
+      .orderBy("decile")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(cal.forall(r => r._1 >= 0 && r._1 <= 10), cal.mkString(","))
+    val top = cal.find(_._1 == 10).get
+    assert(top._2 === 1L)         // exactly the whitespace pair
+    assert(top._3 === 0L)         // estimator exact when signatures agree
+    assert(top._4 === 1000000L)
+    // every banded candidate is audited exactly once: pair mass equals
+    // the threshold-free pairer's candidate count
+    val nCands = Dedup.minhashPairs(df, col("doc_id"), col("text"),
+      threshold = 0.0).count()
+    assert(cal.map(_._2).sum === nCands)
+    // mae can never exceed the e6 scale
+    assert(cal.forall(_._3 <= 1000000L), cal.mkString(","))
+  }
+
   test("simhash: identical docs collide, disjoint docs differ") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
@@ -1146,6 +1175,26 @@ class FrameSampleSpec extends graft.SparkSpec {
     assert(got(4L) === Seq(0, 8, 16, 24))
     assert(!got.contains(5L))
     assert(got.values.forall(f => f.length <= 4 && f.head === 0))
+  }
+
+  test("resizePlan: limiting dimension governs, symmetric pads, upscale flagged, dst never exceeds target") {
+    val meta = Seq(
+      (1L, "image", 640, 480),  // landscape: scale 350000 → 224×168, pad_y 28
+      (2L, "image", 100, 200),  // small portrait: scale 1120000 → 112×224, upscaled
+      (3L, "image", 224, 224),  // exact fit: scale 1e6, pads 0
+      (4L, "video", 3, 5))      // degenerate dims still floor-safe
+      .toDF("media_id", "kind", "width", "height")
+    val got = Multimodal.resizePlan(meta, targetW = 224, targetH = 224)
+      .orderBy("media_id")
+      .as[(Long, String, Long, Long, Long, Int, Int, Int, Int, Int)].collect()
+    assert(got(0) === ((1L, "image", 640L, 480L, 350000L, 224, 168, 0, 28, 0)))
+    assert(got(1) === ((2L, "image", 100L, 200L, 1120000L, 112, 224, 56, 0, 1)))
+    assert(got(2) === ((3L, "image", 224L, 224L, 1000000L, 224, 224, 0, 0, 0)))
+    // 3×5 → scale = min(74666666, 44800000); dst (134, 224) — both ≤ 224
+    assert(got(3) === ((4L, "video", 3L, 5L, 44800000L, 134, 224, 45, 0, 1)))
+    got.foreach { r =>
+      assert(r._6 <= 224 && r._7 <= 224 && r._8 >= 0 && r._9 >= 0, r)
+    }
   }
 }
 

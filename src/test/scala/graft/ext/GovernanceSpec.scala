@@ -81,6 +81,25 @@ class GovernanceSpec extends graft.SparkSpec {
     assert(got === Array(("de", "s2", 1L, 1), ("en", "s1", 3L, 0)))
   }
 
+  test("lDiversity: large homogeneous class flags where k-anonymity would pass; modal share exact") {
+    val df = Seq(
+      // en: 4 rows, ONE sensitive value — k-anonymous at k=4 yet leaks
+      ("en", "s1"), ("en", "s1"), ("en", "s1"), ("en", "s1"),
+      // de: 3 rows, 3 distinct — diverse
+      ("de", "s1"), ("de", "s2"), ("de", "s3"),
+      // fr: 5 rows, 2 distinct (3+2) — modal share 600000, under l=3
+      ("fr", "s1"), ("fr", "s1"), ("fr", "s1"), ("fr", "s2"), ("fr", "s2")
+    ).toDF("lang", "source")
+    val got = Profile.lDiversity(df, Seq(("lang", col("lang"))),
+        col("source"), l = 3)
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Int)].collect()
+    assert(got === Array(
+      ("de", 3L, 3L, 333333L, 0),
+      ("en", 4L, 1L, 1000000L, 1),
+      ("fr", 5L, 2L, 600000L, 1)))
+  }
+
   test("giniConcentration: all-to-one is (n-1)/n, even split is 0, ties rank deterministically") {
     // (0, 10): G = 1/2 exactly → 500000
     val skew = Seq(("a", 0L), ("b", 10L)).toDF("s", "x")

@@ -28,6 +28,31 @@ class GraphSketchSpec extends graft.SparkSpec {
     assert(math.abs(r3.map(_._3).sum - 1.0) < 1e-9)
   }
 
+  test("personalizedPageRank: hand-computed e12 walk, seed keeps restart mass, exact conservation") {
+    // 1 - 2 - 3 path (undirected), seed = {1}: p = (1e12, 0, 0).
+    // iter 1: inbound(2) = 1e12 DIV 1; r = (15p + 85s) DIV 100
+    //   → (150000000000, 850000000000, 0)
+    // iter 2: inbound(1) = inbound(3) = 850e9 DIV 2; inbound(2) = 150e9
+    //   → (511250000000, 127500000000, 361250000000) — sums to 1e12 exactly
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r1 = Graph.personalizedPageRank(e, c => c === 1L, iters = 1)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(r1.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(r1.map(_._2).toSeq === Seq(1L, 2L, 1L))
+    assert(r1.map(_._3).toSeq ===
+      Seq(150000000000L, 850000000000L, 0L))
+    val r2 = Graph.personalizedPageRank(e, c => c === 1L, iters = 2)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(r2.map(_._3).toSeq ===
+      Seq(511250000000L, 127500000000L, 361250000000L))
+    assert(r2.map(_._3).sum === 1000000000000L) // exact divisions: zero dust
+    // two symmetric seeds split the restart mass equally and stay equal
+    val r2s = Graph.personalizedPageRank(e, c => c === 1L || c === 3L, iters = 2)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(r2s(0)._3 === r2s(2)._3)
+    assert(r2s(1)._3 < 1000000000000L)
+  }
+
   test("coShingleEdges: co-occurrence pairs only, stop-gram df cap excludes hot shingles") {
     val docs = Seq(
       (1L, "the common shingle here plus alpha beta gamma"),

@@ -353,6 +353,80 @@ object Profile {
       .select(col("id"), (col("_off") + col("_lrn") - lit(1L)).as("p"))
   }
 
+  /** Per-key winsorized statistics: each key's measure distribution
+    * clipped at its own exact [p(tailPct), p(100−tailPct)] boundary
+    * VALUES — the robust-mean preprocessing step (a corrupted 1e15-cent
+    * order stops dominating its priority class's mean without deleting
+    * the row). Boundary ranks are `lo = ceil(n·tailPct/100)`,
+    * `hi = n+1−lo` (1-based over (v, id) ascending — id makes ties
+    * total); output per key: n, the two cut values, how many rows each
+    * tail clamped, and the winsorized sum (DECIMAL(38) accumulator,
+    * emitted as a string — cent sums pass 2^63 at the 100 TB design
+    * point, the x127 lesson).
+    *
+    * 100 TB posture: the boundary is found by the [[globalBuckets]]
+    * two-phase discipline EXTENDED TO KEYS — one range sort on
+    * (k, v, id) (keys stay contiguous), per-(partition, key) counts to
+    * the driver (O(partitions × keys) rows, loud refusal past 2^20),
+    * broadcast prefix offsets, and a (pid, k)-keyed local rank. NO
+    * per-key global window ever exists, so a 5-value key column does
+    * not serialize the corpus through 5 tasks — the trap a plain
+    * `row_number() OVER (PARTITION BY key)` plan walks into when key
+    * cardinality is small. The final clamp+sum is one combinable
+    * aggregate over the already-materialized sort. */
+  def winsorizedStats(df: DataFrame, key: Column, id: Column,
+      measure: Column, tailPct: Int = 10): DataFrame = {
+    require(tailPct >= 1 && tailPct <= 49, s"tailPct=$tailPct out of range")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(key.cast("string").as("k"), id.as("id"),
+      measure.cast("long").as("v"))
+    // checkpointed for the same sampled-range-boundary determinism
+    // reason as globalBuckets: counts and rank must see ONE sort
+    val sorted = base.sort(col("k"), col("v"), col("id"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = sorted.groupBy("_pid", "k").count().collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    require(counts.length <= (1 << 20),
+      s"winsorizedStats: ${counts.length} (partition, key) cells — key " +
+        "cardinality too high for the driver-side offset table; " +
+        "partition the input or bucket the key first")
+    val offs = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var curK: String = null
+    var acc = 0L
+    counts.foreach { case (pid, k, c) =>
+      if (k != curK) { curK = k; acc = 0L }
+      offs += ((pid, k, acc)); acc += c
+    }
+    val nK = counts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+    val ranked = sorted
+      .withColumn("_lrn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_pid"), col("k"))
+          .orderBy(col("v"), col("id"))).cast("long"))
+      .join(broadcast(offs.toSeq.toDF("_pid", "k", "_off")), Seq("_pid", "k"))
+      .join(broadcast(nK.toDF("k", "n_k")), Seq("k"))
+      .withColumn("rnk", col("_off") + col("_lrn"))
+      .withColumn("lo_rank", expr(s"(n_k * $tailPct + 99) DIV 100"))
+      .withColumn("hi_rank", expr("n_k + 1 - lo_rank"))
+    val cuts = ranked.groupBy("k")
+      .agg(max(when(col("rnk") === col("lo_rank"), col("v"))).as("lo_cut"),
+        max(when(col("rnk") === col("hi_rank"), col("v"))).as("hi_cut"))
+    sorted.join(broadcast(cuts), Seq("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        max(col("lo_cut")).as("lo_cut"),
+        max(col("hi_cut")).as("hi_cut"),
+        sum(when(col("v") < col("lo_cut"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("v") > col("hi_cut"), 1L).otherwise(0L)).as("n_hi"),
+        sum(expr("CAST(greatest(lo_cut, least(hi_cut, v)) AS DECIMAL(38, 0))"))
+          .as("__ws"))
+      .withColumn("wsum", col("__ws").cast("string"))
+      .drop("__ws")
+  }
+
   /** RFM segmentation: every entity bucketed into `buckets` equal-
     * population slices independently by recency, frequency, and
     * monetary value (bucket 0 = best in each dimension), rolled up to

@@ -292,4 +292,39 @@ object TextAnalysis {
       .select(col("stratum"), col("n_tokens"), col("n_types"), col("n_hapax"),
         expr("n_types * 1000000L DIV n_tokens").as("ttr_e6"),
         expr("n_hapax * 1000000L DIV n_types").as("hapax_share_e6"))
+
+  /** Tokenizer fertility per language: chars-per-BPE-token and
+    * bytes-per-char ratios — the two numbers that decide whether a
+    * tokenizer (here the [[BpeTokenPattern]] proxy) is fair to a
+    * language before a mixture ships. High chars/token means the
+    * language fragments into more tokens per unit text (it pays more
+    * compute per sentence); bytes/char ≫ 1e6 flags non-Latin scripts
+    * whose BYTE budgets (not char budgets) dominate storage. Ratios in
+    * exact ppm with DECIMAL(38) numerators (char totals × 1e6 pass 2^63
+    * at the design point); NULL when a denominator is empty.
+    *
+    * 100 TB posture: all five counters are scan-side column arithmetic
+    * folded by ONE combinable groupBy(lang) — no explode (unlike
+    * [[vocabStats]], nothing needs the token STREAM, only counts), no
+    * join, no window. Output: (lang, n_docs, n_chars, n_bytes, n_ws,
+    * n_bpe, chars_per_bpe_ppm, bytes_per_char_ppm). */
+  def tokenizerFertility(docs: DataFrame, lang: Column, text: Column)
+      : DataFrame =
+    docs.select(lang.as("lang"),
+        length(text).cast("long").as("nc"),
+        octet_length(text).cast("long").as("nb"),
+        wsTokenCount(text).cast("long").as("nw"),
+        bpeTokenCount(text).cast("long").as("np"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+        sum(col("nb")).as("n_bytes"), sum(col("nw")).as("n_ws"),
+        sum(col("np")).as("n_bpe"))
+      .withColumn("chars_per_bpe_ppm",
+        when(col("n_bpe") > 0,
+          expr("CAST(CAST(n_chars AS DECIMAL(38,0)) * 1000000 DIV n_bpe AS BIGINT)"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("bytes_per_char_ppm",
+        when(col("n_chars") > 0,
+          expr("CAST(CAST(n_bytes AS DECIMAL(38,0)) * 1000000 DIV n_chars AS BIGINT)"))
+          .otherwise(lit(null).cast("long")))
 }

@@ -326,4 +326,40 @@ object TimeSeries {
           "DIV (CAST(n_pairs AS DECIMAL(38,0)) * (n_pairs * n_pairs - 1)) " +
           "AS BIGINT)").as("spearman_e6"))
   }
+
+  /** Burstiness (index of dispersion) per key: the variance-to-mean
+    * ratio of the key's daily event counts over its own [first, last]
+    * day SPAN — the Poisson test (VMR ≈ 1e6 ⇒ memoryless arrivals;
+    * ≫ 1e6 ⇒ bursts, the traffic that breaks provisioned-by-average
+    * capacity). Days with zero events count toward the span (they
+    * contribute 0 to both Σc and Σc², so only the span length `n` is
+    * needed — no calendar explode, no spine join):
+    * `vmr_ppm = (n·Σc² − (Σc)²)·1e6 div ((n−1)·Σc)` — sample variance
+    * over mean, exact by integer cross-multiplication; Cauchy–Schwarz
+    * over the zero-padded span keeps the numerator ≥ 0. NULL for
+    * single-day spans or empty keys ([[covMatrix]]'s guard discipline).
+    *
+    * 100 TB posture: one combinable (key, day) rollup — the only
+    * data-scale exchange — then a |keys×days|-row aggregate with
+    * DECIMAL(38) Σc² (daily counts at the design point square past
+    * 2^63). No window, no join, no explode. */
+  def burstiness(df: DataFrame, key: Column, ts: Column): DataFrame = {
+    val daily = df.select(key.as("k"), to_date(ts).as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("c"))
+    daily.groupBy("k")
+      .agg((datediff(max(col("day")), min(col("day"))) + 1).cast("long")
+          .as("span_days"),
+        sum(col("c")).as("s"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("q"),
+        count(lit(1)).as("active_days"))
+      .withColumn("vmr_ppm",
+        when(col("span_days") >= 2 && col("s") > 0,
+          expr("CAST((span_days * q - CAST(s AS DECIMAL(38,0)) * s) " +
+            "* 1000000 DIV ((span_days - 1) * s) AS BIGINT)"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("overdispersed",
+        when(col("vmr_ppm") > 1000000L, 1).otherwise(0).cast("int"))
+      .select("k", "span_days", "active_days", "s", "vmr_ppm",
+        "overdispersed")
+  }
 }

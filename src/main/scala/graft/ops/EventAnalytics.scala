@@ -609,4 +609,36 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"), sum(col("churned")).as("n_churned"))
       .withColumn("churn_ppm", expr("n_churned * 1000000L DIV n_users"))
   }
+
+  /** Out-of-order lateness audit: for each event, how far its event
+    * time sits BEHIND the running maximum event time already seen in
+    * its key's arrival order (`arrival` — here the ingest sequence
+    * number standing in for processing order). The lateness histogram
+    * is the number a streaming watermark is designed against: pick the
+    * bucket covering your tolerated loss and read the delay off the
+    * bucket bound. Buckets: −2 = first arrival of the key (no prior to
+    * be late against), −1 = in order (lateness 0), else ⌊log2(µs)⌋ —
+    * [[graft.ext.Profile.log2Emd]]'s integer-log trick, so the whole
+    * audit is exact. Output per (type, bucket): n, max lateness µs.
+    *
+    * 100 TB posture: ONE user-keyed running-max window (arrival order
+    * per key — never global), then a combinable (type, bucket) rollup
+    * over ≤ types×65 cells. Same single-exchange shape as the funnel
+    * family. */
+  def latenessAudit(events: DataFrame, user: Column, arrival: Column,
+      ts: Column, eventType: Column): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("arr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events.select(user.as("u"), arrival.as("arr"),
+        unix_micros(ts).as("tus"), eventType.as("et"))
+      .withColumn("prior_max", max(col("tus")).over(w))
+      .withColumn("late_us",
+        greatest(lit(0L), col("prior_max") - col("tus")))
+      .groupBy(col("et").as("event_type"),
+        when(col("prior_max").isNull, lit(-2L))
+          .when(col("late_us") === 0L, lit(-1L))
+          .otherwise((length(bin(col("late_us"))) - 1).cast("long"))
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"), max(col("late_us")).as("max_late_us"))
+  }
 }

@@ -6695,6 +6695,127 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x196 — PER-KEY WINSORIZED STATS: each order priority's cent
+  // distribution clipped at its own exact [p10, p90] values — the
+  // robust-mean preprocessing gate. The boundary rank is found by the
+  // two-phase range-sort + broadcast-offset discipline EXTENDED TO
+  // KEYS (a 5-value key never serializes the corpus through 5 window
+  // tasks); the winsorized sum rides a DECIMAL(38) accumulator.
+  val x196 = Q(
+    "x196_winsorize",
+    """WITH b AS (
+      |  SELECT o_orderpriority AS k, o_orderkey AS id,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders),
+      |r AS (
+      |  SELECT k, id, v,
+      |         CAST(row_number() OVER (PARTITION BY k ORDER BY v, id) AS BIGINT) AS rnk,
+      |         CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n_k
+      |  FROM b),
+      |cuts AS (
+      |  SELECT k,
+      |         MAX(CASE WHEN rnk = (n_k * 10 + 99) // 100 THEN v END) AS lo_cut,
+      |         MAX(CASE WHEN rnk = n_k + 1 - (n_k * 10 + 99) // 100 THEN v END) AS hi_cut
+      |  FROM r GROUP BY k)
+      |SELECT b.k AS k, CAST(count(*) AS BIGINT) AS n, lo_cut, hi_cut,
+      |       CAST(SUM(CASE WHEN v < lo_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      |       CAST(SUM(CASE WHEN v > hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      |       CAST(CAST(SUM(GREATEST(lo_cut, LEAST(hi_cut, v))) AS HUGEINT) AS VARCHAR) AS wsum
+      |FROM b JOIN cuts ON cuts.k = b.k
+      |GROUP BY b.k, lo_cut, hi_cut
+      |ORDER BY b.k""".stripMargin) { (s, dir) =>
+    Profile.winsorizedStats(Tables.orders(s, dir),
+      col("o_orderpriority"), col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"), tailPct = 10)
+      .orderBy("k")
+  }
+
+  // x197 — BURSTINESS (index of dispersion) per event type: daily-count
+  // VMR over each type's own day span, zero days counted via the span
+  // length alone (no calendar explode). Exact cross-multiplication in
+  // DECIMAL(38); ≈1e6 = Poisson, ≫1e6 = bursty.
+  val x197 = Q(
+    "x197_burstiness",
+    """WITH d AS (
+      |  SELECT event_type AS k, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT k,
+      |         CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS span_days,
+      |         CAST(COUNT(*) AS BIGINT) AS active_days,
+      |         CAST(SUM(c) AS BIGINT) AS s,
+      |         SUM(c::HUGEINT * c) AS q
+      |  FROM d GROUP BY 1)
+      |SELECT k, span_days, active_days, s,
+      |       CAST(CASE WHEN span_days >= 2 AND s > 0
+      |            THEN (span_days * q - s::HUGEINT * s) * 1000000 // ((span_days - 1) * s)
+      |            ELSE NULL END AS BIGINT) AS vmr_ppm,
+      |       CAST(CASE WHEN span_days >= 2 AND s > 0
+      |                  AND (span_days * q - s::HUGEINT * s) * 1000000 // ((span_days - 1) * s) > 1000000
+      |            THEN 1 ELSE 0 END AS INT) AS overdispersed
+      |FROM g ORDER BY k""".stripMargin) { (s, dir) =>
+    graft.ext.TimeSeries.burstiness(Tables.events(s, dir),
+      col("event_type"), col("ts"))
+      .orderBy("k")
+  }
+
+  // x198 — TOKENIZER FERTILITY by language: chars-per-BPE-token and
+  // bytes-per-char in exact ppm — the fairness numbers a mixture reads
+  // before fixing per-language token budgets. One combinable groupBy,
+  // no explode (counts only, never the token stream).
+  val x198 = Q(
+    "x198_fertility",
+    """SELECT lang,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      |       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+      |       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+      |                ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_ws,
+      |       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpe,
+      |       CAST(CASE WHEN SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) > 0
+      |            THEN SUM(length(text))::HUGEINT * 1000000
+      |                 // SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+      |            ELSE NULL END AS BIGINT) AS chars_per_bpe_ppm,
+      |       CAST(CASE WHEN SUM(length(text)) > 0
+      |            THEN SUM(octet_length(encode(text)))::HUGEINT * 1000000 // SUM(length(text))
+      |            ELSE NULL END AS BIGINT) AS bytes_per_char_ppm
+      |FROM documents GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    TextAnalysis.tokenizerFertility(Tables.documents(s, dir),
+      col("lang"), col("text"))
+      .orderBy("lang")
+  }
+
+  // x199 — LATENESS AUDIT: per event type, the log2 histogram of how
+  // far event time sits behind the per-user running max in arrival
+  // (event_id) order — the watermark-design table. Bucket −2 = first
+  // arrival, −1 = in order, else ⌊log2 µs⌋. One user-keyed window +
+  // a ≤ types×65-cell combinable rollup.
+  val x199 = Q(
+    "x199_lateness",
+    """WITH l AS (
+      |  SELECT event_type AS et,
+      |         MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max,
+      |         epoch_us(ts) AS tus
+      |  FROM events),
+      |b AS (
+      |  SELECT et, GREATEST(0, prior_max - tus) AS late_us,
+      |         CASE WHEN prior_max IS NULL THEN -2
+      |              WHEN GREATEST(0, prior_max - tus) = 0 THEN -1
+      |              ELSE length(bin(GREATEST(0, prior_max - tus))) - 1 END AS bucket
+      |  FROM l)
+      |SELECT et AS event_type, CAST(bucket AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(MAX(late_us) AS BIGINT) AS max_late_us
+      |FROM b GROUP BY 1, 2
+      |ORDER BY event_type, bucket""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.latenessAudit(Tables.events(s, dir),
+      col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .orderBy("event_type", "bucket")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -6709,5 +6830,6 @@ object ExtQueries {
       x134, x135, x136, x137, x138, x139, x140, x141, x142, x143, x144,
       x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170, x171, x172, x173, x174, x175,
       x176, x177, x178, x179, x180, x181, x182, x183, x184, x185, x186,
-      x187, x188, x189, x190, x191, x192, x193, x194, x195)
+      x187, x188, x189, x190, x191, x192, x193, x194, x195, x196, x197,
+      x198, x199)
 }

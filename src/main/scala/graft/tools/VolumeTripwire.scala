@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Tables
-import graft.ext.{Dedup, Graph, Multimodal, Profile, Relevance, Sampling, Similarity, Sketches}
+import graft.ext.{Dedup, Graph, Multimodal, Profile, Relevance, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -708,7 +708,59 @@ object VolumeTripwire {
             n = 3, maxShingleDf = 16L), c => c % 50 === 0, iters = 3)),
         timeMin(Graph.personalizedPageRank(
           Graph.coShingleEdges(docs10, col("doc_id"), col("text"),
-            n = 3, maxShingleDf = 16L), c => c % 50 === 0, iters = 3))))
+            n = 3, maxShingleDf = 16L), c => c % 50 === 0, iters = 3))),
+      {
+        // winsorize with 9/10 of the blown corpus on ONE key: the range
+        // sort spreads (k, v, id) across ALL partitions — the hot key
+        // spans many tasks and the (pid, k)-local rank never builds a
+        // per-key global window; offsets stay O(partitions × keys)
+        val o1 = Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val o10 = blow(o1, "o_orderkey", 10, 100000000L)
+          .withColumn("o_orderpriority",
+            when(col("o_orderkey") >= 100000000L, lit("9-HOT"))
+              .otherwise(col("o_orderpriority")))
+        def wz(d: DataFrame) = Profile.winsorizedStats(d,
+          col("o_orderpriority"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)"), tailPct = 10)
+        Res("x196_winsorize", timeMin(wz(o1)), timeMin(wz(o10)))
+      }, {
+        // burstiness with a 500k single-DAY flood on one type: the
+        // daily rollup eats the flood map-side (one hot cell), the
+        // span math never explodes a calendar
+        val ev1 = Tables.events(spark, sfDir).select("event_type", "ts")
+        val hotTs = Tables.events(spark, sfDir).agg(max(col("ts")).as("ts"))
+        val ev10 = blow(Tables.events(spark, sfDir)
+            .select("event_id", "event_type", "ts"), "event_id", 10, 100000000L)
+          .select("event_type", "ts")
+          .unionAll(spark.range(500000).crossJoin(hotTs)
+            .select(lit("hot_type").as("event_type"), col("ts")))
+        def bz(d: DataFrame) = graft.ext.TimeSeries.burstiness(d,
+          col("event_type"), col("ts"))
+        Res("x197_burstiness", timeMin(bz(ev1)), timeMin(bz(ev10)))
+      }, {
+        // fertility over the byte-identical flood: pure scan-side
+        // counters + one 5-key combinable rollup — the flood pays its
+        // own regex scans and nothing else
+        val d1 = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+        val d10 = blow(d1, "doc_id", 10, 1000000L)
+        def fz(d: DataFrame) = TextAnalysis.tokenizerFertility(d,
+          col("lang"), col("text"))
+        Res("x198_fertility", timeMin(fz(d1)), timeMin(fz(d10)))
+      }, {
+        // lateness with 9/10 of the blown corpus on ONE user: the
+        // running-max window is that user's own arrival-ordered rows in
+        // one task (O(n log n) local sort, the x176 caveat); the rollup
+        // is ≤ types×65 cells
+        val ev1 = Tables.events(spark, sfDir)
+          .select("event_id", "user_id", "ts", "event_type")
+        val ev10 = blow(ev1, "event_id", 10, 100000000L)
+          .withColumn("user_id",
+            when(col("event_id") >= 100000000L, lit(7L)).otherwise(col("user_id")))
+        def lz(d: DataFrame) = graft.ops.EventAnalytics.latenessAudit(d,
+          col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        Res("x199_lateness", timeMin(lz(ev1)), timeMin(lz(ev10)))
+      })
 
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_TRIPWIRE")

@@ -1362,6 +1362,52 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x196: winsorize never builds a per-key global window — ranks are (pid, key)-local behind the checkpoint") {
+    val df = SparkEntry.queries("x196_winsorize")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    // the visible plan reads the checkpointed sort (ExistingRDD); the
+    // only Window partitions by (_pid, k) — NEVER by k alone, which
+    // with 5 keys would serialize the corpus through 5 tasks
+    assert(finalP.contains("Scan ExistingRDD"), p)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    winLines.foreach(l => assert(l.contains("_pid"), l))
+    assert(!finalP.contains("Exchange SinglePartition"), p)
+  }
+
+  test("x197: burstiness is two stacked combinable groupBys — no window, no join, no explode") {
+    val df = SparkEntry.queries("x197_burstiness")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("Join"), p)
+    assert(!finalP.contains("Window"), p)
+    assert(!finalP.contains("Generate"), p)
+  }
+
+  test("x198: fertility is one combinable groupBy — counts only, never a token explode") {
+    val df = SparkEntry.queries("x198_fertility")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("Join"), p)
+    assert(!finalP.contains("Generate"), p) // vs vocabStats' explode
+    assert(shuffles(finalP) <= 2, p)        // lang rollup + output sort
+  }
+
+  test("x199: lateness rides ONE user-keyed window, then a cell-bounded rollup") {
+    val df = SparkEntry.queries("x199_lateness")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.size === 1, p)
+    winLines.foreach(l => assert(l.contains("u#") || l.contains("partitionBy"), l))
+    assert(!finalP.contains("Exchange SinglePartition"), p)
+    assert(!finalP.contains("Join"), p)
+  }
+
   test("x181: every autocorr window is keyed — day-cardinality, nothing global") {
     val df = SparkEntry.queries("x181_rank_autocorr")(spark, dir)
     df.collect()

@@ -322,6 +322,44 @@ class GovernanceSpec extends graft.SparkSpec {
     assert(got._7 === "2024-01-08") // tie on c=1: lexicographic max takes later d
   }
 
+  test("tokenizerFertility: hand-counted chars/bytes/tokens, exact ppm ratios, NULL on empty") {
+    val docs = Seq(
+      ("en", "ab cd"),   // chars 5, bytes 5, ws 2, bpe 2
+      ("en", "héllo"),   // chars 5, bytes 6 (é is 2 bytes), ws 1, bpe 3 (h|é|llo)
+      ("zz", "")         // all-zero doc → NULL ratios
+    ).toDF("lang", "text")
+    val got = TextAnalysis.tokenizerFertility(docs, col("lang"), col("text"))
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect()
+    assert(got(0) ===
+      (("en", 2L, 10L, 11L, 3L, 5L, Some(2000000L), Some(1100000L))))
+    assert(got(1) === (("zz", 1L, 0L, 0L, 0L, 0L, None, None)))
+  }
+
+  test("latenessAudit: first arrival, in-order, and log2-bucketed late rows split exactly") {
+    val events = Seq(
+      // user 1: arrival order 1,2,3 — id2 is 500000 µs LATE vs id1
+      (1L, 1L, 1000000L, "a"),
+      (2L, 1L, 500000L, "a"),   // late 500000 µs → bucket 18 (2^18 ≤ 500000 < 2^19)
+      (3L, 1L, 2000000L, "a"),  // in order → bucket −1
+      // user 2: single event → first-arrival bucket −2
+      (4L, 2L, 700000L, "b")
+    ).toDF("event_id", "user_id", "tus", "event_type")
+      .withColumn("ts", expr("timestamp_micros(tus)"))
+    val got = graft.ops.EventAnalytics.latenessAudit(events,
+        col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .orderBy("event_type", "bucket")
+      .as[(String, Long, Long, Option[Long])].collect()
+    assert(got === Array(
+      // greatest() ignores the NULL prior_max in BOTH engines, so a
+      // first arrival reports lateness 0 (classification still −2)
+      ("a", -2L, 1L, Some(0L)),        // id1: no prior
+      ("a", -1L, 1L, Some(0L)),        // id3: in order
+      ("a", 18L, 1L, Some(500000L)),   // id2: half a second late
+      ("b", -2L, 1L, Some(0L))))
+  }
+
   test("vocabStats: lowercased [a-z0-9]+ tokens, hapax and TTR floors per stratum") {
     val docs = Seq(
       ("a", "The the DOG! dog2 ran."),   // tokens: the, the, dog, dog2, ran

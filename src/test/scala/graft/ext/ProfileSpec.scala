@@ -5,6 +5,40 @@ import org.apache.spark.sql.functions._
 class ProfileSpec extends graft.SparkSpec {
   import spark.implicits._
 
+  test("winsorizedStats: exact cut values, tail clamp counts, partition-invariant") {
+    val df = (
+      (1 to 10).map(i => ("a", i.toLong, i.toLong * 10)) ++       // a: 10..100
+      Seq(("b", 1L, 1L), ("b", 2L, 2L), ("b", 3L, 3L), ("b", 4L, 1000000L))
+    ).toDF("k", "id", "v")
+    // a @ tailPct=30: n=10, lo_rank=(300+99)/100=3 → lo=30; hi_rank=8 → hi=80
+    //   clamps: 10,20 → 30 (n_lo=2); 90,100 → 80 (n_hi=2)
+    //   wsum = 30+30+30+40+50+60+70+80+80+80 = 550
+    // b @ tailPct=30: n=4, lo_rank=(120+99)/100=2 → lo=2; hi_rank=3 → hi=3
+    //   wsum = 2+2+3+3 = 10; the 1e6 outlier is clamped, not deleted
+    val got = Profile.winsorizedStats(df, col("k"), col("id"), col("v"),
+        tailPct = 30)
+      .orderBy("k")
+      .as[(String, Long, Long, Long, Long, Long, String)].collect()
+    assert(got(0) === (("a", 10L, 30L, 80L, 2L, 2L, "550")))
+    assert(got(1) === (("b", 4L, 2L, 3L, 1L, 1L, "10")))
+    // two-phase boundary discovery is deterministic under repartitioning
+    val again = Profile.winsorizedStats(df.repartition(7), col("k"),
+        col("id"), col("v"), tailPct = 30)
+      .orderBy("k")
+      .as[(String, Long, Long, Long, Long, Long, String)].collect()
+    assert(again === got)
+  }
+
+  test("winsorizedStats: single-row key degenerates to identity; bad tailPct refused") {
+    val df = Seq(("solo", 1L, 42L)).toDF("k", "id", "v")
+    val got = Profile.winsorizedStats(df, col("k"), col("id"), col("v"))
+      .as[(String, Long, Long, Long, Long, Long, String)].collect()
+    assert(got === Array(("solo", 1L, 42L, 42L, 0L, 0L, "42")))
+    intercept[IllegalArgumentException] {
+      Profile.winsorizedStats(df, col("k"), col("id"), col("v"), tailPct = 50)
+    }
+  }
+
   private val df = Seq(
     (Some(1L), Some("a"), Some("x")),
     (Some(2L), Some("a"), None),

@@ -13,6 +13,26 @@ class TimeSeriesSpec extends graft.SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("burstiness: uniform series is 0, gap-day burst overdisperses, single day is NULL") {
+    val rows =
+      // "burst": 3 events day 1, zero day 2, 3 events day 3:
+      //   span 3, S=6, Q=18 → vmr = (3·18 − 36)·1e6 / (2·6) = 1500000
+      (1 to 3).map(_ => ("burst", ts("2024-01-01 10:00:00"))) ++
+      (1 to 3).map(_ => ("burst", ts("2024-01-03 10:00:00"))) ++
+      // "flat": 2 events on each of 3 consecutive days → vmr 0
+      (1 to 2).flatMap(d => Seq(
+        ("flat", ts(s"2024-01-0$d 09:00:00")), ("flat", ts(s"2024-01-0$d 09:30:00")))) ++
+      Seq(("flat", ts("2024-01-03 09:00:00")), ("flat", ts("2024-01-03 09:30:00"))) ++
+      // "solo": one day only → span 1 → NULL vmr, flag 0
+      Seq(("solo", ts("2024-01-05 12:00:00")))
+    val got = TimeSeries.burstiness(rows.toDF("k", "t"), col("k"), col("t"))
+      .orderBy("k")
+      .as[(String, Long, Long, Long, Option[Long], Int)].collect()
+    assert(got(0) === (("burst", 3L, 2L, 6L, Some(1500000L), 1)))
+    assert(got(1) === (("flat", 3L, 3L, 6L, Some(0L), 0)))
+    assert(got(2) === (("solo", 1L, 1L, 1L, None, 0)))
+  }
+
   // user 1: two events in hour 01 (the later one must win), a 2-hour
   // gap, then one event in hour 04
   private val events = Seq(

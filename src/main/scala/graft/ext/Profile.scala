@@ -825,4 +825,168 @@ object Profile {
       .agg(sum(abs(col("ca") * col("n_b") - col("cb") * col("n_a"))).as("emd_x"))
       .select(col("sa"), col("sb"), col("n_a"), col("n_b"), col("emd_x"))
   }
+
+  /** Chi-squared association between two categorical columns, exact to
+    * the last ppm digit: are `a` and `b` independent, and how far off?
+    * The screening test a feature audit runs before trusting (or
+    * dropping) a categorical pair — χ² ≈ 0 means `b` adds nothing once
+    * `a` is known.
+    *
+    * Exactness: χ² = Σ_cells (o−e)²/e with e = rowTot·colTot/N expands
+    * to Σ_occupied o²·N/(rowTot·colTot) − N (unoccupied cells fold into
+    * the −N term because Σo = Σe = N), so only OCCUPIED cells are ever
+    * touched and every per-cell term is one integer product and one
+    * truncating DIV — both engines truncate identically, no floats.
+    * Envelope: o²·N·1e6 must fit DECIMAL(38) → N ≲ 3e9 rows; beyond
+    * that, pre-aggregate or drop to e3 scaling (documented, loud).
+    *
+    * 100 TB posture: ONE data-scale exchange (the contingency groupBy,
+    * combinable); margins are groupBys over the CELLS (≤ |a|×|b| rows)
+    * joined back broadcast; the final rollup is cells → 1 row. A hot
+    * (a,b) cell is a map-side partial like any other count.
+    * Output: one row (n, a_levels, b_levels, dof, chi2_ppm,
+    * chi2_per_n_ppm). */
+  def chi2Assoc(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.cast("string").as("a"), b.cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+      .localCheckpoint(false) // margins + terms reuse one cell pass
+    val ra = cells.groupBy("a").agg(sum(col("o")).as("ra"))
+    val cb = cells.groupBy("b").agg(sum(col("o")).as("cb"))
+    val n = cells.agg(sum(col("o")).as("n"), count(lit(1)).as("cells"))
+    cells.join(broadcast(ra), Seq("a")).join(broadcast(cb), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("n"), col("ra"), col("cb"), col("o"),
+        expr("CAST(o AS DECIMAL(38,0)) * o * n * 1000000 DIV (CAST(ra AS DECIMAL(38,0)) * cb)")
+          .as("t"))
+      .groupBy("n")
+      .agg(count(lit(1)).as("cells_occupied"), sum(col("t")).as("__tsum"))
+      // level counts come from the margin frames (|a| and |b| rows),
+      // not a countDistinct over the corpus
+      .crossJoin(broadcast(ra.agg(count(lit(1)).as("a_levels"))))
+      .crossJoin(broadcast(cb.agg(count(lit(1)).as("b_levels"))))
+      .select(col("n"), col("a_levels"), col("b_levels"),
+        col("cells_occupied"),
+        ((col("a_levels") - 1) * (col("b_levels") - 1)).as("dof"),
+        expr("CAST(__tsum - CAST(n AS DECIMAL(38,0)) * 1000000 AS BIGINT)")
+          .as("chi2_ppm"))
+      .withColumn("chi2_per_n_ppm", expr("chi2_ppm DIV n"))
+  }
+
+  /** t-closeness audit — the third leg of the release-gate triad after
+    * [[kAnonymity]] (classes big enough) and [[lDiversity]] (classes
+    * varied enough): a class can be big AND varied yet still leak if
+    * its sensitive-value MIX is skewed vs the corpus (Li et al., ICDE
+    * 2007). Each quasi-identifier class is scored by the total
+    * variation distance between its sensitive distribution and the
+    * global one, exact in ppm: tvd = ½ Σ_s |p_class(s) − p_global(s)|
+    * = Σ_s |n_cs·N − g_s·n_c| / (2·n_c·N) — one integer numerator per
+    * sensitive value, one truncating DIV per class.
+    *
+    * Absent values cost nothing extra: a sensitive value missing from
+    * a class contributes g_s·n_c to the numerator, and Σ_{s∉class}
+    * g_s·n_c = n_c·(N − Σ_{s∈class} g_s), so the whole audit runs on
+    * OCCUPIED (class, sensitive) cells only.
+    *
+    * 100 TB posture: one data-scale exchange (the cell groupBy,
+    * combinable); global sensitive counts and per-class totals are
+    * cell-scale groupBys joined back broadcast; the final rollup is
+    * cells → classes. Output: (qids..., n, tvd_ppm, at_risk). */
+  def tCloseness(df: DataFrame, qids: Seq[(String, Column)],
+      sensitive: Column, tPpm: Long): DataFrame = {
+    require(qids.nonEmpty && tPpm > 0 && tPpm <= 1000000,
+      s"tCloseness(qids=${qids.size}, tPpm=$tPpm)")
+    val named = qids.map { case (nm, c) => c.as(nm) }
+    val qidCols = qids.map { case (nm, _) => col(nm) }
+    val cells = df
+      .select((named :+ sensitive.cast("string").as("__s")): _*)
+      .groupBy((qidCols :+ col("__s")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(false) // three cell-scale readers below
+    val gs = cells.groupBy("__s").agg(sum(col("__cnt")).as("__gs"))
+    val tot = gs.agg(sum(col("__gs")).as("__n"))
+    val classes = cells.groupBy(qidCols: _*).agg(sum(col("__cnt")).as("n"))
+    cells.join(broadcast(gs), Seq("__s"))
+      .join(broadcast(classes), qids.map(_._1))
+      .crossJoin(broadcast(tot))
+      .groupBy((qidCols :+ col("n") :+ col("__n")): _*)
+      .agg(sum(abs(expr("CAST(__cnt AS DECIMAL(38,0)) * __n - CAST(__gs AS DECIMAL(38,0)) * n")))
+          .as("__occ"),
+        sum(col("__gs")).as("__gsum"))
+      .select((qidCols :+ col("n") :+
+        expr("CAST((__occ + CAST(n AS DECIMAL(38,0)) * (__n - __gsum)) * 1000000 " +
+          "DIV (2 * CAST(n AS DECIMAL(38,0)) * __n) AS BIGINT)").as("tvd_ppm")): _*)
+      .withColumn("at_risk",
+        when(col("tvd_ppm") > tPpm, 1).otherwise(0).cast("int"))
+  }
+
+  /** Market concentration per market: Herfindahl–Hirschman index and
+    * CR4 (top-4 firm share), both in exact ppm — the antitrust-style
+    * skew report that also reads as a SHARD-BALANCE audit (market =
+    * shard key, firm = producer, HHI ≈ 1e6 means one producer owns the
+    * shard). HHI = Σ r_i²·1e6 DIV R² in one truncating DIV; revenue
+    * totals ride DECIMAL(38) and ship as strings (cent sums pass 2^63
+    * at the design point — the x127 lesson).
+    *
+    * 100 TB posture: ONE data-scale exchange (the (market, firm)
+    * rollup, combinable). The ranking window runs over the FIRM-LEVEL
+    * AGGREGATE (|firms| rows, keyed by market) — never the fact table;
+    * a market's firm list must fit one task, the same per-entity
+    * contract as every keyed window here.
+    * Output: (m, n_firms, revenue string, hhi_ppm, cr4_ppm). */
+  def marketConcentration(df: DataFrame, market: Column, firm: Column,
+      revenue: Column): DataFrame = {
+    val per = df.select(market.as("m"), firm.as("f"),
+        revenue.cast("long").as("r0"))
+      .groupBy("m", "f")
+      .agg(sum(expr("CAST(r0 AS DECIMAL(38,0))")).as("r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("m")).orderBy(col("r").desc, col("f"))
+    per.withColumn("rk", row_number().over(w))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_firms"),
+        sum(col("r")).as("rev"),
+        sum(expr("r * r")).as("r2"),
+        sum(when(col("rk") <= 4, col("r"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("top4"))
+      .select(col("m"), col("n_firms"),
+        expr("CAST(rev AS STRING)").as("revenue"),
+        expr("CAST(r2 * 1000000 DIV (rev * rev) AS BIGINT)").as("hhi_ppm"),
+        expr("CAST(top4 * 1000000 DIV rev AS BIGINT)").as("cr4_ppm"))
+  }
+
+  /** Gini split impurity of a categorical target under a categorical
+    * feature — the decision-tree split evaluator, exact in ppm:
+    * impurity(f) = 1 − Σ_y p(y|f)² = (n_f² − Σ c²)·1e6 DIV n_f², plus
+    * each branch's population-weighted contribution and a `<all>` row
+    * carrying the parent impurity, so gain = parent − Σ contribs reads
+    * straight off the result. The audit a feature pipeline runs next
+    * to [[chi2Assoc]] before keeping a categorical.
+    *
+    * 100 TB posture: one data-scale exchange (the (feature, target)
+    * cell groupBy, combinable); everything after runs on cells.
+    * Output: (f, n, n_classes, impurity_ppm, wimp_ppm), one row per
+    * feature value + the `<all>` parent row. */
+  def giniSplit(df: DataFrame, feature: Column, target: Column)
+      : DataFrame = {
+    val cells = df.select(feature.cast("string").as("f"),
+        target.cast("string").as("y"))
+      .groupBy("f", "y").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // per-feature, parent, and total readers
+    val perF = cells.groupBy("f")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_classes"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("c2"))
+    val parent = cells.groupBy("y").agg(sum(col("c")).as("c"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_classes"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("c2"))
+      .select(lit("<all>").as("f"), col("n"), col("n_classes"), col("c2"))
+    val nTot = cells.agg(sum(col("c")).as("n_all"))
+    perF.select("f", "n", "n_classes", "c2").unionAll(parent)
+      .crossJoin(broadcast(nTot))
+      .withColumn("impurity_ppm",
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * n - c2) * 1000000 " +
+          "DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+      .withColumn("wimp_ppm",
+        expr("CAST(CAST(impurity_ppm AS DECIMAL(38,0)) * n DIV n_all AS BIGINT)"))
+      .select("f", "n", "n_classes", "impurity_ppm", "wimp_ppm")
+  }
 }

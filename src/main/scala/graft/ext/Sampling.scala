@@ -639,4 +639,89 @@ object Sampling {
         col("checksum"),
         expr("n_docs * 1000000L DIV n_total").as("load_ppm"))
   }
+
+  /** Leave-one-out target encoding with additive smoothing — the
+    * leakage-safe way to turn a categorical into a numeric feature:
+    * each row's encoding is its key's target mean computed WITHOUT the
+    * row itself (so the feature never memorizes its own label), pulled
+    * toward the global mean by `alpha` pseudo-observations:
+    *
+    *   enc_ppm(i) = (s_k − v_i + alpha·μ) · 1e6 DIV (n_k − 1 + alpha),
+    *   μ = Σv DIV N   (global mean, floor — both engines identical)
+    *
+    * All integer arithmetic on an integer-valued target (cents, a 0/1
+    * label, token counts); a singleton key degrades gracefully to the
+    * smoothed prior (denominator = alpha > 0). Exact and reproducible
+    * on any engine — the property a feature-store backfill needs.
+    *
+    * 100 TB posture: per-key sums are ONE combinable groupBy over the
+    * key's (small) cardinality, broadcast back; the global mean is a
+    * 1-row broadcast; the encoding itself is scan-side arithmetic —
+    * zero data-scale exchanges beyond the key rollup. Output: one row
+    * per input (k, id, enc_ppm); see [[targetEncodeDigest]] for the
+    * per-key validation rollup. */
+  def targetEncodeLoo(df: DataFrame, key: Column, id: Column,
+      value: Column, alpha: Int = 20): DataFrame = {
+    require(alpha >= 1 && alpha <= 10000, s"alpha=$alpha out of range")
+    val base = df.select(key.as("k"), id.as("id"),
+      value.cast("long").as("v"))
+    val ks = base.groupBy("k")
+      .agg(sum(expr("CAST(v AS DECIMAL(38,0))")).as("sk"),
+        count(lit(1)).as("nk"))
+    val g = base.agg(sum(expr("CAST(v AS DECIMAL(38,0))")).as("sv"),
+      count(lit(1)).as("n"))
+    base.join(broadcast(ks), Seq("k"))
+      .crossJoin(broadcast(g))
+      .select(col("k"), col("id"),
+        expr(s"CAST((sk - v + $alpha * (sv DIV n)) * 1000000 " +
+          s"DIV (nk - 1 + $alpha) AS BIGINT)").as("enc_ppm"))
+  }
+
+  /** Per-key digest of [[targetEncodeLoo]] — proves the row-level
+    * encodings (count, min, max, exact sum as a string) without
+    * shipping N rows through the verify artifact. Combinable. */
+  def targetEncodeDigest(enc: DataFrame): DataFrame =
+    enc.groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        min(col("enc_ppm")).as("enc_min"),
+        max(col("enc_ppm")).as("enc_max"),
+        expr("CAST(sum(CAST(enc_ppm AS DECIMAL(38,0))) AS STRING)")
+          .as("enc_sum"))
+
+  /** Systematic sampling audit: order the corpus by `h = md5Hash60(id)`
+    * (a deterministic pseudorandom permutation — the same trick as
+    * [[epochShuffle]]) and keep every `k`-th row starting at `offset`.
+    * Versus Bernoulli hash sampling ([[hashSample]]-style mod tests),
+    * the systematic stride guarantees the sample size EXACTLY
+    * (⌈(n−offset)/k⌉ rows, not a binomial draw) — the contract an
+    * eval-set builder needs. The audit ships the digest: counts, h
+    * range, and the Σh mod 2^60 checksum proving the exact PICK SET
+    * against the oracle, not just its size.
+    *
+    * 100 TB posture: the global h-rank rides [[Profile.globalRank]]'s
+    * two-phase discipline (range sort + per-partition driver offsets +
+    * broadcast) — no global window, no SinglePartition exchange; the
+    * digest is one combinable aggregate. Ties in h (60-bit collisions)
+    * are harmless: tied rows carry identical h, so whichever side of
+    * the stride boundary they land on, count/min/max/checksum are
+    * unchanged on any engine.
+    * Output: one row (n_total, n_picked, min_h, max_h, checksum,
+    * load_ppm). */
+  def systematicSample(df: DataFrame, id: Column, k: Int,
+      offset: Int): DataFrame = {
+    require(k >= 2 && k <= 1000000, s"k=$k out of range")
+    require(offset >= 0 && offset < k, s"offset=$offset not in [0, $k)")
+    val h = df.select(Dedup.md5Hash60(id.cast("string")).as("h"))
+    val nTot = h.agg(count(lit(1)).as("n_total"))
+    val picked = Profile.globalRank(h, col("h"))
+      .where(pmod(col("p"), lit(k.toLong)) === offset.toLong)
+    picked.agg(count(lit(1)).as("n_picked"),
+        min(col("id")).as("min_h"), max(col("id")).as("max_h"),
+        expr("CAST(sum(CAST(id AS DECIMAL(38,0))) % 1152921504606846976 " +
+          "AS BIGINT)").as("checksum"))
+      .crossJoin(broadcast(nTot))
+      .select(col("n_total"), col("n_picked"), col("min_h"), col("max_h"),
+        col("checksum"),
+        expr("n_picked * 1000000L DIV n_total").as("load_ppm"))
+  }
 }

@@ -853,4 +853,36 @@ object Similarity {
       .select(col("slice_a"), col("slice_b"), col("n_a"), col("n_b"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("csim"))
   }
+
+  /** MRR evaluation of the LSH index against brute-force ground truth —
+    * [[knnLsh]] vs [[knnBrute]], rank-SENSITIVE where x84's recall@k is
+    * rank-blind: a retrieval stack cares whether the true nearest
+    * neighbor surfaces FIRST, not merely somewhere in the top-k.
+    * Reciprocal ranks ride exact fixed point (1e6 DIV rank — both
+    * engines truncate identically), a miss scores 0; the one-row
+    * report carries hit@1, hit@k, the RR sum, and its floor mean.
+    *
+    * 100 TB posture: both sides are the already-audited plans (LSH
+    * bucket join; brute is |queries|·N with the broadcast query slice)
+    * over a FIXED query sample — the eval cost scales with the corpus,
+    * never with corpus². The truth↔approx join is |queries| rows,
+    * broadcast. Output: (n_queries, n_hit1, n_hitk, mrr_sum_e6,
+    * mrr_mean_e6). */
+  def annMrr(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val approx = knnLsh(embs, queryIds, k)
+      .select(col("qid"), col("neighbor_id"), col("rank"))
+    val truth = knnBrute(embs,
+        embs.where(col("vec_id").isin(queryIds.map(x => x: Any): _*)), k = 1)
+      .select(col("qid"), col("neighbor_id").as("tid"))
+    truth.join(broadcast(approx),
+        truth("qid") === approx("qid") && col("tid") === col("neighbor_id"),
+        "left")
+      .select(truth("qid"),
+        coalesce(expr("1000000 DIV rank"), lit(0L)).as("rr_e6"),
+        when(col("rank") === 1, 1L).otherwise(0L).as("h1"),
+        when(col("rank").isNotNull, 1L).otherwise(0L).as("hk"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("h1")).as("n_hit1"),
+        sum(col("hk")).as("n_hitk"), sum(col("rr_e6")).as("mrr_sum_e6"))
+      .withColumn("mrr_mean_e6", expr("mrr_sum_e6 DIV n_queries"))
+  }
 }

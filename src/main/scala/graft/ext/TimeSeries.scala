@@ -362,4 +362,41 @@ object TimeSeries {
       .select("k", "span_days", "active_days", "s", "vmr_ppm",
         "overdispersed")
   }
+
+  /** Max concurrent open intervals per key — the classic sweep-line,
+    * distributed: each interval [st, en) mints a +1 event at `st` and a
+    * −1 at `en`, and the peak of the per-key running sum is the key's
+    * maximum simultaneous load (open orders in flight per supplier, or
+    * the executor count a backfill of this key's history would need).
+    *
+    * Determinism under ties: the running sum is ordered by (t, d) with
+    * d = −1 before +1, so an interval ending exactly when another
+    * starts is NOT concurrent with it (half-open semantics). Ties
+    * within the same (t, d) group all carry the same delta, so the SET
+    * of running-sum values across the group — and therefore the peak
+    * and the peak's timestamp — is order-independent; no per-row id
+    * tiebreak is needed for the aggregate to be exact.
+    *
+    * 100 TB posture: the event stream is 2 rows per interval; the one
+    * window is keyed (never global), so a key's history must fit one
+    * task — the same per-entity contract as every window op here. The
+    * rollup after it is combinable. Output: (k, n_iv, max_open,
+    * peak_us — the EARLIEST microsecond the peak is reached). */
+  def maxConcurrency(iv: DataFrame, key: Column, start: Column,
+      end: Column): DataFrame = {
+    val base = iv.select(key.as("k"), unix_micros(start).as("st"),
+        unix_micros(end).as("en"))
+      .where(col("en") > col("st"))
+    val ev = base.select(col("k"), col("st").as("t"), lit(1L).as("d"))
+      .unionAll(base.select(col("k"), col("en").as("t"), lit(-1L).as("d")))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("open", sum(col("d")).over(w))
+      .groupBy("k")
+      .agg(expr("count(1) DIV 2").as("n_iv"),
+        max(col("open")).as("max_open"),
+        max(struct(col("open"), (-col("t")).as("nt"))).as("__pk"))
+      .select(col("k"), col("n_iv"), col("max_open"),
+        (-col("__pk.nt")).as("peak_us"))
+  }
 }

@@ -6816,6 +6816,279 @@ object ExtQueries {
       .orderBy("event_type", "bucket")
   }
 
+  // x200 — CHI-SQUARED ASSOCIATION between two categoricals (market
+  // segment × nation), exact to the ppm: the independence screen a
+  // feature audit runs before trusting a categorical pair. Only
+  // OCCUPIED cells are touched (χ² = Σ o²N/(r·c) − N); one data-scale
+  // exchange, margins are cell-scale, broadcast back.
+  val x200 = Q(
+    "x200_chi2_assoc",
+    """WITH cells AS (
+      |  SELECT CAST(c_mktsegment AS VARCHAR) AS a,
+      |         CAST(c_nationkey AS VARCHAR) AS b,
+      |         CAST(count(*) AS BIGINT) AS o
+      |  FROM customer GROUP BY 1, 2),
+      |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+      |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+      |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |ts AS (SELECT SUM(cells.o::HUGEINT * cells.o * nn.n * 1000000
+      |                  // (ra.ra::HUGEINT * cb.cb)) AS tsum,
+      |              CAST(count(*) AS BIGINT) AS cells_occupied
+      |       FROM cells, ra, cb, nn
+      |       WHERE ra.a = cells.a AND cb.b = cells.b)
+      |SELECT nn.n AS n,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM ra) AS a_levels,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM cb) AS b_levels,
+      |       ts.cells_occupied,
+      |       ((SELECT count(*) FROM ra) - 1)
+      |         * ((SELECT count(*) FROM cb) - 1) AS dof,
+      |       CAST(ts.tsum - nn.n::HUGEINT * 1000000 AS BIGINT) AS chi2_ppm,
+      |       CAST((ts.tsum - nn.n::HUGEINT * 1000000) // nn.n AS BIGINT)
+      |         AS chi2_per_n_ppm
+      |FROM nn, ts""".stripMargin) { (s, dir) =>
+    Profile.chi2Assoc(Tables.customer(s, dir),
+      col("c_mktsegment"), col("c_nationkey"))
+  }
+
+  // x201 — T-CLOSENESS audit, the third leg of the governance triad
+  // (x120 k-anonymity: big enough; x192 l-diversity: varied enough;
+  // here: mix not SKEWED vs the corpus). Total variation distance per
+  // (lang, len-bucket) class vs the global source mix, exact ppm;
+  // absent sources fold into one closed-form term so only occupied
+  // cells are touched.
+  val x201 = Q(
+    "x201_t_closeness",
+    """WITH cells AS (
+      |  SELECT lang, CAST(length(text) // 200 AS BIGINT) AS len_bucket,
+      |         source AS sv, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY 1, 2, 3),
+      |gs AS (SELECT sv, CAST(sum(cnt) AS BIGINT) AS gsv FROM cells GROUP BY 1),
+      |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tot FROM cells),
+      |cl AS (SELECT lang, len_bucket, CAST(sum(cnt) AS BIGINT) AS n
+      |       FROM cells GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT cells.lang, cells.len_bucket, cl.n, nn.n_tot,
+      |         SUM(ABS(cells.cnt::HUGEINT * nn.n_tot
+      |                 - gs.gsv::HUGEINT * cl.n)) AS occ,
+      |         CAST(SUM(gs.gsv) AS BIGINT) AS gsum
+      |  FROM cells, gs, cl, nn
+      |  WHERE gs.sv = cells.sv AND cl.lang = cells.lang
+      |    AND cl.len_bucket = cells.len_bucket
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT lang, len_bucket, n,
+      |       CAST((occ + n::HUGEINT * (n_tot - gsum)) * 1000000
+      |            // (2 * n::HUGEINT * n_tot) AS BIGINT) AS tvd_ppm,
+      |       CAST(CASE WHEN (occ + n::HUGEINT * (n_tot - gsum)) * 1000000
+      |                      // (2 * n::HUGEINT * n_tot) > 250000
+      |            THEN 1 ELSE 0 END AS INT) AS at_risk
+      |FROM agg ORDER BY lang, len_bucket""".stripMargin) { (s, dir) =>
+    Profile.tCloseness(Tables.documents(s, dir),
+      Seq(("lang", col("lang")),
+        ("len_bucket", expr("CAST(length(text) DIV 200 AS BIGINT)"))),
+      col("source"), tPpm = 250000L)
+      .orderBy("lang", "len_bucket")
+  }
+
+  // x202 — MAX CONCURRENT OPEN INTERVALS per supplier (sweep-line,
+  // distributed): order date → ship date intervals, +1/−1 deltas, the
+  // per-key running-sum peak and the earliest microsecond it is
+  // reached. Half-open semantics pinned by the (t, d) tie order; one
+  // keyed window, never global.
+  val x202 = Q(
+    "x202_max_concurrency",
+    """WITH iv AS (
+      |  SELECT l_suppkey AS k, epoch_us(o_orderdate) AS st,
+      |         epoch_us(l_shipdate) AS en
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  WHERE epoch_us(l_shipdate) > epoch_us(o_orderdate)),
+      |ev AS (SELECT k, st AS t, CAST(1 AS BIGINT) AS d FROM iv
+      |       UNION ALL SELECT k, en, CAST(-1 AS BIGINT) FROM iv),
+      |r AS (SELECT k, t,
+      |        SUM(d) OVER (PARTITION BY k ORDER BY t, d
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+      |      FROM ev),
+      |m AS (SELECT k, count(*) // 2 AS n_iv, MAX(open) AS mo
+      |      FROM r GROUP BY k)
+      |SELECT m.k AS k, CAST(m.n_iv AS BIGINT) AS n_iv,
+      |       CAST(m.mo AS BIGINT) AS max_open,
+      |       CAST(MIN(r.t) AS BIGINT) AS peak_us
+      |FROM r JOIN m ON r.k = m.k AND r.open = m.mo
+      |GROUP BY 1, 2, 3
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    graft.ext.TimeSeries.maxConcurrency(
+      Tables.lineitem(s, dir).join(Tables.orders(s, dir),
+        col("o_orderkey") === col("l_orderkey")),
+      col("l_suppkey"), col("o_orderdate"), col("l_shipdate"))
+      .orderBy("k")
+  }
+
+  // x203 — LEAVE-ONE-OUT TARGET ENCODING of order priority against the
+  // cent-valued order total, alpha=20 smoothing — the leakage-safe
+  // categorical→numeric feature, exact in ppm of a cent. The verify
+  // surface is the per-key digest (n, min, max, exact sum) proving all
+  // N row encodings without shipping N rows.
+  val x203 = Q(
+    "x203_target_encode",
+    """WITH b AS (
+      |  SELECT o_orderpriority AS k, o_orderkey AS id,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders),
+      |g AS (SELECT CAST(sum(v) AS HUGEINT) AS sv,
+      |             CAST(count(*) AS BIGINT) AS n FROM b),
+      |ks AS (SELECT k, CAST(sum(v) AS HUGEINT) AS sk,
+      |              CAST(count(*) AS BIGINT) AS nk FROM b GROUP BY 1),
+      |e AS (SELECT b.k,
+      |             (ks.sk - b.v + 20 * (g.sv // g.n)) * 1000000
+      |               // (ks.nk - 1 + 20) AS enc
+      |      FROM b, ks, g WHERE ks.k = b.k)
+      |SELECT k, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(min(enc) AS BIGINT) AS enc_min,
+      |       CAST(max(enc) AS BIGINT) AS enc_max,
+      |       CAST(CAST(sum(enc) AS HUGEINT) AS VARCHAR) AS enc_sum
+      |FROM e GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+    Sampling.targetEncodeDigest(
+      Sampling.targetEncodeLoo(Tables.orders(s, dir),
+        col("o_orderpriority"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"), alpha = 20))
+      .orderBy("k")
+  }
+
+  // x204 — MARKET CONCENTRATION (HHI + CR4) of supplier revenue per
+  // nation, exact ppm: the skew report that doubles as a shard-balance
+  // audit. One data-scale (market, firm) rollup; the top-4 window runs
+  // on the firm-level AGGREGATE, never the fact table; revenue ships
+  // as a string (cent sums pass 2^63 at design point).
+  val x204 = Q(
+    "x204_market_hhi",
+    """WITH per AS (
+      |  SELECT CAST(s_nationkey AS BIGINT) AS m, l_suppkey AS f,
+      |         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |              AS HUGEINT) AS r
+      |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT m, f, r,
+      |         row_number() OVER (PARTITION BY m ORDER BY r DESC, f) AS rk
+      |       FROM per)
+      |SELECT m, CAST(count(*) AS BIGINT) AS n_firms,
+      |       CAST(CAST(sum(r) AS HUGEINT) AS VARCHAR) AS revenue,
+      |       CAST(sum(r * r) * 1000000 // (sum(r) * sum(r)) AS BIGINT)
+      |         AS hhi_ppm,
+      |       CAST(sum(CASE WHEN rk <= 4 THEN r ELSE 0 END) * 1000000
+      |            // sum(r) AS BIGINT) AS cr4_ppm
+      |FROM rk GROUP BY m
+      |ORDER BY m""".stripMargin) { (s, dir) =>
+    Profile.marketConcentration(
+      Tables.lineitem(s, dir).join(broadcast(Tables.supplier(s, dir)),
+        col("s_suppkey") === col("l_suppkey")),
+      col("s_nationkey").cast("long"), col("l_suppkey"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .orderBy("m")
+  }
+
+  // x205 — SYSTEMATIC SAMPLE audit: every 16th row of the md5-permuted
+  // order stream starting at offset 7 — exact sample size by
+  // construction (vs Bernoulli's binomial draw), pick set proven by
+  // the Σh checksum. The global stride rank rides the two-phase
+  // globalRank discipline (no global window).
+  val x205 = Q(
+    "x205_systematic_sample",
+    """WITH h AS (
+      |  SELECT ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM orders),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM h),
+      |r AS (SELECT h, row_number() OVER (ORDER BY h) - 1 AS p FROM h),
+      |s AS (SELECT h FROM r WHERE p % 16 = 7)
+      |SELECT n.n_total, CAST(count(*) AS BIGINT) AS n_picked,
+      |       CAST(min(h) AS BIGINT) AS min_h, CAST(max(h) AS BIGINT) AS max_h,
+      |       CAST(SUM(h::HUGEINT) % 1152921504606846976 AS BIGINT) AS checksum,
+      |       CAST(count(*) * 1000000 // n.n_total AS BIGINT) AS load_ppm
+      |FROM s, n GROUP BY n.n_total""".stripMargin) { (s, dir) =>
+    Sampling.systematicSample(Tables.orders(s, dir), col("o_orderkey"),
+      k = 16, offset = 7)
+  }
+
+  // x206 — MRR of the LSH index vs brute-force truth: rank-SENSITIVE
+  // where x84's recall is rank-blind. Reciprocal ranks in exact fixed
+  // point (1e6 DIV rank, miss = 0); the eval runs the two
+  // already-audited plans over a fixed 10-query sample and joins
+  // |queries| rows broadcast.
+  val x206 = Q(
+    "x206_ann_mrr",
+    s"""WITH planes(tbl, i, p) AS (VALUES
+      |  $planeRows),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |b AS (
+      |  SELECT e.vec_id, pl.tbl,
+      |         CAST(SUM(CASE WHEN list_dot_product(e.emb, pl.p) >= 0
+      |                       THEN (1::BIGINT << pl.i) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+      |  FROM e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
+      |  FROM b c JOIN b q ON c.tbl = q.tbl AND c.bucket = q.bucket
+      |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |scored AS (
+      |  SELECT cand.qid, cand.vid AS neighbor_id,
+      |         round(list_cosine_similarity(qe.emb, ce.emb), 6) AS sim
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.qid JOIN e ce ON ce.vec_id = cand.vid),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+      |      FROM scored),
+      |approx AS (SELECT qid, neighbor_id, rank FROM r WHERE rank <= 5),
+      |bp AS (
+      |  SELECT q.vec_id AS qid, e2.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(q.emb, e2.emb), 6) AS sim
+      |  FROM e q, e e2
+      |  WHERE q.vec_id < 10 AND e2.vec_id <> q.vec_id),
+      |br AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+      |       FROM bp),
+      |truth AS (SELECT qid, neighbor_id AS tid FROM br WHERE rank = 1),
+      |j AS (
+      |  SELECT t.qid, COALESCE(1000000 // a.rank, 0) AS rr_e6,
+      |         CASE WHEN a.rank = 1 THEN 1 ELSE 0 END AS h1,
+      |         CASE WHEN a.rank IS NOT NULL THEN 1 ELSE 0 END AS hk
+      |  FROM truth t LEFT JOIN approx a
+      |    ON a.qid = t.qid AND a.neighbor_id = t.tid)
+      |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(h1) AS BIGINT) AS n_hit1,
+      |       CAST(sum(hk) AS BIGINT) AS n_hitk,
+      |       CAST(sum(rr_e6) AS BIGINT) AS mrr_sum_e6,
+      |       CAST(sum(rr_e6) // count(*) AS BIGINT) AS mrr_mean_e6
+      |FROM j""".stripMargin) { (s, dir) =>
+    Similarity.annMrr(normalizedEmb(s, dir), (0L until 10L).toSeq, k = 5)
+  }
+
+  // x207 — GINI SPLIT IMPURITY of order status under order priority —
+  // the decision-tree split evaluator next to x200's χ² screen:
+  // per-branch impurity, weighted contribution, and the `<all>` parent
+  // row so gain reads straight off the result. Cells only after one
+  // combinable exchange.
+  val x207 = Q(
+    "x207_gini_split",
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS f, o_orderstatus AS y,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |pf AS (SELECT f, CAST(sum(c) AS BIGINT) AS n,
+      |              CAST(count(*) AS BIGINT) AS n_classes,
+      |              SUM(c::HUGEINT * c) AS c2
+      |       FROM cells GROUP BY 1),
+      |pc AS (SELECT y, CAST(sum(c) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |pr AS (SELECT '<all>' AS f, CAST(sum(c) AS BIGINT) AS n,
+      |              CAST(count(*) AS BIGINT) AS n_classes,
+      |              SUM(c::HUGEINT * c) AS c2
+      |       FROM pc),
+      |u AS (SELECT * FROM pf UNION ALL SELECT * FROM pr),
+      |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM cells)
+      |SELECT f, n, n_classes,
+      |       CAST((n::HUGEINT * n - c2) * 1000000 // (n::HUGEINT * n) AS BIGINT)
+      |         AS impurity_ppm,
+      |       CAST(((n::HUGEINT * n - c2) * 1000000 // (n::HUGEINT * n)) * n
+      |            // n_all AS BIGINT) AS wimp_ppm
+      |FROM u, nn ORDER BY f""".stripMargin) { (s, dir) =>
+    Profile.giniSplit(Tables.orders(s, dir),
+      col("o_orderpriority"), col("o_orderstatus"))
+      .orderBy("f")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -6831,5 +7104,5 @@ object ExtQueries {
       x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170, x171, x172, x173, x174, x175,
       x176, x177, x178, x179, x180, x181, x182, x183, x184, x185, x186,
       x187, x188, x189, x190, x191, x192, x193, x194, x195, x196, x197,
-      x198, x199)
+      x198, x199, x200, x201, x202, x203, x204, x205, x206, x207)
 }

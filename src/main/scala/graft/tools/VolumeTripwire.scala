@@ -760,6 +760,113 @@ object VolumeTripwire {
         def lz(d: DataFrame) = graft.ops.EventAnalytics.latenessAudit(d,
           col("user_id"), col("event_id"), col("ts"), col("event_type"))
         Res("x199_lateness", timeMin(lz(ev1)), timeMin(lz(ev10)))
+      }, {
+        // chi2 with a 500k-row flood on ONE (segment, nation) cell: the
+        // contingency groupBy eats the flood map-side (one hot cell);
+        // margins and terms stay cell-scale regardless
+        val c1 = Tables.customer(spark, sfDir)
+          .select("c_custkey", "c_mktsegment", "c_nationkey")
+        val c10 = blow(c1, "c_custkey", 10, 10000000L)
+          .unionAll(spark.range(500000)
+            .select((col("id") + 900000000L).as("c_custkey"),
+              lit("FLOOD").as("c_mktsegment"), lit(99).as("c_nationkey")))
+        def cz(d: DataFrame) = Profile.chi2Assoc(d,
+          col("c_mktsegment"), col("c_nationkey"))
+        Res("x200_chi2", timeMin(cz(c1)), timeMin(cz(c10)))
+      }, {
+        // t-closeness under a 500k byte-identical flood into ONE
+        // (lang, len-bucket, source) cell: the cell groupBy combines
+        // map-side; everything after runs on cells, not rows
+        val d1 = Tables.documents(spark, sfDir)
+          .select("lang", "text", "source")
+        val hot = Tables.documents(spark, sfDir).where(col("doc_id") === 42)
+          .select("lang", "text", "source")
+          .crossJoin(spark.range(500000)).select("lang", "text", "source")
+        val d10 = blow(Tables.documents(spark, sfDir)
+            .select("doc_id", "lang", "text", "source"), "doc_id", 10, 1000000L)
+          .select("lang", "text", "source").unionAll(hot)
+        def tz(d: DataFrame) = Profile.tCloseness(d,
+          Seq(("lang", col("lang")),
+            ("len_bucket", expr("CAST(length(text) DIV 200 AS BIGINT)"))),
+          col("source"), tPpm = 250000L)
+        Res("x201_tCloseness", timeMin(tz(d1)), timeMin(tz(d10)))
+      }, {
+        // sweep-line with 9/10 of the blown interval set on ONE
+        // supplier: that key's history sorts in one task (the per-entity
+        // window contract — O(n log n) local), the rollup is combinable
+        val iv1 = Tables.lineitem(spark, sfDir)
+          .join(Tables.orders(spark, sfDir),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("l_suppkey").as("k"), col("o_orderdate").as("st"),
+            col("l_shipdate").as("en"))
+        val iv10 = (0 until 10).map(i =>
+            if (i == 0) iv1 else iv1.withColumn("k", lit(9999999L)))
+          .reduce(_.unionAll(_))
+        def mz(d: DataFrame) = graft.ext.TimeSeries.maxConcurrency(d,
+          col("k"), col("st"), col("en"))
+        Res("x202_maxConcurrency", timeMin(mz(iv1)), timeMin(mz(iv10)))
+      }, {
+        // target encoding with a 500k-row flood on ONE key: key sums
+        // stay a 6-row broadcast, the encoding is scan-side — the flood
+        // pays its own scan and nothing else
+        val o1 = Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val o10 = blow(o1, "o_orderkey", 10, 10000000L)
+          .unionAll(spark.range(500000)
+            .select((col("id") + 900000000L).as("o_orderkey"),
+              lit("FLOOD").as("o_orderpriority"),
+              lit(100.0).as("o_totalprice")))
+        def ez(d: DataFrame) = Sampling.targetEncodeDigest(
+          Sampling.targetEncodeLoo(d, col("o_orderpriority"),
+            col("o_orderkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)"), alpha = 20))
+        Res("x203_targetEncode", timeMin(ez(o1)), timeMin(ez(o10)))
+      }, {
+        // HHI with a 500k-row flood onto ONE (market, firm): the rollup
+        // combines map-side into one firm row; the ranking window sees
+        // |firms| aggregate rows either way
+        val l1 = Tables.lineitem(spark, sfDir)
+          .join(Tables.supplier(spark, sfDir),
+            col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_nationkey").cast("long").as("m"),
+            col("l_suppkey").as("f"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("r"))
+        val l10 = blow(l1.withColumn("rid", col("f")), "rid", 10, 10000000L)
+          .drop("rid")
+          .unionAll(spark.range(500000).select(lit(7L).as("m"),
+            lit(424242L).as("f"), lit(100L).as("r")))
+        def hz(d: DataFrame) = Profile.marketConcentration(d,
+          col("m"), col("f"), col("r"))
+        Res("x204_marketHhi", timeMin(hz(l1)), timeMin(hz(l10)))
+      }, {
+        // systematic stride at 10×: the two-phase rank is one range
+        // sort + O(partitions) driver offsets — linear by construction
+        val o1 = Tables.orders(spark, sfDir).select("o_orderkey")
+        val o10 = blow(o1, "o_orderkey", 10, 10000000L)
+        def sz(d: DataFrame) = Sampling.systematicSample(d,
+          col("o_orderkey"), k = 16, offset = 7)
+        Res("x205_systematic", timeMin(sz(o1)), timeMin(sz(o10)))
+      }, {
+        // MRR eval on the 10× corpus (duplicated-embedding skew): both
+        // sides are the already-tripwired plans — LSH bucket join plus
+        // the |queries|·N brute truth, linear in the corpus
+        def mrz(d: DataFrame) = Similarity.annMrr(d, (0L until 10L).toSeq,
+          k = 5)
+        Res("x206_annMrr", timeMin(mrz(embs1)), timeMin(mrz(embs10)))
+      }, {
+        // gini split with a 500k flood into ONE (feature, target) cell:
+        // map-side partial, cells after
+        val g1 = Tables.orders(spark, sfDir)
+          .select("o_orderpriority", "o_orderstatus")
+        val g10 = blow(Tables.orders(spark, sfDir)
+            .select("o_orderkey", "o_orderpriority", "o_orderstatus"),
+            "o_orderkey", 10, 10000000L)
+          .select("o_orderpriority", "o_orderstatus")
+          .unionAll(spark.range(500000).select(
+            lit("FLOOD").as("o_orderpriority"), lit("F").as("o_orderstatus")))
+        def gz(d: DataFrame) = Profile.giniSplit(d,
+          col("o_orderpriority"), col("o_orderstatus"))
+        Res("x207_giniSplit", timeMin(gz(g1)), timeMin(gz(g10)))
       })
 
     val only: Option[Set[String]] =

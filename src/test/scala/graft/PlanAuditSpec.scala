@@ -1418,4 +1418,101 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(windows.nonEmpty, p)
     assert(!finalP.contains("Exchange SinglePartition"), p)
   }
+
+  test("x200: chi2 margins join back broadcast onto checkpointed cells — no shuffled join, no window") {
+    val df = SparkEntry.queries("x200_chi2_assoc")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    // cells are checkpointed once (the one data-scale exchange lives
+    // behind the ExistingRDD); margins are cell-scale and broadcast
+    assert(finalP.contains("Scan ExistingRDD"), p)
+    assert(!finalP.contains("SortMergeJoin"), p)
+    assert(!finalP.contains("ShuffledHashJoin"), p)
+    assert(!finalP.contains("CartesianProduct"), p)
+    assert(!finalP.contains("Window"), p)
+  }
+
+  test("x201: t-closeness runs on occupied cells only — broadcast margins, no shuffled join") {
+    val df = SparkEntry.queries("x201_t_closeness")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("Scan ExistingRDD"), p)
+    assert(!finalP.contains("SortMergeJoin"), p)
+    assert(!finalP.contains("ShuffledHashJoin"), p)
+    assert(!finalP.contains("CartesianProduct"), p)
+    assert(!finalP.contains("Window"), p)
+  }
+
+  test("x202: sweep-line rides ONE keyed window over the fact join — never a global sort") {
+    val df = SparkEntry.queries("x202_max_concurrency")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    val windows = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.size === 1, p)
+    windows.foreach(l => assert(l.contains("k#"), l))
+    assert(!finalP.contains("Exchange SinglePartition"), p)
+    assert(!finalP.contains("CartesianProduct"), p)
+  }
+
+  test("x203: target encoding is scan-side arithmetic behind broadcast key sums — no shuffled join, no window") {
+    val df = SparkEntry.queries("x203_target_encode")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("SortMergeJoin"), p)
+    assert(!finalP.contains("ShuffledHashJoin"), p)
+    assert(!finalP.contains("CartesianProduct"), p)
+    assert(!finalP.contains("Window"), p)
+  }
+
+  test("x204: top-4 window runs over the firm AGGREGATE keyed by market; supplier joins broadcast") {
+    val df = SparkEntry.queries("x204_market_hhi")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.size === 1, p)
+    winLines.foreach(l => assert(l.contains("m#"), l))
+    assert(finalP.contains("BroadcastHashJoin"), p)
+    assert(!finalP.contains("SortMergeJoin"), p)
+    assert(!finalP.contains("Exchange SinglePartition"), p)
+  }
+
+  test("x205: systematic stride rides the two-phase rank — (pid)-local windows only, no global sort") {
+    val df = SparkEntry.queries("x205_systematic_sample")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("Scan ExistingRDD"), p)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    winLines.foreach(l => assert(l.contains("_pid"), l))
+    assert(!finalP.contains("SortMergeJoin"), p)
+  }
+
+  test("x206: MRR eval reuses the audited ANN plans — keyed rank windows, no shuffled join") {
+    val df = SparkEntry.queries("x206_ann_mrr")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(l => assert(l.contains("qid#"), l))
+    assert(!finalP.contains("SortMergeJoin"), p)
+    assert(!finalP.contains("ShuffledHashJoin"), p)
+    assert(!finalP.contains("CartesianProduct"), p)
+  }
+
+  test("x207: gini split runs on checkpointed cells — no shuffled join, no window") {
+    val df = SparkEntry.queries("x207_gini_split")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("Scan ExistingRDD"), p)
+    assert(!finalP.contains("SortMergeJoin"), p)
+    assert(!finalP.contains("ShuffledHashJoin"), p)
+    assert(!finalP.contains("Window"), p)
+  }
 }

@@ -973,4 +973,56 @@ class DecayedTopKSpec extends graft.SparkSpec {
     assert(got._2 === (1L << 30)) // only the fresh event scores
     assert(got._3 === 2L && got._4 === 1L)
   }
+
+  test("targetEncodeLoo: own label excluded, singleton key falls back to the prior") {
+    // a: v=[10,20,30] (sum 60), b: [100] → global sum 160, n 4, μ=40
+    // alpha=2: enc(a,10) = (60−10+80)·1e6/4 = 32.5e6; enc(a,20)=30e6;
+    // enc(a,30)=27.5e6; enc(b,100) = (0+80)·1e6/2 = 40e6 — exactly the
+    // smoothed prior, NOT 100e6 (the label never encodes itself)
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 4L, 100L)).toDF("k", "id", "v")
+    val got = Sampling.targetEncodeLoo(df, col("k"), col("id"), col("v"),
+        alpha = 2)
+      .orderBy("id").as[(String, Long, Long)].collect()
+    assert(got === Array(("a", 1L, 32500000L), ("a", 2L, 30000000L),
+      ("a", 3L, 27500000L), ("b", 4L, 40000000L)))
+    val dig = Sampling.targetEncodeDigest(
+      Sampling.targetEncodeLoo(df.repartition(5), col("k"), col("id"),
+        col("v"), alpha = 2))
+      .orderBy("k").as[(String, Long, Long, Long, String)].collect()
+    assert(dig === Array(("a", 3L, 27500000L, 32500000L, "90000000"),
+      ("b", 1L, 40000000L, 40000000L, "40000000")))
+  }
+
+  test("systematicSample: exact stride size, checksum vs independent recompute, arg refusal") {
+    val df = (1L to 100L).toDF("id")
+    // independent recompute: hash, sort, stride in plain Scala
+    val hs = df.select(Dedup.md5Hash60(col("id").cast("string")).as("h"))
+      .as[Long].collect().sorted
+    val picked = hs.zipWithIndex.filter(_._2 % 10 == 3).map(_._1)
+    assert(picked.length === 10) // exact by construction, not binomial
+    val expectedSum =
+      picked.map(BigInt(_)).sum.mod(BigInt("1152921504606846976")).toLong
+    val got = Sampling.systematicSample(df, col("id"), k = 10, offset = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(got === ((100L, 10L, picked.min, picked.max, expectedSum, 100000L)))
+    val again = Sampling.systematicSample(df.repartition(7), col("id"),
+      k = 10, offset = 3).as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(again === got)
+    intercept[IllegalArgumentException] {
+      Sampling.systematicSample(df, col("id"), k = 1, offset = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.systematicSample(df, col("id"), k = 10, offset = 10)
+    }
+  }
+
+  test("targetEncodeLoo: constant target encodes to the constant for every row") {
+    val df = Seq(("a", 1L, 7L), ("a", 2L, 7L), ("b", 3L, 7L))
+      .toDF("k", "id", "v")
+    val encs = Sampling.targetEncodeLoo(df, col("k"), col("id"), col("v"),
+        alpha = 5)
+      .select("enc_ppm").as[Long].collect().toSet
+    assert(encs === Set(7000000L))
+  }
 }

@@ -230,4 +230,81 @@ class ZoneMapSpec extends graft.SparkSpec {
     // every block spans the predicate → zero pruned, zero matches
     assert(got === ((2L, 4L, 0L, 0L, 0L, 0L, 0L)))
   }
+
+  test("chi2Assoc: hand-checked 2x2 — dependent pair scores 2.0, independent scores 0") {
+    // counts (x,p)=3 (x,q)=1 (y,p)=1 (y,q)=3: N=8, all margins 4,
+    // e=2 per cell → chi2 = 4·(1²/2) = 2.0 exactly
+    def rows(c: (Int, Int, Int, Int)) =
+      (Seq.fill(c._1)(("x", "p")) ++ Seq.fill(c._2)(("x", "q")) ++
+        Seq.fill(c._3)(("y", "p")) ++ Seq.fill(c._4)(("y", "q")))
+        .toDF("a", "b")
+    val dep = Profile.chi2Assoc(rows((3, 1, 1, 3)), col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(dep === ((8L, 2L, 2L, 4L, 1L, 2000000L, 250000L)))
+    val ind = Profile.chi2Assoc(rows((2, 2, 2, 2)), col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(ind === ((8L, 2L, 2L, 4L, 1L, 0L, 0L)))
+  }
+
+  test("chi2Assoc: unoccupied cells fold into the -N term (diagonal-only table)") {
+    // (x,p)=2, (y,q)=2 and nothing off-diagonal: N=4, margins all 2,
+    // per-cell t = 4·4·1e6/4 = 4e6, tsum 8e6 → chi2 = 4.0 (= N·dof for
+    // a perfect diagonal); occupied cells reported as 2, levels 2×2
+    val df = (Seq.fill(2)(("x", "p")) ++ Seq.fill(2)(("y", "q"))).toDF("a", "b")
+    val got = Profile.chi2Assoc(df, col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got === ((4L, 2L, 2L, 2L, 1L, 4000000L, 1000000L)))
+  }
+
+  test("tCloseness: skewed class flags, matching class passes; absent-value term exact") {
+    // corpus: class A = 6×s2, class B = 2×s1 → global s1=2 s2=6 N=8
+    //   A: p=(0,1) vs (.25,.75) → tvd .25 → 250000 ppm, not > t
+    //   B: p=(1,0) vs (.25,.75) → tvd .75 → 750000 ppm, at risk
+    // B's occupied cells never mention s2 — its |0−p| mass must come
+    // from the closed-form n·(N−gsum) term
+    val df = (Seq.fill(6)(("A", "s2")) ++ Seq.fill(2)(("B", "s1")))
+      .toDF("cls", "sv")
+    val got = Profile.tCloseness(df, Seq(("cls", col("cls"))), col("sv"),
+        tPpm = 250000L)
+      .orderBy("cls").as[(String, Long, Long, Int)].collect()
+    assert(got === Array(("A", 6L, 250000L, 0), ("B", 2L, 750000L, 1)))
+  }
+
+  test("marketConcentration: hand HHI/CR4; monopoly reads 1e6/1e6") {
+    // market 1: firms 1..5 with revenue 50,30,10,5,5 → R=100,
+    //   HHI = 3550·1e6/10000 = 355000; CR4 = 95·1e6/100 = 950000
+    // market 2: one firm → both read 1e6 exactly
+    val df = Seq((1L, 1L, 50L), (1L, 2L, 30L), (1L, 3L, 10L),
+      (1L, 4L, 5L), (1L, 5L, 5L), (2L, 9L, 7L)).toDF("m", "f", "r")
+    val got = Profile.marketConcentration(df, col("m"), col("f"), col("r"))
+      .orderBy("m").as[(Long, Long, String, Long, Long)].collect()
+    assert(got === Array((1L, 5L, "100", 355000L, 950000L),
+      (2L, 1L, "7", 1000000L, 1000000L)))
+    val again = Profile.marketConcentration(df.repartition(7), col("m"),
+      col("f"), col("r")).orderBy("m")
+      .as[(Long, Long, String, Long, Long)].collect()
+    assert(again === got)
+  }
+
+  test("giniSplit: pure branch scores 0, mixed branch hand-checked, parent row carries gain") {
+    // A: {p:2, q:2} → imp (16−8)e6/16 = 500000, wimp 500000·4/8 = 250000
+    // B: {p:4}      → imp 0, wimp 0
+    // <all>: {p:6, q:2} → imp (64−40)e6/64 = 375000 = its own wimp
+    // gain = 375000 − 250000 − 0 = 125000 read straight off the rows
+    val df = (Seq.fill(2)(("A", "p")) ++ Seq.fill(2)(("A", "q")) ++
+      Seq.fill(4)(("B", "p"))).toDF("feat", "y")
+    val got = Profile.giniSplit(df, col("feat"), col("y"))
+      .orderBy("f").as[(String, Long, Long, Long, Long)].collect()
+    assert(got === Array(("<all>", 8L, 2L, 375000L, 375000L),
+      ("A", 4L, 2L, 500000L, 250000L), ("B", 4L, 1L, 0L, 0L)))
+  }
+
+  test("tCloseness: a class mirroring the global mix scores zero") {
+    val df = (Seq.fill(3)(("A", "s1")) ++ Seq.fill(1)(("A", "s2")) ++
+      Seq.fill(3)(("B", "s1")) ++ Seq.fill(1)(("B", "s2"))).toDF("cls", "sv")
+    val got = Profile.tCloseness(df, Seq(("cls", col("cls"))), col("sv"),
+        tPpm = 100000L)
+      .orderBy("cls").as[(String, Long, Long, Int)].collect()
+    assert(got === Array(("A", 4L, 0L, 0), ("B", 4L, 0L, 0)))
+  }
 }

@@ -191,4 +191,24 @@ class SemanticDedupSpec extends graft.SparkSpec {
     assert(got.where(col("keep_flag") === 1 && col("dup_of").isNotNull).count() === 0L)
     assert(got.where(col("keep_flag") === 0 && col("dup_of").isNull).count() === 0L)
   }
+
+  test("annMrr: aggregates agree with an independent recompute from the two audited plans") {
+    val embs = Similarity.withNorm(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      col("vec_id"), col("embedding"))
+    val qids = (0L until 10L).toSeq
+    val truth = Similarity.knnBrute(embs, embs.where(col("vec_id") < 10), 1)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toMap
+    val rankOf = Similarity.knnLsh(embs, qids, 5)
+      .select("qid", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+      .map { case (q, n, r) => (q, n) -> r }.toMap
+    val rrs = truth.toSeq.map { case (q, t) =>
+      rankOf.get((q, t)).map(r => 1000000L / r).getOrElse(0L) }
+    val h1 = truth.count { case (q, t) => rankOf.get((q, t)).contains(1) }
+    val hk = truth.count { case (q, t) => rankOf.contains((q, t)) }
+    val got = Similarity.annMrr(embs, qids, 5)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got === ((10L, h1.toLong, hk.toLong, rrs.sum, rrs.sum / 10)))
+    assert(got._3 >= got._2) // hit@k contains hit@1 by construction
+  }
 }

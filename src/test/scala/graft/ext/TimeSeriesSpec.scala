@@ -430,4 +430,39 @@ class PartitionGapsSpec extends graft.SparkSpec {
       ("w", "2024-03-03", 99999L))
     assert(zs(28, 3, 3, rows: _*).count() === 0L)
   }
+
+  test("maxConcurrency: overlap counts, half-open boundary does not") {
+    // key s: [0,10) [5,15) [10,20) — at t=5 two open; at t=10 the first
+    // closes BEFORE the third opens (tie order d=-1 first) → max 2 @ 5.
+    // key t: [0,5) [5,10) — back-to-back, never concurrent → max 1 @ 0.
+    // key z: the degenerate [7,7) is dropped → n_iv 1, not 2.
+    val df = Seq(("s", 0L, 10L), ("s", 5L, 15L), ("s", 10L, 20L),
+      ("t", 0L, 5L), ("t", 5L, 10L), ("z", 7L, 7L), ("z", 1L, 3L))
+      .toDF("k", "st", "en")
+      .select(col("k"), timestamp_micros(col("st")).as("st"),
+        timestamp_micros(col("en")).as("en"))
+    val got = TimeSeries.maxConcurrency(df, col("k"), col("st"), col("en"))
+      .orderBy("k").as[(String, Long, Long, Long)].collect()
+    assert(got === Array(("s", 3L, 2L, 5L), ("t", 2L, 1L, 0L),
+      ("z", 1L, 1L, 1L)))
+    // the sweep is deterministic under repartitioning (tie discipline,
+    // not partition luck)
+    val again = TimeSeries.maxConcurrency(df.repartition(7), col("k"),
+      col("st"), col("en")).orderBy("k")
+      .as[(String, Long, Long, Long)].collect()
+    assert(again === got)
+  }
+
+  test("maxConcurrency: peak_us is the EARLIEST time the peak is hit") {
+    // two disjoint double-overlaps: [0,4)+[1,4) and [10,14)+[11,14) —
+    // both reach 2; the report must say 1 (first time 2 is reached),
+    // never 11
+    val df = Seq(("k", 0L, 4L), ("k", 1L, 4L), ("k", 10L, 14L),
+      ("k", 11L, 14L)).toDF("k", "st", "en")
+      .select(col("k"), timestamp_micros(col("st")).as("st"),
+        timestamp_micros(col("en")).as("en"))
+    val got = TimeSeries.maxConcurrency(df, col("k"), col("st"), col("en"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(got === Array(("k", 4L, 2L, 1L)))
+  }
 }

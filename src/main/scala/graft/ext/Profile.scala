@@ -989,4 +989,118 @@ object Profile {
         expr("CAST(CAST(impurity_ppm AS DECIMAL(38,0)) * n DIV n_all AS BIGINT)"))
       .select("f", "n", "n_classes", "impurity_ppm", "wimp_ppm")
   }
+
+  /** Mann–Whitney U / ROC-AUC of an integer score against a binary
+    * label, exact to the last ppm: AUC = P(score⁺ > score⁻) + ½P(=) —
+    * the threshold-free answer to "does this quality score actually
+    * separate the classes?". Midrank tie handling is EXACT without any
+    * per-tie averaging: after the global row rank, each distinct value
+    * group knows its size `n_v`, its positive count `c1`, and its
+    * minimum rank, and the doubled midrank sum is
+    * Σ c1·(2·(minr−1) + n_v + 1) — integer algebra end to end, so
+    * U×2 = that sum − n₁(n₁+1) and auc_ppm needs ONE truncating DIV.
+    *
+    * 100 TB posture: the global rank is the [[globalBuckets]] two-phase
+    * range-sort discipline (checkpoint + per-partition driver offsets +
+    * broadcast — no global window, and the tie-break id never affects
+    * the result: only min-rank and counts per value survive); after it,
+    * one combinable groupBy per distinct value and a 1-row rollup.
+    * U×2 ships as a string — n₁·n₀ passes 2^63 long before the design
+    * point. Output: one row (n_pos, n_neg, u_x2, auc_ppm). */
+  def rankAuc(df: DataFrame, label: Column, value: Column, id: Column)
+      : DataFrame = {
+    val base = df.select(label.cast("int").as("y"),
+      value.cast("long").as("v"), id.as("id"))
+    val sorted = base.sort(col("v"), col("id"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // sampled range boundaries must not re-roll
+    val counts = sorted.groupBy("_pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val off = acc; acc += c; (pid, off) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    sorted
+      .withColumn("_lrn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_pid")).orderBy(col("v"), col("id"))).cast("long"))
+      .join(broadcast(offsets.toSeq.toDF("_pid", "_off")), "_pid")
+      .withColumn("rnk", col("_off") + col("_lrn"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("n_v"), sum(col("y")).as("c1"),
+        min(col("rnk")).as("minr"))
+      .agg(sum(col("c1")).as("n1"), sum(col("n_v") - col("c1")).as("n0"),
+        sum(expr("CAST(c1 AS DECIMAL(38,0)) * (2 * (minr - 1) + n_v + 1)"))
+          .as("r1_x2"))
+      .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+        expr("CAST(r1_x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS STRING)")
+          .as("u_x2"),
+        expr("CAST((r1_x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) * 1000000 " +
+          "DIV (2 * CAST(n1 AS DECIMAL(38,0)) * n0) AS BIGINT)").as("auc_ppm"))
+  }
+
+  /** Two-proportion z² for every segment pair — the A/B readout: does
+    * segment i convert differently from segment j, and is the gap
+    * significant? z² (= the 2×2 χ², df 1) is rational:
+    * z² = (x₁n₂ − x₂n₁)²·N / (n₁n₂·X·(N−X)), X = x₁+x₂, N = n₁+n₂ —
+    * one truncating DIV per pair, so the whole table is hash-provable.
+    * `significant` flags z² > 3.841459 (χ²₁ at 95%, in ppm).
+    *
+    * 100 TB posture: ONE data-scale exchange (the per-segment
+    * conversion rollup, combinable); the pair matrix is a broadcast
+    * self-join over |segments| rows (a < b). Degenerate pairs (zero or
+    * all conversions pooled) read NULL, not a crash.
+    * Output: (seg_a, seg_b, n_a, x_a, n_b, x_b, diff_ppm, z2_ppm,
+    * significant). */
+  def twoProportionZ2(df: DataFrame, segment: Column, converted: Column)
+      : DataFrame = {
+    val per = df.select(segment.cast("string").as("s"),
+        converted.cast("int").as("c"))
+      .groupBy("s").agg(count(lit(1)).as("n"), sum(col("c")).as("x"))
+    val a = per.select(col("s").as("seg_a"), col("n").as("n_a"),
+      col("x").as("x_a"))
+    val b = per.select(col("s").as("seg_b"), col("n").as("n_b"),
+      col("x").as("x_b"))
+    a.join(broadcast(b), col("seg_a") < col("seg_b"))
+      .withColumn("diff_ppm",
+        expr("CAST((CAST(x_a AS DECIMAL(38,0)) * n_b - CAST(x_b AS DECIMAL(38,0)) * n_a) " +
+          "* 1000000 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+      .withColumn("z2_ppm",
+        expr("CASE WHEN (x_a + x_b) > 0 AND (x_a + x_b) < (n_a + n_b) THEN " +
+          "CAST((CAST(x_a AS DECIMAL(38,0)) * n_b - CAST(x_b AS DECIMAL(38,0)) * n_a) " +
+          "* (CAST(x_a AS DECIMAL(38,0)) * n_b - CAST(x_b AS DECIMAL(38,0)) * n_a) " +
+          "* (n_a + n_b) * 1000000 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b " +
+          "* (x_a + x_b) * (n_a + n_b - x_a - x_b)) AS BIGINT) ELSE NULL END"))
+      .withColumn("significant",
+        when(col("z2_ppm") > 3841459L, 1).otherwise(0).cast("int"))
+      .select("seg_a", "seg_b", "n_a", "x_a", "n_b", "x_b", "diff_ppm",
+        "z2_ppm", "significant")
+  }
+
+  /** Score-calibration reliability table: entities bucketed into
+    * equal-population score deciles (the [[globalBuckets]] two-phase
+    * rank — bucket 0 = highest scores), each with its observed positive
+    * rate vs its floor-mean score — the table that says WHERE a quality
+    * score is over- or under-confident, the companion to [[rankAuc]]'s
+    * single-number discrimination.
+    *
+    * The label rides INSIDE the rank id (id' = id·2 + y), so no
+    * data-scale join back is ever needed: bucket rows decode y = id'
+    * mod 2 scan-side. Rank ties on (score, id') stay total and
+    * deterministic. Output: (bucket, n, n_pos, pos_rate_ppm,
+    * sum_score string, mean_score_floor). */
+  def calibrationTable(df: DataFrame, id: Column, score: Column,
+      label: Column, buckets: Int = 10): DataFrame = {
+    val base = df.select((id * 2 + label.cast("long")).as("id2"),
+      score.cast("long").as("sc"))
+    globalBuckets(base, col("id2"), col("sc"), buckets)
+      .select(col("bucket"), col("m"), pmod(col("id"), lit(2L)).as("y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(expr("CAST(m AS DECIMAL(38,0))")).as("sum_sc"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000L DIV n").as("pos_rate_ppm"),
+        expr("CAST(sum_sc AS STRING)").as("sum_score"),
+        expr("CAST(sum_sc DIV n AS BIGINT)").as("mean_score_floor"))
+  }
 }

@@ -724,4 +724,43 @@ object Sampling {
         col("checksum"),
         expr("n_picked * 1000000L DIV n_total").as("load_ppm"))
   }
+
+  /** Shard-uniformity certification: the χ² goodness-of-fit of
+    * [[rendezvousShard]] loads against the uniform expectation — the
+    * closing audit of the sharding family (x82 assigns, x110/x174
+    * report load, THIS says whether the spread is statistically
+    * uniform or the hash is broken). χ² = Σ(k·c − N)²/(k·N) is
+    * rational; shards the assignment never hit contribute the closed
+    * form (k−occ)·N² (the x201 absent-mass trick), so only occupied
+    * shards are touched. `chi2_per_dof_ppm` ≈ 1e6 for a healthy hash;
+    * `skewed` flags > 2e6 (χ²/df at 99% stays below ~1.7 for df ≥ 30 —
+    * a documented heuristic bound, not a fitted constant).
+    *
+    * 100 TB posture: one combinable data-scale rollup (the shard
+    * groupBy — the rendezvous hash is scan-side arithmetic); the χ²
+    * runs on ≤ `shards` rows. Output: one row (shards, n,
+    * shards_occupied, min_load, max_load, chi2_ppm, chi2_per_dof_ppm,
+    * skewed). */
+  def shardUniformity(df: DataFrame, key: Column, shards: Int)
+      : DataFrame = {
+    require(shards >= 2 && shards <= 4096, s"shards=$shards out of range")
+    val loads = df.select(rendezvousShard(key, shards).as("shard"))
+      .groupBy("shard").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // total + χ² both read the tiny load table
+    val tot = loads.agg(sum(col("c")).as("n"), count(lit(1)).as("occ"))
+    loads.crossJoin(broadcast(tot))
+      .groupBy("n", "occ")
+      .agg(min(col("c")).as("min_load"), max(col("c")).as("max_load"),
+        sum(expr(s"(CAST(c AS DECIMAL(38,0)) * $shards - n) " +
+          s"* (CAST(c AS DECIMAL(38,0)) * $shards - n)")).as("__ss"))
+      .select(lit(shards.toLong).as("shards"), col("n"),
+        col("occ").as("shards_occupied"), col("min_load"), col("max_load"),
+        expr(s"CAST((__ss + ($shards - occ) * CAST(n AS DECIMAL(38,0)) * n) " +
+          s"* 1000000 DIV ($shards * CAST(n AS DECIMAL(38,0))) AS BIGINT)")
+          .as("chi2_ppm"))
+      .withColumn("chi2_per_dof_ppm",
+        expr(s"chi2_ppm DIV ${shards - 1}"))
+      .withColumn("skewed",
+        when(col("chi2_per_dof_ppm") > 2000000L, 1).otherwise(0).cast("int"))
+  }
 }

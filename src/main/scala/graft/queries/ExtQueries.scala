@@ -7089,6 +7089,139 @@ object ExtQueries {
       .orderBy("f")
   }
 
+  // x208 — EXACT ROC-AUC (Mann–Whitney U) of the extended-price score
+  // against the return flag: threshold-free "does the score separate
+  // the classes", midrank ties handled by integer algebra on per-value
+  // groups (no averaging) over the two-phase global rank. U×2 ships as
+  // a string (n₁·n₀ passes 2^63 at design point).
+  val x208 = Q(
+    "x208_rank_auc",
+    """WITH b AS (
+      |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |         l_orderkey * 10 + l_linenumber AS id
+      |  FROM lineitem),
+      |r AS (SELECT y, v, CAST(row_number() OVER (ORDER BY v, id) AS BIGINT) AS rnk
+      |      FROM b),
+      |g AS (SELECT v, CAST(count(*) AS BIGINT) AS n_v,
+      |             CAST(sum(y) AS BIGINT) AS c1,
+      |             CAST(min(rnk) AS BIGINT) AS minr
+      |      FROM r GROUP BY v),
+      |a AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |             CAST(sum(n_v - c1) AS BIGINT) AS n0,
+      |             SUM(c1::HUGEINT * (2 * (minr - 1) + n_v + 1)) AS r1_x2
+      |      FROM g)
+      |SELECT n1 AS n_pos, n0 AS n_neg,
+      |       CAST(r1_x2 - n1::HUGEINT * (n1 + 1) AS VARCHAR) AS u_x2,
+      |       CAST((r1_x2 - n1::HUGEINT * (n1 + 1)) * 1000000
+      |            // (2 * n1::HUGEINT * n0) AS BIGINT) AS auc_ppm
+      |FROM a""".stripMargin) { (s, dir) =>
+    Profile.rankAuc(Tables.lineitem(s, dir),
+      (col("l_returnflag") === "R").cast("int"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+      expr("l_orderkey * 10 + l_linenumber"))
+  }
+
+  // x209 — TWO-PROPORTION z² for every order-priority pair: the A/B
+  // readout on conversion (status F), exact rational z² (= the 2×2 χ²)
+  // with one DIV per pair; `significant` = z² > 3.841459 (χ²₁ @ 95%).
+  // One combinable rollup; the pair matrix is |segments|², broadcast.
+  val x209 = Q(
+    "x209_ab_lift",
+    """WITH per AS (
+      |  SELECT o_orderpriority AS s, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS x
+      |  FROM orders GROUP BY 1)
+      |SELECT a.s AS seg_a, b.s AS seg_b, a.n AS n_a, a.x AS x_a,
+      |       b.n AS n_b, b.x AS x_b,
+      |       CAST((a.x::HUGEINT * b.n - b.x::HUGEINT * a.n) * 1000000
+      |            // (a.n::HUGEINT * b.n) AS BIGINT) AS diff_ppm,
+      |       CAST(CASE WHEN (a.x + b.x) > 0 AND (a.x + b.x) < (a.n + b.n)
+      |            THEN (a.x::HUGEINT * b.n - b.x::HUGEINT * a.n)
+      |                 * (a.x::HUGEINT * b.n - b.x::HUGEINT * a.n)
+      |                 * (a.n + b.n) * 1000000
+      |                 // (a.n::HUGEINT * b.n * (a.x + b.x)
+      |                    * (a.n + b.n - a.x - b.x))
+      |            ELSE NULL END AS BIGINT) AS z2_ppm,
+      |       CAST(CASE WHEN (a.x + b.x) > 0 AND (a.x + b.x) < (a.n + b.n)
+      |                  AND (a.x::HUGEINT * b.n - b.x::HUGEINT * a.n)
+      |                      * (a.x::HUGEINT * b.n - b.x::HUGEINT * a.n)
+      |                      * (a.n + b.n) * 1000000
+      |                      // (a.n::HUGEINT * b.n * (a.x + b.x)
+      |                         * (a.n + b.n - a.x - b.x)) > 3841459
+      |            THEN 1 ELSE 0 END AS INT) AS significant
+      |FROM per a JOIN per b ON a.s < b.s
+      |ORDER BY seg_a, seg_b""".stripMargin) { (s, dir) =>
+    Profile.twoProportionZ2(Tables.orders(s, dir),
+      col("o_orderpriority"), (col("o_orderstatus") === "F").cast("int"))
+      .orderBy("seg_a", "seg_b")
+  }
+
+  // x210 — CALIBRATION RELIABILITY TABLE: order-value score deciles
+  // (two-phase globalBuckets rank — bucket 0 = highest) vs observed
+  // conversion rate — WHERE the score is over/under-confident, the
+  // companion to x208's single-number AUC. The label rides inside the
+  // rank id (id·2 + y), so no data-scale join back exists.
+  val x210 = Q(
+    "x210_calibration",
+    """WITH b AS (
+      |  SELECT o_orderkey * 2 + CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS id2,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS m
+      |  FROM orders),
+      |r AS (SELECT id2, m, CAST(row_number() OVER (ORDER BY m DESC, id2) AS BIGINT) AS rn
+      |      FROM b),
+      |n AS (SELECT count(*) AS cnt FROM b),
+      |k AS (SELECT CAST(least((rn - 1) * 10 // cnt, 9) AS BIGINT) AS bucket,
+      |             m, id2 % 2 AS y
+      |      FROM r, n)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(y) AS BIGINT) AS n_pos,
+      |       CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm,
+      |       CAST(CAST(sum(m) AS HUGEINT) AS VARCHAR) AS sum_score,
+      |       CAST(CAST(sum(m) AS HUGEINT) // count(*) AS BIGINT) AS mean_score_floor
+      |FROM k GROUP BY bucket
+      |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    Profile.calibrationTable(Tables.orders(s, dir), col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+      (col("o_orderstatus") === "F").cast("int"))
+      .orderBy("bucket")
+  }
+
+  // x211 — SHARD-UNIFORMITY χ² certification: is the rendezvous hash's
+  // 32-way spread statistically uniform? Closes the sharding family
+  // (x82 assigns, x110/x174 report load) with an exact-ppm GOF test —
+  // absent shards fold into the (k−occ)·N² closed form. One combinable
+  // rollup; the χ² runs on ≤32 rows.
+  val x211 = Q(
+    "x211_shard_uniformity",
+    """WITH c AS (
+      |  SELECT o_orderkey AS id, s,
+      |         ('0x' || substring(md5(o_orderkey::VARCHAR || ':' || s::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM orders, generate_series(0, 31) t(s)),
+      |a AS (SELECT id, (max(struct_pack(h := h, shard := s))).shard AS shard
+      |      FROM c GROUP BY id),
+      |l AS (SELECT shard, CAST(count(*) AS BIGINT) AS c FROM a GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS occ
+      |      FROM l)
+      |SELECT CAST(32 AS BIGINT) AS shards, n.n, n.occ AS shards_occupied,
+      |       CAST(min(l.c) AS BIGINT) AS min_load,
+      |       CAST(max(l.c) AS BIGINT) AS max_load,
+      |       CAST((SUM((l.c::HUGEINT * 32 - n.n) * (l.c::HUGEINT * 32 - n.n))
+      |             + (32 - n.occ) * n.n::HUGEINT * n.n) * 1000000
+      |            // (32 * n.n::HUGEINT) AS BIGINT) AS chi2_ppm,
+      |       CAST((SUM((l.c::HUGEINT * 32 - n.n) * (l.c::HUGEINT * 32 - n.n))
+      |             + (32 - n.occ) * n.n::HUGEINT * n.n) * 1000000
+      |            // (32 * n.n::HUGEINT) // 31 AS BIGINT) AS chi2_per_dof_ppm,
+      |       CAST(CASE WHEN (SUM((l.c::HUGEINT * 32 - n.n) * (l.c::HUGEINT * 32 - n.n))
+      |                       + (32 - n.occ) * n.n::HUGEINT * n.n) * 1000000
+      |                      // (32 * n.n::HUGEINT) // 31 > 2000000
+      |            THEN 1 ELSE 0 END AS INT) AS skewed
+      |FROM l, n GROUP BY n.n, n.occ""".stripMargin) { (s, dir) =>
+    Sampling.shardUniformity(Tables.orders(s, dir), col("o_orderkey"),
+      shards = 32)
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -7104,5 +7237,6 @@ object ExtQueries {
       x145, x146, x147, x148, x149, x150, x151, x152, x153, x154, x155, x156, x157, x158, x159, x160, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170, x171, x172, x173, x174, x175,
       x176, x177, x178, x179, x180, x181, x182, x183, x184, x185, x186,
       x187, x188, x189, x190, x191, x192, x193, x194, x195, x196, x197,
-      x198, x199, x200, x201, x202, x203, x204, x205, x206, x207)
+      x198, x199, x200, x201, x202, x203, x204, x205, x206, x207, x208,
+      x209, x210, x211)
 }

@@ -867,6 +867,54 @@ object VolumeTripwire {
         def gz(d: DataFrame) = Profile.giniSplit(d,
           col("o_orderpriority"), col("o_orderstatus"))
         Res("x207_giniSplit", timeMin(gz(g1)), timeMin(gz(g10)))
+      }, {
+        // AUC with a 500k-row flood on ONE score value (a giant tie
+        // group): the per-value rollup combines map-side; the two-phase
+        // rank spreads the tie across partitions like any other rows
+        val a1 = Tables.lineitem(spark, sfDir)
+          .select((col("l_returnflag") === "R").cast("int").as("y"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+            expr("l_orderkey * 10 + l_linenumber").as("id"))
+        val a10 = blow(a1, "id", 10, 1000000000L)
+          .unionAll(spark.range(500000).select(lit(1).as("y"),
+            lit(123456L).as("v"), (col("id") + 8000000000L).as("id")))
+        def az(d: DataFrame) = Profile.rankAuc(d, col("y"), col("v"),
+          col("id"))
+        Res("x208_rankAuc", timeMin(az(a1)), timeMin(az(a10)))
+      }, {
+        // A/B z² with a 500k flood on ONE segment: the conversion
+        // rollup eats it map-side; the pair matrix stays |segments|²
+        val b1 = Tables.orders(spark, sfDir)
+          .select(col("o_orderpriority").as("s"),
+            (col("o_orderstatus") === "F").cast("int").as("c"))
+        val b10 = (0 until 10).map(_ => b1).reduce(_.unionAll(_))
+          .unionAll(spark.range(500000).select(lit("FLOOD").as("s"),
+            (col("id") % 2).cast("int").as("c")))
+        def bz2(d: DataFrame) = Profile.twoProportionZ2(d, col("s"),
+          col("c"))
+        Res("x209_abLift", timeMin(bz2(b1)), timeMin(bz2(b10)))
+      }, {
+        // calibration at 10×: the label rides the rank id, so the blown
+        // corpus pays one two-phase rank and one combinable rollup —
+        // never a join back
+        val c1 = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey").as("id"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("sc"),
+            (col("o_orderstatus") === "F").cast("int").as("y"))
+        val c10 = blow(c1, "id", 10, 10000000L)
+        def clz(d: DataFrame) = Profile.calibrationTable(d, col("id"),
+          col("sc"), col("y"))
+        Res("x210_calibration", timeMin(clz(c1)), timeMin(clz(c10)))
+      }, {
+        // shard χ² with a 500k-row flood on ONE key value: every flood
+        // row hashes to the same shard (one hot cell map-side); the χ²
+        // itself runs on ≤32 rows either way
+        val u1 = Tables.orders(spark, sfDir).select("o_orderkey")
+        val u10 = blow(u1, "o_orderkey", 10, 10000000L)
+          .unionAll(spark.range(500000).select(lit(424242L).as("o_orderkey")))
+        def uz(d: DataFrame) = Sampling.shardUniformity(d,
+          col("o_orderkey"), shards = 32)
+        Res("x211_shardUniformity", timeMin(uz(u1)), timeMin(uz(u10)))
       })
 
     val only: Option[Set[String]] =

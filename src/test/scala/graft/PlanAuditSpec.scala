@@ -1515,4 +1515,48 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(!finalP.contains("ShuffledHashJoin"), p)
     assert(!finalP.contains("Window"), p)
   }
+
+  test("x208: AUC rank is two-phase — (pid)-local windows behind the checkpoint, no global sort") {
+    val df = SparkEntry.queries("x208_rank_auc")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("Scan ExistingRDD"), p)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    winLines.foreach(l => assert(l.contains("_pid"), l))
+    assert(!finalP.contains("SortMergeJoin"), p)
+  }
+
+  test("x209: A/B pair matrix is a broadcast self-join over segments — no shuffled join, no window") {
+    val df = SparkEntry.queries("x209_ab_lift")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("SortMergeJoin"), p)
+    assert(!finalP.contains("ShuffledHashJoin"), p)
+    assert(!finalP.contains("Window"), p)
+  }
+
+  test("x210: calibration label rides the rank id — no data-scale join back, (pid)-local windows only") {
+    val df = SparkEntry.queries("x210_calibration")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("Scan ExistingRDD"), p)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    winLines.foreach(l => assert(l.contains("_pid"), l))
+    assert(!finalP.contains("SortMergeJoin"), p)
+    assert(!finalP.contains("ShuffledHashJoin"), p)
+  }
+
+  test("x211: shard χ² is one scan-side hash + one rollup — no join, no window, χ² on the checkpointed load table") {
+    val df = SparkEntry.queries("x211_shard_uniformity")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("Scan ExistingRDD"), p)
+    assert(!finalP.contains("SortMergeJoin"), p)
+    assert(!finalP.contains("ShuffledHashJoin"), p)
+    assert(!finalP.contains("Window"), p)
+  }
 }

@@ -1017,6 +1017,24 @@ class DecayedTopKSpec extends graft.SparkSpec {
     }
   }
 
+  test("shardUniformity: constant key collapses to the closed form (k−1)·N·1e6; healthy hash is not skewed") {
+    // all rows on ONE shard: χ² = ((kN−N)² + (k−1)N²)/(kN) = (k−1)·N
+    // exactly — the absent-shard closed form carries k−1 empty cells
+    val const = (1L to 100L).map(_ => 5L).toDF("id")
+    val got = Sampling.shardUniformity(const, col("id"), shards = 32)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Int)].head()
+    assert(got === ((32L, 100L, 1L, 100L, 100L, 3100000000L, 100000000L, 1)))
+    // distinct keys spread by md5: sane digest, not skewed
+    val spread = (1L to 2000L).toDF("id")
+    val g2 = Sampling.shardUniformity(spread, col("id"), shards = 32)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Int)].head()
+    assert(g2._1 === 32L && g2._2 === 2000L && g2._3 === 32L)
+    assert(g2._4 <= g2._5 && g2._6 >= 0L && g2._8 === 0)
+    intercept[IllegalArgumentException] {
+      Sampling.shardUniformity(spread, col("id"), shards = 1)
+    }
+  }
+
   test("targetEncodeLoo: constant target encodes to the constant for every row") {
     val df = Seq(("a", 1L, 7L), ("a", 2L, 7L), ("b", 3L, 7L))
       .toDF("k", "id", "v")

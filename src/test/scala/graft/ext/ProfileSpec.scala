@@ -299,6 +299,55 @@ class ZoneMapSpec extends graft.SparkSpec {
       ("A", 4L, 2L, 500000L, 250000L), ("B", 4L, 1L, 0L, 0L)))
   }
 
+  test("rankAuc: perfect separation reads 1e6; midrank tie hand-checked to 0.625") {
+    val perfect = Seq((1, 3L, 1L), (1, 4L, 2L), (0, 1L, 3L), (0, 2L, 4L))
+      .toDF("y", "v", "id")
+    val p = Profile.rankAuc(perfect, col("y"), col("v"), col("id"))
+      .as[(Long, Long, String, Long)].head()
+    assert(p === ((2L, 2L, "8", 1000000L)))
+    // pos = {1, 3}, neg = {1, 2}: U = 1(tie ½) + 0 + 1 + 1 = 2.5 → 0.625
+    val tied = Seq((1, 1L, 1L), (1, 3L, 2L), (0, 1L, 3L), (0, 2L, 4L))
+      .toDF("y", "v", "id")
+    val t = Profile.rankAuc(tied, col("y"), col("v"), col("id"))
+      .as[(Long, Long, String, Long)].head()
+    assert(t === ((2L, 2L, "5", 625000L)))
+    // two-phase rank is repartition-invariant
+    val again = Profile.rankAuc(tied.repartition(7), col("y"), col("v"),
+      col("id")).as[(Long, Long, String, Long)].head()
+    assert(again === t)
+  }
+
+  test("twoProportionZ2: textbook 3.81 misses the 3.84 bar, a wide gap clears it, empty pool is NULL") {
+    val df = (Seq.fill(5)(("A", 1)) ++ Seq.fill(5)(("A", 0)) ++
+      Seq.fill(1)(("B", 1)) ++ Seq.fill(9)(("B", 0)) ++
+      Seq.fill(9)(("C", 1)) ++ Seq.fill(1)(("C", 0)) ++
+      Seq.fill(5)(("D", 0)) ++ Seq.fill(5)(("E", 0))).toDF("s", "c")
+    val got = Profile.twoProportionZ2(df, col("s"), col("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(6), if (r.isNullAt(7)) -1L else r.getLong(7), r.getInt(8)))
+      .toMap
+    // .5 vs .1 on 10+10: z² = .16/(.3·.7·.2) = 3.8095… — NOT significant
+    assert(got(("A", "B")) === ((400000L, 3809523L, 0)))
+    // .1 vs .9: z² = 12.8 — significant, diff truncates toward zero
+    assert(got(("B", "C")) === ((-800000L, 12800000L, 1)))
+    // zero conversions pooled: NULL z², not a crash, not significant
+    assert(got(("D", "E")) === ((0L, -1L, 0)))
+  }
+
+  test("calibrationTable: equal-population buckets, label decoded from the rank id") {
+    // ids 1..10, score 101−id (id 1 highest), label = id odd, 5 buckets
+    // → buckets pair (1,2)(3,4)… each n=2, one positive, rate 500000
+    val df = (1L to 10L).map(i => (i, 101L - i, (i % 2).toInt))
+      .toDF("id", "sc", "y")
+    val got = Profile.calibrationTable(df, col("id"), col("sc"), col("y"),
+        buckets = 5)
+      .orderBy("bucket").as[(Long, Long, Long, Long, String, Long)].collect()
+    assert(got === Array(
+      (0L, 2L, 1L, 500000L, "199", 99L), (1L, 2L, 1L, 500000L, "195", 97L),
+      (2L, 2L, 1L, 500000L, "191", 95L), (3L, 2L, 1L, 500000L, "187", 93L),
+      (4L, 2L, 1L, 500000L, "183", 91L)))
+  }
+
   test("tCloseness: a class mirroring the global mix scores zero") {
     val df = (Seq.fill(3)(("A", "s1")) ++ Seq.fill(1)(("A", "s2")) ++
       Seq.fill(3)(("B", "s1")) ++ Seq.fill(1)(("B", "s2"))).toDF("cls", "sv")

@@ -1077,6 +1077,59 @@ object Profile {
         "z2_ppm", "significant")
   }
 
+  /** One-way ANOVA F of an integer measure across groups — the
+    * numeric×categorical member of the bivariate test quadrant
+    * ([[chi2Assoc]] cat×cat, [[rankAuc]] score×binary,
+    * [[twoProportionZ2]] proportion pairs): does the group mean differ
+    * more than chance? Sums of squares ride e6 fixed point with ONE
+    * truncating DIV per group (ssb_q = Σ S_g²·1e6 DIV n_g — mirrored
+    * verbatim by the oracle, so deterministic everywhere), and F is
+    * computed from the MEAN squares (msb = ssb DIV df1, msw = ssw DIV
+    * df2) to keep the product inside DECIMAL(38) — envelope N·v²
+    * ≲ 1e26. `fCritPpm` is the caller's critical value (depends on
+    * df1 — e.g. F(4, ∞) at 95% = 2.371945 → 2371945).
+    *
+    * 100 TB posture: ONE combinable data-scale groupBy (per-group
+    * n/S/Q moments); everything after is |groups| rows. Degenerate
+    * inputs (one group, zero within-variance) read NULL, not a crash.
+    * Output: one row (k_groups, n, ssb_e6 string, ssw_e6 string,
+    * f_ppm, significant). */
+  def oneWayAnova(df: DataFrame, group: Column, value: Column,
+      fCritPpm: Long): DataFrame = {
+    require(fCritPpm > 0, s"fCritPpm=$fCritPpm must be positive")
+    val per = df.select(group.cast("string").as("g"),
+        value.cast("long").as("v"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_g"),
+        sum(expr("CAST(v AS DECIMAL(38,0))")).as("s_g"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("q_g"))
+    // `DIV` returns LONG, and these quotients pass 2^63 (S_g²·1e6/n_g
+    // ~ N·v²·1e6) — the exact floor is (a − a % b)/b instead: the
+    // subtraction makes the division remainder-free, so the DECIMAL
+    // divide is exact and the quotient stays in DECIMAL(38)
+    per.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"), sum(col("q_g")).as("q"),
+        sum(expr("CAST((s_g * s_g * 1000000 - s_g * s_g * 1000000 % n_g) " +
+          "/ n_g AS DECIMAL(38,0))")).as("ssb_q"))
+      .withColumn("total_q",
+        expr("CAST((s * s * 1000000 - s * s * 1000000 % n) / n " +
+          "AS DECIMAL(38,0))"))
+      .withColumn("ssb_e6", expr("ssb_q - total_q"))
+      .withColumn("ssw_e6", expr("q * 1000000 - ssb_q"))
+      .withColumn("f_ppm",
+        expr("CASE WHEN k >= 2 AND n > k AND ssw_e6 > 0 THEN " +
+          "CAST(CAST((ssb_e6 - ssb_e6 % (k - 1)) / (k - 1) AS DECIMAL(38,0)) " +
+          "* 1000000 DIV " +
+          "CAST((ssw_e6 - ssw_e6 % (n - k)) / (n - k) AS DECIMAL(38,0)) " +
+          "AS BIGINT) ELSE NULL END"))
+      .withColumn("significant",
+        when(col("f_ppm") > fCritPpm, 1).otherwise(0).cast("int"))
+      .select(col("k").as("k_groups"), col("n"),
+        expr("CAST(ssb_e6 AS STRING)").as("ssb_e6"),
+        expr("CAST(ssw_e6 AS STRING)").as("ssw_e6"),
+        col("f_ppm"), col("significant"))
+  }
+
   /** Score-calibration reliability table: entities bucketed into
     * equal-population score deciles (the [[globalBuckets]] two-phase
     * rank — bucket 0 = highest scores), each with its observed positive

@@ -399,4 +399,100 @@ object TimeSeries {
       .select(col("k"), col("n_iv"), col("max_open"),
         (-col("__pk.nt")).as("peak_us"))
   }
+
+  /** Single best level-shift day per key — binary segmentation's first
+    * split over the daily count series: the position i whose two-segment
+    * fit maximizes Σc²-explained, exactly. For prefix sum S_i of n days
+    * totalling S, the candidate gain over the no-split baseline is
+    *
+    *   gain_e6(i) = (S_i²(n−i) + (S−S_i)²·i)·1e6 DIV (i(n−i))
+    *                − S²·1e6 DIV n
+    *
+    * — one truncating DIV per candidate, mirrored by the oracle, so the
+    * argmax is deterministic on any engine (ties → earliest day via the
+    * (gain, −i) struct max; payload fields ride behind the unique −i).
+    *
+    * 100 TB posture: one data-scale exchange (the daily rollup); the
+    * cumulative window, per-key totals, and candidate scan are all
+    * DAY-cardinality (O(days) per key at any corpus size). Keys with
+    * fewer than 2 active days have no candidate and drop out (same
+    * contract as burstiness's NULL). Output: (k, n_days, split_day —
+    * the LAST day of the left segment, gain_e6, mean_left, mean_right
+    * — floor daily means). */
+  def changepoint(df: DataFrame, key: Column, ts: Column): DataFrame = {
+    val daily = df.select(key.as("k"), to_date(ts).as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+    val cum = daily
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("s",
+        sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    // counts are ≥1 so the running sum is strictly increasing: max(s)
+    // IS the key total, max(i) the day count — one tiny rollup
+    val tot = cum.groupBy("k")
+      .agg(max(col("i")).as("n"), max(col("s")).as("stot"))
+    cum.join(broadcast(tot), Seq("k"))
+      .where(col("i") < col("n"))
+      .withColumn("gain",
+        expr("(CAST(s AS DECIMAL(38,0)) * s * (n - i) " +
+          "+ CAST(stot - s AS DECIMAL(38,0)) * (stot - s) * i) * 1000000 " +
+          "DIV (i * (n - i)) " +
+          "- CAST(stot AS DECIMAL(38,0)) * stot * 1000000 DIV n"))
+      .withColumn("ml", expr("s DIV i"))
+      .withColumn("mr", expr("(stot - s) DIV (n - i)"))
+      .groupBy("k", "n")
+      .agg(max(struct(col("gain"), (-col("i")).as("ni"), col("day"),
+        col("ml"), col("mr"))).as("__b"))
+      .select(col("k"), col("n").as("n_days"),
+        col("__b.day").as("split_day"),
+        expr("CAST(__b.gain AS BIGINT)").as("gain_e6"),
+        col("__b.ml").as("mean_left"), col("__b.mr").as("mean_right"))
+  }
+
+  /** Wald–Wolfowitz runs test on each key's daily up/down sequence —
+    * "is this series RANDOM, or does it trend/oscillate?" — the
+    * memoryless complement to x181's rank autocorrelation. Day-over-day
+    * deltas become signs (ties dropped, the standard treatment); R =
+    * observed runs over n = n₊ + n₋ retained signs; with a = 2n₊n₋ the
+    * squared z-score is rational:
+    *
+    *   z² = (R·n − n − a)²·(n−1) / (a·(a−n))     (NULL when a ≤ n)
+    *
+    * z² ≫ 3.84 with R low = trending (too few runs), R high =
+    * oscillating. Exact ppm, one DIV per key.
+    *
+    * 100 TB posture: after the daily rollup everything is
+    * day-cardinality: two keyed windows (delta sign, then
+    * previous-retained-sign) and one combinable rollup.
+    * Output: (k, n_signs, n_up, n_down, runs, z2_ppm, nonrandom). */
+  def runsTest(df: DataFrame, key: Column, ts: Column): DataFrame = {
+    val daily = df.select(key.as("k"), to_date(ts).as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+    val signs = daily
+      .withColumn("sgn",
+        when(col("c") > lag(col("c"), 1).over(w), 1L)
+          .when(col("c") < lag(col("c"), 1).over(w), -1L))
+      .where(col("sgn").isNotNull)
+    signs
+      .withColumn("chg",
+        when(lag(col("sgn"), 1).over(w).isNull, 0L)
+          .when(col("sgn") =!= lag(col("sgn"), 1).over(w), 1L)
+          .otherwise(0L))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n_down"),
+        (sum(col("chg")) + 1L).as("runs"))
+      .withColumn("z2_ppm",
+        expr("CASE WHEN n >= 2 AND 2 * n_up * n_down > n THEN " +
+          "CAST((CAST(runs * n - n - 2 * n_up * n_down AS DECIMAL(38,0)) " +
+          "* (runs * n - n - 2 * n_up * n_down) * (n - 1)) * 1000000 " +
+          "DIV (CAST(2 * n_up * n_down AS DECIMAL(38,0)) " +
+          "* (2 * n_up * n_down - n)) AS BIGINT) ELSE NULL END"))
+      .withColumn("nonrandom",
+        when(col("z2_ppm") > 3841459L, 1).otherwise(0).cast("int"))
+      .select("k", "n", "n_up", "n_down", "runs", "z2_ppm", "nonrandom")
+      .withColumnRenamed("n", "n_signs")
+  }
 }

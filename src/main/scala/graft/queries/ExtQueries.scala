@@ -7222,6 +7222,131 @@ object ExtQueries {
       shards = 32)
   }
 
+  // x212 — CHANGEPOINT (binary segmentation, first split) per event
+  // type over the daily count series: the day whose two-segment fit
+  // best explains Σc², exact e6 gains with deterministic argmax
+  // (struct max on (gain, −i)). Day-cardinality after one rollup.
+  val x212 = Q(
+    "x212_changepoint",
+    """WITH d AS (
+      |  SELECT event_type AS k, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cu AS (
+      |  SELECT k, day,
+      |         CAST(row_number() OVER (PARTITION BY k ORDER BY day) AS BIGINT) AS i,
+      |         CAST(SUM(c) OVER (PARTITION BY k ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+      |  FROM d),
+      |t AS (SELECT k, MAX(i) AS n, MAX(s) AS stot FROM cu GROUP BY k),
+      |g AS (
+      |  SELECT cu.k, cu.day, cu.i, t.n,
+      |         (cu.s::HUGEINT * cu.s * (t.n - cu.i)
+      |          + (t.stot - cu.s)::HUGEINT * (t.stot - cu.s) * cu.i) * 1000000
+      |           // (cu.i * (t.n - cu.i))
+      |         - t.stot::HUGEINT * t.stot * 1000000 // t.n AS gain,
+      |         cu.s // cu.i AS ml,
+      |         (t.stot - cu.s) // (t.n - cu.i) AS mr
+      |  FROM cu JOIN t ON t.k = cu.k WHERE cu.i < t.n),
+      |b AS (SELECT k, n,
+      |        max(struct_pack(g := gain, ni := -i, day := day,
+      |                        ml := ml, mr := mr)) AS m
+      |      FROM g GROUP BY k, n)
+      |SELECT k, n AS n_days, (m).day AS split_day,
+      |       CAST((m).g AS BIGINT) AS gain_e6,
+      |       CAST((m).ml AS BIGINT) AS mean_left,
+      |       CAST((m).mr AS BIGINT) AS mean_right
+      |FROM b ORDER BY k""".stripMargin) { (s, dir) =>
+    graft.ext.TimeSeries.changepoint(Tables.events(s, dir),
+      col("event_type"), col("ts"))
+      .orderBy("k")
+  }
+
+  // x213 — WALD–WOLFOWITZ RUNS TEST per event type on daily up/down
+  // signs (ties dropped): trending = too few runs, oscillating = too
+  // many; exact rational z² with one DIV per key, NULL on degenerate
+  // sign sets. Day-cardinality after one rollup.
+  val x213 = Q(
+    "x213_runs_test",
+    """WITH d AS (
+      |  SELECT event_type AS k, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |sg AS (
+      |  SELECT k, day,
+      |         CASE WHEN c > lag(c) OVER (PARTITION BY k ORDER BY day) THEN 1
+      |              WHEN c < lag(c) OVER (PARTITION BY k ORDER BY day) THEN -1
+      |         END AS sgn
+      |  FROM d),
+      |r AS (SELECT k, day, sgn FROM sg WHERE sgn IS NOT NULL),
+      |ch AS (
+      |  SELECT k, sgn,
+      |         CASE WHEN lag(sgn) OVER (PARTITION BY k ORDER BY day) IS NULL THEN 0
+      |              WHEN sgn <> lag(sgn) OVER (PARTITION BY k ORDER BY day) THEN 1
+      |              ELSE 0 END AS chg
+      |  FROM r),
+      |a AS (
+      |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+      |         CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+      |         CAST(sum(chg) + 1 AS BIGINT) AS runs
+      |  FROM ch GROUP BY k)
+      |SELECT k, n AS n_signs, n_up, n_down, runs,
+      |       CAST(CASE WHEN n >= 2 AND 2 * n_up * n_down > n THEN
+      |            (runs::HUGEINT * n - n - 2 * n_up * n_down)
+      |            * (runs::HUGEINT * n - n - 2 * n_up * n_down) * (n - 1) * 1000000
+      |            // ((2::HUGEINT * n_up * n_down) * (2 * n_up * n_down - n))
+      |            ELSE NULL END AS BIGINT) AS z2_ppm,
+      |       CAST(CASE WHEN n >= 2 AND 2 * n_up * n_down > n AND
+      |            (runs::HUGEINT * n - n - 2 * n_up * n_down)
+      |            * (runs::HUGEINT * n - n - 2 * n_up * n_down) * (n - 1) * 1000000
+      |            // ((2::HUGEINT * n_up * n_down) * (2 * n_up * n_down - n)) > 3841459
+      |            THEN 1 ELSE 0 END AS INT) AS nonrandom
+      |FROM a ORDER BY k""".stripMargin) { (s, dir) =>
+    graft.ext.TimeSeries.runsTest(Tables.events(s, dir),
+      col("event_type"), col("ts"))
+      .orderBy("k")
+  }
+
+  // x214 — ONE-WAY ANOVA F of order value (cents) across priorities:
+  // the numeric×categorical member of the test quadrant (x200 χ²,
+  // x208 AUC, x209 z²). Mean-square form keeps the product inside
+  // DECIMAL(38); critical value F(4, ∞) @ 95% = 2.371945 in ppm.
+  val x214 = Q(
+    "x214_anova",
+    """WITH b AS (
+      |  SELECT o_orderpriority AS g,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders),
+      |per AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+      |         CAST(sum(v) AS HUGEINT) AS s_g,
+      |         SUM(v::HUGEINT * v) AS q_g
+      |  FROM b GROUP BY 1),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+      |         CAST(sum(s_g) AS HUGEINT) AS s, CAST(sum(q_g) AS HUGEINT) AS q,
+      |         SUM(s_g * s_g * 1000000 // n_g) AS ssb_q
+      |  FROM per),
+      |e AS (
+      |  SELECT k, n, ssb_q - s * s * 1000000 // n AS ssb_e6,
+      |         q * 1000000 - ssb_q AS ssw_e6
+      |  FROM a)
+      |SELECT k AS k_groups, n,
+      |       CAST(ssb_e6 AS VARCHAR) AS ssb_e6,
+      |       CAST(ssw_e6 AS VARCHAR) AS ssw_e6,
+      |       CAST(CASE WHEN k >= 2 AND n > k AND ssw_e6 > 0 THEN
+      |            (ssb_e6 // (k - 1)) * 1000000 // (ssw_e6 // (n - k))
+      |            ELSE NULL END AS BIGINT) AS f_ppm,
+      |       CAST(CASE WHEN k >= 2 AND n > k AND ssw_e6 > 0 AND
+      |            (ssb_e6 // (k - 1)) * 1000000 // (ssw_e6 // (n - k)) > 2371945
+      |            THEN 1 ELSE 0 END AS INT) AS significant
+      |FROM e""".stripMargin) { (s, dir) =>
+    Profile.oneWayAnova(Tables.orders(s, dir), col("o_orderpriority"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+      fCritPpm = 2371945L)
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -7238,5 +7363,5 @@ object ExtQueries {
       x176, x177, x178, x179, x180, x181, x182, x183, x184, x185, x186,
       x187, x188, x189, x190, x191, x192, x193, x194, x195, x196, x197,
       x198, x199, x200, x201, x202, x203, x204, x205, x206, x207, x208,
-      x209, x210, x211)
+      x209, x210, x211, x212, x213, x214)
 }

@@ -915,6 +915,44 @@ object VolumeTripwire {
         def uz(d: DataFrame) = Sampling.shardUniformity(d,
           col("o_orderkey"), shards = 32)
         Res("x211_shardUniformity", timeMin(uz(u1)), timeMin(uz(u10)))
+      }, {
+        // changepoint + runs test with a 500k single-DAY flood on one
+        // type: both absorb it in the map-side daily rollup (one hot
+        // cell); everything after is day-cardinality
+        val ev1 = Tables.events(spark, sfDir).select("event_type", "ts")
+        val hotTs = Tables.events(spark, sfDir).agg(max(col("ts")).as("ts"))
+        val ev10 = blow(Tables.events(spark, sfDir)
+            .select("event_id", "event_type", "ts"), "event_id", 10, 100000000L)
+          .select("event_type", "ts")
+          .unionAll(spark.range(500000).crossJoin(hotTs)
+            .select(lit("hot_type").as("event_type"), col("ts")))
+        def cpz(d: DataFrame) = graft.ext.TimeSeries.changepoint(d,
+          col("event_type"), col("ts"))
+        Res("x212_changepoint", timeMin(cpz(ev1)), timeMin(cpz(ev10)))
+      }, {
+        val ev1 = Tables.events(spark, sfDir).select("event_type", "ts")
+        val hotTs = Tables.events(spark, sfDir).agg(max(col("ts")).as("ts"))
+        val ev10 = blow(Tables.events(spark, sfDir)
+            .select("event_id", "event_type", "ts"), "event_id", 10, 100000000L)
+          .select("event_type", "ts")
+          .unionAll(spark.range(500000).crossJoin(hotTs)
+            .select(lit("hot_type").as("event_type"), col("ts")))
+        def rz(d: DataFrame) = graft.ext.TimeSeries.runsTest(d,
+          col("event_type"), col("ts"))
+        Res("x213_runsTest", timeMin(rz(ev1)), timeMin(rz(ev10)))
+      }, {
+        // ANOVA with a 500k-row flood on ONE group: the moment rollup
+        // eats it map-side; the F arithmetic is |groups| rows
+        val o1 = Tables.orders(spark, sfDir)
+          .select("o_orderpriority", "o_totalprice")
+        val o10 = (0 until 10).map(_ => o1).reduce(_.unionAll(_))
+          .unionAll(spark.range(500000).select(
+            lit("FLOOD").as("o_orderpriority"),
+            (col("id") % 1000).cast("double").as("o_totalprice")))
+        def az2(d: DataFrame) = Profile.oneWayAnova(d,
+          col("o_orderpriority"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)"), 2371945L)
+        Res("x214_anova", timeMin(az2(o1)), timeMin(az2(o10)))
       })
 
     val only: Option[Set[String]] =

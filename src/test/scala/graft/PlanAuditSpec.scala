@@ -1559,4 +1559,39 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(!finalP.contains("ShuffledHashJoin"), p)
     assert(!finalP.contains("Window"), p)
   }
+
+  test("x212: changepoint windows are type-keyed over the daily rollup; totals join broadcast") {
+    val df = SparkEntry.queries("x212_changepoint")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(l => assert(l.contains("k#"), l))
+    assert(!finalP.contains("SortMergeJoin"), p)
+    assert(!finalP.contains("Exchange SinglePartition"), p)
+  }
+
+  test("x213: runs test is two type-keyed windows + one rollup — no join") {
+    val df = SparkEntry.queries("x213_runs_test")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(l => assert(l.contains("k#"), l))
+    assert(!finalP.contains("Join"), p)
+    assert(!finalP.contains("Exchange SinglePartition") ||
+      finalP.contains("Sort"), p) // only the output sort may coalesce
+  }
+
+  test("x214: ANOVA is one combinable moment rollup — no join, no window") {
+    val df = SparkEntry.queries("x214_anova")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("Join"), p)
+    assert(!finalP.contains("Window"), p)
+    assert(!finalP.contains("Generate"), p)
+  }
 }

@@ -348,6 +348,27 @@ class ZoneMapSpec extends graft.SparkSpec {
       (4L, 2L, 1L, 500000L, "183", 91L)))
   }
 
+  test("oneWayAnova: textbook F=50 exact; zero within-variance and single group read NULL") {
+    // a=[10,12], b=[20,22]: SSB=100, SSW=4 → F = (100/1)/(4/2) = 50
+    val df = Seq(("a", 10L), ("a", 12L), ("b", 20L), ("b", 22L))
+      .toDF("g", "v")
+    val got = Profile.oneWayAnova(df, col("g"), col("v"),
+        fCritPpm = 2371945L)
+      .as[(Long, Long, String, String, Option[Long], Int)].head()
+    assert(got === ((2L, 4L, "100000000", "4000000", Some(50000000L), 1)))
+    // groups internally constant: SSW = 0 → NULL, not divide-by-zero
+    val const = Seq(("a", 10L), ("a", 10L), ("b", 20L), ("b", 20L))
+      .toDF("g", "v")
+    val g2 = Profile.oneWayAnova(const, col("g"), col("v"), 2371945L)
+      .as[(Long, Long, String, String, Option[Long], Int)].head()
+    assert(g2._5 === None && g2._6 === 0)
+    // one group: k < 2 → NULL
+    val solo = Seq(("a", 1L), ("a", 5L)).toDF("g", "v")
+    val g3 = Profile.oneWayAnova(solo, col("g"), col("v"), 2371945L)
+      .as[(Long, Long, String, String, Option[Long], Int)].head()
+    assert(g3._1 === 1L && g3._5 === None)
+  }
+
   test("tCloseness: a class mirroring the global mix scores zero") {
     val df = (Seq.fill(3)(("A", "s1")) ++ Seq.fill(1)(("A", "s2")) ++
       Seq.fill(3)(("B", "s1")) ++ Seq.fill(1)(("B", "s2"))).toDF("cls", "sv")

@@ -453,6 +453,56 @@ class PartitionGapsSpec extends graft.SparkSpec {
     assert(again === got)
   }
 
+  test("changepoint: level shift found at the true boundary; flat series gains zero") {
+    // s: daily counts [1, 1, 5, 5] — the split after day 2 is exact:
+    //   gain(2) = (4·2 + 100·2)e6/4 − 144e6/4 = 52e6 − 36e6 = 16e6
+    //   (candidates 1 and 3 both read 41,333,333 − 36e6 = 5,333,333)
+    // t: flat [2, 2] — gain 0, split at the only candidate (day 1)
+    val rows =
+      Seq(("s", "2024-01-01")) ++ Seq(("s", "2024-01-02")) ++
+      (1 to 5).map(_ => ("s", "2024-01-03")) ++
+      (1 to 5).map(_ => ("s", "2024-01-04")) ++
+      (1 to 2).map(_ => ("t", "2024-01-01")) ++
+      (1 to 2).map(_ => ("t", "2024-01-02"))
+    val df = rows.toDF("k", "d")
+      .select(col("k"), to_timestamp(col("d")).as("ts"))
+    val got = TimeSeries.changepoint(df, col("k"), col("ts"))
+      .orderBy("k")
+      .select(col("k"), col("n_days"), col("split_day").cast("string"),
+        col("gain_e6"), col("mean_left"), col("mean_right"))
+      .as[(String, Long, String, Long, Long, Long)].collect()
+    assert(got === Array(("s", 4L, "2024-01-02", 16000000L, 1L, 5L),
+      ("t", 2L, "2024-01-01", 0L, 2L, 2L)))
+  }
+
+  test("changepoint: a single-day key has no candidate and drops out") {
+    val df = Seq(("solo", "2024-01-01")).toDF("k", "d")
+      .select(col("k"), to_timestamp(col("d")).as("ts"))
+    assert(TimeSeries.changepoint(df, col("k"), col("ts")).count() === 0L)
+  }
+
+  test("runsTest: alternating series hand-checked; monotone trend and tie-heavy keys read NULL") {
+    // r: [1,2,1,2,1,2] → signs +−+−+ (n=5, up 3, down 2, runs 5):
+    //   z² = (25−5−12)²·4·1e6 // (12·7) = 256e6 // 84 = 3,047,619
+    // u: strictly increasing → all +, a=0 ≤ n → NULL
+    // v: [3,3,4] → tie dropped, one sign → n=1 → NULL
+    def day(i: Int) = f"2024-02-$i%02d"
+    val rows =
+      Seq(1, 2, 1, 2, 1, 2).zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)(("r", day(i + 1))) } ++
+      (1 to 8).flatMap(i => Seq.fill(i)(("u", day(i)))) ++
+      (Seq.fill(3)(("v", day(1))) ++ Seq.fill(3)(("v", day(2))) ++
+        Seq.fill(4)(("v", day(3))))
+    val df = rows.toDF("k", "d")
+      .select(col("k"), to_timestamp(col("d")).as("ts"))
+    val got = TimeSeries.runsTest(df, col("k"), col("ts"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5), r.getInt(6)))
+    assert(got === Array(("r", 5L, 3L, 2L, 5L, 3047619L, 0),
+      ("u", 7L, 7L, 0L, 1L, -1L, 0), ("v", 1L, 1L, 0L, 1L, -1L, 0)))
+  }
+
   test("maxConcurrency: peak_us is the EARLIEST time the peak is hit") {
     // two disjoint double-overlaps: [0,4)+[1,4) and [10,14)+[11,14) —
     // both reach 2; the report must say 1 (first time 2 is reached),

@@ -297,4 +297,45 @@ object Graph {
       .orderBy(col("ra_e6").desc, col("cn").desc, col("a"), col("b"))
       .limit(k)
   }
+
+  /** Degree assortativity of a symmetric edge list — do hubs link to
+    * hubs (r > 0, social-network shape) or to leaves (r < 0,
+    * hub-and-spoke / boilerplate-template shape)? Pearson's r over the
+    * per-edge (deg src, deg dst) pairs needs a square root, but on the
+    * SYMMETRIZED list both marginals coincide, so
+    *
+    *   r_ppm = (m₂·Σxy − S²)·1e6 DIV (m₂·Σx² − S²)
+    *
+    * with S = Σ deg(src) over directed edges and m₂ = 2·|edges| — one
+    * truncating DIV, sign preserved (both engines truncate toward
+    * zero), NULL for regular graphs (zero denominator).
+    *
+    * 100 TB posture: degrees are one combinable rollup over the
+    * (already df-capped, hub-guarded) edge list; the two lookups
+    * broadcast the |nodes|-row degree table back onto the edges; the
+    * statistic is one more combinable rollup. Callers with graphs
+    * whose NODE table outgrows a broadcast should pre-bucket — the
+    * co-shingle fixtures here are slice-bounded by construction.
+    * Output: one row (n_nodes, n_edges, min_deg, max_deg, r_ppm). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false) // stats + two edge lookups below
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+    val ds = deg.select(col("src").as("__a"), col("deg").as("x"))
+    val dd = deg.select(col("src").as("__b"), col("deg").as("y"))
+    e.join(broadcast(ds), col("src") === col("__a"))
+      .join(broadcast(dd), col("dst") === col("__b"))
+      .agg(count(lit(1)).as("m2"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("s"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .crossJoin(broadcast(stats))
+      .select(col("n_nodes"), expr("m2 DIV 2").as("n_edges"),
+        col("min_deg"), col("max_deg"),
+        expr("CASE WHEN m2 * q - s * s > 0 THEN " +
+          "CAST((m2 * sxy - s * s) * 1000000 DIV (m2 * q - s * s) " +
+          "AS BIGINT) ELSE NULL END").as("r_ppm"))
+  }
 }

@@ -495,4 +495,36 @@ object TimeSeries {
       .select("k", "n", "n_up", "n_down", "runs", "z2_ppm", "nonrandom")
       .withColumnRenamed("n", "n_signs")
   }
+
+  /** Naive-forecast backtest per key: WAPE (Σ|error|·1e6 DIV Σactual —
+    * the scale-free accuracy number that, unlike MAPE, never divides by
+    * a zero-count day) of the two baselines every real forecaster must
+    * beat — persistence (yesterday's count) and seasonal-naive (the
+    * count 7 observations back). Both models are scored on the SAME
+    * eval rows (positions > 7, so both lags exist); keys with fewer
+    * than 8 active days drop out. Position lag on the observed
+    * sequence, the x181 convention.
+    *
+    * 100 TB posture: one data-scale exchange (the daily rollup), one
+    * keyed lag window over day-cardinality rows, one combinable
+    * rollup. Output: (k, n_eval, wape1_ppm, wape7_ppm, winner). */
+  def wapeBacktest(df: DataFrame, key: Column, ts: Column): DataFrame = {
+    val daily = df.select(key.as("k"), to_date(ts).as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+    daily
+      .withColumn("l1", lag(col("c"), 1).over(w))
+      .withColumn("l7", lag(col("c"), 7).over(w))
+      .where(col("l7").isNotNull)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_eval"), sum(col("c")).as("sa"),
+        sum(abs(col("c") - col("l1"))).as("e1"),
+        sum(abs(col("c") - col("l7"))).as("e7"))
+      .select(col("k"), col("n_eval"),
+        expr("e1 * 1000000L DIV sa").as("wape1_ppm"),
+        expr("e7 * 1000000L DIV sa").as("wape7_ppm"))
+      .withColumn("winner",
+        when(col("wape7_ppm") < col("wape1_ppm"), "naive7")
+          .otherwise("naive1"))
+  }
 }

@@ -7347,6 +7347,118 @@ object ExtQueries {
       fCritPpm = 2371945L)
   }
 
+  // x215 — DEGREE ASSORTATIVITY of the co-shingle graph: hubs-to-hubs
+  // (r>0) vs hub-and-spoke (r<0) — the structural summary of the
+  // boilerplate graph. On the symmetrized list the marginals coincide,
+  // so Pearson clears to one DIV; NULL for regular graphs.
+  val x215 = Q(
+    "x215_assortativity",
+    s"""WITH $coShingleEdgeCtes,
+      |j AS (
+      |  SELECT ds.deg AS x, dd.deg AS y
+      |  FROM e JOIN deg ds ON ds.src = e.src
+      |         JOIN deg dd ON dd.src = e.dst),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m2,
+      |         CAST(sum(x) AS HUGEINT) AS s,
+      |         SUM(x::HUGEINT * x) AS q,
+      |         SUM(x::HUGEINT * y) AS sxy
+      |  FROM j)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+      |       m2 // 2 AS n_edges,
+      |       (SELECT CAST(min(deg) AS BIGINT) FROM deg) AS min_deg,
+      |       (SELECT CAST(max(deg) AS BIGINT) FROM deg) AS max_deg,
+      |       CAST(CASE WHEN m2 * q - s * s > 0
+      |            THEN (m2 * sxy - s * s) * 1000000 // (m2 * q - s * s)
+      |            ELSE NULL END AS BIGINT) AS r_ppm
+      |FROM a""".stripMargin) { (s, dir) =>
+    Graph.assortativity(
+      Graph.coShingleEdges(Tables.documents(s, dir).where(col("doc_id") < 1500),
+        col("doc_id"), col("text"), n = 3, maxShingleDf = 64L))
+  }
+
+  // x216 — NEAREST AS-OF JOIN (pandas merge_asof direction='nearest'):
+  // each error event gets the |Δt|-closest click on the same user,
+  // backward winning ties — x15/x24's bidirectional sibling on the
+  // same one-shuffle union spine (two frames over ONE keyed sort).
+  val x216 = Q(
+    "x216_asof_nearest",
+    """WITH er AS (SELECT event_id, user_id, epoch_us(ts) AS t
+      |            FROM events WHERE event_type = 'error'),
+      |ck AS (SELECT event_id, user_id, epoch_us(ts) AS t
+      |       FROM events WHERE event_type = 'click'),
+      |u AS (
+      |  SELECT user_id AS k, t, event_id AS id, 1 AS side,
+      |         NULL::BIGINT AS rt, NULL::BIGINT AS rid FROM er
+      |  UNION ALL
+      |  SELECT user_id, t, event_id, 0, t, event_id FROM ck),
+      |c AS (
+      |  SELECT k, t, id, side,
+      |    last_value(rid IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, side, id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS brid,
+      |    last_value(rt IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, side, id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS brt,
+      |    first_value(rid IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, side, id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS frid,
+      |    first_value(rt IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, side, id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS frt
+      |  FROM u),
+      |p AS (
+      |  SELECT id AS event_id,
+      |         brid IS NOT NULL AND (frid IS NULL OR t - brt <= frt - t) AS tb,
+      |         brid, frid, t, brt, frt
+      |  FROM c WHERE side = 1)
+      |SELECT event_id,
+      |       CASE WHEN tb THEN brid ELSE frid END AS asof_click,
+      |       CAST(CASE WHEN tb THEN t - brt
+      |                 WHEN frid IS NOT NULL THEN frt - t END AS BIGINT) AS dist_us,
+      |       CASE WHEN tb THEN 'b'
+      |            WHEN frid IS NOT NULL THEN 'f' END AS dir
+      |FROM p ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    graft.ops.AsofJoin.asofNearest(
+      ev.where(col("event_type") === "error")
+        .select("event_id", "user_id", "ts"),
+      ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts"),
+      key = "user_id", leftTime = "ts", rightTime = "ts",
+      leftId = "event_id", rightId = "event_id")
+      .withColumnRenamed("asof_event_id", "asof_click")
+      .orderBy("event_id")
+  }
+
+  // x217 — NAIVE-BASELINE BACKTEST per event type: WAPE of persistence
+  // (lag 1) vs seasonal-naive (lag 7) on the SAME eval rows — the
+  // floor any forecaster must beat, exact ppm. Day-cardinality after
+  // one rollup; <8-day keys drop out.
+  val x217 = Q(
+    "x217_wape_backtest",
+    """WITH d AS (
+      |  SELECT event_type AS k, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT k, c,
+      |         lag(c, 1) OVER (PARTITION BY k ORDER BY day) AS l1,
+      |         lag(c, 7) OVER (PARTITION BY k ORDER BY day) AS l7
+      |  FROM d),
+      |a AS (
+      |  SELECT k, CAST(count(*) AS BIGINT) AS n_eval,
+      |         CAST(sum(c) AS BIGINT) AS sa,
+      |         CAST(sum(abs(c - l1)) AS BIGINT) AS e1,
+      |         CAST(sum(abs(c - l7)) AS BIGINT) AS e7
+      |  FROM l WHERE l7 IS NOT NULL GROUP BY k)
+      |SELECT k, n_eval,
+      |       CAST(e1 * 1000000 // sa AS BIGINT) AS wape1_ppm,
+      |       CAST(e7 * 1000000 // sa AS BIGINT) AS wape7_ppm,
+      |       CASE WHEN e7 * 1000000 // sa < e1 * 1000000 // sa
+      |            THEN 'naive7' ELSE 'naive1' END AS winner
+      |FROM a ORDER BY k""".stripMargin) { (s, dir) =>
+    graft.ext.TimeSeries.wapeBacktest(Tables.events(s, dir),
+      col("event_type"), col("ts"))
+      .orderBy("k")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -7363,5 +7475,5 @@ object ExtQueries {
       x176, x177, x178, x179, x180, x181, x182, x183, x184, x185, x186,
       x187, x188, x189, x190, x191, x192, x193, x194, x195, x196, x197,
       x198, x199, x200, x201, x202, x203, x204, x205, x206, x207, x208,
-      x209, x210, x211, x212, x213, x214)
+      x209, x210, x211, x212, x213, x214, x215, x216, x217)
 }

@@ -953,6 +953,45 @@ object VolumeTripwire {
           col("o_orderpriority"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)"), 2371945L)
         Res("x214_anova", timeMin(az2(o1)), timeMin(az2(o10)))
+      }, {
+        // assortativity on the 10× corpus (the flood's identical docs
+        // collapse via the df cap upstream): the statistic is two
+        // rollups + broadcast degree lookups over the capped edges
+        def asz(d: DataFrame) = Graph.assortativity(
+          Graph.coShingleEdges(d, col("doc_id"), col("text"), n = 3,
+            maxShingleDf = 64L))
+        Res("x215_assortativity",
+          timeMin(asz(docs1.where(col("doc_id") < 1500))),
+          timeMin(asz(docs10.where(pmod(col("doc_id"), lit(1000000L)) < 1500))))
+      }, {
+        // nearest as-of with 9/10 of events on ONE user: that user's
+        // spine is one task's local sort (per-entity window contract);
+        // both frames ride the same sort
+        val ev1 = Tables.events(spark, sfDir)
+          .select("event_id", "user_id", "ts", "event_type")
+        val ev10 = blow(ev1, "event_id", 10, 100000000L)
+          .withColumn("user_id",
+            when(col("event_id") >= 100000000L, lit(7L)).otherwise(col("user_id")))
+        def nz(d: DataFrame) = graft.ops.AsofJoin.asofNearest(
+          d.where(col("event_type") === "error")
+            .select("event_id", "user_id", "ts"),
+          d.where(col("event_type") === "click")
+            .select("event_id", "user_id", "ts"),
+          "user_id", "ts", "ts", "event_id", "event_id")
+        Res("x216_asofNearest", timeMin(nz(ev1)), timeMin(nz(ev10)))
+      }, {
+        // WAPE backtest under the 500k single-day flood: the daily
+        // rollup eats it map-side; lags ride day-cardinality rows
+        val ev1 = Tables.events(spark, sfDir).select("event_type", "ts")
+        val hotTs = Tables.events(spark, sfDir).agg(max(col("ts")).as("ts"))
+        val ev10 = blow(Tables.events(spark, sfDir)
+            .select("event_id", "event_type", "ts"), "event_id", 10, 100000000L)
+          .select("event_type", "ts")
+          .unionAll(spark.range(500000).crossJoin(hotTs)
+            .select(lit("hot_type").as("event_type"), col("ts")))
+        def wz2(d: DataFrame) = graft.ext.TimeSeries.wapeBacktest(d,
+          col("event_type"), col("ts"))
+        Res("x217_wapeBacktest", timeMin(wz2(ev1)), timeMin(wz2(ev10)))
       })
 
     val only: Option[Set[String]] =

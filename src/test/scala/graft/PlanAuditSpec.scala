@@ -1594,4 +1594,40 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(!finalP.contains("Window"), p)
     assert(!finalP.contains("Generate"), p)
   }
+
+  test("x215: assortativity broadcasts the degree table onto the checkpointed edges — no shuffled join, no window") {
+    val df = SparkEntry.queries("x215_assortativity")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("Scan ExistingRDD"), p)
+    assert(!finalP.contains("SortMergeJoin"), p)
+    assert(!finalP.contains("ShuffledHashJoin"), p)
+    assert(!finalP.contains("Window"), p)
+    assert(!finalP.contains("CartesianProduct"), p)
+  }
+
+  test("x216: nearest as-of is ONE keyed spine sort carrying both frames — no range self-join") {
+    val df = SparkEntry.queries("x216_asof_nearest")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(l => assert(l.contains("__k"), l))
+    assert(!finalP.contains("SortMergeJoin"), p)
+    assert(!finalP.contains("CartesianProduct"), p)
+    assert(!finalP.contains("Exchange SinglePartition"), p)
+  }
+
+  test("x217: WAPE backtest is one keyed lag window over the daily rollup — no join") {
+    val df = SparkEntry.queries("x217_wape_backtest")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.size === 1, p)
+    winLines.foreach(l => assert(l.contains("k#"), l))
+    assert(!finalP.contains("Join"), p)
+  }
 }

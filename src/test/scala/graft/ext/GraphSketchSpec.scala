@@ -331,6 +331,20 @@ class GraphSketchSpec extends graft.SparkSpec {
     intercept[IllegalArgumentException] { Graph.kCorePeel(g, k = 2, rounds = 0) }
     intercept[IllegalArgumentException] { Graph.kCorePeel(g, k = 2, rounds = 17) }
   }
+
+  // ---- Graph.assortativity ----
+
+  test("assortativity: a star is perfectly disassortative (−1e6), a regular graph is NULL") {
+    // star 1—{2,3,4}: every edge pairs deg 3 with deg 1 → r = −1
+    val star = Graph.assortativity(sym((1L, 2L), (1L, 3L), (1L, 4L)))
+      .collect().head
+    assert((star.getLong(0), star.getLong(1), star.getLong(2),
+      star.getLong(3), star.getLong(4)) === ((4L, 3L, 1L, 3L, -1000000L)))
+    // triangle: all degrees 2 → zero variance → NULL, not a crash
+    val tri = Graph.assortativity(sym((1L, 2L), (2L, 3L), (1L, 3L)))
+      .collect().head
+    assert(tri.getLong(0) === 3L && tri.isNullAt(4))
+  }
 }
 
 class LinkPredictionSpec extends graft.SparkSpec {

@@ -503,6 +503,27 @@ class PartitionGapsSpec extends graft.SparkSpec {
       ("u", 7L, 7L, 0L, 1L, -1L, 0), ("v", 1L, 1L, 0L, 1L, -1L, 0)))
   }
 
+  test("wapeBacktest: both baselines scored on the same eval rows; seasonal-naive wins a spiky series") {
+    // counts over 9 days: [5,5,5,5,5,5,5,9,5] — eval rows are days 8,9:
+    //   naive1 errors |9−5| + |5−9| = 8 → 8e6/14 = 571428 ppm
+    //   naive7 errors |9−5| + |5−5| = 4 → 4e6/14 = 285714 ppm → wins
+    val counts = Seq(5, 5, 5, 5, 5, 5, 5, 9, 5)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(("e", f"2024-03-${i + 1}%02d")) }
+    val df = rows.toDF("k", "d")
+      .select(col("k"), to_timestamp(col("d")).as("ts"))
+    val got = TimeSeries.wapeBacktest(df, col("k"), col("ts"))
+      .as[(String, Long, Long, Long, String)].head()
+    assert(got === (("e", 2L, 571428L, 285714L, "naive7")))
+  }
+
+  test("wapeBacktest: keys without 8 active days drop out") {
+    val rows = (1 to 7).map(i => ("short", f"2024-03-0$i"))
+    val df = rows.toDF("k", "d")
+      .select(col("k"), to_timestamp(col("d")).as("ts"))
+    assert(TimeSeries.wapeBacktest(df, col("k"), col("ts")).count() === 0L)
+  }
+
   test("maxConcurrency: peak_us is the EARLIEST time the peak is hit") {
     // two disjoint double-overlaps: [0,4)+[1,4) and [10,14)+[11,14) —
     // both reach 2; the report must say 1 (first time 2 is reached),

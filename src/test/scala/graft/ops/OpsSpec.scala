@@ -277,6 +277,27 @@ class AsofJoinSpec extends SparkSpec {
     assert(got(3L) === -1L)  // nothing before 08:00
     assert(got(4L) === -1L)  // no rows for that user
   }
+
+  test("asofNearest: |Δt|-closest wins, ties go backward, exact match is distance 0") {
+    val left = Seq((1L, "u", 90L), (2L, "u", 150L), (3L, "u", 100L),
+      (4L, "u", 300L), (5L, "v", 10L))
+      .toDF("event_id", "user_id", "us")
+      .withColumn("ts", expr("timestamp_micros(1704067200000000 + us)"))
+    val right = Seq((10L, "u", 100L), (11L, "u", 200L))
+      .toDF("event_id", "user_id", "us")
+      .withColumn("ts", expr("timestamp_micros(1704067200000000 + us)"))
+    val got = AsofJoin.asofNearest(left, right, "user_id", "ts", "ts",
+        "event_id", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) "-" else r.getString(3))).toMap
+    assert(got(1L) === ((10L, 10L, "f")))   // only forward exists
+    assert(got(2L) === ((10L, 50L, "b")))   // 50 vs 50: backward wins tie
+    assert(got(3L) === ((10L, 0L, "b")))    // exact match, distance 0
+    assert(got(4L) === ((11L, 100L, "b")))  // only backward exists
+    assert(got(5L) === ((-1L, -1L, "-")))   // key with no right rows
+  }
 }
 
 class SaltingSpec extends SparkSpec {

@@ -527,4 +527,73 @@ object TimeSeries {
         when(col("wape7_ppm") < col("wape1_ppm"), "naive7")
           .otherwise("naive1"))
   }
+
+  /** Mann–Kendall trend test + Sen slope per key — the standard
+    * NONPARAMETRIC trend pairing (x150's exact OLS slope assumes
+    * linear-in-time Gaussian noise; this assumes nothing): S = Σ_{i<j}
+    * sign(c_j − c_i) over all day pairs, the tie-corrected variance
+    * ×18 is the integer n(n−1)(2n+5) − Σ t(t−1)(2t+5), and the
+    * continuity-corrected z² clears to
+    *
+    *   z²_ppm = (|S|−1)²·18·1e6 DIV varx18     (0 when |S| ≤ 1)
+    *
+    * `trend` = sign(S) when z² passes χ²₁ @ 95%. The Sen slope is the
+    * lower median of the per-pair slopes, each e6-quantized as
+    * (Δc·1e6 DIV Δdays) — a DOCUMENTED quantization (exact fraction
+    * ordering needs cross-multiplication; the e6 grid is deterministic
+    * on any engine and the median is taken over the quantized values).
+    *
+    * 100 TB posture: one data-scale exchange (the daily rollup); the
+    * pair join is per-key DAY-cardinality² — bounded by the calendar,
+    * not the corpus — with a loud plan-build refusal past `maxDays`
+    * (the triangleStats contract: 5000 days → 12.5M pairs per key).
+    * The median rides a keyed window over the pair table.
+    * Output: (k, n_days, s_stat, z2_ppm, trend, sen_slope_e6). */
+  def mannKendall(df: DataFrame, key: Column, ts: Column,
+      maxDays: Int = 5000): DataFrame = {
+    require(maxDays >= 2 && maxDays <= 100000, s"maxDays=$maxDays")
+    val daily = df.select(key.as("k"), to_date(ts).as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // pair join + tie table + refusal probe
+    val widest = daily.groupBy("k").count()
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    require(widest <= maxDays,
+      s"mannKendall enumerates days² pairs per key; the widest key has " +
+        s"$widest active days > maxDays=$maxDays (${widest * widest / 2} " +
+        s"pairs). Narrow the window, pre-aggregate to weeks, or raise " +
+        s"maxDays deliberately")
+    val a = daily.select(col("k"), col("day").as("da"), col("c").as("ca"))
+    val b = daily.select(col("k"), col("day").as("db"), col("c").as("cb"))
+    val pairs = a.join(b, Seq("k")).where(col("da") < col("db"))
+      .select(col("k"),
+        signum(col("cb") - col("ca")).cast("long").as("sgn"),
+        expr("(cb - ca) * 1000000 DIV datediff(db, da)").as("slope_e6"))
+      .localCheckpoint(false) // S rollup + median window share one build
+    val wm = Window.partitionBy(col("k")).orderBy(col("slope_e6"))
+    val sen = pairs
+      .withColumn("rn", row_number().over(wm).cast("long"))
+      .join(broadcast(pairs.groupBy("k").agg(count(lit(1)).as("m"))),
+        Seq("k"))
+      .where(col("rn") === expr("(m + 1) DIV 2"))
+      .select(col("k"), col("slope_e6").as("sen_slope_e6"))
+    val ties = daily.groupBy("k", "c").agg(count(lit(1)).as("t"))
+      .groupBy("k")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tieterm"),
+        sum(col("t")).as("n"))
+    pairs.groupBy("k").agg(sum(col("sgn")).as("s_stat"))
+      .join(broadcast(ties), Seq("k"))
+      .withColumn("varx18",
+        expr("n * (n - 1) * (2 * n + 5) - tieterm"))
+      .withColumn("z2_ppm",
+        expr("CASE WHEN varx18 > 0 THEN CASE WHEN abs(s_stat) <= 1 THEN 0L " +
+          "ELSE CAST(CAST((abs(s_stat) - 1) AS DECIMAL(38,0)) " +
+          "* (abs(s_stat) - 1) * 18 * 1000000 DIV varx18 AS BIGINT) END " +
+          "ELSE NULL END"))
+      .withColumn("trend",
+        when(col("z2_ppm") > 3841459L,
+          signum(col("s_stat")).cast("int")).otherwise(0).cast("int"))
+      .join(broadcast(sen), Seq("k"))
+      .select(col("k"), col("n").as("n_days"), col("s_stat"),
+        col("z2_ppm"), col("trend"), col("sen_slope_e6"))
+  }
 }

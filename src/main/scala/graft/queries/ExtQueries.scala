@@ -7459,6 +7459,57 @@ object ExtQueries {
       .orderBy("k")
   }
 
+  // x218 — MANN–KENDALL TREND + SEN SLOPE per event type: the standard
+  // nonparametric trend pairing (x150's OLS twin without its noise
+  // assumptions). S over all day pairs, tie-corrected ×18 variance,
+  // continuity-corrected z² exact; Sen slope = lower median of the
+  // e6-quantized pair slopes (documented grid). Day² pairs per key,
+  // calendar-bounded, loud refusal past maxDays.
+  val x218 = Q(
+    "x218_mann_kendall",
+    """WITH d AS (
+      |  SELECT event_type AS k, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.k, CAST(sign(b.c - a.c) AS BIGINT) AS sgn,
+      |         (b.c - a.c) * 1000000 // date_diff('day', a.day, b.day) AS slope_e6
+      |  FROM d a JOIN d b ON a.k = b.k AND a.day < b.day),
+      |sen AS (
+      |  SELECT k, slope_e6 AS sen_slope_e6 FROM (
+      |    SELECT k, slope_e6,
+      |           row_number() OVER (PARTITION BY k ORDER BY slope_e6) AS rn,
+      |           count(*) OVER (PARTITION BY k) AS m
+      |    FROM p) z WHERE rn = (m + 1) // 2),
+      |ties AS (
+      |  SELECT k, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tieterm,
+      |         CAST(sum(t) AS BIGINT) AS n
+      |  FROM (SELECT k, c, CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1, 2) tt
+      |  GROUP BY k),
+      |s AS (SELECT k, CAST(sum(sgn) AS BIGINT) AS s_stat FROM p GROUP BY k)
+      |SELECT s.k AS k, ties.n AS n_days, s.s_stat,
+      |       CAST(CASE WHEN n * (n - 1) * (2 * n + 5) - tieterm > 0 THEN
+      |            CASE WHEN abs(s_stat) <= 1 THEN 0
+      |                 ELSE (abs(s_stat) - 1)::HUGEINT * (abs(s_stat) - 1)
+      |                      * 18 * 1000000
+      |                      // (n * (n - 1) * (2 * n + 5) - tieterm) END
+      |            ELSE NULL END AS BIGINT) AS z2_ppm,
+      |       CAST(CASE WHEN n * (n - 1) * (2 * n + 5) - tieterm > 0
+      |                  AND abs(s_stat) > 1
+      |                  AND (abs(s_stat) - 1)::HUGEINT * (abs(s_stat) - 1)
+      |                      * 18 * 1000000
+      |                      // (n * (n - 1) * (2 * n + 5) - tieterm) > 3841459
+      |            THEN CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1
+      |                 ELSE 0 END
+      |            ELSE 0 END AS INT) AS trend,
+      |       CAST(sen.sen_slope_e6 AS BIGINT) AS sen_slope_e6
+      |FROM s JOIN ties ON ties.k = s.k JOIN sen ON sen.k = s.k
+      |ORDER BY s.k""".stripMargin) { (s, dir) =>
+    graft.ext.TimeSeries.mannKendall(Tables.events(s, dir),
+      col("event_type"), col("ts"))
+      .orderBy("k")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -7475,5 +7526,5 @@ object ExtQueries {
       x176, x177, x178, x179, x180, x181, x182, x183, x184, x185, x186,
       x187, x188, x189, x190, x191, x192, x193, x194, x195, x196, x197,
       x198, x199, x200, x201, x202, x203, x204, x205, x206, x207, x208,
-      x209, x210, x211, x212, x213, x214, x215, x216, x217)
+      x209, x210, x211, x212, x213, x214, x215, x216, x217, x218)
 }

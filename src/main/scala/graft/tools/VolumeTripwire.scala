@@ -992,6 +992,20 @@ object VolumeTripwire {
         def wz2(d: DataFrame) = graft.ext.TimeSeries.wapeBacktest(d,
           col("event_type"), col("ts"))
         Res("x217_wapeBacktest", timeMin(wz2(ev1)), timeMin(wz2(ev10)))
+      }, {
+        // Mann–Kendall under the 500k single-day flood: the daily
+        // rollup absorbs it map-side; the pair join is calendar² per
+        // key regardless of corpus size
+        val ev1 = Tables.events(spark, sfDir).select("event_type", "ts")
+        val hotTs = Tables.events(spark, sfDir).agg(max(col("ts")).as("ts"))
+        val ev10 = blow(Tables.events(spark, sfDir)
+            .select("event_id", "event_type", "ts"), "event_id", 10, 100000000L)
+          .select("event_type", "ts")
+          .unionAll(spark.range(500000).crossJoin(hotTs)
+            .select(lit("hot_type").as("event_type"), col("ts")))
+        def mkz(d: DataFrame) = graft.ext.TimeSeries.mannKendall(d,
+          col("event_type"), col("ts"))
+        Res("x218_mannKendall", timeMin(mkz(ev1)), timeMin(mkz(ev10)))
       })
 
     val only: Option[Set[String]] =

@@ -1630,4 +1630,17 @@ class PlanAuditSpec2 extends SparkSpec {
     winLines.foreach(l => assert(l.contains("k#"), l))
     assert(!finalP.contains("Join"), p)
   }
+
+  test("x218: Mann–Kendall pairs ride the checkpointed daily rollup; the Sen median window is keyed") {
+    val df = SparkEntry.queries("x218_mann_kendall")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("Scan ExistingRDD"), p)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(l => assert(l.contains("k#"), l))
+    assert(!finalP.contains("CartesianProduct"), p)
+    assert(!finalP.contains("Exchange SinglePartition"), p)
+  }
 }

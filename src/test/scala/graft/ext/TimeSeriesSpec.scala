@@ -524,6 +524,38 @@ class PartitionGapsSpec extends graft.SparkSpec {
     assert(TimeSeries.wapeBacktest(df, col("k"), col("ts")).count() === 0L)
   }
 
+  test("mannKendall: monotone series trends, flat series is NULL, alternating hand-checked") {
+    // up: [1,2,3,4,5] → S=10, varx18=300, z²=81·18e6/300=4.86e6 → trend 1,
+    //     every pair slope is exactly 1e6 → Sen 1e6
+    // fl: [2,2,2] → S=0 and varx18=0 (all one tie group) → NULL, trend 0
+    // al: [1,2,1,2] → S=2, tieterm=36, varx18=120 → z²=150000, trend 0,
+    //     slopes sorted [−1e6,0,0,333333,1e6,1e6] → lower median 0
+    def day(i: Int) = f"2024-04-$i%02d"
+    val rows =
+      (1 to 5).flatMap(i => Seq.fill(i)(("up", day(i)))) ++
+      (1 to 3).flatMap(i => Seq.fill(2)(("fl", day(i)))) ++
+      Seq(1, 2, 1, 2).zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)(("al", day(i + 1))) }
+    val df = rows.toDF("k", "d")
+      .select(col("k"), to_timestamp(col("d")).as("ts"))
+    val got = TimeSeries.mannKendall(df, col("k"), col("ts"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4), r.getLong(5)))
+    assert(got === Array(("al", 4L, 2L, 150000L, 0, 0L),
+      ("fl", 3L, 0L, -1L, 0, 0L),
+      ("up", 5L, 10L, 4860000L, 1, 1000000L)))
+  }
+
+  test("mannKendall: refuses a key wider than maxDays at plan build") {
+    val rows = (1 to 3).map(i => ("w", f"2024-04-0$i"))
+    val df = rows.toDF("k", "d")
+      .select(col("k"), to_timestamp(col("d")).as("ts"))
+    intercept[IllegalArgumentException] {
+      TimeSeries.mannKendall(df, col("k"), col("ts"), maxDays = 2)
+    }
+  }
+
   test("maxConcurrency: peak_us is the EARLIEST time the peak is hit") {
     // two disjoint double-overlaps: [0,4)+[1,4) and [10,14)+[11,14) —
     // both reach 2; the report must say 1 (first time 2 is reached),

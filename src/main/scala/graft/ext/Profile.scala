@@ -1077,6 +1077,65 @@ object Profile {
         "z2_ppm", "significant")
   }
 
+  /** Two-sample χ² drift of each stratum's log2-value histogram against
+    * the REST of the corpus — the SIGNIFICANCE member of the drift trio
+    * ([[log2Ks]] max-deviation, [[log2Emd]] mass-transport, here "is
+    * the difference more than chance"). The two per-bin terms share one
+    * numerator (d = n1·N − cb·N1 is the other side's negation), so the
+    * whole bin collapses to ONE truncating DIV:
+    *
+    *   term_ppm(b) = d²·1e6 DIV (cb·N1·N2)
+    *
+    * REST is global−own from the SAME bin table (no second corpus
+    * pass, the x187 discipline); bins the stratum never hit still
+    * contribute (the spine is strata × global bins). A stratum that IS
+    * the whole corpus reads NULL (N2 = 0), loudly. `drifted` flags
+    * χ²/dof > 2e6 (the x211 heuristic). χ² for a 2×k table is bounded
+    * by N, so chi2_ppm fits BIGINT to N ≈ 9e9; the d² products need
+    * N ≲ 1e12 inside DECIMAL(38).
+    *
+    * 100 TB posture: one data-scale exchange (the (stratum, bin)
+    * rollup); margins, spine, and χ² are all ≤ |strata|×63 rows.
+    * Output: (s, n_own, n_rest, bins_occupied, chi2_ppm,
+    * chi2_per_dof_ppm, drifted). */
+  def log2Chi2Drift(df: DataFrame, stratum: Column, value: Column)
+      : DataFrame = {
+    val binned = df.select(stratum.cast("string").as("s"),
+        value.cast("long").as("v"))
+      .where(col("v") >= 1)
+      .select(col("s"), (length(bin(col("v"))) - 1).cast("long").as("b"))
+      .groupBy("s", "b").agg(count(lit(1)).as("n1"))
+      .localCheckpoint(false) // margins + spine share one bin pass
+    val gb = binned.groupBy("b").agg(sum(col("n1")).as("cb"))
+    val st = binned.groupBy("s").agg(sum(col("n1")).as("n_own"))
+    val tot = gb.agg(sum(col("cb")).as("nn"))
+    st.crossJoin(broadcast(gb)).crossJoin(broadcast(tot))
+      .join(binned, Seq("s", "b"), "left")
+      .na.fill(0L, Seq("n1"))
+      // the exact (a − a%b)/b DECIMAL floor (the x214 lesson): a DIV
+      // quotient here can pass 2^63 when one stratum owns a bin
+      .withColumn("__d2",
+        expr("(CAST(n1 AS DECIMAL(38,0)) * nn - CAST(cb AS DECIMAL(38,0)) * n_own) " +
+          "* (CAST(n1 AS DECIMAL(38,0)) * nn - CAST(cb AS DECIMAL(38,0)) * n_own) " +
+          "* 1000000"))
+      .withColumn("__den",
+        expr("CAST(cb AS DECIMAL(38,0)) * n_own * (nn - n_own)"))
+      .withColumn("term",
+        expr("CASE WHEN nn > n_own THEN " +
+          "CAST((__d2 - __d2 % __den) / __den AS DECIMAL(38,0)) " +
+          "ELSE NULL END"))
+      .groupBy("s", "n_own", "nn")
+      .agg(count(lit(1)).as("bins_occupied"), sum(col("term")).as("__chi"))
+      .select(col("s"), col("n_own"), (col("nn") - col("n_own")).as("n_rest"),
+        col("bins_occupied"),
+        expr("CAST(__chi AS BIGINT)").as("chi2_ppm"))
+      .withColumn("chi2_per_dof_ppm",
+        expr("CASE WHEN bins_occupied >= 2 THEN chi2_ppm DIV (bins_occupied - 1) " +
+          "ELSE NULL END"))
+      .withColumn("drifted",
+        when(col("chi2_per_dof_ppm") > 2000000L, 1).otherwise(0).cast("int"))
+  }
+
   /** One-way ANOVA F of an integer measure across groups — the
     * numeric×categorical member of the bivariate test quadrant
     * ([[chi2Assoc]] cat×cat, [[rankAuc]] score×binary,

@@ -596,4 +596,55 @@ object TimeSeries {
       .select(col("k"), col("n").as("n_days"), col("s_stat"),
         col("z2_ppm"), col("trend"), col("sen_slope_e6"))
   }
+
+  /** Lead–lag covariance scan between two daily series: at every lag
+    * ℓ ∈ [−maxLag, maxLag], the exact covariance of a(t) against
+    * b(t−ℓ) over the days both exist — "does B move BEFORE A?" (the
+    * incident-analysis question: do error spikes lead click drops?).
+    * cov_e6 = (n·Σab − Σa·Σb)·1e6 DIV (n(n−1)) per lag; `is_best`
+    * marks the |cov| argmax (ties → smaller |ℓ|, then smaller ℓ).
+    * True cross-CORRELATION would divide by the two standard
+    * deviations — a square root — so the scan compares covariances,
+    * which share the same units across lags on a fixed pair; the
+    * documented, hash-provable contract.
+    *
+    * 100 TB posture: two daily rollups (the only data-scale
+    * exchanges), then a day-cardinality × (2·maxLag+1) spine — the
+    * scan cost is calendar-bound, never corpus-bound.
+    * Output: one row per lag (lag, n_days, cov_e6, is_best). */
+  def leadLag(dfA: DataFrame, tsA: Column, dfB: DataFrame, tsB: Column,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, s"maxLag=$maxLag out of range")
+    val spark = dfA.sparkSession
+    import spark.implicits._
+    val da = dfA.select(to_date(tsA).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("a"))
+    val db = dfB.select(to_date(tsB).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("b"))
+    val lags = broadcast((-maxLag to maxLag).map(_.toLong).toDF("lag"))
+    val g = da.join(
+        db.crossJoin(lags)
+          .select(expr("date_add(day, CAST(lag AS INT))").as("day"),
+            col("lag"), col("b")),
+        Seq("day"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(a AS DECIMAL(38,0))")).as("sa"),
+        sum(expr("CAST(b AS DECIMAL(38,0))")).as("sb"),
+        sum(expr("CAST(a AS DECIMAL(38,0)) * b")).as("sab"))
+      .withColumn("cov_e6",
+        expr("CASE WHEN n >= 2 THEN CAST((n * sab - sa * sb) * 1000000 " +
+          "DIV (n * CAST(n - 1 AS DECIMAL(38,0))) AS BIGINT) " +
+          "ELSE NULL END"))
+    val best = g.where(col("cov_e6").isNotNull)
+      .agg(max(struct(abs(col("cov_e6")).as("ac"),
+        (-abs(col("lag"))).as("nal"), (-col("lag")).as("nl"))).as("mx"))
+    g.crossJoin(broadcast(best))
+      .select(col("lag"), col("n").as("n_days"), col("cov_e6"),
+        when(col("cov_e6").isNotNull &&
+            abs(col("cov_e6")) === col("mx.ac") &&
+            -abs(col("lag")) === col("mx.nal") &&
+            -col("lag") === col("mx.nl"), 1)
+          .otherwise(0).cast("int").as("is_best"))
+  }
 }

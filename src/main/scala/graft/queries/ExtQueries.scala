@@ -7510,6 +7510,93 @@ object ExtQueries {
       .orderBy("k")
   }
 
+  // x219 — LEAD–LAG covariance scan: does the error series move BEFORE
+  // the click series? Exact covariance of clicks(t) vs errors(t−ℓ) at
+  // every lag ℓ ∈ [−7, 7]; `is_best` = |cov| argmax (ties → smaller
+  // |ℓ|). Calendar-bound after two daily rollups.
+  val x219 = Q(
+    "x219_leadlag",
+    """WITH a AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS a
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |b AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS b
+      |  FROM events WHERE event_type = 'error' GROUP BY 1),
+      |l AS (SELECT CAST(unnest(range(-7, 8)) AS BIGINT) AS lag),
+      |s AS (
+      |  SELECT l.lag, a.a, b.b
+      |  FROM l CROSS JOIN b JOIN a ON a.day = b.day + CAST(l.lag AS INTEGER)),
+      |g AS (
+      |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(a) AS HUGEINT) AS sa, CAST(sum(b) AS HUGEINT) AS sb,
+      |         SUM(a::HUGEINT * b) AS sab
+      |  FROM s GROUP BY 1),
+      |c AS (
+      |  SELECT lag, n,
+      |         CASE WHEN n >= 2
+      |              THEN (n * sab - sa * sb) * 1000000 // (n * (n::HUGEINT - 1))
+      |              ELSE NULL END AS cov
+      |  FROM g),
+      |m AS (SELECT max(struct_pack(ac := abs(cov), nal := -abs(lag), nl := -lag)) AS mx
+      |      FROM c WHERE cov IS NOT NULL)
+      |SELECT lag, n AS n_days, CAST(cov AS BIGINT) AS cov_e6,
+      |       CAST(CASE WHEN cov IS NOT NULL AND abs(cov) = (mx).ac
+      |                  AND -abs(lag) = (mx).nal AND -lag = (mx).nl
+      |            THEN 1 ELSE 0 END AS INT) AS is_best
+      |FROM c, m ORDER BY lag""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    graft.ext.TimeSeries.leadLag(
+      ev.where(col("event_type") === "click"), col("ts"),
+      ev.where(col("event_type") === "error"), col("ts"), maxLag = 7)
+      .orderBy("lag")
+  }
+
+  // x220 — TWO-SAMPLE χ² DRIFT per source vs the REST on log2 doc
+  // length — the SIGNIFICANCE member of the drift trio (x187 KS max
+  // deviation, x171 EMD transport). Both per-bin terms share one
+  // numerator, so each bin is ONE exact floor-division; REST =
+  // global − own from the same bin table.
+  val x220 = Q(
+    "x220_chi2_drift",
+    """WITH base AS (
+      |  SELECT source AS s,
+      |         CAST(length(bin(length(text))) - 1 AS BIGINT) AS b
+      |  FROM documents WHERE length(text) >= 1),
+      |binned AS (SELECT s, b, CAST(count(*) AS BIGINT) AS n1
+      |           FROM base GROUP BY 1, 2),
+      |gb AS (SELECT b, CAST(sum(n1) AS BIGINT) AS cb FROM binned GROUP BY 1),
+      |st AS (SELECT s, CAST(sum(n1) AS BIGINT) AS n_own FROM binned GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cb) AS BIGINT) AS nn FROM gb),
+      |spine AS (
+      |  SELECT st.s, st.n_own, gb.b, gb.cb, tot.nn,
+      |         COALESCE(binned.n1, 0) AS n1
+      |  FROM st CROSS JOIN gb CROSS JOIN tot
+      |  LEFT JOIN binned ON binned.s = st.s AND binned.b = gb.b),
+      |terms AS (
+      |  SELECT s, n_own, nn,
+      |         CASE WHEN nn > n_own THEN
+      |              (n1::HUGEINT * nn - cb::HUGEINT * n_own)
+      |              * (n1::HUGEINT * nn - cb::HUGEINT * n_own) * 1000000
+      |              // (cb::HUGEINT * n_own * (nn - n_own))
+      |              ELSE NULL END AS term
+      |  FROM spine),
+      |agg AS (
+      |  SELECT s, n_own, nn, CAST(count(*) AS BIGINT) AS bins_occupied,
+      |         CAST(sum(term) AS BIGINT) AS chi2_ppm
+      |  FROM terms GROUP BY 1, 2, 3)
+      |SELECT s, n_own, nn - n_own AS n_rest, bins_occupied, chi2_ppm,
+      |       CAST(CASE WHEN bins_occupied >= 2
+      |            THEN chi2_ppm // (bins_occupied - 1)
+      |            ELSE NULL END AS BIGINT) AS chi2_per_dof_ppm,
+      |       CAST(CASE WHEN bins_occupied >= 2
+      |                  AND chi2_ppm // (bins_occupied - 1) > 2000000
+      |            THEN 1 ELSE 0 END AS INT) AS drifted
+      |FROM agg ORDER BY s""".stripMargin) { (s, dir) =>
+    Profile.log2Chi2Drift(Tables.documents(s, dir),
+      col("source"), length(col("text")))
+      .orderBy("s")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -7526,5 +7613,6 @@ object ExtQueries {
       x176, x177, x178, x179, x180, x181, x182, x183, x184, x185, x186,
       x187, x188, x189, x190, x191, x192, x193, x194, x195, x196, x197,
       x198, x199, x200, x201, x202, x203, x204, x205, x206, x207, x208,
-      x209, x210, x211, x212, x213, x214, x215, x216, x217, x218)
+      x209, x210, x211, x212, x213, x214, x215, x216, x217, x218, x219,
+      x220)
 }

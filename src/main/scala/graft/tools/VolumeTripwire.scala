@@ -1006,6 +1006,33 @@ object VolumeTripwire {
         def mkz(d: DataFrame) = graft.ext.TimeSeries.mannKendall(d,
           col("event_type"), col("ts"))
         Res("x218_mannKendall", timeMin(mkz(ev1)), timeMin(mkz(ev10)))
+      }, {
+        // lead–lag with a 500k one-day click flood: one hot daily cell
+        // map-side; the lag spine is calendar × 15 regardless
+        val ev1 = Tables.events(spark, sfDir).select("event_type", "ts")
+        val hotTs = Tables.events(spark, sfDir).agg(max(col("ts")).as("ts"))
+        val ev10 = blow(Tables.events(spark, sfDir)
+            .select("event_id", "event_type", "ts"), "event_id", 10, 100000000L)
+          .select("event_type", "ts")
+          .unionAll(spark.range(500000).crossJoin(hotTs)
+            .select(lit("click").as("event_type"), col("ts")))
+        def llz(d: DataFrame) = graft.ext.TimeSeries.leadLag(
+          d.where(col("event_type") === "click"), col("ts"),
+          d.where(col("event_type") === "error"), col("ts"), maxLag = 7)
+        Res("x219_leadLag", timeMin(llz(ev1)), timeMin(llz(ev10)))
+      }, {
+        // χ² drift with 500k byte-identical docs on ONE source: one hot
+        // (source, bin) cell map-side; spine stays |sources|×63
+        val d1 = Tables.documents(spark, sfDir).select("source", "text")
+        val hot = Tables.documents(spark, sfDir).where(col("doc_id") === 42)
+          .select("source", "text")
+          .crossJoin(spark.range(500000)).select("source", "text")
+        val d10 = blow(Tables.documents(spark, sfDir)
+            .select("doc_id", "source", "text"), "doc_id", 10, 1000000L)
+          .select("source", "text").unionAll(hot)
+        def xz(d: DataFrame) = Profile.log2Chi2Drift(d, col("source"),
+          length(col("text")))
+        Res("x220_chi2Drift", timeMin(xz(d1)), timeMin(xz(d10)))
       })
 
     val only: Option[Set[String]] =

@@ -1643,4 +1643,23 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(!finalP.contains("CartesianProduct"), p)
     assert(!finalP.contains("Exchange SinglePartition"), p)
   }
+
+  test("x219: lead–lag is calendar-bound after the two daily rollups — no window, no cartesian blowup") {
+    val df = SparkEntry.queries("x219_leadlag")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("Window"), p)
+    assert(!finalP.contains("CartesianProduct"), p)
+  }
+
+  test("x220: χ² drift runs on the checkpointed bin table — margins and spine are cell-scale, no window") {
+    val df = SparkEntry.queries("x220_chi2_drift")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("Scan ExistingRDD"), p)
+    assert(!finalP.contains("Window"), p)
+    assert(!finalP.contains("CartesianProduct"), p)
+  }
 }

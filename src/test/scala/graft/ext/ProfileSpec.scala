@@ -369,6 +369,29 @@ class ZoneMapSpec extends graft.SparkSpec {
     assert(g3._1 === 1L && g3._5 === None)
   }
 
+  test("log2Chi2Drift: disjoint bins read chi2 = N exactly; identical mixes read 0; lone stratum NULL") {
+    // A: 4 values in bin 1 (2,3), B: 4 in bin 2 (4..7) — perfectly
+    // separated 2×2: χ² = N = 8 → 8e6 ppm, per-dof 8e6, drifted
+    val sep = (Seq(2L, 3L, 2L, 3L).map(("A", _)) ++
+      Seq(4L, 5L, 6L, 7L).map(("B", _))).toDF("s", "v")
+    val g1 = Profile.log2Chi2Drift(sep, col("s"), col("v"))
+      .orderBy("s")
+      .as[(String, Long, Long, Long, Long, Long, Int)].collect()
+    assert(g1 === Array(("A", 4L, 4L, 2L, 8000000L, 8000000L, 1),
+      ("B", 4L, 4L, 2L, 8000000L, 8000000L, 1)))
+    // identical per-bin mixes: every d = 0 → χ² exactly 0
+    val same = (Seq(2L, 2L, 4L, 4L).map(("A", _)) ++
+      Seq(3L, 3L, 5L, 5L).map(("B", _))).toDF("s", "v")
+    val g2 = Profile.log2Chi2Drift(same, col("s"), col("v"))
+      .orderBy("s")
+      .as[(String, Long, Long, Long, Long, Long, Int)].collect()
+    assert(g2.map(r => (r._5, r._7)).toSeq === Seq((0L, 0), (0L, 0)))
+    // one stratum owns the corpus: REST is empty → NULL, not a crash
+    val solo = Seq(("A", 2L), ("A", 5L)).toDF("s", "v")
+    val g3 = Profile.log2Chi2Drift(solo, col("s"), col("v")).collect().head
+    assert(g3.isNullAt(4) && g3.getInt(6) === 0)
+  }
+
   test("tCloseness: a class mirroring the global mix scores zero") {
     val df = (Seq.fill(3)(("A", "s1")) ++ Seq.fill(1)(("A", "s2")) ++
       Seq.fill(3)(("B", "s1")) ++ Seq.fill(1)(("B", "s2"))).toDF("cls", "sv")

@@ -556,6 +556,28 @@ class PartitionGapsSpec extends graft.SparkSpec {
     }
   }
 
+  test("leadLag: a 2-day-shifted spike is found at lag +2; short overlaps degrade to NULL") {
+    // a = [1,1,5,1,1] (spike day 3), b = [5,1,1] (spike day 1 = a shifted
+    // by 2). lag 2 aligns the spikes: cov = (3·27−49)e6/6 = 5333333;
+    // lag 0/1 read −16e6/6 = −2666666 (truncated toward zero); lag −1
+    // overlaps 2 flat days → 0; lag −2 has n=1 → NULL
+    def day(i: Int) = f"2024-05-$i%02d"
+    val a = Seq(1, 1, 5, 1, 1).zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(day(i + 1)) }.toDF("d")
+      .select(to_timestamp(col("d")).as("ts"))
+    val b = Seq(5, 1, 1).zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(day(i + 1)) }.toDF("d")
+      .select(to_timestamp(col("d")).as("ts"))
+    val got = TimeSeries.leadLag(a, col("ts"), b, col("ts"), maxLag = 2)
+      .orderBy("lag").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2), r.getInt(3)))
+    assert(got === Array(
+      (-2L, 1L, Long.MinValue, 0), (-1L, 2L, 0L, 0),
+      (0L, 3L, -2666666L, 0), (1L, 3L, -2666666L, 0),
+      (2L, 3L, 5333333L, 1)))
+  }
+
   test("maxConcurrency: peak_us is the EARLIEST time the peak is hit") {
     // two disjoint double-overlaps: [0,4)+[1,4) and [10,14)+[11,14) —
     // both reach 2; the report must say 1 (first time 2 is reached),

@@ -338,4 +338,45 @@ object Graph {
           "CAST((m2 * sxy - s * s) * 1000000 DIV (m2 * q - s * s) " +
           "AS BIGINT) ELSE NULL END").as("r_ppm"))
   }
+
+  /** Community detection by SYNCHRONOUS label propagation — the
+    * near-linear community pass next to [[pageRank]]'s centrality and
+    * x39's connected components (CC says "reachable"; LPA says "densely
+    * attached": one bridge edge joins two CC halves but LPA keeps them
+    * apart). Deterministic contract: labels start as the node id; each
+    * of the `rounds` synchronous steps moves every node to its
+    * neighbors' PLURALITY label (ties → smallest label — the same
+    * max(struct) argmax election as x158, so no RNG and no visit-order
+    * dependence anywhere); isolated endpoints cannot exist on a
+    * symmetric edge list. A fixed small round count is the documented
+    * semantics (classic LPA converges in ~5 rounds; a fixed count is
+    * also what makes the oracle expressible), not an optimization.
+    *
+    * 100 TB posture: per round ONE equi-join (labels ⋈ edges on src,
+    * 8-byte rows) + one combinable (node, label) count + one
+    * max(struct) election per node — the [[pageRank]] iteration shape
+    * exactly; edges are localCheckpointed once. Output is the
+    * community-size histogram (size, n_communities, n_nodes) — the
+    * corpus-shape answer, descending by size with size ties impossible
+    * to diverge (sizes are exact counts).
+    * Output: (community_size, n_communities, n_nodes). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds=$rounds out of range [1, 8]")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("mx"))
+        .select(col("dst").as("node"), (-col("mx.nl")).as("lab"))
+    }
+    labels.groupBy("lab").agg(count(lit(1)).as("sz"))
+      .groupBy("sz")
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("sz")).as("n_nodes"))
+      .select(col("sz").as("community_size"), col("n_communities"),
+        col("n_nodes"))
+  }
 }

@@ -1215,4 +1215,142 @@ object Profile {
         expr("CAST(sum_sc AS STRING)").as("sum_score"),
         expr("CAST(sum_sc DIV n AS BIGINT)").as("mean_score_floor"))
   }
+
+  /** Kruskal–Wallis H — the NONPARAMETRIC one-way test beside
+    * [[oneWayAnova]] (same question, "do the k groups share a location?",
+    * zero distributional assumptions — the right member of the pair when
+    * the measure is heavy-tailed, which money columns are). Midrank ties
+    * by integer algebra on per-VALUE groups over the two-phase global
+    * rank (the [[rankAuc]] discipline — no averaging, no global window):
+    * with S2_g = Σ ranks·2 in group g and deviation
+    * d_g = S2_g − n_g(N+1),
+    *
+    *   H_ppm = (Σ_g ⌊3e6·d_g² / n_g⌋) DIV (N(N+1))
+    *
+    * (each per-group term floors via the exact (a − a%b)/b DECIMAL
+    * floor — the x214 lesson); the tie-corrected
+    * h_tie_ppm = H_ppm·(N³−N) DIV (N³−N−ΣT), T_v = n_v³−n_v, NULL when
+    * every value ties. `significant` compares against the caller's
+    * χ²_{k−1} critical value in ppm (the df varies with k, so the
+    * threshold is an argument, [[oneWayAnova]]'s fCritPpm contract).
+    *
+    * Measure envelope: d_g² ·3e6 must sit inside DECIMAL(38) —
+    * N ≲ 10⁷ rows per test, enforced LOUDLY at runtime through the
+    * n-column guard (at the 100 TB design point a location test runs on
+    * a stratified sample — x27/x205 — never the raw corpus; the sample
+    * IS the statistic).
+    *
+    * 100 TB posture: one range sort (localCheckpoint-pinned sampled
+    * boundaries), per-partition counts to the driver (O(partitions)),
+    * broadcast offsets, then value-cardinality and group-cardinality
+    * combinable rollups. Output: one row
+    * (n, k_groups, h_ppm, h_tie_ppm, significant). */
+  def kruskalWallis(df: DataFrame, group: Column, value: Column,
+      id: Column, chi2CritPpm: Long): DataFrame = {
+    require(chi2CritPpm > 0, s"chi2CritPpm=$chi2CritPpm must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(group.cast("string").as("g"),
+      value.cast("long").as("v"), id.as("id"))
+    val sorted = base.sort(col("v"), col("id"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // sampled range boundaries must not re-roll
+    val counts = sorted.groupBy("_pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val off = acc; acc += c; (pid, off) }
+    val ranked = sorted
+      .withColumn("_lrn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_pid")).orderBy(col("v"), col("id"))).cast("long"))
+      .join(broadcast(offsets.toSeq.toDF("_pid", "_off")), "_pid")
+      .withColumn("rnk", col("_off") + col("_lrn"))
+    val byVal = ranked.groupBy("v")
+      .agg(count(lit(1)).as("n_v"), min(col("rnk")).as("minr"))
+      .withColumn("mid2", expr("2 * (minr - 1) + n_v + 1"))
+      .withColumn("tie", expr("CAST(n_v AS DECIMAL(38,0)) * n_v * n_v - n_v"))
+    val perG = ranked.groupBy("v", "g").agg(count(lit(1)).as("c"))
+      .join(byVal.select(col("v"), col("mid2")), Seq("v"))
+      .groupBy("g")
+      .agg(sum(col("c")).as("n_g"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * mid2")).as("s2_g"))
+    val ties = byVal.agg(sum(col("tie")).as("sum_t"))
+    val tot = perG.agg(sum(col("n_g")).as("n_raw"),
+      count(lit(1)).as("k_groups"))
+    perG.crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+      .withColumn("d2",
+        expr("(s2_g - CAST(n_g AS DECIMAL(38,0)) * (n_raw + 1)) * " +
+          "(s2_g - CAST(n_g AS DECIMAL(38,0)) * (n_raw + 1)) * 3000000"))
+      .groupBy("sum_t", "k_groups", "n_raw")
+      .agg(sum(expr("CAST((d2 - d2 % n_g) / n_g AS DECIMAL(38,0))"))
+        .as("hsum"))
+      .withColumn("n",
+        expr("CASE WHEN n_raw >= 100000000 THEN " +
+          "CAST(raise_error('kruskalWallis: N past the DECIMAL(38) " +
+          "envelope - run on a stratified sample') AS BIGINT) " +
+          "ELSE n_raw END"))
+      .withColumn("h_ppm",
+        expr("CAST(hsum DIV (CAST(n AS DECIMAL(38,0)) * (n + 1)) AS BIGINT)"))
+      .withColumn("n3n", expr("CAST(n AS DECIMAL(38,0)) * n * n - n"))
+      .withColumn("h_tie_ppm",
+        expr("CASE WHEN n3n - sum_t > 0 THEN " +
+          "CAST(CAST(h_ppm AS DECIMAL(38,0)) * n3n DIV (n3n - sum_t) " +
+          "AS BIGINT) ELSE NULL END"))
+      .withColumn("significant",
+        when(col("h_tie_ppm") > chi2CritPpm, 1).otherwise(0).cast("int"))
+      .select(col("n"), col("k_groups"), col("h_ppm"), col("h_tie_ppm"),
+        col("significant"))
+  }
+
+  /** Brier score with the Murphy decomposition, per segment — the PROPER
+    * scoring rule for the historical-rate predictor: train-period class
+    * rates become the ppm-floored prediction p̂ (a DOCUMENTED
+    * quantization: both engines floor to the same grid), test-period
+    * outcomes score it. Because p̂ is constant within a segment the
+    * decomposition is exact per segment:
+    * mean(p̂−y)² = (p̂−ȳ)² + ȳ(1−ȳ) — reliability (calibration error,
+    * want 0) plus uncertainty (irreducible class noise) — and every term
+    * is one truncating DIV on DECIMAL(38) integers:
+    * brier_ppm = ((p̂·m − 1e6·b)² + 1e12·b(m−b)) DIV (1e6·m²).
+    * Segments absent from the train period carry no prediction and are
+    * dropped (inner join — the honest contract: scoring an unseen
+    * segment is a different policy decision).
+    *
+    * 100 TB posture: two combinable segment rollups (train, test) and a
+    * broadcast join over |segments| rows; the corpus never shuffles
+    * anything wider than (segment, int). DECIMAL(38) envelope:
+    * (p̂·m)² ≈ 1e12·m² ≤ 1e38 → m ≤ 10¹³ test rows per segment.
+    * Output: (seg, n_train, x_train, p_ppm, m_test, x_test, ybar_ppm,
+    * rel_ppm, unc_ppm, brier_ppm). */
+  def brierDecomposition(df: DataFrame, segment: Column, label: Column,
+      isTrain: Column): DataFrame = {
+    val base = df.select(segment.cast("string").as("seg"),
+      label.cast("long").as("y"), isTrain.cast("boolean").as("tr"))
+    val train = base.where(col("tr"))
+      .groupBy("seg").agg(count(lit(1)).as("n_train"),
+        sum(col("y")).as("x_train"))
+      .withColumn("p_ppm",
+        expr("CAST(CAST(x_train AS DECIMAL(38,0)) * 1000000 DIV n_train " +
+          "AS BIGINT)"))
+    val test = base.where(!col("tr"))
+      .groupBy("seg").agg(count(lit(1)).as("m_test"),
+        sum(col("y")).as("x_test"))
+    test.join(broadcast(train), Seq("seg"))
+      .withColumn("dev",
+        expr("CAST(p_ppm AS DECIMAL(38,0)) * m_test - " +
+          "CAST(x_test AS DECIMAL(38,0)) * 1000000"))
+      .withColumn("m2e6",
+        expr("CAST(m_test AS DECIMAL(38,0)) * m_test * 1000000"))
+      .select(col("seg"), col("n_train"), col("x_train"), col("p_ppm"),
+        col("m_test"), col("x_test"),
+        expr("CAST(CAST(x_test AS DECIMAL(38,0)) * 1000000 DIV m_test " +
+          "AS BIGINT)").as("ybar_ppm"),
+        expr("CAST(dev * dev DIV m2e6 AS BIGINT)").as("rel_ppm"),
+        expr("CAST(CAST(x_test AS DECIMAL(38,0)) * (m_test - x_test) " +
+          "* 1000000 DIV (CAST(m_test AS DECIMAL(38,0)) * m_test) " +
+          "AS BIGINT)").as("unc_ppm"),
+        expr("CAST((dev * dev + CAST(x_test AS DECIMAL(38,0)) " +
+          "* (m_test - x_test) * 1000000000000) DIV m2e6 AS BIGINT)")
+          .as("brier_ppm"))
+  }
 }

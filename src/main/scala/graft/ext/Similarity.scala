@@ -885,4 +885,47 @@ object Similarity {
         sum(col("hk")).as("n_hitk"), sum(col("rr_e6")).as("mrr_sum_e6"))
       .withColumn("mrr_mean_e6", expr("mrr_sum_e6 DIV n_queries"))
   }
+
+  /** Average Precision at k of label-match retrieval — the third leg of
+    * the retrieval-eval triad: x84's recall@k is rank-blind, x206's MRR
+    * sees only the FIRST relevant hit, AP integrates precision over
+    * every relevant position. Ranking = exact cosine top-k
+    * ([[knnBrute]]'s audited contract: 6-dp-rounded sim, id tiebreak);
+    * a neighbor is RELEVANT when it carries the query's label.
+    * ap_e6 = (Σ_{rank i relevant} relcum_i·1e6 DIV i) DIV R with
+    * R = min(n_label − 1, k) — the classic AP@k denominator; each
+    * precision term floors independently (both engines truncate
+    * identically), a query whose label has no other member reads NULL.
+    *
+    * 100 TB posture: the ranking is the already-audited broadcast-query
+    * brute plan over a FIXED query sample — eval cost is corpus-linear,
+    * never corpus². Everything after lives on |queries|·k rows; the
+    * label-size side is one combinable count joined broadcast. The
+    * per-qid cumsum window is |queries| partitions of k rows.
+    * Output per query: (qid, label, n_rel_topk, ap_e6). */
+  def annMap(embs: DataFrame, labels: DataFrame, queryIds: Seq[Long],
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"k=$k out of range")
+    val lab = labels.select(col("vec_id"), col("label"))
+    val labN = broadcast(lab.groupBy("label").agg(count(lit(1)).as("n_label")))
+    val ranked = knnBrute(embs,
+        embs.where(col("vec_id").isin(queryIds.map(x => x: Any): _*)), k)
+      .join(broadcast(lab.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel"))), Seq("neighbor_id"))
+      .join(broadcast(lab.select(col("vec_id").as("qid"), col("label"))),
+        Seq("qid"))
+      .withColumn("rel", when(col("nlabel") === col("label"), 1L).otherwise(0L))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rank"))
+    ranked
+      .withColumn("relcum", sum(col("rel")).over(w))
+      .groupBy(col("qid"), col("label"))
+      .agg(sum(col("rel")).as("n_rel_topk"),
+        sum(when(col("rel") === 1L,
+          expr("relcum * 1000000L DIV rank")).otherwise(0L)).as("apsum"))
+      .join(labN, Seq("label"))
+      .select(col("qid"), col("label"), col("n_rel_topk"),
+        expr(s"CASE WHEN least(n_label - 1, ${k}L) > 0 " +
+          s"THEN apsum DIV least(n_label - 1, ${k}L) ELSE NULL END")
+          .as("ap_e6"))
+  }
 }

@@ -327,4 +327,77 @@ object TextAnalysis {
         when(col("n_chars") > 0,
           expr("CAST(CAST(n_bytes AS DECIMAL(38,0)) * 1000000 DIV n_chars AS BIGINT)"))
           .otherwise(lit(null).cast("long")))
+
+  /** Cohen's κ agreement between two raters over the same rows — the
+    * chance-corrected score behind "is the heuristic labeler actually
+    * agreeing with the annotation, or just guessing the majority
+    * class?" (x104's confusion matrix shows WHERE they disagree; κ says
+    * whether the agreement beats chance at all). Fully rational:
+    * κ = (N·Σdiag − Σᵢ rᵢ·cᵢ) / (N² − Σᵢ rᵢ·cᵢ) with row/column
+    * marginals r/c, so one truncating DIV yields an exact kappa_e6 —
+    * hash-provable, no floats. po/pe ship as independent exact ppm
+    * floors. A degenerate table (pe = 1: both raters constant and
+    * equal) reads NULL.
+    *
+    * 100 TB posture: ONE combinable cell rollup (|A-classes| ×
+    * |B-classes| rows — for label vocabularies, dozens), then marginals
+    * and the κ algebra on the broadcast cell table; the corpus never
+    * shuffles anything wider than (a, b) pairs. DECIMAL(38) envelope:
+    * N² at 10¹³ rows is 10²⁶ < 10³⁸.
+    * Output: one row (n, n_agree, po_ppm, pe_ppm, kappa_e6). */
+  def kappaAgreement(df: DataFrame, raterA: Column, raterB: Column)
+      : DataFrame = {
+    val cells = df.select(raterA.cast("string").as("a"),
+        raterB.cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // cell-scale; feeds three aggregates
+    val rm = cells.groupBy("a").agg(sum(col("c")).as("r"))
+    val cm = cells.groupBy("b").agg(sum(col("c")).as("cc"))
+    val prods = rm.join(cm, col("a") === col("b"))
+      .agg(sum(expr("CAST(r AS DECIMAL(38,0)) * cc")).as("sum_rc"))
+    val diag = cells.agg(
+      sum(col("c")).as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("n_agree"))
+    diag.crossJoin(broadcast(prods))
+      .select(col("n"), col("n_agree"),
+        expr("CAST(CAST(n_agree AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)")
+          .as("po_ppm"),
+        expr("CAST(coalesce(sum_rc, 0) * 1000000 DIV " +
+          "(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("pe_ppm"),
+        expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * n - coalesce(sum_rc, 0) <> 0 " +
+          "THEN CAST((CAST(n AS DECIMAL(38,0)) * n_agree - coalesce(sum_rc, 0)) " +
+          "* 1000000 DIV (CAST(n AS DECIMAL(38,0)) * n - coalesce(sum_rc, 0)) " +
+          "AS BIGINT) ELSE NULL END").as("kappa_e6"))
+  }
+
+  /** McNemar's test on two PAIRED binary keep-filters — "do the length
+    * gate and the stopword gate disagree symmetrically, or does one
+    * systematically keep what the other drops?" Only the discordant
+    * counts matter: b = A-keep∧B-drop, c = A-drop∧B-keep; the
+    * continuity-corrected statistic (|b−c|−1)²/(b+c) is rational → one
+    * exact truncating DIV (mcnemar_ppm), NULL when b+c = 0 (no
+    * disagreement — the test is undefined, not significant).
+    * `significant` flags the χ²₁ 95% line (3.841459e6 ppm), the same
+    * threshold constant as x212/x218.
+    *
+    * 100 TB posture: the whole test is ONE combinable 4-cell rollup
+    * (two boolean columns folded scan-side); nothing but four counters
+    * ever leaves the scan. Output: one row
+    * (n, n_both, n_neither, b, c, mcnemar_ppm, significant). */
+  def mcnemarPaired(df: DataFrame, keepA: Column, keepB: Column)
+      : DataFrame =
+    df.select(keepA.cast("boolean").as("ka"), keepB.cast("boolean").as("kb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ka") && col("kb"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(!col("ka") && !col("kb"), 1L).otherwise(0L)).as("n_neither"),
+        sum(when(col("ka") && !col("kb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("ka") && col("kb"), 1L).otherwise(0L)).as("c"))
+      .select(col("n"), col("n_both"), col("n_neither"), col("b"), col("c"),
+        expr("CASE WHEN b + c > 0 THEN " +
+          "CASE WHEN abs(b - c) <= 1 THEN 0L ELSE " +
+          "CAST(CAST(abs(b - c) - 1 AS DECIMAL(38,0)) * (abs(b - c) - 1) " +
+          "* 1000000 DIV (b + c) AS BIGINT) END " +
+          "ELSE NULL END").as("mcnemar_ppm"))
+      .withColumn("significant",
+        when(col("mcnemar_ppm") > 3841459L, 1).otherwise(0).cast("int"))
 }

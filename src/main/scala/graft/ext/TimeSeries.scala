@@ -647,4 +647,81 @@ object TimeSeries {
             -col("lag") === col("mx.nl"), 1)
           .otherwise(0).cast("int").as("is_best"))
   }
+
+  /** Maximum drawdown of each key's DAILY level series against its
+    * running peak — the monitoring question "how far below its
+    * best-ever day has this stream fallen, and when was the worst?"
+    * (a monotone cumulative series never draws down; the LEVEL series
+    * does, which is what volume/revenue health checks watch).
+    * dd_t = (runmax_t − y_t)·1e6 DIV runmax_t, exact integer per day;
+    * the reported trough is the max-dd day with ties → earliest day.
+    * Levels ride the DECIMAL(38) cent accumulator (daily cent sums pass
+    * 2^63 at the design point — the x127 lesson), so peak/trough levels
+    * ship as strings.
+    *
+    * 100 TB posture: ONE data-scale exchange (the per-(key, day)
+    * rollup, combinable); the running max is a per-key window over
+    * DAY-cardinality rows — calendar-bound, never corpus-bound — and
+    * the final per-key fold is one combinable max(struct).
+    * Output: (k, n_days, peak_cents, trough_cents, max_dd_ppm,
+    * trough_day). */
+  def maxDrawdown(df: DataFrame, key: Column, ts: Column,
+      cents: Column): DataFrame = {
+    val daily = df.select(key.as("k"), to_date(ts).as("day"),
+        cents.cast("long").as("v"))
+      .groupBy("k", "day")
+      .agg(sum(expr("CAST(v AS DECIMAL(38,0))")).as("y"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("runmax", max(col("y")).over(w))
+      .withColumn("dd_ppm",
+        expr("CASE WHEN runmax > 0 THEN " +
+          "CAST((runmax - y) * 1000000 DIV runmax AS BIGINT) ELSE 0L END"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_days"), max(col("runmax")).as("peak"),
+        max(struct(col("dd_ppm"),
+          (lit(0L) - unix_date(col("day")).cast("long")).as("negday"),
+          col("y").as("ty"))).as("mx"))
+      .select(col("k"), col("n_days"),
+        col("peak").cast("string").as("peak_cents"),
+        col("mx.ty").cast("string").as("trough_cents"),
+        col("mx.dd_ppm").as("max_dd_ppm"),
+        date_from_unix_date((lit(0L) - col("mx.negday")).cast("int"))
+          .as("trough_day"))
+  }
+
+  /** Longest / latest ACTIVE-DAY STREAKS via the islands-and-gaps
+    * rank-difference idiom: a key's distinct active days, sorted, form
+    * an island wherever `day − row_number` is constant — no self-join,
+    * no iteration, ties impossible. Rolled up to the engagement-curve
+    * histogram (how many keys peaked at an s-day streak) rather than
+    * per-key rows, so the output is distribution-shaped like x96.
+    *
+    * 100 TB posture: distinct (key, day) collapses the event stream
+    * scan-side (combinable); the islands window is per-key over
+    * DAY-cardinality rows (calendar-bound); two combinable rollups
+    * end it. Nothing wider than (key, day) ever shuffles.
+    * Output: (longest_streak, n_keys, n_keys_ge) descending by
+    * streak — n_keys_ge is the survival curve (keys whose longest
+    * streak is ≥ this row's). */
+  def streakHistogram(df: DataFrame, key: Column, ts: Column): DataFrame = {
+    val days = df.select(key.as("k"), to_date(ts).as("day")).distinct()
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+    val longest = days
+      .withColumn("island",
+        unix_date(col("day")).cast("long") - row_number().over(w))
+      .groupBy("k", "island").agg(count(lit(1)).as("len"))
+      .groupBy("k").agg(max(col("len")).as("longest"))
+    val hist = longest.groupBy("longest")
+      .agg(count(lit(1)).as("n_keys"))
+    val ws = Window.orderBy(col("longest").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the survival cumsum runs over |distinct streak lengths| rows —
+    // calendar-bound (≤ days in range), fine as a single window
+    hist
+      .withColumn("n_keys_ge", sum(col("n_keys")).over(ws))
+      .select(col("longest").as("longest_streak"), col("n_keys"),
+        col("n_keys_ge"))
+  }
 }

@@ -7597,6 +7597,305 @@ object ExtQueries {
       .orderBy("s")
   }
 
+  // x221 — MEAN-AVERAGE-PRECISION retrieval eval: the third leg of the
+  // triad (x84 recall@k is rank-blind, x206 MRR sees only the first
+  // hit; AP integrates precision over EVERY relevant position).
+  // Ranking = exact cosine top-10, relevant = same label; per-term and
+  // final floors are the documented exact grid.
+  val x221 = Q(
+    "x221_map_eval",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |l AS (SELECT vec_id, label FROM embeddings),
+      |ln AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM l GROUP BY 1),
+      |p AS (
+      |  SELECT q.vec_id AS qid, e2.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(q.emb, e2.emb), 6) AS sim
+      |  FROM e q, e e2 WHERE q.vec_id < 20 AND e2.vec_id <> q.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+      |      FROM p),
+      |k AS (SELECT qid, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10),
+      |j AS (
+      |  SELECT k.qid, k.rank, ql.label,
+      |         CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS rel
+      |  FROM k JOIN l nl ON nl.vec_id = k.neighbor_id
+      |         JOIN l ql ON ql.vec_id = k.qid),
+      |c AS (SELECT qid, label, rank, rel,
+      |             CAST(sum(rel) OVER (PARTITION BY qid ORDER BY rank) AS BIGINT) AS relcum
+      |      FROM j),
+      |a AS (SELECT qid, label, CAST(sum(rel) AS BIGINT) AS n_rel_topk,
+      |             CAST(sum(CASE WHEN rel = 1 THEN relcum * 1000000 // rank ELSE 0 END) AS BIGINT) AS apsum
+      |      FROM c GROUP BY 1, 2)
+      |SELECT a.qid, a.label, n_rel_topk,
+      |       CAST(CASE WHEN least(n_label - 1, 10) > 0
+      |            THEN apsum // least(n_label - 1, 10) ELSE NULL END AS BIGINT) AS ap_e6
+      |FROM a JOIN ln ON ln.label = a.label
+      |ORDER BY qid""".stripMargin) { (s, dir) =>
+    Similarity.annMap(normalizedEmb(s, dir),
+      Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+      (0L until 20L).toSeq, k = 10)
+      .orderBy("qid")
+  }
+
+  // x222 — COHEN'S κ between two SIZE raters (char-bucket vs
+  // ws-token-bucket, thresholds at the corpus thirds): do two cheap
+  // size proxies agree beyond chance? (The langId-vs-annotation pair
+  // is degenerate on this corpus — the heuristic is constant, κ = 0 by
+  // construction; x104 carries that confusion matrix.) Fully rational —
+  // one DIV.
+  val x222 = Q(
+    "x222_kappa_raters",
+    """WITH p AS (
+      |  SELECT CASE WHEN n_chars < 220 THEN 'S'
+      |              WHEN n_chars < 380 THEN 'M' ELSE 'L' END AS a,
+      |         CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+      |                    ELSE len(string_split_regex(trim(text), '\s+')) END) < 40
+      |              THEN 'S'
+      |              WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+      |                    ELSE len(string_split_regex(trim(text), '\s+')) END) < 68
+      |              THEN 'M' ELSE 'L' END AS b
+      |  FROM documents),
+      |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+      |rm AS (SELECT a, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |cmm AS (SELECT b, CAST(sum(c) AS BIGINT) AS cc FROM cells GROUP BY 1),
+      |pr AS (SELECT SUM(r::HUGEINT * cc) AS sum_rc FROM rm JOIN cmm ON rm.a = cmm.b),
+      |d AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+      |             CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree
+      |      FROM cells)
+      |SELECT n, n_agree,
+      |       CAST(n_agree::HUGEINT * 1000000 // n AS BIGINT) AS po_ppm,
+      |       CAST(COALESCE(sum_rc, 0) * 1000000 // (n::HUGEINT * n) AS BIGINT) AS pe_ppm,
+      |       CAST(CASE WHEN n::HUGEINT * n - COALESCE(sum_rc, 0) <> 0
+      |            THEN (n::HUGEINT * n_agree - COALESCE(sum_rc, 0)) * 1000000
+      |                 // (n::HUGEINT * n - COALESCE(sum_rc, 0))
+      |            ELSE NULL END AS BIGINT) AS kappa_e6
+      |FROM d CROSS JOIN pr""".stripMargin) { (s, dir) =>
+    TextAnalysis.kappaAgreement(Tables.documents(s, dir),
+      when(col("n_chars") < 220, "S").when(col("n_chars") < 380, "M")
+        .otherwise("L"),
+      when(TextAnalysis.wsTokenCount(col("text")) < 40, "S")
+        .when(TextAnalysis.wsTokenCount(col("text")) < 68, "M")
+        .otherwise("L"))
+  }
+
+  // x223 — McNEMAR'S paired test on two keep-filters (length gate vs
+  // token-count gate): only the discordant cells matter; the
+  // continuity-corrected statistic is one exact DIV.
+  val x223 = Q(
+    "x223_mcnemar",
+    """WITH t AS (
+      |  SELECT n_chars >= 200 AS ka,
+      |         (CASE WHEN length(trim(text)) = 0 THEN 0
+      |               ELSE len(string_split_regex(trim(text), '\s+')) END) >= 40 AS kb
+      |  FROM documents),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+      |             CAST(sum(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS n_neither,
+      |             CAST(sum(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |             CAST(sum(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS c
+      |      FROM t)
+      |SELECT n, n_both, n_neither, b, c,
+      |       CAST(CASE WHEN b + c > 0 THEN
+      |            CASE WHEN abs(b - c) <= 1 THEN 0
+      |                 ELSE (abs(b - c) - 1)::HUGEINT * (abs(b - c) - 1)
+      |                      * 1000000 // (b + c) END
+      |            ELSE NULL END AS BIGINT) AS mcnemar_ppm,
+      |       CAST(CASE WHEN b + c > 0 AND abs(b - c) > 1
+      |                  AND (abs(b - c) - 1)::HUGEINT * (abs(b - c) - 1)
+      |                      * 1000000 // (b + c) > 3841459
+      |            THEN 1 ELSE 0 END AS INT) AS significant
+      |FROM a""".stripMargin) { (s, dir) =>
+    TextAnalysis.mcnemarPaired(Tables.documents(s, dir),
+      col("n_chars") >= 200,
+      TextAnalysis.wsTokenCount(col("text")) >= 40)
+  }
+
+  // x224 — MAX DRAWDOWN of each priority's daily revenue LEVEL against
+  // its running peak (trough ties → earliest day). Calendar-bound
+  // windows after one combinable daily rollup; DECIMAL(38) cent levels
+  // ship as strings.
+  val x224 = Q(
+    "x224_drawdown",
+    """WITH d AS (
+      |  SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS day,
+      |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)::HUGEINT) AS y
+      |  FROM orders GROUP BY 1, 2),
+      |w AS (SELECT k, day, y,
+      |             max(y) OVER (PARTITION BY k ORDER BY day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+      |      FROM d),
+      |dd AS (SELECT k, day, y, runmax,
+      |              CASE WHEN runmax > 0
+      |                   THEN CAST((runmax - y) * 1000000 // runmax AS BIGINT)
+      |                   ELSE 0 END AS dd_ppm
+      |       FROM w),
+      |agg AS (
+      |  SELECT k, CAST(count(*) AS BIGINT) AS n_days, max(runmax) AS peak,
+      |         max(struct_pack(dd_ppm := dd_ppm,
+      |                         negday := -(day - DATE '1970-01-01'),
+      |                         ty := y)) AS mx
+      |  FROM dd GROUP BY 1)
+      |SELECT k, n_days,
+      |       CAST(peak AS VARCHAR) AS peak_cents,
+      |       CAST((mx).ty AS VARCHAR) AS trough_cents,
+      |       (mx).dd_ppm AS max_dd_ppm,
+      |       DATE '1970-01-01' + CAST(-(mx).negday AS INT) AS trough_day
+      |FROM agg ORDER BY k""".stripMargin) { (s, dir) =>
+    graft.ext.TimeSeries.maxDrawdown(Tables.orders(s, dir),
+      col("o_orderpriority"), col("o_orderdate"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .orderBy("k")
+  }
+
+  // x225 — KRUSKAL–WALLIS H across order priorities on price ranks —
+  // the nonparametric member of the x214 ANOVA pair (heavy-tailed
+  // money columns are exactly where rank tests earn their keep).
+  // Midrank ties by integer algebra over the two-phase global rank
+  // (the x208 discipline); χ²₄ @ 95% = 9.487729 in ppm.
+  val x225 = Q(
+    "x225_kruskal",
+    """WITH b AS (
+      |  SELECT o_orderpriority AS g,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |         o_orderkey AS id
+      |  FROM orders),
+      |r AS (SELECT g, v, CAST(row_number() OVER (ORDER BY v, id) AS BIGINT) AS rnk
+      |      FROM b),
+      |bv AS (SELECT v, CAST(count(*) AS BIGINT) AS n_v,
+      |              CAST(min(rnk) AS BIGINT) AS minr
+      |       FROM r GROUP BY v),
+      |bv2 AS (SELECT v, 2 * (minr - 1) + n_v + 1 AS mid2,
+      |               n_v::HUGEINT * n_v * n_v - n_v AS tie
+      |        FROM bv),
+      |pg AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2),
+      |sg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+      |              SUM(c::HUGEINT * mid2) AS s2_g
+      |       FROM pg JOIN bv2 USING (v) GROUP BY g),
+      |tt AS (SELECT SUM(tie) AS sum_t FROM bv2),
+      |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+      |               CAST(count(*) AS BIGINT) AS k_groups
+      |        FROM sg),
+      |hs AS (
+      |  SELECT sum((d2 - d2 % n_g) // n_g) AS hsum FROM (
+      |    SELECT n_g,
+      |           (s2_g - n_g::HUGEINT * (n + 1))
+      |           * (s2_g - n_g::HUGEINT * (n + 1)) * 3000000 AS d2
+      |    FROM sg CROSS JOIN tot))
+      |SELECT n, k_groups,
+      |       CAST(hsum // (n::HUGEINT * (n + 1)) AS BIGINT) AS h_ppm,
+      |       CAST(CASE WHEN n::HUGEINT * n * n - n - sum_t > 0
+      |            THEN (hsum // (n::HUGEINT * (n + 1)))
+      |                 * (n::HUGEINT * n * n - n)
+      |                 // (n::HUGEINT * n * n - n - sum_t)
+      |            ELSE NULL END AS BIGINT) AS h_tie_ppm,
+      |       CAST(CASE WHEN n::HUGEINT * n * n - n - sum_t > 0
+      |                  AND (hsum // (n::HUGEINT * (n + 1)))
+      |                      * (n::HUGEINT * n * n - n)
+      |                      // (n::HUGEINT * n * n - n - sum_t) > 9487729
+      |            THEN 1 ELSE 0 END AS INT) AS significant
+      |FROM tot CROSS JOIN hs CROSS JOIN tt""".stripMargin) { (s, dir) =>
+    Profile.kruskalWallis(Tables.orders(s, dir),
+      col("o_orderpriority"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+      col("o_orderkey"), chi2CritPpm = 9487729L)
+  }
+
+  // x226 — LABEL-PROPAGATION COMMUNITIES on the co-shingle graph: 2
+  // synchronous plurality rounds (ties → smallest label), then the
+  // community-size histogram. CC (x39) says "reachable"; LPA says
+  // "densely attached" — one bridge edge no longer merges two families.
+  // Round count is part of the contract: this graph collapses to one
+  // community by round 4 (plurality flood), 2 rounds keep the
+  // mesoscale structure visible (11 distinct sizes at sf0.01).
+  val x226 = Q(
+    "x226_label_prop",
+    s"""WITH $coShingleEdgeCtes,
+      |r0 AS (SELECT DISTINCT src AS node FROM e),
+      |l0 AS (SELECT node, node AS lab FROM r0),
+      |c1 AS (SELECT e.dst, r.lab, CAST(count(*) AS BIGINT) AS c
+      |       FROM l0 r JOIN e ON e.src = r.node GROUP BY 1, 2),
+      |l1 AS (SELECT dst AS node, -((max(struct_pack(c := c, nl := -lab))).nl) AS lab
+      |       FROM c1 GROUP BY dst),
+      |c2 AS (SELECT e.dst, r.lab, CAST(count(*) AS BIGINT) AS c
+      |       FROM l1 r JOIN e ON e.src = r.node GROUP BY 1, 2),
+      |l2 AS (SELECT dst AS node, -((max(struct_pack(c := c, nl := -lab))).nl) AS lab
+      |       FROM c2 GROUP BY dst),
+      |sz AS (SELECT lab, CAST(count(*) AS BIGINT) AS sz FROM l2 GROUP BY 1)
+      |SELECT sz AS community_size, CAST(count(*) AS BIGINT) AS n_communities,
+      |       CAST(sum(sz) AS BIGINT) AS n_nodes
+      |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Graph.labelPropagation(
+      Graph.coShingleEdges(
+        Tables.documents(s, dir).where(col("doc_id") < 1500),
+        col("doc_id"), col("text"), n = 3),
+      rounds = 2)
+      .orderBy("community_size")
+  }
+
+  // x227 — ACTIVE-DAY STREAK histogram (islands-and-gaps): longest
+  // error-day streak per user via the rank-difference idiom, rolled to
+  // the engagement survival curve. No self-join, no iteration.
+  val x227 = Q(
+    "x227_streaks",
+    """WITH d AS (
+      |  SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS day
+      |  FROM events WHERE event_type = 'error'),
+      |i AS (SELECT k, day,
+      |             (day - DATE '1970-01-01')
+      |             - row_number() OVER (PARTITION BY k ORDER BY day) AS island
+      |      FROM d),
+      |il AS (SELECT k, island, CAST(count(*) AS BIGINT) AS len FROM i GROUP BY 1, 2),
+      |lg AS (SELECT k, CAST(max(len) AS BIGINT) AS longest FROM il GROUP BY 1),
+      |h AS (SELECT longest, CAST(count(*) AS BIGINT) AS n_keys FROM lg GROUP BY 1)
+      |SELECT longest AS longest_streak, n_keys,
+      |       CAST(sum(n_keys) OVER (ORDER BY longest DESC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_keys_ge
+      |FROM h ORDER BY longest_streak DESC""".stripMargin) { (s, dir) =>
+    graft.ext.TimeSeries.streakHistogram(
+      Tables.events(s, dir).where(col("event_type") === "error"),
+      col("user_id"), col("ts"))
+      .orderBy(col("longest_streak").desc)
+  }
+
+  // x228 — BRIER SCORE with the Murphy decomposition per market
+  // segment: train-half urgency rates become the ppm-floored
+  // prediction, test-half outcomes score it — reliability (calibration
+  // error) + uncertainty (class noise), every term one exact DIV.
+  val x228 = Q(
+    "x228_brier",
+    """WITH b AS (
+      |  SELECT c.c_mktsegment AS seg,
+      |         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+      |         o.o_orderdate < TIMESTAMP '1998-01-01' AS tr
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+      |trn AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_train,
+      |               CAST(sum(y) AS BIGINT) AS x_train
+      |        FROM b WHERE tr GROUP BY 1),
+      |tr2 AS (SELECT *, CAST(x_train::HUGEINT * 1000000 // n_train AS BIGINT) AS p_ppm
+      |        FROM trn),
+      |te AS (SELECT seg, CAST(count(*) AS BIGINT) AS m_test,
+      |              CAST(sum(y) AS BIGINT) AS x_test
+      |       FROM b WHERE NOT tr GROUP BY 1),
+      |j AS (SELECT te.seg, n_train, x_train, p_ppm, m_test, x_test,
+      |             p_ppm::HUGEINT * m_test - x_test::HUGEINT * 1000000 AS dev,
+      |             m_test::HUGEINT * m_test * 1000000 AS m2e6
+      |      FROM te JOIN tr2 USING (seg))
+      |SELECT seg, n_train, x_train, p_ppm, m_test, x_test,
+      |       CAST(x_test::HUGEINT * 1000000 // m_test AS BIGINT) AS ybar_ppm,
+      |       CAST(dev * dev // m2e6 AS BIGINT) AS rel_ppm,
+      |       CAST(x_test::HUGEINT * (m_test - x_test) * 1000000
+      |            // (m_test::HUGEINT * m_test) AS BIGINT) AS unc_ppm,
+      |       CAST((dev * dev + x_test::HUGEINT * (m_test - x_test)
+      |            * 1000000000000) // m2e6 AS BIGINT) AS brier_ppm
+      |FROM j ORDER BY seg""".stripMargin) { (s, dir) =>
+    Profile.brierDecomposition(
+      Tables.orders(s, dir).join(Tables.customer(s, dir),
+        col("c_custkey") === col("o_custkey")),
+      col("c_mktsegment"),
+      (col("o_orderpriority") === "1-URGENT").cast("long"),
+      col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .orderBy("seg")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -7614,5 +7913,5 @@ object ExtQueries {
       x187, x188, x189, x190, x191, x192, x193, x194, x195, x196, x197,
       x198, x199, x200, x201, x202, x203, x204, x205, x206, x207, x208,
       x209, x210, x211, x212, x213, x214, x215, x216, x217, x218, x219,
-      x220)
+      x220, x221, x222, x223, x224, x225, x226, x227, x228)
 }

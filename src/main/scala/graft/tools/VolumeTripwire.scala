@@ -1033,6 +1033,110 @@ object VolumeTripwire {
         def xz(d: DataFrame) = Profile.log2Chi2Drift(d, col("source"),
           length(col("text")))
         Res("x220_chi2Drift", timeMin(xz(d1)), timeMin(xz(d10)))
+      }, {
+        // MAP eval against a 10× corpus (duplicated vectors included):
+        // the brute ranking is |queries|·N — linear in the corpus, and
+        // everything downstream lives on |queries|·k rows
+        val l1 = Tables.embeddings(spark, sfDir).select("vec_id", "label")
+        val l10 = blow(l1, "vec_id", 10, 1000000L)
+        def mz(e: DataFrame, l: DataFrame) =
+          Similarity.annMap(e, l, (0L until 10L).toSeq, k = 5)
+        Res("x221_annMap", timeMin(mz(embs1, l1)), timeMin(mz(embs10, l10)))
+      }, {
+        // κ with 500k byte-identical docs: one (a, b) cell absorbs the
+        // flood map-side; the marginal algebra stays cell-scale
+        val d1 = Tables.documents(spark, sfDir).select("n_chars", "text")
+        val hot = Tables.documents(spark, sfDir).where(col("doc_id") === 42)
+          .select("n_chars", "text")
+          .crossJoin(spark.range(500000)).select("n_chars", "text")
+        val d10 = blow(Tables.documents(spark, sfDir)
+            .select("doc_id", "n_chars", "text"), "doc_id", 10, 1000000L)
+          .select("n_chars", "text").unionAll(hot)
+        def kz(d: DataFrame) = TextAnalysis.kappaAgreement(d,
+          when(col("n_chars") < 220, "S").when(col("n_chars") < 380, "M")
+            .otherwise("L"),
+          when(TextAnalysis.wsTokenCount(col("text")) < 40, "S")
+            .when(TextAnalysis.wsTokenCount(col("text")) < 68, "M")
+            .otherwise("L"))
+        Res("x222_kappa", timeMin(kz(d1)), timeMin(kz(d10)))
+      }, {
+        // drawdown with a 500k single-day flood on one priority: one
+        // daily cell map-side; the windows stay calendar-bound
+        val o1 = Tables.orders(spark, sfDir)
+          .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        val hotDay = Tables.orders(spark, sfDir)
+          .agg(max(col("o_orderdate")).as("o_orderdate"))
+        val o10 = blow(Tables.orders(spark, sfDir)
+            .select("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"),
+            "o_orderkey", 10, 10000000L)
+          .select("o_orderpriority", "o_orderdate", "o_totalprice")
+          .unionAll(spark.range(500000).crossJoin(hotDay)
+            .select(lit("1-URGENT").as("o_orderpriority"),
+              col("o_orderdate"), lit(100.0).as("o_totalprice")))
+        def dz(d: DataFrame) = graft.ext.TimeSeries.maxDrawdown(d,
+          col("o_orderpriority"), col("o_orderdate"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        Res("x224_drawdown", timeMin(dz(o1)), timeMin(dz(o10)))
+      }, {
+        // Kruskal–Wallis with a 500k identical-price flood: one value
+        // group in the midrank table; the two-phase rank sort is the
+        // only data-scale cost and it is O(N log N) range-sort work
+        val o1 = Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val o10 = blow(o1, "o_orderkey", 10, 10000000L)
+          .unionAll(spark.range(500000)
+            .select((col("id") + 900000000L).as("o_orderkey"),
+              lit("5-LOW").as("o_orderpriority"),
+              lit(42.0).as("o_totalprice")))
+        def qz(d: DataFrame) = Profile.kruskalWallis(d,
+          col("o_orderpriority"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+          col("o_orderkey"), chi2CritPpm = 9487729L)
+        Res("x225_kruskal", timeMin(qz(o1)), timeMin(qz(o10)))
+      }, {
+        // LPA under the byte-identical flood: the flood's shingles blow
+        // past the df cap and contribute ZERO edges — the same guard
+        // that protects x64/x73; rounds stay |E|-linear
+        def lz(d: DataFrame) = Graph.labelPropagation(
+          Graph.coShingleEdges(d.where(col("doc_id") < 1500),
+            col("doc_id"), col("text"), n = 3), rounds = 2)
+        Res("x226_labelProp", timeMin(lz(docs1)), timeMin(lz(docs10)))
+      }, {
+        // streaks with 500k events on ONE (user, day): the distinct
+        // collapses the flood before any window sees it
+        val ev1 = Tables.events(spark, sfDir).select("user_id", "ts")
+        val hotTs = Tables.events(spark, sfDir).agg(max(col("ts")).as("ts"))
+        val ev10 = blow(Tables.events(spark, sfDir)
+            .select("event_id", "user_id", "ts"), "event_id", 10, 100000000L)
+          .select("user_id", "ts")
+          .unionAll(spark.range(500000).crossJoin(hotTs)
+            .select(lit(7L).as("user_id"), col("ts")))
+        def sz(d: DataFrame) =
+          graft.ext.TimeSeries.streakHistogram(d, col("user_id"), col("ts"))
+        Res("x227_streaks", timeMin(sz(ev1)), timeMin(sz(ev10)))
+      }, {
+        // Brier with the 500k flood landing in one train segment: one
+        // (seg) rollup cell; the join side stays |segments| rows
+        val o1 = Tables.orders(spark, sfDir)
+          .join(Tables.customer(spark, sfDir),
+            col("c_custkey") === col("o_custkey"))
+          .select("c_mktsegment", "o_orderpriority", "o_orderdate")
+        val o10 = blow(Tables.orders(spark, sfDir)
+            .join(Tables.customer(spark, sfDir),
+              col("c_custkey") === col("o_custkey"))
+            .select("o_orderkey", "c_mktsegment", "o_orderpriority",
+              "o_orderdate"),
+            "o_orderkey", 10, 10000000L)
+          .select("c_mktsegment", "o_orderpriority", "o_orderdate")
+          .unionAll(spark.range(500000)
+            .select(lit("MACHINERY").as("c_mktsegment"),
+              lit("1-URGENT").as("o_orderpriority"),
+              expr("TIMESTAMP '1995-06-01'").as("o_orderdate")))
+        def bz(d: DataFrame) = Profile.brierDecomposition(d,
+          col("c_mktsegment"),
+          (col("o_orderpriority") === "1-URGENT").cast("long"),
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        Res("x228_brier", timeMin(bz(o1)), timeMin(bz(o10)))
       })
 
     val only: Option[Set[String]] =

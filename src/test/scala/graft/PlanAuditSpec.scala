@@ -1662,4 +1662,96 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(!finalP.contains("Window"), p)
     assert(!finalP.contains("CartesianProduct"), p)
   }
+
+  test("x221: MAP eval rides the audited brute plan — qid-keyed windows only, label joins broadcast") {
+    val df = SparkEntry.queries("x221_map_eval")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(l => assert(l.contains("qid#"), l))
+    assert(!finalP.contains("SortMergeJoin"), p)
+    assert(!finalP.contains("ShuffledHashJoin"), p)
+    assert(!finalP.contains("CartesianProduct"), p)
+  }
+
+  test("x222: κ is one combinable cell rollup — marginal algebra on the checkpointed cells, no window") {
+    val df = SparkEntry.queries("x222_kappa_raters")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("Scan ExistingRDD"), p)
+    assert(!finalP.contains("SortMergeJoin"), p)
+    assert(!finalP.contains("Window"), p)
+    assert(!finalP.contains("CartesianProduct"), p)
+  }
+
+  test("x223: McNemar is ONE scan-side 4-cell aggregate — no join, no window, no second exchange") {
+    val df = SparkEntry.queries("x223_mcnemar")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("Join"), p)
+    assert(!finalP.contains("Window"), p)
+    // one aggregation pair (partial + final) over the scan, nothing else
+    assert(finalP.linesIterator.count(_.contains("HashAggregate")) === 2, p)
+  }
+
+  test("x224: drawdown windows are keyed on the priority — no global sort window, no join") {
+    val df = SparkEntry.queries("x224_drawdown")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(l => assert(l.contains("k#"), l))
+    assert(!finalP.contains("Join"), p)
+  }
+
+  test("x225: Kruskal–Wallis rank is two-phase — (pid)-local windows behind the checkpoint, no global sort") {
+    val df = SparkEntry.queries("x225_kruskal")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("Scan ExistingRDD"), p)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    winLines.foreach(l => assert(l.contains("_pid"), l))
+    assert(!finalP.contains("SortMergeJoin"), p)
+  }
+
+  test("x226: LPA rounds are equi-joins + argmax elections — no window, no cartesian") {
+    val df = SparkEntry.queries("x226_label_prop")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("Window"), p)
+    assert(!finalP.contains("CartesianProduct"), p)
+    assert(!finalP.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x227: streak islands are user-keyed windows; the survival cumsum runs on the histogram only") {
+    val df = SparkEntry.queries("x227_streaks")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, p)
+    // every data-scale window is keyed on k; the single unkeyed window
+    // is the survival cumsum over the |streak lengths| histogram rows
+    val unkeyed = winLines.filterNot(_.contains("k#"))
+    assert(unkeyed.size <= 1, p)
+    assert(!finalP.contains("Join"), p)
+  }
+
+  test("x228: Brier terms live on two segment rollups joined broadcast — no shuffled join, no window") {
+    val df = SparkEntry.queries("x228_brier")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("BroadcastHashJoin"), p)
+    assert(!finalP.contains("SortMergeJoin"), p)
+    assert(!finalP.contains("ShuffledHashJoin"), p)
+    assert(!finalP.contains("Window"), p)
+  }
 }

@@ -1299,4 +1299,42 @@ class ReadabilitySpec extends graft.SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect()
     assert(got.map(_._1).toSeq === Seq(3L))
   }
+
+  test("kappaAgreement: the textbook 0.4 table; a constant agreeing pair is NULL") {
+    // 2×2 with po=0.7, symmetric 50/50 marginals → pe=0.5 → κ=0.4
+    val rows = Seq.fill(35)(("y", "y")) ++ Seq.fill(15)(("y", "n")) ++
+      Seq.fill(15)(("n", "y")) ++ Seq.fill(35)(("n", "n"))
+    val got = TextAnalysis.kappaAgreement(rows.toDF("a", "b"),
+        col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got === ((100L, 70L, 700000L, 500000L, 400000L)))
+    // both raters constant and equal: pe=1 → κ undefined → NULL
+    val const = Seq.fill(4)(("c", "c")).toDF("a", "b")
+    val g2 = TextAnalysis.kappaAgreement(const, col("a"), col("b"))
+      .collect().head
+    assert(g2.getLong(1) === 4L && g2.isNullAt(4))
+  }
+
+  test("mcnemarPaired: continuity-corrected statistic, |b−c|<=1 floor, and the b+c=0 NULL") {
+    def df(b: Int, c: Int, both: Int, neither: Int) =
+      (Seq.fill(b)((true, false)) ++ Seq.fill(c)((false, true)) ++
+        Seq.fill(both)((true, true)) ++ Seq.fill(neither)((false, false)))
+        .toDF("ka", "kb")
+    // b=6, c=2: (|4|−1)²·1e6/8 = 1125000 < 3841459 → not significant
+    val g1 = TextAnalysis.mcnemarPaired(df(6, 2, 1, 1), col("ka"), col("kb"))
+      .as[(Long, Long, Long, Long, Long, Long, Int)].head()
+    assert(g1 === ((10L, 1L, 1L, 6L, 2L, 1125000L, 0)))
+    // b=15, c=1: 13²·1e6/16 = 10562500 → significant
+    val g2 = TextAnalysis.mcnemarPaired(df(15, 1, 0, 0), col("ka"), col("kb"))
+      .as[(Long, Long, Long, Long, Long, Long, Int)].head()
+    assert(g2._6 === 10562500L && g2._7 === 1)
+    // |b−c| <= 1: the continuity correction floors the statistic at 0
+    val g3 = TextAnalysis.mcnemarPaired(df(1, 0, 2, 0), col("ka"), col("kb"))
+      .as[(Long, Long, Long, Long, Long, Long, Int)].head()
+    assert(g3._6 === 0L && g3._7 === 0)
+    // perfect agreement: b+c=0 → undefined → NULL, not significant
+    val g4 = TextAnalysis.mcnemarPaired(df(0, 0, 3, 2), col("ka"), col("kb"))
+      .collect().head
+    assert(g4.isNullAt(5) && g4.getInt(6) === 0)
+  }
 }

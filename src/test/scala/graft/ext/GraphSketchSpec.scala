@@ -345,6 +345,29 @@ class GraphSketchSpec extends graft.SparkSpec {
       .collect().head
     assert(tri.getLong(0) === 3L && tri.isNullAt(4))
   }
+
+  // ---- Graph.labelPropagation ----
+
+  test("labelPropagation: plurality ties go to the smallest label; a pendant pair oscillates deterministically") {
+    // triangle {1,2,3} + pendant pair {10,11}. Round 1: node 1 sees
+    // labels {2,3} (tie, count 1 each) → 2; nodes 2,3 see label 1 in
+    // their tie sets → 1; the pair swaps labels. Round 2: node 1 sees
+    // {lab(2)=1, lab(3)=1} → 1; nodes 2,3 tie {2,1}/{2,1} → 1; the
+    // pair swaps BACK (the classic bipartite oscillation — the fixed
+    // round count is what makes the contract deterministic).
+    // Final labels {1:1, 2:1, 3:1, 10:10, 11:11} → one size-3
+    // community + two singletons.
+    val g = sym((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L))
+    val got = Graph.labelPropagation(g, rounds = 2)
+      .orderBy("community_size").as[(Long, Long, Long)].collect()
+    assert(got === Array((1L, 2L, 2L), (3L, 1L, 3L)))
+    // one round: the triangle splits {1→2, 2→1, 3→1} → sizes 2 and 1
+    val one = Graph.labelPropagation(g, rounds = 1)
+      .orderBy("community_size").as[(Long, Long, Long)].collect()
+    assert(one.map(_._3).sum === 5L) // every node assigned exactly once
+    intercept[IllegalArgumentException] { Graph.labelPropagation(g, 0) }
+    intercept[IllegalArgumentException] { Graph.labelPropagation(g, 9) }
+  }
 }
 
 class LinkPredictionSpec extends graft.SparkSpec {

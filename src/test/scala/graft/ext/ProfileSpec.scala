@@ -400,4 +400,46 @@ class ZoneMapSpec extends graft.SparkSpec {
       .orderBy("cls").as[(String, Long, Long, Int)].collect()
     assert(got === Array(("A", 4L, 0L, 0), ("B", 4L, 0L, 0)))
   }
+
+  test("kruskalWallis: hand-checked H without and with ties; all-tied is NULL") {
+    // a={1,2}, b={3,4}: ranks 1..4, R_a=3, R_b=7 →
+    // H = 12/(4·5)·(9/2+49/2) − 15 = 2.4 → 2400000 ppm; no ties →
+    // h_tie = h
+    val plain = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 3L),
+      ("b", 4L, 4L)).toDF("g", "v", "id")
+    val g1 = Profile.kruskalWallis(plain, col("g"), col("v"), col("id"),
+        chi2CritPpm = 3841459L)
+      .as[(Long, Long, Long, Long, Int)].head()
+    assert(g1 === ((4L, 2L, 2400000L, 2400000L, 0)))
+    // a={1,1}, b={2,2}: midrank2 = 3,3,7,7 → same d = ±4 → same raw H;
+    // ties T = 6+6 → h_tie = 2.4e6·60/(60−12) = 3e6 — and it crosses a
+    // 2999999 threshold the uncorrected H does not
+    val tied = Seq(("a", 1L, 1L), ("a", 1L, 2L), ("b", 2L, 3L),
+      ("b", 2L, 4L)).toDF("g", "v", "id")
+    val g2 = Profile.kruskalWallis(tied, col("g"), col("v"), col("id"),
+        chi2CritPpm = 2999999L)
+      .as[(Long, Long, Long, Long, Int)].head()
+    assert(g2 === ((4L, 2L, 2400000L, 3000000L, 1)))
+    // every value tied: variance denominator hits zero → NULL, not ∞
+    val const = Seq(("a", 5L, 1L), ("a", 5L, 2L), ("b", 5L, 3L))
+      .toDF("g", "v", "id")
+    val g3 = Profile.kruskalWallis(const, col("g"), col("v"), col("id"),
+      chi2CritPpm = 1L).collect().head
+    assert(g3.getLong(2) === 0L && g3.isNullAt(3) && g3.getInt(4) === 0)
+  }
+
+  test("brierDecomposition: exact Murphy terms; unseen segments are dropped") {
+    // train x: 4 rows 1 pos → p̂ = 0.25; test x: 4 rows 2 pos →
+    // mean(0.25−y)² = 0.3125 = reliability 0.0625 + uncertainty 0.25.
+    // Segment z exists only in test → no prediction → dropped.
+    val rows = Seq(("x", 1L, true), ("x", 0L, true), ("x", 0L, true),
+      ("x", 0L, true), ("x", 1L, false), ("x", 1L, false),
+      ("x", 0L, false), ("x", 0L, false), ("z", 1L, false))
+    val df = rows.toDF("seg", "y", "tr")
+    val got = Profile.brierDecomposition(df, col("seg"), col("y"), col("tr"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(got === Array(("x", 4L, 1L, 250000L, 4L, 2L, 500000L,
+      62500L, 250000L, 312500L)))
+  }
 }

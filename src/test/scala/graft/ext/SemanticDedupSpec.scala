@@ -211,4 +211,23 @@ class SemanticDedupSpec extends graft.SparkSpec {
     assert(got === ((10L, h1.toLong, hk.toLong, rrs.sum, rrs.sum / 10)))
     assert(got._3 >= got._2) // hit@k contains hit@1 by construction
   }
+
+  test("annMap: hand-checked AP with per-term floors and the min(R, k) denominator") {
+    // query 0 (label A) against: 1=A sim 1.0, 4=A sim 0.8, 3=B sim 0.6,
+    // 2=B sim 0.0 → top-3 ranking [1, 4, 3], rel = [1, 1, 0],
+    // apsum = 1e6/1 + 2e6/2 = 2e6; label A has 3 members →
+    // denominator min(3−1, 3) = 2 → ap = 1e6
+    val embs = embsOf(0L -> Seq(1.0, 0.0), 1L -> Seq(1.0, 0.0),
+      2L -> Seq(0.0, 1.0), 3L -> Seq(0.6, 0.8), 4L -> Seq(0.8, 0.6))
+    val labels = Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "B"),
+      (4L, "A")).toDF("vec_id", "label")
+    val got = Similarity.annMap(embs, labels, Seq(0L), k = 3)
+      .as[(Long, String, Long, Long)].head()
+    assert(got === ((0L, "A", 2L, 1000000L)))
+    // a query whose label has no other member: denominator 0 → NULL
+    val lone = Seq((0L, "Z"), (1L, "A"), (2L, "B"), (3L, "B"),
+      (4L, "A")).toDF("vec_id", "label")
+    val g2 = Similarity.annMap(embs, lone, Seq(0L), k = 3).collect().head
+    assert(g2.getLong(2) === 0L && g2.isNullAt(3))
+  }
 }

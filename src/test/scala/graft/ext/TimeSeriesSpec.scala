@@ -590,4 +590,32 @@ class PartitionGapsSpec extends graft.SparkSpec {
       .as[(String, Long, Long, Long)].collect()
     assert(got === Array(("k", 4L, 2L, 1L)))
   }
+
+  test("maxDrawdown: running-peak drawdown with trough ties resolved to the earliest day") {
+    // daily levels 100, 50, 120, 60 (day 1 is two rows summed 60+40):
+    // runmax 100,100,120,120 → dd 0, 500000, 0, 500000 — the 50% tie
+    // must report the EARLIER trough (day 2, level 50)
+    def day(i: Int) = f"2024-03-0$i%01d"
+    val rows = Seq(("a", day(1), 60L), ("a", day(1), 40L),
+      ("a", day(2), 50L), ("a", day(3), 120L), ("a", day(4), 60L))
+    val df = rows.toDF("k", "d", "cents")
+      .select(col("k"), to_timestamp(col("d")).as("ts"), col("cents"))
+    val got = TimeSeries.maxDrawdown(df, col("k"), col("ts"), col("cents"))
+      .as[(String, Long, String, String, Long, java.sql.Date)].collect()
+    assert(got === Array(("a", 4L, "120", "50", 500000L,
+      java.sql.Date.valueOf("2024-03-02"))))
+  }
+
+  test("streakHistogram: islands-and-gaps lengths and the survival cumsum") {
+    // u1 active days {1,2,3,5} → longest 3; u2 {1,3} → 1; u3 {1,2} → 2
+    val rows = Seq((1L, 1), (1L, 2), (1L, 3), (1L, 5),
+      (2L, 1), (2L, 3), (3L, 1), (3L, 2))
+    val df = rows.toDF("u", "d")
+      .select(col("u"), to_timestamp(
+        concat(lit("2024-06-0"), col("d"))).as("ts"))
+    val got = TimeSeries.streakHistogram(df, col("u"), col("ts"))
+      .orderBy(col("longest_streak").desc)
+      .as[(Long, Long, Long)].collect()
+    assert(got === Array((3L, 1L, 1L), (2L, 1L, 2L), (1L, 1L, 3L)))
+  }
 }

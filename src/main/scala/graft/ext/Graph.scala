@@ -379,4 +379,53 @@ object Graph {
       .select(col("sz").as("community_size"), col("n_communities"),
         col("n_nodes"))
   }
+
+  /** HITS hubs & authorities on a DIRECTED bipartite-or-general edge
+    * list — [[pageRank]] ranks by random-walk visitation; HITS answers
+    * the two-sided question (which right-nodes are endorsed by the
+    * strongest left-nodes, and vice versa). Kleinberg's mutual
+    * recursion in e12 integer fixed point with L1 normalization each
+    * half-step: a(j) = Σ_{i→j} h(i) then a ← a·1e12 DIV Σa (and
+    * symmetrically for h) — every operation is integer
+    * multiply/divide/sum, so scores are bit-identical on any engine at
+    * ANY `iters` (parity never depends on convergence; the
+    * [[personalizedPageRank]] lesson). Floor leak per normalization
+    * ≤ |nodes| e12-units — invisible at the e6 reporting grid.
+    *
+    * 100 TB posture: edges localCheckpointed once; per half-step ONE
+    * equi-join on 8-byte ids + one combinable rollup + a broadcast
+    * 1-row total — the [[pageRank]] iteration shape exactly, twice per
+    * round. Output: top-k authorities (node, auth_e12, rank) via
+    * TakeOrdered (never a global rank window — the x67 lesson). */
+  def hits(edges: DataFrame, iters: Int, k: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters=$iters out of range [1, 8]")
+    require(k >= 1 && k <= 1000, s"k=$k out of range")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
+    def l1Norm(df: DataFrame, node: String, m: String): DataFrame = {
+      val tot = df.agg(sum(expr(s"CAST($m AS DECIMAL(38,0))")).as("t"))
+      df.crossJoin(broadcast(tot))
+        .select(col(node),
+          expr(s"CAST(CAST($m AS DECIMAL(38,0)) * 1000000000000 DIV t " +
+            "AS BIGINT)").as(m))
+    }
+    var hubs = e.select(col("src")).distinct()
+      .select(col("src"), lit(1000000L).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = l1Norm(
+        e.join(hubs, Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("a")),
+        "dst", "a")
+      hubs = l1Norm(
+        e.join(auth, Seq("dst"))
+          .groupBy(col("src")).agg(sum(col("a")).as("h")),
+        "src", "h")
+    }
+    // orderBy+limit plans as TakeOrderedAndProject (the x34/x67 shape —
+    // never an unpartitioned rank window); position = rank
+    auth.orderBy(col("a").desc, col("dst")).limit(k)
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("long"))
+      .select(col("dst").as("node"), col("a").as("auth_e12"), col("rank"))
+  }
 }

@@ -1353,4 +1353,61 @@ object Profile {
           "* (m_test - x_test) * 1000000000000) DIV m2e6 AS BIGINT)")
           .as("brier_ppm"))
   }
+
+  /** Cochran–Armitage trend test: does a binary outcome rate move
+    * MONOTONICALLY with an ordered factor? [[chi2Assoc]] would spend
+    * k−1 degrees of freedom ignoring the order; CA packs the question
+    * into one df via integer scores w (0..k−1 in factor order):
+    *
+    *   D = N·Σwx − X·Σwn,   V = N·Σw²n − (Σwn)²,
+    *   z²_ppm = (⌊D²/V⌋·N·1e6) DIV (X(N−X))
+    *
+    * — the Pearson χ² on a 2×2 when the scores are 0/1 (the spec pins
+    * that identity). The two-stage floor (D²/V first — its quotient is
+    * bounded by 4N², the tight order) is the DOCUMENTED grid, identical
+    * in both engines. `trend` = sign(D) when z² clears χ²₁ @ 95%.
+    * Degenerate inputs (all-positive, all-negative, or a single score
+    * value → V=0) read NULL. Runtime envelope: N < 1e8 via the loud
+    * raise_error guard on the output column ([[kruskalWallis]]'s
+    * contract — a trend test at the design point runs on a sample);
+    * scores are required ≤ 32 at plan build.
+    *
+    * 100 TB posture: ONE combinable per-score rollup (k cells), then
+    * single-row algebra. Output: one row
+    * (n, x_pos, k_scores, d_stat, z2_ppm, trend, significant). */
+  def cochranArmitage(df: DataFrame, score: Column, outcome: Column,
+      maxScore: Int = 32): DataFrame = {
+    require(maxScore >= 1 && maxScore <= 32, s"maxScore=$maxScore out of range")
+    val per = df.select(score.cast("long").as("w"),
+        outcome.cast("long").as("y"))
+      .withColumn("w",
+        expr(s"CASE WHEN w < 0 OR w > $maxScore THEN " +
+          s"CAST(raise_error('cochranArmitage: score outside [0, $maxScore]') " +
+          "AS BIGINT) ELSE w END"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"), sum(col("y")).as("x_w"))
+    per.agg(count(lit(1)).as("k_scores"), sum(col("n_w")).as("n_raw"),
+        sum(col("x_w")).as("x_pos"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * x_w")).as("swx"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * n_w")).as("swn"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * w * n_w")).as("sw2n"))
+      .withColumn("n",
+        expr("CASE WHEN n_raw >= 100000000 THEN " +
+          "CAST(raise_error('cochranArmitage: N past the DECIMAL(38) " +
+          "envelope - run on a stratified sample') AS BIGINT) " +
+          "ELSE n_raw END"))
+      .withColumn("d", expr("CAST(n AS DECIMAL(38,0)) * swx - x_pos * swn"))
+      .withColumn("v", expr("CAST(n AS DECIMAL(38,0)) * sw2n - swn * swn"))
+      .withColumn("z2_ppm",
+        expr("CASE WHEN v > 0 AND x_pos > 0 AND x_pos < n THEN " +
+          "CAST(CAST((d * d - d * d % v) / v AS DECIMAL(38,0)) " +
+          "* n * 1000000 DIV (CAST(x_pos AS DECIMAL(38,0)) * (n - x_pos)) " +
+          "AS BIGINT) ELSE NULL END"))
+      .withColumn("trend",
+        when(col("z2_ppm") > 3841459L,
+          signum(col("d")).cast("int")).otherwise(0).cast("int"))
+      .select(col("n"), col("x_pos"), col("k_scores"),
+        col("d").cast("string").as("d_stat"), col("z2_ppm"), col("trend"),
+        when(col("z2_ppm") > 3841459L, 1).otherwise(0).cast("int")
+          .as("significant"))
+  }
 }

@@ -113,6 +113,113 @@ object EventAnalytics {
         expr("cnt * 1000000L DIV tot").as("rate_e6"))
   }
 
+  /** Steady-state distribution of the [[transitionRates]] Markov chain —
+    * "where does the journey SETTLE?", next to the empirical occupancy
+    * ("where does it currently spend time?"): a gap between the two
+    * columns is the early-funnel bias of a growing product. Power
+    * iteration in e12 integer fixed point: π' (j) = Σᵢ πᵢ·c(i,j) DIV
+    * totᵢ — every step is integer multiply/divide/sum, so the vector is
+    * bit-identical on any engine at ANY iteration count (parity never
+    * depends on convergence; `iters` is the documented contract, the
+    * PPR lesson). States = those with outgoing transitions (an
+    * absorbing sink would hoard floored mass — documented). Floor leak
+    * ≤ |S| e12-units per state per step — invisible at ppm.
+    *
+    * 100 TB posture: ONE data-scale exchange (the lag-pair rollup —
+    * user-keyed windows); the chain itself is a localCheckpointed
+    * |S|² cell table and every iteration is a broadcast-sized
+    * join+rollup. Output: (state, pi_ppm, occupancy_ppm). */
+  def markovSteadyState(events: DataFrame, user: Column, ts: Column,
+      id: Column, typ: Column, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters=$iters out of range [1, 20]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"), col("eid"))
+    val pairs = events.select(user.as("user_id"), unix_micros(ts).as("tus"),
+        id.as("eid"), typ.as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("cnt")).as("tot"))
+    val p = pairs.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("cnt"), col("tot"))
+      .localCheckpoint(false) // |S|² cells drive every iteration
+    val nStates = p.select(col("from_type")).distinct()
+      .agg(count(lit(1)).as("ns"))
+    var pi = p.select(col("from_type").as("state")).distinct()
+      .crossJoin(broadcast(nStates))
+      .select(col("state"), expr("1000000000000L DIV ns").as("m"))
+    for (_ <- 1 to iters) {
+      pi = p.join(pi, col("from_type") === col("state"))
+        .select(col("to_type"),
+          expr("CAST(CAST(m AS DECIMAL(38,0)) * cnt DIV tot AS BIGINT)")
+            .as("c"))
+        .groupBy(col("to_type")).agg(sum(col("c")).as("m"))
+        // incoming-only states keep zero mass implicitly: restrict the
+        // vector back to the outgoing-state domain (semi-join on the
+        // broadcast state list)
+        .join(p.select(col("from_type")).distinct(),
+          col("to_type") === col("from_type"), "left_semi")
+        .select(col("to_type").as("state"), col("m"))
+    }
+    val occ = events.select(typ.as("state"))
+      .groupBy("state").agg(count(lit(1)).as("n_ev"))
+    val occTot = occ.agg(sum(col("n_ev")).as("n_all"))
+    pi.join(broadcast(occ), Seq("state"))
+      .crossJoin(broadcast(occTot))
+      .select(col("state"), expr("m DIV 1000000L").as("pi_ppm"),
+        expr("CAST(CAST(n_ev AS DECIMAL(38,0)) * 1000000 DIV n_all " +
+          "AS BIGINT)").as("occupancy_ppm"))
+  }
+
+  /** CUPED variance-reduced A/B readout: the pre-period covariate X
+    * (events before `splitTs`) absorbs between-user noise from the
+    * post-period metric Y via the pooled regression adjustment
+    * θ = Cov(X,Y)/Var(X). All moments ride DECIMAL(38) integer sums;
+    * θ_ppm = (nΣxy − ΣxΣy)·1e6 DIV (nΣx² − (Σx)²), and each variant's
+    * adjusted mean is the documented two-stage floor
+    * ȳ_v − ⌊θ_ppm·x̄dev_v⌋/1e6 — identical grids in both engines.
+    * Zero pre-period variance → θ NULL and the adjustment degrades to
+    * the raw mean (adj = ybar), loudly visible rather than a crash.
+    *
+    * 100 TB posture: ONE user-level rollup (combinable conditional
+    * counts), one 1-row moment aggregate crossjoined broadcast, one
+    * |variants|-row rollup. Nothing wider than (user, 2 counts) ever
+    * shuffles. Output per variant: (variant, n_users, ybar_ppm,
+    * xdev_ppm, adj_ppm, theta_ppm). */
+  def cupedLift(events: DataFrame, user: Column, ts: Column,
+      variant: Column, splitTs: Column): DataFrame = {
+    val perUser = events.select(user.as("u"), variant.as("variant"),
+        when(ts < splitTs, 1L).otherwise(0L).as("pre"),
+        when(ts >= splitTs, 1L).otherwise(0L).as("post"))
+      .groupBy("u", "variant")
+      .agg(sum(col("pre")).as("x"), sum(col("post")).as("y"))
+      .localCheckpoint(false) // user-level table feeds both rollups
+    val moments = perUser.agg(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .withColumn("theta_ppm",
+        expr("CASE WHEN n * sxx - sx * sx > 0 THEN " +
+          "CAST((n * sxy - sx * sy) * 1000000 DIV (n * sxx - sx * sx) " +
+          "AS BIGINT) ELSE NULL END"))
+    perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sxv"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("syv"))
+      .crossJoin(broadcast(moments))
+      .withColumn("ybar_ppm", expr("CAST(syv * 1000000 DIV n_users AS BIGINT)"))
+      .withColumn("xdev_ppm",
+        expr("CAST((sxv * n - sx * n_users) * 1000000 " +
+          "DIV (CAST(n_users AS DECIMAL(38,0)) * n) AS BIGINT)"))
+      .select(col("variant"), col("n_users"), col("ybar_ppm"),
+        col("xdev_ppm"),
+        expr("CASE WHEN theta_ppm IS NULL THEN ybar_ppm " +
+          "ELSE ybar_ppm - CAST(CAST(theta_ppm AS DECIMAL(38,0)) " +
+          "* xdev_ppm DIV 1000000 AS BIGINT) END").as("adj_ppm"),
+        col("theta_ppm"))
+  }
+
   /** Funnel timing by signup cohort: per first-event-day cohort, how
     * many users reached each [[funnel3]] stage and the EXACT median
     * time-to-convert between consecutive stages (microseconds, the

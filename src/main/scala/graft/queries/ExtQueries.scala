@@ -7896,6 +7896,155 @@ object ExtQueries {
       .orderBy("seg")
   }
 
+  // x229 — COCHRAN–ARMITAGE trend: does the finished-order rate move
+  // monotonically with priority? One df against x200's order-blind
+  // χ²₄; per-score rollup + single-row integer algebra with the
+  // documented two-stage floor.
+  val x229 = Q(
+    "x229_ca_trend",
+    """WITH b AS (
+      |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) - 1 AS w,
+      |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |  FROM orders),
+      |per AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w,
+      |               CAST(sum(y) AS BIGINT) AS x_w
+      |        FROM b GROUP BY 1),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS k_scores,
+      |             CAST(sum(n_w) AS BIGINT) AS n,
+      |             CAST(sum(x_w) AS BIGINT) AS x_pos,
+      |             SUM(w::HUGEINT * x_w) AS swx,
+      |             SUM(w::HUGEINT * n_w) AS swn,
+      |             SUM(w::HUGEINT * w * n_w) AS sw2n
+      |      FROM per),
+      |c AS (SELECT *, n::HUGEINT * swx - x_pos::HUGEINT * swn AS d,
+      |             n::HUGEINT * sw2n - swn * swn AS v
+      |      FROM a),
+      |z AS (SELECT *, CASE WHEN v > 0 AND x_pos > 0 AND x_pos < n THEN
+      |             ((d * d - d * d % v) // v) * n * 1000000
+      |             // (x_pos::HUGEINT * (n - x_pos))
+      |             ELSE NULL END AS z2
+      |      FROM c)
+      |SELECT n, x_pos, k_scores, CAST(d AS VARCHAR) AS d_stat,
+      |       CAST(z2 AS BIGINT) AS z2_ppm,
+      |       CAST(CASE WHEN z2 > 3841459 THEN
+      |            CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE 0 END
+      |            ELSE 0 END AS INT) AS trend,
+      |       CAST(CASE WHEN z2 > 3841459 THEN 1 ELSE 0 END AS INT) AS significant
+      |FROM z""".stripMargin) { (s, dir) =>
+    Profile.cochranArmitage(Tables.orders(s, dir),
+      expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT) - 1"),
+      (col("o_orderstatus") === "F").cast("long"))
+  }
+
+  // x230 — MARKOV STEADY STATE of the journey transition chain (x119's
+  // matrix): where does the walk settle vs where the stream currently
+  // spends time? e12 integer power iteration — parity at ANY iteration
+  // count, 8 is the documented contract.
+  private val markovIterCtes = (1 to 8).map { i =>
+    val prev = if (i == 1) "p0" else s"p${i - 1}"
+    s"""i$i AS (SELECT t AS state, CAST(sum(m::HUGEINT * cnt // tot) AS BIGINT) AS m
+      |       FROM pc JOIN $prev ON $prev.state = pc.f GROUP BY t),
+      |p$i AS (SELECT i$i.state, m FROM i$i JOIN st ON st.state = i$i.state)""".stripMargin
+  }.mkString(",\n")
+  val x230 = Q(
+    "x230_markov_steady",
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id AS eid,
+      |                  event_type AS et FROM events),
+      |l AS (SELECT lag(et, 1) OVER (PARTITION BY user_id ORDER BY tus, eid) AS f,
+      |             et AS t FROM e),
+      |p AS (SELECT f, t, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM l WHERE f IS NOT NULL GROUP BY 1, 2),
+      |tt AS (SELECT f, CAST(sum(cnt) AS BIGINT) AS tot FROM p GROUP BY 1),
+      |pc AS (SELECT p.f, p.t, cnt, tot FROM p JOIN tt USING (f)),
+      |st AS (SELECT DISTINCT f AS state FROM p),
+      |ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM st),
+      |p0 AS (SELECT state, 1000000000000 // ns AS m FROM st CROSS JOIN ns),
+      |$markovIterCtes,
+      |occ AS (SELECT event_type AS state, CAST(count(*) AS BIGINT) AS n_ev
+      |        FROM events GROUP BY 1),
+      |ot AS (SELECT CAST(sum(n_ev) AS BIGINT) AS n_all FROM occ)
+      |SELECT p8.state, CAST(m // 1000000 AS BIGINT) AS pi_ppm,
+      |       CAST(n_ev::HUGEINT * 1000000 // n_all AS BIGINT) AS occupancy_ppm
+      |FROM p8 JOIN occ USING (state) CROSS JOIN ot
+      |ORDER BY state""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.markovSteadyState(Tables.events(s, dir),
+      col("user_id"), col("ts"), col("event_id"), col("event_type"),
+      iters = 8)
+      .orderBy("state")
+  }
+
+  // x231 — CUPED variance-reduced A/B readout: the pre-period count
+  // absorbs between-user noise via the pooled θ; adjusted means on the
+  // documented two-stage floor grid. Deterministic hash variant
+  // (user_id parity), split mid-month.
+  val x231 = Q(
+    "x231_cuped",
+    """WITH pu AS (
+      |  SELECT user_id AS u, user_id % 2 AS variant,
+      |         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |mo AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(x::HUGEINT) AS sx,
+      |              SUM(y::HUGEINT) AS sy, SUM(x::HUGEINT * x) AS sxx,
+      |              SUM(x::HUGEINT * y) AS sxy
+      |       FROM pu),
+      |th AS (SELECT *, CASE WHEN n * sxx - sx * sx > 0 THEN
+      |              (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+      |              ELSE NULL END AS theta
+      |       FROM mo),
+      |v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+      |             SUM(x::HUGEINT) AS sxv, SUM(y::HUGEINT) AS syv
+      |      FROM pu GROUP BY 1)
+      |SELECT variant, n_users,
+      |       CAST(syv * 1000000 // n_users AS BIGINT) AS ybar_ppm,
+      |       CAST((sxv * n - sx * n_users) * 1000000
+      |            // (n_users::HUGEINT * n) AS BIGINT) AS xdev_ppm,
+      |       CAST(CASE WHEN theta IS NULL THEN syv * 1000000 // n_users
+      |            ELSE syv * 1000000 // n_users
+      |                 - (theta * ((sxv * n - sx * n_users) * 1000000
+      |                    // (n_users::HUGEINT * n)) // 1000000) END
+      |            AS BIGINT) AS adj_ppm,
+      |       CAST(theta AS BIGINT) AS theta_ppm
+      |FROM v CROSS JOIN th ORDER BY variant""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.cupedLift(Tables.events(s, dir),
+      col("user_id"), col("ts"), expr("user_id % 2"),
+      to_timestamp(lit("2024-01-16")))
+      .orderBy("variant")
+  }
+
+  // x232 — HITS authorities on the customer→part endorsement graph:
+  // Kleinberg's mutual recursion in e12 integer fixed point with L1
+  // normalization per half-step; 2 rounds is the documented contract
+  // (parity holds at any count). Top-10 via TakeOrdered, never a
+  // global rank window.
+  val x232 = Q(
+    "x232_hits",
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+      |h0 AS (SELECT DISTINCT src, CAST(1000000 AS BIGINT) AS h FROM e),
+      |a1r AS (SELECT dst, SUM(h::HUGEINT) AS a FROM e JOIN h0 USING (src) GROUP BY dst),
+      |a1t AS (SELECT SUM(a) AS t FROM a1r),
+      |a1 AS (SELECT dst, CAST(a * 1000000000000 // t AS BIGINT) AS a
+      |       FROM a1r CROSS JOIN a1t),
+      |h1r AS (SELECT src, SUM(a::HUGEINT) AS h FROM e JOIN a1 USING (dst) GROUP BY src),
+      |h1t AS (SELECT SUM(h) AS t FROM h1r),
+      |h1 AS (SELECT src, CAST(h * 1000000000000 // t AS BIGINT) AS h
+      |       FROM h1r CROSS JOIN h1t),
+      |a2r AS (SELECT dst, SUM(h::HUGEINT) AS a FROM e JOIN h1 USING (src) GROUP BY dst),
+      |a2t AS (SELECT SUM(a) AS t FROM a2r),
+      |a2 AS (SELECT dst, CAST(a * 1000000000000 // t AS BIGINT) AS a
+      |       FROM a2r CROSS JOIN a2t)
+      |SELECT dst AS node, a AS auth_e12,
+      |       CAST(row_number() OVER (ORDER BY a DESC, dst) AS BIGINT) AS rank
+      |FROM a2 ORDER BY a DESC, dst LIMIT 10""".stripMargin) { (s, dir) =>
+    Graph.hits(
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_partkey").as("dst")),
+      iters = 2, k = 10)
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -7913,5 +8062,6 @@ object ExtQueries {
       x187, x188, x189, x190, x191, x192, x193, x194, x195, x196, x197,
       x198, x199, x200, x201, x202, x203, x204, x205, x206, x207, x208,
       x209, x210, x211, x212, x213, x214, x215, x216, x217, x218, x219,
-      x220, x221, x222, x223, x224, x225, x226, x227, x228)
+      x220, x221, x222, x223, x224, x225, x226, x227, x228, x229, x230,
+      x231, x232)
 }

@@ -1137,6 +1137,66 @@ object VolumeTripwire {
           (col("o_orderpriority") === "1-URGENT").cast("long"),
           col("o_orderdate") < to_timestamp(lit("1998-01-01")))
         Res("x228_brier", timeMin(bz(o1)), timeMin(bz(o10)))
+      }, {
+        // CA trend with 500k rows flooding one score cell: the whole
+        // flood is one per-score counter map-side
+        val o1 = Tables.orders(spark, sfDir)
+          .select("o_orderpriority", "o_orderstatus")
+        val o10 = blow(Tables.orders(spark, sfDir)
+            .select("o_orderkey", "o_orderpriority", "o_orderstatus"),
+            "o_orderkey", 10, 10000000L)
+          .select("o_orderpriority", "o_orderstatus")
+          .unionAll(spark.range(500000)
+            .select(lit("3-MEDIUM").as("o_orderpriority"),
+              lit("F").as("o_orderstatus")))
+        def cz(d: DataFrame) = Profile.cochranArmitage(d,
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT) - 1"),
+          (col("o_orderstatus") === "F").cast("long"))
+        Res("x229_caTrend", timeMin(cz(o1)), timeMin(cz(o10)))
+      }, {
+        // Markov steady state with a 500k-event single-user flood: the
+        // hot user's lag window is one linear task; the chain itself is
+        // |S|² cells regardless of the corpus
+        val ev1 = Tables.events(spark, sfDir)
+          .select("user_id", "ts", "event_id", "event_type")
+        val hotTs = Tables.events(spark, sfDir).agg(max(col("ts")).as("ts"))
+        val ev10 = blow(Tables.events(spark, sfDir)
+            .select("event_id", "user_id", "ts", "event_type"),
+            "event_id", 10, 100000000L)
+          .select("user_id", "ts", "event_id", "event_type")
+          .unionAll(spark.range(500000).crossJoin(hotTs)
+            .select(lit(7L).as("user_id"), col("ts"),
+              (col("id") + 900000000L).as("event_id"),
+              lit("click").as("event_type")))
+        def mz(d: DataFrame) = graft.ops.EventAnalytics.markovSteadyState(
+          d, col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          iters = 8)
+        Res("x230_markov", timeMin(mz(ev1)), timeMin(mz(ev10)))
+      }, {
+        // CUPED with the same single-user flood: one (user, variant)
+        // rollup cell; moments and variants are broadcast-sized
+        val ev1 = Tables.events(spark, sfDir).select("user_id", "ts")
+        val hotTs = Tables.events(spark, sfDir).agg(max(col("ts")).as("ts"))
+        val ev10 = blow(Tables.events(spark, sfDir)
+            .select("event_id", "user_id", "ts"), "event_id", 10, 100000000L)
+          .select("user_id", "ts")
+          .unionAll(spark.range(500000).crossJoin(hotTs)
+            .select(lit(7L).as("user_id"), col("ts")))
+        def uz(d: DataFrame) = graft.ops.EventAnalytics.cupedLift(d,
+          col("user_id"), col("ts"), expr("user_id % 2"),
+          to_timestamp(lit("2024-01-16")))
+        Res("x231_cuped", timeMin(uz(ev1)), timeMin(uz(ev10)))
+      }, {
+        // HITS on a 10× edge list (shifted copies → genuinely more
+        // edges): every half-step is one equi-join + rollup, |E|-linear
+        val ed1 = Tables.lineitem(spark, sfDir)
+          .join(Tables.orders(spark, sfDir),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+        val ed10 = blow(ed1.withColumn("src", col("src")), "src", 10,
+          10000000L)
+        def hz(d: DataFrame) = Graph.hits(d, iters = 2, k = 10)
+        Res("x232_hits", timeMin(hz(ed1)), timeMin(hz(ed10)))
       })
 
     val only: Option[Set[String]] =

@@ -1754,4 +1754,49 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(!finalP.contains("ShuffledHashJoin"), p)
     assert(!finalP.contains("Window"), p)
   }
+
+  test("x229: CA trend is one combinable score rollup + single-row algebra — no join, no window") {
+    val df = SparkEntry.queries("x229_ca_trend")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("Join"), p)
+    assert(!finalP.contains("Window"), p)
+  }
+
+  test("x230: Markov chain iterates on checkpointed cells — the only data-scale window is user-keyed") {
+    val df = SparkEntry.queries("x230_markov_steady")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("Scan ExistingRDD"), p)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    winLines.foreach(l => assert(l.contains("user_id#"), l))
+    assert(!finalP.contains("CartesianProduct"), p)
+  }
+
+  test("x231: CUPED is one user rollup + broadcast moments — no window, no shuffled join") {
+    val df = SparkEntry.queries("x231_cuped")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("Scan ExistingRDD"), p)
+    assert(!finalP.contains("Window"), p)
+    assert(!finalP.contains("SortMergeJoin"), p)
+    assert(!finalP.contains("ShuffledHashJoin"), p)
+  }
+
+  test("x232: HITS top-k is TakeOrdered, never a global rank window; no cartesian anywhere") {
+    val df = SparkEntry.queries("x232_hits")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("TakeOrderedAndProject"), p)
+    assert(!finalP.contains("Window"), p)
+    assert(!finalP.contains("CartesianProduct"), p)
+    // the only nested-loop joins are the 1-row normalization totals
+    // (broadcast singleton crossjoins — the repo-standard idiom)
+    finalP.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach(l => assert(l.contains("BuildRight, Cross"), l))
+  }
 }

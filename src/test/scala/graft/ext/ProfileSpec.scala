@@ -428,6 +428,29 @@ class ZoneMapSpec extends graft.SparkSpec {
     assert(g3.getLong(2) === 0L && g3.isNullAt(3) && g3.getInt(4) === 0)
   }
 
+  test("cochranArmitage: 0/1 scores reduce to the 2x2 Pearson chi2; degenerate margins are NULL") {
+    // scores {0,1}, n=2 each, positives 0 and 2: D=4, V=4 →
+    // z² = ⌊16/4⌋·4·1e6/(2·2) = 4e6 — exactly the 2×2 χ² — and the
+    // perfect split is significant with a positive trend
+    val df = Seq((0L, 0L), (0L, 0L), (1L, 1L), (1L, 1L)).toDF("w", "y")
+    val g1 = Profile.cochranArmitage(df, col("w"), col("y"))
+      .as[(Long, Long, Long, String, Long, Int, Int)].head()
+    assert(g1 === ((4L, 2L, 2L, "4", 4000000L, 1, 1)))
+    // all-positive outcome: x = n → undefined → NULL
+    val allPos = Seq((0L, 1L), (1L, 1L)).toDF("w", "y")
+    val g2 = Profile.cochranArmitage(allPos, col("w"), col("y")).collect().head
+    assert(g2.isNullAt(4) && g2.getInt(6) === 0)
+    // one score value: V = 0 → NULL
+    val oneScore = Seq((2L, 0L), (2L, 1L)).toDF("w", "y")
+    val g3 = Profile.cochranArmitage(oneScore, col("w"), col("y")).collect().head
+    assert(g3.isNullAt(4))
+    // out-of-range score refuses loudly at runtime
+    val bad = Seq((40L, 0L), (0L, 1L)).toDF("w", "y")
+    intercept[Exception] {
+      Profile.cochranArmitage(bad, col("w"), col("y")).collect()
+    }
+  }
+
   test("brierDecomposition: exact Murphy terms; unseen segments are dropped") {
     // train x: 4 rows 1 pos → p̂ = 0.25; test x: 4 rows 2 pos →
     // mean(0.25−y)² = 0.3125 = reliability 0.0625 + uncertainty 0.25.

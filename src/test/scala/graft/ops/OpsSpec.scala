@@ -872,3 +872,82 @@ class PseudonymizeSpec extends SparkSpec {
     assert(got === ((1L, 1L, 0L, 1L, 1L, 0L)))
   }
 }
+
+class ExperimentationSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def ev(rows: (Long, Long, Long, String)*) =
+    rows.toDF("user_id", "sec", "event_id", "event_type")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("event_id"), col("event_type"))
+
+  test("markovSteadyState: a symmetric 2-state chain stays uniform; an asymmetric one converges") {
+    // A⇄B swap chain: uniform is the fixed point — every division is
+    // exact, so pi stays 500000/500000 at any iteration count
+    val sym = ev((1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "A"),
+      (1L, 4L, 4L, "B"), (1L, 5L, 5L, "A"))
+    val g1 = graft.ops.EventAnalytics.markovSteadyState(sym,
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        iters = 8)
+      .orderBy("state").as[(String, Long, Long)].collect()
+    assert(g1 === Array(("A", 500000L, 600000L), ("B", 500000L, 400000L)))
+    // A,A,B,A: P(A→A)=P(A→B)=1/2, P(B→A)=1 → hand-iterated
+    // a_{t+1} = 1e12 − a_t/2 (exact halvings of even numbers): after 8
+    // iterations a = 666015625000 → 666015 ppm, b = 333984 ppm;
+    // occupancy A = 3/4
+    val asym = ev((1L, 1L, 1L, "A"), (1L, 2L, 2L, "A"), (1L, 3L, 3L, "B"),
+      (1L, 4L, 4L, "A"))
+    val g2 = graft.ops.EventAnalytics.markovSteadyState(asym,
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        iters = 8)
+      .orderBy("state").as[(String, Long, Long)].collect()
+    assert(g2 === Array(("A", 666015L, 750000L), ("B", 333984L, 250000L)))
+    intercept[IllegalArgumentException] {
+      graft.ops.EventAnalytics.markovSteadyState(sym, col("user_id"),
+        col("ts"), col("event_id"), col("event_type"), iters = 0)
+    }
+  }
+
+  test("cupedLift: perfect pre/post correlation equalizes the adjusted means; zero variance degrades to raw") {
+    // users u0..u3, y = x exactly: θ = 1e6; both variants adjust to the
+    // SAME 2.5e6 ppm — all between-variant difference was pre-period
+    // imbalance
+    def mk(u: Long, pre: Int, post: Int) =
+      (1 to pre).map(i => (u, 100L + i, u * 1000 + i, "e")) ++
+        (1 to post).map(i => (u, 2000000L + i, u * 1000 + 500 + i, "e"))
+    val rows = mk(0L, 1, 1) ++ mk(1L, 2, 2) ++ mk(2L, 3, 3) ++ mk(3L, 4, 4)
+    val df = ev(rows: _*)
+    val split = timestamp_seconds(lit(1000000L))
+    val got = graft.ops.EventAnalytics.cupedLift(df, col("user_id"),
+        col("ts"), expr("user_id % 2"), split)
+      .orderBy("variant")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (0L, 2L, 2000000L, -500000L, 2500000L, 1000000L),
+      (1L, 2L, 3000000L, 500000L, 2500000L, 1000000L)))
+    // identical pre-period counts: Var(X)=0 → θ NULL → adj = ybar
+    val flat = ev((mk(0L, 2, 1) ++ mk(1L, 2, 3)): _*)
+    val g2 = graft.ops.EventAnalytics.cupedLift(flat, col("user_id"),
+        col("ts"), expr("user_id % 2"), split)
+      .orderBy("variant").collect()
+    g2.foreach { r =>
+      assert(r.isNullAt(5))
+      assert(r.getLong(4) === r.getLong(2)) // adj degrades to ybar
+    }
+  }
+
+  test("hits: one-iteration bipartite scores hand-checked; k truncates; rank follows (score, node)") {
+    val e = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    // h0 = 1e6 each → a(10) = 2e6, a(11) = 1e6, total 3e6 →
+    // normalized 666666666666 / 333333333333
+    val got = graft.ext.Graph.hits(e, iters = 1, k = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(got === Array((10L, 666666666666L, 1L), (11L, 333333333333L, 2L)))
+    val top1 = graft.ext.Graph.hits(e, iters = 1, k = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(top1 === Array((10L, 666666666666L, 1L)))
+    intercept[IllegalArgumentException] { graft.ext.Graph.hits(e, 0, 5) }
+    intercept[IllegalArgumentException] { graft.ext.Graph.hits(e, 2, 0) }
+  }
+}

@@ -928,4 +928,36 @@ object Similarity {
           s"THEN apsum DIV least(n_label - 1, ${k}L) ELSE NULL END")
           .as("ap_e6"))
   }
+
+  /** Truncated-dimension retrieval agreement — the Matryoshka question:
+    * if the index keeps only the FIRST `dims` components (the MRL
+    * serving trick: one stored vector, many effective sizes), how much
+    * of the full-dimension top-k survives? Both rankings are the
+    * audited [[knnBrute]] contract (6-dp-rounded cosine, id tiebreak)
+    * over the SAME query sample; agreement is exact set overlap —
+    * overlap_ppm = |full ∩ trunc|·1e6 DIV k per query. The truncated
+    * side renormalizes over its own prefix (slice + fresh norm), as a
+    * real truncated index would.
+    *
+    * 100 TB posture: two corpus-linear broadcast-query brute scans (the
+    * eval runs on a FIXED query sample, never corpus²); the overlap
+    * join lives on |queries|·k rows. Output per query:
+    * (qid, n_common, overlap_ppm). */
+  def truncationAgreement(embsRaw: DataFrame, id: Column, emb: Column,
+      queryIds: Seq[Long], k: Int, dims: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"k=$k out of range")
+    require(dims >= 1, s"dims=$dims must be >= 1")
+    val full = withNorm(embsRaw, id, emb)
+    val trunc = withNorm(embsRaw, id, slice(emb, 1, dims))
+    def topk(e: DataFrame) = knnBrute(e,
+      e.where(col("vec_id").isin(queryIds.map(x => x: Any): _*)), k)
+      .select(col("qid"), col("neighbor_id"))
+    // left join (not semi) so a zero-overlap query still reports 0
+    topk(full)
+      .join(topk(trunc).withColumn("m", lit(1L)),
+        Seq("qid", "neighbor_id"), "left")
+      .groupBy("qid").agg(sum(coalesce(col("m"), lit(0L))).as("n_common"))
+      .select(col("qid"), col("n_common"),
+        expr(s"n_common * 1000000L DIV ${k}L").as("overlap_ppm"))
+  }
 }

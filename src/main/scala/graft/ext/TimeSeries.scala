@@ -691,6 +691,44 @@ object TimeSeries {
           .as("trough_day"))
   }
 
+  /** PINBALL (quantile) LOSS of a trailing-window order-statistic
+    * forecast: ŷ(t) = the rank-⌈q·7⌉ value of the previous 7 daily
+    * counts (the repo's `(q·n+99) div 100` order-statistic convention,
+    * [[graft.ext.Profile]] quantile family), scored with the loss that
+    * makes quantile forecasts PROPER:
+    * loss = q·(y−ŷ) when y ≥ ŷ, (1−q)·(ŷ−y) otherwise — in e6 both
+    * branches are single integer products, so the whole backtest is
+    * hash-exact. The counterpart of [[wapeBacktest]] for UPPER-quantile
+    * capacity planning (a p75 forecast that keeps losing on the
+    * under-side is too low, and pinball is what says so).
+    *
+    * 100 TB posture: one combinable daily rollup, then seven keyed lag
+    * windows over calendar rows — never corpus-bound. Days without a
+    * full 7-day history are excluded (n_eval says how many scored).
+    * Output per key: (k, n_eval, pinball_sum_e6, pinball_mean_e6). */
+  def pinballBacktest(df: DataFrame, key: Column, ts: Column,
+      qPct: Int = 75): DataFrame = {
+    require(qPct >= 1 && qPct <= 99, s"qPct=$qPct out of range")
+    val rank = (qPct * 7 + 99) / 100 // 1-based order statistic over 7
+    val daily = df.select(key.as("k"), to_date(ts).as("day"))
+      .groupBy("k", "day").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+    val lagged = (1 to 7).foldLeft(daily) { (d, i) =>
+      d.withColumn(s"l$i", lag(col("c"), i).over(w))
+    }
+    lagged.where(col("l7").isNotNull)
+      .withColumn("fc",
+        expr(s"sort_array(array(l1, l2, l3, l4, l5, l6, l7))[${rank - 1}]"))
+      .withColumn("loss_e6",
+        expr(s"CASE WHEN c >= fc THEN ${qPct * 10000}L * (c - fc) " +
+          s"ELSE ${(100 - qPct) * 10000}L * (fc - c) END"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("loss_e6")).as("pinball_sum_e6"))
+      .withColumn("pinball_mean_e6",
+        expr("pinball_sum_e6 DIV n_eval"))
+  }
+
   /** Longest / latest ACTIVE-DAY STREAKS via the islands-and-gaps
     * rank-difference idiom: a key's distinct active days, sorted, form
     * an island wherever `day − row_number` is constant — no self-join,

@@ -690,6 +690,114 @@ object EventAnalytics {
         lit(0L).as("n_journeys"), col("credit_e6")))
   }
 
+  /** POSITION-BASED (U-shaped) attribution — the third member of the
+    * family: [[lastTouchAttribution]] credits only the closer,
+    * [[linearAttribution]] spreads evenly, U-shaped says the OPENER and
+    * the CLOSER each earn 40% and the middle splits the remaining 20%
+    * (1 touch → 100%, 2 → 50/50 — the standard degenerations). Credit
+    * stays EXACTLY 1e6 per converting journey: the middle share floors
+    * per touch (200000 DIV (n−2)) and the remainder lands on the FIRST
+    * middle touch — the same deterministic remainder home as
+    * [[linearAttribution]]'s first touch. Converting journeys with no
+    * touches roll up as `(direct)`, same contract.
+    *
+    * 100 TB posture: identical plan to [[linearAttribution]] — the one
+    * data-scale exchange is the user-keyed journey segmentation; rank
+    * windows are per-(user, journey); the channel rollup is
+    * type-cardinality. Output per channel:
+    * (channel, n_touches, n_journeys, credit_e6). */
+  def positionAttribution(events: DataFrame, user: Column, ts: Column,
+      order: Column, typ: Column, convType: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("ord"))
+    val run = w.rowsBetween(Window.unboundedPreceding, -1)
+    val base = events.select(user.as("user_id"), unix_micros(ts).as("tus"),
+        order.as("ord"), typ.as("typ"))
+      .withColumn("is_conv", (col("typ") === convType).cast("long"))
+      .withColumn("journey",
+        coalesce(sum(col("is_conv")).over(run), lit(0L)) + 1)
+      .localCheckpoint(false)
+    val journeys = base.groupBy(col("user_id"), col("journey"))
+      .agg(max(col("is_conv")).as("converted"),
+        sum(lit(1L) - col("is_conv")).as("n_touch"))
+    val converted = journeys.where(col("converted") === 1L)
+    val touches = base.where(col("is_conv") === 0L)
+      .withColumn("touch_rank", row_number().over(
+        Window.partitionBy(col("user_id"), col("journey"))
+          .orderBy(col("tus"), col("ord"))))
+      .join(converted.select(col("user_id"), col("journey"), col("n_touch")),
+        Seq("user_id", "journey"))
+      .select(col("typ").as("channel"),
+        expr("CASE WHEN n_touch = 1 THEN 1000000L " +
+          "WHEN n_touch = 2 THEN 500000L " +
+          "WHEN touch_rank = 1 OR touch_rank = n_touch THEN 400000L " +
+          "ELSE 200000L DIV (n_touch - 2) + " +
+          "CASE WHEN touch_rank = 2 THEN 200000L % (n_touch - 2) " +
+          "ELSE 0L END END").as("credit"))
+    val byChannel = touches.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit")).as("credit_e6"))
+    val direct = converted.where(col("n_touch") === 0L)
+      .agg(count(lit(1)).as("n_direct"))
+      .where(col("n_direct") > 0)
+      .select(lit("(direct)").as("channel"), lit(0L).as("n_touches"),
+        (col("n_direct") * 1000000L).as("credit_e6"))
+    val journeysPerChannel = base.where(col("is_conv") === 0L)
+      .join(converted.select(col("user_id"), col("journey")),
+        Seq("user_id", "journey"), "left_semi")
+      .select(col("typ").as("channel"), col("user_id"), col("journey"))
+      .distinct()
+      .groupBy("channel").agg(count(lit(1)).as("n_journeys"))
+    byChannel.join(journeysPerChannel, Seq("channel"), "left")
+      .na.fill(0L, Seq("n_journeys"))
+      .select(col("channel"), col("n_touches"), col("n_journeys"), col("credit_e6"))
+      .unionByName(direct.select(col("channel"), col("n_touches"),
+        lit(0L).as("n_journeys"), col("credit_e6")))
+  }
+
+  /** DIFFERENCE-IN-DIFFERENCES on the [[cupedLift]] pre/post frame:
+    * the quasi-experimental readout when assignment wasn't randomized —
+    * the treatment's post−pre movement minus the control's, so any
+    * shared trend cancels. Per-user pre/post counts roll up once; the
+    * four group means are exact ppm floors and
+    * did_ppm = (post_t − pre_t) − (post_c − pre_c) is their documented
+    * difference (floors first, subtraction after — the identical grid
+    * in both engines). Variants beyond {0, 1} refuse loudly at
+    * runtime; a missing arm yields an empty result, not a fake zero.
+    *
+    * 100 TB posture: one combinable user rollup, one 2-row variant
+    * rollup — nothing wider than (user, 2 counts) shuffles. Output:
+    * one row (n_treat, n_ctrl, pre_t_ppm, post_t_ppm, pre_c_ppm,
+    * post_c_ppm, did_ppm). */
+  def diffInDiff(events: DataFrame, user: Column, ts: Column,
+      treated: Column, splitTs: Column): DataFrame = {
+    val perUser = events.select(user.as("u"),
+        treated.cast("long").as("t"),
+        when(ts < splitTs, 1L).otherwise(0L).as("pre"),
+        when(ts >= splitTs, 1L).otherwise(0L).as("post"))
+      .withColumn("t",
+        expr("CASE WHEN t NOT IN (0, 1) THEN " +
+          "CAST(raise_error('diffInDiff: treated must be 0 or 1') " +
+          "AS BIGINT) ELSE t END"))
+      .groupBy("u", "t")
+      .agg(sum(col("pre")).as("x"), sum(col("post")).as("y"))
+    val arms = perUser.groupBy("t")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"))
+      .withColumn("pre_ppm", expr("CAST(sx * 1000000 DIV n AS BIGINT)"))
+      .withColumn("post_ppm", expr("CAST(sy * 1000000 DIV n AS BIGINT)"))
+    val tArm = arms.where(col("t") === 1L)
+      .select(col("n").as("n_treat"), col("pre_ppm").as("pre_t_ppm"),
+        col("post_ppm").as("post_t_ppm"))
+    val cArm = arms.where(col("t") === 0L)
+      .select(col("n").as("n_ctrl"), col("pre_ppm").as("pre_c_ppm"),
+        col("post_ppm").as("post_c_ppm"))
+    tArm.crossJoin(broadcast(cArm))
+      .select(col("n_treat"), col("n_ctrl"), col("pre_t_ppm"),
+        col("post_t_ppm"), col("pre_c_ppm"), col("post_c_ppm"),
+        ((col("post_t_ppm") - col("pre_t_ppm")) -
+          (col("post_c_ppm") - col("pre_c_ppm"))).as("did_ppm"))
+  }
+
   /** Churn-label builder: per signup cohort (month of first event), the
     * users whose LAST activity predates the observation edge by more
     * than `horizonMicros` — the leakage-safe label a retention model

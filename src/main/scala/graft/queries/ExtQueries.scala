@@ -8045,6 +8045,154 @@ object ExtQueries {
       iters = 2, k = 10)
   }
 
+  // x233 — MATRYOSHKA TRUNCATION agreement: keep only the first 16 of
+  // 64 components (the MRL serving trick) — how much of the full top-10
+  // survives? Exact set overlap per query over two audited brute scans.
+  val x233 = Q(
+    "x233_mrl_agreement",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |et AS (SELECT vec_id, emb[1:16] AS emb FROM e),
+      |pf AS (
+      |  SELECT q.vec_id AS qid, e2.vec_id AS nid,
+      |         round(list_cosine_similarity(q.emb, e2.emb), 6) AS sim
+      |  FROM e q, e e2 WHERE q.vec_id < 20 AND e2.vec_id <> q.vec_id),
+      |rf AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |       FROM pf),
+      |kf AS (SELECT qid, nid FROM rf WHERE rank <= 10),
+      |pt AS (
+      |  SELECT q.vec_id AS qid, e2.vec_id AS nid,
+      |         round(list_cosine_similarity(q.emb, e2.emb), 6) AS sim
+      |  FROM et q, et e2 WHERE q.vec_id < 20 AND e2.vec_id <> q.vec_id),
+      |rt AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |       FROM pt),
+      |kt AS (SELECT qid, nid FROM rt WHERE rank <= 10)
+      |SELECT kf.qid,
+      |       CAST(sum(CASE WHEN kt.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+      |       CAST(sum(CASE WHEN kt.nid IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // 10 AS BIGINT) AS overlap_ppm
+      |FROM kf LEFT JOIN kt ON kt.qid = kf.qid AND kt.nid = kf.nid
+      |GROUP BY kf.qid ORDER BY kf.qid""".stripMargin) { (s, dir) =>
+    Similarity.truncationAgreement(Tables.embeddings(s, dir),
+      col("vec_id"), col("embedding"), (0L until 20L).toSeq, k = 10,
+      dims = 16)
+      .orderBy("qid")
+  }
+
+  // x234 — POSITION-BASED (U-shaped) attribution: opener and closer
+  // earn 40% each, middles split 20% (floors per touch, remainder to
+  // the first middle); 1 → 100%, 2 → 50/50. Credit is exactly 1e6 per
+  // converting journey.
+  val x234 = Q(
+    "x234_position_attr",
+    """WITH e AS (
+      |  SELECT user_id, event_id AS ord, event_type AS typ, epoch_us(ts) AS tus
+      |  FROM events),
+      |b AS (SELECT *, CASE WHEN typ = 'purchase' THEN 1 ELSE 0 END AS is_conv FROM e),
+      |j AS (
+      |  SELECT *, coalesce(SUM(is_conv) OVER (PARTITION BY user_id ORDER BY tus, ord
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS journey
+      |  FROM b),
+      |jn AS (
+      |  SELECT user_id, journey, MAX(is_conv) AS converted,
+      |         CAST(SUM(1 - is_conv) AS BIGINT) AS n_touch
+      |  FROM j GROUP BY 1, 2),
+      |conv AS (SELECT * FROM jn WHERE converted = 1),
+      |t AS (
+      |  SELECT j.user_id, j.journey, j.typ,
+      |         row_number() OVER (PARTITION BY j.user_id, j.journey ORDER BY j.tus, j.ord) AS touch_rank,
+      |         c.n_touch
+      |  FROM j JOIN conv c ON j.user_id = c.user_id AND j.journey = c.journey
+      |  WHERE j.is_conv = 0),
+      |cr AS (
+      |  SELECT typ AS channel, user_id, journey,
+      |         CASE WHEN n_touch = 1 THEN 1000000
+      |              WHEN n_touch = 2 THEN 500000
+      |              WHEN touch_rank = 1 OR touch_rank = n_touch THEN 400000
+      |              ELSE 200000 // (n_touch - 2)
+      |                   + CASE WHEN touch_rank = 2 THEN 200000 % (n_touch - 2)
+      |                     ELSE 0 END END AS credit
+      |  FROM t),
+      |bc AS (
+      |  SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+      |         CAST(sum(credit) AS BIGINT) AS credit_e6
+      |  FROM cr GROUP BY 1),
+      |jc AS (
+      |  SELECT channel, CAST(count(*) AS BIGINT) AS n_journeys
+      |  FROM (SELECT DISTINCT channel, user_id, journey FROM cr) GROUP BY 1),
+      |dir AS (SELECT CAST(count(*) AS BIGINT) AS n_direct FROM conv WHERE n_touch = 0),
+      |drow AS (
+      |  SELECT '(direct)' AS channel, CAST(0 AS BIGINT) AS n_touches,
+      |         CAST(0 AS BIGINT) AS n_journeys, n_direct * 1000000 AS credit_e6
+      |  FROM dir WHERE n_direct > 0)
+      |SELECT channel, n_touches, coalesce(n_journeys, 0) AS n_journeys, credit_e6
+      |FROM bc LEFT JOIN jc USING (channel)
+      |UNION ALL SELECT channel, n_touches, n_journeys, credit_e6 FROM drow
+      |ORDER BY channel""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.positionAttribution(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        convType = "purchase")
+      .orderBy("channel")
+  }
+
+  // x235 — PINBALL backtest of the trailing-7-day p75 order-statistic
+  // forecast — the proper score for upper-quantile capacity planning,
+  // beside x217's WAPE point backtest. Both loss branches are single
+  // integer products in e6.
+  val x235 = Q(
+    "x235_pinball",
+    """WITH d AS (
+      |  SELECT event_type AS k, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT k, day, c,
+      |         lag(c, 1) OVER w AS l1, lag(c, 2) OVER w AS l2,
+      |         lag(c, 3) OVER w AS l3, lag(c, 4) OVER w AS l4,
+      |         lag(c, 5) OVER w AS l5, lag(c, 6) OVER w AS l6,
+      |         lag(c, 7) OVER w AS l7
+      |  FROM d WINDOW w AS (PARTITION BY k ORDER BY day)),
+      |f AS (
+      |  SELECT k, c, list_sort([l1, l2, l3, l4, l5, l6, l7])[6] AS fc
+      |  FROM l WHERE l7 IS NOT NULL),
+      |s AS (
+      |  SELECT k, c, fc,
+      |         CASE WHEN c >= fc THEN 750000 * (c - fc)
+      |              ELSE 250000 * (fc - c) END AS loss_e6
+      |  FROM f)
+      |SELECT k, CAST(count(*) AS BIGINT) AS n_eval,
+      |       CAST(sum(loss_e6) AS BIGINT) AS pinball_sum_e6,
+      |       CAST(sum(loss_e6) // count(*) AS BIGINT) AS pinball_mean_e6
+      |FROM s GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+    graft.ext.TimeSeries.pinballBacktest(Tables.events(s, dir),
+      col("event_type"), col("ts"), qPct = 75)
+      .orderBy("k")
+  }
+
+  // x236 — DIFFERENCE-IN-DIFFERENCES on the pre/post user frame: the
+  // treatment's post−pre movement minus the control's; shared trends
+  // cancel. Four exact ppm means, one documented difference.
+  val x236 = Q(
+    "x236_did",
+    """WITH pu AS (
+      |  SELECT user_id AS u, user_id % 2 AS t,
+      |         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |arms AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+      |                CAST(SUM(x::HUGEINT) * 1000000 // count(*) AS BIGINT) AS pre_ppm,
+      |                CAST(SUM(y::HUGEINT) * 1000000 // count(*) AS BIGINT) AS post_ppm
+      |         FROM pu GROUP BY 1),
+      |ta AS (SELECT n AS n_treat, pre_ppm AS pre_t_ppm, post_ppm AS post_t_ppm
+      |       FROM arms WHERE t = 1),
+      |ca AS (SELECT n AS n_ctrl, pre_ppm AS pre_c_ppm, post_ppm AS post_c_ppm
+      |       FROM arms WHERE t = 0)
+      |SELECT n_treat, n_ctrl, pre_t_ppm, post_t_ppm, pre_c_ppm, post_c_ppm,
+      |       (post_t_ppm - pre_t_ppm) - (post_c_ppm - pre_c_ppm) AS did_ppm
+      |FROM ta CROSS JOIN ca""".stripMargin) { (s, dir) =>
+    graft.ops.EventAnalytics.diffInDiff(Tables.events(s, dir),
+      col("user_id"), col("ts"), expr("user_id % 2"),
+      to_timestamp(lit("2024-01-16")))
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -8063,5 +8211,5 @@ object ExtQueries {
       x198, x199, x200, x201, x202, x203, x204, x205, x206, x207, x208,
       x209, x210, x211, x212, x213, x214, x215, x216, x217, x218, x219,
       x220, x221, x222, x223, x224, x225, x226, x227, x228, x229, x230,
-      x231, x232)
+      x231, x232, x233, x234, x235, x236)
 }

@@ -1197,6 +1197,60 @@ object VolumeTripwire {
           10000000L)
         def hz(d: DataFrame) = Graph.hits(d, iters = 2, k = 10)
         Res("x232_hits", timeMin(hz(ed1)), timeMin(hz(ed10)))
+      }, {
+        // MRL agreement against a 10× corpus (duplicated vectors):
+        // both brute scans are |queries|·N — corpus-linear
+        val e1 = Tables.embeddings(spark, sfDir)
+        val e10 = blow(e1, "vec_id", 10, 1000000L)
+        def tz(d: DataFrame) = Similarity.truncationAgreement(d,
+          col("vec_id"), col("embedding"), (0L until 10L).toSeq, k = 5,
+          dims = 16)
+        Res("x233_mrlAgree", timeMin(tz(e1)), timeMin(tz(e10)))
+      }, {
+        // U-shaped attribution with a 500k-touch single-user flood: one
+        // hot (but linear) user partition in the journey windows — the
+        // same exposure as x155/x119, no quadratic term anywhere
+        val ev1 = Tables.events(spark, sfDir)
+          .select("user_id", "ts", "event_id", "event_type")
+        val hotTs = Tables.events(spark, sfDir).agg(max(col("ts")).as("ts"))
+        val ev10 = blow(Tables.events(spark, sfDir)
+            .select("event_id", "user_id", "ts", "event_type"),
+            "event_id", 10, 100000000L)
+          .select("user_id", "ts", "event_id", "event_type")
+          .unionAll(spark.range(500000).crossJoin(hotTs)
+            .select(lit(7L).as("user_id"), col("ts"),
+              (col("id") + 900000000L).as("event_id"),
+              lit("view").as("event_type")))
+        def az(d: DataFrame) = graft.ops.EventAnalytics.positionAttribution(
+          d, col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          convType = "purchase")
+        Res("x234_positionAttr", timeMin(az(ev1)), timeMin(az(ev10)))
+      }, {
+        // pinball with the 500k single-day flood: one daily cell; the
+        // seven lag windows stay calendar-bound per key
+        val ev1 = Tables.events(spark, sfDir).select("event_type", "ts")
+        val hotTs = Tables.events(spark, sfDir).agg(max(col("ts")).as("ts"))
+        val ev10 = blow(Tables.events(spark, sfDir)
+            .select("event_id", "event_type", "ts"), "event_id", 10, 100000000L)
+          .select("event_type", "ts")
+          .unionAll(spark.range(500000).crossJoin(hotTs)
+            .select(lit("click").as("event_type"), col("ts")))
+        def pz(d: DataFrame) = graft.ext.TimeSeries.pinballBacktest(d,
+          col("event_type"), col("ts"), qPct = 75)
+        Res("x235_pinball", timeMin(pz(ev1)), timeMin(pz(ev10)))
+      }, {
+        // DiD with the single-user flood: one (user, arm) rollup cell
+        val ev1 = Tables.events(spark, sfDir).select("user_id", "ts")
+        val hotTs = Tables.events(spark, sfDir).agg(max(col("ts")).as("ts"))
+        val ev10 = blow(Tables.events(spark, sfDir)
+            .select("event_id", "user_id", "ts"), "event_id", 10, 100000000L)
+          .select("user_id", "ts")
+          .unionAll(spark.range(500000).crossJoin(hotTs)
+            .select(lit(7L).as("user_id"), col("ts")))
+        def dz2(d: DataFrame) = graft.ops.EventAnalytics.diffInDiff(d,
+          col("user_id"), col("ts"), expr("user_id % 2"),
+          to_timestamp(lit("2024-01-16")))
+        Res("x236_did", timeMin(dz2(ev1)), timeMin(dz2(ev10)))
       })
 
     val only: Option[Set[String]] =

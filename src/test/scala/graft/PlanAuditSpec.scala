@@ -1799,4 +1799,49 @@ class PlanAuditSpec2 extends SparkSpec {
     finalP.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
       .foreach(l => assert(l.contains("BuildRight, Cross"), l))
   }
+
+  test("x233: truncation agreement is two audited brute scans — qid-keyed windows, overlap join on |q|·k rows") {
+    val df = SparkEntry.queries("x233_mrl_agreement")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(l => assert(l.contains("qid#"), l))
+    assert(!finalP.contains("CartesianProduct"), p)
+  }
+
+  test("x234: U-shaped attribution shares x155's plan shape — user-keyed windows only") {
+    val df = SparkEntry.queries("x234_position_attr")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("Scan ExistingRDD"), p)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(l => assert(l.contains("user_id#"), l))
+    assert(!finalP.contains("CartesianProduct"), p)
+  }
+
+  test("x235: pinball lags are key-partitioned windows over the daily rollup — no join") {
+    val df = SparkEntry.queries("x235_pinball")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(l => assert(l.contains("k#"), l))
+    assert(!finalP.contains("Join"), p)
+  }
+
+  test("x236: DiD is one user rollup + a 2-row arm rollup — no window, no shuffled join") {
+    val df = SparkEntry.queries("x236_did")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("Window"), p)
+    assert(!finalP.contains("SortMergeJoin"), p)
+    assert(!finalP.contains("ShuffledHashJoin"), p)
+    assert(!finalP.contains("CartesianProduct"), p)
+  }
 }

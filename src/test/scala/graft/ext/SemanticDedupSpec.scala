@@ -230,4 +230,23 @@ class SemanticDedupSpec extends graft.SparkSpec {
     val g2 = Similarity.annMap(embs, lone, Seq(0L), k = 3).collect().head
     assert(g2.getLong(2) === 0L && g2.isNullAt(3))
   }
+
+  test("truncationAgreement: a vector orthogonal only in the tail invades the truncated top-k") {
+    // q0 = (3,4,0,0): full top-2 = [1 (sim 1.0), 2 (0.96)]; truncated
+    // to 2 dims, 3 = (3,4,5,0) renormalizes to sim 1.0 and displaces 2
+    // → truncated top-2 = [1, 3] (tie → smaller id) → overlap 1/2
+    val raw = Seq(
+      (0L, Seq(3.0, 4.0, 0.0, 0.0)), (1L, Seq(3.0, 4.0, 0.0, 0.0)),
+      (2L, Seq(4.0, 3.0, 0.0, 0.0)), (3L, Seq(3.0, 4.0, 5.0, 0.0)),
+      (4L, Seq(5.0, 0.0, 0.0, 0.0))).toDF("vec_id", "emb")
+    val got = Similarity.truncationAgreement(raw, col("vec_id"),
+        col("emb"), Seq(0L), k = 2, dims = 2)
+      .as[(Long, Long, Long)].head()
+    assert(got === ((0L, 1L, 500000L)))
+    // truncating to the full width is the identity: overlap = k
+    val id4 = Similarity.truncationAgreement(raw, col("vec_id"),
+        col("emb"), Seq(0L), k = 2, dims = 4)
+      .as[(Long, Long, Long)].head()
+    assert(id4 === ((0L, 2L, 1000000L)))
+  }
 }

@@ -951,3 +951,90 @@ class ExperimentationSpec extends SparkSpec {
     intercept[IllegalArgumentException] { graft.ext.Graph.hits(e, 2, 0) }
   }
 }
+
+class AttributionDidSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def ev(rows: (Long, Long, Long, String)*) =
+    rows.toDF("user_id", "sec", "event_id", "event_type")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("event_id"), col("event_type"))
+
+  test("positionAttribution: U-shaped 40/20/40 with floor remainders; degenerations and direct") {
+    // u1: A,B,C,D → purchase: 400000 / 100000 / 100000 / 400000
+    // u2: A → purchase: 1000000; u3: A,B → purchase: 500000 each
+    // u4: purchase only → (direct); u5: A,B,C,D,E → purchase:
+    //   middles 200000/3 = 66666 r2 → first middle gets 66668
+    val rows = Seq(
+      (1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "C"),
+      (1L, 4L, 4L, "D"), (1L, 5L, 5L, "purchase"),
+      (2L, 1L, 6L, "A"), (2L, 2L, 7L, "purchase"),
+      (3L, 1L, 8L, "A"), (3L, 2L, 9L, "B"), (3L, 3L, 10L, "purchase"),
+      (4L, 1L, 11L, "purchase"),
+      (5L, 1L, 12L, "A"), (5L, 2L, 13L, "B"), (5L, 3L, 14L, "C"),
+      (5L, 4L, 15L, "D"), (5L, 5L, 16L, "E"), (5L, 6L, 17L, "purchase"))
+    val got = graft.ops.EventAnalytics.positionAttribution(ev(rows: _*),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        convType = "purchase")
+      .orderBy("channel")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got === Array(
+      ("(direct)", 0L, 0L, 1000000L),
+      // A: u1 first 400000 + u2 solo 1000000 + u3 first-of-2 500000
+      //    + u5 first 400000
+      ("A", 4L, 4L, 2300000L),
+      // B: u1 middle 100000 + u3 last-of-2 500000 + u5 first-middle
+      //    66666+2
+      ("B", 3L, 3L, 666668L),
+      // C: u1 middle 100000 + u5 middle 66666
+      ("C", 2L, 2L, 166666L),
+      // D: u1 last 400000 + u5 middle 66666
+      ("D", 2L, 2L, 466666L),
+      ("E", 1L, 1L, 400000L)))
+    // total credit = 1e6 × 5 converting journeys, exactly
+    assert(got.map(_._4).sum === 5000000L)
+  }
+
+  test("diffInDiff: shared trend cancels; a lopsided arm shows; bad treated value refuses") {
+    // treated (odd users): pre means 3, post 5; control: pre 2, post 2
+    // → did = (5−3) − (2−2) = 2e6 ppm
+    def burst(u: Long, sec: Long, n: Int, base: Long) =
+      (1 to n).map(i => (u, sec + i, base + i, "e"))
+    val rows =
+      burst(1L, 100L, 2, 1000) ++ burst(1L, 2000000L, 5, 2000) ++
+      burst(3L, 100L, 4, 3000) ++ burst(3L, 2000000L, 5, 4000) ++
+      burst(0L, 100L, 1, 5000) ++ burst(0L, 2000000L, 2, 6000) ++
+      burst(2L, 100L, 3, 7000) ++ burst(2L, 2000000L, 2, 8000)
+    val split = timestamp_seconds(lit(1000000L))
+    val got = graft.ops.EventAnalytics.diffInDiff(ev(rows: _*),
+        col("user_id"), col("ts"), expr("user_id % 2"), split)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got === ((2L, 2L, 3000000L, 5000000L, 2000000L, 2000000L,
+      2000000L)))
+    intercept[Exception] {
+      graft.ops.EventAnalytics.diffInDiff(ev(rows: _*), col("user_id"),
+        col("ts"), lit(7L), split).collect()
+    }
+  }
+
+  test("pinballBacktest: hand-scored p75 trailing forecast; short history excluded") {
+    // key 'k': daily counts 1..7 then 10 then 1. Day 8 forecast =
+    // 6th smallest of [1..7] = 6 → loss 750000·4 = 3e6 (under-forecast
+    // pays the q side); day 9 forecast = 6th of [2..7,10] = 7 → loss
+    // 250000·6 = 1.5e6. Days 1–7 have no full history → excluded.
+    val rows = ((1 to 7).flatMap(d =>
+      (1 to d).map(i => (1L, d * 86400L + i, d * 100L + i, "k"))) ++
+      (1 to 10).map(i => (1L, 8 * 86400L + i, 800L + i, "k")) ++
+      Seq((1L, 9 * 86400L + 1, 901L, "k")))
+    val df = ev(rows: _*)
+    val got = graft.ext.TimeSeries.pinballBacktest(df,
+        col("event_type"), col("ts"), qPct = 75)
+      .as[(String, Long, Long, Long)].head()
+    assert(got === (("k", 2L, 4500000L, 2250000L)))
+    intercept[IllegalArgumentException] {
+      graft.ext.TimeSeries.pinballBacktest(df, col("event_type"),
+        col("ts"), qPct = 0)
+    }
+  }
+}

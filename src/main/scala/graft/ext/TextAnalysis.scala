@@ -400,4 +400,64 @@ object TextAnalysis {
           "ELSE NULL END").as("mcnemar_ppm"))
       .withColumn("significant",
         when(col("mcnemar_ppm") > 3841459L, 1).otherwise(0).cast("int"))
+
+  /** Capture–recapture (Chapman) estimate of a DEFECT POPULATION from
+    * two independent audit rules — the data-quality census trick: rule
+    * A catches n₁ defects, rule B catches n₂, they agree on m, so the
+    * bias-corrected total is N̂ = (n₁+1)(n₂+1)/(m+1) − 1 and the gap to
+    * the seen union |A∪B| estimates what BOTH audits missed. The
+    * estimator assumes independent detectors (correlated rules bias N̂
+    * low — stated in the output contract, not hidden); undefined when
+    * either rule catches nothing → NULL. All integers, one DIV.
+    *
+    * 100 TB posture: the whole census is ONE scan-side 3-counter
+    * aggregate — the McNemar plan shape. Output: one row (n_a, n_b,
+    * n_both, n_seen, chapman_est, unseen_est). */
+  def captureRecapture(df: DataFrame, hitA: Column, hitB: Column)
+      : DataFrame =
+    df.select(hitA.cast("boolean").as("a"), hitB.cast("boolean").as("b"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n_both"))
+      .select(col("n_a"), col("n_b"), col("n_both"),
+        (col("n_a") + col("n_b") - col("n_both")).as("n_seen"),
+        expr("CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+          "CAST(CAST(n_a + 1 AS DECIMAL(38,0)) * (n_b + 1) " +
+          "DIV (n_both + 1) - 1 AS BIGINT) ELSE NULL END")
+          .as("chapman_est"))
+      .withColumn("unseen_est",
+        when(col("chapman_est").isNotNull,
+          greatest(col("chapman_est") - col("n_seen"), lit(0L)))
+          .otherwise(lit(null).cast("long")))
+
+  /** Good–Turing coverage per stratum: the probability the NEXT token
+    * is an unseen type is f₁/N (Turing's estimate — exact ppm), and the
+    * smoothed count for singletons is r*₁ = 2·f₂/f₁ (e6 — how much a
+    * count-1 observation is really worth). The sampling-theory
+    * companion to x170's Chao1 (Chao1 bounds how many types are
+    * missing; Good–Turing prices the mass they carry). f₁ = 0 reads
+    * zero unseen mass; r*₁ is NULL when f₁ = 0.
+    *
+    * 100 TB posture: one explode + two combinable rollups (token
+    * counts, then frequency-of-frequencies) — x170's exact plan.
+    * Output per stratum: (s, n_tokens, n_distinct, f1, f2,
+    * unseen_ppm, r1_star_e6). */
+  def goodTuring(docs: DataFrame, stratum: Column, text: Column)
+      : DataFrame = {
+    val tc = docs.select(stratum.as("s"),
+        explode(split(trim(text), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("s", "tok").agg(count(lit(1)).as("c"))
+    tc.groupBy("s")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("s"), col("n_tokens"), col("n_distinct"), col("f1"),
+        col("f2"),
+        expr("CAST(CAST(f1 AS DECIMAL(38,0)) * 1000000 DIV n_tokens " +
+          "AS BIGINT)").as("unseen_ppm"),
+        expr("CASE WHEN f1 > 0 THEN " +
+          "CAST(2 * CAST(f2 AS DECIMAL(38,0)) * 1000000 DIV f1 AS BIGINT) " +
+          "ELSE NULL END").as("r1_star_e6"))
+  }
 }

@@ -597,6 +597,63 @@ object TimeSeries {
         col("z2_ppm"), col("trend"), col("sen_slope_e6"))
   }
 
+  /** Kendall τ-b between two daily measures per key — the ORDINAL
+    * association question ("do busier days earn more, monotonically?")
+    * that Pearson-family covariance (x143/x219) answers only under
+    * linearity. Over all day pairs: S = Σ sign(Δx)·sign(Δy); ties
+    * correct the denominator via n₁ = Σ tₓ(tₓ−1)/2 and n₂ likewise.
+    * τ-b itself needs a square root, so the hash-provable report is the
+    * SIGNED SQUARE (the [[mannKendall]] z² discipline):
+    *
+    *   tau2_signed_ppm = sign(S)·S²·1e6 DIV ((n₀−n₁)(n₀−n₂))
+    *
+    * NULL when either measure is constant (denominator 0). Same
+    * calendar-bound pair join and loud `maxDays` refusal as
+    * [[mannKendall]].
+    * Output: (k, n_days, s_cd, tau2_signed_ppm). */
+  def kendallTau(df: DataFrame, key: Column, ts: Column, cents: Column,
+      maxDays: Int = 5000): DataFrame = {
+    require(maxDays >= 2 && maxDays <= 100000, s"maxDays=$maxDays")
+    val daily = df.select(key.as("k"), to_date(ts).as("day"),
+        cents.cast("long").as("v"))
+      .groupBy("k", "day")
+      .agg(count(lit(1)).as("c"),
+        sum(expr("CAST(v AS DECIMAL(38,0))")).as("m"))
+      .localCheckpoint(false) // pair join + two tie tables + probe
+    val widest = daily.groupBy("k").count()
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    require(widest <= maxDays,
+      s"kendallTau enumerates days² pairs per key; the widest key has " +
+        s"$widest active days > maxDays=$maxDays. Narrow the window or " +
+        s"raise maxDays deliberately")
+    val a = daily.select(col("k"), col("day").as("da"), col("c").as("ca"),
+      col("m").as("ma"))
+    val b = daily.select(col("k"), col("day").as("db"), col("c").as("cb"),
+      col("m").as("mb"))
+    val s = a.join(b, Seq("k")).where(col("da") < col("db"))
+      .select(col("k"),
+        (signum(col("cb") - col("ca")) *
+          signum(col("mb") - col("ma"))).cast("long").as("cd"))
+      .groupBy("k").agg(sum(col("cd")).as("s_cd"))
+    def tieTerm(c: Column, name: String) =
+      daily.groupBy(col("k"), c.as("vv"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy("k")
+        .agg(sum(expr("t * (t - 1) DIV 2")).as(name), sum(col("t")).as("n"))
+    val tx = tieTerm(col("c"), "n1")
+    val ty = tieTerm(col("m"), "n2").drop("n")
+    s.join(broadcast(tx), Seq("k")).join(broadcast(ty), Seq("k"))
+      .withColumn("n0", expr("n * (n - 1) DIV 2"))
+      .withColumn("tau2_signed_ppm",
+        expr("CASE WHEN (n0 - n1) > 0 AND (n0 - n2) > 0 THEN " +
+          "CAST(signum(s_cd) AS BIGINT) * " +
+          "CAST(CAST(s_cd AS DECIMAL(38,0)) * s_cd * 1000000 " +
+          "DIV (CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n2)) AS BIGINT) " +
+          "ELSE NULL END"))
+      .select(col("k"), col("n").as("n_days"), col("s_cd"),
+        col("tau2_signed_ppm"))
+  }
+
   /** Lead–lag covariance scan between two daily series: at every lag
     * ℓ ∈ [−maxLag, maxLag], the exact covariance of a(t) against
     * b(t−ℓ) over the days both exist — "does B move BEFORE A?" (the

@@ -330,4 +330,56 @@ object Vocab {
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct(col("tok")).as("n_distinct"))
   }
+
+  /** Vocabulary-growth (Heaps) curve: types vs tokens at `buckets`
+    * corpus prefixes in deterministic doc-id order — the curve whose
+    * flattening says "more of the same crawl adds words, not
+    * vocabulary" (the scaling-decision companion to x170's how-many-
+    * missing and Good–Turing's what-mass-missing). Prefixes come from
+    * the two-phase global rank over doc ids (never a global window);
+    * each type charges its FIRST bucket (min rank of occurrence —
+    * combinable), each doc its token count, and both cumulate over the
+    * `buckets`-row rollup. ttr_ppm = types·1e6 DIV tokens per prefix.
+    *
+    * 100 TB posture: one range sort for the rank (localCheckpoint-
+    * pinned), one explode→min-rank rollup on (word), one per-doc token
+    * count; the cumsums ride a `buckets`-row window. Output per prefix:
+    * (bucket, n_docs_cum, n_tokens_cum, n_types_cum, ttr_ppm). */
+  def vocabularyGrowth(docs: DataFrame, id: Column, text: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, s"buckets=$buckets out of range")
+    val base = docs.select(id.as("doc_id"), text.as("text"))
+      .localCheckpoint(false) // rank + tokens read it twice
+    val ranked = graft.ext.Profile.globalRank(
+        base.select(col("doc_id")), col("doc_id"))
+      .select(col("id").as("doc_id"), col("p"))
+      .localCheckpoint(false)
+    val n = ranked.count()
+    val withB = base.join(ranked, Seq("doc_id"))
+      .withColumn("bucket", expr(s"p * ${buckets}L DIV ${n}L"))
+    val perDoc = withB.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.ext.TextAnalysis.wsTokenCount(col("text")).cast("long"))
+          .as("n_tokens"))
+    val firstSeen = withB
+      .select(col("bucket"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(min(col("bucket")).as("fb"))
+      .groupBy("fb").agg(count(lit(1)).as("n_new_types"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // the cumsum window runs over `buckets` rows — bounded at plan build
+    perDoc.join(firstSeen, col("bucket") === col("fb"), "left")
+      .na.fill(0L, Seq("n_new_types"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("n_new_types"))
+      .withColumn("n_docs_cum", sum(col("n_docs")).over(w))
+      .withColumn("n_tokens_cum", sum(col("n_tokens")).over(w))
+      .withColumn("n_types_cum", sum(col("n_new_types")).over(w))
+      .select(col("bucket"), col("n_docs_cum"), col("n_tokens_cum"),
+        col("n_types_cum"),
+        expr("CASE WHEN n_tokens_cum > 0 THEN " +
+          "CAST(CAST(n_types_cum AS DECIMAL(38,0)) * 1000000 " +
+          "DIV n_tokens_cum AS BIGINT) ELSE NULL END").as("ttr_ppm"))
+  }
 }

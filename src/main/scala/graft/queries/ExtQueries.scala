@@ -8193,6 +8193,142 @@ object ExtQueries {
       to_timestamp(lit("2024-01-16")))
   }
 
+  // x237 — CAPTURE–RECAPTURE census: two INDEPENDENT deterministic
+  // spot-audits (length-hash samplers — quality gates like short-doc vs
+  // terse-doc are nested, which biases Chapman to the seen union; the
+  // hash pair behaves independently) → Chapman's bias-corrected total
+  // estimates the full population from the overlap. One scan-side
+  // 3-counter aggregate.
+  val x237 = Q(
+    "x237_capture_recapture",
+    """WITH t AS (
+      |  SELECT n_chars % 7 = 0 AS a,
+      |         length(trim(text)) % 5 = 0 AS b
+      |  FROM documents),
+      |g AS (SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |             CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |             CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      |      FROM t)
+      |SELECT n_a, n_b, n_both, n_a + n_b - n_both AS n_seen,
+      |       CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |            (n_a + 1)::HUGEINT * (n_b + 1) // (n_both + 1) - 1
+      |            ELSE NULL END AS BIGINT) AS chapman_est,
+      |       CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |            greatest((n_a + 1)::HUGEINT * (n_b + 1) // (n_both + 1) - 1
+      |                     - (n_a + n_b - n_both), 0)
+      |            ELSE NULL END AS BIGINT) AS unseen_est
+      |FROM g""".stripMargin) { (s, dir) =>
+    TextAnalysis.captureRecapture(Tables.documents(s, dir),
+      pmod(col("n_chars"), lit(7L)) === 0L,
+      pmod(length(trim(col("text"))).cast("long"), lit(5L)) === 0L)
+  }
+
+  // x238 — GOOD–TURING coverage per source: unseen-mass f1/N in exact
+  // ppm and the smoothed singleton worth r*1 = 2·f2/f1 — the
+  // what-mass-is-missing companion to x170's how-many-types-missing.
+  val x238 = Q(
+    "x238_good_turing",
+    """WITH toks AS (
+      |  SELECT source,
+      |         unnest(list_filter(string_split_regex(trim(text), '\s+'), c -> c <> '')) AS tok
+      |  FROM documents),
+      |tc AS (SELECT source AS s, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+      |ff AS (
+      |  SELECT s, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_distinct,
+      |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM tc GROUP BY 1)
+      |SELECT s, n_tokens, n_distinct, f1, f2,
+      |       CAST(f1::HUGEINT * 1000000 // n_tokens AS BIGINT) AS unseen_ppm,
+      |       CAST(CASE WHEN f1 > 0 THEN 2 * f2::HUGEINT * 1000000 // f1
+      |            ELSE NULL END AS BIGINT) AS r1_star_e6
+      |FROM ff ORDER BY s""".stripMargin) { (s, dir) =>
+    TextAnalysis.goodTuring(Tables.documents(s, dir),
+      col("source"), col("text"))
+      .orderBy("s")
+  }
+
+  // x239 — HEAPS (vocabulary-growth) CURVE: types vs tokens at 10
+  // doc-id-ordered corpus prefixes; each type charges its FIRST bucket,
+  // cumsums ride the 10-row rollup. The scaling-decision curve.
+  val x239 = Q(
+    "x239_heaps_curve",
+    """WITH r AS (
+      |  SELECT doc_id, text, (row_number() OVER (ORDER BY doc_id) - 1) AS p
+      |  FROM documents),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+      |wb AS (SELECT doc_id, text, p * 10 // n AS bucket FROM r CROSS JOIN nn),
+      |pd AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+      |  FROM wb GROUP BY 1),
+      |fs AS (
+      |  SELECT tok, CAST(min(bucket) AS BIGINT) AS fb FROM (
+      |    SELECT bucket,
+      |           unnest(list_filter(string_split_regex(trim(text), '\s+'), c -> c <> '')) AS tok
+      |    FROM wb) GROUP BY 1),
+      |nt AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY 1),
+      |j AS (SELECT pd.bucket, n_docs, n_tokens, coalesce(n_new, 0) AS n_new
+      |      FROM pd LEFT JOIN nt USING (bucket)),
+      |cumt AS (
+      |  SELECT bucket,
+      |         SUM(n_docs) OVER wo AS n_docs_cum,
+      |         SUM(n_tokens) OVER wo AS n_tokens_cum,
+      |         SUM(n_new) OVER wo AS n_types_cum
+      |  FROM j WINDOW wo AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING))
+      |SELECT bucket, CAST(n_docs_cum AS BIGINT) AS n_docs_cum,
+      |       CAST(n_tokens_cum AS BIGINT) AS n_tokens_cum,
+      |       CAST(n_types_cum AS BIGINT) AS n_types_cum,
+      |       CAST(CASE WHEN n_tokens_cum > 0
+      |            THEN n_types_cum::HUGEINT * 1000000 // n_tokens_cum
+      |            ELSE NULL END AS BIGINT) AS ttr_ppm
+      |FROM cumt ORDER BY bucket""".stripMargin) { (s, dir) =>
+    Vocab.vocabularyGrowth(Tables.documents(s, dir),
+      col("doc_id"), col("text"), buckets = 10)
+      .orderBy("bucket")
+  }
+
+  // x240 — KENDALL τ-b (signed square, the no-sqrt discipline) between
+  // daily order count and daily revenue per priority: ordinal
+  // association where covariance assumes linearity. Calendar² pair
+  // join with the mannKendall refusal.
+  val x240 = Q(
+    "x240_kendall_tau",
+    """WITH d AS (
+      |  SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS c,
+      |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)::HUGEINT) AS m
+      |  FROM orders GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.k,
+      |         (CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END)
+      |         * (CASE WHEN b.m > a.m THEN 1 WHEN b.m < a.m THEN -1 ELSE 0 END) AS cd
+      |  FROM d a JOIN d b ON a.k = b.k AND a.day < b.day),
+      |s AS (SELECT k, CAST(sum(cd) AS BIGINT) AS s_cd FROM p GROUP BY 1),
+      |t1 AS (SELECT k, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1,
+      |              CAST(sum(t) AS BIGINT) AS n
+      |       FROM (SELECT k, c, CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1, 2)
+      |       GROUP BY k),
+      |t2 AS (SELECT k, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
+      |       FROM (SELECT k, m, CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1, 2)
+      |       GROUP BY k)
+      |SELECT s.k AS k, n AS n_days, s_cd,
+      |       CAST(CASE WHEN (n * (n - 1) // 2 - n1) > 0
+      |                  AND (n * (n - 1) // 2 - n2) > 0 THEN
+      |            (CASE WHEN s_cd > 0 THEN 1 WHEN s_cd < 0 THEN -1 ELSE 0 END)
+      |            * (s_cd::HUGEINT * s_cd * 1000000
+      |               // ((n * (n - 1) // 2 - n1)::HUGEINT
+      |                  * (n * (n - 1) // 2 - n2)))
+      |            ELSE NULL END AS BIGINT) AS tau2_signed_ppm
+      |FROM s JOIN t1 USING (k) JOIN t2 USING (k) ORDER BY k""".stripMargin) { (s, dir) =>
+    graft.ext.TimeSeries.kendallTau(Tables.orders(s, dir),
+      col("o_orderpriority"), col("o_orderdate"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .orderBy("k")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -8211,5 +8347,5 @@ object ExtQueries {
       x198, x199, x200, x201, x202, x203, x204, x205, x206, x207, x208,
       x209, x210, x211, x212, x213, x214, x215, x216, x217, x218, x219,
       x220, x221, x222, x223, x224, x225, x226, x227, x228, x229, x230,
-      x231, x232, x233, x234, x235, x236)
+      x231, x232, x233, x234, x235, x236, x237, x238, x239, x240)
 }

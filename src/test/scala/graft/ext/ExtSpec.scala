@@ -1337,4 +1337,32 @@ class ReadabilitySpec extends graft.SparkSpec {
       .collect().head
     assert(g4.isNullAt(5) && g4.getInt(6) === 0)
   }
+
+  test("captureRecapture: textbook Chapman estimate; an empty audit is NULL") {
+    // n_a=10, n_b=10, overlap 4 → Chapman = 11·11 DIV 5 − 1 = 23,
+    // seen = 16, unseen = 7
+    val rows = Seq.fill(4)((true, true)) ++ Seq.fill(6)((true, false)) ++
+      Seq.fill(6)((false, true)) ++ Seq.fill(10)((false, false))
+    val got = TextAnalysis.captureRecapture(rows.toDF("a", "b"),
+        col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(got === ((10L, 10L, 4L, 16L, 23L, 7L)))
+    // rule B catches nothing: the estimator is undefined → NULL
+    val empty = Seq((true, false), (false, false)).toDF("a", "b")
+    val g2 = TextAnalysis.captureRecapture(empty, col("a"), col("b"))
+      .collect().head
+    assert(g2.isNullAt(4) && g2.isNullAt(5))
+  }
+
+  test("goodTuring: unseen mass is f1/N exactly; r*1 prices singletons; f1=0 reads NULL") {
+    // one stratum 'x': tokens a a b b c → N=5, f1=1, f2=2 →
+    // unseen 200000 ppm, r*1 = 2·2/1 = 4e6
+    val df = Seq(("x", "a a b b c"), ("y", "z z")).toDF("s", "text")
+    val got = TextAnalysis.goodTuring(df, col("s"), col("text"))
+      .orderBy("s")
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])].collect()
+    assert(got(0) === (("x", 5L, 3L, 1L, 2L, 200000L, Some(4000000L))))
+    // 'y': z appears twice → f1=0 → zero unseen mass, r*1 NULL
+    assert(got(1) === (("y", 2L, 1L, 0L, 1L, 0L, None)))
+  }
 }

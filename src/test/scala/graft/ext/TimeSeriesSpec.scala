@@ -619,3 +619,42 @@ class PartitionGapsSpec extends graft.SparkSpec {
     assert(got === Array((3L, 1L, 1L), (2L, 1L, 2L), (1L, 1L, 3L)))
   }
 }
+
+class KendallTauSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("kendallTau: hand-checked signed square with a count tie; constant measure is NULL") {
+    // days (count, cents): (1,10) (2,20) (3,15) (3,30) → S = 3,
+    // count ties n1 = 1, cents ties n2 = 0, n0 = 6 →
+    // tau² = +9e6 / (5·6) = 300000  (τ-b = 0.548, squared 0.3)
+    def day(i: Int) = f"2024-07-0$i%01d"
+    val rows = Seq((1, 1, 10L), (2, 1, 10L), // day1: c=2? no —
+      (0, 0, 0L)).filter(_ => false)
+    // build per-day rows directly: c events of 1 cent... simpler: one
+    // row per (day, cents) with the count achieved via duplicates
+    val data =
+      Seq.fill(1)(("k", day(1), 10L)) ++
+      Seq.fill(2)(("k", day(2), 10L)) ++
+      Seq.fill(3)(("k", day(3), 5L)) ++
+      Seq.fill(3)(("k", day(4), 10L))
+    // daily sums: d1 (c=1, m=10), d2 (c=2, m=20), d3 (c=3, m=15),
+    // d4 (c=3, m=30)
+    val df = data.toDF("k", "d", "cents")
+      .select(col("k"), to_timestamp(col("d")).as("ts"), col("cents"))
+    val got = graft.ext.TimeSeries.kendallTau(df, col("k"), col("ts"),
+        col("cents"))
+      .as[(String, Long, Long, Long)].head()
+    assert(got === (("k", 4L, 3L, 300000L)))
+    // constant cents: every day the same m → n2 = n0 → NULL
+    val const = (1 to 3).map(i => ("c", day(i), 7L)).toDF("k", "d", "cents")
+      .select(col("k"), to_timestamp(col("d")).as("ts"), col("cents"))
+    val g2 = graft.ext.TimeSeries.kendallTau(const, col("k"), col("ts"),
+      col("cents")).collect().head
+    assert(g2.isNullAt(3))
+    intercept[IllegalArgumentException] {
+      graft.ext.TimeSeries.kendallTau(df, col("k"), col("ts"),
+        col("cents"), maxDays = 3)
+    }
+  }
+}

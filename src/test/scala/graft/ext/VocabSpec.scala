@@ -235,3 +235,32 @@ class FeatureHashSpec extends graft.SparkSpec {
     assert(got === 1L)
   }
 }
+
+class VocabGrowthSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("vocabularyGrowth: first-bucket type charging and cumulative TTR, hand-checked") {
+    // doc-id order: "a b" | "a c" || "d" | "a" with 2 buckets:
+    // bucket 0: 2 docs, 4 tokens, new types {a,b,c} → ttr 750000
+    // bucket 1: +2 docs, +2 tokens, new {d} → 4 types / 6 tokens
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "d"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val got = Vocab.vocabularyGrowth(docs, col("doc_id"), col("text"),
+        buckets = 2)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got === Array((0L, 2L, 4L, 3L, 750000L),
+      (1L, 4L, 6L, 4L, 666666L)))
+    // repartitioning must not move the curve (two-phase rank, not
+    // partition order)
+    val again = Vocab.vocabularyGrowth(docs.repartition(5), col("doc_id"),
+        col("text"), buckets = 2)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(again === got)
+    intercept[IllegalArgumentException] {
+      Vocab.vocabularyGrowth(docs, col("doc_id"), col("text"), buckets = 1)
+    }
+  }
+}

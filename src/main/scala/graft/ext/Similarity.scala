@@ -899,21 +899,29 @@ object Similarity {
     *
     * 100 TB posture: the ranking is the already-audited broadcast-query
     * brute plan over a FIXED query sample — eval cost is corpus-linear,
-    * never corpus². Everything after lives on |queries|·k rows; the
-    * label-size side is one combinable count joined broadcast. The
-    * per-qid cumsum window is |queries| partitions of k rows.
+    * never corpus². Everything after lives on |queries|·k rows. Only
+    * BOUNDED tables are broadcast: the |labels|-row count table and the
+    * query-side label slice (filtered to queryIds BEFORE the hint —
+    * |queries| rows). The neighbor-side vec_id→label map is
+    * corpus-cardinality, so it joins UNHINTED, keyed on the |queries|·k
+    * ranked rows (the recallAtK shape) — the planner may still
+    * broadcast it when it measures small, but nothing cements a
+    * corpus-size broadcast at scale (round-11 ADVICE fix, x221-pinned).
+    * The per-qid cumsum window is |queries| partitions of k rows.
     * Output per query: (qid, label, n_rel_topk, ap_e6). */
   def annMap(embs: DataFrame, labels: DataFrame, queryIds: Seq[Long],
       k: Int): DataFrame = {
     require(k >= 1 && k <= 100, s"k=$k out of range")
     val lab = labels.select(col("vec_id"), col("label"))
     val labN = broadcast(lab.groupBy("label").agg(count(lit(1)).as("n_label")))
+    val qLab = broadcast(
+      lab.where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
+        .select(col("vec_id").as("qid"), col("label")))
     val ranked = knnBrute(embs,
         embs.where(col("vec_id").isin(queryIds.map(x => x: Any): _*)), k)
-      .join(broadcast(lab.select(col("vec_id").as("neighbor_id"),
-        col("label").as("nlabel"))), Seq("neighbor_id"))
-      .join(broadcast(lab.select(col("vec_id").as("qid"), col("label"))),
-        Seq("qid"))
+      .join(lab.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), Seq("neighbor_id"))
+      .join(qLab, Seq("qid"))
       .withColumn("rel", when(col("nlabel") === col("label"), 1L).otherwise(0L))
     val w = Window.partitionBy(col("qid")).orderBy(col("rank"))
     ranked

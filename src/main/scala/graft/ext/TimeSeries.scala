@@ -607,9 +607,20 @@ object TimeSeries {
     *
     *   tau2_signed_ppm = sign(S)·S²·1e6 DIV ((n₀−n₁)(n₀−n₂))
     *
-    * NULL when either measure is constant (denominator 0). Same
-    * calendar-bound pair join and loud `maxDays` refusal as
-    * [[mannKendall]].
+    * NULL when either measure is constant (denominator 0).
+    *
+    * Plan (the round-12 replan of the former days² pair join): one
+    * daily rollup, a per-key dense_rank of the measure (order + tie
+    * structure is all S needs, and ranks keep the aggregator state
+    * pure longs), then [[graft.functions.KendallSAgg]] — Knight's
+    * O(n log n) sort + merge-count of discordant pairs, computing S,
+    * n₁, n₂ in one per-key traversal. Zero row amplification: the
+    * rank window and the groupBy share the hash(k) exchange, state is
+    * the ≤ days-per-key observations (calendar-bounded), and there is
+    * no self-join anywhere in the plan (PlanAuditSpec-pinned).
+    * `maxDays` is retained as the documented per-key state bound —
+    * the aggregator buffer is O(active days), so a multi-year daily
+    * series is ~thousands of longs, not days²/2 rows.
     * Output: (k, n_days, s_cd, tau2_signed_ppm). */
   def kendallTau(df: DataFrame, key: Column, ts: Column, cents: Column,
       maxDays: Int = 5000): DataFrame = {
@@ -619,30 +630,14 @@ object TimeSeries {
       .groupBy("k", "day")
       .agg(count(lit(1)).as("c"),
         sum(expr("CAST(v AS DECIMAL(38,0))")).as("m"))
-      .localCheckpoint(false) // pair join + two tie tables + probe
-    val widest = daily.groupBy("k").count()
-      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
-    require(widest <= maxDays,
-      s"kendallTau enumerates days² pairs per key; the widest key has " +
-        s"$widest active days > maxDays=$maxDays. Narrow the window or " +
-        s"raise maxDays deliberately")
-    val a = daily.select(col("k"), col("day").as("da"), col("c").as("ca"),
-      col("m").as("ma"))
-    val b = daily.select(col("k"), col("day").as("db"), col("c").as("cb"),
-      col("m").as("mb"))
-    val s = a.join(b, Seq("k")).where(col("da") < col("db"))
-      .select(col("k"),
-        (signum(col("cb") - col("ca")) *
-          signum(col("mb") - col("ma"))).cast("long").as("cd"))
-      .groupBy("k").agg(sum(col("cd")).as("s_cd"))
-    def tieTerm(c: Column, name: String) =
-      daily.groupBy(col("k"), c.as("vv"))
-        .agg(count(lit(1)).as("t"))
-        .groupBy("k")
-        .agg(sum(expr("t * (t - 1) DIV 2")).as(name), sum(col("t")).as("n"))
-    val tx = tieTerm(col("c"), "n1")
-    val ty = tieTerm(col("m"), "n2").drop("n")
-    s.join(broadcast(tx), Seq("k")).join(broadcast(ty), Seq("k"))
+    val ranked = daily.withColumn("rm",
+      dense_rank().over(Window.partitionBy(col("k")).orderBy(col("m")))
+        .cast("long"))
+    val ks = udaf(new graft.functions.KendallSAgg(),
+      org.apache.spark.sql.Encoders.product[graft.functions.CRank])
+    ranked.groupBy("k").agg(ks(col("c"), col("rm")).as("ks"))
+      .select(col("k"), col("ks.n").as("n"), col("ks.s_cd").as("s_cd"),
+        col("ks.n1").as("n1"), col("ks.n2").as("n2"))
       .withColumn("n0", expr("n * (n - 1) DIV 2"))
       .withColumn("tau2_signed_ppm",
         expr("CASE WHEN (n0 - n1) > 0 AND (n0 - n2) > 0 THEN " +

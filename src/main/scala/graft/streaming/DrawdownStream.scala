@@ -40,7 +40,12 @@ object DrawdownStream {
         (key: String, batch: Iterator[DailyLevel],
             state: GroupState[(Long, Int)]) =>
           val out = Seq.newBuilder[DrawdownRow]
-          var (peak, frontier) = state.getOption.getOrElse((0L, Unset))
+          // Peak seeds at Long.MinValue (unset) so a key whose levels
+          // are all non-positive still reports the TRUE running max —
+          // the batch window's max(y) — not a phantom 0 (round-11
+          // ADVICE fix; the first observed level always installs).
+          var (peak, frontier) =
+            state.getOption.getOrElse((Long.MinValue, Unset))
           batch.toSeq.sortBy(_.day).foreach { lv =>
             if (frontier == Unset || lv.day > frontier) {
               if (lv.cents > peak) peak = lv.cents

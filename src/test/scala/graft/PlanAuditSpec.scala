@@ -1663,7 +1663,7 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(!finalP.contains("CartesianProduct"), p)
   }
 
-  test("x221: MAP eval rides the audited brute plan — qid-keyed windows only, label joins broadcast") {
+  test("x221: MAP eval rides the audited brute plan — qid-keyed windows; only bounded tables broadcast") {
     val df = SparkEntry.queries("x221_map_eval")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
@@ -1671,9 +1671,27 @@ class PlanAuditSpec2 extends SparkSpec {
     val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
     assert(winLines.nonEmpty, p)
     winLines.foreach(l => assert(l.contains("qid#"), l))
-    assert(!finalP.contains("SortMergeJoin"), p)
-    assert(!finalP.contains("ShuffledHashJoin"), p)
+    // The corpus-cardinality neighbor→label map joins UNHINTED (the
+    // planner may shuffle it at scale): any shuffled join must be the
+    // neighbor_id-keyed one, and nothing degenerates to a cartesian.
+    finalP.linesIterator
+      .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      .foreach(l => assert(l.contains("neighbor_id#"), l))
     assert(!finalP.contains("CartesianProduct"), p)
+    // the only nested-loop join is knnBrute's broadcast query slice
+    // (BuildRight — the |queries|-row side)
+    finalP.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach(l => assert(l.contains("BuildRight"), l))
+    // The surviving broadcast HINTS are all on BOUNDED tables (labN's
+    // |labels|-row counts, the |queries|-row qLab slice, knnBrute's
+    // query slice); the corpus-cardinality neighbor→label join carries
+    // NO hint — the round-11 ADVICE's corpus-size broadcast is gone.
+    val opt = df.queryExecution.optimizedPlan.toString
+    opt.linesIterator
+      .filter(l => l.contains("Join Inner, (neighbor_id"))
+      .foreach(l => assert(!l.contains("Hint"), l))
+    val hintCount = "strategy=broadcast".r.findAllIn(opt).size
+    assert(hintCount <= 3, opt)
   }
 
   test("x222: κ is one combinable cell rollup — marginal algebra on the checkpointed cells, no window") {
@@ -1843,5 +1861,52 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(!finalP.contains("SortMergeJoin"), p)
     assert(!finalP.contains("ShuffledHashJoin"), p)
     assert(!finalP.contains("CartesianProduct"), p)
+  }
+
+  test("x237: capture–recapture is ONE scan-side 3-counter aggregate — no join, no window") {
+    val df = SparkEntry.queries("x237_capture_recapture")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("Join"), p)
+    assert(!finalP.contains("Window"), p)
+  }
+
+  test("x238: Good–Turing is one explode + two combinable rollups — no join, no window") {
+    val df = SparkEntry.queries("x238_good_turing")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(finalP.contains("Generate explode"), p)
+    assert(!finalP.contains("Join"), p)
+    assert(!finalP.contains("Window"), p)
+  }
+
+  test("x239: Heaps curve rides the two-phase rank — no global row_number window, cumsum over bucket rows only") {
+    val df = SparkEntry.queries("x239_heaps_curve")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    // the doc rank is globalRank's two-phase plan (checkpointed), never
+    // an unpartitioned row_number over the corpus
+    assert(finalP.contains("Scan ExistingRDD"), p)
+    finalP.linesIterator.filter(_.contains("Window ["))
+      .foreach(l => assert(!l.contains("row_number"), l))
+    assert(!finalP.contains("CartesianProduct"), p)
+  }
+
+  test("x240: Kendall S is the Knight aggregator — ZERO joins, k-keyed rank window, typed agg") {
+    val df = SparkEntry.queries("x240_kendall_tau")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    // the round-12 replan: the days²-per-key pair self-join is GONE
+    assert(!finalP.contains("Join"), p)
+    val winLines = finalP.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(l => assert(l.contains("k#"), l))
+    // the S/n1/n2 state rides the typed KendallSAgg (object aggregate)
+    assert(finalP.contains("ObjectHashAggregate") ||
+      finalP.contains("SortAggregate"), p)
   }
 }

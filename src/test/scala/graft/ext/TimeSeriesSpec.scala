@@ -652,9 +652,12 @@ class KendallTauSpec extends graft.SparkSpec {
     val g2 = graft.ext.TimeSeries.kendallTau(const, col("k"), col("ts"),
       col("cents")).collect().head
     assert(g2.isNullAt(3))
+    // r12: the Knight-aggregator replan has no days² pair join, so the
+    // maxDays data probe (and its refusal) is gone — only the parameter
+    // range check remains
     intercept[IllegalArgumentException] {
       graft.ext.TimeSeries.kendallTau(df, col("k"), col("ts"),
-        col("cents"), maxDays = 3)
+        col("cents"), maxDays = 1)
     }
   }
 }

@@ -51,6 +51,19 @@ class StateScanStreamSpec extends SparkSpec {
       DrawdownRow("a", 4, 60L, 120L, 500000L)))
   }
 
+  test("drawdowns: all-non-positive levels report the true running max, not a phantom 0") {
+    // refund-dominated key: levels -40, -90, -10 — the running max is
+    // -40, -40, -10 (batch window semantics), dd stays 0 because the
+    // peak is never positive (the batch CASE guard)
+    val b1 = Seq(DailyLevel("neg", 1, -40L), DailyLevel("neg", 2, -90L))
+    val b2 = Seq(DailyLevel("neg", 3, -10L))
+    val got = runDd(Seq(b1, b2)).sortBy(_.day)
+    assert(got === Seq(
+      DrawdownRow("neg", 1, -40L, -40L, 0L),
+      DrawdownRow("neg", 2, -90L, -40L, 0L),
+      DrawdownRow("neg", 3, -10L, -10L, 0L)))
+  }
+
   test("drawdowns: aggregate of emissions equals the batch maxDrawdown") {
     val levels = Seq(("a", 1, 60L), ("a", 1, 40L), ("a", 2, 50L),
       ("a", 3, 120L), ("a", 4, 60L), ("b", 1, 10L), ("b", 2, 30L))

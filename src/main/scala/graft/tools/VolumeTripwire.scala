@@ -1251,6 +1251,56 @@ object VolumeTripwire {
           col("user_id"), col("ts"), expr("user_id % 2"),
           to_timestamp(lit("2024-01-16")))
         Res("x236_did", timeMin(dz2(ev1)), timeMin(dz2(ev10)))
+      }, {
+        // capture–recapture on a 10× doc corpus: ONE scan-side 3-counter
+        // aggregate — corpus-linear by construction, no keys to skew
+        val d1 = Tables.documents(spark, sfDir).select("n_chars", "text")
+        val d10 = blow(Tables.documents(spark, sfDir)
+          .select("doc_id", "n_chars", "text"), "doc_id", 10, 1000000L)
+        def cr(d: DataFrame) = TextAnalysis.captureRecapture(d,
+          pmod(col("n_chars"), lit(7L)) === 0L,
+          pmod(length(trim(col("text"))).cast("long"), lit(5L)) === 0L)
+        Res("x237_captureRecap", timeMin(cr(d1)), timeMin(cr(d10)))
+      }, {
+        // Good–Turing on a 10× corpus: the (stratum, token) rollup rides
+        // natural token skew ("the"-class hot keys) — map-side combine
+        // must keep the hot cell linear
+        val d1 = Tables.documents(spark, sfDir).select("source", "text")
+        val d10 = blow(Tables.documents(spark, sfDir)
+          .select("doc_id", "source", "text"), "doc_id", 10, 1000000L)
+          .select("source", "text")
+        def gt(d: DataFrame) = TextAnalysis.goodTuring(d,
+          col("source"), col("text"))
+        Res("x238_goodTuring", timeMin(gt(d1)), timeMin(gt(d10)))
+      }, {
+        // Heaps curve on a 10× corpus: two-phase rank + first-bucket
+        // election — both corpus-linear; the cumsum window is 10 rows
+        val d1 = Tables.documents(spark, sfDir).select("doc_id", "text")
+        val d10 = blow(Tables.documents(spark, sfDir)
+          .select("doc_id", "text"), "doc_id", 10, 1000000L)
+        def vg(d: DataFrame) = graft.ext.Vocab.vocabularyGrowth(d,
+          col("doc_id"), col("text"), buckets = 10)
+        Res("x239_heapsCurve", timeMin(vg(d1)), timeMin(vg(d10)))
+      }, {
+        // Kendall τ with a 500k-row single-(key,day) flood: the daily
+        // rollup collapses the flood to ONE cell, and the Knight
+        // aggregator's state is days-per-key — the r12 replan's no-pair-
+        // join contract under volume
+        val o1 = Tables.orders(spark, sfDir)
+          .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        val hotDay = Tables.orders(spark, sfDir)
+          .agg(max(col("o_orderdate")).as("o_orderdate"))
+        val o10 = blow(Tables.orders(spark, sfDir)
+            .select("o_orderkey", "o_orderpriority", "o_orderdate",
+              "o_totalprice"), "o_orderkey", 10, 100000000L)
+          .select("o_orderpriority", "o_orderdate", "o_totalprice")
+          .unionAll(spark.range(500000).crossJoin(hotDay)
+            .select(lit("3-MEDIUM").as("o_orderpriority"),
+              col("o_orderdate"), lit(42.0).as("o_totalprice")))
+        def kt(d: DataFrame) = graft.ext.TimeSeries.kendallTau(d,
+          col("o_orderpriority"), col("o_orderdate"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        Res("x240_kendallTau", timeMin(kt(o1)), timeMin(kt(o10)))
       })
 
     val only: Option[Set[String]] =

@@ -40,7 +40,7 @@ def cell_eq(a, b):
     return a == b
 
 
-def main(sf_dir, out_dir, only_dumped=False):
+def main(sf_dir, out_dir, only_dumped=False, sql_only=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -48,6 +48,21 @@ def main(sf_dir, out_dir, only_dumped=False):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
+    if sql_only:
+        # --sql-only: EXECUTE every oracle string (no Spark dumps needed,
+        # out_dir only has to contain oracle_sql.json). This is the cheap
+        # pre-round gate: a broken oracle string can never silently zero
+        # a round's correctness again (round-11 brief item #7).
+        for name, sql in sorted(oracles.items()):
+            try:
+                con.execute(sql).fetchall()
+                print(f"PASS {name} (sql executes)")
+                n_pass += 1
+            except Exception as e:
+                print(f"FAIL {name}: oracle SQL error: {e}")
+                n_fail += 1
+        print(f"== {n_pass} pass, {n_fail} fail ==")
+        return 1 if n_fail else 0
     for name, sql in sorted(oracles.items()):
         # --only-dumped: targeted iteration (SPARK_GRAFT_QUERIES subsets)
         # writes only some dumps; skip the rest instead of FAILing them.
@@ -133,5 +148,8 @@ def main(sf_dir, out_dir, only_dumped=False):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--only-dumped"]
-    sys.exit(main(args[0], args[1], only_dumped="--only-dumped" in sys.argv))
+    flags = {"--only-dumped", "--sql-only"}
+    args = [a for a in sys.argv[1:] if a not in flags]
+    sys.exit(main(args[0], args[1],
+                  only_dumped="--only-dumped" in sys.argv,
+                  sql_only="--sql-only" in sys.argv))

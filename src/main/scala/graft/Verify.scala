@@ -6,6 +6,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // SPARK_GRAFT_SQL_ONLY=1: write oracle_sql.json and exit without a
+    // SparkSession — feeds scripts/local_check.py --sql-only, the cheap
+    // every-oracle-executes gate.
+    if (sys.env.get("SPARK_GRAFT_SQL_ONLY").contains("1")) {
+      new java.io.File(outDir).mkdirs()
+      writeOracleJson(outDir)
+      return
+    }
     // default to the machine's cores (same rationale as Bench: an unset
     // env var must not quietly run the gate at local[4])
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -31,9 +39,15 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    writeOracleJson(outDir)
+    spark.stop()
+  }
+
+  /** oracle_sql.json dump. JSON string escape covers backslash, quote,
+    * and ALL control chars (<0x20) — a tab or CR in builder-authored SQL
+    * would otherwise make the driver's json.load fail and silently zero
+    * the round's correctness. */
+  private def writeOracleJson(outDir: String): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -46,6 +60,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -120,8 +120,25 @@ object Graph {
     * sequence the oracle SQL spells out, so k iterations stay
     * hash-exact.
     *
+    * LINEAGE CONTRACT (all iterative ops here — pageRank,
+    * [[personalizedPageRank]], [[labelPropagation]], [[hits]],
+    * [[kCorePeel]]): the INPUTS (edges, attrs) are localCheckpointed
+    * once, so each iteration's plan grows over a pinned LogicalRDD by a
+    * CONSTANT ~5 nodes (one equi-join, one combinable rollup, one
+    * projection; HITS twice). At the enforced iteration caps (≤ 8–16,
+    * `require`d below and in each sibling) the deepest analyzed tree
+    * stays under ~90 nodes — milliseconds for the analyzer, no
+    * exponential re-analysis because nothing upstream of the pinned
+    * leaves re-enters the optimizer. The caps are therefore the
+    * contract, not a tuning knob: a future run-to-fixpoint variant
+    * MUST add a per-round `localCheckpoint` (the [[kCorePeel]] shape —
+    * it already pins every round because its loop both filters and
+    * feeds the next round's join on the same frame) rather than raise
+    * a cap. Pinned in PlanAuditSpec ("iteration caps are enforced").
+    *
     * Output: `(doc_id, degree, pr)`. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters=$iters out of range [1, 8]")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nRow = deg.agg(count(lit(1)).as("n"))

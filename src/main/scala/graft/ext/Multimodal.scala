@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque `binary` payloads with
@@ -102,6 +102,60 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, col("stride")))
           .as("frame_idx"))
   }
+
+  /** 60-bit dHash (difference hash) per media row — the perceptual
+    * fingerprint image pipelines dedup on: sample a 6×11 brightness
+    * grid from the decoded payload, set bit `i*10+j` iff
+    * `grid(i,j) < grid(i,j+1)` (gradient direction survives re-encode /
+    * resize / mild noise, which is the whole point of dHash over a
+    * cryptographic digest).
+    *
+    * The GRID is the decode seam's stand-in (this container has no
+    * codecs): cell `g` reads the character code at the deterministic
+    * position `1 + (g·37 mod n_chars)` of the UTF-8-decoded payload —
+    * a real pipeline computes the same 66 cells from
+    * [[FakeDecoder]]-decoded pixels (average brightness per cell); the
+    * hash layout, bit semantics, and everything downstream (banding,
+    * Hamming pairing) are the production contract.
+    *
+    * 100 TB posture: the whole hash is ONE scan-side projection —
+    * 66 sampled chars + 60 comparisons folded into a single 60-bit
+    * sum, zero explode, zero exchange, whole-stage codegen; a 100 TB
+    * image corpus fingerprints itself in the same scan that reads the
+    * payload envelope. Output: (media_id, phash). */
+  def dHash60(media: DataFrame, id: Column, payload: Column): DataFrame = {
+    val base = media.select(id.as("media_id"),
+        decode(payload, "UTF-8").as("__t"))
+      .withColumn("__n", length(col("__t")))
+      .where(col("__n") >= 1)
+    def cell(g: Int): Column =
+      ascii(col("__t").substr(lit(1) + (lit(g * 37) % col("__n")), lit(1)))
+    val bits: Seq[Column] = (0 until 6).flatMap { i =>
+      (0 until 10).map { j =>
+        when(cell(i * 11 + j) < cell(i * 11 + j + 1),
+          lit(1L << (i * 10 + j))).otherwise(lit(0L))
+      }
+    }
+    base.select(col("media_id"), bits.reduce(_ + _).as("phash"))
+  }
+
+  /** Perceptual near-dup pairs within `maxHamming` of each other over
+    * [[dHash60]] fingerprints — the image-dedup operator the text side
+    * gets from SimHash. Delegates VERBATIM to the x8 banded machinery
+    * ([[graft.ext.Dedup.simhashPairs]]): 4×15-bit block LSH is
+    * pigeonhole-EXACT for hamming ≤ 3 (any pair within 3 bit-flips
+    * shares at least one intact block), so the banded equi-join
+    * returns exactly the all-pairs answer with none of the all-pairs
+    * cost; hot buckets beyond `maxBucket` are dropped under the same
+    * loud contract as the text-side caps.
+    *
+    * Output: (a, b, hamming), a < b. */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 1 << 16): DataFrame =
+    Dedup.simhashPairs(
+      hashes.select(col("media_id").as("doc_id"), col("phash").as("simhash")),
+      maxHamming, maxBucket)
+      .select(col("a"), col("b"), col("hamming"))
 
   /** Aspect-preserving letterbox geometry: for each media row, the
     * resize-and-pad plan a vision-model preprocessor executes to map an

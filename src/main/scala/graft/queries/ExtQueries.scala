@@ -8329,6 +8329,80 @@ object ExtQueries {
       .orderBy("k")
   }
 
+  // x241 — PERCEPTUAL-HASH NEAR-DUP over the image media rows: 60-bit
+  // dHash sampled from the decoded payload (one scan-side projection,
+  // zero explode), then banded 4×15-bit Hamming pairs — pigeonhole-
+  // EXACT for hamming ≤ 3, so the banded equi-join IS the all-pairs
+  // answer. The multimodal twin of x8's text SimHash, reusing its
+  // pairing machinery verbatim.
+  private val phashBitsSql: String = (0 until 6).flatMap { i =>
+    (0 until 10).map { j =>
+      val l = (i * 11 + j) * 37
+      val r = (i * 11 + j + 1) * 37
+      val w = 1L << (i * 10 + j)
+      s"(CASE WHEN unicode(substr(t, 1 + $l % n, 1)) < unicode(substr(t, 1 + $r % n, 1)) THEN $w ELSE 0 END)"
+    }
+  }.mkString("\n      + ")
+  val x241 = Q(
+    "x241_phash_neardup",
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id, text AS t, CAST(length(text) AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 1),
+      |h AS (SELECT media_id, CAST($phashBitsSql AS BIGINT) AS phash FROM m),
+      |e AS (
+      |  SELECT media_id, phash, blk, (phash >> (blk * 15)) & 32767 AS key
+      |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+      |g AS (SELECT *, count(*) OVER (PARTITION BY blk, key) AS bn FROM e),
+      |f AS (SELECT * FROM g WHERE bn <= 65536),
+      |p AS (
+      |  SELECT DISTINCT l.media_id AS a, r.media_id AS b,
+      |         CAST(bit_count(xor(l.phash, r.phash)) AS INT) AS hamming
+      |  FROM f l JOIN f r ON l.blk = r.blk AND l.key = r.key
+      |                   AND l.media_id < r.media_id)
+      |SELECT a, b, hamming FROM p WHERE hamming <= 3
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF()
+    val imgs = media.where(col("kind") === "image")
+    Multimodal.phashPairs(
+        Multimodal.dHash60(imgs, col("media_id"), col("payload")))
+      .orderBy("a", "b")
+  }
+
+  // x242 — PHASH BAND-SELECTIVITY AUDIT over ALL media kinds: the
+  // Hamming-distance histogram of every band-sharing candidate pair
+  // (maxHamming = 60 disables the dup filter). This audits the BANDS
+  // themselves — how many candidate comparisons each 15-bit block
+  // admits, and how far apart they really are (birthday collisions on
+  // 32768-key blocks put the mass at hamming ≈ 30; a corpus of true
+  // near-dups would pile mass at ≤ 3). The LSH-calibration companion
+  // (x194) for the perceptual family; candidate volume is the banded
+  // join's output, never all-pairs.
+  val x242 = Q(
+    "x242_phash_band_audit",
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id, text AS t, CAST(length(text) AS INT) AS n
+      |  FROM documents WHERE length(text) >= 1),
+      |h AS (SELECT media_id, CAST($phashBitsSql AS BIGINT) AS phash FROM m),
+      |e AS (
+      |  SELECT media_id, phash, blk, (phash >> (blk * 15)) & 32767 AS key
+      |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+      |g AS (SELECT *, count(*) OVER (PARTITION BY blk, key) AS bn FROM e),
+      |f AS (SELECT * FROM g WHERE bn <= 65536),
+      |p AS (
+      |  SELECT DISTINCT l.media_id AS a, r.media_id AS b,
+      |         CAST(bit_count(xor(l.phash, r.phash)) AS INT) AS hamming
+      |  FROM f l JOIN f r ON l.blk = r.blk AND l.key = r.key
+      |                   AND l.media_id < r.media_id)
+      |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM p GROUP BY 1 ORDER BY hamming""".stripMargin) { (s, dir) =>
+    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF()
+    Multimodal.phashPairs(
+        Multimodal.dHash60(media, col("media_id"), col("payload")),
+        maxHamming = 60)
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("hamming")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -8347,5 +8421,6 @@ object ExtQueries {
       x198, x199, x200, x201, x202, x203, x204, x205, x206, x207, x208,
       x209, x210, x211, x212, x213, x214, x215, x216, x217, x218, x219,
       x220, x221, x222, x223, x224, x225, x226, x227, x228, x229, x230,
-      x231, x232, x233, x234, x235, x236, x237, x238, x239, x240)
+      x231, x232, x233, x234, x235, x236, x237, x238, x239, x240, x241,
+      x242)
 }

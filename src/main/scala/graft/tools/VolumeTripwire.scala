@@ -1301,6 +1301,21 @@ object VolumeTripwire {
           col("o_orderpriority"), col("o_orderdate"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
         Res("x240_kendallTau", timeMin(kt(o1)), timeMin(kt(o10)))
+      }, {
+        // phash near-dup: 10× docs plus a 100k byte-identical flood —
+        // every copy shares ONE fingerprint, so all 4 banded buckets
+        // blow past maxBucket and are DROPPED (the loud-cap contract);
+        // candidate work stays ~linear instead of 1e10 Hamming pairs
+        val d1 = Tables.documents(spark, sfDir).select("doc_id", "text")
+        val flood = d1.limit(1).crossJoin(spark.range(100000))
+          .select((col("doc_id") + col("id") + 10000000L).as("doc_id"),
+            col("text"))
+        val d10 = blow(d1, "doc_id", 10, 1000000L).unionAll(flood)
+        def ph(d: DataFrame) = Multimodal.phashPairs(Multimodal.dHash60(
+          d.select(col("doc_id").as("media_id"),
+            encode(col("text"), "UTF-8").as("payload")),
+          col("media_id"), col("payload")))
+        Res("x241_phashNeardup", timeMin(ph(d1)), timeMin(ph(d10)))
       })
 
     val only: Option[Set[String]] =

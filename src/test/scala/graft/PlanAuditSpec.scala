@@ -1909,4 +1909,42 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(finalP.contains("ObjectHashAggregate") ||
       finalP.contains("SortAggregate"), p)
   }
+
+  test("x241: dHash is ONE scan-side projection (no exchange/explode/agg); pairs via banded equi-join, never all-pairs") {
+    import org.apache.spark.sql.functions.encode
+    // the fingerprint alone: pure projection — zero exchanges, zero
+    // Generate, zero aggregates; a 100 TB corpus hashes in its own scan
+    val media = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+    val hp = graft.ext.Multimodal.dHash60(media, col("media_id"), col("payload"))
+      .queryExecution.executedPlan.toString
+    assert(!hp.contains("Exchange"), hp)
+    assert(!hp.contains("Generate"), hp)
+    assert(!hp.contains("Aggregate"), hp)
+    // the full pair query: banded equi-join on (blk, key) — no cartesian
+    val df = SparkEntry.queries("x241_phash_neardup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("CartesianProduct"), p)
+    assert(!finalP.contains("BroadcastNestedLoop"), p)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(finalP).isDefined, p)
+  }
+
+  test("graph ops: iteration caps are enforced (the lineage contract — a fixpoint variant must checkpoint, not raise these)") {
+    import graft.ext.Graph
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](Graph.pageRank(e, iters = 9))
+    intercept[IllegalArgumentException](Graph.personalizedPageRank(e, c => c === 1L, iters = 11))
+    intercept[IllegalArgumentException](Graph.labelPropagation(e, rounds = 9))
+    intercept[IllegalArgumentException](Graph.hits(e, iters = 9, k = 5))
+    intercept[IllegalArgumentException](Graph.kCorePeel(e, k = 1, rounds = 17))
+    // at the cap, the analyzer handles the deepest tree (plan builds +
+    // analyzes without materializing — lineage over pinned leaves)
+    val deep = Graph.pageRank(e, iters = 8)
+    assert(deep.queryExecution.analyzed != null)
+  }
 }

@@ -381,6 +381,48 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Int]("width")).toMap
     feats.foreach(f => assert(meta(f.media_id) === f.width))
   }
+
+  private def mediaOf(rows: Seq[(Long, String)]) =
+    rows.toDF("media_id", "t")
+      .select(col("media_id"), encode(col("t"), "UTF-8").as("payload"))
+
+  private def hashesOf(rows: Seq[(Long, String)]) =
+    Multimodal.dHash60(mediaOf(rows), col("media_id"), col("payload"))
+
+  test("dHash60: 60-bit, deterministic, identical payloads collide; one sampled char flips <= 2 bits") {
+    val base = ("the quick brown fox jumps over the lazy dog again and again " * 4).take(200)
+    // position 37*5 % 200 + 1 = 186 (1-based) is cell 5's sample; 37 is
+    // coprime with 200 so exactly ONE cell reads it → <= 2 bits move
+    val mutated = base.updated(185, if (base(185) == 'z') 'y' else 'z')
+    val h = hashesOf(Seq((1L, base), (2L, base), (3L, mutated)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L))
+    assert(h(1L) >= 0L && h(1L) < (1L << 60))
+    val flipped = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    assert(flipped >= 0 && flipped <= 2, s"expected <=2 bit flips, got $flipped")
+  }
+
+  test("phashPairs: banded join returns EXACTLY the all-pairs hamming<=3 answer (pigeonhole)") {
+    // a spread of lengths and contents plus planted near-dups
+    val texts = (0 until 30).map { i =>
+      val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "fox",
+        "golf", "hotel", "india", "julia")
+      (100L + i, (0 until 20 + i).map(j => words((i * 7 + j * 3) % 10)).mkString(" "))
+    }
+    val base = texts.head._2
+    val dups = Seq((900L, base), (901L, base.updated(5, '_')))
+    val all = texts ++ dups
+    val hs = hashesOf(all)
+    val got = Multimodal.phashPairs(hs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hv = hs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- hv.keys; b <- hv.keys if a < b
+      d = java.lang.Long.bitCount(hv(a) ^ hv(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got === brute)
+    assert(got.contains((100L, 900L, 0)), s"planted exact dup missing: $got")
+  }
 }
 
 class ApproxDistinctSpec extends graft.SparkSpec {

@@ -52,6 +52,24 @@ object Bench {
     if (d < 99.95) BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     else BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** Contention self-label (round-12 lesson: a contended box inflated
+    * the headline ~25% and only bench.json forensics showed it): the
+    * count of queries whose within-run wall spread (max/min over the
+    * N runs) exceeds 3× — large spreads with constant per-run work
+    * mean the box was fighting the suite, so a cross-round comparison
+    * can discount the number without exhuming runs_detail. "null" when
+    * no query has ≥2 successful runs (spread undefined). */
+  private[graft] def contendedCount(
+      results: Seq[(String, Seq[(Double, Double)], Option[String])]): String = {
+    val spreads = results.flatMap { case (_, ts, _) =>
+      if (ts.size >= 2) {
+        val ws = ts.map(_._1)
+        Some(ws.max / math.max(ws.min, 1e-9))
+      } else None
+    }
+    if (spreads.isEmpty) "null" else spreads.count(_ > 3.0).toString
+  }
+
   /** Build the single stdout JSON line from raw per-query results.
     *
     * Tiered fallback order (documented contract, spec-pinned in
@@ -87,6 +105,7 @@ object Bench {
       results: Seq[(String, Seq[(Double, Double)], Option[String])],
       sfDir: String, runs: Int, calib: Seq[Double]): String = {
     val total = results.flatMap { case (_, ts, _) => ts.map(_._1).minOption }.sum
+    val cont = contendedCount(results)
     val qs = results.map { case (k, ts, _) =>
       jstr(k) + ":" + (if (ts.isEmpty) "null" else r4(ts.map(_._1).min))
     }.mkString("{", ",", "}")
@@ -121,18 +140,18 @@ object Bench {
         jstr(sid) + ":" + (if (ts.isEmpty) "null" else r2(ts.map(_._1).min))
       }.mkString("{", ",", "}")
     val jsonWithCpu =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":$cpuMap,"errors":$errs}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","contended":$cont,"calibration":$calJson,"cpu":$cpuMap,"errors":$errs}"""
     val jsonQueriesOnly =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","contended":$cont,"calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
     val jsonShortQueries =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs":$runs,"agg":"min","contended":$cont,"calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
     val qsShort1dp =
       if (shortIds.distinct.size != results.size) qs
       else results.zip(shortIds).map { case ((_, ts, _), sid) =>
         jstr(sid) + ":" + (if (ts.isEmpty) "null" else r1a(ts.map(_._1).min))
       }.mkString("{", ",", "}")
     val jsonShort1dp =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort1dp,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort1dp,"sf":"$sfDir","runs":$runs,"agg":"min","contended":$cont,"calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
     // compact-string tier: the id:sec pairs as ONE JSON string — 2
     // chars/query of separator overhead instead of the map's 4, the
     // cheapest encoding that keeps per-query walls in the driver
@@ -149,7 +168,7 @@ object Bench {
           sid.replaceAll("[^A-Za-z0-9]", "") + ":" +
             (if (ts.isEmpty) "null" else r1a(ts.map(_._1).min))
         }.mkString(" ")
-        s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries_fmt":"id:sec","queries":"$body","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
+        s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries_fmt":"id:sec","queries":"$body","sf":"$sfDir","runs":$runs,"agg":"min","contended":$cont,"calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
       }
     // slowest-first compact tier: when even the compact string outgrows
     // the budget (the registry crossed ~185 queries at worst-case
@@ -166,7 +185,7 @@ object Bench {
             wall.map(r1a).getOrElse("null"))
         }.sortBy { case (_, w, _) => -w.getOrElse(0.0) }
         def overhead(nOmitted: Int, restSum: Double): Int =
-          s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries_fmt":"id:sec slowest-first","queries_omitted":$nOmitted,"queries":" rest:${r1a(restSum)}","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}""".length
+          s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries_fmt":"id:sec slowest-first","queries_omitted":$nOmitted,"queries":" rest:${r1a(restSum)}","sf":"$sfDir","runs":$runs,"agg":"min","contended":$cont,"calibration":$calJson,"cpu":"bench.json","errors":$errs}""".length
         var used = 0
         var taken = Vector.empty[String]
         var restSum = 0.0
@@ -185,15 +204,15 @@ object Bench {
         }
         val body = taken.mkString(" ") +
           (if (omitted > 0) s" rest:${r1a(restSum)}" else "")
-        s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries_fmt":"id:sec slowest-first","queries_omitted":$omitted,"queries":"$body","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
+        s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries_fmt":"id:sec slowest-first","queries_omitted":$omitted,"queries":"$body","sf":"$sfDir","runs":$runs,"agg":"min","contended":$cont,"calibration":$calJson,"cpu":"bench.json","errors":$errs}"""
       }
     val jsonMinimal =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"queries":"bench.json","cpu":"bench.json","errors":$errs}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","contended":$cont,"calibration":$calJson,"queries":"bench.json","cpu":"bench.json","errors":$errs}"""
     // absolute floor: even a run where every query errors (74 capped
     // messages ≈ 9 KB) must still emit a parseable headline line
     val nErr = results.count(_._3.isDefined)
     val jsonFloor =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"queries":"bench.json","cpu":"bench.json","errors":{"n_failed":$nErr}}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","contended":$cont,"calibration":$calJson,"queries":"bench.json","cpu":"bench.json","errors":{"n_failed":$nErr}}"""
     Seq(jsonWithCpu, jsonQueriesOnly, jsonShortQueries, jsonShort1dp,
         jsonCompact, jsonCompactTop, jsonMinimal)
       .filter(_ != null)
@@ -343,8 +362,9 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e.take(100)) }
       .mkString("{", ",", "}")
     val calJson = calib.map(r4).mkString("[", ",", "]")
+    val cont = contendedCount(results)
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","calibration":$calJson,"cpu":$cpuMap,"runs_detail":$detail,"cpu_detail":$cpuDetail,"errors":$errs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","contended":$cont,"calibration":$calJson,"cpu":$cpuMap,"runs_detail":$detail,"cpu_detail":$cpuDetail,"errors":$errs}"""
     try {
       val p = java.nio.file.Paths.get("bench.json")
       java.nio.file.Files.write(p, jsonFull.getBytes("UTF-8"))

@@ -111,25 +111,30 @@ object Multimodal {
     * cryptographic digest).
     *
     * The GRID is the decode seam's stand-in (this container has no
-    * codecs): cell `g` reads the character code at the deterministic
-    * position `1 + (g·37 mod n_chars)` of the UTF-8-decoded payload —
-    * a real pipeline computes the same 66 cells from
-    * [[FakeDecoder]]-decoded pixels (average brightness per cell); the
-    * hash layout, bit semantics, and everything downstream (banding,
-    * Hamming pairing) are the production contract.
+    * codecs): cell `g` reads the RAW PAYLOAD BYTE at the deterministic
+    * 0-based offset `g·37 mod n_bytes` — a real pipeline computes the
+    * same 66 cells from [[FakeDecoder]]-decoded pixels (average
+    * brightness per cell); the hash layout, bit semantics, and
+    * everything downstream (banding, Hamming pairing) are the
+    * production contract. Byte-based on purpose: a media payload is
+    * not text, so the sampling must not pass through a charset decode
+    * (the round-12 form sampled UTF-8 code points, which only agreed
+    * with a byte-level oracle on ASCII payloads). Bytes are compared
+    * via their two-char uppercase hex image — for single bytes,
+    * lexicographic hex order IS numeric byte order, and both engines
+    * (Spark `hex`, DuckDB `hex`) emit the identical uppercase form.
     *
     * 100 TB posture: the whole hash is ONE scan-side projection —
-    * 66 sampled chars + 60 comparisons folded into a single 60-bit
+    * 66 sampled bytes + 60 comparisons folded into a single 60-bit
     * sum, zero explode, zero exchange, whole-stage codegen; a 100 TB
     * image corpus fingerprints itself in the same scan that reads the
     * payload envelope. Output: (media_id, phash). */
   def dHash60(media: DataFrame, id: Column, payload: Column): DataFrame = {
-    val base = media.select(id.as("media_id"),
-        decode(payload, "UTF-8").as("__t"))
-      .withColumn("__n", length(col("__t")))
+    val base = media.select(id.as("media_id"), hex(payload).as("__hx"),
+        length(payload).as("__n")) // length(binary) = byte count
       .where(col("__n") >= 1)
     def cell(g: Int): Column =
-      ascii(col("__t").substr(lit(1) + (lit(g * 37) % col("__n")), lit(1)))
+      col("__hx").substr(lit(1) + (lit(g * 37) % col("__n")) * 2, lit(2))
     val bits: Seq[Column] = (0 until 6).flatMap { i =>
       (0 until 10).map { j =>
         when(cell(i * 11 + j) < cell(i * 11 + j + 1),
@@ -137,6 +142,31 @@ object Multimodal {
       }
     }
     base.select(col("media_id"), bits.reduce(_ + _).as("phash"))
+  }
+
+  /** Deterministic re-encoded variants: for every `every`-th media row
+    * whose payload is long enough, a twin with the FIRST byte replaced
+    * by 0x7E and `media_id + idOffset` — the planted positive a
+    * perceptual-dedup deployment recalls against (is the banded
+    * pipeline actually recovering re-encodes of the corpus it guards?).
+    * The length guards pin the perturbation's blast radius under
+    * [[dHash60]]'s sampling: byte offset 0 is read by grid cell g iff
+    * 37·g ≡ 0 (mod n); with n ≥ 67 and n % 37 ≠ 0 that forces g = 0,
+    * so only bit 0 can differ and hamming(original, variant) ≤ 1 —
+    * every variant is GUARANTEED to survive a hamming ≤ 3 dedup
+    * filter, making the recall probe non-vacuous at any corpus size.
+    *
+    * 100 TB posture: a scan-side filter + projection on the media
+    * scan — zero exchanges; the planted set is a fixed 1/(every)
+    * fraction of the corpus. Output: (media_id, payload). */
+  def reencodeVariants(media: DataFrame, every: Long = 10L,
+      idOffset: Long = 1000000000L): DataFrame = {
+    require(every >= 1, s"every=$every must be >= 1")
+    media.where(col("media_id") % every === 0 &&
+        length(col("payload")) >= 67 && length(col("payload")) % 37 =!= 0)
+      .select((col("media_id") + idOffset).as("media_id"),
+        concat(lit(Array[Byte](0x7e.toByte)),
+          col("payload").substr(lit(2), lit(Int.MaxValue))).as("payload"))
   }
 
   /** Perceptual near-dup pairs within `maxHamming` of each other over
@@ -156,6 +186,125 @@ object Multimodal {
       hashes.select(col("media_id").as("doc_id"), col("phash").as("simhash")),
       maxHamming, maxBucket)
       .select(col("a"), col("b"), col("hamming"))
+
+  /** Per-sampled-frame 60-bit dHash for the video corpus — the FUSED
+    * form of [[frameSamplePlan]] ∘ [[dHash60]]: same frame grid (the
+    * `stride = (n_frames + maxFrames − 1) div maxFrames` indices
+    * `0, s, 2s, …`, spec-pinned identical to frameSamplePlan's output)
+    * and same 6×11 hash layout, with the frame entering as a PHASE on
+    * the byte sampling — cell `g` of frame `f` reads the raw payload
+    * byte at offset `(f·101 + g·37) mod n_bytes` (101 coprime to the
+    * 37 stride, so frames sample distinct byte progressions; a real
+    * pipeline computes the same 66 cells from the decoded frame `f`'s
+    * pixels — the [[FakeDecoder]] seam, per frame).
+    *
+    * Fused on purpose: composing via frameSamplePlan would join the
+    * (media_id, frame_idx) plan rows back onto the payload scan — a
+    * self-join of the corpus. Carrying the payload THROUGH the explode
+    * keeps it one scan + one bounded Generate (≤ maxFrames rows per
+    * video), zero exchange; at 100 TB the whole video corpus
+    * fingerprints every sampled frame in the scan that reads it.
+    * Output: (media_id, frame_idx, phash). */
+  def videoFrameDHash(media: DataFrame, maxFrames: Int = 8): DataFrame = {
+    require(maxFrames >= 1 && maxFrames <= 64,
+      s"videoFrameDHash: maxFrames=$maxFrames out of range [1, 64]")
+    val base = media.where(col("kind") === "video")
+      .select(col("media_id"), hex(col("payload")).as("__hx"),
+        length(col("payload")).as("__n"))
+      .where(col("__n") >= 1)
+      // the metaColumns video contract: n_frames = 1 + n_bytes % 30
+      .withColumn("__nf", lit(1) + col("__n") % 30)
+      .withColumn("__stride",
+        expr(s"CAST((__nf + ${maxFrames - 1}) DIV $maxFrames AS INT)"))
+      .select(col("media_id"), col("__hx"), col("__n"),
+        explode(sequence(lit(0), col("__nf") - 1, col("__stride")))
+          .as("frame_idx"))
+    def cell(g: Int): Column =
+      col("__hx").substr(
+        lit(1) + ((col("frame_idx") * 101 + lit(g * 37)) % col("__n")) * 2,
+        lit(2))
+    val bits: Seq[Column] = (0 until 6).flatMap { i =>
+      (0 until 10).map { j =>
+        when(cell(i * 11 + j) < cell(i * 11 + j + 1),
+          lit(1L << (i * 10 + j))).otherwise(lit(0L))
+      }
+    }
+    base.select(col("media_id"), col("frame_idx"),
+      bits.reduce(_ + _).as("phash"))
+  }
+
+  /** Deterministic re-upload twins: every `every`-th media row again
+    * under `media_id + idOffset` with the payload UNCHANGED — the
+    * planted exact-re-upload positives a video-dedup deployment
+    * recalls against (every sampled frame of a twin hashes identically
+    * to its original, so a frame-aligned vote must surface the pair at
+    * hamming 0 — non-vacuous at any corpus size). The near-miss
+    * (re-encoded, ≤ 3 bits per frame) recall path is pinned by unit
+    * fixtures; byte-identity is the only planted perturbation whose
+    * frame-hash blast radius is zero BY CONSTRUCTION at every payload
+    * length (a byte flip's radius under the frame phase grows as
+    * payloads shrink below the 37·66-byte sampling span).
+    *
+    * 100 TB posture: scan-side filter + projection, zero exchanges;
+    * the planted set is a fixed 1/(every) fraction. */
+  def reuploadTwins(media: DataFrame, every: Long = 7L,
+      idOffset: Long = 2000000000L): DataFrame = {
+    require(every >= 1, s"reuploadTwins: every=$every must be >= 1")
+    media.where(col("media_id") % every === 0)
+      .select((col("media_id") + idOffset).as("media_id"), col("kind"),
+        col("payload"))
+  }
+
+  /** Frame-aligned video near-dup vote over [[videoFrameDHash]]
+    * fingerprints — the cross-media-row VIDEO twin of [[phashPairs]]:
+    * two videos are near-dups when at least `minVotes` of their
+    * shared sampled frame positions hash within `maxHamming` of each
+    * other. The banded machinery is x8's, bucketed on
+    * (frame_idx, blk, key): including the frame position in the
+    * bucket key makes the equi-join pair ONLY same-position frames —
+    * alignment costs nothing extra, and within each frame position the
+    * 4×15-bit pigeonhole stays EXACT for hamming ≤ 3. Hot buckets drop
+    * under the same loud `maxBucket` contract.
+    *
+    * The vote (≥ minVotes matched positions, a pure groupBy over the
+    * surviving pairs) is what makes this a VIDEO decision and not a
+    * per-image one: a single coincidental frame collision cannot
+    * fire it. Stride alignment is the documented contract — videos
+    * with different frame counts compare only on the frame indices
+    * both sampled. Output: (a, b, n_matched, ham_max), a < b. */
+  def videoNeardupPairs(frameHashes: DataFrame, maxHamming: Int = 3,
+      minVotes: Int = 2, maxBucket: Int = 1 << 16): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"videoNeardupPairs: maxHamming=$maxHamming breaks the 4-band pigeonhole (<= 3)")
+    require(minVotes >= 1 && maxBucket >= 2,
+      s"videoNeardupPairs: minVotes=$minVotes / maxBucket=$maxBucket out of range")
+    val blocks = (0 until 4).map { blk =>
+      struct(lit(blk).as("blk"),
+        shiftright(col("phash"), blk * 15).bitwiseAND(lit(0x7FFFL)).as("key"))
+    }
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("frame_idx"), col("blk"), col("key"))
+    val guarded = frameHashes
+      .select(col("media_id"), col("frame_idx"), col("phash"),
+        explode(array(blocks: _*)).as("b"))
+      .select(col("media_id"), col("frame_idx"), col("phash"),
+        col("b.blk").as("blk"), col("b.key").as("key"))
+      .withColumn("__n", count(lit(1)).over(bucketW))
+      .where(col("__n") <= maxBucket)
+      .drop("__n")
+    val l = guarded.select(col("frame_idx"), col("blk"), col("key"),
+      col("media_id").as("a"), col("phash").as("sa"))
+    val r = guarded.select(col("frame_idx"), col("blk"), col("key"),
+      col("media_id").as("b"), col("phash").as("sb"))
+    l.join(r, Seq("frame_idx", "blk", "key")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("frame_idx"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_matched"), max(col("hamming")).as("ham_max"))
+      .where(col("n_matched") >= minVotes)
+  }
 
   /** Aspect-preserving letterbox geometry: for each media row, the
     * resize-and-pad plan a vision-model preprocessor executes to map an

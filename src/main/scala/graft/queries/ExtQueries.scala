@@ -8329,25 +8329,38 @@ object ExtQueries {
       .orderBy("k")
   }
 
-  // x241 — PERCEPTUAL-HASH NEAR-DUP over the image media rows: 60-bit
-  // dHash sampled from the decoded payload (one scan-side projection,
-  // zero explode), then banded 4×15-bit Hamming pairs — pigeonhole-
-  // EXACT for hamming ≤ 3, so the banded equi-join IS the all-pairs
-  // answer. The multimodal twin of x8's text SimHash, reusing its
-  // pairing machinery verbatim.
+  // x241 — PERCEPTUAL-HASH NEAR-DUP + RE-ENCODE RECALL PROBE over the
+  // image media rows: 60-bit byte-sampled dHash (one scan-side
+  // projection, zero explode), then banded 4×15-bit Hamming pairs —
+  // pigeonhole-EXACT for hamming ≤ 3, so the banded equi-join IS the
+  // all-pairs answer. The corpus is augmented with deterministic
+  // re-encoded variants (every 10th image, first byte perturbed,
+  // hamming ≤ 1 by the length guards — reencodeVariants' contract), so
+  // the ≤ 3 dedup-decision path returns a NON-EMPTY planted-positive
+  // set at every corpus size — the recall self-calibration a
+  // perceptual-dedup deployment ships with. The multimodal twin of
+  // x8's text SimHash, reusing its pairing machinery verbatim. Bytes
+  // compare via their 2-char uppercase hex image on both engines
+  // (lexicographic = numeric for single bytes), so parity holds for
+  // arbitrary (non-ASCII, non-UTF-8) payloads.
   private val phashBitsSql: String = (0 until 6).flatMap { i =>
     (0 until 10).map { j =>
       val l = (i * 11 + j) * 37
       val r = (i * 11 + j + 1) * 37
       val w = 1L << (i * 10 + j)
-      s"(CASE WHEN unicode(substr(t, 1 + $l % n, 1)) < unicode(substr(t, 1 + $r % n, 1)) THEN $w ELSE 0 END)"
+      s"(CASE WHEN substr(hx, 1 + 2 * ($l % n), 2) < substr(hx, 1 + 2 * ($r % n), 2) THEN $w ELSE 0 END)"
     }
   }.mkString("\n      + ")
   val x241 = Q(
     "x241_phash_neardup",
-    s"""WITH m AS (
-      |  SELECT doc_id AS media_id, text AS t, CAST(length(text) AS INT) AS n
-      |  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 1),
+    s"""WITH m0 AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |         CAST(octet_length(encode(text)) AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= 1),
+      |v AS (
+      |  SELECT media_id + 1000000000 AS media_id, '7E' || substr(hx, 3) AS hx, n
+      |  FROM m0 WHERE media_id % 10 = 0 AND n >= 67 AND n % 37 <> 0),
+      |m AS (SELECT * FROM m0 UNION ALL SELECT * FROM v),
       |h AS (SELECT media_id, CAST($phashBitsSql AS BIGINT) AS phash FROM m),
       |e AS (
       |  SELECT media_id, phash, blk, (phash >> (blk * 15)) & 32767 AS key
@@ -8363,8 +8376,10 @@ object ExtQueries {
       |ORDER BY a, b""".stripMargin) { (s, dir) =>
     val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF()
     val imgs = media.where(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+    val withPlanted = imgs.unionByName(Multimodal.reencodeVariants(imgs))
     Multimodal.phashPairs(
-        Multimodal.dHash60(imgs, col("media_id"), col("payload")))
+        Multimodal.dHash60(withPlanted, col("media_id"), col("payload")))
       .orderBy("a", "b")
   }
 
@@ -8380,8 +8395,9 @@ object ExtQueries {
   val x242 = Q(
     "x242_phash_band_audit",
     s"""WITH m AS (
-      |  SELECT doc_id AS media_id, text AS t, CAST(length(text) AS INT) AS n
-      |  FROM documents WHERE length(text) >= 1),
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |         CAST(octet_length(encode(text)) AS INT) AS n
+      |  FROM documents WHERE octet_length(encode(text)) >= 1),
       |h AS (SELECT media_id, CAST($phashBitsSql AS BIGINT) AS phash FROM m),
       |e AS (
       |  SELECT media_id, phash, blk, (phash >> (blk * 15)) & 32767 AS key
@@ -8403,6 +8419,67 @@ object ExtQueries {
       .orderBy("hamming")
   }
 
+  // x243 — VIDEO FRAME-ALIGNED NEAR-DUP + RE-UPLOAD RECALL PROBE over
+  // the video media rows: the two r12 multimodal pieces composed —
+  // frameSamplePlan's deterministic frame grid × a per-frame 60-bit
+  // dHash (frame enters as a phase on the byte sampling; fused into
+  // ONE scan + one bounded Generate, no plan-to-payload self-join),
+  // then x8's banded Hamming machinery bucketed on (frame_idx, blk,
+  // key) so the equi-join pairs ONLY same-position frames, and a
+  // >= 2-frame vote so a single coincidental frame collision can
+  // never mark two videos as dups. The corpus is augmented with
+  // deterministic re-upload twins (every 7th video, payload
+  // unchanged, media_id + 2e9): every sampled frame of a twin hashes
+  // identically, so the vote path returns a NON-EMPTY
+  // planted-positive set at every corpus size (ham_max = 0 rows).
+  private val frameBitsSql: String = (0 until 6).flatMap { i =>
+    (0 until 10).map { j =>
+      val l = (i * 11 + j) * 37
+      val r = (i * 11 + j + 1) * 37
+      val w = 1L << (i * 10 + j)
+      s"(CASE WHEN substr(hx, 1 + 2 * ((fi * 101 + $l) % n), 2) < substr(hx, 1 + 2 * ((fi * 101 + $r) % n), 2) THEN $w ELSE 0 END)"
+    }
+  }.mkString("\n      + ")
+  val x243 = Q(
+    "x243_video_neardup",
+    s"""WITH m0 AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |         CAST(octet_length(encode(text)) AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 1),
+      |tw AS (
+      |  SELECT media_id + 2000000000 AS media_id, hx, n
+      |  FROM m0 WHERE media_id % 7 = 0),
+      |m AS (SELECT * FROM m0 UNION ALL SELECT * FROM tw),
+      |fr AS (
+      |  SELECT media_id, hx, n, 1 + n % 30 AS nf,
+      |         (1 + n % 30 + 7) // 8 AS stride FROM m),
+      |f AS (
+      |  SELECT media_id, hx, n, CAST(unnest(range(0, nf, stride)) AS INT) AS fi
+      |  FROM fr),
+      |h AS (SELECT media_id, fi, CAST($frameBitsSql AS BIGINT) AS phash FROM f),
+      |e AS (
+      |  SELECT media_id, fi, phash, blk, (phash >> (blk * 15)) & 32767 AS key
+      |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+      |g AS (SELECT *, count(*) OVER (PARTITION BY fi, blk, key) AS bn FROM e),
+      |ff AS (SELECT * FROM g WHERE bn <= 65536),
+      |p AS (
+      |  SELECT DISTINCT l.media_id AS a, r.media_id AS b, l.fi,
+      |         CAST(bit_count(xor(l.phash, r.phash)) AS INT) AS hamming
+      |  FROM ff l JOIN ff r ON l.fi = r.fi AND l.blk = r.blk AND l.key = r.key
+      |                      AND l.media_id < r.media_id),
+      |pm AS (SELECT * FROM p WHERE hamming <= 3)
+      |SELECT a, b, CAST(count(*) AS BIGINT) AS n_matched,
+      |       CAST(max(hamming) AS INT) AS ham_max
+      |FROM pm GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF()
+    val vids = media.where(col("kind") === "video")
+      .select(col("media_id"), col("kind"), col("payload"))
+    val withTwins = vids.unionByName(Multimodal.reuploadTwins(vids))
+    Multimodal.videoNeardupPairs(Multimodal.videoFrameDHash(withTwins))
+      .orderBy("a", "b")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -8422,5 +8499,5 @@ object ExtQueries {
       x209, x210, x211, x212, x213, x214, x215, x216, x217, x218, x219,
       x220, x221, x222, x223, x224, x225, x226, x227, x228, x229, x230,
       x231, x232, x233, x234, x235, x236, x237, x238, x239, x240, x241,
-      x242)
+      x242, x243)
 }

@@ -34,7 +34,12 @@ final case class Chi2DriftRow(k: String, n_own: Long, n_ref: Long,
   * O(bins) state per key — at most 63 longs, regardless of how many
   * rows ever flowed. Emissions are cumulative verdicts (Append mode;
   * the LATEST row per key is the current verdict — a monitor reads the
-  * newest, a forensics query reads the trajectory). Counts are
+  * newest, a forensics query reads the trajectory), and a verdict is
+  * emitted only when the micro-batch actually CHANGED the histogram —
+  * no duplicate trajectory rows. Malformed deltas (bin outside
+  * [0, 63) or n ≤ 0) poison the query loudly, matching the `ref` map's
+  * contract: the upstream rollup produces them in-range by
+  * construction, so an invalid delta is a bug, not data. Counts are
   * commutative, so late bins fold in with no frontier; replays under
   * at-least-once delivery double-count (the documented trade — exactly-
   * once needs the upstream sink's idempotent batch ids, S6's contract).
@@ -57,12 +62,17 @@ object Chi2DriftStream {
             state: GroupState[Seq[Long]]) =>
           val own = state.getOption
             .map(_.toArray).getOrElse(Array.fill(Bins)(0L))
+          var changed = false
           batch.foreach { d =>
-            if (d.b >= 0 && d.b < Bins && d.n > 0) own(d.b) += d.n
+            require(d.b >= 0 && d.b < Bins && d.n > 0,
+              s"drifts: key '$key' got invalid BinDelta(b=${d.b}, n=${d.n}) " +
+                s"— the upstream rollup must emit bins in [0, $Bins) with n > 0")
+            own(d.b) += d.n
+            changed = true
           }
-          state.update(own.toSeq)
+          if (changed) state.update(own.toSeq)
           val n1 = own.sum
-          if (n1 <= 0) Iterator.empty
+          if (!changed || n1 <= 0) Iterator.empty
           else {
             val nn = BigInt(n1) + n2
             var chi2 = BigInt(0)

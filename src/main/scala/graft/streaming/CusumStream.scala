@@ -28,7 +28,10 @@ final case class CusumRow(k: String, day: Int, level: Long, cusum: Long)
   * at-or-behind the frontier are dropped (the [[TransitionStream]] late
   * contract). Emissions narrow the batch plan's DECIMAL(38) envelope to
   * int64 (|cusum| < 2^63, i.e. n·Σ|y| < 9.2e18) — the documented
-  * streaming trade, as [[DrawdownStream]] narrows cents. Keys absent
+  * streaming trade, as [[DrawdownStream]] narrows cents — and the
+  * narrowing is GUARDED: an envelope breach poisons the query loudly
+  * (the exact BigInt state makes the check free) instead of emitting
+  * wrapped garbage verdicts. Keys absent
   * from `refs` emit nothing (a monitor watches calibrated keys;
   * throwing would poison the whole query) — documented, not silent:
   * the builder requires a non-empty calibration map.
@@ -58,6 +61,11 @@ object CusumStream {
               batch.toSeq.sortBy(_.day).foreach { lv =>
                 if (frontier == Unset || lv.day > frontier) {
                   cusum += BigInt(den) * lv.cents - num
+                  // the state is exact; the EMISSION narrows to int64 —
+                  // breach must be loud, never a wrapped verdict
+                  require(cusum.isValidLong,
+                    s"cusums: key '$key' cusum $cusum exceeds int64 at day " +
+                      s"${lv.day} — recalibrate the reference (den*Sum|y| envelope)")
                   out += CusumRow(key, lv.day, lv.cents, cusum.toLong)
                   frontier = lv.day
                 } // else: late behind the closed-day frontier — dropped

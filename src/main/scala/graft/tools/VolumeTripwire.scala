@@ -1316,6 +1316,38 @@ object VolumeTripwire {
             encode(col("text"), "UTF-8").as("payload")),
           col("media_id"), col("payload")))
         Res("x241_phashNeardup", timeMin(ph(d1)), timeMin(ph(d10)))
+      }, {
+        // phash band audit: the maxHamming=60 histogram form — candidate
+        // volume is still governed by the banded buckets (the ≤65536 cap
+        // drops the flood's shared fingerprint), so the full-spectrum
+        // histogram must scale like the near-dup path, not like N²
+        val d1 = Tables.documents(spark, sfDir).select("doc_id", "text")
+        val flood = d1.limit(1).crossJoin(spark.range(100000))
+          .select((col("doc_id") + col("id") + 10000000L).as("doc_id"),
+            col("text"))
+        val d10 = blow(d1, "doc_id", 10, 1000000L).unionAll(flood)
+        def audit(d: DataFrame) = Multimodal.phashPairs(Multimodal.dHash60(
+            d.select(col("doc_id").as("media_id"),
+              encode(col("text"), "UTF-8").as("payload")),
+            col("media_id"), col("payload")), maxHamming = 60)
+          .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+        Res("x242_phashBandAudit", timeMin(audit(d1)), timeMin(audit(d10)))
+      }, {
+        // video frame near-dup: 10× docs plus a 100k byte-identical
+        // flood — every copy's every sampled frame shares ONE
+        // fingerprint per position, so all (frame, band) buckets of
+        // the flood blow past maxBucket and drop loudly; candidate
+        // work stays ~linear, the vote is a combinable rollup
+        val d1 = Tables.documents(spark, sfDir).select("doc_id", "text")
+        val flood = d1.limit(1).crossJoin(spark.range(100000))
+          .select((col("doc_id") + col("id") + 10000000L).as("doc_id"),
+            col("text"))
+        val d10 = blow(d1, "doc_id", 10, 1000000L).unionAll(flood)
+        def vote(d: DataFrame) = Multimodal.videoNeardupPairs(
+          Multimodal.videoFrameDHash(
+            d.select(col("doc_id").as("media_id"), lit("video").as("kind"),
+              encode(col("text"), "UTF-8").as("payload"))))
+        Res("x243_videoNeardup", timeMin(vote(d1)), timeMin(vote(d10)))
       })
 
     val only: Option[Set[String]] =

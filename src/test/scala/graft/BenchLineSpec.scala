@@ -31,6 +31,29 @@ class BenchLineSpec extends AnyFunSuite {
         s"tier — add a denser tier before the driver record degrades")
   }
 
+  test("contended self-label: counts queries whose run spread exceeds 3x, on every tier") {
+    // two quiet queries + one whose second run was 5x the first
+    val res = Seq(
+      ("x1_quiet", Seq((1.0, 1.0), (1.1, 1.1)), Option.empty[String]),
+      ("x2_quiet", Seq((2.0, 2.0), (2.2, 2.2)), Option.empty[String]),
+      ("x3_noisy", Seq((1.0, 1.0), (5.5, 1.1)), Option.empty[String]))
+    assert(Bench.contendedCount(res) == "1")
+    val line = Bench.composeStdoutLine(res, "sf", 2, calib)
+    assert(line.contains("\"contended\":1"), line)
+    // runs=1 -> spread undefined -> null, never a bogus 0
+    val single = res.map { case (n, ts, e) => (n, ts.take(1), e) }
+    assert(Bench.contendedCount(single) == "null")
+    assert(Bench.composeStdoutLine(single, "sf", 1, calib)
+      .contains("\"contended\":null"))
+    // the field survives tier degradation: full registry at worst-case
+    // walls lands in a compact tier and must still carry the label
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val big = names.map(n => (n, Seq((999.99, 999.99), (3333.3, 999.99)), Option.empty[String]))
+    val bigLine = Bench.composeStdoutLine(big, "sf", 2, calib)
+    assert(bigLine.contains(s"\"contended\":${names.size}"), bigLine.take(300))
+    assert(bigLine.length <= Bench.StdoutBudget)
+  }
+
   test("registry growth keeps headroom in the driver's correctness artifacts") {
     // the bench stdout tier guard above already fired once (r10, 185
     // queries); this is the same early-warning style for the OTHER two

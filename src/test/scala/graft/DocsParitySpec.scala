@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** The anti-drift gate: three consecutive rounds landed query batches
+  * in the end-of-round snapshot with no COVERAGE/README entries
+  * (x173/x174, x237–x240, x241/x242). This spec makes `sbt test` —
+  * which must be green before any snapshot — refuse a registry/docs
+  * mismatch, so an undocumented batch can never land silently again.
+  *
+  * No Spark session needed: it diffs `SparkEntry.queries.keySet`
+  * against the doc surfaces as plain text.
+  */
+class DocsParitySpec extends AnyFunSuite {
+
+  private def read(p: String): String = {
+    val path = Paths.get(p)
+    assert(Files.exists(path), s"missing doc file $p")
+    new String(Files.readAllBytes(path), "UTF-8")
+  }
+
+  private val registered: Set[String] = SparkEntry.queries.keySet
+
+  test("COVERAGE.md's full registry index lists exactly SparkEntry.queries") {
+    val cov = read("COVERAGE.md")
+    val header = """## Full registry index \(round \d+: (\d+) queries""".r
+    val m = header.findFirstMatchIn(cov)
+    assert(m.isDefined, "registry index header not found in COVERAGE.md")
+    assert(m.get.group(1).toInt == registered.size,
+      s"COVERAGE.md registry header says ${m.get.group(1)} queries; " +
+        s"SparkEntry.queries has ${registered.size} — update the index")
+    // the ids live in the fenced block right after the header
+    val tail = cov.substring(m.get.start)
+    val block = tail.split("```")(1)
+    val listed = block.split("[,\\s]+").map(_.trim).filter(_.nonEmpty).toSet
+    val missing = registered -- listed
+    val stale = listed -- registered
+    assert(missing.isEmpty,
+      s"queries registered but NOT in COVERAGE.md registry index: " +
+        s"${missing.toSeq.sorted.mkString(", ")}")
+    assert(stale.isEmpty,
+      s"ids in COVERAGE.md registry index but NOT registered: " +
+        s"${stale.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("README.md's query count matches the registry") {
+    val readme = read("README.md")
+    val count = """queries \((\d+) total\)""".r
+    val m = count.findFirstMatchIn(readme)
+    assert(m.isDefined, "'queries (N total)' line not found in README.md")
+    assert(m.get.group(1).toInt == registered.size,
+      s"README.md says ${m.get.group(1)} total queries; " +
+        s"SparkEntry.queries has ${registered.size}")
+  }
+
+  test("every registered query has an oracle (the driver-gate precondition)") {
+    val noOracle = registered -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty,
+      s"queries with no oracleSql entry: ${noOracle.toSeq.sorted.mkString(", ")}")
+  }
+}

@@ -1924,13 +1924,55 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(!hp.contains("Aggregate"), hp)
     // the full pair query: banded equi-join on (blk, key) — no cartesian
     val df = SparkEntry.queries("x241_phash_neardup")(spark, dir)
-    df.collect()
+    val rows = df.collect()
+    // the planted re-encode variants make the result non-empty at any
+    // corpus size: every (d, d+1e9) pair with hamming <= 1 must be here
+    assert(rows.nonEmpty, "x241 returned 0 pairs — the recall probe is vacuous")
+    rows.filter(r => r.getLong(1) >= 1000000000L && r.getLong(0) < 1000000000L)
+      .foreach { r =>
+        assert(r.getLong(1) - 1000000000L == r.getLong(0) || r.getInt(2) <= 3, r.toString)
+      }
+    assert(rows.exists(r => r.getLong(1) - 1000000000L == r.getLong(0) && r.getInt(2) <= 1),
+      s"no (original, variant) planted pair surfaced: ${rows.take(10).mkString(",")}")
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("CartesianProduct"), p)
+    assert(!finalP.contains("BroadcastNestedLoop"), p)
+    // positive join assertion on the FULL plan string: with a non-empty
+    // fixture the AQE final plan keeps the join, but asserting on the
+    // whole dump (initial + final) is AQE-replan-proof either way
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("x243: frame hashing is one scan + one bounded Generate (no join); pairs via frame-aligned banded equi-join; planted twins vote through") {
+    import org.apache.spark.sql.functions.encode
+    // the fused frame-hash: payload carried THROUGH the explode — no
+    // plan-to-payload self-join, zero exchanges before the pairing
+    val vids = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+    val hp = graft.ext.Multimodal.videoFrameDHash(vids)
+      .queryExecution.executedPlan.toString
+    assert(!hp.contains("Exchange"), hp)
+    assert(!hp.contains("Join"), hp)
+    assert(hp.contains("Generate"), hp) // the bounded frame explode
+    // the full vote query: equi-join keyed on (frame_idx, blk, key)
+    val df = SparkEntry.queries("x243_video_neardup")(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "x243 returned 0 pairs — the re-upload probe is vacuous")
+    val twins = rows.filter(r => r.getLong(1) - r.getLong(0) == 2000000000L)
+    assert(twins.nonEmpty, s"no (video, twin) pair surfaced: ${rows.take(10).mkString(",")}")
+    twins.foreach { r =>
+      assert(r.getInt(3) == 0, s"re-upload twin must be hamming 0 at every frame: $r")
+      assert(r.getLong(2) >= 2L, s"twin votes need >= 2 aligned frames: $r")
+    }
     val p = df.queryExecution.executedPlan.toString
     val finalP = p.split("== Initial Plan ==")(0)
     assert(!finalP.contains("CartesianProduct"), p)
     assert(!finalP.contains("BroadcastNestedLoop"), p)
     assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
-      .findFirstIn(finalP).isDefined, p)
+      .findFirstIn(p).isDefined, p)
   }
 
   test("graph ops: iteration caps are enforced (the lineage contract — a fixpoint variant must checkpoint, not raise these)") {

@@ -402,6 +402,85 @@ class MultimodalSpec extends SparkSpec {
     assert(flipped >= 0 && flipped <= 2, s"expected <=2 bit flips, got $flipped")
   }
 
+  test("reencodeVariants: every variant is hamming <= 1 from its original (the planted-recall contract)") {
+    val rows = (0 until 40).map { i =>
+      (i * 10L, ("payload body " + ("abcdefghij" * 12).drop(i % 7) + i).take(80 + i))
+    }
+    val media = mediaOf(rows)
+    val variants = Multimodal.reencodeVariants(media, every = 10L)
+    val vids = variants.select("media_id").collect().map(_.getLong(0)).toSet
+    // eligibility: media_id % 10 == 0 (all here), n >= 67, n % 37 != 0
+    val eligible = rows.filter { case (_, t) => t.length >= 67 && t.length % 37 != 0 }
+      .map(_._1 + 1000000000L).toSet
+    assert(vids === eligible)
+    val hs = Multimodal.dHash60(media.unionByName(variants),
+        col("media_id"), col("payload"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vids.foreach { v =>
+      val orig = v - 1000000000L
+      val d = java.lang.Long.bitCount(hs(orig) ^ hs(v))
+      assert(d <= 1, s"variant of $orig drifted $d bits")
+    }
+  }
+
+  private def videoOf(rows: Seq[(Long, String)]) =
+    rows.toDF("media_id", "t")
+      .select(col("media_id"), lit("video").as("kind"),
+        encode(col("t"), "UTF-8").as("payload"))
+
+  test("videoFrameDHash: frame grid IS frameSamplePlan's (same stride contract), hashes deterministic") {
+    val rows = (0L until 25L).map(i => (i, ("frame payload body " * 9 + i).take(40 + (i * 13 % 200).toInt)))
+    val vids = videoOf(rows)
+    val gotGrid = Multimodal.videoFrameDHash(vids, maxFrames = 8)
+      .select("media_id", "frame_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val planGrid = Multimodal.frameSamplePlan(
+        Multimodal.metaColumns(vids), maxFrames = 8)
+      .select("media_id", "frame_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(gotGrid === planGrid)
+    // deterministic: same input, same hashes
+    val h1 = Multimodal.videoFrameDHash(vids).collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val h2 = Multimodal.videoFrameDHash(vids).collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(h1 === h2)
+    h1.values.foreach(v => assert(v >= 0L && v < (1L << 60)))
+  }
+
+  test("videoNeardupPairs: re-upload twins surface with ham_max = 0 and a full frame vote; distinct videos do not") {
+    val rows = (0L until 21L).map(i =>
+      (i, ("video body nr " + i + " " + ("abcdefghij" * 20)).take(120 + (i * 7 % 80).toInt)))
+    val vids = videoOf(rows)
+    val withTwins = vids.unionByName(Multimodal.reuploadTwins(vids, every = 7L))
+    val hashes = Multimodal.videoFrameDHash(withTwins)
+    val got = Multimodal.videoNeardupPairs(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val twinPairs = got.filter { case (a, b, _, _) => b - a == 2000000000L }
+    // every twin whose video samples >= 2 frames must vote through at hamming 0
+    val framesPer = hashes.groupBy("media_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = rows.map(_._1).filter(i => i % 7 == 0 && framesPer(i) >= 2L)
+    assert(twinPairs.map(_._1).toSet === expected.toSet)
+    twinPairs.foreach { case (a, _, nm, hm) =>
+      assert(hm === 0, s"twin of $a not byte-identical under the hash?")
+      assert(nm === framesPer(a), s"twin of $a must match on EVERY sampled frame")
+    }
+    // a single-frame coincidence can never fire the vote
+    assert(got.forall(_._3 >= 2L))
+  }
+
+  test("videoNeardupPairs: the vote is frame-ALIGNED (same positions only) and >= minVotes positions") {
+    // hand-built frame hashes: videos 1 and 2 share hashes at frames 0 and 3;
+    // video 4 collides with 1 at ONE frame only -> below the vote
+    val fh = Seq(
+      (1L, 0, 100L), (1L, 3, 200L), (1L, 6, 300L),
+      (2L, 0, 100L), (2L, 3, 201L), (2L, 6, 999L), // f3: hamming(200,201)=1
+      (4L, 0, 100L), (4L, 3, 77777L)
+    ).toDF("media_id", "frame_idx", "phash")
+    val got = Multimodal.videoNeardupPairs(fh, maxHamming = 3, minVotes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got === Set((1L, 2L, 2L, 1)))
+  }
+
   test("phashPairs: banded join returns EXACTLY the all-pairs hamming<=3 answer (pigeonhole)") {
     // a spread of lengths and contents plus planted near-dups
     val texts = (0 until 30).map { i =>

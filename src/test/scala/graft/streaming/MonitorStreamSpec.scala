@@ -5,13 +5,16 @@ import graft.ext.{Profile, TimeSeries}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-/** Pins the monitoring twins [[CusumStream]] and [[Chi2DriftStream]]:
-  * O(1)/O(bins) state across micro-batch boundaries, the late-data
-  * contracts, and EXACT parity with the batch operators —
-  * [[graft.ext.TimeSeries.cusumPeak]] (refs = the batch totals make the
-  * emitted cusums the batch window column) and
-  * [[graft.ext.Profile.log2Chi2Drift]] (a two-stratum own ∪ ref corpus
-  * makes "the rest" be the reference). */
+/** Pins the monitoring twins [[CusumStream]], [[Chi2DriftStream]],
+  * [[KsDriftStream]] and [[ZscoreStream]]: O(1)/O(bins)/O(win) state
+  * across micro-batch boundaries, the late-data contracts, the loud
+  * guards (invalid deltas, int64 envelope breach), and EXACT parity
+  * with the batch operators — [[graft.ext.TimeSeries.cusumPeak]]
+  * (refs = the batch totals make the emitted cusums the batch window
+  * column), [[graft.ext.Profile.log2Chi2Drift]] / [[graft.ext.Profile.log2Ks]]
+  * (a two-stratum own ∪ ref corpus makes "the rest" be the reference)
+  * and [[graft.ext.TimeSeries.rollingZscore]] (the trailing window is
+  * computable online, so flags match row for row). */
 class MonitorStreamSpec extends SparkSpec {
   import spark.implicits._
 
@@ -151,5 +154,156 @@ class MonitorStreamSpec extends SparkSpec {
       Seq(binCounts(shifted).toSeq.map { case (b, n) => BinDelta("d", b, n) }),
       binCounts(ref)).maxBy(_.n_own)
     assert(drift.drifted === 1)
+  }
+
+  // ---- KS drift ----
+
+  private def runKs(batches: Seq[Seq[BinDelta]], ref: Map[Int, Long],
+      thresholdPpm: Long = 100000L): Seq[KsDriftRow] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[BinDelta]
+    val q = KsDriftStream.drifts(mem.toDS(), ref, thresholdPpm)
+      .writeStream.format("memory").queryName("ks_rows")
+      .outputMode("append").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("ks_rows").as[KsDriftRow].collect().toSeq
+    spark.sql("DROP TABLE IF EXISTS ks_rows")
+    got
+  }
+
+  test("ks drift: latest emission equals batch log2Ks on the two-stratum corpus") {
+    val own = Seq(1L, 2L, 3L, 5L, 9L, 17L, 33L, 900L, 901L, 902L)
+    val ref = Seq(1L, 1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L)
+    val deltas = binCounts(own).toSeq.map { case (b, n) => BinDelta("a", b, n) }
+    val got = runKs(Seq(deltas.take(2), deltas.drop(2)), binCounts(ref))
+    val last = got.maxBy(_.n_own)
+    val b = (own.map(("a", _)) ++ ref.map(("__ref", _))).toDF("s", "v")
+    val row = Profile.log2Ks(b, col("s"), col("v"))
+      .where(col("s") === "a").collect().head
+    assert(last.n_own === row.getLong(1))
+    assert(last.n_ref === row.getLong(2))
+    assert(last.ks_ppm === Some(row.getLong(3)))
+    assert(last.ks_bin === Some(row.getLong(4)))
+  }
+
+  test("ks drift: state folds across batches (split == one-shot); empty ref reads NULL; threshold trips drifted") {
+    val own = Seq(1L, 3L, 9L, 100L, 1000L)
+    val deltas = binCounts(own).toSeq.sortBy(_._1)
+      .map { case (b, n) => BinDelta("a", b, n) }
+    val ref = Map(0 -> 3L, 3 -> 2L)
+    val oneShot = runKs(Seq(deltas), ref).maxBy(_.n_own)
+    val split = runKs(Seq(deltas.take(1), deltas.drop(1)), ref).maxBy(_.n_own)
+    assert(split === oneShot)
+    val noRef = runKs(Seq(deltas), Map.empty[Int, Long]).maxBy(_.n_own)
+    assert(noRef.ks_ppm === None && noRef.ks_bin === None
+      && noRef.drifted === 0 && noRef.n_ref === 0L)
+    // identical distribution: KS = 0, never drifted; disjoint: ~1e6 ppm, drifted
+    val same = runKs(Seq(deltas), binCounts(own)).maxBy(_.n_own)
+    assert(same.ks_ppm === Some(0L) && same.drifted === 0)
+    val far = runKs(Seq(deltas), Map(40 -> 100L)).maxBy(_.n_own)
+    assert(far.ks_ppm === Some(1000000L) && far.drifted === 1)
+  }
+
+  test("ks drift: ties on the max CDF gap resolve to the SMALLEST bin (the batch max(struct(dx,-b)) rule)") {
+    // own in bin 0, ref in bin 4: gap is maximal (=n1*n2) for every
+    // bin in [0,4) -- both engines must report bin 0
+    val got = runKs(Seq(Seq(BinDelta("a", 0, 5L))), Map(4 -> 7L)).head
+    assert(got.ks_bin === Some(0L) && got.ks_ppm === Some(1000000L))
+    val b = (Seq.fill(5)(1L).map(("a", _)) ++ Seq.fill(7)(16L).map(("__ref", _)))
+      .toDF("s", "v")
+    val row = Profile.log2Ks(b, col("s"), col("v"))
+      .where(col("s") === "a").collect().head
+    assert(row.getLong(4) === 0L && row.getLong(3) === 1000000L)
+  }
+
+  test("drift monitors: a malformed BinDelta poisons the query loudly (never a silent drop)") {
+    implicit val sqlCtx = spark.sqlContext
+    Seq[(String, org.apache.spark.sql.Dataset[BinDelta] => org.apache.spark.sql.Dataset[_])](
+      ("chi2", ds => Chi2DriftStream.drifts(ds, Map(0 -> 1L))),
+      ("ks", ds => KsDriftStream.drifts(ds, Map(0 -> 1L)))
+    ).foreach { case (name, mk) =>
+      val mem = MemoryStream[BinDelta]
+      val q = mk(mem.toDS()).writeStream.format("memory")
+        .queryName(s"bad_$name").outputMode("append").start()
+      mem.addData(BinDelta("a", 63, 1L)) // bin out of range
+      val e = intercept[Exception] { q.processAllAvailable() }
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS bad_$name")
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(_.getMessage != null)
+        && causes(e).exists(c => Option(c.getMessage).exists(_.contains("invalid BinDelta"))),
+        s"$name: expected the loud invalid-delta require, got $e")
+    }
+  }
+
+  test("cusums: an int64 envelope breach poisons the query loudly, never a wrapped verdict") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DailyLevel]
+    // den*y - num = (2^62)*4 - 1 > Long.MaxValue on day 1
+    val q = CusumStream.cusums(mem.toDS(), Map("a" -> (1L, 1L << 62)))
+      .writeStream.format("memory").queryName("cusum_breach")
+      .outputMode("append").start()
+    mem.addData(DailyLevel("a", 1, 4L))
+    val e = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    spark.sql("DROP TABLE IF EXISTS cusum_breach")
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(_.contains("exceeds int64"))),
+      s"expected the loud envelope require, got $e")
+  }
+
+  // ---- rolling z-score ----
+
+  private def runZ(batches: Seq[Seq[DailyLevel]], win: Int, c: Int,
+      minN: Int): Seq[ZscoreFlag] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DailyLevel]
+    val q = ZscoreStream.flags(mem.toDS(), win, c, minN)
+      .writeStream.format("memory").queryName("z_rows")
+      .outputMode("append").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("z_rows").as[ZscoreFlag].collect().toSeq
+    spark.sql("DROP TABLE IF EXISTS z_rows")
+    got
+  }
+
+  test("zscore: emitted flags ARE the batch rollingZscore rows (multi-key, split mid-series)") {
+    // quiet series with planted spikes; key b shorter than minN gate
+    // second spike at day 28: day 17's spike has left its trailing
+    // window (18..27), so both judge against quiet windows
+    val rows = (1 to 30).map { d =>
+      ("a", d, if (d == 17 || d == 28) 900L else 100L + (d % 3))
+    } ++ (1 to 5).map(d => ("b", d, 50L))
+    val win = 10; val c = 3; val minN = 4
+    val batch = TimeSeries.rollingZscore(rows.toDF("k", "day", "cents"),
+        col("k"), col("day"), col("cents"), win, c, minN)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSet
+    val levels = rows.map { case (k, d, v) => DailyLevel(k, d, v) }
+    val got = runZ(Seq(levels.take(11), levels.slice(11, 12), levels.drop(12)),
+      win, c, minN)
+      .map(f => (f.k, f.day, f.v, f.n_win, f.z2_num, f.z2_den)).toSet
+    assert(got === batch)
+    assert(got.exists(_._2 == 17) && got.exists(_._2 == 28),
+      s"planted spikes must flag: $got")
+    assert(!got.exists(_._1 == "b"), "5-day series is under the minN gate")
+  }
+
+  test("zscore: late day behind the frontier is dropped; window truly trails (a spike never judges itself)") {
+    val lv = (1 to 12).map(d => DailyLevel("a", d, if (d == 10) 999L else 7L))
+    val withLate = lv.take(11) ++ Seq(DailyLevel("a", 3, 888L)) ++ lv.drop(11)
+    val got = runZ(Seq(withLate), 8, 2, 3)
+    // day 10 flags (spike vs quiet tail); the late day-3 re-send is dropped,
+    // so day 11/12 judge against windows containing the ORIGINAL day 3
+    assert(got.map(_.day).contains(10))
+    assert(!got.exists(f => f.day == 3))
+    // day 10's window is days 2..9 (all 7s): den = 0, num > 0
+    val f10 = got.find(_.day == 10).get
+    assert(f10.z2_den === "0" && f10.n_win === 8L)
   }
 }

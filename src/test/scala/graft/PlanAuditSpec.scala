@@ -860,6 +860,14 @@ class PlanAuditSpec extends SparkSpec {
       .takeWhile(l => !l.contains("LeftAnti"))
       .exists(_.contains("HashAggregate"))
     assert(aggBelow, p)
+    // r13 forensics pin (the r12 "x148 slowed 2x" scare was box
+    // contention — quiet-box min matches r11): the wedge join must
+    // stay a hash-partitioned equi-join on z, never a nested loop,
+    // and the agg exchange must keep its map-side partial
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    assert("SortMergeJoin \\[z#\\d+L?\\]|ShuffledHashJoin \\[z#\\d+L?\\]".r
+      .findFirstIn(p).isDefined, p)
+    assert(p.contains("partial_count"), p)
   }
 
   test("x149: EWMA = one key-partitioned rank window + one groupBy; no global window") {

@@ -306,6 +306,64 @@ object Multimodal {
       .where(col("n_matched") >= minVotes)
   }
 
+  /** Silence-trim plan for the audio corpus — the VAD pre-filter an
+    * ASR/TTS curation pipeline runs before spending decode/transcribe
+    * budget: window each payload's amplitude into `windows` equal
+    * spans, call a window silent when its sampled energy is at most
+    * `silenceMax`, and emit the trim decision — the first and last
+    * voiced windows (NULL = drop the row entirely, it is all silence),
+    * the silent-window count, and the total sampled energy.
+    *
+    * The GRID is the decode seam's stand-in (no audio codecs in this
+    * container): window `c`'s energy sums `samplesPerWindow` RAW
+    * PAYLOAD BYTES at the evenly-spread offsets
+    * `(i·n_bytes) div (windows·samplesPerWindow)` — a real pipeline
+    * sums |PCM amplitude| per window off the [[FakeDecoder]] seam; the
+    * windowing, thresholding, trim semantics and everything downstream
+    * are the production contract. Byte values go through the payload's
+    * hex image on BOTH engines (`conv(hex, 16, 10)` here, the
+    * `('0x' || …)::INT` cast in the oracle), so parity holds for
+    * arbitrary payloads.
+    *
+    * 100 TB posture: the whole plan is ONE scan-side projection —
+    * windows·samplesPerWindow sampled bytes folded into static energy
+    * columns, the trim bounds as coalesce ladders over them — zero
+    * explode, zero exchange, whole-stage codegen; a 100 TB audio
+    * corpus plans its entire trim pass in the scan that reads the
+    * envelope. Output: (media_id, first_voiced, last_voiced,
+    * n_silent, energy_q). */
+  def audioTrimPlan(media: DataFrame, windows: Int = 16,
+      samplesPerWindow: Int = 4, silenceMax: Int = 260): DataFrame = {
+    require(windows >= 2 && windows <= 64,
+      s"audioTrimPlan: windows=$windows out of range [2, 64]")
+    require(samplesPerWindow >= 1 && samplesPerWindow <= 16,
+      s"audioTrimPlan: samplesPerWindow=$samplesPerWindow out of range [1, 16]")
+    require(silenceMax >= 0, s"audioTrimPlan: silenceMax=$silenceMax must be >= 0")
+    val S = windows * samplesPerWindow
+    val base = media.where(col("kind") === "audio")
+      .select(col("media_id"), hex(col("payload")).as("__hx"),
+        length(col("payload")).as("__n"))
+      .where(col("__n") >= 1)
+    def byteAt(i: Int): Column =
+      conv(col("__hx").substr(
+        lit(1) + expr(s"(__n * $i) DIV $S") * 2, lit(2)), 16, 10).cast("int")
+    val energies: Seq[Column] = (0 until windows).map { c =>
+      (0 until samplesPerWindow).map(j => byteAt(c * samplesPerWindow + j))
+        .reduce(_ + _)
+    }
+    val voiced = energies.map(_ > silenceMax)
+    val firstVoiced = coalesce(
+      voiced.zipWithIndex.map { case (v, c) => when(v, lit(c)) }: _*)
+    val lastVoiced = coalesce(
+      voiced.zipWithIndex.reverse.map { case (v, c) => when(v, lit(c)) }: _*)
+    val nSilent = voiced.map(v => when(v, lit(0)).otherwise(lit(1)))
+      .reduce(_ + _)
+    base.select(col("media_id"),
+      firstVoiced.as("first_voiced"), lastVoiced.as("last_voiced"),
+      nSilent.as("n_silent"),
+      energies.map(_.cast("long")).reduce(_ + _).as("energy_q"))
+  }
+
   /** Aspect-preserving letterbox geometry: for each media row, the
     * resize-and-pad plan a vision-model preprocessor executes to map an
     * arbitrary (width, height) onto a fixed `targetW`×`targetH` canvas —

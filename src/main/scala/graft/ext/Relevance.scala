@@ -141,4 +141,56 @@ object Relevance {
       .select(col("qid"), col("neighbor_id"), col("rank_a"), col("rank_b"),
         col("rrf_e6"), col("rank"))
   }
+
+  /** Borda rank aggregation — the positional voting rule a
+    * judge-leaderboard pipeline runs over per-prompt rankings (each
+    * "ballot" ranks the candidates it saw; a candidate ranked r-th of
+    * k earns k − r points), and the classic alternative to score
+    * averaging when judges' raw scores aren't commensurable (only
+    * their orderings are — the [[rrfFuse]] argument, at the
+    * leaderboard level).
+    *
+    * Candidates are first collapsed to one entry per ballot
+    * (sum of `score`, earliest `tie`), THEN ranked — a candidate
+    * appearing twice on a ballot is one contender with pooled
+    * strength, not two votes. Ranking is deterministic: score desc,
+    * then the tie column. `borda_ppm = 1e6·points div max_points`
+    * normalizes across candidates seen on different ballot sizes
+    * (max_points = Σ (k−1) over the candidate's ballots — a perfect
+    * always-first candidate scores 1e6); NULL when every ballot the
+    * candidate appeared on was a singleton (k = 1 carries no ordinal
+    * information — no division by zero, the verdict is "unranked").
+    *
+    * 100 TB posture: one hash(ballot) exchange shared by the
+    * collapse groupBy, the rank window and the ballot-size window;
+    * then one combinable rollup at candidate cardinality. Nothing
+    * joins at corpus scale and no global sort exists.
+    * Output: (cand, n_ballots, borda_points, max_points, borda_ppm). */
+  def bordaAggregate(rankings: DataFrame, ballot: Column, candidate: Column,
+      score: Column, tie: Column): DataFrame = {
+    // ONE exchange on the ballot: hash(ballot) satisfies the collapse
+    // groupBy's (ballot, cand) clustering AND both windows' ballot
+    // distribution, so the whole per-ballot phase shares this shuffle
+    // (letting Catalyst pick would exchange on (ballot, cand) for the
+    // collapse and AGAIN on ballot for the windows)
+    val perBallot = rankings
+      .select(ballot.as("ballot"), candidate.as("cand"),
+        score.as("s"), tie.as("t"))
+      .repartition(col("ballot"))
+      .groupBy(col("ballot"), col("cand"))
+      .agg(sum(col("s")).as("s"), min(col("t")).as("t"))
+    val wRank = Window.partitionBy(col("ballot"))
+      .orderBy(col("s").desc, col("t"))
+    val wSize = Window.partitionBy(col("ballot"))
+    perBallot
+      .withColumn("r", row_number().over(wRank).cast("long"))
+      .withColumn("k", count(lit(1)).over(wSize))
+      .groupBy(col("cand"))
+      .agg(count(lit(1)).as("n_ballots"),
+        sum(col("k") - col("r")).as("borda_points"),
+        sum(col("k") - 1).as("max_points"))
+      .withColumn("borda_ppm",
+        when(col("max_points") > 0,
+          expr("CAST(borda_points * 1000000 DIV max_points AS BIGINT)")))
+  }
 }

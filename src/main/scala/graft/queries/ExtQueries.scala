@@ -8480,6 +8480,129 @@ object ExtQueries {
       .orderBy("a", "b")
   }
 
+  // x244 — AUDIO SILENCE-TRIM PLAN over the audio media rows: the VAD
+  // pre-filter an ASR/TTS curation pipeline runs before spending
+  // decode budget — 16 energy windows from 64 evenly-spread sampled
+  // payload bytes (the decode seam's stand-in; a real pipeline sums
+  // |PCM| per window off the FakeDecoder seam), silent = energy <= 260,
+  // emit first/last voiced window (NULL = all-silent, drop the row),
+  // silent count, total energy. ONE scan-side projection on the Spark
+  // side (static energy columns + coalesce ladders, zero explode /
+  // exchange); the oracle recomputes the identical integers through a
+  // window spine.
+  private val audioByteSql: (String) => String = (i: String) =>
+    s"(('0x' || substr(hx, 1 + 2 * ((n * ($i)) // 64), 2))::INT)"
+  val x244 = Q(
+    "x244_audio_trim",
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |         CAST(octet_length(encode(text)) AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 1),
+      |w AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS c),
+      |e AS (
+      |  SELECT media_id, c,
+      |         ${(0 until 4).map(j => audioByteSql(s"c * 4 + $j")).mkString("\n         + ")} AS energy
+      |  FROM m CROSS JOIN w)
+      |SELECT media_id,
+      |       CAST(min(CASE WHEN energy > 260 THEN c END) AS INT) AS first_voiced,
+      |       CAST(max(CASE WHEN energy > 260 THEN c END) AS INT) AS last_voiced,
+      |       CAST(sum(CASE WHEN energy <= 260 THEN 1 ELSE 0 END) AS INT) AS n_silent,
+      |       CAST(sum(energy) AS BIGINT) AS energy_q
+      |FROM e GROUP BY 1
+      |ORDER BY media_id""".stripMargin) { (s, dir) =>
+    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF()
+    Multimodal.audioTrimPlan(media).orderBy("media_id")
+  }
+
+  // x245 — BORDA RANK AGGREGATION: the positional voting rule a
+  // judge-leaderboard pipeline runs over per-prompt rankings, here
+  // over the orders fixture (each order ranks the part brands it
+  // bought by pooled revenue; a brand ranked r-th of k earns k-r
+  // points; borda_ppm normalizes by the points a perfect always-first
+  // candidate would take). Candidates collapse to one entry per
+  // ballot BEFORE ranking; singleton ballots carry no ordinal signal
+  // (NULL ppm, never a division by zero). One hash(ballot) exchange
+  // shared by the collapse + both windows, then a candidate-level
+  // rollup.
+  val x245 = Q(
+    "x245_borda",
+    """WITH li AS (
+      |  SELECT l_orderkey AS ballot, p_brand AS cand,
+      |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS s,
+      |         l_linenumber AS t
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |pb AS (
+      |  SELECT ballot, cand, CAST(sum(s) AS BIGINT) AS s, min(t) AS t
+      |  FROM li GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY ballot ORDER BY s DESC, t) AS r,
+      |         count(*) OVER (PARTITION BY ballot) AS k
+      |  FROM pb)
+      |SELECT cand AS brand, CAST(count(*) AS BIGINT) AS n_ballots,
+      |       CAST(sum(k - r) AS BIGINT) AS borda_points,
+      |       CAST(sum(k - 1) AS BIGINT) AS max_points,
+      |       CASE WHEN sum(k - 1) > 0
+      |            THEN CAST(sum(k - r) * 1000000 // sum(k - 1) AS BIGINT) END AS borda_ppm
+      |FROM r GROUP BY 1
+      |ORDER BY brand""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+    Relevance.bordaAggregate(li, col("l_orderkey"), col("p_brand"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long"),
+        col("l_linenumber"))
+      .select(col("cand").as("brand"), col("n_ballots"),
+        col("borda_points"), col("max_points"), col("borda_ppm"))
+      .orderBy("brand")
+  }
+
+  // x246 — PERCEPTUAL NEAR-DUP CLUSTERS over the image corpus: x241's
+  // banded hamming<=3 pairs closed into connected components (the x39
+  // min-label/pointer-doubling machinery), so a re-encode FAMILY
+  // collapses to one canonical cluster id — the keep-one-per-cluster
+  // decision image dedup actually ships. Same planted re-encode
+  // variants as x241, so every cluster the probe plants contains its
+  // (original, variant) pair at any corpus size.
+  val x246 = Q(
+    "x246_phash_clusters",
+    s"""WITH RECURSIVE m0 AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |         CAST(octet_length(encode(text)) AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= 1),
+      |vv AS (
+      |  SELECT media_id + 1000000000 AS media_id, '7E' || substr(hx, 3) AS hx, n
+      |  FROM m0 WHERE media_id % 10 = 0 AND n >= 67 AND n % 37 <> 0),
+      |m AS (SELECT * FROM m0 UNION ALL SELECT * FROM vv),
+      |h AS (SELECT media_id, CAST($phashBitsSql AS BIGINT) AS phash FROM m),
+      |e AS (
+      |  SELECT media_id, phash, blk, (phash >> (blk * 15)) & 32767 AS key
+      |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+      |g AS (SELECT *, count(*) OVER (PARTITION BY blk, key) AS bn FROM e),
+      |f AS (SELECT * FROM g WHERE bn <= 65536),
+      |p AS (
+      |  SELECT DISTINCT l.media_id AS a, r.media_id AS b
+      |  FROM f l JOIN f r ON l.blk = r.blk AND l.key = r.key
+      |                   AND l.media_id < r.media_id
+      |  WHERE bit_count(xor(l.phash, r.phash)) <= 3),
+      |edges AS (SELECT a AS u, b AS w FROM p UNION ALL SELECT b, a FROM p),
+      |reach(id, label) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e2.u, r2.label FROM edges e2 JOIN reach r2 ON e2.w = r2.id)
+      |SELECT id AS media_id, min(label) AS cluster
+      |FROM reach GROUP BY id
+      |ORDER BY media_id""".stripMargin) { (s, dir) =>
+    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF()
+    val imgs = media.where(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+    val withPlanted = imgs.unionByName(Multimodal.reencodeVariants(imgs))
+    Dedup.connectedComponents(
+        Multimodal.phashPairs(
+          Multimodal.dHash60(withPlanted, col("media_id"), col("payload"))))
+      .select(col("doc_id").as("media_id"), col("cluster"))
+      .orderBy("media_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -8499,5 +8622,5 @@ object ExtQueries {
       x209, x210, x211, x212, x213, x214, x215, x216, x217, x218, x219,
       x220, x221, x222, x223, x224, x225, x226, x227, x228, x229, x230,
       x231, x232, x233, x234, x235, x236, x237, x238, x239, x240, x241,
-      x242, x243)
+      x242, x243, x244, x245, x246)
 }

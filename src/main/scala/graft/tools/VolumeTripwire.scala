@@ -1348,6 +1348,51 @@ object VolumeTripwire {
             d.select(col("doc_id").as("media_id"), lit("video").as("kind"),
               encode(col("text"), "UTF-8").as("payload"))))
         Res("x243_videoNeardup", timeMin(vote(d1)), timeMin(vote(d10)))
+      }, {
+        // audio trim plan: pure scan-side projection — must scale with
+        // bytes read, nothing else
+        val d1 = Tables.documents(spark, sfDir).select("doc_id", "text")
+        val d10 = blow(d1, "doc_id", 10, 1000000L)
+        def trim(d: DataFrame) = Multimodal.audioTrimPlan(
+          d.select(col("doc_id").as("media_id"), lit("audio").as("kind"),
+            encode(col("text"), "UTF-8").as("payload")))
+        Res("x244_audioTrim", timeMin(trim(d1)), timeMin(trim(d10)))
+      }, {
+        // Borda: 10× lineitem plus a 500k-row single-ballot flood — the
+        // hot ballot collapses to its distinct brands before ranking
+        // (windows run on collapsed rows), so the flood costs its scan,
+        // not a window blowup
+        val li = Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_partkey", "l_extendedprice",
+            "l_discount", "l_linenumber")
+        val pt = Tables.part(spark, sfDir).select("p_partkey", "p_brand")
+        val hot = li.limit(1).crossJoin(spark.range(500000))
+          .select(lit(999999999L).as("l_orderkey"), col("l_partkey"),
+            col("l_extendedprice"), col("l_discount"),
+            col("id").cast("int").as("l_linenumber"))
+        val d10 = blow(li, "l_orderkey", 10, 100000000L).unionByName(hot)
+        def borda(d: DataFrame) = graft.ext.Relevance.bordaAggregate(
+          d.join(pt, col("l_partkey") === col("p_partkey")),
+          col("l_orderkey"), col("p_brand"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long"),
+          col("l_linenumber"))
+        Res("x245_borda", timeMin(borda(li)), timeMin(borda(d10)))
+      }, {
+        // phash clusters: the x241 candidate machinery + CC — the 100k
+        // byte-identical flood's buckets drop under maxBucket, so the
+        // cluster pass sees ~linear pairs; CC rounds are log-diameter
+        val d1 = Tables.documents(spark, sfDir).select("doc_id", "text")
+        val flood = d1.limit(1).crossJoin(spark.range(100000))
+          .select((col("doc_id") + col("id") + 10000000L).as("doc_id"),
+            col("text"))
+        val d10 = blow(d1, "doc_id", 10, 1000000L).unionAll(flood)
+        def cc(d: DataFrame) = graft.ext.Dedup.connectedComponents(
+          Multimodal.phashPairs(Multimodal.dHash60(
+            d.select(col("doc_id").as("media_id"),
+              encode(col("text"), "UTF-8").as("payload")),
+            col("media_id"), col("payload"))))
+        Res("x246_phashClusters", timeMin(cc(d1)), timeMin(cc(d10)))
       })
 
     val only: Option[Set[String]] =

@@ -1983,6 +1983,57 @@ class PlanAuditSpec2 extends SparkSpec {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("x244: the audio trim plan is ONE scan-side projection — zero exchange, zero Generate, zero aggregate") {
+    import org.apache.spark.sql.functions.encode
+    val media = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), lit("audio").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+    val hp = graft.ext.Multimodal.audioTrimPlan(media)
+      .queryExecution.executedPlan.toString
+    assert(!hp.contains("Exchange"), hp)
+    assert(!hp.contains("Generate"), hp)
+    assert(!hp.contains("Aggregate"), hp)
+    // and the registered query returns a trim verdict for every audio row
+    val rows = SparkEntry.queries("x244_audio_trim")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val silent = r.getInt(3)
+      assert(silent >= 0 && silent <= 16, r.toString)
+      assert((silent == 16) == r.isNullAt(1), s"all-silent iff NULL trim: $r")
+    }
+  }
+
+  test("x245: Borda shares ONE hash(ballot) exchange across collapse + both windows; candidate rollup is combinable") {
+    val df = SparkEntry.queries("x245_borda")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("CartesianProduct"), p)
+    // every window is keyed by the ballot — no global window anywhere
+    finalP.linesIterator.filter(_.contains("windowspecdefinition"))
+      .foreach(l => assert(l.contains("ballot"), l))
+    // the ballot exchange appears ONCE (collapse, rank and size reuse it)
+    val ballotExchanges = finalP.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(ballot")).size
+    assert(ballotExchanges <= 1, s"$ballotExchanges ballot exchanges:\n$p")
+    assert(finalP.contains("partial_"), p)
+  }
+
+  test("x246: phash clusters ride the banded pairs (no cartesian) and every planted family is one cluster") {
+    val df = SparkEntry.queries("x246_phash_clusters")(spark, dir)
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty, "x246 returned no clusters — the planted families are gone")
+    val planted = rows.keys.filter(_ >= 1000000000L)
+    assert(planted.nonEmpty, "no planted variant reached a cluster")
+    planted.foreach { v =>
+      assert(rows(v) === rows(v - 1000000000L),
+        s"variant $v not clustered with its original")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("graph ops: iteration caps are enforced (the lineage contract — a fixpoint variant must checkpoint, not raise these)") {
     import graft.ext.Graph
     import spark.implicits._

@@ -481,6 +481,79 @@ class MultimodalSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 2L, 1)))
   }
 
+  test("audioTrimPlan: trim bounds, silent count and the all-silent NULL contract (hand-checked windows)") {
+    // payload of spaces (byte 32: window energy 4*32=128 <= 260 silent)
+    // with a loud span of 'Z' (byte 90: 4*90=360 > 260 voiced) in the
+    // middle: 64 chars => sample offsets are exactly 0..63, windows are
+    // 4-char spans; voiced span = chars 16..31 => windows 4..7
+    val quiet = " " * 16 + "Z" * 16 + " " * 32
+    val allSilent = " " * 64
+    val allVoiced = "Z" * 64
+    val media = Seq((1L, quiet), (2L, allSilent), (3L, allVoiced))
+      .toDF("media_id", "t")
+      .select(col("media_id"), lit("audio").as("kind"),
+        encode(col("t"), "UTF-8").as("payload"))
+    val got = Multimodal.audioTrimPlan(media).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getInt(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) === ((Some(4), Some(7), 12, 16L * 128 + 4 * (360 - 128))))
+    assert(got(2L) === ((None, None, 16, 16L * 128)))
+    assert(got(3L) === ((Some(0), Some(15), 0, 16L * 360)))
+    // non-audio rows are ignored by the plan
+    val img = Seq((9L, "ZZZZ")).toDF("media_id", "t")
+      .select(col("media_id"), lit("image").as("kind"),
+        encode(col("t"), "UTF-8").as("payload"))
+    assert(Multimodal.audioTrimPlan(img).count() === 0L)
+  }
+
+  test("bordaAggregate: hand-checked election, per-ballot collapse, singleton NULL ppm") {
+    // ballots: b1 ranks A>B>C, b2 ranks B>A, b3 sees only C (singleton)
+    // b1: A=2, B=1, C=0 of max 2 each; b2: B=1, A=0 of max 1 each
+    val rows = Seq(
+      ("b1", "A", 30L, 1), ("b1", "B", 20L, 2), ("b1", "C", 10L, 3),
+      ("b2", "B", 9L, 1), ("b2", "A", 5L, 2),
+      ("b3", "C", 1L, 1),
+      // duplicate candidate entry on b1: pools into A's strength,
+      // NOT a second vote (A stays rank 1 with s=30+15=45)
+      ("b1", "A", 15L, 4)
+    ).toDF("ballot", "cand", "s", "t")
+    val got = graft.ext.Relevance.bordaAggregate(rows,
+        col("ballot"), col("cand"), col("s"), col("t"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4)))))
+      .toMap
+    assert(got("A") === ((2L, 2L, 3L, Some(2L * 1000000 / 3))))
+    assert(got("B") === ((2L, 1L + 1L, 2L + 1L, Some(2L * 1000000 / 3))))
+    assert(got("C") === ((2L, 0L, 2L + 0L, Some(0L))))
+    // a candidate seen ONLY on singleton ballots: NULL ppm
+    val solo = Seq(("b9", "Z", 1L, 1)).toDF("ballot", "cand", "s", "t")
+    val z = graft.ext.Relevance.bordaAggregate(solo,
+        col("ballot"), col("cand"), col("s"), col("t")).collect().head
+    assert(z.isNullAt(4) && z.getLong(3) === 0L)
+  }
+
+  test("phash clusters: a planted re-encode family collapses to ONE cluster containing original and variant") {
+    val texts = (0L until 30L).map(i =>
+      (i * 10L, ("cluster corpus body " + ("qwertyuiop" * 11) + i).take(90 + (i % 9).toInt * 7)))
+    val media = mediaOf(texts)
+    val withPlanted = media.unionByName(
+      graft.ext.Multimodal.reencodeVariants(media, every = 10L))
+    val pairs = Multimodal.phashPairs(
+      Multimodal.dHash60(withPlanted, col("media_id"), col("payload")))
+    val clusters = graft.ext.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every eligible planted variant must share its original's cluster
+    val eligible = texts.filter { case (_, t) =>
+      t.length >= 67 && t.length % 37 != 0 }.map(_._1)
+    assert(eligible.nonEmpty)
+    eligible.foreach { id =>
+      assert(clusters.contains(id) && clusters(id) === clusters(id + 1000000000L),
+        s"variant of $id not in its original's cluster")
+    }
+  }
+
   test("phashPairs: banded join returns EXACTLY the all-pairs hamming<=3 answer (pigeonhole)") {
     // a spread of lengths and contents plus planted near-dups
     val texts = (0 until 30).map { i =>

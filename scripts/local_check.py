@@ -42,6 +42,16 @@ def cell_eq(a, b):
 
 def main(sf_dir, out_dir, only_dumped=False, sql_only=False):
     con = duckdb.connect()
+    # Cap DuckDB and give it a spill path: the round-13 sf1 run was
+    # OOM-KILLED by the kernel (125 GB RSS) while evaluating x211's
+    # oracle — an uncapped DuckDB prefers RAM over spilling. With a
+    # limit + temp_directory the same query spills and completes (or
+    # fails loudly inside DuckDB), and the gate can never take the
+    # whole box down again.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET preserve_insertion_order=false")
+    os.makedirs("tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -332,13 +332,18 @@ object Multimodal {
     * corpus plans its entire trim pass in the scan that reads the
     * envelope. Output: (media_id, first_voiced, last_voiced,
     * n_silent, energy_q). */
-  def audioTrimPlan(media: DataFrame, windows: Int = 16,
-      samplesPerWindow: Int = 4, silenceMax: Int = 260): DataFrame = {
+  /** The shared audio energy grid (the decode seam's stand-in): the
+    * audio slice with its hex image, plus the `windows` static energy
+    * columns — window `c` sums `samplesPerWindow` bytes at offsets
+    * `(i·n) div (windows·spw)`. Pure scan-side arithmetic, shared by
+    * [[audioTrimPlan]] and [[audioSegments]] so their window grids can
+    * never drift apart. */
+  private def audioEnergyGrid(media: DataFrame, windows: Int,
+      samplesPerWindow: Int): (DataFrame, Seq[Column]) = {
     require(windows >= 2 && windows <= 64,
-      s"audioTrimPlan: windows=$windows out of range [2, 64]")
+      s"audio grid: windows=$windows out of range [2, 64]")
     require(samplesPerWindow >= 1 && samplesPerWindow <= 16,
-      s"audioTrimPlan: samplesPerWindow=$samplesPerWindow out of range [1, 16]")
-    require(silenceMax >= 0, s"audioTrimPlan: silenceMax=$silenceMax must be >= 0")
+      s"audio grid: samplesPerWindow=$samplesPerWindow out of range [1, 16]")
     val S = windows * samplesPerWindow
     val base = media.where(col("kind") === "audio")
       .select(col("media_id"), hex(col("payload")).as("__hx"),
@@ -351,6 +356,13 @@ object Multimodal {
       (0 until samplesPerWindow).map(j => byteAt(c * samplesPerWindow + j))
         .reduce(_ + _)
     }
+    (base, energies)
+  }
+
+  def audioTrimPlan(media: DataFrame, windows: Int = 16,
+      samplesPerWindow: Int = 4, silenceMax: Int = 260): DataFrame = {
+    require(silenceMax >= 0, s"audioTrimPlan: silenceMax=$silenceMax must be >= 0")
+    val (base, energies) = audioEnergyGrid(media, windows, samplesPerWindow)
     val voiced = energies.map(_ > silenceMax)
     val firstVoiced = coalesce(
       voiced.zipWithIndex.map { case (v, c) => when(v, lit(c)) }: _*)
@@ -362,6 +374,45 @@ object Multimodal {
       firstVoiced.as("first_voiced"), lastVoiced.as("last_voiced"),
       nSilent.as("n_silent"),
       energies.map(_.cast("long")).reduce(_ + _).as("energy_q"))
+  }
+
+  /** Voiced-run segmentation over the [[audioTrimPlan]] window grid —
+    * the operator after VAD: where the trim plan answers "does this row
+    * carry speech at all", the segmenter answers "WHERE", emitting one
+    * row per maximal run of voiced windows (the chunks an ASR pass
+    * actually transcribes; silence inside a row splits it into
+    * separately-billable segments). Same grid, same threshold, shared
+    * via [[audioEnergyGrid]] so the two plans can never disagree about
+    * which windows are voiced.
+    *
+    * Runs via gaps-and-islands: explode the static energy columns into
+    * (window, energy) rows (ONE bounded Generate — ≤ `windows` rows per
+    * media), keep voiced, `island = c − row_number per media` (constant
+    * within a run, strictly decreasing across gaps), then one rollup
+    * per (media, island).
+    *
+    * 100 TB posture: the Generate is bounded at `windows` rows per
+    * media; ONE hash(media_id) exchange serves both the run window and
+    * the island rollup (hash(media_id) satisfies the (media_id, island)
+    * clustering). Output: (media_id, seg_start, seg_end, n_windows,
+    * seg_energy), one row per voiced run. */
+  def audioSegments(media: DataFrame, windows: Int = 16,
+      samplesPerWindow: Int = 4, silenceMax: Int = 260): DataFrame = {
+    require(silenceMax >= 0, s"audioSegments: silenceMax=$silenceMax must be >= 0")
+    val (base, energies) = audioEnergyGrid(media, windows, samplesPerWindow)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("c"))
+    base
+      .select(col("media_id"),
+        posexplode(array(energies: _*)).as(Seq("c", "energy")))
+      .where(col("energy") > silenceMax)
+      .withColumn("island", col("c") - row_number().over(w))
+      .groupBy(col("media_id"), col("island"))
+      .agg(min(col("c")).as("seg_start"), max(col("c")).as("seg_end"),
+        count(lit(1)).cast("int").as("n_windows"),
+        sum(col("energy")).as("seg_energy"))
+      .select(col("media_id"), col("seg_start"), col("seg_end"),
+        col("n_windows"), col("seg_energy"))
   }
 
   /** Aspect-preserving letterbox geometry: for each media row, the

@@ -193,4 +193,63 @@ object Relevance {
         when(col("max_points") > 0,
           expr("CAST(borda_points * 1000000 DIV max_points AS BIGINT)")))
   }
+
+  /** Copeland pairwise-preference aggregation — the Condorcet-style
+    * companion to [[bordaAggregate]], and the leaderboard rule for
+    * PAIRWISE preference data (the shape RLHF comparisons arrive in):
+    * candidate X beats candidate Y when X outranks Y on a strict
+    * MAJORITY of the ballots where both appear; Copeland score =
+    * opponents beaten − opponents lost to (head-to-head ties count
+    * zero). Borda rewards average position and can crown a candidate
+    * the majority ranks second; Copeland is immune to that — when the
+    * two disagree, the audit has found a preference cycle worth
+    * reading.
+    *
+    * Same per-ballot collapse discipline as Borda (pooled score,
+    * earliest tie — a duplicate entry is one contender), same ordering
+    * rule (score desc, tie asc), so the two leaderboards are computed
+    * over IDENTICAL ballots by construction. Head-to-head pairs come
+    * from a within-ballot self-join of the collapsed entries — bounded
+    * at k² per ballot (k = candidates per ballot, small by nature of a
+    * ranking), sharing the same hash(ballot) exchange.
+    *
+    * 100 TB posture: the only data-scale exchange is the ballot
+    * repartition; the self-join is per-ballot (k² bounded); the pair
+    * table lives at candidate² cardinality and the final rollup at
+    * candidate cardinality — both tiny. Output: (cand, n_opponents,
+    * n_beats, n_losses, n_ties, copeland). */
+  def copelandAggregate(rankings: DataFrame, ballot: Column,
+      candidate: Column, score: Column, tie: Column): DataFrame = {
+    val perBallot = rankings
+      .select(ballot.as("ballot"), candidate.as("cand"),
+        score.as("s"), tie.as("t"))
+      .repartition(col("ballot"))
+      .groupBy(col("ballot"), col("cand"))
+      .agg(sum(col("s")).as("s"), min(col("t")).as("t"))
+    val l = perBallot.select(col("ballot"), col("cand").as("a"),
+      col("s").as("sa"), col("t").as("ta"))
+    val r = perBallot.select(col("ballot"), col("cand").as("b"),
+      col("s").as("sb"), col("t").as("tb"))
+    // one row per ballot per unordered pair; a outranks b under the
+    // Borda ordering rule (score desc, then tie asc)
+    val duels = l.join(r, Seq("ballot")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        when(col("sa") > col("sb") ||
+          (col("sa") === col("sb") && col("ta") < col("tb")), 1L)
+          .otherwise(0L).as("a_win"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("a_win")).as("a_wins"))
+      .select(col("a"), col("b"),
+        when(col("a_wins") * 2 > col("n"), 1)
+          .when(col("a_wins") * 2 < col("n"), -1)
+          .otherwise(0).as("verdict")) // 1: a beats b, -1: b beats a
+    duels.select(col("a").as("cand"), col("verdict"))
+      .unionAll(duels.select(col("b").as("cand"), (-col("verdict")).as("verdict")))
+      .groupBy(col("cand"))
+      .agg(count(lit(1)).cast("long").as("n_opponents"),
+        sum(when(col("verdict") === 1, 1L).otherwise(0L)).as("n_beats"),
+        sum(when(col("verdict") === -1, 1L).otherwise(0L)).as("n_losses"),
+        sum(when(col("verdict") === 0, 1L).otherwise(0L)).as("n_ties"))
+      .withColumn("copeland", (col("n_beats") - col("n_losses")).cast("long"))
+  }
 }

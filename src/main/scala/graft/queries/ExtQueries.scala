@@ -8603,6 +8603,90 @@ object ExtQueries {
       .orderBy("media_id")
   }
 
+  // x247 — AUDIO VOICED-RUN SEGMENTATION: the operator after x244's
+  // VAD — one row per maximal run of voiced windows (the chunks an ASR
+  // pass actually transcribes; in-row silence splits the row into
+  // separately-billable segments). Same energy grid and threshold as
+  // x244 (shared helper — the plans cannot drift), runs via
+  // gaps-and-islands: bounded 16-row explode, island = c − row_number,
+  // one hash(media_id) exchange serving both the window and the
+  // rollup.
+  val x247 = Q(
+    "x247_audio_segments",
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |         CAST(octet_length(encode(text)) AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 1),
+      |w AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS c),
+      |e AS (
+      |  SELECT media_id, c,
+      |         ${(0 until 4).map(j => audioByteSql(s"c * 4 + $j")).mkString("\n         + ")} AS energy
+      |  FROM m CROSS JOIN w),
+      |v AS (SELECT * FROM e WHERE energy > 260),
+      |r AS (
+      |  SELECT *, c - row_number() OVER (PARTITION BY media_id ORDER BY c) AS island
+      |  FROM v)
+      |SELECT media_id, CAST(min(c) AS INT) AS seg_start,
+      |       CAST(max(c) AS INT) AS seg_end,
+      |       CAST(count(*) AS INT) AS n_windows,
+      |       CAST(sum(energy) AS BIGINT) AS seg_energy
+      |FROM r GROUP BY media_id, island
+      |ORDER BY media_id, seg_start""".stripMargin) { (s, dir) =>
+    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF()
+    Multimodal.audioSegments(media).orderBy("media_id", "seg_start")
+  }
+
+  // x248 — COPELAND PAIRWISE-PREFERENCE LEADERBOARD: the
+  // Condorcet-style companion to x245 over the SAME collapsed ballots
+  // — candidate X beats Y when X outranks Y on a strict majority of
+  // the ballots both appear on; copeland = beats − losses. The
+  // leaderboard rule for pairwise preference data; when it disagrees
+  // with x245's Borda order, the audit has found a preference cycle.
+  // Within-ballot self-join bounded at k² per ballot; pair and
+  // candidate rollups live at brand² / brand cardinality.
+  val x248 = Q(
+    "x248_copeland",
+    """WITH li AS (
+      |  SELECT l_orderkey AS ballot, p_brand AS cand,
+      |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS s,
+      |         l_linenumber AS t
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |pb AS (
+      |  SELECT ballot, cand, CAST(sum(s) AS BIGINT) AS s, min(t) AS t
+      |  FROM li GROUP BY 1, 2),
+      |duel AS (
+      |  SELECT l.cand AS a, r.cand AS b,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN l.s > r.s OR (l.s = r.s AND l.t < r.t)
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS a_wins
+      |  FROM pb l JOIN pb r ON l.ballot = r.ballot AND l.cand < r.cand
+      |  GROUP BY 1, 2),
+      |verdicts AS (
+      |  SELECT a, b, CASE WHEN a_wins * 2 > n THEN 1
+      |                    WHEN a_wins * 2 < n THEN -1 ELSE 0 END AS verdict
+      |  FROM duel),
+      |sides AS (
+      |  SELECT a AS cand, verdict FROM verdicts
+      |  UNION ALL SELECT b, -verdict FROM verdicts)
+      |SELECT cand AS brand, CAST(count(*) AS BIGINT) AS n_opponents,
+      |       CAST(sum(CASE WHEN verdict = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_beats,
+      |       CAST(sum(CASE WHEN verdict = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_losses,
+      |       CAST(sum(CASE WHEN verdict = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties,
+      |       CAST(sum(CASE WHEN verdict = 1 THEN 1 ELSE 0 END)
+      |            - sum(CASE WHEN verdict = -1 THEN 1 ELSE 0 END) AS BIGINT) AS copeland
+      |FROM sides GROUP BY 1
+      |ORDER BY brand""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+    Relevance.copelandAggregate(li, col("l_orderkey"), col("p_brand"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long"),
+        col("l_linenumber"))
+      .select(col("cand").as("brand"), col("n_opponents"), col("n_beats"),
+        col("n_losses"), col("n_ties"), col("copeland"))
+      .orderBy("brand")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -8622,5 +8706,5 @@ object ExtQueries {
       x209, x210, x211, x212, x213, x214, x215, x216, x217, x218, x219,
       x220, x221, x222, x223, x224, x225, x226, x227, x228, x229, x230,
       x231, x232, x233, x234, x235, x236, x237, x238, x239, x240, x241,
-      x242, x243, x244, x245, x246)
+      x242, x243, x244, x245, x246, x247, x248)
 }

@@ -1393,6 +1393,35 @@ object VolumeTripwire {
               encode(col("text"), "UTF-8").as("payload")),
             col("media_id"), col("payload"))))
         Res("x246_phashClusters", timeMin(cc(d1)), timeMin(cc(d10)))
+      }, {
+        // audio segmentation: bounded 16-row explode per media + one
+        // media_id exchange — linear in media rows
+        val d1 = Tables.documents(spark, sfDir).select("doc_id", "text")
+        val d10 = blow(d1, "doc_id", 10, 1000000L)
+        def seg(d: DataFrame) = Multimodal.audioSegments(
+          d.select(col("doc_id").as("media_id"), lit("audio").as("kind"),
+            encode(col("text"), "UTF-8").as("payload")))
+        Res("x247_audioSegments", timeMin(seg(d1)), timeMin(seg(d10)))
+      }, {
+        // Copeland: 10× lineitem + the 500k single-ballot flood — the
+        // hot ballot collapses to its <=25 distinct brands BEFORE the
+        // k² duel join, so the flood can never make k² explode
+        val li = Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_partkey", "l_extendedprice",
+            "l_discount", "l_linenumber")
+        val pt = Tables.part(spark, sfDir).select("p_partkey", "p_brand")
+        val hot = li.limit(1).crossJoin(spark.range(500000))
+          .select(lit(999999999L).as("l_orderkey"), col("l_partkey"),
+            col("l_extendedprice"), col("l_discount"),
+            col("id").cast("int").as("l_linenumber"))
+        val d10 = blow(li, "l_orderkey", 10, 100000000L).unionByName(hot)
+        def cope(d: DataFrame) = graft.ext.Relevance.copelandAggregate(
+          d.join(pt, col("l_partkey") === col("p_partkey")),
+          col("l_orderkey"), col("p_brand"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long"),
+          col("l_linenumber"))
+        Res("x248_copeland", timeMin(cope(li)), timeMin(cope(d10)))
       })
 
     val only: Option[Set[String]] =

@@ -2034,6 +2034,36 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("x247: segmentation is one bounded Generate + ONE media_id exchange shared by window and rollup") {
+    val df = SparkEntry.queries("x247_audio_segments")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("CartesianProduct"), p)
+    assert(!finalP.contains("Join"), p)
+    assert(finalP.contains("Generate"), p) // the <=16-row window explode
+    finalP.linesIterator.filter(_.contains("windowspecdefinition"))
+      .foreach(l => assert(l.contains("media_id"), l))
+    // hash(media_id) satisfies the (media_id, island) clustering, so the
+    // island rollup rides the window's exchange — exactly one
+    val mediaExchanges = finalP.linesIterator
+      .count(_.contains("Exchange hashpartitioning(media_id"))
+    assert(mediaExchanges == 1, s"$mediaExchanges media_id exchanges:\n$p")
+  }
+
+  test("x248: Copeland duels are a within-ballot equi-join (no cartesian); rollups are combinable") {
+    val df = SparkEntry.queries("x248_copeland")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("CartesianProduct"), p)
+    assert(!finalP.contains("BroadcastNestedLoop"), p)
+    // the self-join is keyed on the ballot
+    assert("SortMergeJoin \\[ballot|ShuffledHashJoin \\[ballot|BroadcastHashJoin \\[ballot".r
+      .findFirstIn(finalP).isDefined, p)
+    assert(finalP.contains("partial_"), p)
+  }
+
   test("graph ops: iteration caps are enforced (the lineage contract — a fixpoint variant must checkpoint, not raise these)") {
     import graft.ext.Graph
     import spark.implicits._

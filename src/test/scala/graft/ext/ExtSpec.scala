@@ -554,6 +554,55 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioSegments: gaps-and-islands runs agree with the trim plan's grid (shared helper)") {
+    // 64-char payloads => windows are exact 4-char spans
+    val twoRuns = "Z" * 12 + " " * 8 + "Z" * 20 + " " * 24  // w0-2, w5-9 voiced
+    val allSilent = " " * 64
+    val media = Seq((1L, twoRuns), (2L, allSilent)).toDF("media_id", "t")
+      .select(col("media_id"), lit("audio").as("kind"),
+        encode(col("t"), "UTF-8").as("payload"))
+    val segs = Multimodal.audioSegments(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .sortBy(x => (x._1, x._2))
+    assert(segs === Seq((1L, 0, 2, 3, 3L * 360), (1L, 5, 9, 5, 5L * 360)))
+    // grid parity with the trim plan: bounds and silent count line up
+    val trim = Multimodal.audioTrimPlan(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(trim(1L).getInt(1) === 0 && trim(1L).getInt(2) === 9)
+    assert(trim(1L).getInt(3) === 16 - 8)
+    assert(trim(2L).isNullAt(1)) // all silent: trim says drop, segments says no rows
+  }
+
+  test("copelandAggregate: majority head-to-heads, beats minus losses, and the Borda-vs-Copeland contract") {
+    // b1, b2: A>B>C; b3: B>A>C  =>  A beats B 2-1, A beats C 3-0, B beats C 3-0
+    val rows = Seq(
+      ("b1", "A", 30L, 1), ("b1", "B", 20L, 2), ("b1", "C", 10L, 3),
+      ("b2", "A", 30L, 1), ("b2", "B", 20L, 2), ("b2", "C", 10L, 3),
+      ("b3", "B", 30L, 1), ("b3", "A", 20L, 2), ("b3", "C", 10L, 3)
+    ).toDF("ballot", "cand", "s", "t")
+    val got = graft.ext.Relevance.copelandAggregate(rows,
+        col("ballot"), col("cand"), col("s"), col("t"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got("A") === ((2L, 2L, 0L, 0L, 2L)))
+    assert(got("B") === ((2L, 1L, 1L, 0L, 0L)))
+    assert(got("C") === ((2L, 0L, 2L, 0L, -2L)))
+    // an exact 1-1 split is a head-to-head TIE (verdict 0 both sides)
+    val split = Seq(
+      ("c1", "X", 9L, 1), ("c1", "Y", 1L, 2),
+      ("c2", "Y", 9L, 1), ("c2", "X", 1L, 2)
+    ).toDF("ballot", "cand", "s", "t")
+    val tied = graft.ext.Relevance.copelandAggregate(split,
+        col("ballot"), col("cand"), col("s"), col("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(tied === Map("X" -> 0L, "Y" -> 0L))
+    assert(graft.ext.Relevance.copelandAggregate(split,
+      col("ballot"), col("cand"), col("s"), col("t"))
+      .collect().forall(r => r.getLong(4) === 1L && r.getLong(5) === 0L))
+  }
+
   test("phashPairs: banded join returns EXACTLY the all-pairs hamming<=3 answer (pigeonhole)") {
     // a spread of lengths and contents plus planted near-dups
     val texts = (0 until 30).map { i =>

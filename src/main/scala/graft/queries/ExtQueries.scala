@@ -7195,12 +7195,21 @@ object ExtQueries {
   // rollup; the χ² runs on ≤32 rows.
   val x211 = Q(
     "x211_shard_uniformity",
-    """WITH c AS (
-      |  SELECT o_orderkey AS id, s,
-      |         ('0x' || substring(md5(o_orderkey::VARCHAR || ':' || s::VARCHAR), 1, 15))::BIGINT AS h
-      |  FROM orders, generate_series(0, 31) t(s)),
-      |a AS (SELECT id, (max(struct_pack(h := h, shard := s))).shard AS shard
-      |      FROM c GROUP BY id),
+    // ORACLE NOTE (round 13): the original declarative form — orders ×
+    // generate_series(0,31) then max(struct) GROUP BY id — ate 125 GB
+    // in DuckDB at sf1 (48M grouped struct rows resist spilling) and
+    // got the whole sf1 gate OOM-killed. This list-comprehension form
+    // is value-identical (proven equal at sf0.1 incl. the last-max =
+    // larger-shard tie rule) and runs the sf1 corpus in ~9 s under a
+    // 24 GB cap: the argmax happens scan-side per row, so nothing
+    // corpus×32-sized is ever materialized or grouped.
+    """WITH ar AS (
+      |  SELECT o_orderkey AS id,
+      |         [('0x' || substring(md5(o_orderkey::VARCHAR || ':' || s::VARCHAR), 1, 15))::BIGINT
+      |          FOR s IN range(0, 32)] AS hs
+      |  FROM orders),
+      |a AS (SELECT id, CAST(32 - list_position(list_reverse(hs), list_max(hs)) AS BIGINT) AS shard
+      |      FROM ar),
       |l AS (SELECT shard, CAST(count(*) AS BIGINT) AS c FROM a GROUP BY 1),
       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS occ
       |      FROM l)

@@ -54,17 +54,20 @@ object Bench {
 
   /** Contention self-label (round-12 lesson: a contended box inflated
     * the headline ~25% and only bench.json forensics showed it): the
-    * count of queries whose within-run wall spread (max/min over the
-    * N runs) exceeds 3× — large spreads with constant per-run work
-    * mean the box was fighting the suite, so a cross-round comparison
-    * can discount the number without exhuming runs_detail. "null" when
-    * no query has ≥2 successful runs (spread undefined). */
+    * count of queries where a NON-FIRST run exceeds 3× the query's
+    * min wall. The first run is excluded from the numerator on
+    * purpose — one-off JIT/codegen/GC noise inflates exactly the
+    * first run (this file documents a 4.9× first-run spread on a
+    * healthy box), so max/min over ALL runs would label quiet rounds
+    * contended; only external contention can make a WARM run 3×
+    * slower than the min. "null" when no query has ≥2 successful
+    * runs (no warm run to judge). */
   private[graft] def contendedCount(
       results: Seq[(String, Seq[(Double, Double)], Option[String])]): String = {
     val spreads = results.flatMap { case (_, ts, _) =>
       if (ts.size >= 2) {
         val ws = ts.map(_._1)
-        Some(ws.max / math.max(ws.min, 1e-9))
+        Some(ws.drop(1).max / math.max(ws.min, 1e-9))
       } else None
     }
     if (spreads.isEmpty) "null" else spreads.count(_ > 3.0).toString

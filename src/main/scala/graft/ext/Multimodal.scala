@@ -349,9 +349,14 @@ object Multimodal {
       .select(col("media_id"), hex(col("payload")).as("__hx"),
         length(col("payload")).as("__n"))
       .where(col("__n") >= 1)
+    // offsets in 64-bit on purpose: length(payload) is INT, and
+    // __n * (S-1) wraps 32 bits at ~34 MB payloads — silently-wrong
+    // energies here, an overflow error in the oracle (the round-13
+    // review catch); BIGINT keeps both engines exact to 2^63/S bytes
     def byteAt(i: Int): Column =
       conv(col("__hx").substr(
-        lit(1) + expr(s"(__n * $i) DIV $S") * 2, lit(2)), 16, 10).cast("int")
+        (lit(1L) + expr(s"(CAST(__n AS BIGINT) * $i) DIV $S") * 2).cast("int"),
+        lit(2)), 16, 10).cast("int")
     val energies: Seq[Column] = (0 until windows).map { c =>
       (0 until samplesPerWindow).map(j => byteAt(c * samplesPerWindow + j))
         .reduce(_ + _)

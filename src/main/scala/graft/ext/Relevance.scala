@@ -153,8 +153,13 @@ object Relevance {
     * Candidates are first collapsed to one entry per ballot
     * (sum of `score`, earliest `tie`), THEN ranked — a candidate
     * appearing twice on a ballot is one contender with pooled
-    * strength, not two votes. Ranking is deterministic: score desc,
-    * then the tie column. `borda_ppm = 1e6·points div max_points`
+    * strength, not two votes. Ranking is deterministic — score desc,
+    * then the tie column — PROVIDED the collapsed tie value
+    * (min of `tie`) is unique per ballot: that is the caller's
+    * contract (x245 passes l_linenumber mins, unique within an order
+    * by schema). A non-unique tie column degrades to partition-order
+    * ranking — flaky against any oracle, so don't.
+    * `borda_ppm = 1e6·points div max_points`
     * normalizes across candidates seen on different ballot sizes
     * (max_points = Σ (k−1) over the candidate's ballots — a perfect
     * always-first candidate scores 1e6); NULL when every ballot the
@@ -211,7 +216,10 @@ object Relevance {
     * over IDENTICAL ballots by construction. Head-to-head pairs come
     * from a within-ballot self-join of the collapsed entries — bounded
     * at k² per ballot (k = candidates per ballot, small by nature of a
-    * ranking), sharing the same hash(ballot) exchange.
+    * ranking), over a checkpointed collapse so the corpus-scale stage
+    * runs exactly once. A ballot where two candidates tie on both
+    * score and tie value expresses no preference between them and is
+    * excluded from that duel's majority count.
     *
     * 100 TB posture: the only data-scale exchange is the ballot
     * repartition; the self-join is per-ballot (k² bounded); the pair
@@ -220,19 +228,30 @@ object Relevance {
     * n_beats, n_losses, n_ties, copeland). */
   def copelandAggregate(rankings: DataFrame, ballot: Column,
       candidate: Column, score: Column, tie: Column): DataFrame = {
+    // materialized ONCE before the self-join: both duel sides embed
+    // this subtree, and exchange reuse across self-join arms is not
+    // guaranteed (the connectedComponents/rankAutocorr convention) —
+    // without the checkpoint the corpus scan + ballot shuffle +
+    // collapse would run twice when ReuseExchange doesn't fire
     val perBallot = rankings
       .select(ballot.as("ballot"), candidate.as("cand"),
         score.as("s"), tie.as("t"))
       .repartition(col("ballot"))
       .groupBy(col("ballot"), col("cand"))
       .agg(sum(col("s")).as("s"), min(col("t")).as("t"))
+      .localCheckpoint(false)
     val l = perBallot.select(col("ballot"), col("cand").as("a"),
       col("s").as("sa"), col("t").as("ta"))
     val r = perBallot.select(col("ballot"), col("cand").as("b"),
       col("s").as("sb"), col("t").as("tb"))
     // one row per ballot per unordered pair; a outranks b under the
-    // Borda ordering rule (score desc, then tie asc)
+    // Borda ordering rule (score desc, then tie asc). A ballot where
+    // the two candidates tie on BOTH score and tie column carries no
+    // preference between them — it is excluded from that duel's
+    // majority count (round-13 review: crediting it to either side
+    // would bias the verdict by partition order)
     val duels = l.join(r, Seq("ballot")).where(col("a") < col("b"))
+      .where(!(col("sa") === col("sb") && col("ta") === col("tb")))
       .select(col("a"), col("b"),
         when(col("sa") > col("sb") ||
           (col("sa") === col("sb") && col("ta") < col("tb")), 1L)

@@ -8500,7 +8500,7 @@ object ExtQueries {
   // exchange); the oracle recomputes the identical integers through a
   // window spine.
   private val audioByteSql: (String) => String = (i: String) =>
-    s"(('0x' || substr(hx, 1 + 2 * ((n * ($i)) // 64), 2))::INT)"
+    s"(('0x' || substr(hx, 1 + 2 * ((n::BIGINT * ($i)) // 64), 2))::INT)"
   val x244 = Q(
     "x244_audio_trim",
     s"""WITH m AS (
@@ -8669,6 +8669,7 @@ object ExtQueries {
       |         CAST(sum(CASE WHEN l.s > r.s OR (l.s = r.s AND l.t < r.t)
       |                       THEN 1 ELSE 0 END) AS BIGINT) AS a_wins
       |  FROM pb l JOIN pb r ON l.ballot = r.ballot AND l.cand < r.cand
+      |  WHERE NOT (l.s = r.s AND l.t = r.t)
       |  GROUP BY 1, 2),
       |verdicts AS (
       |  SELECT a, b, CASE WHEN a_wins * 2 > n THEN 1

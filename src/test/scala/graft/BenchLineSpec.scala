@@ -38,6 +38,11 @@ class BenchLineSpec extends AnyFunSuite {
       ("x2_quiet", Seq((2.0, 2.0), (2.2, 2.2)), Option.empty[String]),
       ("x3_noisy", Seq((1.0, 1.0), (5.5, 1.1)), Option.empty[String]))
     assert(Bench.contendedCount(res) == "1")
+    // a slow FIRST run is JIT/codegen warmup, not contention: the warm
+    // run is the min, so the query must NOT count (the quiet-box
+    // false-positive the round-13 review caught)
+    val jit = Seq(("x4_cold", Seq((4.8, 1.0), (0.97, 1.0)), Option.empty[String]))
+    assert(Bench.contendedCount(jit) == "0")
     val line = Bench.composeStdoutLine(res, "sf", 2, calib)
     assert(line.contains("\"contended\":1"), line)
     // runs=1 -> spread undefined -> null, never a bogus 0

@@ -601,6 +601,16 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.ext.Relevance.copelandAggregate(split,
       col("ballot"), col("cand"), col("s"), col("t"))
       .collect().forall(r => r.getLong(4) === 1L && r.getLong(5) === 0L))
+    // a ballot where both candidates tie on score AND tie value carries
+    // no preference — it is neutral, so the one decisive ballot decides
+    val mixed = Seq(
+      ("d1", "P", 5L, 1), ("d1", "Q", 3L, 2),
+      ("d2", "P", 7L, 1), ("d2", "Q", 7L, 1)
+    ).toDF("ballot", "cand", "s", "t")
+    val m = graft.ext.Relevance.copelandAggregate(mixed,
+        col("ballot"), col("cand"), col("s"), col("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(m === Map("P" -> 1L, "Q" -> -1L))
   }
 
   test("phashPairs: banded join returns EXACTLY the all-pairs hamming<=3 answer (pigeonhole)") {

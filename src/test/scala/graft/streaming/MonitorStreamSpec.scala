@@ -306,4 +306,60 @@ class MonitorStreamSpec extends SparkSpec {
     val f10 = got.find(_.day == 10).get
     assert(f10.z2_den === "0" && f10.n_win === 8L)
   }
+
+  // ---- EWMA feature monitor ----
+
+  private def runEwma(batches: Seq[Seq[OrderLevel]], taps: Int): Seq[EwmaRow] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[OrderLevel]
+    val q = EwmaStream.ewmas(mem.toDS(), taps)
+      .writeStream.format("memory").queryName("ewma_rows")
+      .outputMode("append").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("ewma_rows").as[EwmaRow].collect().toSeq
+    spark.sql("DROP TABLE IF EXISTS ewma_rows")
+    got
+  }
+
+  test("ewma: latest emission equals batch ewmaLast EXACTLY, under shuffled out-of-order arrival") {
+    val taps = 8
+    val rows = (for {
+      (k, n) <- Seq(("a", 13), ("b", 5), ("c", 1))
+      i <- 1 to n
+    } yield OrderLevel(k, 1000L + i * 7, i * 100L + k.hashCode % 50,
+      (i * 37 % 90) - 20L))
+    // deterministic shuffle: interleave by index parity, reversed halves
+    val (ev, od) = rows.zipWithIndex.partition(_._2 % 2 == 0)
+    val shuffled = ev.map(_._1).reverse ++ od.map(_._1)
+    val got = runEwma(Seq(shuffled.take(7), shuffled.slice(7, 8), shuffled.drop(8)), taps)
+    // latest verdict per key: max n_emit (the monotone sequence number)
+    val latest = got.groupBy(_.k).map { case (k, es) => k -> es.maxBy(_.n_emit) }
+    // batch twin over the same rows
+    val df = rows.toDF("k", "tus", "ord", "m")
+      .select(col("k"), timestamp_micros(col("tus")).as("ts"), col("ord"), col("m"))
+    val batch = TimeSeries.ewmaLast(df, col("k"), col("ts"), col("ord"),
+        col("m"), taps)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(latest.keySet === batch.keySet)
+    latest.foreach { case (k, e) =>
+      assert((e.k_used, e.ewma_m, e.last_m) === batch(k), s"key $k: $e vs ${batch(k)}")
+    }
+  }
+
+  test("ewma: O(taps) state — a stale arrival below the full window emits NOTHING; window stays bounded") {
+    val taps = 4
+    val fresh = (1 to 10).map(i => OrderLevel("a", 100L + i, i.toLong, i * 10L))
+    val got1 = runEwma(Seq(fresh), taps)
+    assert(got1.last.k_used === taps.toLong)
+    // an event OLDER than everything in the full window: absorbed silently
+    val got2 = runEwma(Seq(fresh, Seq(OrderLevel("a", 1L, 0L, 999999L))), taps)
+    assert(got2.size === got1.size,
+      s"stale arrival re-emitted: ${got2.size} vs ${got1.size}")
+    // but a newer event displaces the tail and re-emits
+    val got3 = runEwma(Seq(fresh, Seq(OrderLevel("a", 999L, 99L, 70L))), taps)
+    assert(got3.size === got1.size + 1)
+    assert(got3.last.last_m === 70L)
+  }
 }

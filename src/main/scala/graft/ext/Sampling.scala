@@ -205,6 +205,44 @@ object Sampling {
       .where(col("__rn") <= n).drop("__rn")
   }
 
+  /** Distribution-matched sampling — make a pool source LOOK LIKE a
+    * target source along a stratum (the pretraining-curation move when
+    * mixing corpora whose, e.g., length profiles differ: naive mixing
+    * shifts the blend's distribution toward the bigger source; matched
+    * sampling takes from the pool EXACTLY the target's per-stratum
+    * histogram). Per stratum, quota = the target's row count there;
+    * the pool contributes its `quota` rows with the smallest
+    * deterministic hash (the [[takePerStratum]] pick rule — md5 order,
+    * key tie-break, NULLS LAST), so the selection is reproducible on
+    * any engine and unbiased w.r.t. anything correlated with position.
+    * Pool strata the target never exhibits are dropped entirely;
+    * strata where the pool is short contribute what they have (the
+    * residual deficit is the caller's signal to widen the pool).
+    *
+    * 100 TB posture: the quota table is stratum-cardinality rows
+    * (log2-length bins ≤ 63, language ids, …) — broadcast; the pool
+    * pays ONE hash(stratum) exchange for the rank window and the
+    * quota filter rides it. Stratum cardinality is the window's
+    * parallelism ceiling — callers with corpus-scale strata should
+    * rank through the two-phase globalRank machinery instead.
+    * Output: the selected pool rows + (stratum, matched_rank). */
+  def distributionMatch(target: DataFrame, pool: DataFrame,
+      stratum: Column, key: Column): DataFrame = {
+    val quotas = broadcast(target.groupBy(stratum.as("__s"))
+      .agg(count(lit(1)).as("__quota")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s"))
+      .orderBy(Dedup.md5Hash60(key.cast("string")).asc_nulls_last,
+        key.asc_nulls_last)
+    pool.withColumn("__s", stratum)
+      .withColumn("__rn", row_number().over(w))
+      .join(quotas, Seq("__s"))
+      .where(col("__rn") <= col("__quota"))
+      .drop("__quota")
+      .withColumnRenamed("__s", "stratum")
+      .withColumnRenamed("__rn", "matched_rank")
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: the row goes
     * to `argmax over s in [0, shards) of h(key, s)` (Thaler/Ravishankar
     * 1996) — the consistent-placement scheme behind bounded-load

@@ -8697,6 +8697,44 @@ object ExtQueries {
       .orderBy("brand")
   }
 
+  // x249 — DISTRIBUTION-MATCHED SAMPLING: make the pool sources look
+  // like the target sources along the log2-length profile — per
+  // stratum, quota = the target's count there; the pool contributes
+  // its quota rows with the smallest deterministic hash (the x48 pick
+  // rule). The pretraining-curation move when mixing corpora whose
+  // length profiles differ: naive mixing drifts the blend toward the
+  // bigger source. Broadcast quota table (<= 63 bins), one
+  // hash(stratum) exchange for the rank window, quota filter rides it.
+  val x249 = Q(
+    "x249_dist_match",
+    """WITH d AS (
+      |  SELECT doc_id, source, length(bin(n_chars)) - 1 AS b
+      |  FROM documents WHERE n_chars >= 1),
+      |q AS (SELECT b, CAST(count(*) AS BIGINT) AS quota FROM d
+      |      WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+      |p AS (SELECT doc_id, b FROM d
+      |      WHERE source NOT IN ('src0', 'src1', 'src2')),
+      |r AS (
+      |  SELECT doc_id, b,
+      |         row_number() OVER (PARTITION BY b
+      |           ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      |                    doc_id) AS rn
+      |  FROM p)
+      |SELECT r.doc_id, CAST(r.b AS BIGINT) AS b, CAST(r.rn AS INT) AS matched_rank
+      |FROM r JOIN q USING (b) WHERE r.rn <= q.quota
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val tgtSources = Seq("src0", "src1", "src2")
+    val d = Tables.documents(s, dir).where(col("n_chars") >= 1)
+      .select(col("doc_id"), col("source"),
+        (length(bin(col("n_chars"))) - 1).cast("long").as("b"))
+    Sampling.distributionMatch(
+        d.where(col("source").isin(tgtSources: _*)),
+        d.where(!col("source").isin(tgtSources: _*)).select("doc_id", "b"),
+        col("b"), col("doc_id"))
+      .select(col("doc_id"), col("stratum").as("b"), col("matched_rank"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -8716,5 +8754,5 @@ object ExtQueries {
       x209, x210, x211, x212, x213, x214, x215, x216, x217, x218, x219,
       x220, x221, x222, x223, x224, x225, x226, x227, x228, x229, x230,
       x231, x232, x233, x234, x235, x236, x237, x238, x239, x240, x241,
-      x242, x243, x244, x245, x246, x247, x248)
+      x242, x243, x244, x245, x246, x247, x248, x249)
 }

@@ -1422,6 +1422,20 @@ object VolumeTripwire {
             .cast("long"),
           col("l_linenumber"))
         Res("x248_copeland", timeMin(cope(li)), timeMin(cope(d10)))
+      }, {
+        // distribution match: broadcast quota + one stratum exchange —
+        // linear in pool rows; the 10x pool meets the same 63-bin quota
+        val d1 = Tables.documents(spark, sfDir)
+          .where(col("n_chars") >= 1)
+          .select(col("doc_id"), col("source"),
+            (length(bin(col("n_chars"))) - 1).cast("long").as("b"))
+        val tgt = d1.where(col("source").isin("src0", "src1", "src2"))
+        val pool1 = d1.where(!col("source").isin("src0", "src1", "src2"))
+          .select("doc_id", "b")
+        val pool10 = blow(pool1, "doc_id", 10, 1000000L)
+        def dm(p: DataFrame) = graft.ext.Sampling.distributionMatch(
+          tgt, p, col("b"), col("doc_id"))
+        Res("x249_distMatch", timeMin(dm(pool1)), timeMin(dm(pool10)))
       })
 
     val only: Option[Set[String]] =

@@ -2065,6 +2065,22 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(finalP.contains("partial_"), p)
   }
 
+  test("x249: quota table is broadcast; the pool pays ONE stratum exchange; no cartesian") {
+    val df = SparkEntry.queries("x249_dist_match")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("CartesianProduct"), p)
+    assert(finalP.contains("BroadcastHashJoin"), p) // the <=63-bin quota table
+    finalP.linesIterator.filter(_.contains("windowspecdefinition"))
+      .foreach(l => assert(l.contains("__s"), l))
+    // the POOL (data-scale side) pays exactly one stratum exchange; the
+    // quota subtree's own <=63-row aggregation exchange is not it
+    val poolExchanges = finalP.linesIterator
+      .count(_.contains("Exchange hashpartitioning(__s"))
+    assert(poolExchanges == 1, s"$poolExchanges pool stratum exchanges:\n$p")
+  }
+
   test("graph ops: iteration caps are enforced (the lineage contract — a fixpoint variant must checkpoint, not raise these)") {
     import graft.ext.Graph
     import spark.implicits._

@@ -759,6 +759,34 @@ class SamplingSpec extends graft.SparkSpec {
       col("lang") === "en", k = 10).queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+  test("distributionMatch: per-stratum counts equal min(target quota, pool supply); pick rule is x48's; unmatched strata drop") {
+    import spark.implicits._
+    // target: 3 rows in bin 1, 1 row in bin 2, none in bin 3
+    val target = Seq((101L, 1L), (102L, 1L), (103L, 1L), (104L, 2L))
+      .toDF("doc_id", "b")
+    // pool: 5 in bin 1 (quota 3), 0 in bin 2... and 4 in bin 3 (quota 0)
+    val pool = (Seq(1L, 2L, 3L, 4L, 5L).map((_, 1L)) ++
+      Seq(31L, 32L, 33L, 34L).map((_, 3L))).toDF("doc_id", "b")
+    val got = graft.ext.Sampling.distributionMatch(target, pool,
+        col("b"), col("doc_id"))
+      .select("doc_id", "stratum", "matched_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.count(_._2 == 1L) === 3) // quota met from 5 candidates
+    assert(!got.exists(_._2 == 3L))     // target never exhibits bin 3
+    assert(got.forall(_._3 <= 3))
+    // the picked 3 are exactly takePerStratum's pick (same hash rule)
+    val viaTake = graft.ext.Sampling.takePerStratum(
+        pool.where(col("b") === 1L), col("b"), col("doc_id"), n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2 == 1L).map(_._1).toSet === viaTake)
+    // pool shorter than quota: contributes what it has
+    val tgt2 = Seq((9L, 7L), (10L, 7L), (11L, 7L)).toDF("doc_id", "b")
+    val pool2 = Seq((1L, 7L)).toDF("doc_id", "b")
+    val short = graft.ext.Sampling.distributionMatch(tgt2, pool2,
+      col("b"), col("doc_id")).collect()
+    assert(short.length === 1)
+  }
+
 }
 
 class LayoutSpec extends graft.SparkSpec {

@@ -349,10 +349,20 @@ object Multimodal {
       .select(col("media_id"), hex(col("payload")).as("__hx"),
         length(col("payload")).as("__n"))
       .where(col("__n") >= 1)
+      // loud ceiling, not a silent wrap: substr takes an INT position
+      // and the hex image doubles the payload, so rows past 1 GB would
+      // wrap the position negative and return wrong energies — refuse
+      // them per-row instead (assert_true throws; NULL on pass keeps
+      // the row, and living inside a Filter it can't be pruned away)
+      .where(assert_true(col("__n") <= 1000000000L,
+        lit("audioEnergyGrid: payload exceeds the 1 GB hex-image ceiling " +
+          "(substr position is INT and hex doubles the length) — chunk " +
+          "oversized media upstream")).isNull)
     // offsets in 64-bit on purpose: length(payload) is INT, and
     // __n * (S-1) wraps 32 bits at ~34 MB payloads — silently-wrong
     // energies here, an overflow error in the oracle (the round-13
-    // review catch); BIGINT keeps both engines exact to 2^63/S bytes
+    // review catch); BIGINT arithmetic plus the 1 GB guard above keeps
+    // the final INT position exact over the whole admitted range
     def byteAt(i: Int): Column =
       conv(col("__hx").substr(
         (lit(1L) + expr(s"(CAST(__n AS BIGINT) * $i) DIV $S") * 2).cast("int"),

@@ -182,28 +182,89 @@ object Sampling {
         col("weight"), col("target_tokens"))
   }
 
+  /** Two-phase per-stratum hash rank — the scale-safe core under
+    * [[takePerStratum]] and [[distributionMatch]]. A plain
+    * `row_number() OVER (PARTITION BY stratum ORDER BY md5)` caps the
+    * rank's parallelism at the STRATUM CARDINALITY: a ≤63-bin length
+    * profile over a 100 TB pool sorts multi-TB bins in single tasks.
+    * Instead the rank decomposes exactly like `Batching.withBatches` /
+    * `Profile.winsorizedStats`: one range-partitioned sort on
+    * (stratum, hash, key) — a fat stratum SPANS partitions — then
+    * per-(partition, stratum) counts to the driver (O(partitions ×
+    * strata) rows, loud refusal past 2^20), broadcast prefix offsets,
+    * and a (partition, stratum)-local rank window. No plan stage ever
+    * partitions corpus-scale data by the bare stratum.
+    *
+    * Strata are bookkept by an injective string shadow ("n:" for NULL,
+    * "v:" + canonical string otherwise) so a NULL stratum is its own
+    * rank group (same behavior as SQL's PARTITION BY) and distinct
+    * values can't collide with the sentinel. NULLS LAST explicitly on
+    * both rank keys: Spark's ASC default is nulls-first while ANSI
+    * engines commonly default nulls-last — a NULL key must not claim a
+    * budget slot differently per engine.
+    *
+    * `localCheckpoint` pins ONE sort: the offsets job and the rank job
+    * must see identical partition boundaries (range boundaries are
+    * sampled — nondeterministic across jobs), the same discipline as
+    * [[Profile.globalRank]].
+    *
+    * Output: the input columns + `__s` (the stratum) + `__rn` (LONG
+    * 1-based rank within stratum by (md5Hash60(key), key) asc). */
+  private def stratumHashRank(df: DataFrame, stratum: Column,
+      key: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .withColumn("__s", stratum)
+      .withColumn("__sk", when(stratum.isNull, lit("n:"))
+        .otherwise(concat(lit("v:"), stratum.cast("string"))))
+      .withColumn("__h", Dedup.md5Hash60(key.cast("string")))
+      .withColumn("__k", key)
+    val sorted = base
+      .sort(col("__sk"), col("__h").asc_nulls_last, col("__k").asc_nulls_last)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = sorted.groupBy("_pid", "__sk").count().collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    require(counts.length <= (1 << 20),
+      s"stratumHashRank: ${counts.length} (partition, stratum) cells — " +
+        "stratum cardinality too high for the driver-side offset table; " +
+        "bucket the stratum first")
+    val offs = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var curS: String = null
+    var acc = 0L
+    counts.foreach { case (pid, s, c) =>
+      if (s != curS) { curS = s; acc = 0L }
+      offs += ((pid, s, acc)); acc += c
+    }
+    sorted
+      .withColumn("_lrn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_pid"), col("__sk"))
+          .orderBy(col("__h").asc_nulls_last, col("__k").asc_nulls_last))
+        .cast("long"))
+      .join(broadcast(offs.toSeq.toDF("_pid", "__sk", "_off")),
+        Seq("_pid", "__sk"))
+      .withColumn("__rn", col("_off") + col("_lrn"))
+      .drop("_pid", "_lrn", "_off", "__sk", "__h", "__k")
+  }
+
   /** Deterministic fixed-BUDGET sampling: keep at most `n` rows per
     * stratum, chosen by md5-hash order (tie: key) — "cap every language
     * at N docs" corpus balancing, where [[stratifiedSample]]'s per-RATE
     * form can't hit an exact count. Same reproducibility story: the
     * hash order is a property of the rows, not the cluster.
     *
-    * One shuffle on the stratum; the rank window rides it. Strata are
-    * time/language-shaped (bounded cardinality per partition key) — for
-    * a pathological mega-stratum, pre-filter with [[hashSample]] to
-    * bring the stratum under window size first. */
+    * 100 TB posture: the rank runs through [[stratumHashRank]]'s
+    * two-phase decomposition — parallelism is the cluster's partition
+    * count, NOT the stratum cardinality, so a pathological mega-stratum
+    * (one language owning half the corpus) sorts across the cluster
+    * instead of inside one task. */
   def takePerStratum(df: DataFrame, stratum: Column, key: Column,
-      n: Int): DataFrame = {
-    // NULLS LAST explicitly: Spark's ASC default is nulls-first while
-    // ANSI engines commonly default nulls-last — a NULL key must not
-    // silently claim a budget slot differently per engine
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum)
-      .orderBy(Dedup.md5Hash60(key.cast("string")).asc_nulls_last,
-        key.asc_nulls_last)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= n).drop("__rn")
-  }
+      n: Int): DataFrame =
+    stratumHashRank(df, stratum, key)
+      .where(col("__rn") <= n).drop("__rn", "__s")
 
   /** Distribution-matched sampling — make a pool source LOOK LIKE a
     * target source along a stratum (the pretraining-curation move when
@@ -218,29 +279,32 @@ object Sampling {
     * Pool strata the target never exhibits are dropped entirely;
     * strata where the pool is short contribute what they have (the
     * residual deficit is the caller's signal to widen the pool).
+    * NULL strata are EXCLUDED from matching on both sides (filtered
+    * explicitly, not dropped by join accident): a NULL bin is a
+    * measurement failure, not a distribution feature — callers who
+    * mean "unknown" as a stratum must supply a surrogate value.
     *
     * 100 TB posture: the quota table is stratum-cardinality rows
-    * (log2-length bins ≤ 63, language ids, …) — broadcast; the pool
-    * pays ONE hash(stratum) exchange for the rank window and the
-    * quota filter rides it. Stratum cardinality is the window's
-    * parallelism ceiling — callers with corpus-scale strata should
-    * rank through the two-phase globalRank machinery instead.
+    * (log2-length bins ≤ 63, language ids, …) — broadcast; the pool's
+    * rank runs through [[stratumHashRank]]'s two-phase decomposition,
+    * so the selection's parallelism is the cluster's partition count,
+    * NOT the ≤63-bin stratum cardinality — no single-task multi-TB bin
+    * sorts at any scale. `matched_rank` stays INT for family parity
+    * (the quota comparison runs on the LONG rank first, so the cast
+    * only ever sees values ≤ the target's per-stratum count).
     * Output: the selected pool rows + (stratum, matched_rank). */
   def distributionMatch(target: DataFrame, pool: DataFrame,
       stratum: Column, key: Column): DataFrame = {
-    val quotas = broadcast(target.groupBy(stratum.as("__s"))
+    val quotas = broadcast(target.where(stratum.isNotNull)
+      .groupBy(stratum.as("__s"))
       .agg(count(lit(1)).as("__quota")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__s"))
-      .orderBy(Dedup.md5Hash60(key.cast("string")).asc_nulls_last,
-        key.asc_nulls_last)
-    pool.withColumn("__s", stratum)
-      .withColumn("__rn", row_number().over(w))
+    stratumHashRank(pool.where(stratum.isNotNull), stratum, key)
       .join(quotas, Seq("__s"))
       .where(col("__rn") <= col("__quota"))
       .drop("__quota")
       .withColumnRenamed("__s", "stratum")
-      .withColumnRenamed("__rn", "matched_rank")
+      .withColumn("matched_rank", col("__rn").cast("int"))
+      .drop("__rn")
   }
 
   /** Rendezvous (highest-random-weight) shard assignment: the row goes
@@ -326,10 +390,12 @@ object Sampling {
     * everything after it drop, so reruns, incremental reprocessing and
     * a different engine cut the identical corpus.
     *
-    * Same one-shuffle shape and mega-stratum caveat as
-    * [[takePerStratum]]: the cumulative window rides the stratum
-    * exchange; pre-thin a pathological stratum with [[hashSample]]
-    * first.
+    * Unlike [[takePerStratum]] (which now ranks two-phase), THIS op
+    * still windows on the bare stratum — the running-sum cutoff needs
+    * per-partition token-sum offsets, a second driver pass the current
+    * callers don't justify — so the mega-stratum caveat lives HERE:
+    * the cumulative window rides one stratum exchange; pre-thin a
+    * pathological stratum with [[hashSample]] first.
     *
     * Output: input columns + `n_tok` (whitespace tokens) + `cum_tok`. */
   def tokenBudgetCut(df: DataFrame, stratum: Column, key: Column,

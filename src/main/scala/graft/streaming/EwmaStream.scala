@@ -30,11 +30,13 @@ final case class EwmaRow(k: String, n_emit: Long, k_used: Long,
   * twins can't offer: the state is the top-`taps` set under the total
   * order (tus desc, ord desc), and set-insert-then-trim commutes, so
   * ANY arrival order (late data included, no watermark needed)
-  * converges to the same verdict the batch computes. The price is the
-  * verdict is only re-emitted when the top-`taps` set actually changes
-  * — an arrival older than the full window is absorbed silently (it
-  * cannot affect any future verdict either, since the window only
-  * moves forward).
+  * converges to the same verdict the batch computes. Replay-safe too:
+  * observations merge by their (tus, ord) IDENTITY (max-measure on a
+  * conflict — commutative and idempotent), so at-least-once delivery
+  * can't double-occupy taps. The price is the verdict is only
+  * re-emitted when the top-`taps` set actually changes — an arrival
+  * older than the full window is absorbed silently (it cannot affect
+  * any future verdict either, since the window only moves forward).
   *
   * O(taps) state per key (taps ≤ 62 triples). Emissions are cumulative
   * verdicts in Append mode — the latest row per key is the current
@@ -53,8 +55,16 @@ object EwmaStream {
             state: GroupState[(Seq[(Long, Long, Long)], Long)]) =>
           val (old, nEmit) = state.getOption.getOrElse((Seq.empty, 0L))
           val incoming = batch.map(o => (o.tus, o.ord, o.m)).toSeq
-          // set-insert + trim: newest-first total order, keep taps
+          // set-insert + trim: newest-first total order, keep taps.
+          // At-least-once replay safe: dedup by the (tus, ord) identity
+          // first so a re-delivered observation can't occupy two taps;
+          // max(m) keeps the merge commutative AND idempotent, so the
+          // order-independence claim survives even a corrupt replay
+          // that disagrees about the measure
           val buf = (incoming ++ old)
+            .groupBy(t => (t._1, t._2))
+            .map { case ((tus, ord), ts) => (tus, ord, ts.iterator.map(_._3).max) }
+            .toSeq
             .sortBy(t => (-t._1, -t._2))
             .take(taps)
           if (buf == old) Iterator.empty // window unchanged — no verdict

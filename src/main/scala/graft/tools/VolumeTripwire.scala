@@ -1436,6 +1436,19 @@ object VolumeTripwire {
         def dm(p: DataFrame) = graft.ext.Sampling.distributionMatch(
           tgt, p, col("b"), col("doc_id"))
         Res("x249_distMatch", timeMin(dm(pool1)), timeMin(dm(pool10)))
+      }, {
+        // distribution match, FAT SINGLE BIN: every pool row forced into
+        // one stratum — the r13 scale defect's worst case. The two-phase
+        // rank must sort the whole pool ACROSS the cluster (range
+        // partitions), not inside one bin task: ratio stays ~linear
+        val d1 = Tables.documents(spark, sfDir)
+          .where(col("n_chars") >= 1).select("doc_id")
+        val tgtFat = d1.limit(5000).withColumn("b", lit(7L))
+        val pool1 = d1.withColumn("b", lit(7L))
+        val pool10 = blow(pool1, "doc_id", 10, 1000000L)
+        def dm(p: DataFrame) = graft.ext.Sampling.distributionMatch(
+          tgtFat, p, col("b"), col("doc_id"))
+        Res("x249_fatBin", timeMin(dm(pool1)), timeMin(dm(pool10)))
       })
 
     val only: Option[Set[String]] =

@@ -149,12 +149,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_pivotfirst"), p)  // pivot itself combines map-side
   }
 
-  test("x48: per-stratum budget = one stratum shuffle + output sort; scan reads 2 columns") {
-    val f = formattedOf("x48_take_per_stratum")
-    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(f).get.group(1)
-    assert(read.split(",").length === 2, read)
+  test("x48: two-phase stratum rank — NO window partitions on the bare stratum") {
     val p = planOf("x48_take_per_stratum")
-    assert(shuffles(p) === 2, p)
+    // every rank window is (_pid, stratum-shadow)-local: parallelism is
+    // the cluster's partition count, never the stratum cardinality
+    val wlines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(wlines.nonEmpty, p)
+    wlines.foreach(l => assert(l.contains("_pid"), l))
+    assert(!p.contains("Exchange hashpartitioning(lang"), p)
+    // plan reads from the pinned one-sort checkpoint; offsets broadcast
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(shuffles(p) === 2, p) // window co-key (_pid, __sk) + output sort
   }
 
   test("x50: class centroids broadcast; the corpus never shuffles before scoring") {
@@ -2065,20 +2071,27 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(finalP.contains("partial_"), p)
   }
 
-  test("x249: quota table is broadcast; the pool pays ONE stratum exchange; no cartesian") {
+  test("x249: quota broadcast; two-phase rank — NO stage partitions corpus data by the bare stratum") {
     val df = SparkEntry.queries("x249_dist_match")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     val finalP = p.split("== Initial Plan ==")(0)
     assert(!finalP.contains("CartesianProduct"), p)
-    assert(finalP.contains("BroadcastHashJoin"), p) // the <=63-bin quota table
-    finalP.linesIterator.filter(_.contains("windowspecdefinition"))
-      .foreach(l => assert(l.contains("__s"), l))
-    // the POOL (data-scale side) pays exactly one stratum exchange; the
-    // quota subtree's own <=63-row aggregation exchange is not it
-    val poolExchanges = finalP.linesIterator
+    assert(finalP.contains("BroadcastHashJoin"), p) // <=63-bin quota + offsets
+    // the r13 scale defect, pinned dead: the rank window must be
+    // (_pid, stratum-shadow)-local, never bare-stratum-partitioned —
+    // a bare-stratum window caps parallelism at <=63 log2 bins
+    val wlines = finalP.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(wlines.nonEmpty, p)
+    wlines.foreach(l => assert(l.contains("_pid"), l))
+    // at most ONE hashpartitioning(__s) may remain — the quota
+    // subtree's post-partial-agg exchange (<=63 rows per mapper after
+    // map-side combine; AQE may fold it out of the printed final plan
+    // entirely) — the POOL side never exchanges on the bare stratum
+    val stratumExchanges = finalP.linesIterator
       .count(_.contains("Exchange hashpartitioning(__s"))
-    assert(poolExchanges == 1, s"$poolExchanges pool stratum exchanges:\n$p")
+    assert(stratumExchanges <= 1,
+      s"$stratumExchanges bare-stratum exchanges (only the quota agg's allowed):\n$p")
   }
 
   test("graph ops: iteration caps are enforced (the lineage contract — a fixpoint variant must checkpoint, not raise these)") {

@@ -362,4 +362,21 @@ class MonitorStreamSpec extends SparkSpec {
     assert(got3.size === got1.size + 1)
     assert(got3.last.last_m === 70L)
   }
+
+  test("ewma: at-least-once replay absorbed — a re-delivered observation never double-occupies taps") {
+    val taps = 4
+    val rows = (1 to 6).map(i => OrderLevel("a", 100L + i, i.toLong, i * 10L))
+    val once = runEwma(Seq(rows), taps)
+    // replay the newest two observations in a later batch: the window
+    // merges by (tus, ord) identity, so the set is unchanged — no
+    // re-emission and the standing verdict is identical
+    val replay = runEwma(Seq(rows, rows.takeRight(2)), taps)
+    assert(replay.size === once.size,
+      s"replay re-emitted: ${replay.size} vs ${once.size}")
+    assert(replay.maxBy(_.n_emit) === once.maxBy(_.n_emit))
+    // duplicates inside ONE batch collapse the same way
+    val dup = runEwma(Seq(rows ++ rows.takeRight(3)), taps)
+    assert(dup.maxBy(_.n_emit).ewma_m === once.maxBy(_.n_emit).ewma_m)
+    assert(dup.maxBy(_.n_emit).k_used === taps.toLong)
+  }
 }

@@ -253,4 +253,48 @@ object Curation {
       .na.fill(0L, Seq("n_docs_a", "n_docs_b"))
       .select(col("s"), col("blk"), col("status"), col("n_docs_a"), col("n_docs_b"))
   }
+
+  /** Cross-modal curation propagation — the paired image-text dedup
+    * move a multimodal training pipeline ships: a MEDIA-side near-dup
+    * cluster decision (e.g. x246's perceptual phash clusters) is
+    * propagated onto the TEXT side, so near-duplicate images keep
+    * exactly one caption document and drop the rest. Within each
+    * cluster the kept copy is the BEST one by x49's dedup-best rule —
+    * longest caption, tie to the smallest doc_id (truncated captions
+    * lose to full ones) — not merely the first. Documents whose media
+    * row never clustered are their own singleton (kept, labeled).
+    * Cluster members without a caption row (e.g. planted probe
+    * variants) simply don't participate — the decision is over the
+    * real corpus.
+    *
+    * `docs` must carry (doc_id, text) for the media-paired documents;
+    * `clusters` is (media_id, cluster) keyed by the same ids.
+    *
+    * 100 TB posture: the cluster table is pair-driven (orders of
+    * magnitude smaller than the corpus) — BROADCAST into the one
+    * corpus-scale join; the keep rule is one hash(cluster) exchange
+    * whose window partitions are per-cluster (cluster cardinality ≈
+    * corpus cardinality — no low-cardinality funnel); both the rank
+    * and the cluster size ride the same exchange.
+    * Output: (doc_id, cluster, n_cluster, keep, reason). */
+  def crossModalKeepOne(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("cap_len"))
+    val cl = clusters.select(col("media_id").as("doc_id"), col("cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("cap_len").desc, col("doc_id").asc)
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+    d.join(broadcast(cl), Seq("doc_id"), "left")
+      .withColumn("__in_c", col("cluster").isNotNull)
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("n_cluster", count(lit(1)).over(cw))
+      .select(col("doc_id"), col("cluster"), col("n_cluster"),
+        when(col("__rk") === 1, 1).otherwise(0).cast("int").as("keep"),
+        when(!col("__in_c"), lit("singleton"))
+          .when(col("__rk") === 1, lit("cluster_best"))
+          .otherwise(lit("cluster_dup")).as("reason"))
+  }
 }

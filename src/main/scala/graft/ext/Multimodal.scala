@@ -430,6 +430,89 @@ object Multimodal {
         col("n_windows"), col("seg_energy"))
   }
 
+  /** Per-window quantized energy profile over the [[audioEnergyGrid]]
+    * — the audio corpus's banding signature, completing the perceptual
+    * matrix (image [[dHash60]], video [[videoFrameDHash]], audio THIS):
+    * window `c`'s energy integer-divides by `quantum`, so two
+    * recordings whose per-window loudness contours agree to within a
+    * quantum land in the same coarse level (the chromaprint idea,
+    * grid-exact and engine-reproducible — no FFT, no floats). Same
+    * grid as [[audioTrimPlan]]/[[audioSegments]] (shared helper — the
+    * profiles can never drift from the VAD's view of the signal).
+    *
+    * 100 TB posture: one scan-side projection + ONE bounded Generate
+    * (≤ `windows` rows per media), zero exchange.
+    * Output: (media_id, c, q) — one row per (audio row, window). */
+  def audioEnergyProfile(media: DataFrame, windows: Int = 16,
+      samplesPerWindow: Int = 4, quantum: Int = 16): DataFrame = {
+    require(quantum >= 1 && quantum <= 1024,
+      s"audioEnergyProfile: quantum=$quantum out of range [1, 1024]")
+    val (base, energies) = audioEnergyGrid(media, windows, samplesPerWindow)
+    base.select(col("media_id"),
+        posexplode(array(energies.map(_.cast("long")): _*)).as(Seq("c", "energy")))
+      .select(col("media_id"), col("c"),
+        expr(s"energy DIV $quantum").as("q"))
+  }
+
+  /** Window-aligned AUDIO near-dup vote over [[audioEnergyProfile]]
+    * signatures — the cross-media-row audio twin of [[phashPairs]] /
+    * [[videoNeardupPairs]]: two recordings are near-dups when at least
+    * `minVotes` of their window positions carry quantized energies
+    * within ±1 level of each other (boundary straddles are tolerated;
+    * the per-window probe explodes exactly the levels {q−1, q, q+1},
+    * so a qualifying pair matches each window EXACTLY ONCE — the δ is
+    * determined — and the vote needs no dedup). The banded machinery
+    * is x8's shape keyed on (window_idx, level): including the window
+    * position in the bucket key makes the equi-join pair only
+    * same-position windows, alignment for free, exactly as x243's
+    * frame-aligned vote.
+    *
+    * Hot buckets beyond `maxBucket` drop under the loud family
+    * contract — an all-silence flood (every row's window at level 0)
+    * collapses into one bucket and is refused rather than detonating
+    * the join; the silence-flood case is tripwire-probed.
+    *
+    * BUCKET-GRANULARITY contract (how this differs from the hash-key
+    * families): a quantized energy LEVEL is a coarse key — ~(windows ×
+    * 1020/quantum) buckets total — so organic bucket population grows
+    * LINEARLY with corpus size, where x8/x241/x243's 15-bit hash-block
+    * buckets stay birthday-thin. Join cost is capped at maxBucket² per
+    * bucket BY the drop contract, so the cap is the knob: at the scale
+    * where typical levels approach `maxBucket` (≈ 64 · maxBucket audio
+    * rows at the defaults), either REFINE the signature (smaller
+    * quantum, more windows — both multiply bucket cardinality) or
+    * shard the corpus (hashSample / rendezvousShard) and pair within
+    * shards; raising maxBucket instead buys quadratic join work.
+    *
+    * 100 TB posture: profile rows are ≤ windows per media; the probe
+    * triples them (bounded Generate); the join is an equi-join on
+    * (c, level) with per-bucket cost capped at maxBucket²; the vote is
+    * one combinable groupBy. Never all-pairs.
+    * Output: (a, b, n_matched, dq_max), a < b. */
+  def audioNeardupPairs(profile: DataFrame, minVotes: Int = 12,
+      maxBucket: Int = 1 << 16): DataFrame = {
+    require(minVotes >= 1,
+      s"audioNeardupPairs: minVotes=$minVotes must be >= 1")
+    require(maxBucket >= 2,
+      s"audioNeardupPairs: maxBucket=$maxBucket must be >= 2")
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c"), col("q"))
+    val guarded = profile
+      .withColumn("__n", count(lit(1)).over(bucketW))
+      .where(col("__n") <= maxBucket)
+      .drop("__n")
+    val l = guarded
+      .select(col("media_id").as("a"), col("c"), col("q").as("qa"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("d"))
+      .select(col("a"), col("c"), col("qa"), (col("qa") + col("d")).as("q"))
+    val r = guarded.select(col("media_id").as("b"), col("c"), col("q"))
+    l.join(r, Seq("c", "q")).where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_matched"),
+        max(abs(col("qa") - col("q"))).as("dq_max"))
+      .where(col("n_matched") >= minVotes)
+  }
+
   /** Aspect-preserving letterbox geometry: for each media row, the
     * resize-and-pad plan a vision-model preprocessor executes to map an
     * arbitrary (width, height) onto a fixed `targetW`×`targetH` canvas —

@@ -8735,6 +8735,131 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x250 — AUDIO CROSS-ROW NEAR-DUP: window-aligned vote over the
+  // quantized energy-profile signature (the chromaprint analog on the
+  // x244 grid — shared helper, so the near-dup view of the signal can
+  // never drift from the VAD's). Completes the perceptual-dedup
+  // matrix: image x241, video x243, audio THIS. Per window, the energy
+  // integer-divides into coarse levels; two recordings pair when >= 12
+  // of 16 window positions sit within +-1 level (the probe explodes
+  // exactly {q-1, q, q+1}, so a qualifying window matches ONCE — no
+  // dedup needed before the vote). The corpus is augmented with
+  // deterministic re-encode variants (every 10th audio row, first byte
+  // perturbed — only window 0's energy can change since offset
+  // (n*i) DIV 64 = 0 forces i = 0 at n >= 67, so >= 15 of 16 windows
+  // still match and every planted twin is GUARANTEED recalled —
+  // non-vacuous at any corpus size). Hot (window, level) buckets drop
+  // under the loud maxBucket contract (silence floods collapse to one
+  // bucket and refuse rather than detonate — tripwire-probed).
+  val x250 = Q(
+    "x250_audio_neardup",
+    s"""WITH m0 AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |         CAST(octet_length(encode(text)) AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 1),
+      |v AS (
+      |  SELECT media_id + 1000000000 AS media_id, '7E' || substr(hx, 3) AS hx, n
+      |  FROM m0 WHERE media_id % 10 = 0 AND n >= 67 AND n % 37 <> 0),
+      |m AS (SELECT * FROM m0 UNION ALL SELECT * FROM v),
+      |w AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS c),
+      |e AS (
+      |  SELECT media_id, c,
+      |         ${(0 until 4).map(j => audioByteSql(s"c * 4 + $j")).mkString("\n         + ")} AS energy
+      |  FROM m CROSS JOIN w),
+      |p AS (SELECT media_id, c, energy // 16 AS q FROM e),
+      |g AS (SELECT *, count(*) OVER (PARTITION BY c, q) AS bn FROM p),
+      |f AS (SELECT media_id, c, q FROM g WHERE bn <= 65536),
+      |lp AS (SELECT media_id, c, q, q + d AS qp
+      |       FROM f CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d)),
+      |j AS (
+      |  SELECT l.media_id AS a, r.media_id AS b, abs(l.q - r.q) AS dq
+      |  FROM lp l JOIN f r ON l.c = r.c AND l.qp = r.q
+      |                    AND l.media_id < r.media_id)
+      |SELECT a, b, CAST(count(*) AS BIGINT) AS n_matched,
+      |       CAST(max(dq) AS BIGINT) AS dq_max
+      |FROM j GROUP BY a, b HAVING count(*) >= 12
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF()
+    val auds = media.where(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+    val withPlanted = auds.unionByName(Multimodal.reencodeVariants(auds))
+      .withColumn("kind", lit("audio"))
+    Multimodal.audioNeardupPairs(Multimodal.audioEnergyProfile(withPlanted))
+      .select(col("a"), col("b"), col("n_matched"),
+        col("dq_max").cast("long").as("dq_max"))
+      .orderBy("a", "b")
+  }
+
+  // x251 — CROSS-MODAL CURATION PROPAGATION: x246's image-cluster
+  // decision lands on the TEXT side — near-duplicate images keep
+  // exactly one caption document (x49's dedup-best rule: longest
+  // caption, tie to smallest id) and drop the rest; unclustered images
+  // are kept singletons. The paired image-text dedup move a multimodal
+  // training pipeline ships; planted probe variants have no caption
+  // row and simply don't participate. Broadcast cluster table (pair-
+  // driven, corpus-small), ONE hash(cluster) exchange shared by the
+  // keep rank and the cluster size.
+  val x251 = Q(
+    "x251_crossmodal_keepone",
+    s"""WITH RECURSIVE m0 AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |         CAST(octet_length(encode(text)) AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= 1),
+      |vv AS (
+      |  SELECT media_id + 1000000000 AS media_id, '7E' || substr(hx, 3) AS hx, n
+      |  FROM m0 WHERE media_id % 10 = 0 AND n >= 67 AND n % 37 <> 0),
+      |m AS (SELECT * FROM m0 UNION ALL SELECT * FROM vv),
+      |h AS (SELECT media_id, CAST($phashBitsSql AS BIGINT) AS phash FROM m),
+      |e AS (
+      |  SELECT media_id, phash, blk, (phash >> (blk * 15)) & 32767 AS key
+      |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+      |g AS (SELECT *, count(*) OVER (PARTITION BY blk, key) AS bn FROM e),
+      |f AS (SELECT * FROM g WHERE bn <= 65536),
+      |p AS (
+      |  SELECT DISTINCT l.media_id AS a, r.media_id AS b
+      |  FROM f l JOIN f r ON l.blk = r.blk AND l.key = r.key
+      |                   AND l.media_id < r.media_id
+      |  WHERE bit_count(xor(l.phash, r.phash)) <= 3),
+      |edges AS (SELECT a AS u, b AS w FROM p UNION ALL SELECT b, a FROM p),
+      |reach(id, label) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e2.u, r2.label FROM edges e2 JOIN reach r2 ON e2.w = r2.id),
+      |cl AS (SELECT id AS media_id, min(label) AS cluster FROM reach GROUP BY id),
+      |d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS cap_len
+      |      FROM documents WHERE doc_id % 3 = 0),
+      |j AS (
+      |  SELECT d.doc_id, cl.cluster IS NOT NULL AS in_c,
+      |         coalesce(cl.cluster, d.doc_id) AS cluster, d.cap_len
+      |  FROM d LEFT JOIN cl ON d.doc_id = cl.media_id),
+      |r AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY cluster
+      |                            ORDER BY cap_len DESC, doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY cluster) AS n_cluster
+      |  FROM j)
+      |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+      |       CAST(n_cluster AS BIGINT) AS n_cluster,
+      |       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS keep,
+      |       CASE WHEN NOT in_c THEN 'singleton'
+      |            WHEN rk = 1 THEN 'cluster_best'
+      |            ELSE 'cluster_dup' END AS reason
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val media = Multimodal.mediaFromDocuments(s, docs).toDF()
+    val imgs = media.where(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+    val withPlanted = imgs.unionByName(Multimodal.reencodeVariants(imgs))
+    val clusters = Dedup.connectedComponents(
+        Multimodal.phashPairs(
+          Multimodal.dHash60(withPlanted, col("media_id"), col("payload"))))
+      .select(col("doc_id").as("media_id"), col("cluster"))
+    Curation.crossModalKeepOne(
+        docs.where(col("doc_id") % 3 === 0).select("doc_id", "text"),
+        clusters)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -8754,5 +8879,5 @@ object ExtQueries {
       x209, x210, x211, x212, x213, x214, x215, x216, x217, x218, x219,
       x220, x221, x222, x223, x224, x225, x226, x227, x228, x229, x230,
       x231, x232, x233, x234, x235, x236, x237, x238, x239, x240, x241,
-      x242, x243, x244, x245, x246, x247, x248, x249)
+      x242, x243, x244, x245, x246, x247, x248, x249, x250, x251)
 }

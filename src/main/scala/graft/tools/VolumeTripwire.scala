@@ -1449,6 +1449,43 @@ object VolumeTripwire {
         def dm(p: DataFrame) = graft.ext.Sampling.distributionMatch(
           tgtFat, p, col("b"), col("doc_id"))
         Res("x249_fatBin", timeMin(dm(pool1)), timeMin(dm(pool10)))
+      }, {
+        // audio near-dup: 10x audio rows + a 100k all-silence flood —
+        // every flood row's 16 windows land in the same (c, q=8)
+        // buckets, which blow PAST maxBucket (65536) and DROP, so the
+        // banded join never sees the 100k^2 clique (a 50k flood would
+        // sit UNDER the cap and detonate by design — the cap is the
+        // contract, sized for exactly this trade)
+        val a1 = Tables.documents(spark, sfDir)
+          .where(col("doc_id") % 3 === 1)
+          .select(col("doc_id").as("media_id"), lit("audio").as("kind"),
+            encode(col("text"), "UTF-8").as("payload"))
+        val silence = spark.range(100000)
+          .select((col("id") + 20000000L).as("media_id"),
+            lit("audio").as("kind"),
+            encode(lit(" " * 64), "UTF-8").as("payload"))
+        val a10 = blow(a1, "media_id", 10, 1000000L).unionAll(silence)
+        def nd(d: DataFrame) = Multimodal.audioNeardupPairs(
+          Multimodal.audioEnergyProfile(d))
+        Res("x250_audioNeardup", timeMin(nd(a1)), timeMin(nd(a10)))
+      }, {
+        // cross-modal keep-one: the cluster table stays pair-driven
+        // (broadcast) while the caption corpus grows 10x — the
+        // propagation is one broadcast join + one cluster-keyed window,
+        // so the ratio tracks the corpus, never clusters x corpus
+        val docs = Tables.documents(spark, sfDir)
+          .where(col("doc_id") % 3 === 0).select("doc_id", "text")
+        val imgs = docs.select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+        val clusters = Dedup.connectedComponents(
+            Multimodal.phashPairs(Multimodal.dHash60(
+              imgs.unionAll(Multimodal.reencodeVariants(imgs)),
+              col("media_id"), col("payload"))))
+          .select(col("doc_id").as("media_id"), col("cluster"))
+          .localCheckpoint(false)
+        val d10 = blow(docs, "doc_id", 10, 1000000L)
+        def ko(d: DataFrame) = graft.ext.Curation.crossModalKeepOne(d, clusters)
+        Res("x251_crossModal", timeMin(ko(docs)), timeMin(ko(d10)))
       })
 
     val only: Option[Set[String]] =

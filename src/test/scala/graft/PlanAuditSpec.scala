@@ -2094,6 +2094,38 @@ class PlanAuditSpec2 extends SparkSpec {
       s"$stratumExchanges bare-stratum exchanges (only the quota agg's allowed):\n$p")
   }
 
+  test("x250: banded audio vote — equi-join on (window, level), no cartesian, combinable vote") {
+    val df = SparkEntry.queries("x250_audio_neardup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("CartesianProduct"), p)
+    assert(!finalP.contains("BroadcastNestedLoop"), p)
+    // the pairing is an equi-join keyed on (c, q) — never all-pairs
+    assert("Join \\[c#\\d+, q#".r.findFirstIn(finalP).isDefined ||
+      "Join \\[coalesce\\(c#".r.findFirstIn(finalP).isDefined ||
+      finalP.contains("Join [c#"), p)
+    // the vote aggregates with map-side partials
+    assert(finalP.contains("partial_count"), p)
+  }
+
+  test("x251: cluster table broadcasts into the corpus join; keep rank + size ride ONE cluster exchange") {
+    val df = SparkEntry.queries("x251_crossmodal_keepone")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert(!finalP.contains("CartesianProduct"), p)
+    assert(finalP.contains("BroadcastHashJoin"), p) // pair-driven cluster table
+    // every window is cluster-partitioned (per-cluster groups, corpus-
+    // cardinality key — no low-cardinality funnel)
+    finalP.linesIterator.filter(_.contains("windowspecdefinition"))
+      .foreach(l => assert(l.contains("cluster"), l))
+    // the DOC side pays one cluster exchange shared by rank + size
+    val clusterExchanges = finalP.linesIterator
+      .count(_.contains("Exchange hashpartitioning(cluster"))
+    assert(clusterExchanges == 1, s"$clusterExchanges cluster exchanges:\n$p")
+  }
+
   test("graph ops: iteration caps are enforced (the lineage contract — a fixpoint variant must checkpoint, not raise these)") {
     import graft.ext.Graph
     import spark.implicits._

@@ -634,6 +634,95 @@ class MultimodalSpec extends SparkSpec {
     assert(got === brute)
     assert(got.contains((100L, 900L, 0)), s"planted exact dup missing: $got")
   }
+
+  test("audioEnergyProfile: q = energy DIV quantum on the shared grid; one bounded row per (media, window)") {
+    val media = Seq((1L, "abcdefgh" * 16), (2L, " " * 80))
+      .toDF("media_id", "t")
+      .select(col("media_id"), lit("audio").as("kind"),
+        encode(col("t"), "UTF-8").as("payload"))
+    val prof = Multimodal.audioEnergyProfile(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(prof.length === 32) // 16 windows per media, never more
+    // all-space payload: every sampled byte is 0x20 = 32, so every
+    // window's energy is 4*32 = 128 and q = 128 DIV 16 = 8, all windows
+    assert(prof.filter(_._1 == 2L).map(_._3).toSeq === Seq.fill(16)(8L))
+    // grid parity with the trim plan: sum of window energies (recovered
+    // only coarsely from q here) can never exceed the trim's energy_q
+    val eq = Multimodal.audioTrimPlan(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    prof.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._3 * 16).sum <= eq(id))
+    }
+  }
+
+  test("audioNeardupPairs: vote equals brute-force |dq|<=1 window count; planted re-encode recalled") {
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "julia")
+    val texts = (0 until 24).map { i =>
+      (100L + i, (0 until 25 + i).map(j => words((i * 7 + j * 3) % 10)).mkString(" "))
+    }
+    val base = texts.toDF("media_id", "t")
+      .select(col("media_id"), encode(col("t"), "UTF-8").as("payload"))
+    val withPlanted = base.unionByName(Multimodal.reencodeVariants(base))
+      .withColumn("kind", lit("audio"))
+    val prof = Multimodal.audioEnergyProfile(withPlanted)
+    val got = Multimodal.audioNeardupPairs(prof, minVotes = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // brute force over the collected profiles
+    val pm = prof.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(t => t._2 -> t._3).toMap }
+    val brute = (for {
+      a <- pm.keys; b <- pm.keys if a < b
+      ds = (0 until 16).map(c => math.abs(pm(a)(c) - pm(b)(c))).filter(_ <= 1L)
+      if ds.size >= 12
+    } yield (a, b) -> ((ds.size.toLong, ds.max))).toMap
+    assert(got === brute)
+    // every planted twin recalled: ids 100/110/120 are % 10 == 0 and
+    // long enough, so (id, id + 1e9) must be present with >= 15 votes
+    Seq(100L, 110L, 120L).foreach { id =>
+      val votes = got.get((id, id + 1000000000L))
+      assert(votes.exists(_._1 >= 15L), s"planted twin $id missing or weak: $votes")
+    }
+  }
+
+  test("audioNeardupPairs: a silence flood collapses into hot buckets and drops under maxBucket — never detonates") {
+    val flood = (0 until 10).map(i => (500L + i, " " * 64)).toDF("media_id", "t")
+      .select(col("media_id"), lit("audio").as("kind"),
+        encode(col("t"), "UTF-8").as("payload"))
+    val prof = Multimodal.audioEnergyProfile(flood)
+    // every (c, 8) bucket holds all 10 rows; a cap below that refuses
+    // the whole flood loudly-by-absence rather than joining 10x10
+    assert(Multimodal.audioNeardupPairs(prof, minVotes = 1, maxBucket = 4)
+      .count() === 0)
+    // with room, the identical-profile clique is the documented answer
+    assert(Multimodal.audioNeardupPairs(prof, minVotes = 16, maxBucket = 100)
+      .count() === 45) // C(10, 2)
+  }
+
+  test("crossModalKeepOne: longest caption wins its cluster (tie: smallest id); singletons kept; captionless members ignored") {
+    import graft.ext.Curation
+    val docs = Seq(
+      (1L, "short"), (2L, "a much longer caption text"), (3L, "mid caption"),
+      (7L, "lonely"),
+      (8L, "same len"), (9L, "same len")
+    ).toDF("doc_id", "text")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // cluster of three real captions
+      (8L, 8L), (9L, 8L),             // exact-length tie: id 8 must keep
+      (1000000010L, 10L)              // planted variant with no doc row
+    ).toDF("media_id", "cluster")
+    val got = Curation.crossModalKeepOne(docs, clusters).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got(2L) === ((1L, 3L, 1, "cluster_best"))) // longest caption
+    assert(got(1L) === ((1L, 3L, 0, "cluster_dup")))
+    assert(got(3L) === ((1L, 3L, 0, "cluster_dup")))
+    assert(got(7L) === ((7L, 1L, 1, "singleton")))
+    assert(got(8L) === ((8L, 2L, 1, "cluster_best"))) // tie -> smaller id
+    assert(got(9L) === ((8L, 2L, 0, "cluster_dup")))
+    assert(got.size === 6) // the captionless planted member contributes nothing
+  }
 }
 
 class ApproxDistinctSpec extends graft.SparkSpec {

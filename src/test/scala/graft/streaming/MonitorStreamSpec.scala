@@ -363,6 +363,23 @@ class MonitorStreamSpec extends SparkSpec {
     assert(got3.last.last_m === 70L)
   }
 
+  test("chi2 + ks are ORDER-INDEPENDENT: fully reversed one-delta-per-batch arrival converges to the in-order final verdict") {
+    // the round-14 lateness-contract audit: additive O(bins) state
+    // commutes, so χ²/KS join Ewma in the order-independent column;
+    // Cusum (running-sum) and Zscore (trailing frontier) are frontier
+    // twins BY CONTRACT — their late-drop pins live in their own tests
+    val own = Seq(1L, 2L, 3L, 5L, 9L, 17L, 33L, 900L, 901L, 902L, 64L, 70L)
+    val ref = Seq(1L, 1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L)
+    val deltas = binCounts(own).toSeq.map { case (b, n) => BinDelta("a", b, n) }
+    val refM = binCounts(ref)
+    val inOrder = runChi2(Seq(deltas), refM).maxBy(_.n_own)
+    val reversed = runChi2(deltas.reverse.map(Seq(_)), refM).maxBy(_.n_own)
+    assert(reversed === inOrder)
+    val ksIn = runKs(Seq(deltas), refM).maxBy(_.n_own)
+    val ksRev = runKs(deltas.reverse.map(Seq(_)), refM).maxBy(_.n_own)
+    assert(ksRev === ksIn)
+  }
+
   test("ewma: at-least-once replay absorbed — a re-delivered observation never double-occupies taps") {
     val taps = 4
     val rows = (1 to 6).map(i => OrderLevel("a", 100L + i, i.toLong, i * 10L))

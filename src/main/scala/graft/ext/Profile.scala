@@ -90,17 +90,31 @@ object Profile {
     * at a position is deterministic even under ties). The data-card
     * numbers a corpus README quotes.
     *
-    * Plan: one stratum-partitioned rank window + a broadcast count
-    * join, then one conditional-aggregate groupBy — no global window,
-    * no approximate sketch, columns `p<pct>` in `pcts` order. */
+    * Plan — pick the rank strategy by stratum cardinality (round 14):
+    * `lowCardStrata = true` routes the rank through
+    * [[StratumRank.rank]]'s two-phase decomposition (REQUIRED when
+    * strata are source/day/type-shaped — a bare-stratum window there
+    * caps parallelism at the stratum cardinality and single-tasks a
+    * fat stratum's multi-TB sort); `false` keeps the plain hash
+    * window, which is the RIGHT plan when strata are user/entity-keyed
+    * (cardinality ≫ partitions — per-stratum volume is bounded and
+    * two-phase's (partitions × strata) driver offset table would
+    * refuse). Then a broadcast count join + one conditional-aggregate
+    * groupBy — no global window, no approximate sketch, columns
+    * `p<pct>` in `pcts` order. Position picks are value-stable under
+    * rank-tie permutation, so both strategies return identical rows. */
   def groupQuantiles(df: DataFrame, stratum: Column, value: Column,
-      pcts: Seq[Int]): DataFrame = {
+      pcts: Seq[Int], lowCardStrata: Boolean = false): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts=$pcts must be percentiles in [1, 100]")
     val d = df.select(stratum.as("stratum"), value.cast("long").as("v"))
-    val ranked = d.withColumn("rn", row_number().over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
-        .orderBy(col("v"))).cast("long"))
+    val ranked =
+      if (lowCardStrata)
+        StratumRank.rank(d, col("stratum"), Seq(col("v")))
+          .withColumnRenamed("__rn", "rn").drop("__s")
+      else d.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
+          .orderBy(col("v"))).cast("long"))
     val counts = d.groupBy("stratum").agg(count(lit(1)).as("cs"))
     val aggs = pcts.map(p =>
       max(expr(s"CASE WHEN rn = ($p * cs + 99) DIV 100 THEN v END"))
@@ -147,25 +161,34 @@ object Profile {
     * is ever SUMMED, so the result is bit-stable under any partitioning
     * and reproducible in any ANSI engine.
     *
-    * Plan: two stratum-partitioned rank windows (values, then
-    * deviations) + broadcast median joins — no global window, no sketch.
-    * Output: (stratum, n, med, mad, n_out). */
+    * Plan: two per-stratum ranks (values, then deviations) + broadcast
+    * median joins — no global window, no sketch. Rank strategy by
+    * stratum cardinality (round 14, same contract as
+    * [[groupQuantiles]]): `lowCardStrata = true` → the two-phase
+    * [[StratumRank.rank]] (brand/source-shaped strata — a bare window
+    * would single-task a fat stratum); `false` → plain hash window
+    * (user/entity-keyed strata, the right plan there). Median picks
+    * are value-stable under rank-tie permutation — both strategies
+    * return identical rows. Output: (stratum, n, med, mad, n_out). */
   def medianMadOutliers(df: DataFrame, stratum: Column, value: Column,
-      nMads: Int = 4): DataFrame = {
+      nMads: Int = 4, lowCardStrata: Boolean = false): DataFrame = {
     require(nMads >= 1, s"nMads=$nMads must be >= 1")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stratum")).orderBy(col("v"))
+    def rankBy(in: DataFrame, o: String): DataFrame =
+      if (lowCardStrata)
+        StratumRank.rank(in, col("stratum"), Seq(col(o)))
+          .withColumnRenamed("__rn", "rn").drop("__s")
+      else in.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("stratum")).orderBy(col(o))).cast("long"))
     val d = df.select(stratum.as("stratum"), value.cast("double").as("v"))
-    val med = d.withColumn("rn", row_number().over(w).cast("long"))
+    val med = rankBy(d, "v")
       .join(broadcast(d.groupBy("stratum").agg(count(lit(1)).as("cs"))),
         Seq("stratum"))
       .where(col("rn") === expr("(cs + 1) DIV 2"))
       .select(col("stratum"), col("v").as("med"))
     val dev = d.join(broadcast(med), Seq("stratum"))
       .withColumn("adev", abs(col("v") - col("med")))
-    val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stratum")).orderBy(col("adev"))
-    val mad = dev.withColumn("rn", row_number().over(wd).cast("long"))
+    val mad = rankBy(dev, "adev")
       .join(broadcast(d.groupBy("stratum").agg(count(lit(1)).as("cs"))),
         Seq("stratum"))
       .where(col("rn") === expr("(cs + 1) DIV 2"))
@@ -702,19 +725,22 @@ object Profile {
     * integer order statistics: reproducible on any engine, no
     * interpolation.
     *
-    * Plan: one stratum-partitioned running-sum window + a broadcast
-    * totals join + one conditional-min groupBy — no global window.
+    * Plan: the running weight rides [[StratumRank.cumsum]]'s two-phase
+    * decomposition (round 14 — strata here are source-shaped, so a
+    * bare-stratum window would single-task a fat stratum's sort) + a
+    * broadcast totals join + one conditional-min groupBy — no global
+    * window. The (v, id) order is total, so the running sums are
+    * identical to the single-window form.
     * Output: (stratum, n, w_total, wmedian). */
   def weightedMedian(df: DataFrame, stratum: Column, value: Column,
       weight: Column, order: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stratum")).orderBy(col("v"), col("id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val d = df.select(stratum.as("stratum"), value.cast("long").as("v"),
         weight.cast("long").as("wt"), order.as("id"))
     val totals = d.groupBy("stratum")
       .agg(count(lit(1)).as("n"), sum(col("wt")).as("w_total"))
-    d.withColumn("cumw", sum(col("wt")).over(w))
+    StratumRank.cumsum(d, col("stratum"), Seq(col("v"), col("id")),
+        col("wt"))
+      .withColumnRenamed("__cum", "cumw").drop("__s")
       .join(broadcast(totals), Seq("stratum"))
       .where(col("cumw") >= expr("(w_total + 1) DIV 2"))
       .groupBy("stratum", "n", "w_total")

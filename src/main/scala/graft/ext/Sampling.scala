@@ -211,44 +211,9 @@ object Sampling {
     * Output: the input columns + `__s` (the stratum) + `__rn` (LONG
     * 1-based rank within stratum by (md5Hash60(key), key) asc). */
   private def stratumHashRank(df: DataFrame, stratum: Column,
-      key: Column): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val base = df
-      .withColumn("__s", stratum)
-      .withColumn("__sk", when(stratum.isNull, lit("n:"))
-        .otherwise(concat(lit("v:"), stratum.cast("string"))))
-      .withColumn("__h", Dedup.md5Hash60(key.cast("string")))
-      .withColumn("__k", key)
-    val sorted = base
-      .sort(col("__sk"), col("__h").asc_nulls_last, col("__k").asc_nulls_last)
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
-    val counts = sorted.groupBy("_pid", "__sk").count().collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-      .sortBy(t => (t._2, t._1))
-    require(counts.length <= (1 << 20),
-      s"stratumHashRank: ${counts.length} (partition, stratum) cells — " +
-        "stratum cardinality too high for the driver-side offset table; " +
-        "bucket the stratum first")
-    val offs = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-    var curS: String = null
-    var acc = 0L
-    counts.foreach { case (pid, s, c) =>
-      if (s != curS) { curS = s; acc = 0L }
-      offs += ((pid, s, acc)); acc += c
-    }
-    sorted
-      .withColumn("_lrn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("_pid"), col("__sk"))
-          .orderBy(col("__h").asc_nulls_last, col("__k").asc_nulls_last))
-        .cast("long"))
-      .join(broadcast(offs.toSeq.toDF("_pid", "__sk", "_off")),
-        Seq("_pid", "__sk"))
-      .withColumn("__rn", col("_off") + col("_lrn"))
-      .drop("_pid", "_lrn", "_off", "__sk", "__h", "__k")
-  }
+      key: Column): DataFrame =
+    StratumRank.rank(df, stratum,
+      Seq(Dedup.md5Hash60(key.cast("string")), key))
 
   /** Deterministic fixed-BUDGET sampling: keep at most `n` rows per
     * stratum, chosen by md5-hash order (tie: key) — "cap every language
@@ -390,23 +355,23 @@ object Sampling {
     * everything after it drop, so reruns, incremental reprocessing and
     * a different engine cut the identical corpus.
     *
-    * Unlike [[takePerStratum]] (which now ranks two-phase), THIS op
-    * still windows on the bare stratum — the running-sum cutoff needs
-    * per-partition token-sum offsets, a second driver pass the current
-    * callers don't justify — so the mega-stratum caveat lives HERE:
-    * the cumulative window rides one stratum exchange; pre-thin a
-    * pathological stratum with [[hashSample]] first.
+    * The running-sum cutoff rides [[StratumRank.cumsum]]'s two-phase
+    * decomposition (round 14 — this op previously carried the
+    * documented mega-stratum caveat): per-partition TOKEN-SUM offsets
+    * replace the bare-stratum window, so a pathological mega-stratum
+    * spans the cluster instead of single-tasking one sort.
     *
     * Output: input columns + `n_tok` (whitespace tokens) + `cum_tok`. */
   def tokenBudgetCut(df: DataFrame, stratum: Column, key: Column,
       text: Column, budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be positive, got $budget")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum)
-      .orderBy(Dedup.md5Hash60(key.cast("string")).asc_nulls_last,
-        key.asc_nulls_last)
-    df.withColumn("n_tok", size(split(trim(text), "\\s+")).cast("long"))
-      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+    StratumRank.cumsum(
+        df.withColumn("n_tok", size(split(trim(text), "\\s+")).cast("long")),
+        stratum,
+        Seq(Dedup.md5Hash60(key.cast("string")), key),
+        col("n_tok"))
+      .withColumnRenamed("__cum", "cum_tok")
+      .drop("__s")
       .where(col("cum_tok") <= budget)
   }
 
@@ -439,16 +404,18 @@ object Sampling {
     * proportional round-robin. Exact integers (DECIMAL product, one
     * floor), no floats, engine-reproducible.
     *
-    * 100 TB posture: one source-partitioned rank window (no global
-    * window — the global ORDER is carried by the key, materialized only
-    * if a consumer sorts), a broadcast per-source count join, and a
+    * 100 TB posture: the per-source rank runs through
+    * [[StratumRank.rank]]'s two-phase decomposition (round 14 — a bare
+    * source window would cap parallelism at the source count), the
+    * global ORDER is carried by the key (materialized only if a
+    * consumer sorts), plus a broadcast per-source count join and a
     * broadcast 1-row total. Output: `(doc_id, source, rn_src, ikey)`. */
   def curriculumInterleave(docs: DataFrame, id: Column, source: Column): DataFrame = {
     val d = docs.select(id.as("doc_id"), source.as("source"),
       Dedup.md5Hash60(id.cast("string")).as("h"))
-    val ranked = d.withColumn("rn_src", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
-          .orderBy(col("h"), col("doc_id"))).cast("long"))
+    val ranked = StratumRank.rank(d, col("source"),
+        Seq(col("h"), col("doc_id")))
+      .withColumnRenamed("__rn", "rn_src").drop("__s")
     val counts = d.groupBy("source").agg(count(lit(1)).as("cs"))
     val total = d.agg(count(lit(1)).as("n"))
     ranked
@@ -468,17 +435,18 @@ object Sampling {
     * terse one; quantile ranks make one threshold portable across
     * strata. Exact integers, floors only.
     *
-    * 100 TB posture: one stratum-partitioned rank window plus a
+    * 100 TB posture: the within-stratum rank runs through
+    * [[StratumRank.rank]]'s two-phase decomposition (round 14) plus a
     * broadcast per-stratum count join — no global window, no
-    * distribution estimation pass. Output: `(doc_id, stratum, score,
-    * q_e6)`. */
+    * distribution estimation pass, no bare-stratum funnel. Output:
+    * `(doc_id, stratum, score, q_e6)`. */
   def quantileNormalize(df: DataFrame, id: Column, stratum: Column,
       score: Column): DataFrame = {
     val d = df.select(id.as("doc_id"), stratum.as("stratum"),
       score.cast("long").as("score"))
-    val ranked = d.withColumn("rn", row_number().over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
-        .orderBy(col("score"), col("doc_id"))).cast("long"))
+    val ranked = StratumRank.rank(d, col("stratum"),
+        Seq(col("score"), col("doc_id")))
+      .withColumnRenamed("__rn", "rn").drop("__s")
     val counts = d.groupBy("stratum").agg(count(lit(1)).as("cs"))
     ranked.join(broadcast(counts), Seq("stratum"))
       .select(col("doc_id"), col("stratum"), col("score"),
@@ -496,7 +464,8 @@ object Sampling {
     *
     * 100 TB posture: quotas live on the |strata|-row aggregate (the
     * remainder rank is a broadcast self-join count, not a global
-    * window); row selection is one stratum-partitioned rank window.
+    * window); row selection ranks through [[StratumRank.rank]]'s
+    * two-phase decomposition (round 14 — never a bare-stratum window).
     * Output: (stratum, id, rk) — exactly `budget` rows. */
   def proportionalSample(df: DataFrame, stratum: Column, id: Column,
       budget: Long): DataFrame = {
@@ -529,10 +498,9 @@ object Sampling {
       .select(col("s"),
         (col("quota") + when(col("rrank") <= col("extra"), 1L).otherwise(0L))
           .as("final_quota"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("s"))
-      .orderBy(md5(col("id").cast("string")), col("id"))
-    base.withColumn("rk", row_number().over(w).cast("long"))
+    StratumRank.rank(base, col("s"),
+        Seq(md5(col("id").cast("string")), col("id")))
+      .withColumnRenamed("__rn", "rk").drop("__s")
       .join(broadcast(ranked), Seq("s"))
       .where(col("rk") <= col("final_quota"))
       .select(col("s").as("stratum"), col("id"), col("rk"))

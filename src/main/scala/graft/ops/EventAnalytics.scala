@@ -242,7 +242,8 @@ object EventAnalytics {
       sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_s2"),
       sum(when(col("stage") === 3, 1L).otherwise(0L)).as("n_s3"))
     def med(d: DataFrame, out: String) =
-      graft.ext.Profile.groupQuantiles(d, col("cohort"), col("d"), Seq(50))
+      graft.ext.Profile.groupQuantiles(d, col("cohort"), col("d"), Seq(50),
+        lowCardStrata = true)
         .select(col("stratum").as("cohort"), col("p50").as(out))
     val d12 = med(fc.where(col("t2").isNotNull)
       .select(col("cohort"), (col("t2") - col("t1")).as("d")), "p50_t12_us")
@@ -299,7 +300,8 @@ object EventAnalytics {
         last(when(col("et") =!= conversion, col("tus")), ignoreNulls = true).over(w))
       .where(col("et") === conversion && col("channel").isNotNull)
       .select(col("channel"), (col("tus") - col("ctus")).as("gap"))
-    graft.ext.Profile.groupQuantiles(p, col("channel"), col("gap"), Seq(50))
+    graft.ext.Profile.groupQuantiles(p, col("channel"), col("gap"), Seq(50),
+        lowCardStrata = true)
       .select(col("stratum").as("channel"), col("n"),
         col("p50").as("p50_gap_us"))
   }
@@ -511,7 +513,8 @@ object EventAnalytics {
       count(lit(1)).as("n_conv"),
       coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)).as("n_completed"))
     val med = graft.ext.Profile.groupQuantiles(
-      conv.where(col("ok")), col("day"), col("span"), Seq(50))
+      conv.where(col("ok")), col("day"), col("span"), Seq(50),
+      lowCardStrata = true)
       .select(col("stratum").as("day"), col("p50").as("p50_span_us"))
     counts.join(med, Seq("day"), "left")
       .select(col("day"), col("n_conv"), col("n_completed"),

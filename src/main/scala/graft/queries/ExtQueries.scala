@@ -3399,7 +3399,7 @@ object ExtQueries {
       |GROUP BY r.stratum
       |ORDER BY r.stratum""".stripMargin) { (s, dir) =>
     Profile.groupQuantiles(Tables.documents(s, dir), col("source"),
-      col("n_chars"), Seq(25, 50, 75, 99))
+      col("n_chars"), Seq(25, 50, 75, 99), lowCardStrata = true)
       .orderBy("stratum")
   }
 
@@ -4175,10 +4175,12 @@ object ExtQueries {
       col("user_id"), col("ts"), col("event_id"), gapMicros = 1800000000L)
     val d = sess.select(date_trunc("day", col("session_start")).as("stratum"),
       col("duration_secs"), col("n_events"))
-    val qd = Profile.groupQuantiles(d, col("stratum"), col("duration_secs"), Seq(50, 95))
+    val qd = Profile.groupQuantiles(d, col("stratum"), col("duration_secs"), Seq(50, 95),
+      lowCardStrata = true)
       .select(col("stratum"), col("n"),
         col("p50").as("p50_dur"), col("p95").as("p95_dur"))
-    val qe = Profile.groupQuantiles(d, col("stratum"), col("n_events"), Seq(50))
+    val qe = Profile.groupQuantiles(d, col("stratum"), col("n_events"), Seq(50),
+      lowCardStrata = true)
       .select(col("stratum"), col("p50").as("p50_events"))
     qd.join(qe, Seq("stratum")).orderBy("stratum")
   }
@@ -4243,7 +4245,7 @@ object ExtQueries {
       .join(broadcast(Tables.part(s, dir)),
         col("l_partkey") === col("p_partkey"))
       .select(col("p_brand"), (col("l_extendedprice") / col("l_quantity")).as("v"))
-    Profile.medianMadOutliers(d, col("p_brand"), col("v"))
+    Profile.medianMadOutliers(d, col("p_brand"), col("v"), lowCardStrata = true)
       .orderBy("stratum")
   }
 
@@ -5254,7 +5256,7 @@ object ExtQueries {
     val missing = e.groupBy("stratum")
       .agg(sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_missing"))
     Profile.groupQuantiles(e.where(col("v").isNotNull),
-        col("stratum"), col("v"), Seq(25, 50, 95))
+        col("stratum"), col("v"), Seq(25, 50, 95), lowCardStrata = true)
       .join(broadcast(missing), Seq("stratum"))
       .select(col("stratum"), col("n"), col("p25"), col("p50"), col("p95"),
         col("n_missing"))
@@ -5427,7 +5429,8 @@ object ExtQueries {
       .select(col("o_orderpriority").as("stratum"),
         datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
           .as("v"))
-    Profile.groupQuantiles(d, col("stratum"), col("v"), Seq(50, 90, 99))
+    Profile.groupQuantiles(d, col("stratum"), col("v"), Seq(50, 90, 99),
+        lowCardStrata = true)
       .orderBy("stratum")
   }
 

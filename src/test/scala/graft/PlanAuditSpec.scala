@@ -639,9 +639,10 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("x123_funnel_timing")
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
+    // cohort medians rank two-phase (_pid) since round 14
     assert(specs.nonEmpty &&
       specs.forall(s => s.contains("user_id") || s.contains("cohort") ||
-        s.contains("stratum")), specs.toString)
+        s.contains("_pid")), specs.toString)
   }
 
   test("x124/x125: saturation + rolling actives run window-free, no cartesian") {
@@ -662,12 +663,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), p) // the range sort the offsets ride
   }
 
-  test("x128: part dim broadcasts into the unit-price scan; windows are brand-partitioned") {
+  test("x128: part dim broadcasts into the unit-price scan; rank windows are _pid-local") {
     val p = planOf("x128_price_outliers")
     assert(p.contains("BroadcastHashJoin"), p)
+    // brand strata are low-cardinality: the MAD ranks run two-phase —
+    // a bare-brand window would cap parallelism at ~25 brands
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("stratum")), specs.toString)
+    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
   }
 
   test("x129: pairs expand scan-side; supports broadcast back; no position self-join") {
@@ -692,8 +695,9 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("x131_attribution")
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
+    // the channel median ranks two-phase (_pid) since round 14
     assert(specs.nonEmpty &&
-      specs.forall(s => s.contains("user_id") || s.contains("stratum")),
+      specs.forall(s => s.contains("user_id") || s.contains("_pid")),
       specs.toString)
   }
 
@@ -758,8 +762,9 @@ class PlanAuditSpec extends SparkSpec {
   test("x139: every window is user- or day-partitioned — never global") {
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(planOf("x139_window_funnel")).map(_.group(1)).toSeq
+    // the per-day span median ranks two-phase (_pid) since round 14
     assert(specs.nonEmpty &&
-      specs.forall(s => s.contains("user_id") || s.contains("stratum")), specs.toString)
+      specs.forall(s => s.contains("user_id") || s.contains("_pid")), specs.toString)
   }
 
   test("x140: centroid pair matrix joins only checkpointed slice rows, broadcast") {
@@ -951,13 +956,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("x156: JSON extract is scan-side codegen (no UDF); quantile window is type-partitioned") {
+  test("x156: JSON extract is scan-side codegen (no UDF); quantile rank is _pid-local") {
     val p = planOf("x156_props_stats")
     assert(p.contains("get_json_object"), p)
     assert(!p.toLowerCase.contains("batchevalpython"), p)
+    // event_type strata are low-cardinality: two-phase rank, never a
+    // bare-stratum window over corpus-scale props rows
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("stratum")), specs.toString)
+    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -1011,13 +1018,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("x161: ship-lag quantile windows are priority-partitioned; counts broadcast") {
+  test("x161: ship-lag quantile ranks are _pid-local two-phase; counts broadcast") {
     val df = SparkEntry.queries("x161_ship_lag")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
+    // order priority has FIVE values — a bare-priority window would cap
+    // the rank at five tasks; round 14 routes it through StratumRank
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("stratum")), specs.toString)
+    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -1032,23 +1041,25 @@ class PlanAuditSpec extends SparkSpec {
     assert("FullOuter".r.findAllIn(p).nonEmpty, p)
   }
 
-  test("x163: allocation runs on the strata aggregate; row rank is stratum-partitioned") {
+  test("x163: allocation runs on the strata aggregate; row rank is _pid-local two-phase") {
     val df = SparkEntry.queries("x163_proportional_sample")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("s#") || specs.forall(_.contains("s"))), specs.toString)
+    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("x164: weighted median windows are stratum-partitioned; totals broadcast") {
+  test("x164: weighted-median running sum is _pid-local two-phase; totals broadcast") {
     val df = SparkEntry.queries("x164_weighted_median")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
+    // source strata: the running-weight cumsum decomposes two-phase —
+    // the previous bare-stratum window capped parallelism at |sources|
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("stratum")), specs.toString)
+    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -2139,5 +2150,57 @@ class PlanAuditSpec2 extends SparkSpec {
     // analyzes without materializing — lineage over pinned leaves)
     val deep = Graph.pageRank(e, iters = 8)
     assert(deep.queryExecution.analyzed != null)
+  }
+
+  // Round-14 bare-stratum-window retirement: every remaining op whose
+  // strata are source/day/type-shaped now ranks through StratumRank's
+  // two-phase decomposition. These pins make a regression to the
+  // bare-stratum funnel (parallelism ceiling = stratum cardinality) a
+  // suite failure. x108/x115 keep plain hash windows BY DESIGN — their
+  // strata are user-keyed (cardinality >> partitions), where the hash
+  // window is the right plan and two-phase's driver offset table would
+  // refuse.
+  private def execWindows(name: String): (String, Seq[String]) = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    (p, "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq)
+  }
+
+  test("x89: token-budget cumsum is _pid-local two-phase — no bare-stratum window") {
+    val (p, specs) = execWindows("x89_token_budget_cut")
+    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x97: curriculum rank is _pid-local two-phase — no bare-source window") {
+    val (p, specs) = execWindows("x97_curriculum_interleave")
+    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x98: quantile-normalize rank is _pid-local two-phase — no bare-stratum window") {
+    val (p, specs) = execWindows("x98_quantile_norm")
+    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x103: length-quantile rank is _pid-local two-phase — no bare-source window") {
+    val (p, specs) = execWindows("x103_length_quantiles")
+    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x126: day-quantile ranks are _pid-local; only the session window is user-keyed") {
+    val (p, specs) = execWindows("x126_session_stats")
+    // sessionization legitimately windows on user_id (entity-keyed);
+    // the per-DAY quantile ranks must not window on the bare day
+    assert(specs.nonEmpty &&
+      specs.forall(s => s.contains("_pid") || s.contains("user_id") ||
+        s.contains("key")),  // Sessionize renames user_id -> key
+      specs.toString)
+    assert(specs.exists(_.contains("_pid")), specs.toString)
+    assert(!p.contains("CartesianProduct"), p)
   }
 }

@@ -123,6 +123,31 @@ def main():
         f.write("\n".join(md) + "\n")
     print("\n".join(md), flush=True)
     print(f"[sf1] evidence written to {args.out}", flush=True)
+
+    # committed per-query receipt — DocsParitySpec gates that every
+    # registered query has a wall here or a documented exclusion, so
+    # the sf1 receipt can never lag the registry again (round 14)
+    receipts = {
+        "generated_by": "scripts/sf1_evidence.py",
+        "sf1_dir": args.sf1_dir,
+        "base": args.base,
+        "correctness": check_tail,
+        "excluded": {
+            "x11_embed_neardup":
+                "N-squared-by-design oracle twin; loud >100k guard fires"
+                " at sf1 volume (scale paths x10/x57 carry sf1 walls)",
+            "x174_hash_ring":
+                "engine runs at sf1 (wall recorded); its ORACLE is the"
+                " deliberate keysx128 crossjoin DuckDB cannot finish at"
+                " sf1 - oracle-verified at sf0.001/0.01/0.1 instead",
+        },
+        "walls_sec": qmap,
+    }
+    os.makedirs("receipts", exist_ok=True)
+    with open("receipts/sf1_receipts.json", "w") as f:
+        json.dump(receipts, f, indent=1, sort_keys=True)
+    print("[sf1] per-query receipts written to receipts/sf1_receipts.json",
+          flush=True)
     if chk.returncode != 0:
         sys.exit(1)
 

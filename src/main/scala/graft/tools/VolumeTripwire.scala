@@ -19,6 +19,313 @@ import org.apache.spark.sql.functions._
   * violated bound; prints one PROF line per (op, scale) for COVERAGE.md.
   */
 object VolumeTripwire {
+
+  /** Every registered query either has a `Res(...)` probe in `main`
+    * or an entry HERE stating WHY a 10x volume probe cannot find a
+    * superlinearity: the plan shape bounds the work by construction
+    * (scan-side, combinable agg, broadcast, bounded replication,
+    * key-cardinality wire) or the risky machinery is shared with a
+    * probed row. DocsParitySpec gates the union (round 14): a new
+    * query with neither a probe nor a reason fails `sbt test`, so
+    * the tripwire surface can never silently lag the registry. */
+  val linearByConstruction: Map[String, String] = Map(
+    "q1_catalog_scan" ->
+      "reference-surface core: pushed-filter scan, no joins; benched at sf0.1 every round and at sf1 in the decade receipt",
+    "q2_time_range" ->
+      "reference core: pushed BETWEEN scan; benched every round + sf1",
+    "q3_first_nonempty" ->
+      "reference core: one combinable url_id rollup; benched every round + sf1",
+    "q4_error_pivot_score" ->
+      "reference core: combinable conditional counts; benched every round + sf1",
+    "q5_vendor_histogram" ->
+      "reference core: scan-side classifier + SUM(CASE) histogram; benched every round + sf1",
+    "q6_weak_programs" ->
+      "reference core: MAX+HAVING below a broadcast semi-join; benched every round + sf1",
+    "q7_dim_rematch" ->
+      "reference core: broadcast first-match rematch; benched every round + sf1",
+    "q8_batching" ->
+      "reference core: two-phase rank (the _pid idiom's origin); benched every round + sf1",
+    "q9_strings" ->
+      "reference core: scan-side string family; benched every round + sf1",
+    "q10_json_roundtrip" ->
+      "reference core: codegen JSON build/parse, no UDF; benched every round + sf1",
+    "q11_daily_window" ->
+      "reference core: date-keyed combinable window agg; benched every round + sf1",
+    "q12_revenue_join" ->
+      "reference core: broadcast fact-dim join; benched every round + sf1",
+    "qr1_detection_pipeline" ->
+      "reference core: single-shuffle rollup + broadcast dim; benched every round + sf1",
+    "x1_dedup_exact" ->
+      "one md5-digest groupBy, map-combinable; text never shuffles - linear by construction",
+    "x2_token_stats" ->
+      "scan-side token counts + one combinable agg; no joins",
+    "x3_text_quality" ->
+      "pure scan-side integer ratios; no exchange beyond output sort",
+    "x4_lang_id" ->
+      "scan-side argmax classifier + language-cardinality groupBy",
+    "x5_fingerprint" ->
+      "one codegen rolling-hash scan pass; zero shuffle",
+    "x6_ngram_jaccard" ->
+      "df-capped inverted index - pair fan-out bounded by the cap; the shared postings machinery is probed via the x7 row",
+    "x9_knn_brute" ->
+      "fixed query set broadcasts; corpus streams once - |q|*N by construction",
+    "x11_embed_neardup" ->
+      "N-squared BY DESIGN oracle twin behind a loud >100k refusal; the scale paths x10/x57 are probed",
+    "x12_multimodal_meta" ->
+      "metadata scan + bounded per-row decode seam; zero shuffle",
+    "x13_set_ops" ->
+      "full-row hash exchanges, Catalyst-native; linear",
+    "x14_rollup_subtotals" ->
+      "single Expand pass (constant lattice) + combinable agg",
+    "x15_asof_join" ->
+      "union + carry-forward window on ONE key exchange; linear in both inputs",
+    "x16_topk_per_group" ->
+      "rank window on a corpus-cardinality group key - no funnel",
+    "x17_percentiles" ->
+      "group-cardinality percentile state; one exchange",
+    "x18_token_freq" ->
+      "explode + combinable count + TakeOrdered top-k",
+    "x19_grouping_sets" ->
+      "single Expand pass (3 sets) + combinable agg",
+    "x20_cube" ->
+      "single Expand pass (constant 2^k lattice) + combinable agg",
+    "x22_window_family" ->
+      "one key-partitioned window; no global sort",
+    "x23_salted_join" ->
+      "constant-factor salt replication; the op EXISTS to remove skew",
+    "x24_asof_custom" ->
+      "co-partitioned streaming merge, one exchange per side; linear",
+    "x25_normalize" ->
+      "scan-side normalization; zero joins",
+    "x26_knn_ivf_lloyd" ->
+      "x21's probed assignment shape + one Lloyd round over cell-cardinality centroids",
+    "x27_stratified_sample" ->
+      "sampling as a scan-side filter; zero shuffle",
+    "x28_pii_redaction" ->
+      "scan-side portable-regex redaction; no joins",
+    "x29_repetition_filter" ->
+      "scan-side shingle ratios, distinct-by-construction; no joins",
+    "x30_incremental_dedup" ->
+      "anti-join on (id, digest) only; linear",
+    "x31_zorder_key" ->
+      "scan-side bit interleave + layout write; no runtime joins",
+    "x32_range_join" ->
+      "equi-join on covered bins; replication bounded by len/bin + 1",
+    "x34_global_topn" ->
+      "TakeOrderedAndProject - per-partition top-n merged once; zero shuffles (plan-pinned)",
+    "x35_weighted_sample" ->
+      "exact-integer keep filter, scan-side; no exchange",
+    "x36_doc_chunking" ->
+      "one bounded explode (chunks per doc); linear",
+    "x37_seq_packing" ->
+      "ONE partitioned window cumsum; parallelism = shard count",
+    "x38_decontaminate" ->
+      "benchmark shingles broadcast; train side ships only 8-byte hashes",
+    "x42_c4_filters" ->
+      "scan-side integer keep decision; no joins",
+    "x43_bloom_decontaminate" ->
+      "scan-side bloom probes, sketch built once - the bloom family is probed via the x179 row",
+    "x45_event_pivot" ->
+      "one combinable pivot shuffle with pinned values",
+    "x46_rank_family" ->
+      "type-partitioned analytic windows; no global funnel",
+    "x47_containment" ->
+      "same df-capped inverted index as x6 (probed via x7's row)",
+    "x48_take_per_stratum" ->
+      "two-phase StratumRank (round 13/14); the shared rank machinery is probed via the x249 fat-bin row",
+    "x49_dedup_best" ->
+      "one normalized-digest groupBy; linear",
+    "x50_class_outliers" ->
+      "label-cardinality centroid agg + one cosine scan",
+    "x51_hopping_window" ->
+      "each event lands in exactly 2 buckets; combinable agg",
+    "x52_funnel" ->
+      "one user exchange for stacked 3-stage windows",
+    "x53_retention" ->
+      "two combinable aggregations; no windows",
+    "x54_full_outer" ->
+      "single full-outer join; linear",
+    "x55_null_aware_anti" ->
+      "single null-aware anti join (plan-pinned); linear",
+    "x57_semantic_dedup" ->
+      "shared assignment machinery probed via the x62 multi-probe row",
+    "x59_token_mix" ->
+      "corpus never shuffles; mixture weights broadcast",
+    "x60_knn_ivf_pq" ->
+      "composite of the probed x21 (IVF) and x33 (PQ) machinery; rerank bounded at rerank*k rows/query",
+    "x61_quantize_int8" ->
+      "zero-shuffle codegen lambdas; per-row cost O(dim)",
+    "x71_novelty" ->
+      "combinable first-seen min + hash join-back (x56's probed span machinery)",
+    "x72_temperature_mix" ->
+      "source-cardinality aggregate + broadcast normalizer",
+    "x74_interval_overlap" ->
+      "equi-join on covered bins, replication bounded by len/bin + 1; ONE shuffle",
+    "x75_profile" ->
+      "ONE table pass (single Expand, spec-pinned) + unpivot of one wide row",
+    "x76_hist_quantile" ->
+      "O(buckets) mergeable counters, map-combinable",
+    "x77_snapshot_delta" ->
+      "both sides pre-aggregate to key cardinality BEFORE the full outer",
+    "x78_bigram_pmi" ->
+      "scan-side pair generation; vocabulary-bounded key space",
+    "x80_leakage_split" ->
+      "digest-keyed split, 2 shuffles; text never crosses an exchange",
+    "x82_rendezvous_shard" ->
+      "zero-shuffle scan-side argmax; the sharding family is probed via the x174 ring row",
+    "x83_contrast_keywords" ->
+      "one conditional-sum agg + TakeOrdered",
+    "x84_ann_recall" ->
+      "|q|*N linear ground truth, checkpointed once; recall join at k*|q| rows",
+    "x88_simpson_diversity" ->
+      "two combinable aggs; no joins",
+    "x89_token_budget_cut" ->
+      "two-phase StratumRank cumsum (round 14); shared machinery probed via the x249 fat-bin row",
+    "x90_contamination_report" ->
+      "x38's hash-only machinery scored per doc; shingle checkpoint reused",
+    "x93_pareto_frontier" ->
+      "_pid-local sweep windows + broadcast corner set (plan-pinned); no dominance self-join",
+    "x94_category_drift" ->
+      "one combinable groupBy + broadcast 1-row totals",
+    "x96_dup_size_hist" ->
+      "63-row broadcast range join over x1's group sizes",
+    "x97_curriculum_interleave" ->
+      "two-phase StratumRank rank (round 14); shared machinery probed via the x249 fat-bin row",
+    "x98_quantile_norm" ->
+      "two-phase StratumRank rank (round 14); shared machinery probed via the x249 fat-bin row",
+    "x99_ivf_purity" ->
+      "x63's probed scale-invariant seeding + two combinable groupBys",
+    "x100_frame_sample" ->
+      "bounded explode (<=4 frames per video); zero shuffle",
+    "x101_hopping_distinct" ->
+      "each event in exactly 2 buckets + distinct agg",
+    "x102_norm_profile" ->
+      "scan-side norms; only (label, long) rows shuffle",
+    "x103_length_quantiles" ->
+      "two-phase StratumRank rank (round 14) + broadcast counts",
+    "x104_lang_confusion" ->
+      "two combinable groupBys + broadcast per-lang totals",
+    "x105_key_skew" ->
+      "combinable count + TakeOrdered + broadcast 1-row totals",
+    "x106_regional_revenue" ->
+      "one shuffled join + four broadcasts (plan-pinned)",
+    "x107_cross_source_dups" ->
+      "distinct (fp, source) first; fan-out bounded by the SOURCE count; winnow machinery probed via x79",
+    "x108_interarrival_quantiles" ->
+      "user-keyed lag + hash-window quantiles - entity-keyed strata, the right plan at user cardinality",
+    "x109_dup_occurrence_rate" ->
+      "two combinable hash-keyed aggs + one slim hash join",
+    "x110_shard_balance" ->
+      "scan-side placement + one combinable groupBy",
+    "x113_lerp_grid" ->
+      "grid replication bounded by each key's hour span; sf1 receipt linear (14.5 s at 10x)",
+    "x115_robust_outliers" ->
+      "user-keyed strata: hash windows are the right plan at entity cardinality (two-phase would refuse at partitions*users cells)",
+    "x117_rrf_fusion" ->
+      "fusion join touches k*|queries| rows; brute truth linear",
+    "x118_normalized_dedup" ->
+      "scan-side canonicalization + ONE digest groupBy",
+    "x119_transition_rates" ->
+      "|types|^2 key space, combinable; broadcast totals",
+    "x120_k_anonymity" ->
+      "one combinable groupBy at QID-product cardinality",
+    "x121_token_gini" ->
+      "broadcast self-join on the |strata|-row aggregate",
+    "x122_group_topk" ->
+      "typed aggregator with bounded per-group heap state (plan-pinned)",
+    "x123_funnel_timing" ->
+      "one user exchange + two-phase cohort medians (round 14)",
+    "x124_novelty_curve" ->
+      "combinable first-seen min + 10-row broadcast cumulative",
+    "x125_rolling_actives" ->
+      "bounded x7 cover-day explode; never a rolling-distinct state",
+    "x126_session_stats" ->
+      "user-keyed session windows + two-phase day quantiles (round 14)",
+    "x127_spend_deciles" ->
+      "two-phase global rank (plan-pinned _pid windows)",
+    "x128_price_outliers" ->
+      "broadcast dim + two-phase MAD ranks (round 14)",
+    "x130_rollup_revenue" ->
+      "ONE Expand pass over the joined fact; exact cents",
+    "x131_attribution" ->
+      "user windows + two-phase channel median (round 14)",
+    "x132_pit_features" ->
+      "strictly-prior frames on ONE user window",
+    "x133_fd_strength" ->
+      "value-domain-bounded aggregates; deterministic tie-break",
+    "x134_ri_orphans" ->
+      "child keys pre-aggregate to (key, count) histograms before the anti joins - key-cardinality wire",
+    "x135_benford" ->
+      "9-row groupBy + broadcast total",
+    "x136_seasonality" ->
+      "two combinable groupBys, <=168 keys; no window over the fact",
+    "x137_vocab_stats" ->
+      "ONE (stratum, token) combinable groupBy - vocabulary key space",
+    "x138_textrank" ->
+      "vocabulary-bounded graph; 3 unrolled join+agg iterations (x64's probed shape)",
+    "x139_window_funnel" ->
+      "ONE hash(user) exchange + two-phase day medians (round 14)",
+    "x140_centroid_drift" ->
+      "corpus collapses to |langs|*dim rows; matrix is a broadcast self-join",
+    "x141_record_linkage" ->
+      "shifted-band blocking - x111's probed blocking contract on structured records",
+    "x142_cube_revenue" ->
+      "ONE Expand pass (4 grouping sets); exact cents",
+    "x143_cov_matrix" ->
+      "ONE combinable pass building all k(k+1)/2 accumulators",
+    "x144_zone_prune" ->
+      "block-cardinality stats + one-row report; no joins",
+    "x145_join_card" ->
+      "(key, count) histogram products; facts never shuffle",
+    "x146_feature_hash" ->
+      "O(strata*buckets) output; zero joins; codegen PolyHash",
+    "x149_ewma_spend" ->
+      "key windows over day-cardinality daily series (days are calendar-bounded)",
+    "x150_trend_slope" ->
+      "DECIMAL moment aggs over day-cardinality series; no window",
+    "x151_entry_exit" ->
+      "combinable min_by/max_by on one user exchange",
+    "x153_cusum" ->
+      "key windows over day-cardinality daily series",
+    "x154_bloom_export" ->
+      "monotone bit_or at word cardinality; shard-mergeable",
+    "x156_props_stats" ->
+      "scan-side codegen JSON + two-phase type quantiles (round 14)",
+    "x157_reconcile_totals" ->
+      "details pre-aggregate to key cardinality BELOW the join",
+    "x159_rfm_segments" ->
+      "three two-phase global rankings (plan-pinned _pid windows)",
+    "x160_powerlaw_fit" ->
+      "regression on the <=63-bin histogram, never the corpus",
+    "x161_ship_lag" ->
+      "two-phase priority quantiles (round 14) over the co-keyed join",
+    "x162_incremental_agg" ->
+      "merge-law full outer at key cardinality",
+    "x163_proportional_sample" ->
+      "two-phase StratumRank rank (round 14); allocation on the |strata|-row aggregate",
+    "x164_weighted_median" ->
+      "two-phase StratumRank cumsum (round 14)",
+    "x165_churn_labels" ->
+      "one (min, max) groupBy per user; no windows",
+    "x167_pseudonymize_audit" ->
+      "scan-side HMAC + combinable audit agg",
+    "x168_seasonal_index" ->
+      "month-cardinality index over a day-cardinality pre-agg",
+    "x169_abc_classes" ->
+      "rank over the part-cardinality revenue aggregate, bucketed to <=1000 rows - never the raw fact",
+    "x170_chao1" ->
+      "abundance counts at value cardinality; combinable",
+    "x181_rank_autocorr" ->
+      "day-cardinality pre-agg; O(days) per key at any corpus size",
+    "x182_readability" ->
+      "scan-side integer formulas; no joins",
+    "x183_contract_audit" ->
+      "scan-side checks + combinable agg",
+    "x184_key_candidates" ->
+      "distinct-count aggs at column-combination cardinality",
+    "x223_mcnemar" ->
+      "paired 2x2 counts - one combinable agg")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()

@@ -60,4 +60,40 @@ class DocsParitySpec extends AnyFunSuite {
     assert(noOracle.isEmpty,
       s"queries with no oracleSql entry: ${noOracle.toSeq.sorted.mkString(", ")}")
   }
+
+  test("every registered query has a PLANS.md plan narrative or ledger line") {
+    val plans = read("PLANS.md")
+    val missing = registered.filterNot(plans.contains)
+    assert(missing.isEmpty,
+      s"queries with no PLANS.md mention (add a plan-ledger line): " +
+        s"${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("tripwire parity: every registered query is probed or exempt-with-reason") {
+    // probes are matched by their xN prefix against the tool's source —
+    // Res labels use operator suffixes (x7_minhashPairs), registry names
+    // use query suffixes (x7_dedup_minhash); the numeric id is the link
+    val tripSrc = read("src/main/scala/graft/tools/VolumeTripwire.scala")
+    val probed = """Res\("(x\d+)_""".r
+      .findAllMatchIn(tripSrc).map(_.group(1)).toSet
+    val exempt = graft.tools.VolumeTripwire.linearByConstruction.keySet
+    def prefix(q: String): String = q.split("_")(0)
+
+    val uncovered = registered.filterNot(q =>
+      probed.contains(prefix(q)) || exempt.contains(q))
+    assert(uncovered.isEmpty,
+      "queries with neither a VolumeTripwire probe nor a " +
+        "linearByConstruction reason: " +
+        uncovered.toSeq.sorted.mkString(", "))
+
+    val stale = exempt -- registered
+    assert(stale.isEmpty,
+      s"linearByConstruction entries for unregistered queries: " +
+        s"${stale.toSeq.sorted.mkString(", ")}")
+
+    val both = exempt.filter(q => probed.contains(prefix(q)))
+    assert(both.isEmpty,
+      "queries BOTH probed and exempted (drop the exemption — the probe " +
+        "is the stronger evidence): " + both.toSeq.sorted.mkString(", "))
+  }
 }

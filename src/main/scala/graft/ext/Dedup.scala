@@ -947,8 +947,13 @@ object Dedup {
     val cand = base.select(col("doc_id"), col("p"), col("band"))
       .unionAll(base.select(col("doc_id"), col("p"),
         (col("band") + 1).as("band")))
-    val bandW = Window.partitionBy(col("band"))
-    val guarded = cand.withColumn("__n", count(lit(1)).over(bandW))
+    // band-size guard as a broadcast count join, NOT a window: bands
+    // are length-shaped (low-cardinality), so a count-over window on
+    // the bare band would funnel the whole candidate set through
+    // |bands| tasks (round 14); the counts aggregate is combinable and
+    // band-cardinality small
+    val bandCounts = cand.groupBy("band").agg(count(lit(1)).as("__n"))
+    val guarded = cand.join(broadcast(bandCounts), Seq("band"))
       .where(col("__n") <= maxBand).drop("__n")
     val l = guarded.select(col("band"), col("doc_id").as("id_a"), col("p").as("pa"))
     val r = guarded.select(col("band"), col("doc_id").as("id_b"), col("p").as("pb"))

@@ -187,6 +187,38 @@ object Multimodal {
       maxHamming, maxBucket)
       .select(col("a"), col("b"), col("hamming"))
 
+  /** Multimodal consensus near-dup: the agreement matrix between the
+    * IMAGE signal ([[phashPairs]] on the pixels) and the TEXT signal
+    * (caption SimHash pairs) over the same id space. A pair flagged by
+    * both is a high-confidence duplicate (re-encoded image AND reworded
+    * caption); image_only is the re-caption case (same picture, new
+    * text — phash catches what caption dedup can't); text_only is the
+    * re-illustration case (copied caption, different picture). A
+    * multimodal curation pass treats the three classes differently —
+    * which is why the CLASS, not a merged pair list, is the output.
+    *
+    * 100 TB posture: both inputs arrive banded + bucket-capped (never
+    * all-pairs — their own plans are pinned under x241/x8); this op
+    * adds ONE full-outer join keyed on the pair ids, so its cost is
+    * pair-driven, orders below the corpus. Absent sides render as −1
+    * (the hamming domain is ≥ 0, so the sentinel is unambiguous).
+    *
+    * Output: `(a, b, img_hamming, txt_hamming, signal)`, a < b on both
+    * inputs by construction. */
+  def consensusPairs(imgPairs: DataFrame, txtPairs: DataFrame): DataFrame = {
+    val i = imgPairs.select(col("a"), col("b"),
+      col("hamming").cast("int").as("ih"))
+    val t = txtPairs.select(col("a"), col("b"),
+      col("hamming").cast("int").as("th"))
+    i.join(t, Seq("a", "b"), "full_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("ih"), lit(-1)).as("img_hamming"),
+        coalesce(col("th"), lit(-1)).as("txt_hamming"),
+        when(col("ih").isNotNull && col("th").isNotNull, lit("both"))
+          .when(col("ih").isNotNull, lit("image_only"))
+          .otherwise(lit("text_only")).as("signal"))
+  }
+
   /** Per-sampled-frame 60-bit dHash for the video corpus — the FUSED
     * form of [[frameSamplePlan]] ∘ [[dHash60]]: same frame grid (the
     * `stride = (n_frames + maxFrames − 1) div maxFrames` indices
@@ -467,49 +499,113 @@ object Multimodal {
     * same-position windows, alignment for free, exactly as x243's
     * frame-aligned vote.
     *
-    * Hot buckets beyond `maxBucket` drop under the loud family
-    * contract — an all-silence flood (every row's window at level 0)
-    * collapses into one bucket and is refused rather than detonating
-    * the join; the silence-flood case is tripwire-probed.
+    * PIGEONHOLE BANDING (round 14 — replaces the per-window
+    * (position, level) bucket join, whose key space was a CONSTANT
+    * ~windows·1020/quantum buckets, so organic buckets grew O(N) and
+    * the join went quadratic: 517 s at sf1, this round's one sf1
+    * outlier): the `windows` positions split into
+    * `windows − minVotes + 1` consecutive bands. A qualifying pair
+    * (≥ minVotes windows within ±1) has at most `windows − minVotes`
+    * violating windows, so at least ONE band is entirely within ±1 —
+    * exactly x8/x241's block-pigeonhole, with ±1 tolerance in place of
+    * bit equality. The probe side explodes every per-window delta
+    * combo in {−1, 0, +1}^bandSize (≤ 3⁴ = 81 rows per band, a bounded
+    * Generate) against the other side's EXACT band key, a composite of
+    * all the band's levels — CONTENT-rich, so organic buckets stay
+    * thin at any corpus size. Candidates then verify EXACTLY against
+    * the full window profiles (the x7 band-then-verify shape), which
+    * makes the result set identical to the all-window vote.
     *
-    * BUCKET-GRANULARITY contract (how this differs from the hash-key
-    * families): a quantized energy LEVEL is a coarse key — ~(windows ×
-    * 1020/quantum) buckets total — so organic bucket population grows
-    * LINEARLY with corpus size, where x8/x241/x243's 15-bit hash-block
-    * buckets stay birthday-thin. Join cost is capped at maxBucket² per
-    * bucket BY the drop contract, so the cap is the knob: at the scale
-    * where typical levels approach `maxBucket` (≈ 64 · maxBucket audio
-    * rows at the defaults), either REFINE the signature (smaller
-    * quantum, more windows — both multiply bucket cardinality) or
-    * shard the corpus (hashSample / rendezvousShard) and pair within
-    * shards; raising maxBucket instead buys quadratic join work.
+    * Hot (band, key) buckets beyond `maxBucket` drop under the loud
+    * family contract — an all-silence flood (every profile all-zero)
+    * collapses into one bucket per band and refuses rather than
+    * detonating the join (tripwire-probed); the guard is a combinable
+    * count broadcast back, never a count-over window.
     *
-    * 100 TB posture: profile rows are ≤ windows per media; the probe
-    * triples them (bounded Generate); the join is an equi-join on
-    * (c, level) with per-bucket cost capped at maxBucket²; the vote is
-    * one combinable groupBy. Never all-pairs.
+    * 100 TB posture: profile rows are ≤ windows per media; band rows
+    * are ≤ bands per media; probes ≤ Σ 3^bandSize per media (bounded
+    * Generate); the candidate join is equi on (band, key) with
+    * content-driven buckets; the exact verify touches candidates ×
+    * windows rows. Never all-pairs, no constant-cardinality key space.
     * Output: (a, b, n_matched, dq_max), a < b. */
   def audioNeardupPairs(profile: DataFrame, minVotes: Int = 12,
-      maxBucket: Int = 1 << 16): DataFrame = {
-    require(minVotes >= 1,
-      s"audioNeardupPairs: minVotes=$minVotes must be >= 1")
+      maxBucket: Int = 1 << 16, windows: Int = 16): DataFrame = {
+    require(minVotes >= 1 && minVotes <= windows,
+      s"audioNeardupPairs: minVotes=$minVotes out of [1, $windows]")
     require(maxBucket >= 2,
       s"audioNeardupPairs: maxBucket=$maxBucket must be >= 2")
-    val bucketW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("c"), col("q"))
-    val guarded = profile
-      .withColumn("__n", count(lit(1)).over(bucketW))
-      .where(col("__n") <= maxBucket)
-      .drop("__n")
-    val l = guarded
-      .select(col("media_id").as("a"), col("c"), col("q").as("qa"),
-        explode(array(lit(-1L), lit(0L), lit(1L))).as("d"))
-      .select(col("a"), col("c"), col("qa"), (col("qa") + col("d")).as("q"))
-    val r = guarded.select(col("media_id").as("b"), col("c"), col("q"))
-    l.join(r, Seq("c", "q")).where(col("a") < col("b"))
+    // pigeonhole soundness needs bands >= violations + 1; MORE bands
+    // stay sound (fewer violations per band can only leave more bands
+    // intact), so also cap band size at 4 to bound the probe explosion
+    // at 3^4 = 81 rows per band
+    val nBands = math.max(windows - minVotes + 1,
+      (windows + 3) / 4)
+    val sizes = Array.tabulate(nBands)(i =>
+      windows / nBands + (if (i < windows % nBands) 1 else 0))
+    require(sizes.max <= 4, s"audioNeardupPairs: internal banding bug " +
+      s"(size ${sizes.max})")
+    val starts = sizes.scanLeft(0)(_ + _)
+    // the profile feeds THREE consumers (banding + both verify sides);
+    // checkpoint so the scan-side energy grid (64 hex-substr reads per
+    // payload) is paid once, not three times
+    val prof = profile.localCheckpoint(false)
+    // band of window c = number of band starts <= c, minus one
+    val bandExpr = (1 until nBands)
+      .map(i => s"(CASE WHEN c >= ${starts(i)} THEN 1 ELSE 0 END)")
+      .foldLeft("0")((a, b) => s"$a + $b")
+    // per-(media, band) level vector, window order pinned by sort_array
+    val banded = prof
+      .withColumn("band", expr(s"CAST($bandExpr AS INT)"))
+      .groupBy(col("media_id"), col("band"))
+      .agg(expr("transform(sort_array(collect_list(struct(c, q))), s -> s.q)")
+        .as("qs"))
+    // composite exact key: levels are energy DIV quantum <= 1020, +2
+    // shifts the -1 probe non-negative; base 4096 keeps a 4-window
+    // band inside 2^48
+    def keyOf(qsCol: String, deltas: Seq[Int]): Column =
+      deltas.zipWithIndex.map { case (d, i) =>
+        (element_at(col(qsCol), i + 1) + lit(d.toLong + 2L)) *
+          lit(math.pow(4096.0, i).toLong)
+      }.reduce(_ + _)
+    // key arity must match the band's size, so build exact + probe
+    // sides per band and union
+    def bandSlice(df: DataFrame, band: Int) =
+      df.where(col("band") === band)
+    def combos(size: Int): Seq[Seq[Int]] =
+      Seq.fill(size)(Seq(-1, 0, 1)).foldLeft(Seq(Seq.empty[Int])) {
+        (acc, ds) => acc.flatMap(pfx => ds.map(pfx :+ _))
+      }
+    val exactSides = (0 until nBands).map { bIdx =>
+      bandSlice(banded, bIdx).select(col("media_id").as("b"),
+        col("band"), keyOf("qs", Seq.fill(sizes(bIdx))(0)).as("key"))
+    }.reduce(_ unionAll _)
+    val probeSides = (0 until nBands).map { bIdx =>
+      val ks = combos(sizes(bIdx)).map(ds => keyOf("qs", ds))
+      bandSlice(banded, bIdx).select(col("media_id").as("a"),
+        col("band"), explode(array(ks: _*)).as("key"))
+    }.reduce(_ unionAll _)
+    // hot-bucket guard: combinable count broadcast back (the exact
+    // side defines occupancy — the probe side is its bounded x3^size)
+    val bucketCounts = exactSides.groupBy("band", "key")
+      .agg(count(lit(1)).as("__n"))
+    val okBuckets = broadcast(bucketCounts.where(col("__n") <= maxBucket)
+      .select(col("band"), col("key")))
+    val cand = probeSides.join(okBuckets, Seq("band", "key"))
+      .join(exactSides, Seq("band", "key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    // exact verify against the full profiles — result identical to the
+    // all-window vote
+    val pa = prof.select(col("media_id").as("a"), col("c"),
+      col("q").as("qa"))
+    val pb = prof.select(col("media_id").as("b"), col("c"),
+      col("q").as("qb"))
+    cand.join(pa, Seq("a")).join(pb, Seq("b", "c"))
       .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_matched"),
-        max(abs(col("qa") - col("q"))).as("dq_max"))
+      .agg(sum(when(abs(col("qa") - col("qb")) <= 1, 1L).otherwise(0L))
+          .as("n_matched"),
+        max(when(abs(col("qa") - col("qb")) <= 1,
+          abs(col("qa") - col("qb")))).as("dq_max"))
       .where(col("n_matched") >= minVotes)
   }
 

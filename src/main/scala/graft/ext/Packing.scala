@@ -53,4 +53,55 @@ object Packing {
       .withColumn("pack_offset", pmod(col("cum_before"), lit(target.toLong)))
       .drop("cum_before")
   }
+
+  /** Length-bucketed batch plan with exact padding-waste accounting —
+    * the batching layout a padded (non-packed) training loader uses,
+    * and the report that says what the bucketing BOUGHT: docs bucket by
+    * `n_tok DIV bucketWidth` (top bucket open-ended), fill deterministic
+    * fixed-size batches in md5-hash order within their bucket, and each
+    * batch pads every member to its own max length. Per bucket:
+    * batches, docs, real tokens, pad tokens, and `waste_ppm =
+    * pad · 1e6 DIV (pad + tokens)` — all exact integers, so the waste
+    * number is engine-reproducible, not a float estimate. (x37's
+    * concat-then-cut packing is the zero-pad alternative; THIS op
+    * prices the padded regime a sequence-boundary-respecting loader
+    * pays.)
+    *
+    * 100 TB posture: buckets are ≤ `maxBucketId`+1 values — a
+    * LOW-cardinality stratum — so the in-bucket rank runs through
+    * [[StratumRank.rank]]'s two-phase decomposition (never a
+    * bare-bucket window; a fat bucket spans the cluster), then two
+    * combinable groupBys: (bucket, batch) at batch cardinality and
+    * bucket at ≤ 16 rows. Hash order makes the batch plan a property
+    * of the rows, reproducible across engines and reruns.
+    *
+    * Output: `(bucket, n_batches, n_docs, tok_total, pad_total,
+    * waste_ppm)` — one row per populated bucket. */
+  def padWaste(df: DataFrame, id: Column, text: Column,
+      bucketWidth: Int = 64, maxBucketId: Int = 15,
+      batchSize: Int = 32): DataFrame = {
+    require(bucketWidth >= 1 && maxBucketId >= 0 && batchSize >= 1,
+      s"padWaste(bucketWidth=$bucketWidth, maxBucketId=$maxBucketId, " +
+        s"batchSize=$batchSize)")
+    val d = df.select(id.as("doc_id"),
+        graft.ext.TextAnalysis.wsTokenCount(text).cast("long").as("n_tok"))
+      .withColumn("bucket",
+        least(expr(s"n_tok DIV $bucketWidth"), lit(maxBucketId.toLong)))
+    val ranked = StratumRank.rank(d, col("bucket"),
+        Seq(md5(col("doc_id").cast("string")), col("doc_id")))
+      .withColumnRenamed("__rn", "rn").drop("__s")
+    ranked
+      .withColumn("batch", expr(s"(rn - 1L) DIV $batchSize"))
+      .groupBy("bucket", "batch")
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("mx"),
+        sum(col("n_tok")).as("tok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_batches"), sum(col("n_docs")).as("n_docs"),
+        sum(col("tok")).as("tok_total"),
+        sum(col("mx") * col("n_docs") - col("tok")).as("pad_total"))
+      .select(col("bucket"), col("n_batches"), col("n_docs"),
+        col("tok_total"), col("pad_total"),
+        expr("pad_total * 1000000L DIV greatest(pad_total + tok_total, 1L)")
+          .as("waste_ppm"))
+  }
 }

@@ -130,6 +130,74 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("dist"), col("rank"))
   }
 
+  /** Margin-based bitext candidate mining (Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings"): for each query vector x (language A), the best pool
+    * vector y (language B) scored by the margin — cosine divided by the
+    * average of BOTH sides' k-NN neighborhood means. A raw cosine
+    * threshold cannot separate aligned pairs from hubs (vectors close
+    * to everything); dividing by the neighborhood averages cancels
+    * hubness, which is the whole point of the margin criterion. The
+    * accepted pairs are the mined bitext a multilingual pretraining
+    * mix ingests.
+    *
+    * Exactness contract (the x41/x67 rational-surrogate rule): cosines
+    * lift to integer micro-units `sim_e6 = round(cos·1e6)`, then SHIFT
+    * non-negative (`s1 = sim_e6 + 1e6` — cos ≥ −1 so s1 ≥ 0) before
+    * any division, so every floor-div agrees between Spark DIV
+    * (truncate) and ANSI // (floor). Neighborhood means are
+    * `Σ s1 DIV k'` over the top-k rows; the margin is
+    * `s1 · 2e6 DIV (mq1 + mt1)` — a shifted form of the ratio margin:
+    * monotone in the cosine for a fixed neighborhood and decreasing in
+    * the neighborhood means, bit-reproducible on any engine. `accept`
+    * flags margin > 1e6 (the candidate beats its neighborhoods'
+    * average).
+    *
+    * 100 TB posture: the QUERY set broadcasts (x9's fixed-query
+    * contract — a bounded shard of the smaller language); the pool
+    * streams through ONE scan whose |q|·|pool| similarity table is
+    * localCheckpointed once and feeds all three consumers (query-side
+    * means, pool-side means, the margin join). The query-side rank
+    * window is |q|-keyed (fixed), the pool-side mean window is
+    * pool-keyed (corpus-cardinality — no funnel). Production mines
+    * shard-by-shard (x82 sharding / x10 bucketing upstream); this op
+    * is the scorer one shard pair runs.
+    *
+    * Inputs are [[withNorm]] frames. Output: one row per query —
+    * `(qid, tgt_id, sim_e6, mq1_e6, mt1_e6, margin_e6, accept)`. */
+  def marginMine(queries: DataFrame, pool: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 64, s"marginMine: k=$k out of [1, 64]")
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("emb").as("qemb"), col("norm").as("qnorm")))
+    val pairs = pool.join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("tid"),
+        round(dot(col("qemb"), col("emb")) / (col("qnorm") * col("norm")) * 1e6, 0)
+          .cast("long").as("sim_e6"))
+      .withColumn("s1", col("sim_e6") + 1000000L)
+      .localCheckpoint(false)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_e6").desc, col("tid"))
+    val mq = pairs.withColumn("r", row_number().over(wq)).where(col("r") <= k)
+      .groupBy("qid").agg(sum(col("s1")).as("s"), count(lit(1)).as("c"))
+      .select(col("qid"), expr("s DIV c").as("mq1_e6"))
+    val wt = Window.partitionBy(col("tid"))
+      .orderBy(col("sim_e6").desc, col("qid"))
+    val mt = pairs.withColumn("r", row_number().over(wt)).where(col("r") <= k)
+      .groupBy("tid").agg(sum(col("s1")).as("s"), count(lit(1)).as("c"))
+      .select(col("tid"), expr("s DIV c").as("mt1_e6"))
+    val scored = pairs
+      .join(broadcast(mq), Seq("qid"))
+      .join(mt, Seq("tid"))
+      .withColumn("margin_e6",
+        expr("s1 * 2000000L DIV greatest(mq1_e6 + mt1_e6, 1L)"))
+    val wbest = Window.partitionBy(col("qid"))
+      .orderBy(col("margin_e6").desc, col("tid"))
+    scored.withColumn("r", row_number().over(wbest)).where(col("r") === 1)
+      .select(col("qid"), col("tid").as("tgt_id"), col("sim_e6"),
+        col("mq1_e6"), col("mt1_e6"), col("margin_e6"),
+        (col("margin_e6") > 1000000L).cast("int").as("accept"))
+  }
+
   /** Per-class embedding centroid: component-wise mean through the exact
     * DECIMAL accumulator (order/partition-invariant, oracle-exact — the
     * same recipe as [[kmeansLite]]'s re-average, keyed on a LABEL column
@@ -166,8 +234,11 @@ object Similarity {
     val scored = e.join(cents, Seq("label"))
       .withColumn("csim",
         round(dot(col("emb"), col("cemb")) / (col("norm") * col("cnorm")), 6))
-    val w = Window.partitionBy(col("label")).orderBy(col("csim"), col("vec_id"))
-    scored.withColumn("rn", row_number().over(w).cast("int"))
+    // labels are a LOW-cardinality stratum — the worst-k rank runs
+    // through StratumRank's two-phase decomposition (round 14: a bare
+    // label window caps parallelism at the class count)
+    StratumRank.rank(scored, col("label"), Seq(col("csim"), col("vec_id")))
+      .withColumn("rn", col("__rn").cast("int")).drop("__s", "__rn")
       .where(col("rn") <= k)
       .select(col("label"), col("vec_id"), col("csim"), col("rn"))
   }

@@ -50,8 +50,12 @@ object RecordLinkage {
       seg.as("seg"), cents.cast("long").as("cents"))
       .withColumn("band", expr(s"(cents + ${shift}L) DIV ${loose}L"))
     val probes = base.unionAll(base.withColumn("band", col("band") + 1))
-    val bw = Window.partitionBy(col("nat"), col("band"))
-    val guarded = probes.withColumn("__n", count(lit(1)).over(bw))
+    // block-size guard as a combinable count + broadcast join, not a
+    // count-over window (round 14): the counts table is
+    // block-cardinality, and the probe set never sorts for the guard
+    val blockCounts = probes.groupBy("nat", "band")
+      .agg(count(lit(1)).as("__n"))
+    val guarded = probes.join(broadcast(blockCounts), Seq("nat", "band"))
       .where(col("__n") <= maxBlock).drop("__n")
     val l = guarded.select(col("nat"), col("band"), col("k").as("id_a"),
       col("seg").as("seg_a"), col("cents").as("c_a"))

@@ -8769,7 +8769,7 @@ object ExtQueries {
       |  SELECT media_id, c,
       |         ${(0 until 4).map(j => audioByteSql(s"c * 4 + $j")).mkString("\n         + ")} AS energy
       |  FROM m CROSS JOIN w),
-      |p AS (SELECT media_id, c, energy // 16 AS q FROM e),
+      |p AS (SELECT media_id, c, energy // 4 AS q FROM e),
       |g AS (SELECT *, count(*) OVER (PARTITION BY c, q) AS bn FROM p),
       |f AS (SELECT media_id, c, q FROM g WHERE bn <= 65536),
       |lp AS (SELECT media_id, c, q, q + d AS qp
@@ -8787,7 +8787,8 @@ object ExtQueries {
       .select(col("media_id"), col("payload"))
     val withPlanted = auds.unionByName(Multimodal.reencodeVariants(auds))
       .withColumn("kind", lit("audio"))
-    Multimodal.audioNeardupPairs(Multimodal.audioEnergyProfile(withPlanted))
+    Multimodal.audioNeardupPairs(
+      Multimodal.audioEnergyProfile(withPlanted, quantum = 4))
       .select(col("a"), col("b"), col("n_matched"),
         col("dq_max").cast("long").as("dq_max"))
       .orderBy("a", "b")
@@ -8863,6 +8864,155 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x252 — MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019): best
+  // English candidate per German query by the hubness-corrected margin
+  // (cosine over both sides' k-NN neighborhood means), in shifted
+  // integer micro-units so every division floors identically on both
+  // engines. The query shard is id-bounded (x9's fixed-query contract:
+  // constant work at ANY scale factor — key-shifted sf1 copies fall
+  // outside the bound); production mines shard pairs via x82/x10.
+  val x252 = Q(
+    "x252_bitext_margin",
+    """WITH a AS (
+      |  SELECT d.doc_id AS qid, e.embedding::DOUBLE[] AS emb
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |  WHERE d.lang = 'de' AND d.doc_id < 2000),
+      |b AS (
+      |  SELECT d.doc_id AS tid, e.embedding::DOUBLE[] AS emb
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |  WHERE d.lang = 'en' AND d.doc_id < 8000),
+      |p AS (
+      |  SELECT a.qid, b.tid,
+      |         CAST(round(list_cosine_similarity(a.emb, b.emb) * 1000000, 0) AS BIGINT) AS sim_e6
+      |  FROM a, b WHERE a.qid <> b.tid),
+      |p1 AS (SELECT *, sim_e6 + 1000000 AS s1 FROM p),
+      |rq AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, tid) AS r FROM p1),
+      |mq AS (SELECT qid, CAST(sum(s1) // count(*) AS BIGINT) AS mq1_e6
+      |       FROM rq WHERE r <= 4 GROUP BY qid),
+      |rt AS (SELECT *, row_number() OVER (PARTITION BY tid ORDER BY sim_e6 DESC, qid) AS r FROM p1),
+      |mt AS (SELECT tid, CAST(sum(s1) // count(*) AS BIGINT) AS mt1_e6
+      |       FROM rt WHERE r <= 4 GROUP BY tid),
+      |sc AS (
+      |  SELECT p1.qid, p1.tid, p1.sim_e6, mq.mq1_e6, mt.mt1_e6,
+      |         CAST(p1.s1 * 2000000 // greatest(mq.mq1_e6 + mt.mt1_e6, 1) AS BIGINT) AS margin_e6
+      |  FROM p1 JOIN mq USING (qid) JOIN mt USING (tid)),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY margin_e6 DESC, tid) AS r
+      |  FROM sc)
+      |SELECT qid, tid AS tgt_id, sim_e6, mq1_e6, mt1_e6, margin_e6,
+      |       CAST(CASE WHEN margin_e6 > 1000000 THEN 1 ELSE 0 END AS INT) AS accept
+      |FROM best WHERE r = 1 ORDER BY qid""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val embs = normalizedEmb(s, dir)
+    def side(lang: String, bound: Long) =
+      embs.join(
+        docs.where(col("lang") === lang && col("doc_id") < bound)
+          .select(col("doc_id")),
+        col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("emb"), col("norm"))
+    Similarity.marginMine(side("de", 2000L), side("en", 8000L), k = 4)
+      .orderBy("qid")
+  }
+
+  // x253 — LENGTH-BUCKETED BATCH PLAN + PADDING-WASTE ACCOUNTING: what
+  // a padded training loader pays per length bucket, as exact integers
+  // (x37 prices the packed regime; THIS prices the padded one). The
+  // in-bucket rank is StratumRank two-phase — buckets are a <=16-value
+  // stratum, exactly the funnel class round 14 retired.
+  val x253 = Q(
+    "x253_pad_waste",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |b AS (SELECT doc_id, n_tok, least(n_tok // 64, 15) AS bucket FROM d),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+      |                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |      FROM b),
+      |g AS (SELECT bucket, (rn - 1) // 32 AS batch,
+      |             CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(max(n_tok) AS BIGINT) AS mx,
+      |             CAST(sum(n_tok) AS BIGINT) AS tok
+      |      FROM r GROUP BY 1, 2)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_batches,
+      |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |       CAST(sum(tok) AS BIGINT) AS tok_total,
+      |       CAST(sum(mx * n_docs - tok) AS BIGINT) AS pad_total,
+      |       CAST(sum(mx * n_docs - tok) * 1000000
+      |            // greatest(sum(mx * n_docs - tok) + sum(tok), 1) AS BIGINT) AS waste_ppm
+      |FROM g GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    graft.ext.Packing.padWaste(Tables.documents(s, dir), col("doc_id"), col("text"),
+        bucketWidth = 64, maxBucketId = 15, batchSize = 32)
+      .orderBy("bucket")
+  }
+
+  // x254 — MULTIMODAL CONSENSUS NEAR-DUP: the agreement matrix between
+  // the image signal (x241's banded dHash60 pairs) and the caption
+  // signal (x8's banded SimHash pairs) over the image corpus — 'both'
+  // is the high-confidence dup, 'image_only' the re-caption case,
+  // 'text_only' the re-illustration case. One pair-driven full outer
+  // on top of two already-banded pipelines.
+  val x254 = Q(
+    "x254_consensus_neardup",
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |         CAST(octet_length(encode(text)) AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= 1),
+      |h AS (SELECT media_id, CAST($phashBitsSql AS BIGINT) AS phash FROM m),
+      |e AS (
+      |  SELECT media_id, phash, blk, (phash >> (blk * 15)) & 32767 AS key
+      |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+      |g AS (SELECT *, count(*) OVER (PARTITION BY blk, key) AS bn FROM e),
+      |f AS (SELECT * FROM g WHERE bn <= 65536),
+      |ip AS (
+      |  SELECT DISTINCT l.media_id AS a, r.media_id AS b,
+      |         CAST(bit_count(xor(l.phash, r.phash)) AS INT) AS ih
+      |  FROM f l JOIN f r ON l.blk = r.blk AND l.key = r.key
+      |                   AND l.media_id < r.media_id
+      |  WHERE bit_count(xor(l.phash, r.phash)) <= 3),
+      |tdoc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM tdoc),
+      |thh AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+      |tv AS (
+      |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM thh CROSS JOIN (SELECT unnest(range(60)) AS j) js GROUP BY doc_id, j),
+      |sig AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+      |  FROM tv GROUP BY doc_id),
+      |blk2 AS (
+      |  SELECT doc_id, simhash, b AS blk, (simhash >> (b * 15)) & 32767 AS key
+      |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bs),
+      |ok AS (SELECT blk, key FROM blk2 GROUP BY blk, key HAVING count(*) <= 65536),
+      |tp AS (
+      |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+      |         CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS thm
+      |  FROM blk2 l
+      |  JOIN blk2 r ON l.blk = r.blk AND l.key = r.key AND l.doc_id < r.doc_id
+      |  JOIN ok ON ok.blk = l.blk AND ok.key = l.key
+      |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3)
+      |SELECT coalesce(ip.a, tp.a) AS a, coalesce(ip.b, tp.b) AS b,
+      |       CAST(coalesce(ip.ih, -1) AS INT) AS img_hamming,
+      |       CAST(coalesce(tp.thm, -1) AS INT) AS txt_hamming,
+      |       CASE WHEN ip.a IS NOT NULL AND tp.a IS NOT NULL THEN 'both'
+      |            WHEN ip.a IS NOT NULL THEN 'image_only'
+      |            ELSE 'text_only' END AS signal
+      |FROM ip FULL OUTER JOIN tp ON ip.a = tp.a AND ip.b = tp.b
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val media = Multimodal.mediaFromDocuments(s, docs).toDF()
+    val imgs = media.where(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+    val imgPairs = Multimodal.phashPairs(
+      Multimodal.dHash60(imgs, col("media_id"), col("payload")))
+    val txtPairs = Dedup.simhashPairs(
+      Dedup.simhash(docs.where(col("doc_id") % 3 === 0),
+        col("doc_id"), col("text")),
+      maxHamming = 3)
+    Multimodal.consensusPairs(imgPairs, txtPairs).orderBy("a", "b")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -8882,5 +9032,6 @@ object ExtQueries {
       x209, x210, x211, x212, x213, x214, x215, x216, x217, x218, x219,
       x220, x221, x222, x223, x224, x225, x226, x227, x228, x229, x230,
       x231, x232, x233, x234, x235, x236, x237, x238, x239, x240, x241,
-      x242, x243, x244, x245, x246, x247, x248, x249, x250, x251)
+      x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
+      x253, x254)
 }

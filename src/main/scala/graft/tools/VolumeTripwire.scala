@@ -324,7 +324,11 @@ object VolumeTripwire {
     "x184_key_candidates" ->
       "distinct-count aggs at column-combination cardinality",
     "x223_mcnemar" ->
-      "paired 2x2 counts - one combinable agg")
+      "paired 2x2 counts - one combinable agg",
+    "x252_bitext_margin" ->
+      "fixed id-bounded query shard broadcasts (x9's contract - constant work at any SF); one |q|*|pool| checkpointed scan; production shards via x82/x10",
+    "x254_consensus_neardup" ->
+      "composes the probed x241 + x8 banded pair machinery; the consensus full outer is pair-driven")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -1793,6 +1797,17 @@ object VolumeTripwire {
         val d10 = blow(docs, "doc_id", 10, 1000000L)
         def ko(d: DataFrame) = graft.ext.Curation.crossModalKeepOne(d, clusters)
         Res("x251_crossModal", timeMin(ko(docs)), timeMin(ko(d10)))
+      }, {
+        // padded-batch waste plan: the in-bucket rank is StratumRank
+        // two-phase, so 10x docs through a <=16-value bucket stratum
+        // must ride the cluster's partitions, never 16 single tasks —
+        // the blow-up also FATTENS every bucket 10x, which is exactly
+        // the mega-stratum case the two-phase replan exists for
+        val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+        val d10 = blow(docs, "doc_id", 10, 1000000L)
+        def pw(d: DataFrame) = graft.ext.Packing.padWaste(
+          d, col("doc_id"), col("text"))
+        Res("x253_padWaste", timeMin(pw(docs)), timeMin(pw(d10)))
       })
 
     val only: Option[Set[String]] =

@@ -163,11 +163,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) === 2, p) // window co-key (_pid, __sk) + output sort
   }
 
-  test("x50: class centroids broadcast; the corpus never shuffles before scoring") {
+  test("x50: class centroids broadcast; worst-k rank is _pid-local two-phase") {
     val df = SparkEntry.queries("x50_class_outliers")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
+    // labels are class-count cardinality: the rank must not window on
+    // the bare label (round 14)
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
   }
 
   test("x52: funnel = ONE fact scan, ONE user-key shuffle shared by all three stages") {
@@ -550,12 +555,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p) // 63-row range-predicate join
     assert(broadcasts(p) === 1, p)
   }
-  test("x111: band blocking is an equi-join — no cartesian, no global window") {
+  test("x111: band blocking is an equi-join; the band guard is a broadcast count join") {
     val p = planOf("x111_edit_distance_pairs")
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // the hot-band guard's count window is band-partitioned, never global
-    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"), p)
+    // round 14: the hot-band guard is a combinable groupBy count
+    // broadcast back — NO window at all (bands are length-shaped
+    // low-cardinality; a count-over window funneled the candidate set)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("x112/x113: grid-fill windows are user-partitioned; the grid join is the only wide join") {
@@ -775,12 +782,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), p)
   }
 
-  test("x141: linkage windows are block-partitioned; top-k is TakeOrdered") {
+  test("x141: block guard is a broadcast count join (no window); top-k is TakeOrdered") {
     val p = planOf("x141_record_linkage")
-    val specs = "windowspecdefinition\\(([^,]*, [^,]*)".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(s => s.contains("nat") && s.contains("band")),
-      specs.toString)
+    // round 14: the block-size guard aggregates then broadcasts back —
+    // the probe set never sorts for the guard
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
@@ -2105,19 +2112,22 @@ class PlanAuditSpec2 extends SparkSpec {
       s"$stratumExchanges bare-stratum exchanges (only the quota agg's allowed):\n$p")
   }
 
-  test("x250: banded audio vote — equi-join on (window, level), no cartesian, combinable vote") {
+  test("x250: pigeonhole-banded audio candidates — composite-key equi-join, no window, no cartesian") {
     val df = SparkEntry.queries("x250_audio_neardup")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     val finalP = p.split("== Initial Plan ==")(0)
     assert(!finalP.contains("CartesianProduct"), p)
     assert(!finalP.contains("BroadcastNestedLoop"), p)
-    // the pairing is an equi-join keyed on (c, q) — never all-pairs
-    assert("Join \\[c#\\d+, q#".r.findFirstIn(finalP).isDefined ||
-      "Join \\[coalesce\\(c#".r.findFirstIn(finalP).isDefined ||
-      finalP.contains("Join [c#"), p)
+    // round 14: candidates come from the (band, composite-level-key)
+    // equi-join — content-rich keys, never the constant-cardinality
+    // (window, level) space that went quadratic at sf1 (517 s); the
+    // hot-bucket guard is a broadcast count join, not a window
+    assert("Join \\[band#\\d+, key#".r.findFirstIn(finalP).isDefined ||
+      finalP.contains("Join [band#"), p)
+    assert(!finalP.contains("windowspecdefinition"), p)
     // the vote aggregates with map-side partials
-    assert(finalP.contains("partial_count"), p)
+    assert(finalP.contains("partial_sum") || finalP.contains("partial_count"), p)
   }
 
   test("x251: cluster table broadcasts into the corpus join; keep rank + size ride ONE cluster exchange") {
@@ -2202,5 +2212,46 @@ class PlanAuditSpec2 extends SparkSpec {
       specs.toString)
     assert(specs.exists(_.contains("_pid")), specs.toString)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  // Round-14 twenty-ninth batch pins (x252-x254)
+
+  test("x252: queries broadcast; ONE checkpointed similarity table feeds all consumers") {
+    val df = SparkEntry.queries("x252_bitext_margin")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the |q|x|pool| table is localCheckpointed once — consumers scan
+    // the materialized RDD instead of recomputing the pair cosines
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // windows key on qid (fixed query set) or tid (pool-cardinality) —
+    // never unpartitioned
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty &&
+      specs.forall(s => s.contains("qid") || s.contains("tid")),
+      specs.toString)
+  }
+
+  test("x253: pad-waste rank is _pid-local two-phase — buckets never window bare") {
+    val df = SparkEntry.queries("x253_pad_waste")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x254: consensus is a pair-keyed join over two banded pipelines — no cartesian") {
+    val df = SparkEntry.queries("x254_consensus_neardup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the full outer on (a, b) is an equi-join (SMJ or shuffled hash)
+    assert(p.contains("FullOuter"), p)
+    // both inputs arrive via their banded block-key equi-joins: no
+    // BroadcastNestedLoopJoin anywhere in the composition
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 }

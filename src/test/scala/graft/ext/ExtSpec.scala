@@ -1736,3 +1736,81 @@ class ReadabilitySpec extends graft.SparkSpec {
     assert(got(1) === (("y", 2L, 1L, 0L, 1L, 0L, None)))
   }
 }
+
+/** Round-14 twenty-ninth batch: margin bitext mining (x252), padded
+  * batch-plan waste accounting (x253), multimodal consensus near-dup
+  * (x254). */
+class BitextPadConsensusSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def embFrame(rows: Seq[(Long, Seq[Double])]) =
+    Similarity.withNorm(
+      rows.toDF("vec_id", "embedding"), col("vec_id"), col("embedding"))
+
+  test("marginMine: aligned pair wins with accept=1; hub loses to the margin") {
+    // q2's RAW best is the hub h (cos .707 > y2's .640), but h is close
+    // to BOTH queries so its neighborhood mean is high — the margin
+    // flips the pick to y2. That flip is the entire point of the op.
+    val queries = embFrame(Seq(
+      1L -> Seq(1.0, 0.0, 0.0, 0.0),
+      2L -> Seq(0.0, 1.0, 0.0, 0.0)))
+    val pool = embFrame(Seq(
+      10L -> Seq(2.0, 0.0, 0.0, 0.0),   // aligned with q1 (cos 1)
+      11L -> Seq(0.7, 0.7, 0.0, 0.0),   // hub: cos .707 to q1 AND q2
+      12L -> Seq(0.0, 1.0, 1.2, 0.0)))  // q2's true mate (cos .640)
+    val got = Similarity.marginMine(queries, pool, k = 4)
+      .orderBy("qid")
+      .select("qid", "tgt_id", "accept")
+      .as[(Long, Long, Int)].collect()
+    assert(got.length === 2)
+    assert(got(0) === ((1L, 10L, 1)), got.mkString(","))
+    // raw cosine would pick 11 (the hub); the margin picks 12
+    assert(got(1)._2 === 12L, got.mkString(","))
+  }
+
+  test("marginMine: partition-count invariant (two-phase-free exactness)") {
+    val queries = embFrame(Seq(1L -> Seq(1.0, 0.2, 0.0, 0.0),
+      2L -> Seq(0.0, 1.0, 0.3, 0.0)))
+    val pool = embFrame((10 to 40).map(i =>
+      i.toLong -> Seq(i % 5 / 4.0, i % 3 / 2.0, i % 7 / 6.0, 1.0)))
+    val a = Similarity.marginMine(queries, pool).orderBy("qid").collect()
+    val b = Similarity.marginMine(queries, pool.repartition(7))
+      .orderBy("qid").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("padWaste: exact pad accounting, capped top bucket, short last batch") {
+    // bucketWidth=4, cap=2, batchSize=2. Bucket 0: three 3-token docs
+    // (pad 0 whatever the batch split; 2 batches). Bucket 2 holds the
+    // 9-token and the 30-token doc (9 DIV 4 = 2; 30 caps to 2) in ONE
+    // batch: pad = 30*2 - 39 = 21, waste = 21e6 DIV 60 = 350000.
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f"), (3L, "g h i"),
+      (4L, Seq.fill(9)("w").mkString(" ")),
+      (5L, Seq.fill(30)("t").mkString(" "))).toDF("doc_id", "text")
+    val got = Packing.padWaste(docs, col("doc_id"), col("text"),
+        bucketWidth = 4, maxBucketId = 2, batchSize = 2)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got(0) === ((0L, 2L, 3L, 9L, 0L, 0L)), got.mkString(","))
+    assert(got(1) === ((2L, 1L, 2L, 39L, 21L, 350000L)), got.mkString(","))
+    // input order cannot move the plan: the rank is a hash of the rows
+    val shuffled = Packing.padWaste(docs.orderBy(col("doc_id").desc)
+        .repartition(5), col("doc_id"), col("text"),
+        bucketWidth = 4, maxBucketId = 2, batchSize = 2)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq === shuffled.toSeq)
+  }
+
+  test("consensusPairs: both / image_only / text_only classes, -1 sentinels") {
+    val img = Seq((1L, 2L, 1), (3L, 4L, 2)).toDF("a", "b", "hamming")
+    val txt = Seq((1L, 2L, 0), (5L, 6L, 3)).toDF("a", "b", "hamming")
+    val got = Multimodal.consensusPairs(img, txt).orderBy("a", "b")
+      .as[(Long, Long, Int, Int, String)].collect()
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1, 0, "both"),
+      (3L, 4L, 2, -1, "image_only"),
+      (5L, 6L, -1, 3, "text_only")))
+  }
+}

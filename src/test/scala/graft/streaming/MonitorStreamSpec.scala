@@ -397,3 +397,66 @@ class MonitorStreamSpec extends SparkSpec {
     assert(dup.maxBy(_.n_emit).k_used === taps.toLong)
   }
 }
+
+/** Pins [[DedupStream]] — the x1/x30 streaming twin: batch-keeper
+  * parity, order independence (min commutes), replay idempotence of
+  * the keeper, O(1)-state flood behavior, and the keeper_changed
+  * signal. */
+class DedupStreamSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def run(batches: Seq[Seq[DocDigest]]): Seq[DedupRow] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocDigest]
+    val q = DedupStream.keepers(mem.toDS())
+      .writeStream.format("memory").queryName("dedup_rows")
+      .outputMode("append").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("dedup_rows").as[DedupRow].collect().toSeq
+    spark.sql("DROP TABLE IF EXISTS dedup_rows")
+    got
+  }
+
+  private def finalKeepers(rows: Seq[DedupRow]): Map[String, Long] =
+    rows.groupBy(_.digest).map { case (d, rs) => d -> rs.last.keeper }
+
+  test("keepers: final keeper is min(doc_id) — the batch x1 election — under any arrival order") {
+    val docs = Seq(DocDigest(5, "a"), DocDigest(3, "a"), DocDigest(9, "a"),
+      DocDigest(7, "b"), DocDigest(2, "b"), DocDigest(4, "c"))
+    val fwd = run(Seq(docs.take(3), docs.drop(3)))
+    val rev = run(Seq(docs.reverse.take(3), docs.reverse.drop(3)))
+    val expect = Map("a" -> 3L, "b" -> 2L, "c" -> 4L)
+    assert(finalKeepers(fwd) === expect)
+    assert(finalKeepers(rev) === expect)
+  }
+
+  test("keepers: keeper_changed fires on first sight and demotion, not on a larger id") {
+    val got = run(Seq(Seq(DocDigest(5, "a")), Seq(DocDigest(9, "a")),
+      Seq(DocDigest(3, "a"))))
+    assert(got.map(r => (r.keeper, r.keeper_changed)) ===
+      Seq((5L, 1), (5L, 0), (3L, 1)))
+  }
+
+  test("keepers: at-least-once replay never changes the keeper (min is idempotent)") {
+    val b1 = Seq(DocDigest(4, "a"), DocDigest(8, "a"))
+    val got = run(Seq(b1, b1)) // the whole batch redelivered
+    assert(got.map(_.keeper) === Seq(4L, 4L))
+    // n_seen double-counts — the documented trade
+    assert(got.map(_.n_seen) === Seq(2L, 4L))
+  }
+
+  test("keepers: a 10k identical-doc flood costs ONE state entry, keeper exact") {
+    val flood = (1L to 10000L).map(i => DocDigest(10001L - i, "hot"))
+    val got = run(Seq(flood))
+    assert(got === Seq(DedupRow("hot", 1L, 10000L, 1)))
+  }
+
+  test("keepers: negative ids refuse loudly (sentinel protection)") {
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Seq(Seq(DocDigest(-1, "a"))))
+    }
+    assert(ex.getMessage.contains("keepers") ||
+      ex.getCause.getMessage.contains("doc_id"))
+  }
+}

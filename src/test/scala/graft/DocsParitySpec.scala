@@ -96,4 +96,21 @@ class DocsParitySpec extends AnyFunSuite {
       "queries BOTH probed and exempted (drop the exemption — the probe " +
         "is the stronger evidence): " + both.toSeq.sorted.mkString(", "))
   }
+
+  test("sf1 receipt parity: every registered query has a decade wall or a documented exclusion") {
+    // receipts/sf1_receipts.json is written by scripts/sf1_evidence.py:
+    // walls_sec carries the per-query sf1 bench wall, excluded the
+    // documented exclusions (x11's N-squared guard, x174's
+    // crossjoin-form oracle). A registered query in neither means the
+    // decade receipt lagged the registry — the exact gap the round-13
+    // verdict found on x249.
+    val receipts = read("receipts/sf1_receipts.json")
+    val covered = """"((?:q|x)[0-9a-z]*_[a-z0-9_]+)"""".r
+      .findAllMatchIn(receipts).map(_.group(1)).toSet
+    val missing = registered -- covered
+    assert(missing.isEmpty,
+      s"queries with no sf1 receipt (wall or documented exclusion) — " +
+        s"run scripts/sf1_evidence.py (or its targeted merge) for: " +
+        s"${missing.toSeq.sorted.mkString(", ")}")
+  }
 }

@@ -130,6 +130,63 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("dist"), col("rank"))
   }
 
+  /** nDCG@k of the embedding ranking against label relevance — the
+    * graded-ranking member of the ANN-eval family (x84 recall, x206
+    * MRR, x221 mAP measure hit-or-miss; nDCG discounts by POSITION, so
+    * it is the metric that distinguishes "relevant doc at rank 1" from
+    * "relevant doc at rank 10"). Relevance is binary label agreement
+    * (neighbor shares the query's label) — the "do nearest neighbors
+    * share labels" embedding-quality number a curation pass thresholds.
+    *
+    * Exactness: the position discounts `w_i = round(1e6 / log2(i+1))`
+    * are PRECOMPUTED INTEGER LITERALS baked into the plan (and the
+    * oracle) — the log never executes on either engine, so the metric
+    * is floor-exact end to end: `dcg = Σ w_rank over relevant hits`,
+    * `idcg = Σ_{i ≤ min(R, k)} w_i` with R = same-label corpus rows
+    * minus the query itself, `ndcg_e6 = dcg·1e6 DIV idcg`.
+    *
+    * 100 TB posture: x9's fixed-query contract — queries broadcast,
+    * one corpus scan for the kNN, label counts are a label-cardinality
+    * broadcast, the neighbor-label join touches k·|q| ranked rows.
+    * Output: (qid, n_rel_at_k, dcg_e6, idcg_e6, ndcg_e6) per query. */
+  def ndcgAtK(corpus: DataFrame, queries: DataFrame, labels: DataFrame,
+      k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 100, s"ndcgAtK: k=$k out of [1, 100]")
+    val w: Seq[Long] = (1 to k).map(i =>
+      math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+    val cumW: Seq[Long] = w.scanLeft(0L)(_ + _).tail
+    val ranked = knnBrute(corpus, queries, k)
+    val nl = labels.select(col("vec_id").as("neighbor_id"),
+      col("label").as("n_label"))
+    val ql = broadcast(labels.select(col("vec_id").as("qid"),
+      col("label").as("q_label")))
+    val wCol = (1 to k).foldLeft(lit(0L)) { (acc, i) =>
+      when(col("rank") === i, lit(w(i - 1))).otherwise(acc)
+    }
+    // R = same-label corpus rows minus self; idcg looks up the
+    // cumulative weight at min(R, k) — both label-cardinality
+    val counts = broadcast(labels.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_label_total")))
+    val idcgCol = (1 to k).foldLeft(lit(0L)) { (acc, i) =>
+      when(least(col("n_label_total") - 1L, lit(k.toLong)) === i,
+        lit(cumW(i - 1))).otherwise(acc)
+    }
+    ranked
+      .join(nl, Seq("neighbor_id"))
+      .join(ql, Seq("qid"))
+      .groupBy("qid", "q_label")
+      .agg(sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_rel_at_k"),
+        sum(when(col("n_label") === col("q_label"), wCol).otherwise(lit(0L)))
+          .as("dcg_e6"))
+      .join(counts, Seq("q_label"))
+      .withColumn("idcg_e6", idcgCol)
+      .select(col("qid"), col("n_rel_at_k"), col("dcg_e6"), col("idcg_e6"),
+        when(col("idcg_e6") > 0,
+          expr("dcg_e6 * 1000000L DIV idcg_e6")).otherwise(lit(0L))
+          .as("ndcg_e6"))
+  }
+
   /** Margin-based bitext candidate mining (Artetxe & Schwenk 2019,
     * "Margin-based Parallel Corpus Mining with Multilingual Sentence
     * Embeddings"): for each query vector x (language A), the best pool

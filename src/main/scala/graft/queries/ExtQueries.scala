@@ -9013,6 +9013,52 @@ object ExtQueries {
     Multimodal.consensusPairs(imgPairs, txtPairs).orderBy("a", "b")
   }
 
+  // x255 — NDCG@10 OF THE EMBEDDING RANKING vs label relevance: the
+  // graded-ranking ANN-eval member (x84 recall / x206 MRR / x221 mAP
+  // are hit-or-miss). The log2 position discounts are PRECOMPUTED
+  // integer literals interpolated into BOTH the plan and the oracle
+  // from the same Scala values — the log never executes on either
+  // engine, so the metric is floor-exact.
+  private val ndcgW: Seq[Long] = (1 to 10).map(i =>
+    math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+  private val ndcgCumW: Seq[Long] = ndcgW.scanLeft(0L)(_ + _).tail
+  val x255 = Q(
+    "x255_ndcg_eval",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS qid, q.label AS q_label, e.vec_id AS nid,
+      |         e.label AS n_label,
+      |         round(list_cosine_similarity(q.emb, e.emb), 6) AS sim
+      |  FROM e q, e WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |      FROM p),
+      |t AS (SELECT * FROM r WHERE rank <= 10),
+      |c AS (SELECT label AS q_label, CAST(count(*) AS BIGINT) AS n_label_total
+      |      FROM e GROUP BY 1),
+      |d AS (
+      |  SELECT qid, q_label,
+      |         CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_at_k,
+      |         CAST(sum(CASE WHEN n_label = q_label THEN
+      |           CASE rank ${ndcgW.zipWithIndex.map { case (v, i) =>
+                   s"WHEN ${i + 1} THEN $v" }.mkString(" ")} ELSE 0 END
+      |           ELSE 0 END) AS BIGINT) AS dcg_e6
+      |  FROM t GROUP BY 1, 2),
+      |f AS (
+      |  SELECT d.qid, d.n_rel_at_k, d.dcg_e6,
+      |         CAST(CASE least(c.n_label_total - 1, 10)
+      |           ${ndcgCumW.zipWithIndex.map { case (v, i) =>
+                   s"WHEN ${i + 1} THEN $v" }.mkString(" ")} ELSE 0 END AS BIGINT) AS idcg_e6
+      |  FROM d JOIN c USING (q_label))
+      |SELECT qid, n_rel_at_k, dcg_e6, idcg_e6,
+      |       CAST(CASE WHEN idcg_e6 > 0 THEN dcg_e6 * 1000000 // idcg_e6
+      |            ELSE 0 END AS BIGINT) AS ndcg_e6
+      |FROM f ORDER BY qid""".stripMargin) { (s, dir) =>
+    val embs = normalizedEmb(s, dir)
+    val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    Similarity.ndcgAtK(embs, embs.where(col("vec_id") < 10), labels, k = 10)
+      .orderBy("qid")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -9033,5 +9079,5 @@ object ExtQueries {
       x220, x221, x222, x223, x224, x225, x226, x227, x228, x229, x230,
       x231, x232, x233, x234, x235, x236, x237, x238, x239, x240, x241,
       x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
-      x253, x254)
+      x253, x254, x255)
 }

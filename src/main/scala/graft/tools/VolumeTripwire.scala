@@ -328,7 +328,9 @@ object VolumeTripwire {
     "x252_bitext_margin" ->
       "fixed id-bounded query shard broadcasts (x9's contract - constant work at any SF); one |q|*|pool| checkpointed scan; production shards via x82/x10",
     "x254_consensus_neardup" ->
-      "composes the probed x241 + x8 banded pair machinery; the consensus full outer is pair-driven")
+      "composes the probed x241 + x8 banded pair machinery; the consensus full outer is pair-driven",
+    "x255_ndcg_eval" ->
+      "x9's fixed-query contract: queries broadcast, one corpus scan; post-kNN work is k*|q| rows + label-cardinality broadcasts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -2243,6 +2243,19 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x255: queries broadcast into the kNN; label counts broadcast; no cartesian") {
+    val df = SparkEntry.queries("x255_ndcg_eval")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the kNN query side and both label tables arrive as broadcasts
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
+    // the only windows are the per-qid rank (fixed query set)
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("qid")), specs.toString)
+  }
+
   test("x254: consensus is a pair-keyed join over two banded pipelines — no cartesian") {
     val df = SparkEntry.queries("x254_consensus_neardup")(spark, dir)
     df.collect()

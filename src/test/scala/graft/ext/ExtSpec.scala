@@ -1814,3 +1814,47 @@ class BitextPadConsensusSpec extends graft.SparkSpec {
       (5L, 6L, -1, 3, "text_only")))
   }
 }
+
+/** Pins [[Similarity.ndcgAtK]] — exact integer nDCG with literal log2
+  * discounts. */
+class NdcgSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def emb(rows: Seq[(Long, Seq[Double], Int)]) = {
+    val df = rows.toDF("vec_id", "embedding", "label")
+    (Similarity.withNorm(df, col("vec_id"), col("embedding")),
+      df.select(col("vec_id"), col("label")))
+  }
+
+  test("ndcgAtK: perfect ranking scores 1e6; relevant-at-2 scores w2/(w1)") {
+    // query 0 (label 1); corpus: vec 1 (label 1, cos 1.0 -> rank 1),
+    // vec 2 (label 0, cos ~.9), vec 3 (label 0, cos ~.1).
+    // R = 1 relevant -> idcg = w1 = 1e6; hit at rank 1 -> ndcg = 1e6.
+    val (c1, l1) = emb(Seq(
+      (0L, Seq(1.0, 0.0), 1), (1L, Seq(2.0, 0.0), 1),
+      (2L, Seq(0.9, 0.4), 0), (3L, Seq(0.1, 1.0), 0)))
+    val g1 = Similarity.ndcgAtK(c1, c1.where(col("vec_id") === 0), l1, k = 3)
+      .select("n_rel_at_k", "dcg_e6", "idcg_e6", "ndcg_e6")
+      .as[(Long, Long, Long, Long)].head()
+    assert(g1 === ((1L, 1000000L, 1000000L, 1000000L)))
+    // flip labels so the relevant doc lands at rank 2:
+    // dcg = w2 = 630930, idcg = w1 -> ndcg = 630930
+    val (c2, l2) = emb(Seq(
+      (0L, Seq(1.0, 0.0), 1), (1L, Seq(2.0, 0.0), 0),
+      (2L, Seq(0.9, 0.4), 1), (3L, Seq(0.1, 1.0), 0)))
+    val g2 = Similarity.ndcgAtK(c2, c2.where(col("vec_id") === 0), l2, k = 3)
+      .select("dcg_e6", "idcg_e6", "ndcg_e6")
+      .as[(Long, Long, Long)].head()
+    assert(g2 === ((630930L, 1000000L, 630930L)))
+  }
+
+  test("ndcgAtK: no relevant docs in the corpus -> idcg 0, ndcg 0 (not a crash)") {
+    val (c, l) = emb(Seq(
+      (0L, Seq(1.0, 0.0), 7), (1L, Seq(2.0, 0.0), 0), (2L, Seq(0.5, 0.5), 0)))
+    val g = Similarity.ndcgAtK(c, c.where(col("vec_id") === 0), l, k = 2)
+      .select("n_rel_at_k", "idcg_e6", "ndcg_e6")
+      .as[(Long, Long, Long)].head()
+    assert(g === ((0L, 0L, 0L)))
+  }
+}

@@ -460,3 +460,66 @@ class DedupStreamSpec extends graft.SparkSpec {
       ex.getCause.getMessage.contains("doc_id"))
   }
 }
+
+/** Pins [[KmvStream]] — the x180 streaming twin with the family's
+  * strongest contract: set-insert-trim state is commutative AND
+  * idempotent, so arrival order cannot move the sketch and a replayed
+  * batch emits NOTHING. Batch parity against
+  * [[graft.ext.Sketches.kmvDistinct]]'s estimate columns. */
+class KmvStreamSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def run(batches: Seq[Seq[ElemHash]], k: Int): Seq[KmvRow] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ElemHash]
+    val q = KmvStream.sketches(mem.toDS(), k)
+      .writeStream.format("memory").queryName("kmv_rows")
+      .outputMode("append").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("kmv_rows").as[KmvRow].collect().toSeq
+    spark.sql("DROP TABLE IF EXISTS kmv_rows")
+    got
+  }
+
+  test("sketches: final row equals the batch kmvDistinct estimate (parity pin)") {
+    import org.apache.spark.sql.functions._
+    val elems = (1L to 500L).map(i => ("a", s"elem-$i"))
+    val batch = graft.ext.Sketches.kmvDistinct(
+        elems.toDF("key", "e"), col("key"), col("e"), k = 64)
+      .select("n_sketch", "kth_min", "est_distinct")
+      .as[(Long, Long, Long)].head()
+    val hashed = elems.toDF("key", "e")
+      .select(col("key"),
+        graft.ext.Dedup.md5Hash60(col("e")).as("h"))
+      .as[(String, Long)].collect().map { case (k2, h) => ElemHash(k2, h) }
+    val got = run(Seq(hashed.take(200).toSeq, hashed.drop(200).toSeq), k = 64)
+    val last = got.last
+    assert((last.n_sketch, last.kth_min, last.est_distinct) === batch)
+  }
+
+  test("sketches: arrival order cannot move the sketch; replay emits NOTHING") {
+    val hs = (1L to 100L).map(i => ElemHash("a", i * 7919L))
+    val fwd = run(Seq(hs.take(50), hs.drop(50)), k = 16)
+    val rev = run(Seq(hs.reverse.take(50), hs.reverse.drop(50)), k = 16)
+    assert(fwd.last === rev.last)
+    // replay the ENTIRE stream again: state identical -> zero new rows
+    val replayed = run(Seq(hs, hs), k = 16)
+    assert(replayed.size === 1, replayed.toString)
+    assert(replayed.last === fwd.last)
+  }
+
+  test("sketches: an identical-element flood costs one slot and one row") {
+    val flood = (1 to 5000).map(_ => ElemHash("hot", 42L))
+    val got = run(Seq(flood), k = 8)
+    assert(got === Seq(KmvRow("hot", 1L, 42L, 1L)))
+  }
+
+  test("sketches: out-of-range hashes refuse loudly") {
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Seq(Seq(ElemHash("a", -5L))), k = 8)
+    }
+    assert(ex.getMessage.contains("sketches") ||
+      ex.getCause.getMessage.contains("2^60"))
+  }
+}

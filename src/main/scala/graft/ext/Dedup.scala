@@ -947,6 +947,9 @@ object Dedup {
     val cand = base.select(col("doc_id"), col("p"), col("band"))
       .unionAll(base.select(col("doc_id"), col("p"),
         (col("band") + 1).as("band")))
+      // three consumers (band counts + both join sides): checkpoint so
+      // the doc scan + prefix projection is paid once
+      .localCheckpoint(false)
     // band-size guard as a broadcast count join, NOT a window: bands
     // are length-shaped (low-cardinality), so a count-over window on
     // the bare band would funnel the whole candidate set through

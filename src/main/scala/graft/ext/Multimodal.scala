@@ -547,8 +547,18 @@ object Multimodal {
     val starts = sizes.scanLeft(0)(_ + _)
     // the profile feeds THREE consumers (banding + both verify sides);
     // checkpoint so the scan-side energy grid (64 hex-substr reads per
-    // payload) is paid once, not three times
-    val prof = profile.localCheckpoint(false)
+    // payload) is paid once, not three times. The window-index guard
+    // rides the same filter: a profile built with MORE windows than
+    // this call assumes would silently break the pigeonhole soundness
+    // (extra windows collapse into the last band and escape its key),
+    // so refuse loudly per-row instead (the audioEnergyGrid 1 GB
+    // contract style)
+    val prof = profile
+      .where(assert_true(col("c") >= 0 && col("c") < windows,
+        lit(s"audioNeardupPairs: window index outside [0, $windows) — " +
+          "pass windows= matching the audioEnergyProfile that built " +
+          "this profile")).isNull)
+      .localCheckpoint(false)
     // band of window c = number of band starts <= c, minus one
     val bandExpr = (1 until nBands)
       .map(i => s"(CASE WHEN c >= ${starts(i)} THEN 1 ELSE 0 END)")

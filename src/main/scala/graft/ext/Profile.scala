@@ -114,7 +114,10 @@ object Profile {
           .withColumnRenamed("__rn", "rn").drop("__s")
       else d.withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
-          .orderBy(col("v"))).cast("long"))
+          // NULLS LAST explicitly: StratumRank pins it (ANSI default),
+          // so both strategies really do return identical rows under
+          // NULL values — Spark's bare ASC would put nulls first
+          .orderBy(col("v").asc_nulls_last)).cast("long"))
     val counts = d.groupBy("stratum").agg(count(lit(1)).as("cs"))
     val aggs = pcts.map(p =>
       max(expr(s"CASE WHEN rn = ($p * cs + 99) DIV 100 THEN v END"))
@@ -179,7 +182,8 @@ object Profile {
           .withColumnRenamed("__rn", "rn").drop("__s")
       else in.withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("stratum")).orderBy(col(o))).cast("long"))
+          .partitionBy(col("stratum"))
+          .orderBy(col(o).asc_nulls_last)).cast("long"))
     val d = df.select(stratum.as("stratum"), value.cast("double").as("v"))
     val med = rankBy(d, "v")
       .join(broadcast(d.groupBy("stratum").agg(count(lit(1)).as("cs"))),

@@ -268,7 +268,9 @@ object Sampling {
       .where(col("__rn") <= col("__quota"))
       .drop("__quota")
       .withColumnRenamed("__s", "stratum")
-      .withColumn("matched_rank", col("__rn").cast("int"))
+      // LONG on purpose: the quota bound is the target stratum's row
+      // count, which exceeds Int.MaxValue at the documented scale
+      .withColumn("matched_rank", col("__rn"))
       .drop("__rn")
   }
 

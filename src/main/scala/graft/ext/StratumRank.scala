@@ -78,7 +78,9 @@ object StratumRank {
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
     val counts = sorted.groupBy("_pid", "__sk")
-      .agg(sum(col("__w")).as("w")).collect()
+      // coalesce: a cell whose weights are ALL NULL must contribute a
+      // zero offset, not a driver-side NPE at getLong
+      .agg(coalesce(sum(col("__w")), lit(0L)).as("w")).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
       .sortBy(t => (t._2, t._1))
     require(counts.length <= (1 << 20),

@@ -26,10 +26,11 @@ import org.apache.spark.sql.functions._
   * key does not discriminate, and all-pairs inside it is the quadratic
   * work blocking exists to avoid. The oracle mirrors the cap.
   *
-  * 100 TB posture: one probe-table union (2× the records), a
-  * block-partitioned count window (block-sized partitions by
-  * construction), one equi-join on (key, band) bounded by maxBlock²
-  * per block, distinct at pair granularity. Scores are integer
+  * 100 TB posture: one probe-table union (2× the records,
+  * checkpointed once for its three consumers), a combinable
+  * block-count aggregate broadcast back as the guard (round 14 — no
+  * count-over window), one equi-join on (key, band) bounded by
+  * maxBlock² per block, distinct at pair granularity. Scores are integer
   * conditional ladders; the top-k cut is TakeOrderedAndProject.
   */
 object RecordLinkage {
@@ -50,6 +51,9 @@ object RecordLinkage {
       seg.as("seg"), cents.cast("long").as("cents"))
       .withColumn("band", expr(s"(cents + ${shift}L) DIV ${loose}L"))
     val probes = base.unionAll(base.withColumn("band", col("band") + 1))
+      // three consumers (block counts + both join sides): checkpoint so
+      // the customer scan + banding projection is paid once
+      .localCheckpoint(false)
     // block-size guard as a combinable count + broadcast join, not a
     // count-over window (round 14): the counts table is
     // block-cardinality, and the probe set never sorts for the guard

@@ -8723,7 +8723,7 @@ object ExtQueries {
       |           ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
       |                    doc_id) AS rn
       |  FROM p)
-      |SELECT r.doc_id, CAST(r.b AS BIGINT) AS b, CAST(r.rn AS INT) AS matched_rank
+      |SELECT r.doc_id, CAST(r.b AS BIGINT) AS b, CAST(r.rn AS BIGINT) AS matched_rank
       |FROM r JOIN q USING (b) WHERE r.rn <= q.quota
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val tgtSources = Seq("src0", "src1", "src2")
@@ -8754,6 +8754,12 @@ object ExtQueries {
   // non-vacuous at any corpus size). Hot (window, level) buckets drop
   // under the loud maxBucket contract (silence floods collapse to one
   // bucket and refuse rather than detonate — tripwire-probed).
+  // ORACLE NOTE: the oracle is the CAPLESS exact all-window vote — the
+  // engine's maxBucket guard bounds CANDIDATE GENERATION only (a
+  // recall knob under adversarial floods, spec-pinned by the
+  // silence-flood test), it never alters the vote of surviving pairs;
+  // on the gate corpora no bucket approaches the cap, so both compute
+  // the identical result and the oracle stays structurally honest.
   val x250 = Q(
     "x250_audio_neardup",
     s"""WITH m0 AS (
@@ -8770,13 +8776,11 @@ object ExtQueries {
       |         ${(0 until 4).map(j => audioByteSql(s"c * 4 + $j")).mkString("\n         + ")} AS energy
       |  FROM m CROSS JOIN w),
       |p AS (SELECT media_id, c, energy // 4 AS q FROM e),
-      |g AS (SELECT *, count(*) OVER (PARTITION BY c, q) AS bn FROM p),
-      |f AS (SELECT media_id, c, q FROM g WHERE bn <= 65536),
       |lp AS (SELECT media_id, c, q, q + d AS qp
-      |       FROM f CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d)),
+      |       FROM p CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d)),
       |j AS (
       |  SELECT l.media_id AS a, r.media_id AS b, abs(l.q - r.q) AS dq
-      |  FROM lp l JOIN f r ON l.c = r.c AND l.qp = r.q
+      |  FROM lp l JOIN p r ON l.c = r.c AND l.qp = r.q
       |                    AND l.media_id < r.media_id)
       |SELECT a, b, CAST(count(*) AS BIGINT) AS n_matched,
       |       CAST(max(dq) AS BIGINT) AS dq_max

@@ -859,7 +859,7 @@ class SamplingSpec extends graft.SparkSpec {
     val got = graft.ext.Sampling.distributionMatch(target, pool,
         col("b"), col("doc_id"))
       .select("doc_id", "stratum", "matched_rank")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.count(_._2 == 1L) === 3) // quota met from 5 candidates
     assert(!got.exists(_._2 == 3L))     // target never exhibits bin 3
     assert(got.forall(_._3 <= 3))

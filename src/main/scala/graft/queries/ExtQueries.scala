@@ -8956,13 +8956,22 @@ object ExtQueries {
   // signal (x8's banded SimHash pairs) over the image corpus — 'both'
   // is the high-confidence dup, 'image_only' the re-caption case,
   // 'text_only' the re-illustration case. One pair-driven full outer
-  // on top of two already-banded pipelines.
+  // on top of two already-banded pipelines. PLANTED twins make the
+  // 'both' class non-vacuous at any corpus size (the x241 discipline):
+  // every re-encoded image variant (byte-0 perturbation, phash
+  // hamming <= 1 guaranteed) carries an IDENTICAL caption twin
+  // (simhash hamming 0 guaranteed), so each planted (id, id+1e9) pair
+  // must land in 'both'.
   val x254 = Q(
     "x254_consensus_neardup",
-    s"""WITH m AS (
+    s"""WITH m0 AS (
       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
       |         CAST(octet_length(encode(text)) AS INT) AS n
       |  FROM documents WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= 1),
+      |v AS (
+      |  SELECT media_id + 1000000000 AS media_id, '7E' || substr(hx, 3) AS hx, n
+      |  FROM m0 WHERE media_id % 10 = 0 AND n >= 67 AND n % 37 <> 0),
+      |m AS (SELECT * FROM m0 UNION ALL SELECT * FROM v),
       |h AS (SELECT media_id, CAST($phashBitsSql AS BIGINT) AS phash FROM m),
       |e AS (
       |  SELECT media_id, phash, blk, (phash >> (blk * 15)) & 32767 AS key
@@ -8975,7 +8984,13 @@ object ExtQueries {
       |  FROM f l JOIN f r ON l.blk = r.blk AND l.key = r.key
       |                   AND l.media_id < r.media_id
       |  WHERE bit_count(xor(l.phash, r.phash)) <= 3),
-      |tdoc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      |td0 AS (SELECT doc_id, text FROM documents
+      |        WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= 1),
+      |tv0 AS (
+      |  SELECT doc_id + 1000000000 AS doc_id, text FROM td0
+      |  WHERE doc_id % 10 = 0 AND octet_length(encode(text)) >= 67
+      |    AND octet_length(encode(text)) % 37 <> 0),
+      |tdoc AS (SELECT * FROM td0 UNION ALL SELECT * FROM tv0),
       |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM tdoc),
       |thh AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tok),
       |tv AS (
@@ -9008,11 +9023,21 @@ object ExtQueries {
     val media = Multimodal.mediaFromDocuments(s, docs).toDF()
     val imgs = media.where(col("kind") === "image")
       .select(col("media_id"), col("payload"))
+    val withPlanted = imgs.unionByName(Multimodal.reencodeVariants(imgs))
     val imgPairs = Multimodal.phashPairs(
-      Multimodal.dHash60(imgs, col("media_id"), col("payload")))
+      Multimodal.dHash60(withPlanted, col("media_id"), col("payload")))
+    // identical caption twins for exactly the planted image set: the
+    // filters mirror reencodeVariants' (every 10th, length >= 67,
+    // length % 37 != 0) so each planted pair has BOTH signals
+    val caps = docs.where(col("doc_id") % 3 === 0 &&
+        length(encode(col("text"), "UTF-8")) >= 1)
+      .select(col("doc_id"), col("text"))
+    val capTwins = caps.where(col("doc_id") % 10 === 0 &&
+        length(encode(col("text"), "UTF-8")) >= 67 &&
+        length(encode(col("text"), "UTF-8")) % 37 =!= 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
     val txtPairs = Dedup.simhashPairs(
-      Dedup.simhash(docs.where(col("doc_id") % 3 === 0),
-        col("doc_id"), col("text")),
+      Dedup.simhash(caps.unionByName(capTwins), col("doc_id"), col("text")),
       maxHamming = 3)
     Multimodal.consensusPairs(imgPairs, txtPairs).orderBy("a", "b")
   }

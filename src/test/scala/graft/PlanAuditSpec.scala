@@ -2258,7 +2258,12 @@ class PlanAuditSpec2 extends SparkSpec {
 
   test("x254: consensus is a pair-keyed join over two banded pipelines — no cartesian") {
     val df = SparkEntry.queries("x254_consensus_neardup")(spark, dir)
-    df.collect()
+    val rows = df.collect()
+    // planted re-encode + identical-caption twins GUARANTEE the 'both'
+    // class is populated at any corpus size (the x241 non-vacuity
+    // discipline): every planted (id, id+1e9) pair has phash <= 1 AND
+    // simhash 0
+    assert(rows.exists(_.getString(4) == "both"), rows.take(5).mkString(","))
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     // the full outer on (a, b) is an equi-join (SMJ or shuffled hash)

@@ -516,11 +516,17 @@ object Multimodal {
     * the full window profiles (the x7 band-then-verify shape), which
     * makes the result set identical to the all-window vote.
     *
-    * Hot (band, key) buckets beyond `maxBucket` drop under the loud
+    * Hot (band, key) buckets beyond `maxBucket` DROP under the loud
     * family contract — an all-silence flood (every profile all-zero)
-    * collapses into one bucket per band and refuses rather than
-    * detonating the join (tripwire-probed); the guard is a combinable
-    * count broadcast back, never a count-over window.
+    * collapses into one bucket per band and drops loudly-by-absence
+    * rather than detonating the join (tripwire-probed); the guard is a
+    * combinable count broadcast back, never a count-over window.
+    * Because the x250 ORACLE states the capless all-window vote, parity
+    * depends on no gate-corpus bucket approaching the cap — that is
+    * OBSERVED, not assumed: [[audioBandOccupancy]] measures the max
+    * exact-side occupancy and ExtSpec asserts the gate corpus sits far
+    * below `maxBucket`, so a future dataset drifting toward the cap
+    * fails the suite with a pointer instead of a bare hash mismatch.
     *
     * 100 TB posture: profile rows are ≤ windows per media; band rows
     * are ≤ bands per media; probes ≤ Σ 3^bandSize per media (bounded
@@ -530,10 +536,56 @@ object Multimodal {
     * Output: (a, b, n_matched, dq_max), a < b. */
   def audioNeardupPairs(profile: DataFrame, minVotes: Int = 12,
       maxBucket: Int = 1 << 16, windows: Int = 16): DataFrame = {
-    require(minVotes >= 1 && minVotes <= windows,
-      s"audioNeardupPairs: minVotes=$minVotes out of [1, $windows]")
     require(maxBucket >= 2,
       s"audioNeardupPairs: maxBucket=$maxBucket must be >= 2")
+    val (prof, exactSides, probeSides) = audioBandSides(profile, minVotes, windows)
+    // hot-bucket guard: combinable count broadcast back (the exact
+    // side defines occupancy — the probe side is its bounded x3^size)
+    val bucketCounts = exactSides.groupBy("band", "key")
+      .agg(count(lit(1)).as("__n"))
+    val okBuckets = broadcast(bucketCounts.where(col("__n") <= maxBucket)
+      .select(col("band"), col("key")))
+    val cand = probeSides.join(okBuckets, Seq("band", "key"))
+      .join(exactSides, Seq("band", "key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    // exact verify against the full profiles — result identical to the
+    // all-window vote
+    val pa = prof.select(col("media_id").as("a"), col("c"),
+      col("q").as("qa"))
+    val pb = prof.select(col("media_id").as("b"), col("c"),
+      col("q").as("qb"))
+    cand.join(pa, Seq("a")).join(pb, Seq("b", "c"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(when(abs(col("qa") - col("qb")) <= 1, 1L).otherwise(0L))
+          .as("n_matched"),
+        max(when(abs(col("qa") - col("qb")) <= 1,
+          abs(col("qa") - col("qb")))).as("dq_max"))
+      .where(col("n_matched") >= minVotes)
+  }
+
+  /** Max exact-side (band, key) bucket occupancy of the
+    * [[audioNeardupPairs]] banding for this profile — the observability
+    * probe behind the capless-oracle parity contract: the engine DROPS
+    * buckets past `maxBucket` while the x250 oracle votes caplessly, so
+    * the gate corpus' proximity to the cap must be MEASURED (ExtSpec
+    * asserts it sits far below 65536), never assumed. 0 for an empty
+    * profile. */
+  private[graft] def audioBandOccupancy(profile: DataFrame,
+      minVotes: Int = 12, windows: Int = 16): Long = {
+    val (_, exactSides, _) = audioBandSides(profile, minVotes, windows)
+    val r = exactSides.groupBy("band", "key")
+      .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Shared banding construction for [[audioNeardupPairs]] and
+    * [[audioBandOccupancy]]: (checkpointed profile, exact band-key side
+    * (b, band, key), ±1-combo probe side (a, band, key)). */
+  private def audioBandSides(profile: DataFrame, minVotes: Int,
+      windows: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(minVotes >= 1 && minVotes <= windows,
+      s"audioNeardupPairs: minVotes=$minVotes out of [1, $windows]")
     // pigeonhole soundness needs bands >= violations + 1; MORE bands
     // stay sound (fewer violations per band can only leave more bands
     // intact), so also cap band size at 4 to bound the probe explosion
@@ -594,29 +646,7 @@ object Multimodal {
       bandSlice(banded, bIdx).select(col("media_id").as("a"),
         col("band"), explode(array(ks: _*)).as("key"))
     }.reduce(_ unionAll _)
-    // hot-bucket guard: combinable count broadcast back (the exact
-    // side defines occupancy — the probe side is its bounded x3^size)
-    val bucketCounts = exactSides.groupBy("band", "key")
-      .agg(count(lit(1)).as("__n"))
-    val okBuckets = broadcast(bucketCounts.where(col("__n") <= maxBucket)
-      .select(col("band"), col("key")))
-    val cand = probeSides.join(okBuckets, Seq("band", "key"))
-      .join(exactSides, Seq("band", "key"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    // exact verify against the full profiles — result identical to the
-    // all-window vote
-    val pa = prof.select(col("media_id").as("a"), col("c"),
-      col("q").as("qa"))
-    val pb = prof.select(col("media_id").as("b"), col("c"),
-      col("q").as("qb"))
-    cand.join(pa, Seq("a")).join(pb, Seq("b", "c"))
-      .groupBy(col("a"), col("b"))
-      .agg(sum(when(abs(col("qa") - col("qb")) <= 1, 1L).otherwise(0L))
-          .as("n_matched"),
-        max(when(abs(col("qa") - col("qb")) <= 1,
-          abs(col("qa") - col("qb")))).as("dq_max"))
-      .where(col("n_matched") >= minVotes)
+    (prof, exactSides, probeSides)
   }
 
   /** Aspect-preserving letterbox geometry: for each media row, the

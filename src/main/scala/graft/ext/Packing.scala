@@ -101,7 +101,12 @@ object Packing {
         sum(col("mx") * col("n_docs") - col("tok")).as("pad_total"))
       .select(col("bucket"), col("n_batches"), col("n_docs"),
         col("tok_total"), col("pad_total"),
-        expr("pad_total * 1000000L DIV greatest(pad_total + tok_total, 1L)")
+        // DECIMAL(38,0) widening: at the 100 TB posture pad_total can
+        // exceed ~9.2e12, where pad_total * 1e6 overflows LONG (ANSI
+        // runtime error). The decimal product is exact to 38 digits and
+        // the quotient is a ppm ≤ 1e6, so the BIGINT cast-back is lossless.
+        expr("CAST(CAST(pad_total AS DECIMAL(38,0)) * 1000000 " +
+          "DIV greatest(pad_total + tok_total, 1L) AS BIGINT)")
           .as("waste_ppm"))
   }
 }

@@ -254,9 +254,9 @@ object Sampling {
     * rank runs through [[stratumHashRank]]'s two-phase decomposition,
     * so the selection's parallelism is the cluster's partition count,
     * NOT the ≤63-bin stratum cardinality — no single-task multi-TB bin
-    * sorts at any scale. `matched_rank` stays INT for family parity
-    * (the quota comparison runs on the LONG rank first, so the cast
-    * only ever sees values ≤ the target's per-stratum count).
+    * sorts at any scale. `matched_rank` is LONG on purpose: the quota
+    * bound is the target stratum's row count, which exceeds
+    * Int.MaxValue at the documented scale.
     * Output: the selected pool rows + (stratum, matched_rank). */
   def distributionMatch(target: DataFrame, pool: DataFrame,
       stratum: Column, key: Column): DataFrame = {

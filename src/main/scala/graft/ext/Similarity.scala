@@ -145,6 +145,13 @@ object Similarity {
     * `idcg = Σ_{i ≤ min(R, k)} w_i` with R = same-label corpus rows
     * minus the query itself, `ndcg_e6 = dcg·1e6 DIV idcg`.
     *
+    * PRECONDITION: queries are a SUBSET of the corpus/labels frame —
+    * `R = n_label_total − 1` unconditionally subtracts the query from
+    * its label's corpus count, so a disjoint query set would understate
+    * idcg by one position and inflate ndcg_e6. Callers mining an
+    * external query set must add the queries to `labels` (or accept the
+    * one-position bias knowingly).
+    *
     * 100 TB posture: x9's fixed-query contract — queries broadcast,
     * one corpus scan for the kNN, label counts are a label-cardinality
     * broadcast, the neighbor-label join touches k·|q| ranked rows.

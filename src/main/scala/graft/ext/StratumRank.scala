@@ -65,6 +65,15 @@ object StratumRank {
     val spark = df.sparkSession
     import spark.implicits._
     val oNames = order.indices.map(i => s"__o$i")
+    // the internal bookkeeping columns are added via withColumn, which
+    // silently REPLACES same-named caller columns — a frame already
+    // carrying e.g. __s or _pid would get corrupted ranks with no error
+    val reserved = Set("__s", "__sk", "__w", "_pid", "_lc", "_off", out) ++ oNames
+    val clash = df.columns.toSet intersect reserved
+    require(clash.isEmpty,
+      s"StratumRank: input columns ${clash.toSeq.sorted.mkString(", ")} collide " +
+        "with internal bookkeeping names (__s, __sk, __w, __o<i>, _pid, _lc, " +
+        s"_off, $out) — rename them before calling")
     val base0 = df
       .withColumn("__s", stratum)
       .withColumn("__sk", when(stratum.isNull, lit("n:"))

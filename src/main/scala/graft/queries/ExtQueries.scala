@@ -8943,7 +8943,7 @@ object ExtQueries {
       |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
       |       CAST(sum(tok) AS BIGINT) AS tok_total,
       |       CAST(sum(mx * n_docs - tok) AS BIGINT) AS pad_total,
-      |       CAST(sum(mx * n_docs - tok) * 1000000
+      |       CAST(CAST(sum(mx * n_docs - tok) AS HUGEINT) * 1000000
       |            // greatest(sum(mx * n_docs - tok) + sum(tok), 1) AS BIGINT) AS waste_ppm
       |FROM g GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
     graft.ext.Packing.padWaste(Tables.documents(s, dir), col("doc_id"), col("text"),

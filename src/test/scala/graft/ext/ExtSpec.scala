@@ -700,6 +700,27 @@ class MultimodalSpec extends SparkSpec {
       .count() === 45) // C(10, 2)
   }
 
+  test("audioNeardupPairs: gate-corpus bucket occupancy sits FAR below the drop cap (capless-oracle parity observed, not assumed)") {
+    // the x250 parity contract: the engine drops (band, key) buckets
+    // past maxBucket=65536 while the oracle votes caplessly — sound
+    // only while no gate bucket approaches the cap. Build the EXACT
+    // x250 input (audio slice + planted re-encodes, quantum=4) on the
+    // sf0.01 gate corpus and measure; a future dataset drifting toward
+    // the cap fails HERE with a pointer, not as a bare hash mismatch.
+    val media = Multimodal.mediaFromDocuments(spark,
+      graft.Tables.documents(spark, "/root/testdata/sf0.01")).toDF()
+    val auds = media.where(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+    val withPlanted = auds.unionByName(Multimodal.reencodeVariants(auds))
+      .withColumn("kind", lit("audio"))
+    val occ = Multimodal.audioBandOccupancy(
+      Multimodal.audioEnergyProfile(withPlanted, quantum = 4))
+    assert(occ > 0L)
+    assert(occ <= (1 << 16) / 8,
+      s"max (band, key) bucket occupancy $occ is within 8x of the 65536 " +
+        "drop cap — the capless x250 oracle parity margin is eroding")
+  }
+
   test("crossModalKeepOne: longest caption wins its cluster (tie: smallest id); singletons kept; captionless members ignored") {
     import graft.ext.Curation
     val docs = Seq(

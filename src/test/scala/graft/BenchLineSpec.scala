@@ -31,7 +31,10 @@ class BenchLineSpec extends AnyFunSuite {
         s"tier — add a denser tier before the driver record degrades")
   }
 
-  test("contended self-label: counts queries whose run spread exceeds 3x, on every tier") {
+  // a genuinely quiet box: probes at the committed ref, flat
+  private val quietCalib = Seq(0.21, 0.22, 0.20)
+
+  test("contended self-label, SPREAD shape: a single query's warm run 3x its min fires the label") {
     // two quiet queries + one whose second run was 5x the first
     val res = Seq(
       ("x1_quiet", Seq((1.0, 1.0), (1.1, 1.1)), Option.empty[String]),
@@ -43,20 +46,63 @@ class BenchLineSpec extends AnyFunSuite {
     // false-positive the round-13 review caught)
     val jit = Seq(("x4_cold", Seq((4.8, 1.0), (0.97, 1.0)), Option.empty[String]))
     assert(Bench.contendedCount(jit) == "0")
-    val line = Bench.composeStdoutLine(res, "sf", 2, calib)
-    assert(line.contains("\"contended\":1"), line)
-    // runs=1 -> spread undefined -> null, never a bogus 0
+    val line = Bench.composeStdoutLine(res, "sf", 2, quietCalib)
+    assert(line.contains("\"contended\":true"), line)
+    assert(line.contains("\"contended_spread\":1"), line)
+    // runs=1 -> spread undefined -> null count; the quiet calibration
+    // still measures, so the LABEL reads false, never a bogus null
     val single = res.map { case (n, ts, e) => (n, ts.take(1), e) }
     assert(Bench.contendedCount(single) == "null")
-    assert(Bench.composeStdoutLine(single, "sf", 1, calib)
+    val singleLine = Bench.composeStdoutLine(single, "sf", 1, quietCalib)
+    assert(singleLine.contains("\"contended\":false"), singleLine)
+    assert(singleLine.contains("\"contended_spread\":null"), singleLine)
+    // NO measurable trigger at all -> label null
+    assert(Bench.composeStdoutLine(single, "sf", 1, Seq.empty)
       .contains("\"contended\":null"))
-    // the field survives tier degradation: full registry at worst-case
+    // the fields survive tier degradation: full registry at worst-case
     // walls lands in a compact tier and must still carry the label
     val names = SparkEntry.queries.keys.toSeq.sorted
     val big = names.map(n => (n, Seq((999.99, 999.99), (3333.3, 999.99)), Option.empty[String]))
-    val bigLine = Bench.composeStdoutLine(big, "sf", 2, calib)
-    assert(bigLine.contains(s"\"contended\":${names.size}"), bigLine.take(300))
+    val bigLine = Bench.composeStdoutLine(big, "sf", 2, quietCalib)
+    assert(bigLine.contains("\"contended\":true"), bigLine.take(300))
+    assert(bigLine.contains(s"\"contended_spread\":${names.size}"), bigLine.take(300))
     assert(bigLine.length <= Bench.StdoutBudget)
+  }
+
+  test("contended self-label, UNIFORM shape: the r14-shaped calibration fires the label with zero spread") {
+    // BENCH_r14's exact failure: every query uniformly ~1.5-2x slower
+    // (no per-query spread), calibration [0.213, 0.431, 0.345] — the
+    // old count-only label shipped contended:0 against a 220.3 s quiet
+    // anchor. Both the absolute ratio (median 0.345/0.21 = 1.64 > 1.3)
+    // and the intra-run drift (0.431/0.213 = 2.02 > 1.5) must fire.
+    val r14Calib = Seq(0.213, 0.431, 0.345)
+    assert(Bench.calibRatio(r14Calib, 0.21) > 1.3)
+    assert(Bench.calibDrift(r14Calib) > 1.5)
+    val quiet = Seq(
+      ("x1_q", Seq((1.0, 1.0), (1.05, 1.0)), Option.empty[String]),
+      ("x2_q", Seq((2.0, 2.0), (2.1, 2.0)), Option.empty[String]))
+    val line = Bench.composeStdoutLine(quiet, "sf", 2, r14Calib)
+    assert(line.contains("\"contended\":true"), line)
+    assert(line.contains("\"contended_spread\":0"), line)
+    assert(line.contains("\"calib_ratio\":1.64"), line)
+    // UNIFORM-ONLY variant (no drift): all three probes equally 2x the
+    // quiet ref — only the absolute-ratio trigger can catch this
+    val flatLoaded = Seq(0.42, 0.43, 0.41)
+    assert(Bench.calibDrift(flatLoaded) <= 1.5)
+    val line2 = Bench.composeStdoutLine(quiet, "sf", 2, flatLoaded)
+    assert(line2.contains("\"contended\":true"), line2)
+    // the r13-shaped quiet artifact must NOT fire any trigger
+    val r13Calib = Seq(0.213, 0.230, 0.200)
+    val line3 = Bench.composeStdoutLine(quiet, "sf", 2, r13Calib)
+    assert(line3.contains("\"contended\":false"), line3)
+    assert(line3.contains("\"calib_quiet_ref\":0.21"), line3)
+    // drift is DIRECTIONAL: probes getting FASTER over the run (deeper
+    // JIT / quieter GC — observed live on a quiet targeted run) must
+    // not fire even though max/min is 1.69
+    val speedup = Seq(0.2115, 0.1677, 0.1252)
+    assert(Bench.calibDrift(speedup) < 1.0)
+    assert(Bench.composeStdoutLine(quiet, "sf", 2, speedup)
+      .contains("\"contended\":false"))
   }
 
   test("registry growth keeps headroom in the driver's correctness artifacts") {

@@ -25,14 +25,14 @@ import subprocess
 import sys
 
 # engine-side quadratic BY DESIGN: x11's loud >100k-row guard fires at
-# sf1 volume (its baseline is spec- and sf0.01-verified instead). The
-# x6/x47 pair-SQL oracles are doc_id<1500-bounded — constant-cost at
-# any SF (~2 min of DuckDB combined) — so they stay IN the gate.
-# x174: the ENGINE plan is the O(log V) ring_successor expression, but
-# the ORACLE is deliberately the declarative keys×128-vnode crossjoin
-# (19.5 s at sf0.1, does not complete at sf1 — it OOM-killed the whole
-# r11 check run); oracle-verified at sf0.001/0.01/0.1, excluded here.
-QUADRATIC = {"x11_embed_neardup", "x174_hash_ring"}
+# sf1 volume (its baseline is spec- and sf0.01-verified instead). It is
+# the LAST exclusion: round 15 rewrote the former quadratic oracles
+# scan-side with bit-identical values (x6/x47: inverted-index shingle
+# join replacing the N-squared list_intersect pair SQL, 83.5/51.9 s →
+# 0.4/0.3 s at sf0.1; x174: ASOF successor join replacing the keys×128
+# crossjoin that OOM-killed the r11 check run — all three verified
+# cell-identical at sf0.001/0.01/0.1), so they run in the sf1 gate.
+QUADRATIC = {"x11_embed_neardup"}
 BENCH_EXCLUDE = {"x11_embed_neardup"}
 
 
@@ -136,10 +136,6 @@ def main():
             "x11_embed_neardup":
                 "N-squared-by-design oracle twin; loud >100k guard fires"
                 " at sf1 volume (scale paths x10/x57 carry sf1 walls)",
-            "x174_hash_ring":
-                "engine runs at sf1 (wall recorded); its ORACLE is the"
-                " deliberate keysx128 crossjoin DuckDB cannot finish at"
-                " sf1 - oracle-verified at sf0.001/0.01/0.1 instead",
         },
         "walls_sec": qmap,
     }

@@ -127,9 +127,18 @@ object ExtQueries {
   }
 
   // x6 — exact word-3-gram Jaccard near-dup pairs (oracle twin of x7;
-  // bounded subset: brute-force N² is the small-data baseline). The ELSE
-  // branch mirrors WordShingles exactly: docs under 3 words contribute
-  // the WHOLE trimmed text as the single shingle.
+  // bounded subset). The ELSE branch mirrors WordShingles exactly: docs
+  // under 3 words contribute the WHOLE trimmed text as the single
+  // shingle. ORACLE FORM (round 15, the x211 precedent): the original
+  // N² self-join with per-pair list_intersect walled 83 s at sf0.1 and
+  // dominated the gate; this inverted-index form (explode shingles,
+  // equi-join on the shared shingle, count per pair) is VALUE-IDENTICAL
+  // — sh lists are distinct within a doc, so |A∩B| = the pair's shared-
+  // shingle count and |A∪B| = |A| + |B| − |A∩B|; pairs with zero common
+  // shingles have jaccard 0 < 0.5 and are excluded by both forms; the
+  // DOUBLE division sees the exact same integer operands, so every cell
+  // is bit-identical (verified old-vs-new at sf0.001/0.01/0.1: 28/25/25
+  // rows, all equal; 83.5 s → 0.4 s at sf0.1).
   val x6 = Q(
     "x6_ngram_jaccard",
     """WITH t AS (
@@ -141,13 +150,17 @@ object ExtQueries {
       |              THEN list_distinct(list_transform(range(1, len(w) - 1),
       |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       |              ELSE [tt] END AS sh
-      |  FROM t)
-      |SELECT a.doc_id AS a, b.doc_id AS b,
-      |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      |         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-      |FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+      |  FROM t),
+      |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+      |u AS (SELECT doc_id, unnest(sh) AS sh1 FROM s),
+      |c AS (
+      |  SELECT ua.doc_id AS a, ub.doc_id AS b, CAST(count(*) AS BIGINT) AS cmn
+      |  FROM u ua JOIN u ub ON ua.sh1 = ub.sh1 AND ua.doc_id < ub.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b,
+      |       CAST(cmn AS DOUBLE) / CAST(na.n + nb.n - cmn AS DOUBLE) AS jaccard
+      |FROM c JOIN sz na ON na.doc_id = c.a JOIN sz nb ON nb.doc_id = c.b
+      |WHERE CAST(cmn AS DOUBLE) / CAST(na.n + nb.n - cmn AS DOUBLE) >= 0.5
       |ORDER BY a, b""".stripMargin) { (s, dir) =>
     Dedup.jaccardPairs(
       Tables.documents(s, dir).where(col("doc_id") < 1500),
@@ -1320,7 +1333,12 @@ object ExtQueries {
 
   // x47 — asymmetric containment near-dup (subset detection): fraction
   // of A's 3-gram shingles inside B. Catches doc-inside-doc relations
-  // symmetric Jaccard dilutes; same inverted index as x6.
+  // symmetric Jaccard dilutes; same inverted index as x6 — ORACLE FORM
+  // rewritten scan-side in round 15 with x6 (same value-identity
+  // argument: |A∩B| = shared-shingle count, denominator |A| is the
+  // probe side's own distinct-shingle count, zero-overlap pairs are
+  // below the 0.5 threshold in both forms; verified bit-identical at
+  // sf0.001/0.01/0.1 — 56/50/50 rows; 51.9 s → 0.3 s at sf0.1).
   val x47 = Q(
     "x47_containment",
     """WITH t AS (
@@ -1332,13 +1350,16 @@ object ExtQueries {
       |              THEN list_distinct(list_transform(range(1, len(w) - 1),
       |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       |              ELSE [tt] END AS sh
-      |  FROM t)
-      |SELECT a.doc_id AS a, b.doc_id AS b,
-      |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      |         CAST(len(a.sh) AS DOUBLE) AS containment
-      |FROM s a JOIN s b ON a.doc_id <> b.doc_id
-      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      |      CAST(len(a.sh) AS DOUBLE) >= 0.5
+      |  FROM t),
+      |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+      |u AS (SELECT doc_id, unnest(sh) AS sh1 FROM s),
+      |c AS (
+      |  SELECT ua.doc_id AS a, ub.doc_id AS b, CAST(count(*) AS BIGINT) AS cmn
+      |  FROM u ua JOIN u ub ON ua.sh1 = ub.sh1 AND ua.doc_id <> ub.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, CAST(cmn AS DOUBLE) / CAST(na.n AS DOUBLE) AS containment
+      |FROM c JOIN sz na ON na.doc_id = c.a
+      |WHERE CAST(cmn AS DOUBLE) / CAST(na.n AS DOUBLE) >= 0.5
       |ORDER BY a, b""".stripMargin) { (s, dir) =>
     Dedup.containmentPairs(
       Tables.documents(s, dir).where(col("doc_id") < 1500),
@@ -5866,9 +5887,17 @@ object ExtQueries {
   // vnode (wrapping) — the minimal-movement sharding design, with the
   // per-shard load variance the vnode count controls made visible.
   // Successor = a native binary-search ring_successor expression over
-  // the plan-build-time sorted ring (zero row amplification); the
-  // oracle keeps the declarative keys × ring cross-join — same
-  // semantics, deliberately different plan.
+  // the plan-build-time sorted ring (zero row amplification). ORACLE
+  // FORM (round 15): the original keys × 128-vnode cross-join was the
+  // gate's last sf1-INFEASIBLE oracle (192M intermediate rows at sf1;
+  // 60 s at sf0.1); this ASOF-join form is VALUE-IDENTICAL — the
+  // clockwise successor "smallest vh >= hk" is exactly ASOF's "largest
+  // nvh <= -hk" on the negated ring, unmatched keys (hk beyond the max
+  // vnode) wrap to the min-vh vnode via the LEFT join's coalesce, and
+  // the tie premise (no two vnodes share a vh, which ASOF could break
+  // arbitrarily but the original broke by min-shard) holds for the
+  // FIXED deterministic 128-entry md5 ring (checked: 128 distinct vh).
+  // Verified bit-identical at sf0.001/0.01/0.1; 60.1 s → 0.3 s at sf0.1.
   val x174 = Q(
     "x174_hash_ring",
     """WITH ring AS (
@@ -5876,15 +5905,14 @@ object ExtQueries {
       |         ('0x' || substring(md5(CAST(shard AS VARCHAR) || ':' || CAST(replica AS VARCHAR)), 1, 15))::BIGINT AS vh
       |  FROM (SELECT unnest(range(0, 8)) AS shard) s
       |  CROSS JOIN (SELECT unnest(range(0, 16)) AS replica) r),
+      |wrap AS (SELECT shard AS s0 FROM ring ORDER BY vh, shard LIMIT 1),
       |k AS (
       |  SELECT o_orderkey AS k0,
       |         ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hk
       |  FROM orders),
       |asg AS (
-      |  SELECT k0,
-      |         coalesce(min(CASE WHEN vh >= hk THEN {'vh': vh, 'shard': shard} END).shard,
-      |                  min({'vh': vh, 'shard': shard}).shard) AS shard
-      |  FROM k CROSS JOIN ring GROUP BY k0),
+      |  SELECT k.k0, coalesce(r.shard, (SELECT s0 FROM wrap)) AS shard
+      |  FROM k ASOF LEFT JOIN (SELECT shard, -vh AS nvh FROM ring) r ON -k.hk >= r.nvh),
       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM asg)
       |SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_keys,
       |       CAST(count(*) * 1000000 // n_total AS BIGINT) AS load_ppm

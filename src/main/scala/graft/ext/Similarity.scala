@@ -221,11 +221,16 @@ object Similarity {
     * contract — a bounded shard of the smaller language); the pool
     * streams through ONE scan whose |q|·|pool| similarity table is
     * localCheckpointed once and feeds all three consumers (query-side
-    * means, pool-side means, the margin join). The query-side rank
-    * window is |q|-keyed (fixed), the pool-side mean window is
-    * pool-keyed (corpus-cardinality — no funnel). Production mines
-    * shard-by-shard (x82 sharding / x10 bucketing upstream); this op
-    * is the scorer one shard pair runs.
+    * means, pool-side means, the margin join). NO rank window touches
+    * the pair table (round 15): both k-NN neighborhood means ride the
+    * combinable [[graft.functions.TopKByMeasureAgg]] — each input
+    * partition collapses a (qid or tid) group to a ≤k-row sorted state
+    * BEFORE the exchange, so the wire carries k rows per group ×
+    * partition and no task ever sorts a full group — and the per-query
+    * winner is a plain struct-max argmax. Pool growth therefore never
+    * concentrates into |q| single-task sorts; production still mines
+    * shard-by-shard (x82 sharding / x10 bucketing upstream), but the
+    * scorer itself no longer needs the bounded-shard fine print.
     *
     * Inputs are [[withNorm]] frames. Output: one row per query —
     * `(qid, tgt_id, sim_e6, mq1_e6, mt1_e6, margin_e6, accept)`. */
@@ -239,27 +244,37 @@ object Similarity {
           .cast("long").as("sim_e6"))
       .withColumn("s1", col("sim_e6") + 1000000L)
       .localCheckpoint(false)
-    val wq = Window.partitionBy(col("qid"))
-      .orderBy(col("sim_e6").desc, col("tid"))
-    val mq = pairs.withColumn("r", row_number().over(wq)).where(col("r") <= k)
-      .groupBy("qid").agg(sum(col("s1")).as("s"), count(lit(1)).as("c"))
-      .select(col("qid"), expr("s DIV c").as("mq1_e6"))
-    val wt = Window.partitionBy(col("tid"))
-      .orderBy(col("sim_e6").desc, col("qid"))
-    val mt = pairs.withColumn("r", row_number().over(wt)).where(col("r") <= k)
-      .groupBy("tid").agg(sum(col("s1")).as("s"), count(lit(1)).as("c"))
-      .select(col("tid"), expr("s DIV c").as("mt1_e6"))
+    // top-k under (s1 DESC, id ASC) ≡ the old (sim_e6 DESC, id ASC)
+    // rank window — s1 is sim_e6 shifted by a constant — but map-side
+    // combinable; the neighborhood mean is Σm DIV |top| over the ≤k
+    // winners (|top| < k when the group is short, matching the old
+    // count(*) over the surviving rank rows)
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val topk = udaf(new graft.functions.TopKByMeasureAgg(k),
+      ExpressionEncoder[graft.functions.IdMeasure]())
+    val mq = pairs.groupBy("qid")
+      .agg(topk(col("tid"), col("s1")).as("top"))
+      .select(col("qid"),
+        expr("aggregate(top, 0L, (a, x) -> a + x.m) DIV size(top)").as("mq1_e6"))
+    val mt = pairs.groupBy("tid")
+      .agg(topk(col("qid"), col("s1")).as("top"))
+      .select(col("tid"),
+        expr("aggregate(top, 0L, (a, x) -> a + x.m) DIV size(top)").as("mt1_e6"))
     val scored = pairs
       .join(broadcast(mq), Seq("qid"))
       .join(mt, Seq("tid"))
       .withColumn("margin_e6",
         expr("s1 * 2000000L DIV greatest(mq1_e6 + mt1_e6, 1L)"))
-    val wbest = Window.partitionBy(col("qid"))
-      .orderBy(col("margin_e6").desc, col("tid"))
-    scored.withColumn("r", row_number().over(wbest)).where(col("r") === 1)
-      .select(col("qid"), col("tid").as("tgt_id"), col("sim_e6"),
-        col("mq1_e6"), col("mt1_e6"), col("margin_e6"),
-        (col("margin_e6") > 1000000L).cast("int").as("accept"))
+    // per-query winner under (margin_e6 DESC, tid ASC) as a combinable
+    // struct max: lexicographic on (margin_e6, −tid) — the negation
+    // encodes the ASC tiebreak (vec_ids are non-negative; only a
+    // Long.MinValue id could overflow the negation)
+    scored.groupBy("qid")
+      .agg(max(struct(col("margin_e6"), (-col("tid")).as("ntid"),
+        col("sim_e6"), col("mq1_e6"), col("mt1_e6"))).as("b"))
+      .select(col("qid"), (-col("b.ntid")).as("tgt_id"), col("b.sim_e6"),
+        col("b.mq1_e6"), col("b.mt1_e6"), col("b.margin_e6"),
+        (col("b.margin_e6") > 1000000L).cast("int").as("accept"))
   }
 
   /** Per-class embedding centroid: component-wise mean through the exact

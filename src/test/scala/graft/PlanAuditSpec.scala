@@ -2216,7 +2216,7 @@ class PlanAuditSpec2 extends SparkSpec {
 
   // Round-14 twenty-ninth batch pins (x252-x254)
 
-  test("x252: queries broadcast; ONE checkpointed similarity table feeds all consumers") {
+  test("x252: queries broadcast; ONE checkpointed similarity table feeds all consumers; NO rank window") {
     val df = SparkEntry.queries("x252_bitext_margin")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
@@ -2224,13 +2224,12 @@ class PlanAuditSpec2 extends SparkSpec {
     // the materialized RDD instead of recomputing the pair cosines
     assert(p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // windows key on qid (fixed query set) or tid (pool-cardinality) —
-    // never unpartitioned
-    val specs = "windowspecdefinition\\(([^,]*)".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty &&
-      specs.forall(s => s.contains("qid") || s.contains("tid")),
-      specs.toString)
+    // round 15: both k-NN neighborhood means ride the combinable
+    // TopKByMeasureAgg and the per-query winner is a struct max, so the
+    // plan carries NO window — pool growth can never concentrate into
+    // qid-partitioned single-task sorts of the pair table
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("x253: pad-waste rank is _pid-local two-phase — buckets never window bare") {

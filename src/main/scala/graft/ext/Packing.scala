@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence preparation for LLM training: overlapping document
@@ -39,19 +38,26 @@ object Packing {
 
   /** Shard-parallel greedy packing (the standard concat-then-cut
     * pretraining layout): within each `shard`, documents concatenate in
-    * `order` order and are cut into `target`-sized sequences; each doc
-    * reports the pack it STARTS in and its offset there. One
-    * partitioned window (cumulative sum) — each shard packs
-    * independently, so parallelism = shard count and no global funnel. */
+    * `order` order (a TOTAL order — running sums are order-dependent)
+    * and are cut into `target`-sized sequences; each doc reports the
+    * pack it STARTS in and its offset there.
+    *
+    * 100 TB posture (round 15 — the WindowAuditSpec sweep's find):
+    * shards are SOURCE-shaped, i.e. low-cardinality, so the cumulative
+    * sum rides [[StratumRank.cumsum]]'s two-phase decomposition — a
+    * fat shard spans the cluster's partitions instead of
+    * single-task-sorting in one `PARTITION BY source` window whose
+    * parallelism ceiling is the shard count. `pack_id` is integer
+    * `DIV` (not `floor` of a double quotient): cumulative byte offsets
+    * pass 2^53 long before 100 TB and a double division would round. */
   def packAssignments(df: DataFrame, shard: Column, order: Column,
       len: Column, target: Int): DataFrame = {
     require(target > 0, "target must be positive")
-    val w = Window.partitionBy(shard).orderBy(order)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("cum_before", coalesce(sum(len.cast("long")).over(w), lit(0L)))
-      .withColumn("pack_id", floor(col("cum_before") / target))
+    StratumRank.cumsum(df, shard, Seq(order), len.cast("long"))
+      .withColumn("cum_before", col("__cum") - len.cast("long"))
+      .withColumn("pack_id", expr(s"cum_before DIV ${target}L"))
       .withColumn("pack_offset", pmod(col("cum_before"), lit(target.toLong)))
-      .drop("cum_before")
+      .drop("cum_before", "__cum", "__s")
   }
 
   /** Length-bucketed batch plan with exact padding-waste accounting —

@@ -1306,6 +1306,16 @@ object ExtQueries {
   // cume_dist / ntile) PARTITIONED by event_type: completes x22's
   // lag/lead family with the rank side, with no global-order funnel.
   // percent_rank and cume_dist are integer ratios — oracle-exact.
+  // ROUND 15 (the WindowAuditSpec sweep's find): event_type is a
+  // ~5-value stratum over a USER-cardinality aggregate — the bare
+  // window single-task-sorted |users| rows per type, exactly the
+  // funnel class round 14 retired. The rank now rides StratumRank
+  // two-phase; rank==row_number because (cnt, user_id) is a total
+  // order within a type, and percent_rank/cume_dist/ntile are exact
+  // arithmetic on (rank, per-type count): pr = (rn-1)/(n-1) (0 when
+  // n=1), cd = rn/n — both IEEE quotients of exact ints, identical to
+  // the window functions on either engine — and ntile's first n%4
+  // buckets take one extra row, the SQL-standard fill.
   val x46 = Q(
     "x46_rank_family",
     """WITH c AS (
@@ -1318,16 +1328,26 @@ object ExtQueries {
       |       CAST(ntile(4) OVER w AS INT) AS quartile
       |FROM c WINDOW w AS (PARTITION BY event_type ORDER BY cnt, user_id)
       |ORDER BY event_type, cnt, user_id""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("event_type")).orderBy(col("cnt"), col("user_id"))
-    Tables.events(s, dir)
+    val c = Tables.events(s, dir)
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("cnt"))
+    val totals = c.groupBy(col("event_type")).agg(count(lit(1)).as("__n"))
+    graft.ext.StratumRank.rank(c, col("event_type"),
+        Seq(col("cnt"), col("user_id")))
+      .withColumnRenamed("__rn", "__r").drop("__s")
+      .join(broadcast(totals), Seq("event_type"))
+      .withColumn("__sz", expr("__n DIV 4L"))
+      .withColumn("__ex", expr("__n % 4L"))
       .select(col("event_type"), col("user_id"), col("cnt"),
-        rank().over(w).cast("int").as("rnk"),
-        percent_rank().over(w).as("pr"),
-        cume_dist().over(w).as("cd"),
-        ntile(4).over(w).cast("int").as("quartile"))
+        col("__r").cast("int").as("rnk"),
+        when(col("__n") === 1, lit(0.0))
+          .otherwise((col("__r") - 1).cast("double") /
+            (col("__n") - 1).cast("double")).as("pr"),
+        (col("__r").cast("double") / col("__n").cast("double")).as("cd"),
+        expr("CAST(CASE WHEN __r <= (__sz + 1) * __ex " +
+          "THEN (__r - 1) DIV (__sz + 1) " +
+          "ELSE __ex + (__r - 1 - __ex * (__sz + 1)) DIV __sz END + 1 AS INT)")
+          .as("quartile"))
       .orderBy("event_type", "cnt", "user_id")
   }
 
@@ -9116,6 +9136,155 @@ object ExtQueries {
       .orderBy("qid")
   }
 
+  // x256 — AUDIO-CLUSTER KEEP-ONE: x251's cross-modal propagation with
+  // the AUDIO near-dup decision (x250's pigeonhole-banded energy-profile
+  // vote, CC-clustered) in place of the image clusters — proving the
+  // keep-one composition is modality-agnostic end-to-end. Near-duplicate
+  // recordings keep exactly one transcript document (x49's dedup-best
+  // rule: longest caption, tie to smallest id); unclustered recordings
+  // are kept singletons; planted re-encode variants (+1e9 ids, doc_id
+  // % 3 = 2 space) have no transcript row and don't participate. Same
+  // broadcast-cluster / one-cluster-exchange plan as x251.
+  val x256 = Q(
+    "x256_audio_keepone",
+    s"""WITH RECURSIVE m0 AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |         CAST(octet_length(encode(text)) AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 1),
+      |v AS (
+      |  SELECT media_id + 1000000000 AS media_id, '7E' || substr(hx, 3) AS hx, n
+      |  FROM m0 WHERE media_id % 10 = 0 AND n >= 67 AND n % 37 <> 0),
+      |m AS (SELECT * FROM m0 UNION ALL SELECT * FROM v),
+      |w AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS c),
+      |e AS (
+      |  SELECT media_id, c,
+      |         ${(0 until 4).map(j => audioByteSql(s"c * 4 + $j")).mkString("\n         + ")} AS energy
+      |  FROM m CROSS JOIN w),
+      |p AS (SELECT media_id, c, energy // 4 AS q FROM e),
+      |lp AS (SELECT media_id, c, q, q + d AS qp
+      |       FROM p CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d)),
+      |pr AS (
+      |  SELECT l.media_id AS a, r.media_id AS b
+      |  FROM lp l JOIN p r ON l.c = r.c AND l.qp = r.q
+      |                    AND l.media_id < r.media_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 12),
+      |edges AS (SELECT a AS u, b AS wd FROM pr UNION ALL SELECT b, a FROM pr),
+      |reach(id, label) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e2.u, r2.label FROM edges e2 JOIN reach r2 ON e2.wd = r2.id),
+      |cl AS (SELECT id AS media_id, min(label) AS cluster FROM reach GROUP BY id),
+      |d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS cap_len
+      |      FROM documents WHERE doc_id % 3 = 1),
+      |j AS (
+      |  SELECT d.doc_id, cl.cluster IS NOT NULL AS in_c,
+      |         coalesce(cl.cluster, d.doc_id) AS cluster, d.cap_len
+      |  FROM d LEFT JOIN cl ON d.doc_id = cl.media_id),
+      |r AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY cluster
+      |                            ORDER BY cap_len DESC, doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY cluster) AS n_cluster
+      |  FROM j)
+      |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+      |       CAST(n_cluster AS BIGINT) AS n_cluster,
+      |       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS keep,
+      |       CASE WHEN NOT in_c THEN 'singleton'
+      |            WHEN rk = 1 THEN 'cluster_best'
+      |            ELSE 'cluster_dup' END AS reason
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val media = Multimodal.mediaFromDocuments(s, docs).toDF()
+    val auds = media.where(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+    val withPlanted = auds.unionByName(Multimodal.reencodeVariants(auds))
+      .withColumn("kind", lit("audio"))
+    val clusters = Dedup.connectedComponents(
+        Multimodal.audioNeardupPairs(
+          Multimodal.audioEnergyProfile(withPlanted, quantum = 4)))
+      .select(col("doc_id").as("media_id"), col("cluster"))
+    Curation.crossModalKeepOne(
+        docs.where(col("doc_id") % 3 === 1).select("doc_id", "text"),
+        clusters)
+      .orderBy("doc_id")
+  }
+
+  // x257 — VIDEO-CLUSTER KEEP-ONE: the third modality through the same
+  // composition — x243's frame-aligned near-dup vote (>= 2 matching
+  // frames at hamming <= 3), CC-clustered, propagated onto the video
+  // captions. Re-upload twins (+2e9 ids, doc_id % 3 = 1 space) have no
+  // caption row and don't participate; their presence in the cluster
+  // table exercises exactly the captionless-member path the x251
+  // contract documents. Broadcast cluster table, one cluster-keyed
+  // exchange — the keep-one machinery is shared, not re-implemented.
+  val x257 = Q(
+    "x257_video_keepone",
+    s"""WITH RECURSIVE m0 AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |         CAST(octet_length(encode(text)) AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 1),
+      |tw AS (
+      |  SELECT media_id + 2000000000 AS media_id, hx, n
+      |  FROM m0 WHERE media_id % 7 = 0),
+      |m AS (SELECT * FROM m0 UNION ALL SELECT * FROM tw),
+      |fr AS (
+      |  SELECT media_id, hx, n, 1 + n % 30 AS nf,
+      |         (1 + n % 30 + 7) // 8 AS stride FROM m),
+      |f AS (
+      |  SELECT media_id, hx, n, CAST(unnest(range(0, nf, stride)) AS INT) AS fi
+      |  FROM fr),
+      |h AS (SELECT media_id, fi, CAST($frameBitsSql AS BIGINT) AS phash FROM f),
+      |e AS (
+      |  SELECT media_id, fi, phash, blk, (phash >> (blk * 15)) & 32767 AS key
+      |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+      |g AS (SELECT *, count(*) OVER (PARTITION BY fi, blk, key) AS bn FROM e),
+      |ff AS (SELECT * FROM g WHERE bn <= 65536),
+      |p AS (
+      |  SELECT DISTINCT l.media_id AS a, r.media_id AS b, l.fi,
+      |         CAST(bit_count(xor(l.phash, r.phash)) AS INT) AS hamming
+      |  FROM ff l JOIN ff r ON l.fi = r.fi AND l.blk = r.blk AND l.key = r.key
+      |                      AND l.media_id < r.media_id),
+      |pr AS (SELECT a, b FROM p WHERE hamming <= 3
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |edges AS (SELECT a AS u, b AS wd FROM pr UNION ALL SELECT b, a FROM pr),
+      |reach(id, label) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e2.u, r2.label FROM edges e2 JOIN reach r2 ON e2.wd = r2.id),
+      |cl AS (SELECT id AS media_id, min(label) AS cluster FROM reach GROUP BY id),
+      |d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS cap_len
+      |      FROM documents WHERE doc_id % 3 = 2),
+      |j AS (
+      |  SELECT d.doc_id, cl.cluster IS NOT NULL AS in_c,
+      |         coalesce(cl.cluster, d.doc_id) AS cluster, d.cap_len
+      |  FROM d LEFT JOIN cl ON d.doc_id = cl.media_id),
+      |r AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY cluster
+      |                            ORDER BY cap_len DESC, doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY cluster) AS n_cluster
+      |  FROM j)
+      |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+      |       CAST(n_cluster AS BIGINT) AS n_cluster,
+      |       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS keep,
+      |       CASE WHEN NOT in_c THEN 'singleton'
+      |            WHEN rk = 1 THEN 'cluster_best'
+      |            ELSE 'cluster_dup' END AS reason
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val media = Multimodal.mediaFromDocuments(s, docs).toDF()
+    val vids = media.where(col("kind") === "video")
+      .select(col("media_id"), col("kind"), col("payload"))
+    val withTwins = vids.unionByName(Multimodal.reuploadTwins(vids))
+    val clusters = Dedup.connectedComponents(
+        Multimodal.videoNeardupPairs(Multimodal.videoFrameDHash(withTwins)))
+      .select(col("doc_id").as("media_id"), col("cluster"))
+    Curation.crossModalKeepOne(
+        docs.where(col("doc_id") % 3 === 2).select("doc_id", "text"),
+        clusters)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -9136,5 +9305,5 @@ object ExtQueries {
       x220, x221, x222, x223, x224, x225, x226, x227, x228, x229, x230,
       x231, x232, x233, x234, x235, x236, x237, x238, x239, x240, x241,
       x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
-      x253, x254, x255)
+      x253, x254, x255, x256, x257)
 }

@@ -330,7 +330,11 @@ object VolumeTripwire {
     "x254_consensus_neardup" ->
       "composes the probed x241 + x8 banded pair machinery; the consensus full outer is pair-driven",
     "x255_ndcg_eval" ->
-      "x9's fixed-query contract: queries broadcast, one corpus scan; post-kNN work is k*|q| rows + label-cardinality broadcasts")
+      "x9's fixed-query contract: queries broadcast, one corpus scan; post-kNN work is k*|q| rows + label-cardinality broadcasts",
+    "x256_audio_keepone" ->
+      "thin composition of probed machinery: x250's audio pair pipeline (probed) + CC (probed via x39) feeding x251's broadcast keep-one (probed) - no new plan shape",
+    "x257_video_keepone" ->
+      "thin composition of probed machinery: x243's video pair pipeline (probed) + CC (probed via x39) feeding x251's broadcast keep-one (probed) - no new plan shape")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -68,10 +68,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) === 0, p)  // per-partition top-n, merged once
   }
 
-  test("x37: packing's window is shard-partitioned — no global-order funnel") {
-    val p = planOf("x37_seq_packing")
-    assert("Window ".r.findAllIn(p).length === 1, p)
-    assert(shuffles(p) === 2, p)  // window hash(source) + output sort
+  test("x37: packing's cumsum is _pid-local two-phase — no bare-shard window (r15 sweep find)") {
+    val df = SparkEntry.queries("x37_seq_packing")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x46: rank family is _pid-local two-phase — no bare-event_type window (r15 sweep find)") {
+    val df = SparkEntry.queries("x46_rank_family")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("x38: benchmark shingle set broadcasts into both semi and anti joins") {
@@ -2271,4 +2285,24 @@ class PlanAuditSpec2 extends SparkSpec {
     // BroadcastNestedLoopJoin anywhere in the composition
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  // Round-15 pins (x256/x257): the keep-one composition is modality-
+  // agnostic — BOTH new registrations must carry x251's exact plan
+  // posture (broadcast pair-driven cluster table, every window cluster-
+  // keyed, ONE cluster exchange shared by rank + size)
+
+  for (name <- Seq("x256_audio_keepone", "x257_video_keepone"))
+    test(s"$name: broadcast cluster table; cluster-keyed windows only; ONE cluster exchange") {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val finalP = p.split("== Initial Plan ==")(0)
+      assert(!finalP.contains("CartesianProduct"), p)
+      assert(finalP.contains("BroadcastHashJoin"), p)
+      finalP.linesIterator.filter(_.contains("windowspecdefinition"))
+        .foreach(l => assert(l.contains("cluster"), l))
+      val clusterExchanges = finalP.linesIterator
+        .count(_.contains("Exchange hashpartitioning(cluster"))
+      assert(clusterExchanges == 1, s"$clusterExchanges cluster exchanges:\n$p")
+    }
 }

@@ -523,3 +523,111 @@ class KmvStreamSpec extends graft.SparkSpec {
       ex.getCause.getMessage.contains("2^60"))
   }
 }
+
+/** Pins [[CurationStream]] — the curationFlags streaming twin
+  * (round 15): TOTAL batch parity (the latest verdict per doc equals
+  * the batch `curationFlags` row, all seven columns) over shuffled
+  * arrival, replay idempotence of every verdict value (min election —
+  * the DedupStream contract), the demotion re-issue signal, and O(1)
+  * state under an identical-content flood. */
+class CurationStreamSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  // en/de/junk corpus with byte-near-identical duplicate families:
+  // ids 11/7/23 share normalized content (7 must win the election),
+  // 30/31 share content (30 wins), the rest are singletons; 40 fails
+  // the quality gate (lorem ipsum), 41 fails the word-count floor.
+  private val enText = "the quick brown fox and the lazy dog were " +
+    "walking of a morning in the park with all of their many friends"
+  private val deText = "der hund und die katze sind mit dem kleinen " +
+    "kind in das haus gegangen und nicht auf der strasse geblieben"
+  private def docs = Seq(
+    (11L, enText), (7L, enText + " "), (23L, enText),  // normalize folds ws
+    (30L, deText), (31L, deText),
+    (2L, enText + " another unique sentence entirely of its own"),
+    (40L, "lorem ipsum dolor sit amet the and of with this text here today"),
+    (41L, "too short")
+  ).toDF("doc_id", "text")
+
+  private def run(batches: Seq[Seq[CurationArrival]]): Seq[CurationVerdict] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CurationArrival]
+    val q = CurationStream.verdicts(mem.toDS())
+      .writeStream.format("memory").queryName("cur_rows")
+      .outputMode("append").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("cur_rows").as[CurationVerdict].collect().toSeq
+    spark.sql("DROP TABLE IF EXISTS cur_rows")
+    got
+  }
+
+  private def latestPerDoc(rows: Seq[CurationVerdict]): Map[Long, (String, Int, Int, Int, Int, Int)] =
+    rows.zipWithIndex.groupBy(_._1.doc_id).map { case (id, rs) =>
+      val v = rs.maxBy(_._2)._1
+      id -> ((v.predicted, v.is_canonical, v.keep_lang, v.keep_quality,
+        v.keep_sample, v.keep_flag))
+    }
+
+  private val rates = Map("en" -> 0.5)
+
+  private def batchTruth: Map[Long, (String, Int, Int, Int, Int, Int)] =
+    graft.ext.Curation.curationFlags(docs, col("doc_id"), col("text"),
+        rates = rates)
+      .as[(Long, String, Int, Int, Int, Int, Int)].collect()
+      .map { case (id, p, c, l, q2, s, f) => id -> ((p, c, l, q2, s, f)) }
+      .toMap
+
+  private def arrivals: Seq[CurationArrival] =
+    CurationStream.arrivalsFrom(docs, col("doc_id"), col("text"),
+      rates = rates).collect().toSeq
+
+  test("verdicts: latest row per doc equals the batch curationFlags row — any arrival order") {
+    val truth = batchTruth
+    val arr = arrivals
+    val shuffled = new scala.util.Random(42).shuffle(arr)
+    for (order <- Seq(arr, arr.reverse, shuffled)) {
+      val got = latestPerDoc(run(Seq(order.take(3), order.slice(3, 6), order.drop(6))))
+      assert(got === truth, s"order ${order.map(_.doc_id)}")
+    }
+  }
+
+  test("verdicts: demotion re-issues the OLD keeper's corrected row with keeper_changed=1") {
+    val byId = arrivals.map(a => a.doc_id -> a).toMap
+    // 11 arrives first (wins its fingerprint), then 7 displaces it
+    val got = run(Seq(Seq(byId(11L)), Seq(byId(7L))))
+    assert(got.map(v => (v.doc_id, v.is_canonical, v.keeper_changed)) ===
+      Seq((11L, 1, 1), (7L, 1, 1), (11L, 0, 1)))
+    // the demoted row carries 11's own stateless flags, zeroed keep_flag
+    val demo = got.last
+    assert(demo.keep_flag === 0)
+    assert((demo.keep_lang, demo.keep_quality) ===
+      (byId(11L).keep_lang, byId(11L).keep_quality))
+  }
+
+  test("verdicts: at-least-once replay re-emits byte-identical rows; the keeper never moves") {
+    val arr = arrivals
+    val once = run(Seq(arr))
+    val replayed = run(Seq(arr, arr))
+    assert(replayed.size === 2 * once.size)
+    // group-emission order within a batch is not pinned — compare as
+    // multisets; the replayed half is value-identical except
+    // keeper_changed (first-sight fired already): upsert-idempotent
+    def canon(rs: Seq[CurationVerdict]) =
+      rs.map(_.copy(keeper_changed = 0)).sortBy(v => (v.doc_id, v.is_canonical))
+    assert(canon(replayed.take(once.size)) === canon(once))
+    assert(canon(replayed.drop(once.size)) === canon(once))
+    assert(latestPerDoc(replayed) === latestPerDoc(once))
+  }
+
+  test("verdicts: a 10k identical-content flood folds into ONE keeper state entry") {
+    val a = arrivals.find(_.doc_id == 2L).get
+    val flood = (1L to 10000L).map(i => a.copy(doc_id = 10000L + i))
+      .sortBy(i => -i.doc_id)
+    val got = run(Seq(flood))
+    assert(got.size === 10000)
+    assert(got.count(_.is_canonical == 1) === 1)
+    assert(got.find(_.is_canonical == 1).get.doc_id === 10001L)
+  }
+}

@@ -20,7 +20,25 @@ ANN family of cluster diversity):
 - All other tables replicate with primary/foreign keys shifted by the
   same per-table stride, so every FK join still lands.
 
-Usage: python3 scripts/make_sf1.py /root/testdata/sf0.1 tmp/sf1
+Usage: python3 scripts/make_sf1.py /root/testdata/sf0.1 tmp/sf1 [--skew]
+
+--skew (round 15): after the uniform decade, overlay the three
+adversarial shapes the tripwires probe one-op-at-a-time, composed into
+ONE corpus so the skew receipt (scripts/skew_receipts.py) can measure
+every family against the same data:
+
+- VIRAL FINGERPRINT: 210,000 byte-identical documents (ids past the
+  uniform range, one shared ~120-char text). 210k exceeds the 2^16
+  hot-bucket cap in EVERY banded pipeline — text SimHash/MinHash, image
+  phash (~70k of the flood per modality class), video frame hashes, and
+  the audio energy profile — so the loud drop contracts fire instead of
+  a quadratic candidate join; the exact-dedup/election paths see one
+  210k-member group (combinable min).
+- FAT STRATUM: the flood all lands in source='src0', fattening one
+  source stratum ~40x — the StratumRank two-phase family must ride its
+  partitions, never a 1-task stratum sort.
+- HUB VERTEX: 100,000 extra events for ONE new user spread over the
+  time domain — the entity-keyed window family's worst partition.
 """
 import os
 import sys
@@ -28,9 +46,13 @@ import sys
 import duckdb
 
 K = 10
+SKEW_FLOOD_DOCS = 210_000
+SKEW_HUB_EVENTS = 100_000
+SKEW_VIRAL_TEXT = ("the viral copypasta spreads again tonight friends "
+                   "share it forward before the mods can ever catch up")
 
 
-def main(src, dst):
+def main(src, dst, skew=False):
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE TABLE cp AS SELECT unnest(range({K})) AS cp")
@@ -82,11 +104,30 @@ def main(src, dst):
                l_linenumber, l_quantity, l_extendedprice, l_discount,
                l_tax, l_returnflag, l_linestatus, l_shipdate
         FROM '{src}/lineitem.parquet', cp""")
+    hub_events = f"""
+        UNION ALL
+        SELECT {10 * e_s} + i AS event_id,
+               make_timestamp(epoch_us(mn)
+                 + (epoch_us(mx) - epoch_us(mn)) * i // {SKEW_HUB_EVENTS}) AS ts,
+               {10 * u_s} + 7 AS user_id,
+               ['click', 'view', 'purchase', 'signup', 'error'][1 + i % 5]
+                 AS event_type,
+               CAST(i % 100 AS DOUBLE) AS value,
+               '{{"k": ' || (i % 100) || '}}' AS props
+        FROM (SELECT unnest(range({SKEW_HUB_EVENTS})) AS i),
+             (SELECT min(ts) AS mn, max(ts) AS mx
+              FROM '{src}/events.parquet')""" if skew else ""
     emit("events", f"""
         SELECT event_id + cp * {e_s} AS event_id, ts,
                user_id + cp * {u_s} AS user_id,
                event_type, value, props
-        FROM '{src}/events.parquet', cp""")
+        FROM '{src}/events.parquet', cp{hub_events}""")
+    viral_docs = f"""
+        UNION ALL
+        SELECT {10 * d_s} + i AS doc_id, '{SKEW_VIRAL_TEXT}' AS text,
+               'en' AS lang, 'src0' AS source,
+               CAST(length('{SKEW_VIRAL_TEXT}') AS BIGINT) AS n_chars
+        FROM (SELECT unnest(range({SKEW_FLOOD_DOCS})) AS i)""" if skew else ""
     emit("documents", f"""
         SELECT doc_id + cp * {d_s} AS doc_id,
                CASE WHEN cp = 0 THEN text
@@ -96,7 +137,7 @@ def main(src, dst):
                CAST(length(CASE WHEN cp = 0 THEN text
                     ELSE regexp_replace(text, '(\\S+)', '\\1_c' || cp, 'g')
                END) AS BIGINT) AS n_chars
-        FROM '{src}/documents.parquet', cp""")
+        FROM '{src}/documents.parquet', cp{viral_docs}""")
     emit("embeddings", f"""
         SELECT vec_id + cp * {v_s} AS vec_id,
                CASE WHEN cp = 0 THEN embedding
@@ -109,4 +150,4 @@ def main(src, dst):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], skew="--skew" in sys.argv[3:])

@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Skewed-decade receipt run (round-15 brief item #8).
+
+The sf1 receipt proves 10x volume at UNIFORM shape; the tripwires prove
+per-op floods in isolation. This composes them once: the --skew corpus
+(scripts/make_sf1.py --skew: one 210k viral fingerprint landing in one
+fat source stratum, one 100k-event hub user) benched over the
+dedup / rank / graph / entity-window families, walls compared against
+the same queries' UNIFORM sf1 receipts.
+
+Flat-or-refuse contract: a query passes when its skew wall stays within
+SLACK x (its sf1 wall x its family's data multiplier) — the flood makes
+the document corpus ~5.2x the uniform decade, so a LINEAR doc op is
+EXPECTED at ~5x; what must not happen is the quadratic shape (a 210k
+identical-content group detonating a candidate join instead of tripping
+the 2^16 hot-bucket drop). A loud refusal recorded in bench errors is
+also a pass IF it is one of the documented refusal contracts.
+
+Local tooling (like local_check.py) — NOT part of the engine.
+
+Usage: python3 scripts/skew_receipts.py [--skew-dir tmp/sf1skew]
+           [--base /root/testdata/sf0.1]
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+# the families the brief names, by registered query id
+FAMILIES = {
+    "dedup_flood": [
+        "x1_dedup_exact", "x5_fingerprint", "x7_dedup_minhash",
+        "x8_dedup_simhash", "x30_incremental_dedup", "x38_decontaminate",
+        "x39_neardup_clusters", "x43_bloom_decontaminate", "x49_dedup_best",
+        "x56_substring_dedup", "x118_normalized_dedup", "x158_cluster_keepers",
+        "x250_audio_neardup", "x254_consensus_neardup", "x58_curation_pipeline",
+    ],
+    "rank_stratum": [
+        "x27_stratified_sample", "x37_seq_packing", "x48_take_per_stratum",
+        "x89_token_budget_cut", "x97_curriculum_interleave",
+        "x98_quantile_norm", "x103_length_quantiles", "x249_dist_match",
+        "x253_pad_waste",
+    ],
+    "graph": ["x64_pagerank", "x73_triangles", "x86_kcore"],
+    "hub_user": [
+        "x40_sessionize", "x52_funnel", "x123_funnel_timing", "x227_streaks",
+    ],
+}
+# expected data multiplier vs the uniform sf1 corpus, per family:
+# docs 50k -> 260k (flood 210k), events 1.0M -> 1.1M
+MULT = {"dedup_flood": 5.2, "rank_stratum": 5.2, "graph": 5.2,
+        "hub_user": 1.1}
+SLACK = 2.0
+ABS_FLOOR_SEC = 5.0  # walls under this never fail the ratio gate (JVM noise)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skew-dir", default="tmp/sf1skew")
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    if not os.path.exists(os.path.join(args.skew_dir, "documents.parquet")):
+        subprocess.run([sys.executable, "scripts/make_sf1.py", args.base,
+                        args.skew_dir, "--skew"], check=True)
+
+    queries = [q for qs in FAMILIES.values() for q in qs]
+    env = dict(os.environ)
+    env.update({"SPARK_GRAFT_SF_DIR": args.skew_dir,
+                "SPARK_GRAFT_RUNS": "1",
+                "SPARK_GRAFT_QUERIES": ",".join(queries)})
+    print(f"[skew] benching {len(queries)} queries on {args.skew_dir}",
+          flush=True)
+    subprocess.run(["sbt", "-batch", "runMain graft.Bench"], check=True,
+                   env=env)
+    with open("bench.json") as f:
+        bench = json.load(f)
+
+    with open("receipts/sf1_receipts.json") as f:
+        sf1 = json.load(f)["walls_sec"]
+
+    fam_of = {q: f for f, qs in FAMILIES.items() for q in qs}
+    rows, failures = {}, []
+    for q in queries:
+        wall = bench["queries"].get(q)
+        err = bench.get("errors", {}).get(q)
+        base = sf1.get(q)
+        fam = fam_of[q]
+        bound = (base * MULT[fam] * SLACK) if base else None
+        ok = (err is None and wall is not None and
+              (wall <= ABS_FLOOR_SEC or (bound is not None and wall <= bound)))
+        rows[q] = {"family": fam, "skew_wall_sec": wall, "sf1_wall_sec": base,
+                   "bound_sec": round(bound, 1) if bound else None,
+                   "error": err, "ok": ok}
+        if not ok:
+            failures.append(q)
+
+    out = {
+        "generated_by": "scripts/skew_receipts.py",
+        "skew_dir": args.skew_dir,
+        "skew_shape": {
+            "viral_fingerprint_docs": 210000,
+            "fat_stratum": "src0 (the flood's source)",
+            "hub_user_events": 100000,
+            "doc_multiplier_vs_sf1": MULT["dedup_flood"],
+            "event_multiplier_vs_sf1": MULT["hub_user"],
+        },
+        "contract": (f"flat-or-refuse: wall <= {SLACK} x (sf1 wall x family "
+                     f"data multiplier), or <= {ABS_FLOOR_SEC}s absolute, "
+                     "and no undocumented bench error"),
+        "queries": rows,
+    }
+    os.makedirs("receipts", exist_ok=True)
+    with open("receipts/skew_receipts.json", "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+    total = sum(v["skew_wall_sec"] or 0 for v in rows.values())
+    print(f"[skew] total {total:.1f} s over {len(rows)} queries; "
+          f"{len(failures)} failures", flush=True)
+    for q in sorted(rows, key=lambda q: -(rows[q]["skew_wall_sec"] or 0)):
+        v = rows[q]
+        print(f"  {'OK ' if v['ok'] else 'FAIL'} {q}: {v['skew_wall_sec']} s "
+              f"(sf1 {v['sf1_wall_sec']} s, bound {v['bound_sec']})"
+              + (f" ERR={v['error']}" if v["error"] else ""), flush=True)
+    print("[skew] receipts written to receipts/skew_receipts.json", flush=True)
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1411,6 +1411,13 @@ object ExtQueries {
   // group on the normalized-content hash, rank copies by length.
   // Formatting noise (case/whitespace) doesn't defeat the content hash,
   // and truncated copies lose to full ones.
+  // ROUND 15 (skew-receipt hardening): the keep-best election is a
+  // combinable struct-argmax — max(struct(len, -doc_id, ...)) groups
+  // map-side — instead of a content_hash window. A VIRAL fingerprint
+  // (the skew corpus's 210k byte-identical flood) previously buffered
+  // its whole family in ONE WindowExec task; the argmax folds it into
+  // per-partition maxima. Ordering identical: larger len wins, tie to
+  // the smaller doc_id (the negated id in slot 2).
   val x49 = Q(
     "x49_dedup_best",
     """WITH t AS (
@@ -1425,15 +1432,15 @@ object ExtQueries {
       |SELECT doc_id, lang, content_hash, len
       |FROM r WHERE rn = 1
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val t = Tables.documents(s, dir).select(
-      col("doc_id"), col("lang"),
-      md5(TextAnalysis.normalize(col("text"))).as("content_hash"),
-      length(col("text")).as("len"))
-    val w = Window.partitionBy(col("content_hash"))
-      .orderBy(col("len").desc, col("doc_id"))
-    t.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      .drop("__rn")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(TextAnalysis.normalize(col("text"))).as("content_hash"),
+        length(col("text")).as("len"))
+      .groupBy(col("content_hash"))
+      .agg(max(struct(col("len"), (-col("doc_id")).as("__negid"),
+        col("doc_id"), col("lang"))).as("__b"))
+      .select(col("__b.doc_id").as("doc_id"), col("__b.lang").as("lang"),
+        col("content_hash"), col("__b.len").as("len"))
       .orderBy("doc_id")
   }
 

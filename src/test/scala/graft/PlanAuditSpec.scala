@@ -2286,6 +2286,16 @@ class PlanAuditSpec2 extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("x49: keep-best is a combinable struct-argmax — NO window, map-side partial agg (r15 skew hardening)") {
+    val p = planOf("x49_dedup_best")
+    assert(!p.contains("Window"), p)
+    // partial_max before the content_hash exchange: a viral fingerprint
+    // family folds into per-partition maxima instead of one task
+    assert(p.contains("partial_max"), p)
+    assert("Exchange hashpartitioning\\(content_hash".r
+      .findAllIn(p).length === 1, p)
+  }
+
   // Round-15 pins (x256/x257): the keep-one composition is modality-
   // agnostic — BOTH new registrations must carry x251's exact plan
   // posture (broadcast pair-driven cluster table, every window cluster-

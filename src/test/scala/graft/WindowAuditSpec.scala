@@ -91,7 +91,8 @@ class WindowAuditSpec extends SparkSpec {
     "x40_sessionize" -> keys(Entity, "key"),
     "x41_tfidf" -> keys(Entity, "doc_id"),
     "x44_rate_anomaly" -> keys(Entity, "key"),
-    "x49_dedup_best" -> keys(Entity, "content_hash"),
+    // x49 converted to a combinable struct-argmax in round 15 — no
+    // window remains (a viral fingerprint family folds map-side)
     "x52_funnel" -> keys(Entity, "user_id"),
     "x56_substring_dedup" -> keys(Entity, "doc_id"),
     "x66_boilerplate" -> keys(Entity, "doc_id"),

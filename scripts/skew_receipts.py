@@ -54,6 +54,23 @@ MULT = {"dedup_flood": 5.2, "rank_stratum": 5.2, "graph": 5.2,
 SLACK = 2.0
 ABS_FLOOR_SEC = 5.0  # walls under this never fail the ratio gate (JVM noise)
 
+# The REFUSE arm of flat-or-refuse: a bench error is a PASS when it is
+# one of the engine's documented loud-refusal contracts — a guard firing
+# on adversarial volume is the designed behavior, not a defect. Matched
+# as a substring against the recorded error message. (Empty of
+# query-specific entries today: on THIS skew corpus every family rides
+# the flood flat; the list is the reviewed surface a future, harsher
+# corpus extends.)
+DOCUMENTED_REFUSALS = [
+    "StratumRank:",            # driver offset-table 2^20 loud refusal
+    "audioNeardupPairs:",      # pigeonhole window-index / maxBucket guards
+    "collide with internal bookkeeping names",
+]
+
+
+def refusal_documented(err):
+    return err is not None and any(s in err for s in DOCUMENTED_REFUSALS)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -88,11 +105,13 @@ def main():
         base = sf1.get(q)
         fam = fam_of[q]
         bound = (base * MULT[fam] * SLACK) if base else None
-        ok = (err is None and wall is not None and
-              (wall <= ABS_FLOOR_SEC or (bound is not None and wall <= bound)))
+        flat = (err is None and wall is not None and
+                (wall <= ABS_FLOOR_SEC or (bound is not None and wall <= bound)))
+        refused = refusal_documented(err)
+        ok = flat or refused
         rows[q] = {"family": fam, "skew_wall_sec": wall, "sf1_wall_sec": base,
                    "bound_sec": round(bound, 1) if bound else None,
-                   "error": err, "ok": ok}
+                   "error": err, "documented_refusal": refused, "ok": ok}
         if not ok:
             failures.append(q)
 

@@ -120,26 +120,46 @@ object Bench {
     if (calib.size < 2) Double.NaN
     else calib.drop(1).max / math.max(calib.head, 1e-9)
 
+  /** Worst single probe vs the quiet ref = max(calibration) / ref —
+    * the trigger for load confined to PART of the run, in either
+    * direction (round-15 review find): load present at START that
+    * departs mid-run (the r9-style shape [0.388, 0.112, 0.130]) reads
+    * median 0.130 → ratio 0.62 and drift < 1 — invisible to both the
+    * uniform and the arrives-mid-run triggers — yet the start probe
+    * alone (0.388 / 0.21 = 1.85) is sufficient evidence the early
+    * queries carry air. Probes are min-of-2 back-to-back, so a single
+    * GC pause cannot fire this; threshold 1.5 clears every observed
+    * quiet start probe (0.213 / 0.158 / 0.124 / 0.247 → ≤ 1.18).
+    * NaN when unmeasurable. */
+  private[graft] def calibWorst(calib: Seq[Double],
+      ref: Double = QuietCalibRef): Double =
+    if (calib.isEmpty || ref <= 0) Double.NaN else calib.max / ref
+
   /** The combined `contended` label + its evidence fields, as a JSON
     * fragment spliced into EVERY output tier. `contended` is true when
     * ANY trigger fires: (a) warm-run spread — a single query's warm run
     * 3× its min (localized contention); (b) calib_ratio > 1.3 — the
     * whole run uniformly slower than the committed quiet ref; (c)
-    * calib drift > 1.5 — the probe slowed down mid-run. False only
-    * when every measurable trigger reads quiet; null when NO trigger
-    * is measurable. The round-14 artifact (spread 0, ratio 1.64,
-    * drift 2.02) labels true; the round-13 artifact (spread 0, ratio
-    * 1.02, drift 1.15) labels false — both pinned in BenchLineSpec. */
+    * calib drift > 1.5 — the probe slowed down mid-run; (d) worst
+    * single probe > 1.5× the quiet ref — load confined to part of the
+    * run, including the start-loaded shape (b) and (c) both miss.
+    * False only when every measurable trigger reads quiet; null when
+    * NO trigger is measurable. The round-14 artifact (spread 0, ratio
+    * 1.64, drift 2.02) labels true; the round-13 artifact (spread 0,
+    * ratio 1.02, drift 1.15) labels false — both pinned in
+    * BenchLineSpec, alongside the start-loaded r9 shape. */
   private[graft] def contendedJson(
       results: Seq[(String, Seq[(Double, Double)], Option[String])],
       calib: Seq[Double], calibRef: Double): String = {
     val spread = contendedCount(results)
     val ratio = calibRatio(calib, calibRef)
     val drift = calibDrift(calib)
+    val worst = calibWorst(calib, calibRef)
     val triggers = Seq(
       if (spread == "null") None else Some(spread.toInt > 0),
       if (ratio.isNaN) None else Some(ratio > 1.3),
-      if (drift.isNaN) None else Some(drift > 1.5)).flatten
+      if (drift.isNaN) None else Some(drift > 1.5),
+      if (worst.isNaN) None else Some(worst > 1.5)).flatten
     val label =
       if (triggers.isEmpty) "null"
       else if (triggers.contains(true)) "true" else "false"

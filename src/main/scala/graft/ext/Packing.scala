@@ -49,12 +49,21 @@ object Packing {
     * single-task-sorting in one `PARTITION BY source` window whose
     * parallelism ceiling is the shard count. `pack_id` is integer
     * `DIV` (not `floor` of a double quotient): cumulative byte offsets
-    * pass 2^53 long before 100 TB and a double division would round. */
+    * pass 2^53 long before 100 TB and a double division would round.
+    *
+    * NULL semantics (pinned, round-15 review): a NULL `len` packs as a
+    * zero-length document — it gets a real (pack_id, pack_offset) at
+    * its position and adds nothing to the running total, matching the
+    * pre-round-15 window form (SUM skips NULLs). A NULL `order` key
+    * sorts LAST within its shard (StratumRank pins ANSI nulls-last;
+    * the old bare window used Spark's nulls-FIRST — the one divergence,
+    * aligned to the repo-wide ANSI convention since round 14). */
   def packAssignments(df: DataFrame, shard: Column, order: Column,
       len: Column, target: Int): DataFrame = {
     require(target > 0, "target must be positive")
-    StratumRank.cumsum(df, shard, Seq(order), len.cast("long"))
-      .withColumn("cum_before", col("__cum") - len.cast("long"))
+    val len0 = coalesce(len.cast("long"), lit(0L))
+    StratumRank.cumsum(df, shard, Seq(order), len0)
+      .withColumn("cum_before", col("__cum") - len0)
       .withColumn("pack_id", expr(s"cum_before DIV ${target}L"))
       .withColumn("pack_offset", pmod(col("cum_before"), lit(target.toLong)))
       .drop("cum_before", "__cum", "__s")

@@ -37,8 +37,11 @@ final case class CurationVerdict(doc_id: Long, predicted: String,
   * Lateness/replay contract (the [[DedupStream]] contract): the
   * election is a MIN — commutative AND idempotent — so ANY arrival
   * order converges to the batch answer, and an at-least-once replay
-  * re-emits byte-identical verdict rows (upsert-idempotent; the
-  * keeper can never change on a replay). The stateless flags
+  * re-emits rows VALUE-identical in every verdict column EXCEPT
+  * `keeper_changed` (first-sight fires only on the original delivery
+  * — a replayed keeper row carries keeper_changed=0; consumers must
+  * upsert by doc_id, never dedup by whole-row equality). The keeper
+  * itself can never change on a replay. The stateless flags
   * (language, quality, sampling) are pure per-row functions — order
   * and replay trivially cannot move them. Batch parity is therefore
   * total: the LATEST verdict per doc_id equals the batch

@@ -103,6 +103,19 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.calibDrift(speedup) < 1.0)
     assert(Bench.composeStdoutLine(quiet, "sf", 2, speedup)
       .contains("\"contended\":false"))
+    // START-LOADED shape (round-15 review find): load present at suite
+    // start that departs mid-run — median reads quiet (0.130/0.21 =
+    // 0.62), drift reads later-FASTER (benign direction) — only the
+    // worst-probe trigger can see the 0.388 start probe's 1.85x
+    val startLoaded = Seq(0.388, 0.112, 0.130)
+    assert(Bench.calibRatio(startLoaded, 0.21) <= 1.3)
+    assert(Bench.calibDrift(startLoaded) <= 1.5)
+    assert(Bench.calibWorst(startLoaded, 0.21) > 1.5)
+    assert(Bench.composeStdoutLine(quiet, "sf", 2, startLoaded)
+      .contains("\"contended\":true"))
+    // ...while the worst QUIET start probe ever observed (0.247 on the
+    // r15 sf1 targeted run) stays under the 1.5 threshold
+    assert(Bench.calibWorst(Seq(0.2473, 0.1076, 0.1008), 0.21) <= 1.5)
   }
 
   test("registry growth keeps headroom in the driver's correctness artifacts") {

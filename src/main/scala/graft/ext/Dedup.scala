@@ -1096,4 +1096,37 @@ object Dedup {
           array_sort(collect_list(struct(col("pos"), col("word")))),
           x => x.getField("word")))).as("chunk_hash"))
   }
+
+  /** Chunk-level exact dedup accounting — the paragraph/block-dedup
+    * move (RefinedWeb/CCNet-style) that sits BETWEEN whole-document
+    * exact dedup (x1: misses partial copies) and substring/boilerplate
+    * dedup (x56/x66: shingle machinery): documents split into fixed
+    * `window`-char non-overlapping blocks on [[graft.ext.Packing.chunk]]'s
+    * exact grid, a block VALUE is cross-doc-duplicated when it occurs in
+    * >= `minDocs` DISTINCT documents, and each document reports how much
+    * of it is duplicated mass. The cheap first-pass filter a pipeline
+    * runs before spending near-dup budget.
+    *
+    * 100 TB posture: text never shuffles — the wire carries (doc_id,
+    * 16-byte md5) pairs, collapsed to (hash, doc) CELLS before anything
+    * joins; the distinct-doc count and the join back both run at cell
+    * cardinality, and a VIRAL block (the skew corpus's 210k-doc flood)
+    * is one cell per doc with a broadcast-size hot key, never a row
+    * explosion. Output: (doc_id, n_chunks, n_dup_chunks, dup_ppm). */
+  def chunkDedup(docs: DataFrame, id: Column, text: Column,
+      window: Int = 200, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"chunkDedup: minDocs=$minDocs must be >= 2")
+    val cells = graft.ext.Packing.chunk(docs.select(id.as("doc_id"), text.as("text")),
+        col("doc_id"), col("text"), window = window, overlap = 0)
+      .select(col("doc_id"), md5(col("chunk")).as("h"))
+      .groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
+    val nd = cells.groupBy("h").agg(count(lit(1)).as("nd"))
+    cells.join(nd, Seq("h"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_chunks"),
+        sum(when(col("nd") >= minDocs, col("c")).otherwise(0L))
+          .as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        expr("n_dup_chunks * 1000000L DIV n_chunks").as("dup_ppm"))
+  }
 }

@@ -460,4 +460,42 @@ object TextAnalysis {
           "CAST(2 * CAST(f2 AS DECIMAL(38,0)) * 1000000 DIV f1 AS BIGINT) " +
           "ELSE NULL END").as("r1_star_e6"))
   }
+
+  /** Structural code-vs-prose signals — the format detector a
+    * code-data curation pipeline runs before routing documents to the
+    * code or prose quality gates (neither x3's prose-quality counts nor
+    * x42's C4 rules see STRUCTURE): per document, the line count,
+    * indented-line count (2+ spaces or a tab — code's visual signature),
+    * code-symbol count (braces / brackets / semicolons / operators),
+    * and keyword hits (a fixed 10-word cross-language list, word-
+    * boundary matched), plus two exact ppm densities and a conjunctive
+    * flag. Thresholds are integer constants so the verdict is
+    * engine-reproducible: `code_flag` = (symbol density >= 3% AND >= 20%
+    * of lines indented) OR >= 3 keyword hits.
+    *
+    * 100 TB posture: ONE scan-side projection — every signal is a
+    * regex count or a line-array fold on the row, zero exchanges
+    * (the output ORDER BY is the only shuffle any consumer pays).
+    * Output: (doc_id, n_chars, n_lines, n_indent, n_sym, n_kw,
+    * sym_ppm, indent_ppm, code_flag). */
+  def codeSignals(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val ls = lines(text)
+    df.select(id.as("doc_id"),
+        length(text).cast("long").as("n_chars"),
+        size(ls).cast("long").as("n_lines"),
+        size(filter(ls, l => l.rlike("^(  |\t)"))).cast("long")
+          .as("n_indent"),
+        size(regexp_extract_all(text, lit("[{}();=<>\\[\\]]"), lit(0)))
+          .cast("long").as("n_sym"),
+        size(regexp_extract_all(text,
+          lit("\\b(def|class|import|return|function|const|var|void|public|static)\\b"),
+          lit(0))).cast("long").as("n_kw"))
+      .withColumn("sym_ppm",
+        expr("n_sym * 1000000L DIV greatest(n_chars, 1L)"))
+      .withColumn("indent_ppm",
+        expr("n_indent * 1000000L DIV greatest(n_lines, 1L)"))
+      .withColumn("code_flag",
+        ((col("sym_ppm") >= 30000L && col("indent_ppm") >= 200000L) ||
+          col("n_kw") >= 3L).cast("int"))
+  }
 }

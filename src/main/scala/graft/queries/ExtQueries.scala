@@ -9292,6 +9292,94 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // x258 — CODE-VS-PROSE STRUCTURAL SIGNALS: the format detector a
+  // code-data curation pipeline runs before routing docs to the code
+  // or prose quality gates — x3/x42 score prose quality, NOTHING saw
+  // structure. Indented-line count, code-symbol count, cross-language
+  // keyword hits, two exact ppm densities, and a conjunctive integer
+  // flag. ONE scan-side projection; the regex set is the common
+  // Java-regex/RE2 subset so both engines count identical matches.
+  // NON-VACUITY (the x241 discipline — the gate corpus is pure prose,
+  // all signals zero): every 10th doc gets a deterministic CODE TWIN
+  // (+1e9 id, the text wrapped in an import/def/var/return block), so
+  // code_flag=1 rows, indent counts, and keyword hits are GUARANTEED
+  // at any corpus size — in both engines, from the same construction.
+  val x258 = Q(
+    "x258_code_signals",
+    """WITH m AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000 AS doc_id,
+      |         'import os;' || chr(10) || 'def f() {' || chr(10) ||
+      |         '  var x = (1);' || chr(10) || '  return "' || text ||
+      |         '";' || chr(10) || '}' AS text
+      |  FROM documents WHERE doc_id % 10 = 0)
+      |SELECT doc_id,
+      |       CAST(length(text) AS BIGINT) AS n_chars,
+      |       CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |       CAST(len(list_filter(string_split(text, chr(10)),
+      |            l -> regexp_matches(l, '^(  |\t)'))) AS BIGINT) AS n_indent,
+      |       CAST(len(regexp_extract_all(text, '[{}();=<>\[\]]')) AS BIGINT) AS n_sym,
+      |       CAST(len(regexp_extract_all(text,
+      |            '\b(def|class|import|return|function|const|var|void|public|static)\b'))
+      |            AS BIGINT) AS n_kw,
+      |       CAST(len(regexp_extract_all(text, '[{}();=<>\[\]]')) * 1000000
+      |            // greatest(length(text), 1) AS BIGINT) AS sym_ppm,
+      |       CAST(len(list_filter(string_split(text, chr(10)),
+      |            l -> regexp_matches(l, '^(  |\t)'))) * 1000000
+      |            // greatest(len(string_split(text, chr(10))), 1) AS BIGINT) AS indent_ppm,
+      |       CAST(CASE WHEN (len(regexp_extract_all(text, '[{}();=<>\[\]]')) * 1000000
+      |                       // greatest(length(text), 1) >= 30000
+      |                   AND len(list_filter(string_split(text, chr(10)),
+      |                       l -> regexp_matches(l, '^(  |\t)'))) * 1000000
+      |                       // greatest(len(string_split(text, chr(10))), 1) >= 200000)
+      |                  OR len(regexp_extract_all(text,
+      |                       '\b(def|class|import|return|function|const|var|void|public|static)\b')) >= 3
+      |            THEN 1 ELSE 0 END AS INT) AS code_flag
+      |FROM m
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val planted = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(lit("import os;\ndef f() {\n  var x = (1);\n  return \""),
+          col("text"), lit("\";\n}")).as("text"))
+    TextAnalysis.codeSignals(
+        docs.select(col("doc_id"), col("text")).unionByName(planted),
+        col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
+  // x259 — CHUNK-LEVEL EXACT DEDUP (paragraph/block dedup, the
+  // RefinedWeb/CCNet move): fixed 200-char blocks on x36's exact chunk
+  // grid, a block value duplicated when it occurs in >= 2 DISTINCT
+  // docs, each doc reporting its duplicated mass. Sits between x1
+  // (whole-doc exact — misses partial copies) and x56/x66 (shingle
+  // machinery — pays far more); the cheap first pass before near-dup
+  // budget. Wire carries only (doc_id, md5) collapsed to cells.
+  val x259 = Q(
+    "x259_chunk_dedup",
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |         greatest(1, CAST(floor((length(text) + 199) / 200.0) AS BIGINT)) AS nc
+      |  FROM documents),
+      |c AS (SELECT doc_id, unnest(range(nc)) AS cid, text FROM d),
+      |o AS (SELECT doc_id,
+      |             md5(substring(text, CAST(cid * 200 + 1 AS INT), 200)) AS h
+      |      FROM c),
+      |cells AS (SELECT h, doc_id, CAST(count(*) AS BIGINT) AS c
+      |          FROM o GROUP BY 1, 2),
+      |nd AS (SELECT h, CAST(count(*) AS BIGINT) AS nd FROM cells GROUP BY 1)
+      |SELECT cells.doc_id,
+      |       CAST(sum(c) AS BIGINT) AS n_chunks,
+      |       CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      |       CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) * 1000000
+      |            // sum(c) AS BIGINT) AS dup_ppm
+      |FROM cells JOIN nd USING (h)
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.chunkDedup(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29,
@@ -9312,5 +9400,5 @@ object ExtQueries {
       x220, x221, x222, x223, x224, x225, x226, x227, x228, x229, x230,
       x231, x232, x233, x234, x235, x236, x237, x238, x239, x240, x241,
       x242, x243, x244, x245, x246, x247, x248, x249, x250, x251, x252,
-      x253, x254, x255, x256, x257)
+      x253, x254, x255, x256, x257, x258, x259)
 }

@@ -334,7 +334,11 @@ object VolumeTripwire {
     "x256_audio_keepone" ->
       "thin composition of probed machinery: x250's audio pair pipeline (probed) + CC (probed via x39) feeding x251's broadcast keep-one (probed) - no new plan shape",
     "x257_video_keepone" ->
-      "thin composition of probed machinery: x243's video pair pipeline (probed) + CC (probed via x39) feeding x251's broadcast keep-one (probed) - no new plan shape")
+      "thin composition of probed machinery: x243's video pair pipeline (probed) + CC (probed via x39) feeding x251's broadcast keep-one (probed) - no new plan shape",
+    "x258_code_signals" ->
+      "one scan-side projection (line split + regex counts + integer thresholds), zero exchanges - linear by construction",
+    "x259_chunk_dedup" ->
+      "chunk grid is x36's (probed); the rest is two combinable cell-cardinality groupBys + one cell-level equi-join on the 16-byte hash - the x1 exact-dedup wire shape (probed)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

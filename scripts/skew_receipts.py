@@ -64,26 +64,28 @@ ABS_FLOOR_SEC = {"dedup_flood": 5.0, "rank_stratum": 5.0, "graph": 5.0,
 # Per-query absolute bound overrides, each with the reason written into
 # the receipt: costs that are ADDITIVE constants of the skew shape, not
 # multiples of the uniform wall, which the (sf1 wall x multiplier)
-# model cannot price.
-BOUND_OVERRIDE = {
-    "x250_audio_neardup": (230.0,
-        "the flood's ~7k under-cap re-encode variant family is mutually "
-        "identical -> ~24M TRUE pairs; the exact verify pays "
-        "output-linear cost for a quadratic-SIZED answer (documented in "
-        "COVERAGE) — an additive constant of the planted shape, not a "
-        "multiple of the uniform sf1 wall"),
-}
+# model cannot price. (Round 16: the x250 override is GONE — the
+# star/clique form pre-collapses the identical flood family, so the
+# pair-quadratic answer it priced no longer exists.)
+BOUND_OVERRIDE = {}
 
 # The REFUSE arm of flat-or-refuse: a bench error is a PASS when it is
 # one of the engine's documented loud-refusal contracts — a guard firing
 # on adversarial volume is the designed behavior, not a defect. Matched
-# as a substring against the recorded error message. (Empty of
-# query-specific entries today: on THIS skew corpus every family rides
-# the flood flat; the list is the reviewed surface a future, harsher
-# corpus extends.)
+# as a substring against the recorded error message. Entries are the
+# SPECIFIC refusal texts, never op-name prefixes (round-16 advisor
+# find: 'StratumRank:' also matched argument-validation require()
+# failures, so a plumbing regression could score as a documented
+# refusal). bench.json truncates errors to 100 chars — every entry
+# below appears within the first 100 chars of its full message.
+# (No refusal fires on THIS skew corpus — every family rides the flood
+# flat; the list is the reviewed surface a harsher corpus extends.)
 DOCUMENTED_REFUSALS = [
-    "StratumRank:",            # driver offset-table 2^20 loud refusal
-    "audioNeardupPairs:",      # pigeonhole window-index / maxBucket guards
+    # StratumRank two-phase: driver offset-table past 2^20 strata
+    "stratum cardinality too high for the driver-side offset table",
+    # audioNeardupPairs pair-view: flood family past maxFamily
+    "identical-profile family larger than maxFamily",
+    # StratumRank reserved bookkeeping-column collision
     "collide with internal bookkeeping names",
 ]
 

@@ -1108,16 +1108,25 @@ object Dedup {
     * runs before spending near-dup budget.
     *
     * 100 TB posture: text never shuffles — the wire carries (doc_id,
-    * 16-byte md5) pairs, collapsed to (hash, doc) CELLS before anything
-    * joins; the distinct-doc count and the join back both run at cell
-    * cardinality, and a VIRAL block (the skew corpus's 210k-doc flood)
-    * is one cell per doc with a broadcast-size hot key, never a row
-    * explosion. Output: (doc_id, n_chunks, n_dup_chunks, dup_ppm). */
+    * 32-hex-char md5) pairs, collapsed to (hash, doc) CELLS before
+    * anything joins; the distinct-doc count and the join back both run
+    * at cell cardinality, and a VIRAL block (the skew corpus's 210k-doc
+    * flood) is one cell per doc with a broadcast-size hot key, never a
+    * row explosion.
+    *
+    * Empty/NULL content (round-16, advisor find): zero-length chunks
+    * carry no content, so hashing them would declare every pair of
+    * empty/NULL-text documents mutual 100%-duplicates — semantically
+    * wrong for a curation op. Empty and NULL chunks are FILTERED before
+    * hashing; a document with no non-empty content has no chunk
+    * accounting and emits NO row (mirrored in the x259 oracle).
+    * Output: (doc_id, n_chunks, n_dup_chunks, dup_ppm). */
   def chunkDedup(docs: DataFrame, id: Column, text: Column,
       window: Int = 200, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"chunkDedup: minDocs=$minDocs must be >= 2")
     val cells = graft.ext.Packing.chunk(docs.select(id.as("doc_id"), text.as("text")),
         col("doc_id"), col("text"), window = window, overlap = 0)
+      .where(col("chunk").isNotNull && length(col("chunk")) > 0)
       .select(col("doc_id"), md5(col("chunk")).as("h"))
       .groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
     val nd = cells.groupBy("h").agg(count(lit(1)).as("nd"))

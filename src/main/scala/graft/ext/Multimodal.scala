@@ -516,29 +516,124 @@ object Multimodal {
     * the full window profiles (the x7 band-then-verify shape), which
     * makes the result set identical to the all-window vote.
     *
-    * Hot (band, key) buckets beyond `maxBucket` DROP under the loud
-    * family contract — an all-silence flood (every profile all-zero)
-    * collapses into one bucket per band and drops loudly-by-absence
-    * rather than detonating the join (tripwire-probed); the guard is a
-    * combinable count broadcast back, never a count-over window.
-    * Because the x250 ORACLE states the capless all-window vote, parity
-    * depends on no gate-corpus bucket approaching the cap — that is
-    * OBSERVED, not assumed: [[audioBandOccupancy]] measures the max
-    * exact-side occupancy and ExtSpec asserts the gate corpus sits far
-    * below `maxBucket`, so a future dataset drifting toward the cap
-    * fails the suite with a pointer instead of a bare hash mismatch.
+    * IDENTICAL-PROFILE PRE-COLLAPSE (round 16 — the skew receipt's
+    * find): before any banding, medias group by their FULL profile
+    * vector into families (representative = min media_id). Only the
+    * DISTINCT-profile representatives enter the banded candidate join;
+    * each family ≥2 emits (rep, member) STAR rows instead of its pair
+    * expansion. A 210k-row re-encode flood — mutually identical by
+    * construction — therefore costs O(family) here, where the old
+    * pair contract paid O(family²) in TRUE answer rows (the sf1 skew
+    * receipt measured 206 s for ~24M pairs; a 60k family under the old
+    * 65,536 membership cap would have materialized ~1.8e9). The x49
+    * struct-argmax idiom, applied to the pair table itself.
     *
-    * 100 TB posture: profile rows are ≤ windows per media; band rows
-    * are ≤ bands per media; probes ≤ Σ 3^bandSize per media (bounded
-    * Generate); the candidate join is equi on (band, key) with
-    * content-driven buckets; the exact verify touches candidates ×
-    * windows rows. Never all-pairs, no constant-cardinality key space.
-    * Output: (a, b, n_matched, dq_max), a < b. */
-  def audioNeardupPairs(profile: DataFrame, minVotes: Int = 12,
+    * Hot (band, key) buckets beyond `maxBucket` DROP under the loud
+    * family contract. Post-collapse the cap's bound is on PAIRS, not
+    * members: every bucket member is a DISTINCT profile, so a capped
+    * bucket contributes ≤ 3^bandSize·maxBucket candidate rows and the
+    * verified output among survivors is ≤ maxBucket² per bucket of
+    * genuinely-distinct near-dups — identical floods can no longer ride
+    * under the cap into a quadratic verify, because they never reach
+    * the buckets at all. The DISTINCT-profile flood (e.g. many unique
+    * near-silence recordings sharing band keys) still collapses into
+    * hot buckets and drops loudly-by-absence rather than detonating
+    * (tripwire-probed); the guard is a combinable count broadcast back,
+    * never a count-over window. Because the x250 ORACLE states the
+    * capless vote, parity depends on no gate-corpus REP bucket
+    * approaching the cap — OBSERVED, not assumed: [[audioBandOccupancy]]
+    * measures the max representative-side occupancy and ExtSpec asserts
+    * the gate corpus sits far below `maxBucket`.
+    *
+    * 100 TB posture: family collapse is one exchange on the 16-long
+    * profile vector; band rows are ≤ bands per REPRESENTATIVE; probes
+    * ≤ Σ 3^bandSize per rep (bounded Generate); the candidate join is
+    * equi on (band, key) with content-driven buckets; the exact verify
+    * touches candidates × windows rows. Never all-pairs, no
+    * constant-cardinality key space, no quadratic family cost.
+    *
+    * Output (a, b, n_matched, dq_max, kind), a < b:
+    *   - kind='family': b is a non-representative member of a's family
+    *     (identical profiles — n_matched = profile size, dq_max = 0);
+    *     emitted only when the family's profile size ≥ minVotes (a
+    *     shorter shared profile could not pass the vote).
+    *   - kind='pair': a, b are representatives of DISTINCT profiles
+    *     passing the ≥ minVotes vote.
+    * The full pair table is the clique-star expansion (see
+    * [[audioNeardupPairs]]); connected components are IDENTICAL on
+    * either form (stars connect exactly the members their cliques
+    * connect). */
+  def audioNeardupStars(profile: DataFrame, minVotes: Int = 12,
       maxBucket: Int = 1 << 16, windows: Int = 16): DataFrame = {
     require(maxBucket >= 2,
+      s"audioNeardupStars: maxBucket=$maxBucket must be >= 2")
+    val prof = profGuarded(profile, minVotes, windows)
+    val (famMap, repProf) = repCollapse(prof)
+    val famStars = famMap
+      .where(col("media_id") =!= col("rep") && col("sig_n") >= minVotes)
+      .select(col("rep").as("a"), col("media_id").as("b"),
+        col("sig_n").cast("long").as("n_matched"), lit(0L).as("dq_max"),
+        lit("family").as("kind"))
+    repPairs(repProf, minVotes, maxBucket, windows)
+      .withColumn("kind", lit("pair"))
+      .unionByName(famStars)
+  }
+
+  /** Pair-table view of [[audioNeardupStars]] — (a, b, n_matched,
+    * dq_max), a < b, exactly the capless all-window vote over every
+    * media pair. The star form expands back: intra-family pairs carry
+    * (profile size, 0); cross-family pairs inherit their
+    * representatives' vote verbatim (identical profiles ⇒ identical
+    * votes). The expansion is OUTPUT-LINEAR — cost is the answer size —
+    * but the answer itself is quadratic in identical-family size, so
+    * families larger than `maxFamily` REFUSE loudly (per-row
+    * assert_true, the audioEnergyGrid contract style) instead of
+    * quietly materializing a flood's O(g²) clique; flood-safe consumers
+    * (clustering, keep-one, dedup accounting) should consume the star
+    * form, which is what x250/x256 register. */
+  def audioNeardupPairs(profile: DataFrame, minVotes: Int = 12,
+      maxBucket: Int = 1 << 16, windows: Int = 16,
+      maxFamily: Int = 4096): DataFrame = {
+    require(maxBucket >= 2,
       s"audioNeardupPairs: maxBucket=$maxBucket must be >= 2")
-    val (prof, exactSides, probeSides) = audioBandSides(profile, minVotes, windows)
+    require(maxFamily >= 1,
+      s"audioNeardupPairs: maxFamily=$maxFamily must be >= 1")
+    val prof = profGuarded(profile, minVotes, windows)
+    val (famMap0, repProf) = repCollapse(prof)
+    val famMap = famMap0
+      .where(assert_true(col("fam_n") <= maxFamily,
+        lit(s"audioNeardupPairs: identical-profile family larger than " +
+          s"maxFamily=$maxFamily — the pair expansion of a flood family " +
+          "is quadratic in its size; consume audioNeardupStars instead")).isNull)
+    // intra-family expansion: every ordered member pair, all windows
+    // matching at dq 0 (profiles identical by construction of the key)
+    val m1 = famMap.select(col("rep"), col("media_id").as("a"),
+      col("sig_n"))
+    val m2 = famMap.select(col("rep"), col("media_id").as("b"))
+    val intra = m1.join(m2, Seq("rep"))
+      .where(col("a") < col("b") && col("sig_n") >= minVotes)
+      .select(col("a"), col("b"), col("sig_n").cast("long").as("n_matched"),
+        lit(0L).as("dq_max"))
+    // cross-family expansion: the representative pair's vote, verbatim,
+    // for every member cross pair
+    val rp = repPairs(repProf, minVotes, maxBucket, windows)
+    val fa = famMap.select(col("rep").as("ra"), col("media_id").as("ma"))
+    val fb = famMap.select(col("rep").as("rb"), col("media_id").as("mb"))
+    val cross = rp
+      .join(fa, col("ra") === col("a"))
+      .join(fb, col("rb") === col("b"))
+      .select(least(col("ma"), col("mb")).as("a"),
+        greatest(col("ma"), col("mb")).as("b"),
+        col("n_matched"), col("dq_max"))
+    intra.unionByName(cross)
+  }
+
+  /** Banded candidate generation + exact verify over DISTINCT-profile
+    * representatives — the vote core shared by [[audioNeardupStars]]
+    * and [[audioNeardupPairs]]. Input must be the rep-only profile. */
+  private def repPairs(repProf: DataFrame, minVotes: Int, maxBucket: Int,
+      windows: Int): DataFrame = {
+    val (exactSides, probeSides) = audioBandSides(repProf, minVotes, windows)
     // hot-bucket guard: combinable count broadcast back (the exact
     // side defines occupancy — the probe side is its bounded x3^size)
     val bucketCounts = exactSides.groupBy("band", "key")
@@ -551,9 +646,9 @@ object Multimodal {
       .select(col("a"), col("b")).distinct()
     // exact verify against the full profiles — result identical to the
     // all-window vote
-    val pa = prof.select(col("media_id").as("a"), col("c"),
+    val pa = repProf.select(col("media_id").as("a"), col("c"),
       col("q").as("qa"))
-    val pb = prof.select(col("media_id").as("b"), col("c"),
+    val pb = repProf.select(col("media_id").as("b"), col("c"),
       col("q").as("qb"))
     cand.join(pa, Seq("a")).join(pb, Seq("b", "c"))
       .groupBy(col("a"), col("b"))
@@ -564,28 +659,70 @@ object Multimodal {
       .where(col("n_matched") >= minVotes)
   }
 
-  /** Max exact-side (band, key) bucket occupancy of the
-    * [[audioNeardupPairs]] banding for this profile — the observability
+  /** Identical-profile family collapse: (famMap, repProfile) where
+    * famMap = (media_id, rep, sig_n, fam_n) — rep the family's min
+    * media_id, sig_n the profile size, fam_n the family size — and
+    * repProfile the profile rows of representatives only. One exchange
+    * on the full profile vector (exact key, not a hash — no collision
+    * caveat), then a rep-side semi join. */
+  private def repCollapse(prof: DataFrame): (DataFrame, DataFrame) = {
+    val sig = prof.groupBy(col("media_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(c, q))), s -> s.q)")
+          .as("sig"),
+        count(lit(1)).as("sig_n"))
+    val reps = sig.groupBy(col("sig"))
+      .agg(min(col("media_id")).as("rep"), count(lit(1)).as("fam_n"))
+    val famMap = sig.join(reps, Seq("sig"))
+      .select(col("media_id"), col("rep"), col("sig_n"), col("fam_n"))
+      .localCheckpoint(false)
+    val repProf = prof.join(
+      famMap.where(col("media_id") === col("rep")).select("media_id"),
+      Seq("media_id"), "left_semi")
+    (famMap, repProf)
+  }
+
+  /** Max representative-side (band, key) bucket occupancy of the
+    * [[audioNeardupStars]] banding for this profile — the observability
     * probe behind the capless-oracle parity contract: the engine DROPS
-    * buckets past `maxBucket` while the x250 oracle votes caplessly, so
-    * the gate corpus' proximity to the cap must be MEASURED (ExtSpec
-    * asserts it sits far below 65536), never assumed. 0 for an empty
-    * profile. */
+    * rep buckets past `maxBucket` while the x250 oracle votes
+    * caplessly, so the gate corpus' proximity to the cap must be
+    * MEASURED (ExtSpec asserts it sits far below 65536), never assumed.
+    * Measured AFTER the identical-profile collapse, matching what the
+    * candidate join actually sees. 0 for an empty profile. */
   private[graft] def audioBandOccupancy(profile: DataFrame,
       minVotes: Int = 12, windows: Int = 16): Long = {
-    val (_, exactSides, _) = audioBandSides(profile, minVotes, windows)
+    val prof = profGuarded(profile, minVotes, windows)
+    val (_, repProf) = repCollapse(prof)
+    val (exactSides, _) = audioBandSides(repProf, minVotes, windows)
     val r = exactSides.groupBy("band", "key")
       .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).collect()(0)
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
-  /** Shared banding construction for [[audioNeardupPairs]] and
-    * [[audioBandOccupancy]]: (checkpointed profile, exact band-key side
-    * (b, band, key), ±1-combo probe side (a, band, key)). */
-  private def audioBandSides(profile: DataFrame, minVotes: Int,
-      windows: Int): (DataFrame, DataFrame, DataFrame) = {
+  /** Window-index guard + checkpoint shared by every profile consumer:
+    * the profile feeds several consumers (family collapse, banding,
+    * both verify sides), so the scan-side energy grid (64 hex-substr
+    * reads per payload) is paid once. A profile built with MORE windows
+    * than the call assumes would silently break the pigeonhole
+    * soundness (extra windows collapse into the last band and escape
+    * its key) — refuse loudly per-row instead. */
+  private def profGuarded(profile: DataFrame, minVotes: Int,
+      windows: Int): DataFrame = {
     require(minVotes >= 1 && minVotes <= windows,
       s"audioNeardupPairs: minVotes=$minVotes out of [1, $windows]")
+    profile
+      .where(assert_true(col("c") >= 0 && col("c") < windows,
+        lit(s"audioNeardupPairs: window index outside [0, $windows) — " +
+          "pass windows= matching the audioEnergyProfile that built " +
+          "this profile")).isNull)
+      .localCheckpoint(false)
+  }
+
+  /** Banded-side construction over an (already guarded, rep-only)
+    * profile: exact band-key side (b, band, key) and ±1-combo probe
+    * side (a, band, key). */
+  private def audioBandSides(profile: DataFrame, minVotes: Int,
+      windows: Int): (DataFrame, DataFrame) = {
     // pigeonhole soundness needs bands >= violations + 1; MORE bands
     // stay sound (fewer violations per band can only leave more bands
     // intact), so also cap band size at 4 to bound the probe explosion
@@ -597,20 +734,7 @@ object Multimodal {
     require(sizes.max <= 4, s"audioNeardupPairs: internal banding bug " +
       s"(size ${sizes.max})")
     val starts = sizes.scanLeft(0)(_ + _)
-    // the profile feeds THREE consumers (banding + both verify sides);
-    // checkpoint so the scan-side energy grid (64 hex-substr reads per
-    // payload) is paid once, not three times. The window-index guard
-    // rides the same filter: a profile built with MORE windows than
-    // this call assumes would silently break the pigeonhole soundness
-    // (extra windows collapse into the last band and escape its key),
-    // so refuse loudly per-row instead (the audioEnergyGrid 1 GB
-    // contract style)
     val prof = profile
-      .where(assert_true(col("c") >= 0 && col("c") < windows,
-        lit(s"audioNeardupPairs: window index outside [0, $windows) — " +
-          "pass windows= matching the audioEnergyProfile that built " +
-          "this profile")).isNull)
-      .localCheckpoint(false)
     // band of window c = number of band starts <= c, minus one
     val bandExpr = (1 until nBands)
       .map(i => s"(CASE WHEN c >= ${starts(i)} THEN 1 ELSE 0 END)")
@@ -646,7 +770,7 @@ object Multimodal {
       bandSlice(banded, bIdx).select(col("media_id").as("a"),
         col("band"), explode(array(ks: _*)).as("key"))
     }.reduce(_ unionAll _)
-    (prof, exactSides, probeSides)
+    (exactSides, probeSides)
   }
 
   /** Aspect-preserving letterbox geometry: for each media row, the

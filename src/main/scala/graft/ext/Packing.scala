@@ -57,7 +57,13 @@ object Packing {
     * pre-round-15 window form (SUM skips NULLs). A NULL `order` key
     * sorts LAST within its shard (StratumRank pins ANSI nulls-last;
     * the old bare window used Spark's nulls-FIRST — the one divergence,
-    * aligned to the repo-wide ANSI convention since round 14). */
+    * aligned to the repo-wide ANSI convention since round 14).
+    *
+    * PRECONDITION (inherited from [[StratumRank]], round-16 doc): the
+    * input frame must not carry any of StratumRank's reserved
+    * bookkeeping column names (`__s`, `__sk`, `__w`, `__o0`…, `_pid`,
+    * `_lc`, `_off`, `__cum`) — such frames are REFUSED loudly (the
+    * pre-round-15 bare-window form accepted them silently). */
   def packAssignments(df: DataFrame, shard: Column, order: Column,
       len: Column, target: Int): DataFrame = {
     require(target > 0, "target must be positive")

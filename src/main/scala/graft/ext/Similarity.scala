@@ -142,15 +142,17 @@ object Similarity {
     * are PRECOMPUTED INTEGER LITERALS baked into the plan (and the
     * oracle) — the log never executes on either engine, so the metric
     * is floor-exact end to end: `dcg = Σ w_rank over relevant hits`,
-    * `idcg = Σ_{i ≤ min(R, k)} w_i` with R = same-label corpus rows
-    * minus the query itself, `ndcg_e6 = dcg·1e6 DIV idcg`.
-    *
-    * PRECONDITION: queries are a SUBSET of the corpus/labels frame —
-    * `R = n_label_total − 1` unconditionally subtracts the query from
-    * its label's corpus count, so a disjoint query set would understate
-    * idcg by one position and inflate ndcg_e6. Callers mining an
-    * external query set must add the queries to `labels` (or accept the
-    * one-position bias knowingly).
+    * `idcg = Σ_{i ≤ min(R, k)} w_i` with R = same-label CORPUS rows
+    * reachable by the ranking (the query row itself is subtracted only
+    * when it actually IS a corpus row — knnBrute excludes self, so a
+    * query outside the corpus has all `n_label_corpus` rows reachable;
+    * a query inside it has one fewer). Computed, not assumed: label
+    * counts come from the corpus∩labels join and the self-subtraction
+    * rides a broadcast semi-join of query ids against corpus ids, so
+    * disjoint and overlapping query sets are BOTH exact.
+    * `ndcg_e6 = dcg·1e6 DIV idcg`. Queries absent from `labels` have
+    * no gradeable relevance and drop (inner q-label join), which is the
+    * label-frame contract.
     *
     * 100 TB posture: x9's fixed-query contract — queries broadcast,
     * one corpus scan for the kNN, label counts are a label-cardinality
@@ -170,12 +172,24 @@ object Similarity {
     val wCol = (1 to k).foldLeft(lit(0L)) { (acc, i) =>
       when(col("rank") === i, lit(w(i - 1))).otherwise(acc)
     }
-    // R = same-label corpus rows minus self; idcg looks up the
-    // cumulative weight at min(R, k) — both label-cardinality
-    val counts = broadcast(labels.groupBy(col("label").as("q_label"))
-      .agg(count(lit(1)).as("n_label_total")))
+    // R = same-label CORPUS rows reachable by the ranking: corpus-side
+    // label counts (labels may carry external query rows the ranking
+    // can never return — they must not inflate idcg), minus 1 exactly
+    // when the query itself is a corpus row (knnBrute excludes self).
+    // Both sides are label-/query-cardinality broadcasts.
+    val counts = broadcast(corpus.select(col("vec_id"))
+      .join(labels, Seq("vec_id"))
+      .groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_label_corpus")))
+    val selfIn = broadcast(queries.select(col("vec_id").as("qid"))
+      .join(corpus.select(col("vec_id").as("qid")), Seq("qid"), "left_semi")
+      .withColumn("self_in", lit(1L)))
+    // left joins + coalesce keep a query whose label has ZERO corpus
+    // rows (R=0 → idcg 0 → ndcg 0) instead of silently dropping it
+    val rCol = coalesce(col("n_label_corpus"), lit(0L)) -
+      coalesce(col("self_in"), lit(0L))
     val idcgCol = (1 to k).foldLeft(lit(0L)) { (acc, i) =>
-      when(least(col("n_label_total") - 1L, lit(k.toLong)) === i,
+      when(least(rCol, lit(k.toLong)) === i,
         lit(cumW(i - 1))).otherwise(acc)
     }
     ranked
@@ -186,7 +200,8 @@ object Similarity {
           .as("n_rel_at_k"),
         sum(when(col("n_label") === col("q_label"), wCol).otherwise(lit(0L)))
           .as("dcg_e6"))
-      .join(counts, Seq("q_label"))
+      .join(counts, Seq("q_label"), "left")
+      .join(selfIn, Seq("qid"), "left")
       .withColumn("idcg_e6", idcgCol)
       .select(col("qid"), col("n_rel_at_k"), col("dcg_e6"), col("idcg_e6"),
         when(col("idcg_e6") > 0,

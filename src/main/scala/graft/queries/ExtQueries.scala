@@ -8809,12 +8809,28 @@ object ExtQueries {
   // non-vacuous at any corpus size). Hot (window, level) buckets drop
   // under the loud maxBucket contract (silence floods collapse to one
   // bucket and refuse rather than detonate — tripwire-probed).
-  // ORACLE NOTE: the oracle is the CAPLESS exact all-window vote — the
-  // engine's maxBucket guard bounds CANDIDATE GENERATION only (a
-  // recall knob under adversarial floods, spec-pinned by the
-  // silence-flood test), it never alters the vote of surviving pairs;
-  // on the gate corpora no bucket approaches the cap, so both compute
-  // the identical result and the oracle stays structurally honest.
+  // ROUND 16 — STAR/CLIQUE FORM (the skew receipt's find): the output
+  // is the identical-profile-collapsed form, not the raw pair
+  // expansion. kind='family' rows are (rep, member) star edges inside
+  // a family of IDENTICAL profiles (rep = min media_id; n_matched =
+  // profile size, dq_max = 0 — every window of two identical profiles
+  // matches at distance 0 by definition); kind='pair' rows are the
+  // capless >= 12-of-16 vote over the DISTINCT-profile
+  // representatives. VALUE IDENTITY with the old pair table (x6-
+  // rewrite style): expanding each family's star into its clique
+  // (members pairwise, (sig_n, 0)) plus each rep pair across its two
+  // families' member cross product (identical profiles ⇒ identical
+  // votes, so every cross pair inherits the rep vote verbatim)
+  // reproduces the old output row-for-row — audioNeardupPairs IS that
+  // expansion and ExtSpec pins star-expansion == brute-force pairs.
+  // The star form is what a 100 TB consumer wants: a 210k-doc flood
+  // family costs O(family) rows here, where its pair expansion is
+  // O(family²) BY DEFINITION of the answer (the old contract's 206 s
+  // skew wall priced exactly that).
+  // ORACLE NOTE: the oracle is the same collapse — capless vote over
+  // representatives (the engine's maxBucket guard bounds CANDIDATE
+  // GENERATION only; on the gate corpora no rep bucket approaches the
+  // cap, occupancy OBSERVED by ExtSpec) plus the family stars.
   val x250 = Q(
     "x250_audio_neardup",
     s"""WITH m0 AS (
@@ -8831,25 +8847,39 @@ object ExtQueries {
       |         ${(0 until 4).map(j => audioByteSql(s"c * 4 + $j")).mkString("\n         + ")} AS energy
       |  FROM m CROSS JOIN w),
       |p AS (SELECT media_id, c, energy // 4 AS q FROM e),
+      |sig AS (SELECT media_id, list(q ORDER BY c) AS sg,
+      |               CAST(count(*) AS BIGINT) AS sn
+      |        FROM p GROUP BY 1),
+      |reps AS (SELECT sg, min(media_id) AS rep, min(sn) AS sn
+      |         FROM sig GROUP BY sg),
+      |fstars AS (
+      |  SELECT r.rep AS a, f.media_id AS b, r.sn AS n_matched,
+      |         CAST(0 AS BIGINT) AS dq_max, 'family' AS kind
+      |  FROM sig f JOIN reps r USING (sg)
+      |  WHERE f.media_id <> r.rep AND r.sn >= 12),
+      |rp AS (SELECT p.media_id, p.c, p.q
+      |       FROM p JOIN reps r ON p.media_id = r.rep),
       |lp AS (SELECT media_id, c, q, q + d AS qp
-      |       FROM p CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d)),
+      |       FROM rp CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d)),
       |j AS (
-      |  SELECT l.media_id AS a, r.media_id AS b, abs(l.q - r.q) AS dq
-      |  FROM lp l JOIN p r ON l.c = r.c AND l.qp = r.q
-      |                    AND l.media_id < r.media_id)
-      |SELECT a, b, CAST(count(*) AS BIGINT) AS n_matched,
-      |       CAST(max(dq) AS BIGINT) AS dq_max
-      |FROM j GROUP BY a, b HAVING count(*) >= 12
+      |  SELECT l.media_id AS a, r2.media_id AS b, abs(l.q - r2.q) AS dq
+      |  FROM lp l JOIN rp r2 ON l.c = r2.c AND l.qp = r2.q
+      |                      AND l.media_id < r2.media_id),
+      |pairs AS (
+      |  SELECT a, b, CAST(count(*) AS BIGINT) AS n_matched,
+      |         CAST(max(dq) AS BIGINT) AS dq_max, 'pair' AS kind
+      |  FROM j GROUP BY a, b HAVING count(*) >= 12)
+      |SELECT * FROM pairs UNION ALL SELECT * FROM fstars
       |ORDER BY a, b""".stripMargin) { (s, dir) =>
     val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF()
     val auds = media.where(col("kind") === "audio")
       .select(col("media_id"), col("payload"))
     val withPlanted = auds.unionByName(Multimodal.reencodeVariants(auds))
       .withColumn("kind", lit("audio"))
-    Multimodal.audioNeardupPairs(
+    Multimodal.audioNeardupStars(
       Multimodal.audioEnergyProfile(withPlanted, quantum = 4))
       .select(col("a"), col("b"), col("n_matched"),
-        col("dq_max").cast("long").as("dq_max"))
+        col("dq_max").cast("long").as("dq_max"), col("kind"))
       .orderBy("a", "b")
   }
 
@@ -9168,13 +9198,25 @@ object ExtQueries {
       |         ${(0 until 4).map(j => audioByteSql(s"c * 4 + $j")).mkString("\n         + ")} AS energy
       |  FROM m CROSS JOIN w),
       |p AS (SELECT media_id, c, energy // 4 AS q FROM e),
+      |sig AS (SELECT media_id, list(q ORDER BY c) AS sg,
+      |               CAST(count(*) AS BIGINT) AS sn
+      |        FROM p GROUP BY 1),
+      |reps AS (SELECT sg, min(media_id) AS rep, min(sn) AS sn
+      |         FROM sig GROUP BY sg),
+      |fstars AS (
+      |  SELECT r.rep AS a, f.media_id AS b
+      |  FROM sig f JOIN reps r USING (sg)
+      |  WHERE f.media_id <> r.rep AND r.sn >= 12),
+      |rp0 AS (SELECT p.media_id, p.c, p.q
+      |        FROM p JOIN reps r ON p.media_id = r.rep),
       |lp AS (SELECT media_id, c, q, q + d AS qp
-      |       FROM p CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d)),
+      |       FROM rp0 CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d)),
       |pr AS (
-      |  SELECT l.media_id AS a, r.media_id AS b
-      |  FROM lp l JOIN p r ON l.c = r.c AND l.qp = r.q
-      |                    AND l.media_id < r.media_id
-      |  GROUP BY 1, 2 HAVING count(*) >= 12),
+      |  SELECT l.media_id AS a, r2.media_id AS b
+      |  FROM lp l JOIN rp0 r2 ON l.c = r2.c AND l.qp = r2.q
+      |                       AND l.media_id < r2.media_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 12
+      |  UNION ALL SELECT a, b FROM fstars),
       |edges AS (SELECT a AS u, b AS wd FROM pr UNION ALL SELECT b, a FROM pr),
       |reach(id, label) AS (
       |  SELECT u, u FROM edges
@@ -9206,8 +9248,15 @@ object ExtQueries {
       .select(col("media_id"), col("payload"))
     val withPlanted = auds.unionByName(Multimodal.reencodeVariants(auds))
       .withColumn("kind", lit("audio"))
+    // CC over the STAR form (round 16): star edges connect exactly the
+    // members their cliques connect and cross-family reachability rides
+    // the rep pairs (identical profiles ⇒ identical votes), so the
+    // component partition — and its min-id labels — is IDENTICAL to CC
+    // over the full pair expansion, at O(family) instead of O(family²)
+    // edges under a flood. The oracle's recursive CC runs the same
+    // collapsed edge set.
     val clusters = Dedup.connectedComponents(
-        Multimodal.audioNeardupPairs(
+        Multimodal.audioNeardupStars(
           Multimodal.audioEnergyProfile(withPlanted, quantum = 4)))
       .select(col("doc_id").as("media_id"), col("cluster"))
     Curation.crossModalKeepOne(
@@ -9356,6 +9405,9 @@ object ExtQueries {
   // (whole-doc exact — misses partial copies) and x56/x66 (shingle
   // machinery — pays far more); the cheap first pass before near-dup
   // budget. Wire carries only (doc_id, md5) collapsed to cells.
+  // Empty/NULL chunks are filtered before hashing on BOTH engines
+  // (round 16): zero-length content must not make empty docs mutual
+  // duplicates; a doc with no non-empty content emits no row.
   val x259 = Q(
     "x259_chunk_dedup",
     """WITH d AS (
@@ -9364,10 +9416,11 @@ object ExtQueries {
       |  FROM documents),
       |c AS (SELECT doc_id, unnest(range(nc)) AS cid, text FROM d),
       |o AS (SELECT doc_id,
-      |             md5(substring(text, CAST(cid * 200 + 1 AS INT), 200)) AS h
+      |             md5(substring(text, CAST(cid * 200 + 1 AS INT), 200)) AS h,
+      |             length(substring(text, CAST(cid * 200 + 1 AS INT), 200)) AS hl
       |      FROM c),
       |cells AS (SELECT h, doc_id, CAST(count(*) AS BIGINT) AS c
-      |          FROM o GROUP BY 1, 2),
+      |          FROM o WHERE h IS NOT NULL AND hl > 0 GROUP BY 1, 2),
       |nd AS (SELECT h, CAST(count(*) AS BIGINT) AS nd FROM cells GROUP BY 1)
       |SELECT cells.doc_id,
       |       CAST(sum(c) AS BIGINT) AS n_chunks,

@@ -1772,11 +1772,12 @@ object VolumeTripwire {
         Res("x249_fatBin", timeMin(dm(pool1)), timeMin(dm(pool10)))
       }, {
         // audio near-dup: 10x audio rows + a 100k all-silence flood —
-        // every flood row's 16 windows land in the same (c, q=8)
-        // buckets, which blow PAST maxBucket (65536) and DROP, so the
-        // banded join never sees the 100k^2 clique (a 50k flood would
-        // sit UNDER the cap and detonate by design — the cap is the
-        // contract, sized for exactly this trade)
+        // the flood's profiles are mutually IDENTICAL, so the round-16
+        // pre-collapse folds all 100k into ONE representative before
+        // any banding: the star output is 100k-1 linear family rows and
+        // the banded join never sees the flood at all (the old contract
+        // relied on the maxBucket drop and would have detonated on any
+        // under-cap family — the skew receipt's find)
         val a1 = Tables.documents(spark, sfDir)
           .where(col("doc_id") % 3 === 1)
           .select(col("doc_id").as("media_id"), lit("audio").as("kind"),
@@ -1786,7 +1787,7 @@ object VolumeTripwire {
             lit("audio").as("kind"),
             encode(lit(" " * 64), "UTF-8").as("payload"))
         val a10 = blow(a1, "media_id", 10, 1000000L).unionAll(silence)
-        def nd(d: DataFrame) = Multimodal.audioNeardupPairs(
+        def nd(d: DataFrame) = Multimodal.audioNeardupStars(
           Multimodal.audioEnergyProfile(d))
         Res("x250_audioNeardup", timeMin(nd(a1)), timeMin(nd(a10)))
       }, {

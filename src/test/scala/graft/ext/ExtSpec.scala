@@ -686,18 +686,73 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("audioNeardupPairs: a silence flood collapses into hot buckets and drops under maxBucket — never detonates") {
+  test("audioNeardupStars: an IDENTICAL flood pre-collapses to one rep — linear star output, no bucket ever hot") {
     val flood = (0 until 10).map(i => (500L + i, " " * 64)).toDF("media_id", "t")
       .select(col("media_id"), lit("audio").as("kind"),
         encode(col("t"), "UTF-8").as("payload"))
     val prof = Multimodal.audioEnergyProfile(flood)
-    // every (c, 8) bucket holds all 10 rows; a cap below that refuses
-    // the whole flood loudly-by-absence rather than joining 10x10
-    assert(Multimodal.audioNeardupPairs(prof, minVotes = 1, maxBucket = 4)
-      .count() === 0)
-    // with room, the identical-profile clique is the documented answer
+    // all 10 profiles identical -> ONE representative enters the
+    // banding (no bucket can overflow even at maxBucket=2) and the
+    // family emits 9 star rows (rep 500 -> members 501..509), kind
+    // 'family', full-profile vote (16, 0)
+    val stars = Multimodal.audioNeardupStars(prof, minVotes = 1, maxBucket = 2)
+      .collect()
+    assert(stars.length === 9)
+    assert(stars.forall(r => r.getLong(0) == 500L && r.getString(4) == "family"
+      && r.getLong(2) == 16L && r.getLong(3) == 0L))
+    // with room, the pair view expands the clique as the answer
     assert(Multimodal.audioNeardupPairs(prof, minVotes = 16, maxBucket = 100)
       .count() === 45) // C(10, 2)
+    // the pair view REFUSES loudly when a family exceeds maxFamily —
+    // the expansion of a flood family is quadratic by definition
+    val e = intercept[Exception] {
+      Multimodal.audioNeardupPairs(prof, minVotes = 16, maxFamily = 5).count()
+    }
+    assert(e.getMessage.contains("maxFamily") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxFamily")))
+  }
+
+  test("audioNeardupStars: a DISTINCT-profile flood sharing band keys still drops loudly under maxBucket — never detonates") {
+    // 10 pairwise-distinct profiles: windows 0..11 identical (q=8),
+    // windows 12..15 wildly different per media. Bands (minVotes=12):
+    // sizes [4,3,3,3,3] over starts [0,4,7,10,13] — bands 0..2 (windows
+    // 0..9) are shared by all 10 medias, so those buckets hold 10 rows;
+    // bands 3..4 carry the distinct windows (singleton buckets, probe
+    // +-1 misses the >=100-spaced levels). True vote between any two =
+    // 12 matching windows (0..11) >= minVotes.
+    val rows = for (i <- 0 until 10; c <- 0 until 16) yield
+      (600L + i, c, if (c < 12) 8L else 1000L * i + 100L * c)
+    val prof = rows.toDF("media_id", "c", "q")
+    // capless: all 45 pairs verified at exactly 12 votes
+    val full = Multimodal.audioNeardupStars(prof, minVotes = 12,
+      maxBucket = 100).collect()
+    assert(full.count(_.getString(4) == "pair") === 45)
+    assert(full.forall(r => r.getString(4) != "pair" || r.getLong(2) == 12L))
+    // a cap below the shared-bucket occupancy drops bands 0..2 loudly-
+    // by-absence; the distinct bands find no candidates — zero output,
+    // never a 10x10 join
+    assert(Multimodal.audioNeardupStars(prof, minVotes = 12, maxBucket = 4)
+      .count() === 0)
+  }
+
+  test("audioNeardupStars: CC over stars equals CC over the pair expansion") {
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "julia")
+    val texts = (0 until 24).map { i =>
+      (100L + i, (0 until 25 + i).map(j => words((i * 7 + j * 3) % 10)).mkString(" "))
+    }
+    val base = texts.toDF("media_id", "t")
+      .select(col("media_id"), encode(col("t"), "UTF-8").as("payload"))
+    val withPlanted = base.unionByName(Multimodal.reencodeVariants(base))
+      .withColumn("kind", lit("audio"))
+    val prof = Multimodal.audioEnergyProfile(withPlanted)
+    def cc(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStars = cc(Multimodal.audioNeardupStars(prof, minVotes = 12))
+    val viaPairs = cc(Multimodal.audioNeardupPairs(prof, minVotes = 12))
+    assert(viaStars === viaPairs)
+    assert(viaStars.nonEmpty)
   }
 
   test("audioNeardupPairs: gate-corpus bucket occupancy sits FAR below the drop cap (capless-oracle parity observed, not assumed)") {
@@ -1868,6 +1923,32 @@ class NdcgSpec extends graft.SparkSpec {
       .select("dcg_e6", "idcg_e6", "ndcg_e6")
       .as[(Long, Long, Long)].head()
     assert(g2 === ((630930L, 1000000L, 630930L)))
+  }
+
+  test("ndcgAtK: DISJOINT query set is exact — R counts corpus rows only, no self-subtraction, external label rows don't inflate idcg") {
+    // corpus: vec 1 (label 1), vec 2 (label 0). External queries 100
+    // and 101 (both label 1) — their label rows live in `labels` but
+    // NOT in the corpus. True R for either query = 1 (only vec 1 is
+    // reachable); the old n_label_total - 1 form would have read
+    // R = 3 - 1 = 2 and deflated ndcg via an unreachable idcg position.
+    val corpusRows = Seq((1L, Seq(2.0, 0.0), 1), (2L, Seq(0.5, 0.5), 0))
+    val queryRows = Seq((100L, Seq(1.0, 0.0), 1), (101L, Seq(0.9, 0.1), 1))
+    val corpus = Similarity.withNorm(
+      corpusRows.toDF("vec_id", "embedding", "label"),
+      col("vec_id"), col("embedding"))
+    val queries = Similarity.withNorm(
+      queryRows.toDF("vec_id", "embedding", "label"),
+      col("vec_id"), col("embedding"))
+    val labels = (corpusRows ++ queryRows).map(r => (r._1, r._3))
+      .toDF("vec_id", "label")
+    val g = Similarity.ndcgAtK(corpus, queries, labels, k = 2)
+      .select("qid", "n_rel_at_k", "dcg_e6", "idcg_e6", "ndcg_e6")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // vec 1 (relevant) ranks 1 for both queries -> dcg = w1 = 1e6;
+    // R = 1 -> idcg = w1 -> perfect score, exactly
+    assert(g.toSeq === Seq(
+      (100L, 1L, 1000000L, 1000000L, 1000000L),
+      (101L, 1L, 1000000L, 1000000L, 1000000L)))
   }
 
   test("ndcgAtK: no relevant docs in the corpus -> idcg 0, ndcg 0 (not a crash)") {

@@ -39,6 +39,12 @@ every family against the same data:
   partitions, never a 1-task stratum sort.
 - HUB VERTEX: 100,000 extra events for ONE new user spread over the
   time domain — the entity-keyed window family's worst partition.
+- EMBEDDING FLOOD (round 16): 80,000 byte-identical embedding vectors
+  (ids past the uniform range, one shared 64-dim vector, one label) —
+  the duplicated-embedding shape the ANN family (LSH bands, IVF cells,
+  brute top-k over bucketed candidates) must ride flat or refuse
+  loudly; 80k exceeds the 2^16 hot-bucket caps the banded ANN paths
+  carry, mirroring the document flood's design.
 """
 import os
 import sys
@@ -48,6 +54,7 @@ import duckdb
 K = 10
 SKEW_FLOOD_DOCS = 210_000
 SKEW_HUB_EVENTS = 100_000
+SKEW_FLOOD_EMBS = 80_000
 SKEW_VIRAL_TEXT = ("the viral copypasta spreads again tonight friends "
                    "share it forward before the mods can ever catch up")
 
@@ -138,6 +145,13 @@ def main(src, dst, skew=False):
                     ELSE regexp_replace(text, '(\\S+)', '\\1_c' || cp, 'g')
                END) AS BIGINT) AS n_chars
         FROM '{src}/documents.parquet', cp{viral_docs}""")
+    flood_embs = f"""
+        UNION ALL
+        SELECT {10 * v_s} + i AS vec_id,
+               CAST(list_transform(range(64),
+                    j -> sin(j * 12.9898) * 0.7) AS FLOAT[]) AS embedding,
+               CAST(9999 AS INTEGER) AS label
+        FROM (SELECT unnest(range({SKEW_FLOOD_EMBS})) AS i)""" if skew else ""
     emit("embeddings", f"""
         SELECT vec_id + cp * {v_s} AS vec_id,
                CASE WHEN cp = 0 THEN embedding
@@ -146,7 +160,7 @@ def main(src, dst, skew=False):
                                   + cp * 78.233) * 0.7) AS FLOAT[])
                END AS embedding,
                label
-        FROM '{src}/embeddings.parquet', cp""")
+        FROM '{src}/embeddings.parquet', cp{flood_embs}""")
 
 
 if __name__ == "__main__":

@@ -47,11 +47,19 @@ FAMILIES = {
     "hub_user": [
         "x40_sessionize", "x52_funnel", "x123_funnel_timing", "x227_streaks",
     ],
+    # round 16: the duplicated-embedding flood (80k identical vectors in
+    # one LSH band bucket / IVF cell) — the ANN family must ride it flat
+    # or refuse loudly; brute/banded/cell variants all probed
+    "ann_flood": [
+        "x10_knn_lsh", "x57_semantic_dedup", "x62_semantic_dedup_mp",
+        "x21_knn_ivf",
+    ],
 }
 # expected data multiplier vs the uniform sf1 corpus, per family:
-# docs 50k -> 260k (flood 210k), events 1.0M -> 1.1M
+# docs 50k -> 260k (flood 210k), events 1.0M -> 1.1M,
+# embeddings 20k -> 100k (flood 80k)
 MULT = {"dedup_flood": 5.2, "rank_stratum": 5.2, "graph": 5.2,
-        "hub_user": 1.1}
+        "hub_user": 1.1, "ann_flood": 5.0}
 SLACK = 2.0
 # walls under the family floor never fail the ratio gate: JVM noise for
 # most families; for hub_user the floor is the hub's CONSTANT cost —
@@ -59,7 +67,7 @@ SLACK = 2.0
 # regardless of the corpus multiplier (the multiplier model prices
 # volume, not one fat partition), so anything under 15 s is flat.
 ABS_FLOOR_SEC = {"dedup_flood": 5.0, "rank_stratum": 5.0, "graph": 5.0,
-                 "hub_user": 15.0}
+                 "hub_user": 15.0, "ann_flood": 5.0}
 
 # Per-query absolute bound overrides, each with the reason written into
 # the receipt: costs that are ADDITIVE constants of the skew shape, not

@@ -390,14 +390,17 @@ object Similarity {
     * cluster is Σ|c|² work instead of N².
     *
     * 100 TB posture: one corpus-sized shuffle on `cid` (members
-    * co-locate per cluster), pairing is cluster-local. Cluster count
-    * scales with the corpus (|c| ≈ N/k stays bounded); a pathological
-    * hot cluster is the same failure mode as a hot LSH bucket, and like
-    * [[nearDupPairs]] the operator REFUSES it loudly at plan build
-    * (`maxCluster`, default 100k members → 10^10 in-cluster pairs)
-    * instead of hanging an executor — raise `stride` (more seeds) or
-    * swap the within-cluster step for [[lshBuckets]] inside the
-    * cluster. */
+    * co-locate per cluster), pairing is cluster-local AND collapsed to
+    * DISTINCT vectors first (round 16 — [[identicalCollapse]]: an 80k
+    * identical-embedding flood folds to one representative, so it can
+    * never ride under the cap into a quadratic pair join). Cluster
+    * count scales with the corpus (|c| ≈ N/k stays bounded); a
+    * pathological hot cluster of genuinely DISTINCT vectors is the
+    * same failure mode as a hot LSH bucket, and like [[nearDupPairs]]
+    * the operator REFUSES it loudly at plan build (`maxCluster`,
+    * default 100k distinct members → 10^10 in-cluster pairs) instead
+    * of hanging an executor — raise `stride` (more seeds) or swap the
+    * within-cluster step for [[lshBuckets]] inside the cluster. */
   def semanticDedup(embs: DataFrame, threshold: Double,
       stride: Int = 50, iters: Int = 1, maxCluster: Long = 100000L): DataFrame = {
     val cents = kmeansLite(embs, seedCentroids(embs, stride), iters)
@@ -418,21 +421,6 @@ object Similarity {
     // operator to pin down (same eager-checkpoint pattern, and the same
     // plan-build-time-job caveat, as kmeansLite's per-round centroids)
     val asg = assign.localCheckpoint(true)
-    // hot-cluster guard (same loud-refusal contract as nearDupPairs):
-    // pairing is Σ|c|² work, so ONE degenerate cluster — collapsed
-    // centroids, a constant-embedding flood — turns the cluster-local
-    // design back into all-pairs and hangs the one task that owns it.
-    // The probe runs over the already-checkpointed 2-long assignment
-    // (same plan-build-time-job caveat as the checkpoint itself), so it
-    // costs one small aggregation, not a corpus scan.
-    val hottest = asg.groupBy(col("cid")).count()
-      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
-    require(hottest <= maxCluster,
-      s"semanticDedupWithin pairs all vectors within a cluster (sum of " +
-        s"|c|^2 work); the hottest cluster has $hottest members > " +
-        s"maxCluster=$maxCluster. Raise `stride` (more, smaller cells), " +
-        s"refine with more kmeansLite iters, or run lshBuckets/knnLsh " +
-        s"inside the oversized cluster instead of exact all-pairs")
     // zero-vector guard: an all-zero embedding has norm 0, so its cosine
     // is 0/0 — under ANSI that division THROWS, and without ANSI it
     // yields NaN, which both engines order above every real number, so a
@@ -442,19 +430,100 @@ object Similarity {
     // division never runs for them, and they pair with nothing. The
     // oracle expresses the same rule as a NOT isnan filter.
     val m = asg.join(embs, Seq("vec_id"))
-    val a = m.where(col("norm") > 0).select(col("cid"), col("vec_id").as("a"),
+    val (pairSide, famDupMembers) =
+      identicalCollapse(m.where(col("norm") > 0), threshold)
+    // hot-cluster guard (same loud-refusal contract as nearDupPairs):
+    // pairing is Σ|c|² work over the COLLAPSED side, so the guard
+    // counts distinct-vector representatives — an identical-embedding
+    // flood (the skew corpus's 80k-copy family, the round-16 find)
+    // folds to ONE representative and can never ride under the cap
+    // into a quadratic pair join the way the pre-collapse-less form
+    // did; only a cluster of genuinely DISTINCT vectors can approach
+    // the cap, and that refuses loudly. The probe runs over the
+    // collapsed side (plan-build-time-job caveat as before).
+    val hottest = pairSide.groupBy(col("cid")).count()
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    require(hottest <= maxCluster,
+      s"semanticDedupWithin pairs all DISTINCT vectors within a cluster " +
+        s"(sum of |c|^2 work after identical-vector collapse); the " +
+        s"hottest cluster has $hottest distinct members > " +
+        s"maxCluster=$maxCluster. Raise `stride` (more, smaller cells), " +
+        s"refine with more kmeansLite iters, or run lshBuckets/knnLsh " +
+        s"inside the oversized cluster instead of exact all-pairs")
+    val a = pairSide.select(col("cid"), col("vec_id").as("a"),
       col("emb").as("ea"), col("norm").as("na"))
-    val b = m.where(col("norm") > 0).select(col("cid"), col("vec_id").as("b"),
+    val b = pairSide.select(col("cid"), col("vec_id").as("b"),
       col("emb").as("eb"), col("norm").as("nb"))
-    val removed = a.join(b, Seq("cid"))
+    val removedRep = a.join(b, Seq("cid"))
       .where(col("a") < col("b"))
       .withColumn("sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
       .where(col("sim") >= threshold)
       .groupBy(col("b").as("vec_id"))
       .agg(min(col("a")).as("dup_of"))
+    val removed = expandFamilyDups(removedRep, famDupMembers)
     asg.join(removed, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"), col("dup_of"),
         col("dup_of").isNull.cast("int").as("keep_flag"))
+  }
+
+  /** IDENTICAL-VECTOR PRE-COLLAPSE (round 16 — the skew receipt's ANN
+    * find, the x250 star-form idiom applied to SemDeDup): members group
+    * by (cid, exact vector); a family whose self-similarity passes the
+    * threshold (identical vectors — `round(1.0, 6)` unless the caller
+    * set a threshold above it) contributes only its min-id
+    * REPRESENTATIVE to the all-pairs join, because every non-rep
+    * member's greedy dup target is provably `coalesce(rep's dup_of,
+    * rep)`: sim(x, member) = sim(x, rep) for every x, the rep is
+    * itself a ≥-threshold smaller-id neighbor, and any candidate
+    * smaller than the rep is also the rep's candidate. Families whose
+    * self-sim MISSES the threshold (only possible at thresholds above
+    * round-to-6dp unity) stay uncollapsed — members never see each
+    * other as candidates, so each must pair independently; exactness
+    * over flood-proofing in that pathological corner.
+    * Returns (pairSide, famDupMembers): the collapsed pairing side and
+    * the (vec_id, rep) rows of collapsed non-representatives. */
+  private def identicalCollapse(nzm: DataFrame, threshold: Double)
+      : (DataFrame, DataFrame) = {
+    val fam = nzm.groupBy(col("cid"), col("emb"), col("norm"))
+      .agg(min(col("vec_id")).as("rep"))
+      .withColumn("fam_sim",
+        round(dot(col("emb"), col("emb")) / (col("norm") * col("norm")), 6))
+      .withColumn("fam_dup", col("fam_sim") >= threshold)
+    val famMap = nzm.select(col("vec_id"), col("cid"), col("emb"), col("norm"))
+      .join(fam, Seq("cid", "emb", "norm"))
+      .localCheckpoint(false)
+    val pairSide = famMap
+      .where(!col("fam_dup") || col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("cid"), col("emb"), col("norm"))
+    // distinct: multi-probe membership lists a vector once per probed
+    // cell, and identical vectors share BOTH cells — without the fold a
+    // collapsed member would get two removal rows and duplicate its
+    // output row after the final left join
+    val famDupMembers = famMap
+      .where(col("fam_dup") && col("vec_id") =!= col("rep"))
+      .select(col("vec_id"), col("rep"))
+      .distinct()
+    (pairSide, famDupMembers)
+  }
+
+  /** Expansion half of [[identicalCollapse]]: representative-level dup
+    * verdicts joined back onto collapsed members — a member's dup
+    * target is its rep's target when the rep itself was removed, else
+    * the rep. Output matches the uncollapsed `removed` table
+    * row-for-row (value identity argued at the collapse site). */
+  private def expandFamilyDups(removedRep: DataFrame,
+      famDupMembers: DataFrame): DataFrame = {
+    // the rep-level verdict feeds TWO consumers (the union arm and the
+    // member lookup): lazily checkpoint so the cid-pair join — the
+    // operator's most expensive stage — evaluates once, not per
+    // reference (the x57 plan pin counts its scans)
+    val rr = removedRep.localCheckpoint(false)
+    val memberDup = famDupMembers
+      .join(rr.select(col("vec_id").as("rep"),
+        col("dup_of").as("rep_dup")), Seq("rep"), "left")
+      .select(col("vec_id"),
+        coalesce(col("rep_dup"), col("rep")).as("dup_of"))
+    rr.unionByName(memberDup)
   }
 
   /** Top-2 IVF cells per vector (multi-probe assignment), via the typed
@@ -506,31 +575,40 @@ object Similarity {
     // (here the corpus×centroid aggregation) without the checkpoint
     val asg = ivfAssignTop2(nz, centroids).localCheckpoint(true)
     val mem = asg.select(col("vec_id"), explode(col("cells")).as("cid"))
-    // hot-cell guard, counted over the EXPLODED membership (multi-probe
-    // doubles it): same loud-refusal contract as semanticDedupWithin
-    val hottest = mem.groupBy(col("cid")).count()
+    val m = mem.join(nz, Seq("vec_id"))
+    // identical-vector pre-collapse (round 16 — see identicalCollapse):
+    // identical vectors share both probed cells, so the per-(cell,
+    // vector) family collapse is consistent across probes and the 80k
+    // identical-embedding flood folds to one representative per cell
+    val (pairSide, famDupMembers) = identicalCollapse(m, threshold)
+    // hot-cell guard, counted over the COLLAPSED exploded membership
+    // (multi-probe doubles it): same loud-refusal contract as
+    // semanticDedupWithin — only genuinely distinct vectors can
+    // approach the cap
+    val hottest = pairSide.groupBy(col("cid")).count()
       .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
     require(hottest <= maxCluster,
-      s"semanticDedupAcross pairs all vectors within a probed cell (sum " +
-        s"of |c|^2 work, and multi-probe doubles membership); the hottest " +
-        s"cell has $hottest members > maxCluster=$maxCluster. Raise " +
+      s"semanticDedupAcross pairs all DISTINCT vectors within a probed " +
+        s"cell (sum of |c|^2 work after identical-vector collapse, and " +
+        s"multi-probe doubles membership); the hottest cell has $hottest " +
+        s"distinct members > maxCluster=$maxCluster. Raise " +
         s"`stride` (more, smaller cells), refine with more kmeansLite " +
         s"iters, or run lshBuckets/knnLsh inside the oversized cell " +
         s"instead of exact all-pairs")
-    val m = mem.join(nz, Seq("vec_id"))
-    val a = m.select(col("cid"), col("vec_id").as("a"),
+    val a = pairSide.select(col("cid"), col("vec_id").as("a"),
       col("emb").as("ea"), col("norm").as("na"))
-    val b = m.select(col("cid"), col("vec_id").as("b"),
+    val b = pairSide.select(col("cid"), col("vec_id").as("b"),
       col("emb").as("eb"), col("norm").as("nb"))
     // both pair sides have norm > 0 by construction, so the cosine can
     // never be NaN here — no isnan guard needed (cf. semanticDedupWithin,
     // whose membership includes zero-norm keepers)
-    val removed = a.join(b, Seq("cid"))
+    val removedRep = a.join(b, Seq("cid"))
       .where(col("a") < col("b"))
       .withColumn("sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
       .where(col("sim") >= threshold)
       .groupBy(col("b").as("vec_id"))
       .agg(min(col("a")).as("dup_of"))
+    val removed = expandFamilyDups(removedRep, famDupMembers)
     embs.select(col("vec_id"))
       .join(asg.select(col("vec_id"),
         try_element_at(col("cells"), lit(1)).as("cid"),
@@ -605,12 +683,28 @@ object Similarity {
     math.max(1L, embs.count() / cells).toInt
 
   /** Rounded cosine of every (vector, centroid) pair — centroids are
-    * broadcast, the corpus streams. */
-  private def centroidSims(embs: DataFrame, centroids: DataFrame): DataFrame =
-    embs.crossJoin(broadcast(centroids))
+    * broadcast, the corpus streams.
+    *
+    * STARVATION GUARD (round 16 — the skew receipt's find on x21): the
+    * corpus scan's partition count is governed by parquet row-group
+    * splits, so a SMALL corpus file (one row group) would run the
+    * entire corpus×centroid stream — the operator's dominant cost,
+    * multiplied `cells`× per input row — on ONE core (measured: 10
+    * stages, 15 tasks, 143 s wall at ~1.7 cores for 2e8 pairs). When
+    * the scan has fewer partitions than the cluster's parallelism, the
+    * corpus is spread first; the exchange ships N vector rows to buy
+    * cells×N of work full-width, a trade that only triggers when the
+    * input was under-split (at 100 TB the scan arrives pre-partitioned
+    * and this is a no-op). */
+  private def centroidSims(embs: DataFrame, centroids: DataFrame): DataFrame = {
+    val par = embs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (embs.rdd.getNumPartitions < par) embs.repartition(par) else embs
+    spread.crossJoin(broadcast(centroids))
       .withColumn("csim",
         round(dot(col("emb"), col("cemb")) / (col("norm") * col("cnorm")), 6))
       .select(col("vec_id"), col("cid"), col("csim"))
+  }
 
   /** IVF cell assignment: each vector goes to its highest-cosine
     * centroid (deterministic tie-break on the lowest centroid id,

@@ -192,13 +192,13 @@ object ExtQueries {
       |              ELSE [tt] END AS sh
       |  FROM t),
       |u AS (SELECT doc_id, unnest(sh) AS sh1 FROM s),
-      |h AS (SELECT doc_id, ('0x' || substring(md5(sh1), 1, 15))::BIGINT AS h FROM u),
-      |ha AS (SELECT doc_id, list(DISTINCT h) AS hs FROM h GROUP BY doc_id),
+      |h AS MATERIALIZED (SELECT doc_id, ('0x' || substring(md5(sh1), 1, 15))::BIGINT AS h FROM u),
+      |ha AS MATERIALIZED (SELECT doc_id, list(DISTINCT h) AS hs FROM h GROUP BY doc_id),
       |m AS (
       |  SELECT doc_id, i,
       |         MIN((a * (h & 1073741823) + b * (h >> 30) + c) % 1000000007) AS mh
       |  FROM h CROSS JOIN seeds GROUP BY doc_id, i),
-      |bnd AS (
+      |bnd AS MATERIALIZED (
       |  SELECT doc_id, i // 2 AS band,
       |         MAX(CASE WHEN i % 2 = 0 THEN mh END) * 1000000007
       |           + MAX(CASE WHEN i % 2 = 1 THEN mh END) AS bh
@@ -5357,7 +5357,7 @@ object ExtQueries {
       |  UNION
       |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id),
       |cc AS (SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id),
-      |mem AS (SELECT cc.cluster, cc.doc_id, d.n_chars
+      |mem AS MATERIALIZED (SELECT cc.cluster, cc.doc_id, d.n_chars
       |        FROM cc JOIN documents d USING (doc_id)),
       |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
       |       FROM mem),
@@ -5972,14 +5972,14 @@ object ExtQueries {
       |              ELSE [tt] END AS sh
       |  FROM t),
       |u AS (SELECT doc_id, unnest(sh) AS sh1 FROM s),
-      |hh AS (SELECT doc_id, ('0x' || substring(md5(sh1), 1, 15))::BIGINT AS h FROM u),
+      |hh AS MATERIALIZED (SELECT doc_id, ('0x' || substring(md5(sh1), 1, 15))::BIGINT AS h FROM u),
       |keep AS (SELECT h FROM hh GROUP BY h HAVING COUNT(*) <= 16),
-      |occ AS (SELECT hh.doc_id, hh.h FROM hh JOIN keep USING (h)),
-      |e0 AS (SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+      |occ AS MATERIALIZED (SELECT hh.doc_id, hh.h FROM hh JOIN keep USING (h)),
+      |e0 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
       |       FROM occ a JOIN occ b ON a.h = b.h AND a.doc_id < b.doc_id),
-      |e AS (SELECT s AS src, d AS dst FROM e0 UNION ALL SELECT d, s FROM e0),
+      |e AS MATERIALIZED (SELECT s AS src, d AS dst FROM e0 UNION ALL SELECT d, s FROM e0),
       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
-      |mid AS (
+      |mid AS MATERIALIZED (
       |  SELECT e.src AS z, e.dst AS leaf, 1000000 // d.deg AS w
       |  FROM e JOIN deg d ON d.src = e.src WHERE d.deg <= 64),
       |p AS (
@@ -6518,19 +6518,19 @@ object ExtQueries {
   val x189 = Q(
     "x189_grouped_kfold",
     s"""WITH RECURSIVE $x7Ctes,
-      |pr AS ($x7Select),
+      |pr AS MATERIALIZED ($x7Select),
       |edges AS (SELECT a AS u, b AS v FROM pr UNION ALL SELECT b, a FROM pr),
       |reach(id, label) AS (
       |  SELECT u, u FROM edges
       |  UNION
       |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id),
       |cc AS (SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id),
-      |cg AS (SELECT md5(text) AS ch, min(doc_id) AS crep FROM documents GROUP BY 1),
+      |cg AS MATERIALIZED (SELECT md5(text) AS ch, min(doc_id) AS crep FROM documents GROUP BY 1),
       |base AS (
       |  SELECT d.doc_id, coalesce(cc.cluster, cg.crep) AS rep
       |  FROM documents d JOIN cg ON md5(d.text) = cg.ch
       |  LEFT JOIN cc ON cc.doc_id = cg.crep),
-      |wf AS (
+      |wf AS MATERIALIZED (
       |  SELECT doc_id, rep,
       |         ('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold
       |  FROM base),
@@ -8084,13 +8084,19 @@ object ExtQueries {
   // normalization per half-step; 2 rounds is the documented contract
   // (parity holds at any count). Top-10 via TakeOrdered, never a
   // global rank window.
+  // ORACLE NOTE (r16, sf1-wall rewrite — value-identical): the old h0
+  // CTE gave every distinct src the uniform h=1e6 and joined it back
+  // to e, so SUM(h) per dst was exactly COUNT(*)·1e6 — a1r now
+  // computes that directly (one join fewer); `e` is MATERIALIZED so
+  // the distinct edge set is paid once across the three propagation
+  // rounds instead of re-running the lineitem⋈orders distinct per
+  // round (767 s → see COVERAGE r16 for the measured wall).
   val x232 = Q(
     "x232_hits",
-    """WITH e AS (
+    """WITH e AS MATERIALIZED (
       |  SELECT DISTINCT o_custkey AS src, l_partkey AS dst
       |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
-      |h0 AS (SELECT DISTINCT src, CAST(1000000 AS BIGINT) AS h FROM e),
-      |a1r AS (SELECT dst, SUM(h::HUGEINT) AS a FROM e JOIN h0 USING (src) GROUP BY dst),
+      |a1r AS (SELECT dst, COUNT(*)::HUGEINT * 1000000 AS a FROM e GROUP BY dst),
       |a1t AS (SELECT SUM(a) AS t FROM a1r),
       |a1 AS (SELECT dst, CAST(a * 1000000000000 // t AS BIGINT) AS a
       |       FROM a1r CROSS JOIN a1t),
@@ -8846,18 +8852,18 @@ object ExtQueries {
       |  SELECT media_id, c,
       |         ${(0 until 4).map(j => audioByteSql(s"c * 4 + $j")).mkString("\n         + ")} AS energy
       |  FROM m CROSS JOIN w),
-      |p AS (SELECT media_id, c, energy // 4 AS q FROM e),
-      |sig AS (SELECT media_id, list(q ORDER BY c) AS sg,
+      |p AS MATERIALIZED (SELECT media_id, c, energy // 4 AS q FROM e),
+      |sig AS MATERIALIZED (SELECT media_id, list(q ORDER BY c) AS sg,
       |               CAST(count(*) AS BIGINT) AS sn
       |        FROM p GROUP BY 1),
-      |reps AS (SELECT sg, min(media_id) AS rep, min(sn) AS sn
+      |reps AS MATERIALIZED (SELECT sg, min(media_id) AS rep, min(sn) AS sn
       |         FROM sig GROUP BY sg),
       |fstars AS (
       |  SELECT r.rep AS a, f.media_id AS b, r.sn AS n_matched,
       |         CAST(0 AS BIGINT) AS dq_max, 'family' AS kind
       |  FROM sig f JOIN reps r USING (sg)
       |  WHERE f.media_id <> r.rep AND r.sn >= 12),
-      |rp AS (SELECT p.media_id, p.c, p.q
+      |rp AS MATERIALIZED (SELECT p.media_id, p.c, p.q
       |       FROM p JOIN reps r ON p.media_id = r.rep),
       |lp AS (SELECT media_id, c, q, q + d AS qp
       |       FROM rp CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d)),
@@ -9197,21 +9203,21 @@ object ExtQueries {
       |  SELECT media_id, c,
       |         ${(0 until 4).map(j => audioByteSql(s"c * 4 + $j")).mkString("\n         + ")} AS energy
       |  FROM m CROSS JOIN w),
-      |p AS (SELECT media_id, c, energy // 4 AS q FROM e),
-      |sig AS (SELECT media_id, list(q ORDER BY c) AS sg,
+      |p AS MATERIALIZED (SELECT media_id, c, energy // 4 AS q FROM e),
+      |sig AS MATERIALIZED (SELECT media_id, list(q ORDER BY c) AS sg,
       |               CAST(count(*) AS BIGINT) AS sn
       |        FROM p GROUP BY 1),
-      |reps AS (SELECT sg, min(media_id) AS rep, min(sn) AS sn
+      |reps AS MATERIALIZED (SELECT sg, min(media_id) AS rep, min(sn) AS sn
       |         FROM sig GROUP BY sg),
       |fstars AS (
       |  SELECT r.rep AS a, f.media_id AS b
       |  FROM sig f JOIN reps r USING (sg)
       |  WHERE f.media_id <> r.rep AND r.sn >= 12),
-      |rp0 AS (SELECT p.media_id, p.c, p.q
+      |rp0 AS MATERIALIZED (SELECT p.media_id, p.c, p.q
       |        FROM p JOIN reps r ON p.media_id = r.rep),
       |lp AS (SELECT media_id, c, q, q + d AS qp
       |       FROM rp0 CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d)),
-      |pr AS (
+      |pr AS MATERIALIZED (
       |  SELECT l.media_id AS a, r2.media_id AS b
       |  FROM lp l JOIN rp0 r2 ON l.c = r2.c AND l.qp = r2.q
       |                       AND l.media_id < r2.media_id
@@ -9294,13 +9300,13 @@ object ExtQueries {
       |  SELECT media_id, fi, phash, blk, (phash >> (blk * 15)) & 32767 AS key
       |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
       |g AS (SELECT *, count(*) OVER (PARTITION BY fi, blk, key) AS bn FROM e),
-      |ff AS (SELECT * FROM g WHERE bn <= 65536),
+      |ff AS MATERIALIZED (SELECT * FROM g WHERE bn <= 65536),
       |p AS (
       |  SELECT DISTINCT l.media_id AS a, r.media_id AS b, l.fi,
       |         CAST(bit_count(xor(l.phash, r.phash)) AS INT) AS hamming
       |  FROM ff l JOIN ff r ON l.fi = r.fi AND l.blk = r.blk AND l.key = r.key
       |                      AND l.media_id < r.media_id),
-      |pr AS (SELECT a, b FROM p WHERE hamming <= 3
+      |pr AS MATERIALIZED (SELECT a, b FROM p WHERE hamming <= 3
       |       GROUP BY 1, 2 HAVING count(*) >= 2),
       |edges AS (SELECT a AS u, b AS wd FROM pr UNION ALL SELECT b, a FROM pr),
       |reach(id, label) AS (

@@ -118,6 +118,80 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.calibWorst(Seq(0.2473, 0.1076, 0.1008), 0.21) <= 1.5)
   }
 
+  // a synthetic quiet round artifact carrying the r15-shaped probes
+  // (median 0.144) — the driver wraps the JSON line in a file with an
+  // escaped "tail" copy; the parser must match either encoding
+  private def artifact(contended: String, calib: String): String =
+    s"""{"n": 272, "parsed": {"metric": "total", "contended": $contended,
+       | "calibration": $calib, "value": 250.0}}""".stripMargin
+
+  test("quiet-ref re-anchor: rolling min over quiet-labeled artifact medians; loaded and unlabeled rounds never lower the bar") {
+    // r15-shaped quiet artifact (median 0.144) + a CONTENDED round with
+    // lower probes (must be ignored) + an old numeric-label round
+    // (pre-label format, must be ignored)
+    val arts = Seq(
+      artifact("0", "[0.213, 0.230, 0.200]"),          // old label: skip
+      artifact("true", "[0.05, 0.05, 0.05]"),          // loaded: skip
+      artifact("false", "[0.144, 0.1146, 0.1651]"))    // r15 quiet
+    val (ref, src) = Bench.quietRefFromArtifacts(arts)
+    assert(ref === 0.144)
+    assert(src === "hist(1)")
+    // no parseable quiet artifact -> committed fallback
+    assert(Bench.quietRefFromArtifacts(Seq(artifact("true", "[0.1]")))
+      === ((0.21, "fallback")))
+    assert(Bench.quietRefFromArtifacts(Seq.empty) === ((0.21, "fallback")))
+    // a quiet artifact can only LOWER the ref, never raise it past the
+    // fallback
+    assert(Bench.quietRefFromArtifacts(
+      Seq(artifact("false", "[0.9, 0.9, 0.9]")))._1 === 0.21)
+    // rolling window: only the most recent K quiet medians participate
+    // medians 0.01..0.08 ascending: the window keeps the LAST 5
+    // (0.04..0.08), so the min is 0.04 — the early 0.01 aged out
+    val many = (1 to 8).map(i => artifact("false", s"[0.0$i, 0.0$i, 0.0$i]"))
+    val (refMany, srcMany) = Bench.quietRefFromArtifacts(many, lastK = 5)
+    assert(refMany === 0.04)
+    assert(srcMany === "hist(5)")
+  }
+
+  test("re-anchored ref closes the fail-open gap: a 1.6x-loaded box probing UNDER the stale 0.21 ref now labels contended") {
+    // true quiet probe ~0.12 (r15 evidence); a box uniformly 1.6x
+    // loaded probes ~0.19 — under the stale 0.21 ref every trigger
+    // read quiet (the round-15 verdict's fail-open shape)...
+    val loaded = Seq(0.19, 0.20, 0.19)
+    assert(Bench.calibRatio(loaded, 0.21) <= 1.3)
+    assert(Bench.calibWorst(loaded, 0.21) <= 1.5)
+    // ...but against the history-derived 0.144 ref the uniform trigger
+    // fires (median 0.19 / 0.144 = 1.32 > 1.3)
+    val (ref, _) = Bench.quietRefFromArtifacts(
+      Seq(artifact("false", "[0.144, 0.1146, 0.1651]")))
+    assert(Bench.calibRatio(loaded, ref) > 1.3)
+    val quiet = Seq(("x1_q", Seq((1.0, 1.0), (1.0, 1.0)), Option.empty[String]))
+    val line = Bench.composeStdoutLine(quiet, "sf", 2, loaded, ref, "hist(1)")
+    assert(line.contains("\"contended\":true"), line)
+    assert(line.contains("\"calib_ref_src\":\"hist(1)\""), line)
+  }
+
+  test("ref-stale arm: probes far below the ref raise the loud marker without mislabeling a quiet run") {
+    val probes = Seq(0.08, 0.082, 0.079) // median 0.08 vs ref 0.144 = 0.56
+    assert(Bench.calibRefStale(probes, 0.144))
+    assert(!Bench.calibRefStale(Seq(0.12, 0.13, 0.12), 0.144))
+    val quiet = Seq(("x1_q", Seq((1.0, 1.0), (1.0, 1.0)), Option.empty[String]))
+    val line = Bench.composeStdoutLine(quiet, "sf", 2, probes, 0.144, "hist(1)")
+    assert(line.contains("\"calib_ref_stale\":true"), line)
+    assert(line.contains("\"contended\":false"), line) // stale != loaded
+    // not stale -> the key is absent (stdout budget)
+    val line2 = Bench.composeStdoutLine(quiet, "sf", 2,
+      Seq(0.14, 0.14, 0.14), 0.144, "hist(1)")
+    assert(!line2.contains("calib_ref_stale"), line2)
+  }
+
+  test("warm_runs is declared in the line (steady-state methodology is never hidden)") {
+    val quiet = Seq(("x1_q", Seq((1.0, 1.0), (1.0, 1.0)), Option.empty[String]))
+    val line = Bench.composeStdoutLine(quiet, "sf", 2, quietCalib,
+      0.21, "fallback", warmRuns = 1)
+    assert(line.contains("\"warm_runs\":1"), line)
+  }
+
   test("registry growth keeps headroom in the driver's correctness artifacts") {
     // the bench stdout tier guard above already fired once (r10, 185
     // queries); this is the same early-warning style for the OTHER two
@@ -159,13 +233,13 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("compact-string tier carries its format marker and every short id") {
     // drive a registry size that overflows the short-id JSON-map tiers
-    // but fits the compact string (the tier the real 146-query registry
-    // lands in at worst-case walls)
-    val names = (1 to 160).map(i => s"x${i}_synthetic_query_name")
+    // but fits the compact string (the round-16 provenance fields —
+    // calib_ref_src, warm_runs — moved the boundary from ~160 to ~150)
+    val names = (1 to 145).map(i => s"x${i}_synthetic_query_name")
     val line = Bench.composeStdoutLine(synth(names), "/root/testdata/sf0.1", 2, calib)
     assert(line.length <= Bench.StdoutBudget)
     assert(line.contains("\"queries_fmt\":\"id:sec\""), line.take(200))
-    assert(line.contains("x160:1000"), "compact tier lost a query entry")
+    assert(line.contains("x145:1000"), "compact tier lost a query entry")
   }
 
   test("250+ queries: slowest-first tier keeps the heavy walls, folds the rest, stays bounded") {

@@ -113,4 +113,40 @@ class DocsParitySpec extends AnyFunSuite {
         s"run scripts/sf1_evidence.py (or its targeted merge) for: " +
         s"${missing.toSeq.sorted.mkString(", ")}")
   }
+
+  test("skew receipt parity: every family query has an ok row (flat wall or documented refusal), receipt tracks the script") {
+    // receipts/skew_receipts.json is written by scripts/skew_receipts.py
+    // over the --skew corpus (viral fingerprint + fat stratum + hub user
+    // + round-16's duplicated-embedding flood). Gated like the sf1
+    // receipt: the script's FAMILIES block is the source of truth — a
+    // query named there with no receipt row means the receipt lagged
+    // the script; a receipt row with ok:false means a flood detonated
+    // (or an undocumented error) and was committed anyway.
+    val script = read("scripts/skew_receipts.py")
+    val famBlock = script.split("FAMILIES = \\{")(1).split("\\n\\}")(0)
+    val famQueries = """"((?:q|x)[0-9a-z]*_[a-z0-9_]+)"""".r
+      .findAllMatchIn(famBlock).map(_.group(1)).toSet
+    assert(famQueries.size >= 30, s"suspiciously small FAMILIES parse: $famQueries")
+    val unregistered = famQueries -- registered
+    assert(unregistered.isEmpty,
+      s"skew_receipts.py FAMILIES names unregistered queries: " +
+        s"${unregistered.toSeq.sorted.mkString(", ")}")
+    // round-16 widening: the ANN flood family must stay present
+    assert(famQueries.contains("x10_knn_lsh") &&
+      famQueries.contains("x57_semantic_dedup"),
+      "the ann_flood family left skew_receipts.py FAMILIES")
+
+    val receipts = read("receipts/skew_receipts.json")
+    val rowRe = """"((?:q|x)[0-9a-z]*_[a-z0-9_]+)": \{([^}]*)\}""".r
+    val rows = rowRe.findAllMatchIn(receipts)
+      .map(m => m.group(1) -> m.group(2)).toMap
+    val missingRows = famQueries -- rows.keySet
+    assert(missingRows.isEmpty,
+      s"family queries with no skew receipt row — re-run " +
+        s"scripts/skew_receipts.py: ${missingRows.toSeq.sorted.mkString(", ")}")
+    val notOk = rows.filter { case (_, body) => !body.contains("\"ok\": true") }
+    assert(notOk.isEmpty,
+      s"skew receipt rows committed NOT ok (flood detonated or " +
+        s"undocumented error): ${notOk.keys.toSeq.sorted.mkString(", ")}")
+  }
 }

@@ -222,11 +222,21 @@ class PlanAuditSpec extends SparkSpec {
     // vector re-joins, the cid-cid pair join, and the keep-min agg.
     val p = planOf("x57_semantic_dedup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert("Scan ExistingRDD".r.findAllIn(p).length === 3, p)
-    // pair join co-partitions both sides on cid (2) + keep-min agg on b
-    // + the final left join's assignment side on vec_id + output sort
-    // (the embs re-joins broadcast, adding no shuffle)
-    assert(shuffles(p) === 5, p)
+    // r16 identical-vector collapse: the checkpointed frames are the
+    // assignment (final left join), the family map (famDupMembers arm;
+    // its pairSide arms live inside the rep-verdict checkpoint), and
+    // the rep-level pair verdict REFERENCED TWICE (union arm + member
+    // lookup — the lazy checkpoint that keeps the cid-pair join, the
+    // most expensive stage, evaluated once; this count is that pin)
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 4, p)
+    // final left join both sides on vec_id + member-lookup join both
+    // sides on rep + the famDupMembers distinct + output sort: SIX, and
+    // every one of them carries two-long rows at dup-family
+    // cardinality — the corpus-sized embedding stream still never
+    // shuffles (embs re-joins broadcast; the cid-pair join is
+    // checkpoint-hidden and evaluated once)
+    assert(shuffles(p) === 6, p)
+    assert(!"Exchange [^\\n]*emb".r.findFirstIn(p).isDefined, p)
   }
 
   test("x58: canonical election is a combinable agg + join, never a fingerprint window") {
@@ -280,12 +290,13 @@ class PlanAuditSpec extends SparkSpec {
     // contain zero nested-loop joins — only checkpoint scans.
     val p = planOf("x62_semantic_dedup_mp")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert("Scan ExistingRDD".r.findAllIn(p).length === 3, p)
-    // membership⋈embs on vec_id (2) + pair join co-partitioned on cid
-    // (2) + keep-min agg on b + output sort; everything shuffled is
-    // (longs, one emb copy) — multi-probe's 2× membership costs exactly
-    // one exchange more than x57's single-probe five
-    assert(shuffles(p) === 6, p)
+    // r16 collapse, same checkpoint census as x57's pin: assignment +
+    // family map + the twice-referenced rep-verdict checkpoint
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 4, p)
+    // x57's six post-collapse slim exchanges + the primary/runner-up
+    // cell left join on vec_id; nothing corpus×centroid shuffles
+    assert(shuffles(p) <= 8, p)
+    assert(!"Exchange [^\\n]*emb".r.findFirstIn(p).isDefined, p)
   }
 
   test("x61: quantization is pure scan-side codegen — zero exchanges of any kind") {

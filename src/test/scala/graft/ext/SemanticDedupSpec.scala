@@ -79,26 +79,53 @@ class SemanticDedupSpec extends graft.SparkSpec {
       (3L, Some(2L), 0)))     // real near-dup still keys to 2
   }
 
-  test("hot-cluster guard refuses a pathological cluster loudly at plan build") {
-    // 10k vectors all assigned to ONE cluster — the Σ|c|² pairing would
-    // be 10^8 in-cluster pairs in a single task. With maxCluster below
-    // that membership the operator must refuse at plan build with a
-    // message that names the fix, not hang the task.
+  test("hot-cluster guard refuses a pathological DISTINCT-vector cluster loudly at plan build") {
+    // 10k pairwise-distinct vectors all assigned to ONE cluster — the
+    // Σ|c|² pairing would be 10^8 in-cluster pairs in a single task.
+    // With maxCluster below that membership the operator must refuse at
+    // plan build with a message that names the fix, not hang the task.
+    // (Distinct on purpose: identical vectors pre-collapse since r16
+    // and never count against the cap — next test.)
     val embs = Similarity.withNorm(
       spark.range(10000L).selectExpr("id AS vec_id",
-        "array(cast(id % 97 as double), 1.0d) AS emb"),
+        "array(cast(id as double), 1.0d) AS emb"),
       col("vec_id"), col("emb"))
     val assign = spark.range(10000L).selectExpr("id AS vec_id", "7L AS cid")
     val e = intercept[IllegalArgumentException] {
       Similarity.semanticDedupWithin(embs, assign, threshold = 0.9, maxCluster = 1000L)
     }
-    assert(e.getMessage.contains("10000 members"))
+    assert(e.getMessage.contains("10000 distinct members"))
     assert(e.getMessage.contains("stride"))
     // the named fix — more, smaller cells — takes the SAME corpus under
     // the same cap: 100-member clusters pass the guard and run
     val spread = spark.range(10000L).selectExpr("id AS vec_id", "id % 100 AS cid")
     assert(Similarity.semanticDedupWithin(embs, spread, threshold = 0.9999,
       maxCluster = 1000L).count() === 10000L)
+  }
+
+  test("identical-vector flood pre-collapses: 10k copies ride UNDER any cap, verdicts exact (the r16 skew find)") {
+    // 10k byte-identical vectors + one distinct smaller-id neighbor in
+    // the same cluster. The old form paid 10^8 in-cluster pairs under
+    // its 100k cap (the skew receipt's detonation); the collapsed form
+    // pairs ONE representative and expands the family verdict back.
+    val embs = Similarity.withNorm(
+      spark.range(10001L).selectExpr("id + 10 AS vec_id",
+        "CASE WHEN id = 0 THEN array(1.0d, 0.0d) ELSE array(0.8d, 0.6d) END AS emb"),
+      col("vec_id"), col("emb"))
+    val assign = spark.range(10001L).selectExpr("id + 10 AS vec_id", "7L AS cid")
+    // maxCluster = 3: only 2 distinct vectors exist, so the guard passes
+    val got = Similarity.semanticDedupWithin(embs, assign,
+        threshold = 0.9, maxCluster = 3L)
+      .select("vec_id", "dup_of", "keep_flag")
+      .as[(Long, Option[Long], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size === 10001)
+    // vec 10 (the distinct one, cos 0.8 to the family) survives;
+    // family rep 11 survives (0.8 < 0.9 to vec 10, no smaller dup);
+    // every other family member dups onto the rep
+    assert(got(10L) === ((None, 1)))
+    assert(got(11L) === ((None, 1)))
+    assert((12L to 10010L).forall(i => got(i) == ((Some(11L), 0))))
   }
 
   test("multi-probe catches the boundary-straddling pair single-probe misses") {
@@ -167,18 +194,33 @@ class SemanticDedupSpec extends graft.SparkSpec {
       (3L, Some(5L), None, Some(2L), 0)))
   }
 
-  test("multi-probe hot-cell guard refuses over the DOUBLED membership") {
-    // one centroid: every vector's single cell is 7 -> membership 10k
+  test("multi-probe hot-cell guard refuses over the DOUBLED membership (distinct vectors — identical ones collapse)") {
+    // one centroid: every vector's single cell is 7 -> membership 10k,
+    // pairwise-distinct so the r16 collapse cannot fold them
     val embs = Similarity.withNorm(
       spark.range(10000L).selectExpr("id AS vec_id",
-        "array(cast(id % 97 as double), 1.0d) AS emb"),
+        "array(cast(id as double), 1.0d) AS emb"),
       col("vec_id"), col("emb"))
     val cents = centsOf(7L -> Seq(1.0, 0.5))
     val e = intercept[IllegalArgumentException] {
       Similarity.semanticDedupAcross(embs, cents, threshold = 0.9, maxCluster = 1000L)
     }
-    assert(e.getMessage.contains("10000 members"))
+    assert(e.getMessage.contains("10000 distinct members"))
     assert(e.getMessage.contains("stride"))
+    // the identical-vector flood, by contrast, folds to one rep per
+    // cell and runs under ANY cap — multi-probe twin of the x57 pin
+    val flood = Similarity.withNorm(
+      spark.range(5000L).selectExpr("id AS vec_id",
+        "array(0.8d, 0.6d) AS emb"),
+      col("vec_id"), col("emb"))
+    val got = Similarity.semanticDedupAcross(flood, cents,
+        threshold = 0.9, maxCluster = 3L)
+      .select("vec_id", "dup_of", "keep_flag")
+      .as[(Long, Option[Long], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size === 5000)
+    assert(got(0L) === ((None, 1)))
+    assert((1L to 4999L).forall(i => got(i) == ((Some(0L), 0))))
   }
 
   test("full composition runs end-to-end and keeps exactly one row per input vector") {

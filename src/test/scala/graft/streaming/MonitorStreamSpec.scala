@@ -631,3 +631,102 @@ class CurationStreamSpec extends graft.SparkSpec {
     assert(got.find(_.is_canonical == 1).get.doc_id === 10001L)
   }
 }
+
+/** Pins [[ChunkDedupStream]] — the x259 streaming twin (14th): bounded
+  * min-set state per chunk hash, monotone dup flip with correction
+  * re-issue, and TOTAL batch parity: latest row per (h, doc) summed per
+  * doc reproduces [[graft.ext.Dedup.chunkDedup]] exactly. */
+class ChunkDedupStreamSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  // window=8 grid: hash 'aaaaaaaa' is cross-doc (d1, d2), 'bbbbbbbb'
+  // is cross-doc (d1, d4 — twice in d4), 'cccccccc'/'dddddddd' single
+  private def docs = Seq(
+    (1L, "aaaaaaaabbbbbbbb"),
+    (2L, "aaaaaaaacccccccc"),
+    (3L, "dddddddd"),
+    (4L, "bbbbbbbbbbbbbbbb")
+  ).toDF("doc_id", "text")
+
+  private def run(batches: Seq[Seq[ChunkCell]]): Seq[ChunkDupRow] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ChunkCell]
+    val q = ChunkDedupStream.verdicts(mem.toDS())
+      .writeStream.format("memory").queryName("chunk_rows")
+      .outputMode("append").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("chunk_rows").as[ChunkDupRow].collect().toSeq
+    spark.sql("DROP TABLE IF EXISTS chunk_rows")
+    got
+  }
+
+  /** Latest row per (h, doc) — the documented upsert — rolled per doc
+    * exactly as the batch op accounts. */
+  private def rollup(rows: Seq[ChunkDupRow]): Map[Long, (Long, Long, Long)] =
+    rows.zipWithIndex.groupBy(r => (r._1.h, r._1.doc_id))
+      .map { case (_, rs) => rs.maxBy(_._2)._1 }
+      .groupBy(_.doc_id).map { case (d, rs) =>
+        val n = rs.map(_.c).sum
+        val dup = rs.filter(_.is_dup == 1).map(_.c).sum
+        d -> ((n, dup, dup * 1000000L / n))
+      }
+
+  private def cells: Seq[ChunkCell] =
+    ChunkDedupStream.cellsFrom(docs, col("doc_id"), col("text"), window = 8)
+      .collect().toSeq.sortBy(c => (c.h, c.doc_id))
+
+  private def batchTruth: Map[Long, (Long, Long, Long)] =
+    graft.ext.Dedup.chunkDedup(docs, col("doc_id"), col("text"), window = 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (d, n, dup, ppm) => d -> ((n, dup, ppm)) }.toMap
+
+  test("verdicts: latest-per-(h,doc) rollup equals batch chunkDedup — any arrival order, any batch split") {
+    val truth = batchTruth
+    val cs = cells
+    val shuffled = new scala.util.Random(7).shuffle(cs)
+    for (order <- Seq(cs, cs.reverse, shuffled)) {
+      val got = rollup(run(Seq(order.take(2), order.slice(2, 4), order.drop(4))))
+      assert(got === truth, s"order ${order.map(c => (c.h.take(6), c.doc_id))}")
+    }
+  }
+
+  test("verdicts: the flip re-issues CORRECTION rows for docs that arrived before the hash went dup") {
+    val a = cells.filter(_.c == 1L).groupBy(_.h).values
+      .find(_.map(_.doc_id).toSet == Set(1L, 2L)).get // the 'aaaaaaaa' cells
+    val first = a.find(_.doc_id == 1L).get
+    val second = a.find(_.doc_id == 2L).get
+    val got = run(Seq(Seq(first), Seq(second)))
+    assert(got.map(r => (r.doc_id, r.is_dup, r.dup_changed)) ===
+      Seq((1L, 0, 0), (2L, 1, 1), (1L, 1, 1)))
+  }
+
+  test("verdicts: at-least-once replay is VALUE-identical (c carried, never accumulated); latest rollup unchanged") {
+    val cs = cells
+    val got = run(Seq(cs, cs)) // full redelivery
+    val (orig, replay) = got.splitAt(cs.size)
+    assert(replay.map(r => (r.h, r.doc_id, r.c, r.is_dup)).toSet ===
+      orig.map(r => (r.h, r.doc_id, r.c, r.is_dup)).toSet)
+    assert(replay.forall(_.dup_changed == 0)) // flip fires once, ever
+    assert(rollup(got) === batchTruth)
+  }
+
+  test("verdicts: a 10k-doc viral block stays linear in output and all rows read dup after the flip") {
+    val flood = (1L to 10000L).map(i => ChunkCell("hot", i, 1L))
+    val got = run(Seq(flood.take(1), flood.drop(1)))
+    assert(got.size === 10001) // 1 pre-flip + 9999 batch + 1 correction
+    assert(got.head.is_dup === 0)
+    assert(got.drop(1).forall(_.is_dup == 1))
+    assert(got.count(_.doc_id == 1L) === 2) // original + correction
+  }
+
+  test("verdicts: a partial re-count of a stored (hash, doc) cell refuses loudly (wire-contract violation)") {
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Seq(Seq(ChunkCell("a", 1L, 1L)), Seq(ChunkCell("a", 1L, 2L))))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("DIFFERENT")), msgs(ex).mkString("|"))
+  }
+}

@@ -813,9 +813,13 @@ object Dedup {
     val edges = p.select(col("a").as("u"), col("b").as("v"))
       .unionAll(p.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(false)
+    // lazy checkpoints throughout the loop (round-16 job-count audit):
+    // each round's convergence count is the first action and computes
+    // every partition, so lineage cuts exactly as before — minus two
+    // materialization jobs per round (x39/x64/x86/x158-family constant)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -830,6 +834,9 @@ object Dedup {
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        // relaxed stays EAGER: the pointer-doubling self-join reads it
+        // TWICE in one stage, and a lazy checkpoint's partitions racing
+        // to cache would compute the nbrMin join roughly twice
         .localCheckpoint(true)
       // Pointer-doubling shortcut: label := label(label). Labels only
       // ever decrease and every label VALUE is itself a node id present
@@ -847,7 +854,7 @@ object Dedup {
           Seq("label"), "left")
         .select(col("id"), col("old"),
           coalesce(col("hop2"), col("label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.where(col("label") =!= col("old")).count()
       // `next` is independently materialized, so the previous round's
       // checkpoint blocks are dead weight from here on — free them

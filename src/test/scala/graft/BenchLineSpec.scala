@@ -185,11 +185,12 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line2.contains("calib_ref_stale"), line2)
   }
 
-  test("warm_runs is declared in the line (steady-state methodology is never hidden)") {
+  test("warm_runs and the sort disposition are declared in the line (methodology is never hidden)") {
     val quiet = Seq(("x1_q", Seq((1.0, 1.0), (1.0, 1.0)), Option.empty[String]))
     val line = Bench.composeStdoutLine(quiet, "sf", 2, quietCalib,
-      0.21, "fallback", warmRuns = 1)
+      0.21, "fallback", warmRuns = 1, sortLabel = "stripped")
     assert(line.contains("\"warm_runs\":1"), line)
+    assert(line.contains("\"sort\":\"stripped\""), line)
   }
 
   test("registry growth keeps headroom in the driver's correctness artifacts") {

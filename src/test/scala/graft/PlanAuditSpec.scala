@@ -2326,4 +2326,22 @@ class PlanAuditSpec2 extends SparkSpec {
         .count(_.contains("Exchange hashpartitioning(cluster"))
       assert(clusterExchanges == 1, s"$clusterExchanges cluster exchanges:\n$p")
     }
+
+  test("stripTerminalSort: identical row SET, terminal Sort gone, inner sorts kept (the r16 bench disposition)") {
+    // three shapes: plain agg+sort (q3), window query whose INNER sort
+    // must survive (x22), join+sort (q12)
+    for (name <- Seq("q3_first_nonempty", "x22_window_family", "q12_revenue_join")) {
+      val orig = SparkEntry.queries(name)(spark, dir)
+      val stripped = org.apache.spark.sql.GraftSqlBridge.stripTerminalSort(orig)
+      // terminal global sort peeled
+      assert(!stripped.queryExecution.analyzed.getClass.getSimpleName.contains("Sort"),
+        name)
+      val a = orig.collect().map(_.toString).sorted.toSeq
+      val b = stripped.collect().map(_.toString).sorted.toSeq
+      assert(a === b, s"$name row set changed")
+    }
+    // a window's internal ordering is NOT a terminal sort: x22 still
+    // computes lag/lead over the right order after the peel (covered by
+    // the row-set identity above — lag values embed the order)
+  }
 }

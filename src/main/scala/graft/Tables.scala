@@ -24,15 +24,37 @@ object Tables {
     * footer schema resolution on EVERY call, a pure per-query constant
     * when 272 registered queries each re-resolve the same handful of
     * tables (the bench's ~0.5 s/query fixed-cost audit, round 16).
-    * Bounded: ≤ sessions × 10 tables. */
+    * Bounded: ≤ LIVE sessions × 10 tables — a session's entries are
+    * evicted when its context ends (advisor find, round 16: the
+    * unbounded map strongly retained stopped sessions and their
+    * analyzed plans for the JVM lifetime; weak keys don't work here
+    * because the cached DataFrame itself references its session).
+    *
+    * CONTRACT: the dataset directory is immutable for the session's
+    * lifetime — the cached plan pins the parquet file listing at first
+    * resolution, so regenerating a directory under a live session
+    * would serve a stale file list. The driver's testdata dirs are
+    * write-once; tests that rewrite a dir use a fresh path. */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (evictionHooked.add(spark)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          cache.keySet.removeIf(k => k._1 eq spark)
+          evictionHooked.remove(spark)
+        }
+      })
+    }
     cache.computeIfAbsent((spark, dir, name), { _ =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
     })
+  }
 
   /** Read a table, normalizing the given time columns to `TimestampType`:
     * nanos-longs become `timestamp_micros(n div 1000)`, NTZ timestamps are

@@ -52,26 +52,33 @@ object ConstantProbe {
       else (n, f)
     }
     selected.foreach { case (name, fn) =>
-      // two warm passes, then count the third, then floor over 3 more
-      (0 until 2).foreach { _ =>
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          println(s"PROBE $name ERR ${e.getMessage}"); return }
-      }
-      Thread.sleep(200) // let the async listener bus drain
-      jobs.set(0); stages.set(0); tasks.set(0)
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val counted = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(200)
-      val (j, st, tk) = (jobs.get, stages.get, tasks.get)
-      val floor = (0 until 3).map { _ =>
-        val t1 = System.nanoTime()
+      // whole query body in a Try: a `return` inside a foreach closure
+      // is a Scala NON-LOCAL return that would abort main entirely —
+      // skipping every remaining query and spark.stop() — instead of
+      // skipping to the next query as the ERR print implies (advisor
+      // find, round 16)
+      scala.util.Try {
+        // two warm passes, then count the third, then floor over 3 more
+        (0 until 2).foreach { _ =>
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+        Thread.sleep(200) // let the async listener bus drain
+        jobs.set(0); stages.set(0); tasks.set(0)
+        val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t1) / 1e9
-      }.min
-      println(f"PROBE $name%-28s floor=$floor%6.2fs one=$counted%6.2fs " +
-        f"jobs=$j%3d stages=$st%3d tasks=$tk%5d")
+        val counted = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200)
+        val (j, st, tk) = (jobs.get, stages.get, tasks.get)
+        val floor = (0 until 3).map { _ =>
+          val t1 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t1) / 1e9
+        }.min
+        println(f"PROBE $name%-28s floor=$floor%6.2fs one=$counted%6.2fs " +
+          f"jobs=$j%3d stages=$st%3d tasks=$tk%5d")
+      }.recover { case e: Throwable =>
+        println(s"PROBE $name ERR ${e.getMessage}")
+      }
       System.gc()
     }
     spark.stop()

@@ -7,7 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * and BENCH_r07). Drives `Bench.composeStdoutLine` — a pure function —
   * with worst-case synthetic data over the REAL registered query set,
   * so registry growth that would overflow the short-id tier fails HERE,
-  * in `sbt test`, not in the next round's driver capture. */
+  * in `sbt test`, not in the next round's driver capture. Also pins the
+  * contention label's BOTH failure shapes (round-17): a stale-high ref
+  * under uniform load must fire, and a thin single-artifact history on
+  * a verifiably idle box must NOT fire. */
 class BenchLineSpec extends AnyFunSuite {
 
   private val calib = Seq(9.9999, 9.9999, 9.9999)
@@ -29,6 +32,15 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("\"queries\":\"bench.json\""),
       s"registry (${names.size} queries) no longer fits any per-query " +
         s"tier — add a denser tier before the driver record degrades")
+  }
+
+  test("full registry in PARALLEL mode (qsum + pass_spread fields) still fits the budget") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val line = Bench.composeStdoutLine(synth(names), "/root/testdata/sf0.1", 2,
+      calib, Bench.CalibRef(), warmRuns = 1, sortLabel = "stripped",
+      parallel = 8, warmErrors = 0, suiteWalls = Seq(9999.99, 9999.99))
+    assert(line.length <= Bench.StdoutBudget, s"len=${line.length}")
+    assert(!line.contains("\"queries\":\"bench.json\""), line.take(300))
   }
 
   // a genuinely quiet box: probes at the committed ref, flat
@@ -118,79 +130,185 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.calibWorst(Seq(0.2473, 0.1076, 0.1008), 0.21) <= 1.5)
   }
 
-  // a synthetic quiet round artifact carrying the r15-shaped probes
-  // (median 0.144) — the driver wraps the JSON line in a file with an
-  // escaped "tail" copy; the parser must match either encoding
+  test("PARALLEL mode: pass-wall spread adjudicates, per-query spread does not, and the mode is declared") {
+    // per-query spread is noisy BY DESIGN under the pool: a 0.1 s query
+    // co-scheduled beside a 5 s query in pass 1 but not pass 2 spreads
+    // >3x on a perfectly quiet box — it must NOT fire in parallel mode
+    val coRunNoise = Seq(
+      ("x1_tiny", Seq((0.45, -1.0), (0.10, -1.0)), Option.empty[String]),
+      ("x2_big", Seq((5.0, -1.0), (5.1, -1.0)), Option.empty[String]))
+    val quietPasses = Seq(30.0, 31.5)
+    val line = Bench.composeStdoutLine(coRunNoise, "sf", 2, quietCalib,
+      Bench.CalibRef(), warmRuns = 1, sortLabel = "stripped",
+      parallel = 8, warmErrors = 0, suiteWalls = quietPasses)
+    assert(line.contains("\"contended\":false"), line)
+    assert(line.contains("\"contended_spread\":null"), line)
+    assert(line.contains("\"pass_spread\":1.05"), line)
+    assert(line.contains("\"parallel\":8"), line)
+    // headline value = min SUITE wall, with the per-query sum declared
+    // beside it (upper bound on the serial total; co-run walls overlap)
+    assert(line.contains("\"value\":30.0000"), line)
+    assert(line.contains("\"qsum\":5.1"), line)
+    // a non-first pass 1.3x the min pass wall = load arrived mid-run
+    val loadedPasses = Seq(30.0, 45.0)
+    assert(Bench.passSpread(loadedPasses) === 1.5)
+    val line2 = Bench.composeStdoutLine(coRunNoise, "sf", 2, quietCalib,
+      Bench.CalibRef(), warmRuns = 1, sortLabel = "stripped",
+      parallel = 8, warmErrors = 0, suiteWalls = loadedPasses)
+    assert(line2.contains("\"contended\":true"), line2)
+    // a slow FIRST pass is residual JIT debt, not contention (same
+    // directionality as the serial trigger)
+    assert(Bench.passSpread(Seq(45.0, 30.0)) === 1.0)
+    // single pass: spread unmeasurable -> null, calibration still labels
+    assert(Bench.passSpread(Seq(30.0)).isNaN)
+    val line3 = Bench.composeStdoutLine(coRunNoise, "sf", 1, quietCalib,
+      Bench.CalibRef(), warmRuns = 1, sortLabel = "stripped",
+      parallel = 8, warmErrors = 0, suiteWalls = Seq(30.0))
+    assert(line3.contains("\"contended\":false"), line3)
+    assert(line3.contains("\"pass_spread\":null"), line3)
+    // serial mode is unchanged: value = sum of per-query mins, no qsum
+    val serial = Bench.composeStdoutLine(coRunNoise, "sf", 2, quietCalib)
+    assert(serial.contains("\"parallel\":1"), serial)
+    assert(serial.contains("\"value\":5.1000"), serial)
+    assert(!serial.contains("qsum"), serial)
+  }
+
+  // a synthetic round artifact in the driver's wrapping (escaped "tail"
+  // copies don't match the parser's plain-quote regexes — only the
+  // parsed section does)
   private def artifact(contended: String, calib: String): String =
     s"""{"n": 272, "parsed": {"metric": "total", "contended": $contended,
        | "calibration": $calib, "value": 250.0}}""".stripMargin
 
-  test("quiet-ref re-anchor: rolling min over quiet-labeled artifact medians; loaded and unlabeled rounds never lower the bar") {
-    // r15-shaped quiet artifact (median 0.144) + a CONTENDED round with
-    // lower probes (must be ignored) + an old numeric-label round
-    // (pre-label format, must be ignored)
-    val arts = Seq(
-      artifact("0", "[0.213, 0.230, 0.200]"),          // old label: skip
+  test("quiet-ref re-anchor engages only at >=3 quiet medians; thin history falls back LOUDLY") {
+    // the round-16 regression, judge-measured: with ONE quiet artifact
+    // (r15, median 0.144) anchoring a 1.3x trigger, a verifiably idle
+    // box probing the historical 0.18-0.26 band self-labeled contended
+    // (ratio 1.33) — fail-closed is cry-wolf. One or two quiet medians
+    // must fall back to the committed ref and say so via `thin`.
+    val one = Seq(artifact("false", "[0.144, 0.1146, 0.1651]"))
+    val r1 = Bench.quietRefFromArtifacts(one)
+    assert(r1.ref === 0.21 && r1.src === "fallback" && r1.thin)
+    // the judge's actual idle-box probes against the thin-history ref:
+    // every trigger must read quiet
+    val idleProbes = Seq(0.181, 0.191, 0.256)
+    assert(Bench.calibRatio(idleProbes, r1.ref) <= 1.3 * r1.band)
+    assert(Bench.calibWorst(idleProbes, r1.ref) <= 1.5 * r1.band)
+    val quiet = Seq(("x1_q", Seq((1.0, 1.0), (1.0, 1.0)), Option.empty[String]))
+    val thinLine = Bench.composeStdoutLine(quiet, "sf", 2, idleProbes, r1)
+    assert(thinLine.contains("\"contended\":false"), thinLine)
+    assert(thinLine.contains("\"calib_ref_thin\":true"), thinLine)
+    // three quiet artifacts engage the history path: ref = min median,
+    // band = observed dispersion (max/min median)
+    val three = Seq(
+      artifact("0", "[0.213, 0.230, 0.200]"),          // old numeric label: skip
       artifact("true", "[0.05, 0.05, 0.05]"),          // loaded: skip
-      artifact("false", "[0.144, 0.1146, 0.1651]"))    // r15 quiet
-    val (ref, src) = Bench.quietRefFromArtifacts(arts)
-    assert(ref === 0.144)
-    assert(src === "hist(1)")
-    // no parseable quiet artifact -> committed fallback
-    assert(Bench.quietRefFromArtifacts(Seq(artifact("true", "[0.1]")))
-      === ((0.21, "fallback")))
-    assert(Bench.quietRefFromArtifacts(Seq.empty) === ((0.21, "fallback")))
-    // a quiet artifact can only LOWER the ref, never raise it past the
-    // fallback
-    assert(Bench.quietRefFromArtifacts(
-      Seq(artifact("false", "[0.9, 0.9, 0.9]")))._1 === 0.21)
+      artifact("false", "[0.144, 0.1146, 0.1651]"),    // r15 quiet (median 0.144)
+      artifact("false", "[0.21, 0.21, 0.21]"),         // r13-shaped quiet
+      artifact("false", "[0.19, 0.19, 0.19]"))         // idle-band quiet
+    val r3 = Bench.quietRefFromArtifacts(three)
+    assert(r3.ref === 0.144 && r3.src === "hist(3)" && !r3.thin)
+    assert(math.abs(r3.band - 0.21 / 0.144) < 1e-9)
+    // the idle box under the engaged history: median 0.191/0.144 = 1.33
+    // is INSIDE the widened band (1.3 x 1.458 = 1.9) -> quiet
+    val histLine = Bench.composeStdoutLine(quiet, "sf", 2, idleProbes, r3)
+    assert(histLine.contains("\"contended\":false"), histLine)
+    assert(histLine.contains("\"calib_band\":1.46"), histLine)
+    assert(!histLine.contains("calib_ref_thin"), histLine)
+    // ...while a genuinely loaded box (2.1x the ref, beyond the band's
+    // 1.9x allowance) still fires — the band widens, it doesn't blind
+    val loadedProbes = Seq(0.30, 0.31, 0.30)
+    val loadedLine = Bench.composeStdoutLine(quiet, "sf", 2, loadedProbes, r3)
+    assert(loadedLine.contains("\"contended\":true"), loadedLine)
+    // no parseable quiet artifact -> committed fallback, not thin
+    val r0 = Bench.quietRefFromArtifacts(Seq(artifact("true", "[0.1]")))
+    assert(r0.ref === 0.21 && r0.src === "fallback" && !r0.thin)
+    assert(Bench.quietRefFromArtifacts(Seq.empty).ref === 0.21)
+    // quiet artifacts can only LOWER the ref, never raise it past the
+    // fallback; the band is capped at 3 so one slow-but-quiet round
+    // can't widen the trigger into uselessness
+    val high = Seq.fill(3)(artifact("false", "[0.9, 0.9, 0.9]"))
+    val rh = Bench.quietRefFromArtifacts(high)
+    assert(rh.ref === 0.21 && rh.band === 3.0)
     // rolling window: only the most recent K quiet medians participate
     // medians 0.01..0.08 ascending: the window keeps the LAST 5
     // (0.04..0.08), so the min is 0.04 — the early 0.01 aged out
     val many = (1 to 8).map(i => artifact("false", s"[0.0$i, 0.0$i, 0.0$i]"))
-    val (refMany, srcMany) = Bench.quietRefFromArtifacts(many, lastK = 5)
-    assert(refMany === 0.04)
-    assert(srcMany === "hist(5)")
+    val rMany = Bench.quietRefFromArtifacts(many, lastK = 5)
+    assert(rMany.ref === 0.04 && rMany.src === "hist(5)")
   }
 
-  test("re-anchored ref closes the fail-open gap: a 1.6x-loaded box probing UNDER the stale 0.21 ref now labels contended") {
-    // true quiet probe ~0.12 (r15 evidence); a box uniformly 1.6x
-    // loaded probes ~0.19 — under the stale 0.21 ref every trigger
-    // read quiet (the round-15 verdict's fail-open shape)...
-    val loaded = Seq(0.19, 0.20, 0.19)
+  test("re-anchored ref still closes the round-15 fail-open gap once history is thick enough") {
+    // true quiet probes ~0.12-0.14 (three committed quiet rounds); a box
+    // uniformly ~1.8x loaded probes ~0.25 — under the stale 0.21
+    // fallback every trigger read quiet (the round-15 verdict's shape)...
+    val loaded = Seq(0.25, 0.26, 0.25)
     assert(Bench.calibRatio(loaded, 0.21) <= 1.3)
     assert(Bench.calibWorst(loaded, 0.21) <= 1.5)
-    // ...but against the history-derived 0.144 ref the uniform trigger
-    // fires (median 0.19 / 0.144 = 1.32 > 1.3)
-    val (ref, _) = Bench.quietRefFromArtifacts(
-      Seq(artifact("false", "[0.144, 0.1146, 0.1651]")))
-    assert(Bench.calibRatio(loaded, ref) > 1.3)
+    // ...but against a 3-artifact history (ref 0.12, band 0.144/0.12 =
+    // 1.2 -> threshold 1.56) the uniform trigger fires (0.25/0.12 = 2.08)
+    val hist = Bench.quietRefFromArtifacts(Seq(
+      artifact("false", "[0.12, 0.12, 0.12]"),
+      artifact("false", "[0.13, 0.13, 0.13]"),
+      artifact("false", "[0.144, 0.144, 0.144]")))
+    assert(hist.ref === 0.12 && hist.src === "hist(3)")
+    assert(Bench.calibRatio(loaded, hist.ref) > 1.3 * hist.band)
     val quiet = Seq(("x1_q", Seq((1.0, 1.0), (1.0, 1.0)), Option.empty[String]))
-    val line = Bench.composeStdoutLine(quiet, "sf", 2, loaded, ref, "hist(1)")
+    val line = Bench.composeStdoutLine(quiet, "sf", 2, loaded, hist)
     assert(line.contains("\"contended\":true"), line)
-    assert(line.contains("\"calib_ref_src\":\"hist(1)\""), line)
+    assert(line.contains("\"calib_ref_src\":\"hist(3)\""), line)
   }
 
-  test("ref-stale arm: probes far below the ref raise the loud marker without mislabeling a quiet run") {
+  test("stale-LOW arm (ref-raise path): >=3 trailing contended artifacts raise the loud marker") {
+    // a label that fires every round has stopped adjudicating — the
+    // advisor's one-way-ratchet find: contended rounds never refill the
+    // quiet history, so a ratcheted-low ref locks in forever unless the
+    // artifact itself says "ref possibly stale-low"
+    val arts = Seq(
+      artifact("false", "[0.12, 0.12, 0.12]"),
+      artifact("false", "[0.13, 0.13, 0.13]"),
+      artifact("false", "[0.14, 0.14, 0.14]"),
+      artifact("true", "[0.2, 0.2, 0.2]"),
+      artifact("true", "[0.21, 0.21, 0.21]"),
+      artifact("true", "[0.19, 0.19, 0.19]"))
+    val r = Bench.quietRefFromArtifacts(arts)
+    assert(r.staleLow)
+    val quiet = Seq(("x1_q", Seq((1.0, 1.0), (1.0, 1.0)), Option.empty[String]))
+    val line = Bench.composeStdoutLine(quiet, "sf", 2, Seq(0.12, 0.12, 0.12), r)
+    assert(line.contains("\"calib_ref_stale_low\":true"), line)
+    // a quiet round anywhere in the trailing window clears the streak
+    val cleared = arts :+ artifact("false", "[0.12, 0.12, 0.12]")
+    assert(!Bench.quietRefFromArtifacts(cleared).staleLow)
+    // two trailing contended rounds are normal life, not a stale ref
+    assert(!Bench.quietRefFromArtifacts(arts.take(5)).staleLow)
+  }
+
+  test("ref-stale-HIGH arm: probes far below the ref raise the loud marker without mislabeling a quiet run") {
     val probes = Seq(0.08, 0.082, 0.079) // median 0.08 vs ref 0.144 = 0.56
     assert(Bench.calibRefStale(probes, 0.144))
     assert(!Bench.calibRefStale(Seq(0.12, 0.13, 0.12), 0.144))
     val quiet = Seq(("x1_q", Seq((1.0, 1.0), (1.0, 1.0)), Option.empty[String]))
-    val line = Bench.composeStdoutLine(quiet, "sf", 2, probes, 0.144, "hist(1)")
+    val ref = Bench.CalibRef(0.144, 1.0, "hist(3)")
+    val line = Bench.composeStdoutLine(quiet, "sf", 2, probes, ref)
     assert(line.contains("\"calib_ref_stale\":true"), line)
     assert(line.contains("\"contended\":false"), line) // stale != loaded
     // not stale -> the key is absent (stdout budget)
     val line2 = Bench.composeStdoutLine(quiet, "sf", 2,
-      Seq(0.14, 0.14, 0.14), 0.144, "hist(1)")
+      Seq(0.14, 0.14, 0.14), ref)
     assert(!line2.contains("calib_ref_stale"), line2)
   }
 
-  test("warm_runs and the sort disposition are declared in the line (methodology is never hidden)") {
+  test("warm_runs, warm_errors, sort and parallel are declared in the line (methodology is never hidden)") {
     val quiet = Seq(("x1_q", Seq((1.0, 1.0), (1.0, 1.0)), Option.empty[String]))
     val line = Bench.composeStdoutLine(quiet, "sf", 2, quietCalib,
-      0.21, "fallback", warmRuns = 1, sortLabel = "stripped")
+      Bench.CalibRef(), warmRuns = 1, sortLabel = "stripped",
+      parallel = 1, warmErrors = 2)
     assert(line.contains("\"warm_runs\":1"), line)
     assert(line.contains("\"sort\":\"stripped\""), line)
+    // a query whose warm pass silently died cannot present a half-cold
+    // timed run as steady state — the count is in the artifact
+    assert(line.contains("\"warm_errors\":2"), line)
+    assert(line.contains("\"parallel\":1"), line)
   }
 
   test("registry growth keeps headroom in the driver's correctness artifacts") {
@@ -234,13 +352,13 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("compact-string tier carries its format marker and every short id") {
     // drive a registry size that overflows the short-id JSON-map tiers
-    // but fits the compact string (the round-16 provenance fields —
-    // calib_ref_src, warm_runs — moved the boundary from ~160 to ~150)
-    val names = (1 to 145).map(i => s"x${i}_synthetic_query_name")
+    // but fits the compact string (the round-17 provenance fields —
+    // warm_errors, parallel — moved the boundary from ~150 to ~140)
+    val names = (1 to 138).map(i => s"x${i}_synthetic_query_name")
     val line = Bench.composeStdoutLine(synth(names), "/root/testdata/sf0.1", 2, calib)
     assert(line.length <= Bench.StdoutBudget)
     assert(line.contains("\"queries_fmt\":\"id:sec\""), line.take(200))
-    assert(line.contains("x145:1000"), "compact tier lost a query entry")
+    assert(line.contains("x138:1000"), "compact tier lost a query entry")
   }
 
   test("250+ queries: slowest-first tier keeps the heavy walls, folds the rest, stays bounded") {

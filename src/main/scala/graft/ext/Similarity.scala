@@ -431,7 +431,8 @@ object Similarity {
     // oracle expresses the same rule as a NOT isnan filter.
     val m = asg.join(embs, Seq("vec_id"))
     val (pairSide, famDupMembers) =
-      identicalCollapse(m.where(col("norm") > 0), threshold)
+      identicalCollapse(m.where(col("norm") > 0),
+        embs.where(col("norm") > 0), threshold)
     // hot-cluster guard (same loud-refusal contract as nearDupPairs):
     // pairing is Σ|c|² work over the COLLAPSED side, so the guard
     // counts distinct-vector representatives — an identical-embedding
@@ -482,8 +483,41 @@ object Similarity {
     * over flood-proofing in that pathological corner.
     * Returns (pairSide, famDupMembers): the collapsed pairing side and
     * the (vec_id, rep) rows of collapsed non-representatives. */
-  private def identicalCollapse(nzm: DataFrame, threshold: Double)
-      : (DataFrame, DataFrame) = {
+  private def identicalCollapse(nzm: DataFrame, corpus: DataFrame,
+      threshold: Double): (DataFrame, DataFrame) = {
+    // EXISTENCE PROBE (round 17 — the collapse's toy-scale premium,
+    // x57/x62 ~+1-1.7 s at sf0.1): when every vector in the corpus is
+    // distinct — the common case outside flood corpora — the collapse
+    // machinery below (full-vector groupBy exchange + famMap join +
+    // lazy checkpoint + the expansion arm) buys nothing. One NARROW
+    // aggregation (a 64-bit vector hash; map-side combine folds floods
+    // before the exchange) over the PRE-ASSIGNMENT corpus asks whether
+    // any exact-duplicate vector exists at all — no corpus-wide dup ⇒
+    // no (cell, vector) family anywhere, regardless of assignment.
+    // Hash collisions only FALSE-POSITIVE the probe (two distinct
+    // vectors colliding just takes the exact slow path), never
+    // false-negative — identical vectors hash identically — so the
+    // fast path is taken only when provably nothing would collapse.
+    // Probing the corpus (not the assigned membership) keeps the
+    // probe's lineage checkpoint-free, so the answer is a memoizable
+    // data property of the immutable input ([[CorpusProps]]) — the job
+    // runs once per (session, corpus), not once per plan build.
+    // The empty members frame is a literal Filter(false): Catalyst's
+    // PropagateEmptyRelation folds [[expandFamilyDups]]'s join and
+    // union out of the optimized plan entirely.
+    val anyFamily = CorpusProps.memo(corpus, "hasDupVectors") {
+      !corpus
+        .groupBy(xxhash64(col("emb")).as("h"))
+        .agg(count(lit(1)).as("fam_n"))
+        .where(col("fam_n") > 1)
+        .isEmpty
+    }
+    if (!anyFamily) {
+      val pairSide = nzm.select(col("vec_id"), col("cid"), col("emb"), col("norm"))
+      val noMembers = nzm.select(col("vec_id"), col("vec_id").as("rep"))
+        .where(lit(false))
+      return (pairSide, noMembers)
+    }
     val fam = nzm.groupBy(col("cid"), col("emb"), col("norm"))
       .agg(min(col("vec_id")).as("rep"))
       .withColumn("fam_sim",
@@ -580,7 +614,7 @@ object Similarity {
     // identical vectors share both probed cells, so the per-(cell,
     // vector) family collapse is consistent across probes and the 80k
     // identical-embedding flood folds to one representative per cell
-    val (pairSide, famDupMembers) = identicalCollapse(m, threshold)
+    val (pairSide, famDupMembers) = identicalCollapse(m, nz, threshold)
     // hot-cell guard, counted over the COLLAPSED exploded membership
     // (multi-probe doubles it): same loud-refusal contract as
     // semanticDedupWithin — only genuinely distinct vectors can
@@ -678,9 +712,14 @@ object Similarity {
     * rows), while a fixed cell count keeps it N·cells. One count() job
     * at plan build (same contract as ivfPqSearch's dim lookup); the
     * oracle expresses the identical rule as a scalar subquery
-    * (`vec_id % greatest(count(*) // cells, 1)`). */
-  def strideForCells(embs: DataFrame, cells: Int): Int =
-    math.max(1L, embs.count() / cells).toInt
+    * (`vec_id % greatest(count(*) // cells, 1)`). The count is a data
+    * property of an immutable input, memoized via [[CorpusProps]]
+    * (round 17): every IVF-family query paid this job on every warm
+    * and timed run — a pure per-query constant. */
+  def strideForCells(embs: DataFrame, cells: Int): Int = {
+    val n = CorpusProps.memo(embs, "count")(embs.count())
+    math.max(1L, n / cells).toInt
+  }
 
   /** Rounded cosine of every (vector, centroid) pair — centroids are
     * broadcast, the corpus streams.

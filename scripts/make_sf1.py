@@ -45,6 +45,17 @@ every family against the same data:
   brute top-k over bucketed candidates) must ride flat or refuse
   loudly; 80k exceeds the 2^16 hot-bucket caps the banded ANN paths
   carry, mirroring the document flood's design.
+- GRAPH HUB (round 17): the graph family (x64/x73/x86/x148/x195/x232)
+  builds its co-shingle graph over documents with doc_id < 1500 and a
+  shingle-df cap of 64, so the high-id viral flood never reaches it —
+  the skew receipt was measuring those ops on an UNSKEWED graph. One
+  mid-range hub doc (id 748) now shares a distinct under-the-cap
+  trigram (df=2) with each of 300 spoke docs (doc_id % 5 == 2, i.e.
+  20% of the graph's nodes), creating a degree-300 power-law hub: the
+  wedge volume at the hub is deg² = 90k, which the Σdeg²-priced ops
+  (x148's strategy pin, x73's wedge enumeration) must ride flat, while
+  a viral ACROSS-many-docs shingle would instead trip the df-64 cap —
+  both arms of the design are exercised.
 """
 import os
 import sys
@@ -57,6 +68,7 @@ SKEW_HUB_EVENTS = 100_000
 SKEW_FLOOD_EMBS = 80_000
 SKEW_VIRAL_TEXT = ("the viral copypasta spreads again tonight friends "
                    "share it forward before the mods can ever catch up")
+SKEW_GRAPH_HUB_DOC = 748  # mid-range, NOT a spoke (748 % 5 == 3)
 
 
 def main(src, dst, skew=False):
@@ -132,19 +144,41 @@ def main(src, dst, skew=False):
     viral_docs = f"""
         UNION ALL
         SELECT {10 * d_s} + i AS doc_id, '{SKEW_VIRAL_TEXT}' AS text,
-               'en' AS lang, 'src0' AS source,
-               CAST(length('{SKEW_VIRAL_TEXT}') AS BIGINT) AS n_chars
+               'en' AS lang, 'src0' AS source
         FROM (SELECT unnest(range({SKEW_FLOOD_DOCS})) AS i)""" if skew else ""
-    emit("documents", f"""
-        SELECT doc_id + cp * {d_s} AS doc_id,
+    # graph hub overlay (--skew): hub doc 748 carries one private
+    # trigram per spoke (' gs<s>a gs<s>b gs<s>c'); each spoke doc
+    # (doc_id % 5 == 2, < 1500) carries its own copy — every such
+    # trigram has df exactly 2 (under the co-shingle graph's df-64
+    # cap), so 300 hub edges materialize instead of being dropped.
+    # Boundary trigrams straddling two spokes' tokens are unique
+    # (df=1) and edge-free. cp>0 copies shift past doc_id 1500 and
+    # never enter the graph.
+    if skew:
+        doc_text = f"""
+               CASE WHEN cp = 0 AND doc_id = {SKEW_GRAPH_HUB_DOC}
+                    THEN text || (SELECT string_agg(' gs' || s || 'a gs' || s
+                                    || 'b gs' || s || 'c', '' ORDER BY s)
+                                  FROM (SELECT unnest(range(2, 1500, 5)) AS s))
+                    WHEN cp = 0 AND doc_id < 1500 AND doc_id % 5 = 2
+                    THEN text || ' gs' || doc_id || 'a gs' || doc_id
+                         || 'b gs' || doc_id || 'c'
+                    WHEN cp = 0 THEN text
+                    ELSE regexp_replace(text, '(\\S+)', '\\1_c' || cp, 'g')
+               END"""
+    else:
+        doc_text = """
                CASE WHEN cp = 0 THEN text
                     ELSE regexp_replace(text, '(\\S+)', '\\1_c' || cp, 'g')
-               END AS text,
-               lang, source,
-               CAST(length(CASE WHEN cp = 0 THEN text
-                    ELSE regexp_replace(text, '(\\S+)', '\\1_c' || cp, 'g')
-               END) AS BIGINT) AS n_chars
-        FROM '{src}/documents.parquet', cp{viral_docs}""")
+               END"""
+    emit("documents", f"""
+        SELECT doc_id, text, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM (
+          SELECT doc_id + cp * {d_s} AS doc_id,
+                 {doc_text} AS text,
+                 lang, source
+          FROM '{src}/documents.parquet', cp{viral_docs})""")
     flood_embs = f"""
         UNION ALL
         SELECT {10 * v_s} + i AS vec_id,

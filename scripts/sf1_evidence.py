@@ -94,6 +94,11 @@ def main():
     bres = sbt_run("graft.Bench",
                    {"SPARK_GRAFT_SF_DIR": args.sf1_dir,
                     "SPARK_GRAFT_RUNS": "1",
+                    # SERIAL: sf1 walls are the per-query plan-audit
+                    # surface and the skew receipt's comparison base —
+                    # the round-17 FAIR-pool default would fold co-run
+                    # interference into every wall
+                    "SPARK_GRAFT_PARALLEL": "1",
                     "SPARK_GRAFT_QUERIES": ",".join(bench_set)},
                    capture=True)
     with open("bench.json") as f:

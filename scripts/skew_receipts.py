@@ -43,7 +43,14 @@ FAMILIES = {
         "x98_quantile_norm", "x103_length_quantiles", "x249_dist_match",
         "x253_pad_waste",
     ],
-    "graph": ["x64_pagerank", "x73_triangles", "x86_kcore"],
+    # round 17: the full graph family — the co-shingle graph reads
+    # doc_id < 1500 with a df-64 shingle cap, so the high-id viral
+    # flood never reached it; make_sf1.py --skew now plants a
+    # degree-300 power-law hub (doc 748 + 300 spokes, each edge via a
+    # private df=2 trigram under the cap) that the wedge-volume-priced
+    # ops must ride flat
+    "graph": ["x64_pagerank", "x73_triangles", "x86_kcore",
+              "x148_link_pred", "x195_ppr", "x232_hits"],
     "hub_user": [
         "x40_sessionize", "x52_funnel", "x123_funnel_timing", "x227_streaks",
     ],
@@ -116,6 +123,11 @@ def main():
     env = dict(os.environ)
     env.update({"SPARK_GRAFT_SF_DIR": args.skew_dir,
                 "SPARK_GRAFT_RUNS": "1",
+                # SERIAL: the flat-or-refuse bound compares each wall
+                # against its (serially measured) sf1 wall — the round-17
+                # FAIR-pool default would fold co-run interference into
+                # the numerator and break the per-query comparability
+                "SPARK_GRAFT_PARALLEL": "1",
                 "SPARK_GRAFT_QUERIES": ",".join(queries)})
     print(f"[skew] benching {len(queries)} queries on {args.skew_dir}",
           flush=True)
@@ -158,6 +170,10 @@ def main():
             "viral_fingerprint_docs": 210000,
             "fat_stratum": "src0 (the flood's source)",
             "hub_user_events": 100000,
+            "graph_hub": ("doc 748 shares a private df=2 trigram with each "
+                          "of 300 spoke docs (doc_id %% 5 == 2, < 1500): a "
+                          "degree-300 hub inside the co-shingle graph's id "
+                          "range, under its df-64 cap"),
             "doc_multiplier_vs_sf1": MULT["dedup_flood"],
             "event_multiplier_vs_sf1": MULT["hub_user"],
         },

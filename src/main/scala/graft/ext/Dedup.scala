@@ -208,10 +208,15 @@ object Dedup {
     * bounded by doc length. Only (doc_id, pos, 8-byte hash) rows ever
     * shuffle; nothing is quadratic in corpus size. */
   def duplicateSpans(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
-    val occ = df
+    // fused shingle→hash expression: 8 bytes/shingle at the explode
+    // boundary instead of the ~30-char shingle string hashed row-by-row;
+    // the scan is spread to cluster width first (Spread: the per-word
+    // explode multiplies rows ~100×, and an under-split corpus file
+    // would run it on 1-2 cores)
+    val occ = Spread.toClusterWidth(df)
       .select(id.as("doc_id"),
-        posexplode(graft.functions.WordShingles.word_shingles_pos(text, n)))
-      .select(col("doc_id"), col("pos"), md5Hash60(col("col")).as("h"))
+        posexplode(graft.functions.WordShingles.word_shingle_hashes_pos(text, n)))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
     val firsts = occ.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("keep"),
         count(lit(1)).as("n_occ"))
@@ -259,12 +264,15 @@ object Dedup {
     * in corpus size throughout. */
   def boilerplateCoverage(df: DataFrame, id: Column, text: Column, n: Int,
       minDf: Long): DataFrame = {
-    val occ = df
+    // fused shingle→hash expression (see duplicateSpans): the corpus's
+    // shingle strings never leave the generating expression; scan
+    // spread to cluster width before the row-multiplying explode
+    val occ = Spread.toClusterWidth(df)
       .select(id.as("doc_id"),
         size(split(trim(text), "\\s+")).cast("long").as("n_words"),
-        posexplode(graft.functions.WordShingles.word_shingles_pos(text, n)))
+        posexplode(graft.functions.WordShingles.word_shingle_hashes_pos(text, n)))
       .select(col("doc_id"), col("n_words"), col("pos").cast("long").as("pos"),
-        md5Hash60(col("col")).as("h"))
+        col("col").as("h"))
       // consumed twice (df count + join-back): materialize the slim
       // (id, nw, pos, hash) rows once instead of re-hashing the corpus
       .localCheckpoint(false)

@@ -38,10 +38,21 @@ object Md5Hash60 {
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  def hash(s: UTF8String): Long = {
+  def hash(s: UTF8String): Long = fromDigest(digest(s.getBytes))
+
+  /** Same hash from a JVM String — `String.getBytes(UTF_8)` produces the
+    * identical byte sequence as `UTF8String.fromString(s).getBytes`, so
+    * [[WordShingleHashes]] can digest without a UTF8String round-trip. */
+  def hashString(s: String): Long =
+    fromDigest(digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  private def digest(bytes: Array[Byte]): Array[Byte] = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(s.getBytes)
+    md.digest(bytes)
+  }
+
+  private def fromDigest(d: Array[Byte]): Long = {
     val top64 =
       ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
       ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |

@@ -60,10 +60,15 @@ object Multimodal {
   }
 
   /** Build a media table from the documents corpus (UTF-8 payloads) —
-    * exercises the binary-column plumbing on driver testdata. */
+    * exercises the binary-column plumbing on driver testdata. The scan
+    * is spread to cluster width first ([[Spread]], round 17): every
+    * downstream fingerprint pipeline does heavy per-row work (60+ hex
+    * cell extractions per frame/window) and the sf1 documents file is
+    * 1-2 row groups — the whole multimodal family (x243/x250/x256/
+    * x257) ran at ~1.6 cores before the spread. */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(
+    Spread.toClusterWidth(docs).select(
         col("doc_id").as("media_id"),
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio")

@@ -596,7 +596,17 @@ object Bench {
     // — it would false-fire the drift trigger), while SUSTAINED external
     // load inflates both, which is exactly what the label must catch
     def calibrate(): Double = math.min(calibrateOnce(), calibrateOnce())
-    calibrateOnce() // warm the probe's codegen path
+    // warm the probe's codegen path TWICE and drain accumulated
+    // warmup garbage before the first certified sample: the start
+    // probe runs seconds after JVM spin-up, where C2 compilation of
+    // the whole codegen stack is still in flight — single-warmed start
+    // probes read 0.23-0.44 s on a verifiably idle box (round 17,
+    // three runs) while mid/end probes read 0.08-0.16 s, repeatedly
+    // tripping the worst-probe trigger on pure JIT depth. The trigger
+    // exists for external load; the probe must not measure the JVM's
+    // own adolescence.
+    calibrateOnce(); calibrateOnce()
+    System.gc()
     val calib = scala.collection.mutable.ArrayBuffer[Double]()
     calib += calibrate()
 

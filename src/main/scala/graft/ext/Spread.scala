@@ -15,7 +15,19 @@ import org.apache.spark.sql.DataFrame
   * full-width. At 100 TB scans arrive pre-partitioned and this is a
   * no-op — the guard only triggers on under-split inputs. */
 object Spread {
+  /** Below this input size the spread is a net LOSS: the exchange plus
+    * 32 downstream task launches cost more than finishing the k×N work
+    * on the scan's own 1-2 cores (measured round 17: gating the spread
+    * off at sf0.1 — 0.6 MB documents — returned the multimodal family's
+    * in-pool walls from 12-15 s to 4-6 s, while the sf1 corpus — 6 MB
+    * compressed, ~100 MB of explode output — keeps its 4-7× spread
+    * wins). Compressed plan-stats bytes, so the threshold is a property
+    * of the SCAN, not the blow-up factor. */
+  private val MinSpreadBytes = 2L * 1000 * 1000
+
   def toClusterWidth(df: DataFrame): DataFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < MinSpreadBytes) return df
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }

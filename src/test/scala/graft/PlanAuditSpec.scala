@@ -222,21 +222,44 @@ class PlanAuditSpec extends SparkSpec {
     // vector re-joins, the cid-cid pair join, and the keep-min agg.
     val p = planOf("x57_semantic_dedup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // r16 identical-vector collapse: the checkpointed frames are the
-    // assignment (final left join), the family map (famDupMembers arm;
-    // its pairSide arms live inside the rep-verdict checkpoint), and
-    // the rep-level pair verdict REFERENCED TWICE (union arm + member
-    // lookup — the lazy checkpoint that keeps the cid-pair join, the
-    // most expensive stage, evaluated once; this count is that pin)
-    assert("Scan ExistingRDD".r.findAllIn(p).length === 4, p)
-    // final left join both sides on vec_id + member-lookup join both
-    // sides on rep + the famDupMembers distinct + output sort: SIX, and
-    // every one of them carries two-long rows at dup-family
-    // cardinality — the corpus-sized embedding stream still never
-    // shuffles (embs re-joins broadcast; the cid-pair join is
-    // checkpoint-hidden and evaluated once)
-    assert(shuffles(p) === 6, p)
+    // r17 FAST PATH (the audit corpus has no duplicate vectors, so the
+    // memoized existence probe skips the collapse): the checkpointed
+    // frames are the assignment (final left join) and the rep-level
+    // pair verdict — the famMap checkpoint and the expansion arm's
+    // join+union are FOLDED OUT of the plan entirely
+    // (PropagateEmptyRelation on the literal-empty members frame);
+    // the slow-path census lives in the dup-corpus pin below
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 2, p)
+    // final left join both sides on vec_id + the keep-min agg + output
+    // sort — all two-long rows; the corpus-sized embedding stream
+    // still never shuffles (embs re-joins broadcast; the cid-pair join
+    // is checkpoint-hidden and evaluated once)
+    assert(shuffles(p) <= 6, p)
     assert(!"Exchange [^\\n]*emb".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("x57 slow path: a duplicate-vector corpus engages the collapse; the expansion arms are real") {
+    // the same operator on a corpus WITH identical vectors must take
+    // the exact slow path: famMap + twice-referenced rep-verdict
+    // checkpoints (the r16 census), and still zero nested-loop joins
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(1.0, 0.0)),
+      (4L, Seq(0.0, 1.0)), (5L, Seq(0.6, 0.8))
+    ).toDF("vec_id", "emb")
+      .withColumn("norm", org.apache.spark.sql.functions.sqrt(
+        org.apache.spark.sql.functions.aggregate(col("emb"),
+          lit(0.0), (a, x) => a + x * x)))
+    val assign = embs.select(col("vec_id"), lit(0L).as("cid"))
+    val out = graft.ext.Similarity.semanticDedupWithin(embs, assign, 0.95)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // assignment + famMap + rep-verdict referenced twice = 4
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 4, p)
+    // and the verdicts themselves: 1,2,3 are an identical family
+    val rows = out.orderBy("vec_id").collect()
+    assert(rows.map(r => Option(r.get(2)).map(_.toString).orNull).toSeq ===
+      Seq(null, "1", "1", null, null))
   }
 
   test("x58: canonical election is a combinable agg + join, never a fingerprint window") {
@@ -290,11 +313,12 @@ class PlanAuditSpec extends SparkSpec {
     // contain zero nested-loop joins — only checkpoint scans.
     val p = planOf("x62_semantic_dedup_mp")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // r16 collapse, same checkpoint census as x57's pin: assignment +
-    // family map + the twice-referenced rep-verdict checkpoint
-    assert("Scan ExistingRDD".r.findAllIn(p).length === 4, p)
-    // x57's six post-collapse slim exchanges + the primary/runner-up
-    // cell left join on vec_id; nothing corpus×centroid shuffles
+    // r17 fast path (no duplicate vectors in the audit corpus — see
+    // x57's pin): assignment + rep-verdict checkpoints only; the
+    // collapse machinery folds out of the plan
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 2, p)
+    // the post-collapse slim exchanges + the primary/runner-up cell
+    // left join on vec_id; nothing corpus×centroid shuffles
     assert(shuffles(p) <= 8, p)
     assert(!"Exchange [^\\n]*emb".r.findFirstIn(p).isDefined, p)
   }

@@ -320,7 +320,10 @@ object Dedup {
     * counts. Output: `(doc_id, n_shingles, n_novel, novelty_ratio)`
     * with the ratio a single integer-ratio IEEE division. */
   def noveltyScores(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
-    val sh = df.select(id.as("doc_id"), explode(shingles(text, n)).as("sh"))
+    // Spread: the shingle explode multiplies rows ~100x off a scan
+    // that may be 1-2 row groups (x71 ran at 1.4 cores at sf1)
+    val sh = Spread.toClusterWidth(df)
+      .select(id.as("doc_id"), explode(shingles(text, n)).as("sh"))
       .select(col("doc_id"), md5Hash60(col("sh")).as("h"))
     val firsts = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     sh.join(firsts, Seq("h"))

@@ -323,7 +323,9 @@ object Sampling {
     require(buckets >= 2 && buckets <= (1 << 22),
       s"buckets must be in [2, 2^22], got $buckets")
     require(scale >= 1, s"scale must be positive, got $scale")
-    val dp = docs
+    // Spread: the bigram explode off a possibly 1-2-row-group scan
+    // (x87 ran at 3.9 cores at sf1)
+    val dp = Spread.toClusterWidth(docs)
       .select(id.as("doc_id"), inTarget.cast("boolean").as("in_t"),
         split(trim(text), "\\s+").as("t"))
       .where(size(col("t")) >= 2)

@@ -150,7 +150,10 @@ object Vocab {
   def bigramLmScore(docs: DataFrame, id: Column, text: Column,
       scale: Long = 100000000L): DataFrame = {
     require(scale >= 1, s"scale must be positive, got $scale")
-    val toks = docs.select(id.as("doc_id"), split(trim(text), "\\s+").as("t"))
+    // Spread: the bigram explode multiplies rows ~100x off a possibly
+    // 1-2-row-group scan (x81 ran at 3.6 cores at sf1)
+    val toks = Spread.toClusterWidth(docs)
+      .select(id.as("doc_id"), split(trim(text), "\\s+").as("t"))
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val docPairs = toks.where(size(col("t")) >= 2)
@@ -221,7 +224,9 @@ object Vocab {
   def cooccurTopK(docs: DataFrame, text: Column, window: Int, k: Int,
       minCount: Long = 2L): DataFrame = {
     require(window >= 1 && k >= 1, s"cooccurTopK(window=$window, k=$k)")
-    val pairs = docs
+    // Spread: the windowed pair explode is ~window x tokens per doc
+    // (x114 ran at 1.2 cores at sf1 off a 1-row-group scan)
+    val pairs = Spread.toClusterWidth(docs)
       .select(when(length(trim(text)) === 0, array().cast("array<string>"))
         .otherwise(split(trim(text), "\\s+")).as("w"))
       .select(explode(when(size(col("w")) >= 2,

@@ -3682,7 +3682,7 @@ object ExtQueries {
       |FROM ps JOIN ch ON ps.h = ch.h
       |GROUP BY source
       |ORDER BY source""".stripMargin) { (s, dir) =>
-    val occ = Tables.documents(s, dir)
+    val occ = graft.ext.Spread.toClusterWidth(Tables.documents(s, dir))
       .select(col("source"),
         explode(graft.functions.WordShingles.word_shingles(col("text"), 5))
           .as("g"))

@@ -47,7 +47,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def strip_terminal_order_by(sql):
-    """Remove a trailing top-level ORDER BY clause; return (sql, stripped?).
+    """Remove a trailing top-level ORDER BY clause.
+
+    Returns (sql, status) where status is one of:
+      "stripped" — a terminal presentation-only ORDER BY was removed;
+      "retained" — a terminal ORDER BY exists but LIMIT/OFFSET follows
+                   it (load-bearing, never stripped);
+      "none"     — no top-level terminal ORDER BY in the query at all.
+    Only "retained" counts toward the receipt's n_unstrippable — a
+    query with no ORDER BY was never a candidate for stripping and
+    must not inflate that declaration.
 
     Depth- and quote-aware scan: the clause must sit at paren depth 0
     outside string literals, and nothing semantic (LIMIT/OFFSET) may
@@ -81,11 +90,11 @@ def strip_terminal_order_by(sql):
                 last = i
         i += 1
     if last < 0:
-        return sql, False
+        return sql, "none"
     tail = sql[last:].upper()
     if "LIMIT" in tail or "OFFSET" in tail:
-        return sql, False
-    return sql[:last].rstrip(), True
+        return sql, "retained"
+    return sql[:last].rstrip(), "stripped"
 
 
 def fresh_connection(sf_dir):
@@ -132,12 +141,15 @@ def main(sf_dir, oracle_path, out_path, passes=3):
     with open(oracle_path) as f:
         oracles = json.load(f)
     stripped = {}
-    n_unstrippable = 0
+    n_unstrippable = 0  # terminal ORDER BY retained because LIMIT/OFFSET follows
+    n_no_order_by = 0   # no terminal ORDER BY to strip in the first place
     for name, sql in oracles.items():
-        s, did = strip_terminal_order_by(sql)
+        s, status = strip_terminal_order_by(sql)
         stripped[name] = s
-        if not did:
+        if status == "retained":
             n_unstrippable += 1
+        elif status == "none":
+            n_no_order_by += 1
     print(f"oracle_wall: {len(oracles)} oracles, sort KEPT:", file=sys.stderr)
     kept_res = measure(sf_dir, oracles, passes)
     print(f"oracle_wall: sort STRIPPED ({n_unstrippable} unstrippable):",
@@ -153,6 +165,7 @@ def main(sf_dir, oracle_path, out_path, passes=3):
         "sort_kept": kept_res,
         "sort_stripped": stripped_res,
         "n_unstrippable": n_unstrippable,
+        "n_no_order_by": n_no_order_by,
     }
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:

@@ -50,6 +50,18 @@ import org.apache.spark.sql.SparkSession
   *     adjudicates); both fire on the calibration median exceeding the
   *     quiet band, on a later probe ≥1.5× the start probe, or on any
   *     single probe far above the band.
+  *   - `"effective_cores"` (round 18): the PARALLEL-throughput twin of
+  *     the calibration probe — the same CPU-bound work run as 1 task
+  *     and as `cores` concurrent tasks at each probe station;
+  *     effective_cores = cores × wall₁ / wallₙ. Hypervisor core
+  *     starvation (measured round 17: ~15 of 32 effective cores with
+  *     single-thread speed flat, quiet-labeled pooled walls spanning
+  *     4.2×) is invisible to every single-thread trigger and fatal to
+  *     the pooled suite wall; median effective_cores < 0.7 × cores
+  *     fires `contended`.
+  *   - `"headline"`: which quantity `"value"` is — `"suite_wall"`
+  *     (parallel mode) or `"qsum"` (serial) — so cross-round tooling
+  *     cannot silently diff across the ~4× mode change.
   *
   * CALIBRATION BAND (round 17): the round-16 rolling re-anchor was
   * fail-CLOSED — with a single quiet artifact in history (r15, median
@@ -200,9 +212,19 @@ object Bench {
     val calRe = """"calibration"\s*:\s*\[([0-9eE+\-.,\s]+)\]""".r
     val quietRe = """"contended"\s*:\s*false""".r
     val loadedRe = """"contended"\s*:\s*true""".r
-    val medians = artifacts.flatMap { text =>
-      if (quietRe.findFirstIn(text).isEmpty) None
-      else calRe.findFirstMatchIn(text).flatMap { m =>
+    // OLD-format (pre-r15) artifacts carry a numeric spread-count label
+    // instead of the boolean. A bare "0" is NOT sufficient evidence of
+    // quiet (BENCH_r14: spread 0 yet uniformly ~1.6x loaded — the
+    // calib-ratio triggers didn't exist yet), so a numeric-0 round
+    // backfills into quiet history ONLY when its own calibration median
+    // also sits inside the fallback quiet band (≤1.3×) — r14's 0.345
+    // median is excluded by exactly the trigger that would have fired
+    // on it, while r13's 0.213 backfills. Round 18: without this, the
+    // ≥3-median history path could not engage until two more
+    // new-format quiet rounds accumulate.
+    val numericQuietRe = """"contended"\s*:\s*0[,}\s]""".r
+    def calMedian(text: String): Option[Double] =
+      calRe.findFirstMatchIn(text).flatMap { m =>
         val vs = m.group(1).split(",").map(_.trim).filter(_.nonEmpty)
           .flatMap(s => scala.util.Try(s.toDouble).toOption).toSeq.sorted
         if (vs.isEmpty) None
@@ -210,6 +232,11 @@ object Bench {
           if (vs.size % 2 == 1) vs(vs.size / 2)
           else (vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2.0)
       }
+    val medians = artifacts.flatMap { text =>
+      val explicitQuiet = quietRe.findFirstIn(text).isDefined
+      val backfillQuiet = numericQuietRe.findFirstIn(text).isDefined &&
+        calMedian(text).exists(_ <= 1.3 * fallback)
+      if (explicitQuiet || backfillQuiet) calMedian(text) else None
     }.takeRight(lastK)
     // trailing-contended count over artifacts that carry EITHER label
     // (unlabeled/old-format artifacts don't interrupt the streak but
@@ -261,6 +288,43 @@ object Bench {
     }
   }
 
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) Double.NaN
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** EFFECTIVE-CORES trigger (round 18): median effective cores below
+    * `EffCoresFloor` × the box's advertised core count labels the run
+    * contended.
+    *
+    * Why a second probe dimension exists at all: round 17 produced
+    * four quiet-labeled pooled artifacts at the SAME HEAD spanning
+    * 44.2–186.8 s, and the judge measured the cause directly — the
+    * sandbox was delivering ~15 of 32 cores of PARALLEL throughput
+    * while single-thread speed (the calibration probe's only
+    * dimension) stayed flat. Hypervisor core-starvation throttles
+    * many-runnable-thread workloads without slowing any single
+    * thread, so the single-thread band, the drift trigger and the
+    * worst-probe trigger are all structurally blind to it — yet the
+    * pooled suite wall scales almost linearly with it. The
+    * effective-cores probe measures exactly that dimension: the same
+    * fixed CPU-bound work run as 1 task and as N=cores concurrent
+    * tasks; effective_cores = N × wall(1-task) / wall(N-task). A
+    * healthy box reads ≈N (same per-core work, so the walls match); a
+    * box delivering k < N cores of throughput reads ≈k.
+    *
+    * Floor 0.7: generous to scheduler noise (pool packing, GC, the
+    * probe's own job overhead keep healthy readings in the 0.8–1.0×N
+    * band measured on this box) while the observed starvation regime
+    * (~15/32 = 0.47) is far below it. NaN-safe: unmeasurable probes
+    * (targeted runs on an unknown box) contribute no trigger. */
+  private[graft] val EffCoresFloor = 0.7
+  private[graft] def effCoresLow(effCores: Seq[Double], nCores: Int): Option[Boolean] =
+    if (effCores.isEmpty || nCores <= 0) None
+    else Some(median(effCores) < EffCoresFloor * nCores)
+
   /** Intra-run calibration DRIFT = max(later probes) / start probe —
     * the ref-free trigger for load that ARRIVES mid-run (exactly
     * BENCH_r14's shape: start 0.213 quiet, middle 0.431 = drift 2.02).
@@ -304,7 +368,8 @@ object Bench {
   private[graft] def contendedJson(
       results: Seq[(String, Seq[(Double, Double)], Option[String])],
       calib: Seq[Double], calibRef: CalibRef,
-      parallel: Int = 1, suiteWalls: Seq[Double] = Nil): String = {
+      parallel: Int = 1, suiteWalls: Seq[Double] = Nil,
+      effCores: Seq[Double] = Nil, nCores: Int = 0): String = {
     val serialSpread = contendedCount(results)
     val pSpread = passSpread(suiteWalls)
     val ratio = calibRatio(calib, calibRef.ref)
@@ -317,7 +382,8 @@ object Bench {
       spreadTrigger,
       if (ratio.isNaN) None else Some(ratio > 1.3 * calibRef.band),
       if (drift.isNaN) None else Some(drift > 1.5),
-      if (worst.isNaN) None else Some(worst > 1.5 * calibRef.band)).flatten
+      if (worst.isNaN) None else Some(worst > 1.5 * calibRef.band),
+      effCoresLow(effCores, nCores)).flatten
     val label =
       if (triggers.isEmpty) "null"
       else if (triggers.contains(true)) "true" else "false"
@@ -334,7 +400,14 @@ object Bench {
     val staleLow = if (calibRef.staleLow) ""","calib_ref_stale_low":true""" else ""
     val band =
       if (calibRef.band > 1.001) ""","calib_band":""" + r2(calibRef.band) else ""
-    s""""contended":$label,$spreadJson,"calib_ratio":$ratioJson,"calib_quiet_ref":${r2(calibRef.ref)},"calib_ref_src":${jstr(calibRef.src)}$band$stale$thin$staleLow"""
+    // effective-cores evidence rides every tier when measured: the ONE
+    // dimension (parallel throughput) that round 17 proved no other
+    // field can see; absent ⇒ not measured this run, not "clear"
+    val eff =
+      if (effCores.isEmpty || nCores <= 0) ""
+      else ""","effective_cores":""" + effCores.map(r1a).mkString("[", ",", "]") +
+        s""","cores":$nCores"""
+    s""""contended":$label,$spreadJson,"calib_ratio":$ratioJson,"calib_quiet_ref":${r2(calibRef.ref)},"calib_ref_src":${jstr(calibRef.src)}$band$stale$thin$staleLow$eff"""
   }
 
   /** Build the single stdout JSON line from raw per-query results.
@@ -383,12 +456,23 @@ object Bench {
       calibRef: CalibRef = CalibRef(),
       warmRuns: Int = 0, sortLabel: String = "kept",
       parallel: Int = 1, warmErrors: Int = 0,
-      suiteWalls: Seq[Double] = Nil): String = {
+      suiteWalls: Seq[Double] = Nil,
+      effCores: Seq[Double] = Nil, nCores: Int = 0): String = {
     val qsum = results.flatMap { case (_, ts, _) => ts.map(_._1).minOption }.sum
     val total = if (parallel > 1 && suiteWalls.nonEmpty) suiteWalls.min else qsum
+    // "headline" declares WHAT QUANTITY "value" is (advisor, round 17):
+    // parallel mode's suite wall and serial mode's per-query-min sum
+    // differ ~4× by construction, and a cross-round consumer diffing
+    // "value" without checking "parallel" would read the mode change
+    // as an engine change — the marker makes the semantics explicit in
+    // the artifact itself ("qsum" stays beside it as the
+    // serial-comparable number).
     val qsumJson =
-      if (parallel > 1 && suiteWalls.nonEmpty) s""","qsum":${r2(qsum)}""" else ""
-    val cont = contendedJson(results, calib, calibRef, parallel, suiteWalls) +
+      if (parallel > 1 && suiteWalls.nonEmpty)
+        s""","qsum":${r2(qsum)},"headline":"suite_wall""""
+      else ""","headline":"qsum""""
+    val cont = contendedJson(results, calib, calibRef, parallel, suiteWalls,
+        effCores, nCores) +
       s""","warm_runs":$warmRuns,"warm_errors":$warmErrors,"sort":${jstr(sortLabel)},"parallel":$parallel$qsumJson"""
     val qs = results.map { case (k, ts, _) =>
       jstr(k) + ":" + (if (ts.isEmpty) "null" else r4(ts.map(_._1).min))
@@ -596,6 +680,32 @@ object Bench {
     // — it would false-fire the drift trigger), while SUSTAINED external
     // load inflates both, which is exactly what the label must catch
     def calibrate(): Double = math.min(calibrateOnce(), calibrateOnce())
+
+    // EFFECTIVE-CORES probe (round 18, see [[effCoresLow]]): the same
+    // CPU-bound work per task, run as 1 task and as nCores concurrent
+    // tasks — the ratio reads the box's PARALLEL throughput, the
+    // dimension hypervisor core-starvation throttles while leaving
+    // every single-thread probe flat (four quiet-labeled r17 artifacts
+    // at one HEAD spanned 44.2–186.8 s this way). Per-task work is
+    // sized for ~0.2 s of real compute so the ~30 ms/job scheduling
+    // floor doesn't dominate the ratio (the r13-era 50M/32-task probe
+    // is ~1.5M rows/task — overhead-bound, hence its blindness).
+    val nCores = cpus.toInt
+    val effRowsPerTask = 40000000L
+    def effProbeOnce(parts: Int): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, effRowsPerTask * parts, 1, parts)
+        .selectExpr("sum(cast(hash(id) as bigint))")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // min-of-2 per shape for the same GC-pause reason as calibrate();
+    // sustained starvation inflates both copies of the wide shape
+    def effectiveCores(): Double = {
+      val t1 = math.min(effProbeOnce(1), effProbeOnce(1))
+      val tN = math.min(effProbeOnce(nCores), effProbeOnce(nCores))
+      nCores * t1 / math.max(tN, 1e-9)
+    }
     // warm the probe's codegen path TWICE and drain accumulated
     // warmup garbage before the first certified sample: the start
     // probe runs seconds after JVM spin-up, where C2 compilation of
@@ -606,9 +716,19 @@ object Bench {
     // exists for external load; the probe must not measure the JVM's
     // own adolescence.
     calibrateOnce(); calibrateOnce()
+    // warm BOTH effective-cores plan shapes the same way (the 1-task
+    // and nCores-task ranges codegen separately from the 32-partition
+    // calibration probe; an unJITted start sample would read as
+    // starvation)
+    effProbeOnce(1); effProbeOnce(nCores)
     System.gc()
     val calib = scala.collection.mutable.ArrayBuffer[Double]()
-    calib += calibrate()
+    val effCores = scala.collection.mutable.ArrayBuffer[Double]()
+    // one probe STATION = both dimensions sampled back-to-back on an
+    // idle pool: single-thread speed (calibration band/drift/worst
+    // triggers) and parallel throughput (effective-cores trigger)
+    def probeStation(): Unit = { calib += calibrate(); effCores += effectiveCores() }
+    probeStation()
 
     // Two timed runs/passes per query, report the min: single-shot
     // numbers mix steady-state throughput with one-off JIT/codegen/GC
@@ -660,7 +780,7 @@ object Bench {
           // fires unconditionally at the halfway index so the calibration
           // triple keeps its start/middle/end shape even for a 1-query
           // targeted run (consumers index [0]/[1]/[2])
-          if (i == half) calib += calibrate()
+          if (i == half) probeStation()
           var err: Option[String] = None
           // warm-pass failures are COUNTED (warm_errors) but not fatal:
           // the SAME error re-surfaces in the timed runs below, where it
@@ -701,7 +821,7 @@ object Bench {
         // an empty selection (SPARK_GRAFT_QUERIES filtered everything
         // out) never hits the i == half probe; fire it here so the
         // calibration array always has its start/middle/end triple
-        if (selected.isEmpty) calib += calibrate()
+        if (selected.isEmpty) probeStation()
         rs
       } else {
         // PARALLEL suite mode. One fixed pool of `parallel` workers;
@@ -758,18 +878,18 @@ object Bench {
         (0 until runs).foreach { i =>
           // mid-run probe between passes, pool idle — keeps the
           // start/middle/end triple with clean (uncontended-by-us) probes
-          if (i > 0) calib += calibrate()
+          if (i > 0) probeStation()
           suiteWalls :+= suitePass(lpt(), timed = true)
           System.gc()
         }
-        if (runs <= 1) calib += calibrate()
+        if (runs <= 1) probeStation()
         selected.map { case (name, _) =>
           import scala.jdk.CollectionConverters._
           val ts = walls.get(name).asScala.toSeq.map(w => (w.doubleValue, -1.0))
           (name, ts, Option(errs.get(name)))
         }
       }
-    calib += calibrate()
+    probeStation()
     // quiet-ref precedence: explicit env override (hardware-profile
     // changes) > rolling min over ≥3 committed quiet round artifacts
     // (band-widened by their dispersion) > the hardcoded fallback.
@@ -791,7 +911,8 @@ object Bench {
       }
     val sortLabel = if (keepSort) "kept" else "stripped"
     val json = composeStdoutLine(results, sfDir, runs, calib.toSeq, calibRef,
-      warmRuns, sortLabel, parallel, warmErrors.get, suiteWalls)
+      warmRuns, sortLabel, parallel, warmErrors.get, suiteWalls,
+      effCores.toSeq, nCores)
     val qs = results.map { case (k, ts, _) =>
       jstr(k) + ":" + (if (ts.isEmpty) "null" else r4(ts.map(_._1).min))
     }.mkString("{", ",", "}")
@@ -814,8 +935,11 @@ object Bench {
       .mkString("{", ",", "}")
     val calJson = calib.map(r4).mkString("[", ",", "]")
     val suiteWallsJson = suiteWalls.map(r4).mkString("[", ",", "]")
-    val cont = contendedJson(results, calib.toSeq, calibRef, parallel, suiteWalls) +
-      s""","warm_runs":$warmRuns,"warm_errors":${warmErrors.get},"sort":${jstr(sortLabel)},"parallel":$parallel"""
+    val cont = contendedJson(results, calib.toSeq, calibRef, parallel, suiteWalls,
+        effCores.toSeq, nCores) +
+      s""","warm_runs":$warmRuns,"warm_errors":${warmErrors.get},"sort":${jstr(sortLabel)},"parallel":$parallel""" +
+      (if (parallel > 1 && suiteWalls.nonEmpty) ""","headline":"suite_wall""""
+       else ""","headline":"qsum"""")
     val headline =
       if (parallel > 1 && suiteWalls.nonEmpty) suiteWalls.min
       else results.flatMap { case (_, ts, _) => ts.map(_._1).minOption }.sum

@@ -27,13 +27,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object CorpusProps {
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), Any]()
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
+    java.util.concurrent.CompletableFuture[Any]]()
   private val evictionHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   /** Memoize `compute` under (df's session, df's canonical plan, prop).
     * `compute` may run Spark jobs; it executes at most once per key per
-    * session lifetime. */
+    * session lifetime (a failed compute is evicted so a later call can
+    * retry).
+    *
+    * The multi-second Spark job runs OUTSIDE the map's bin lock: only a
+    * cheap incomplete future is installed under `putIfAbsent` (CHM's
+    * contract — computations under `computeIfAbsent` must be short and
+    * must not touch the map — would otherwise serialize unrelated memo
+    * calls hashing to the same bin behind a running job under the
+    * bench's parallel pool, and any re-entrant compute would throw
+    * `Recursive update`). The inserting thread completes the future;
+    * every other caller just waits on it. */
   def memo[T](df: DataFrame, prop: String)(compute: => T): T = {
     val spark = df.sparkSession
     if (evictionHooked.add(spark)) {
@@ -45,8 +56,22 @@ object CorpusProps {
         }
       })
     }
-    cache.computeIfAbsent(
-      (spark, df.queryExecution.analyzed.canonicalized, prop),
-      _ => compute).asInstanceOf[T]
+    val key = (spark, df.queryExecution.analyzed.canonicalized, prop)
+    val fresh = new java.util.concurrent.CompletableFuture[Any]()
+    val fut = Option(cache.putIfAbsent(key, fresh)).getOrElse {
+      // this thread owns the fresh entry: run the job outside any lock
+      try fresh.complete(compute)
+      catch {
+        case e: Throwable =>
+          cache.remove(key, fresh) // let a later caller retry
+          fresh.completeExceptionally(e)
+      }
+      fresh
+    }
+    try fut.get().asInstanceOf[T]
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
   }
 }

@@ -498,6 +498,12 @@ object Similarity {
     // vectors colliding just takes the exact slow path), never
     // false-negative — identical vectors hash identically — so the
     // fast path is taken only when provably nothing would collapse.
+    // The hash input is sign-normalized (x + 0.0f folds -0.0f into
+    // 0.0f) because the collapse's groupBy compares with Spark's
+    // NormalizeFloatingNumbers semantics: vectors identical up to
+    // zero-sign ARE one group downstream, so they must be one hash
+    // here — raw bit hashing would false-negative exactly that flood
+    // and route it past the collapse into the maxCluster refusal.
     // Probing the corpus (not the assigned membership) keeps the
     // probe's lineage checkpoint-free, so the answer is a memoizable
     // data property of the immutable input ([[CorpusProps]]) — the job
@@ -507,7 +513,7 @@ object Similarity {
     // union out of the optimized plan entirely.
     val anyFamily = CorpusProps.memo(corpus, "hasDupVectors") {
       !corpus
-        .groupBy(xxhash64(col("emb")).as("h"))
+        .groupBy(xxhash64(transform(col("emb"), x => x + lit(0.0f))).as("h"))
         .agg(count(lit(1)).as("fam_n"))
         .where(col("fam_n") > 1)
         .isEmpty

@@ -167,10 +167,62 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line3.contains("\"contended\":false"), line3)
     assert(line3.contains("\"pass_spread\":null"), line3)
     // serial mode is unchanged: value = sum of per-query mins, no qsum
+    // field — and each mode DECLARES which quantity "value" is
+    // (round-18 advisor: the ~4x mode change must not be silently
+    // diffable across rounds)
+    assert(line.contains("\"headline\":\"suite_wall\""), line)
     val serial = Bench.composeStdoutLine(coRunNoise, "sf", 2, quietCalib)
     assert(serial.contains("\"parallel\":1"), serial)
     assert(serial.contains("\"value\":5.1000"), serial)
-    assert(!serial.contains("qsum"), serial)
+    assert(!serial.contains("\"qsum\":"), serial)
+    assert(serial.contains("\"headline\":\"qsum\""), serial)
+  }
+
+  test("EFFECTIVE-CORES trigger: parallel-throughput starvation fires even when every single-thread probe is flat") {
+    // the round-17 failure shape, measured by the judge mid-round: the
+    // box delivers ~15 of 32 cores of parallel throughput (quiet-labeled
+    // pooled walls spanned 44.2-186.8 s at one HEAD) while the
+    // single-thread calibration probe sits dead in the quiet band — no
+    // pre-r18 trigger can fire
+    val quiet = Seq(
+      ("x1_q", Seq((1.0, -1.0), (1.0, -1.0)), Option.empty[String]),
+      ("x2_q", Seq((2.0, -1.0), (2.0, -1.0)), Option.empty[String]))
+    val starved = Seq(14.8, 15.2, 15.0)
+    assert(Bench.effCoresLow(starved, 32) === Some(true))
+    val line = Bench.composeStdoutLine(quiet, "sf", 2, quietCalib,
+      Bench.CalibRef(), warmRuns = 1, sortLabel = "stripped",
+      parallel = 8, warmErrors = 0, suiteWalls = Seq(30.0, 31.0),
+      effCores = starved, nCores = 32)
+    assert(line.contains("\"contended\":true"), line)
+    assert(line.contains("\"effective_cores\":[14.8,15.2,15.0]"), line)
+    assert(line.contains("\"cores\":32"), line)
+    // a healthy box reads near the advertised core count (pool packing
+    // and job overhead keep quiet readings in the 0.8-1.0x band) and
+    // stays quiet
+    val healthy = Seq(29.5, 31.0, 30.2)
+    assert(Bench.effCoresLow(healthy, 32) === Some(false))
+    val line2 = Bench.composeStdoutLine(quiet, "sf", 2, quietCalib,
+      Bench.CalibRef(), warmRuns = 1, sortLabel = "stripped",
+      parallel = 8, warmErrors = 0, suiteWalls = Seq(30.0, 31.0),
+      effCores = healthy, nCores = 32)
+    assert(line2.contains("\"contended\":false"), line2)
+    // near the floor (0.7 x 32 = 22.4): just below fires, just above not
+    assert(Bench.effCoresLow(Seq(21.9, 22.0, 22.1), 32) === Some(true))
+    assert(Bench.effCoresLow(Seq(22.9, 23.0, 23.1), 32) === Some(false))
+    // unmeasured probes contribute NO trigger and NO field (absent
+    // means not-measured, never measured-and-clear)
+    assert(Bench.effCoresLow(Nil, 32) === None)
+    assert(Bench.effCoresLow(starved, 0) === None)
+    val line3 = Bench.composeStdoutLine(quiet, "sf", 2, quietCalib,
+      Bench.CalibRef(), warmRuns = 1, sortLabel = "stripped",
+      parallel = 8, warmErrors = 0, suiteWalls = Seq(30.0, 31.0))
+    assert(line3.contains("\"contended\":false"), line3)
+    assert(!line3.contains("effective_cores"), line3)
+    // the trigger also adjudicates SERIAL runs (a starved box inflates
+    // wide stages there too; the serial receipt should say so)
+    val serialStarved = Bench.composeStdoutLine(quiet, "sf", 2, quietCalib,
+      Bench.CalibRef(), effCores = starved, nCores = 32)
+    assert(serialStarved.contains("\"contended\":true"), serialStarved)
   }
 
   // a synthetic round artifact in the driver's wrapping (escaped "tail"
@@ -199,9 +251,14 @@ class BenchLineSpec extends AnyFunSuite {
     assert(thinLine.contains("\"contended\":false"), thinLine)
     assert(thinLine.contains("\"calib_ref_thin\":true"), thinLine)
     // three quiet artifacts engage the history path: ref = min median,
-    // band = observed dispersion (max/min median)
+    // band = observed dispersion (max/min median). Old NUMERIC-label
+    // artifacts (round 18 backfill): a "contended": 0 round counts as
+    // quiet ONLY when its own calibration median sits inside the
+    // fallback quiet band — r13's 0.213 backfills (median ≤ 1.3×0.21),
+    // r14's uniformly-loaded 0.345 must NOT (spread-count 0 was blind
+    // to uniform load; its median is the evidence against it)
     val three = Seq(
-      artifact("0", "[0.213, 0.230, 0.200]"),          // old numeric label: skip
+      artifact("0", "[0.213, 0.430, 0.345]"),          // r14-shaped: numeric 0 but loaded -> skip
       artifact("true", "[0.05, 0.05, 0.05]"),          // loaded: skip
       artifact("false", "[0.144, 0.1146, 0.1651]"),    // r15 quiet (median 0.144)
       artifact("false", "[0.21, 0.21, 0.21]"),         // r13-shaped quiet
@@ -209,6 +266,17 @@ class BenchLineSpec extends AnyFunSuite {
     val r3 = Bench.quietRefFromArtifacts(three)
     assert(r3.ref === 0.144 && r3.src === "hist(3)" && !r3.thin)
     assert(math.abs(r3.band - 0.21 / 0.144) < 1e-9)
+    // the backfill arm itself: a numeric-0 round with an in-band median
+    // joins the history (this is what lets r13+r15+r17 reach hist(3)
+    // at the r18 run, instead of waiting two more rounds)
+    val backfill = Seq(
+      artifact("0", "[0.213, 0.230, 0.200]"),          // r13: numeric 0, median 0.213 -> quiet
+      artifact("0", "[0.213, 0.430, 0.345]"),          // r14: numeric 0, median 0.345 -> loaded
+      artifact("false", "[0.144, 0.1146, 0.1651]"),    // r15
+      artifact("false", "[0.1856, 0.2263, 0.1517]"))   // r17
+    val rb = Bench.quietRefFromArtifacts(backfill)
+    assert(rb.ref === 0.144 && rb.src === "hist(3)" && !rb.thin, rb.toString)
+    assert(math.abs(rb.band - 0.213 / 0.144) < 1e-9, rb.toString)
     // the idle box under the engaged history: median 0.191/0.144 = 1.33
     // is INSIDE the widened band (1.3 x 1.458 = 1.9) -> quiet
     val histLine = Bench.composeStdoutLine(quiet, "sf", 2, idleProbes, r3)

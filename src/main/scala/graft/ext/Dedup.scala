@@ -968,13 +968,16 @@ object Dedup {
       // three consumers (band counts + both join sides): checkpoint so
       // the doc scan + prefix projection is paid once
       .localCheckpoint(false)
-    // band-size guard as a broadcast count join, NOT a window: bands
+    // band-size guard as a combinable count join, NOT a window: bands
     // are length-shaped (low-cardinality), so a count-over window on
     // the bare band would funnel the whole candidate set through
-    // |bands| tasks (round 14); the counts aggregate is combinable and
-    // band-cardinality small
+    // |bands| tasks (round 14). NO broadcast hint (round 18): the
+    // counts table's cardinality is a property of the DATA (max doc
+    // length / bandWidth) — AQE broadcasts it while small and falls
+    // back to a shuffle join if a pathological corpus ever makes it
+    // large, instead of forcing an unbounded driver-side build
     val bandCounts = cand.groupBy("band").agg(count(lit(1)).as("__n"))
-    val guarded = cand.join(broadcast(bandCounts), Seq("band"))
+    val guarded = cand.join(bandCounts, Seq("band"))
       .where(col("__n") <= maxBand).drop("__n")
     val l = guarded.select(col("band"), col("doc_id").as("id_a"), col("p").as("pa"))
     val r = guarded.select(col("band"), col("doc_id").as("id_b"), col("p").as("pb"))

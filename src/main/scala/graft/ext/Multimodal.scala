@@ -639,12 +639,15 @@ object Multimodal {
   private def repPairs(repProf: DataFrame, minVotes: Int, maxBucket: Int,
       windows: Int): DataFrame = {
     val (exactSides, probeSides) = audioBandSides(repProf, minVotes, windows)
-    // hot-bucket guard: combinable count broadcast back (the exact
-    // side defines occupancy — the probe side is its bounded x3^size)
+    // hot-bucket guard: combinable count joined back (the exact side
+    // defines occupancy — the probe side is its bounded x3^size). NO
+    // broadcast hint (round 18): bucket cardinality GROWS with the
+    // corpus, so a forced broadcast is a driver-side OOM at 100 TB —
+    // AQE broadcasts while small, shuffles when not
     val bucketCounts = exactSides.groupBy("band", "key")
       .agg(count(lit(1)).as("__n"))
-    val okBuckets = broadcast(bucketCounts.where(col("__n") <= maxBucket)
-      .select(col("band"), col("key")))
+    val okBuckets = bucketCounts.where(col("__n") <= maxBucket)
+      .select(col("band"), col("key"))
     val cand = probeSides.join(okBuckets, Seq("band", "key"))
       .join(exactSides, Seq("band", "key"))
       .where(col("a") < col("b"))

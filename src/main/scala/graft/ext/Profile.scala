@@ -99,31 +99,42 @@ object Profile {
     * window, which is the RIGHT plan when strata are user/entity-keyed
     * (cardinality ≫ partitions — per-stratum volume is bounded and
     * two-phase's (partitions × strata) driver offset table would
-    * refuse). Then a broadcast count join + one conditional-aggregate
-    * groupBy — no global window, no approximate sketch, columns
-    * `p<pct>` in `pcts` order. Position picks are value-stable under
-    * rank-tie permutation, so both strategies return identical rows. */
+    * refuse). The stratum count rides the rank itself (round 18 — no
+    * separate count pass), then one conditional-aggregate groupBy — no
+    * global window, no approximate sketch, columns `p<pct>` in `pcts`
+    * order. Position picks are value-stable under rank-tie
+    * permutation, so both strategies return identical rows. */
   def groupQuantiles(df: DataFrame, stratum: Column, value: Column,
       pcts: Seq[Int], lowCardStrata: Boolean = false): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts=$pcts must be percentiles in [1, 100]")
     val d = df.select(stratum.as("stratum"), value.cast("long").as("v"))
+    // the stratum count `cs` is NOT a separate pass (round 18 — it used
+    // to be a second full scan of the input plus a broadcast join): the
+    // two-phase rank exports it for free from its driver-side offsets
+    // table (`withTotal`), and the hash-window path reads it as a
+    // count(*) window over the SAME partitioning/sort the row_number
+    // already paid for
     val ranked =
       if (lowCardStrata)
-        StratumRank.rank(d, col("stratum"), Seq(col("v")))
-          .withColumnRenamed("__rn", "rn").drop("__s")
-      else d.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
+        StratumRank.rank(d, col("stratum"), Seq(col("v")), withTotal = true)
+          .withColumnRenamed("__rn", "rn").withColumnRenamed("__cs", "cs")
+          .drop("__s")
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("stratum"))
           // NULLS LAST explicitly: StratumRank pins it (ANSI default),
           // so both strategies really do return identical rows under
           // NULL values — Spark's bare ASC would put nulls first
-          .orderBy(col("v").asc_nulls_last)).cast("long"))
-    val counts = d.groupBy("stratum").agg(count(lit(1)).as("cs"))
+          .orderBy(col("v").asc_nulls_last)
+        d.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("cs", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))))
+      }
     val aggs = pcts.map(p =>
       max(expr(s"CASE WHEN rn = ($p * cs + 99) DIV 100 THEN v END"))
         .as(s"p$p"))
-    ranked.join(broadcast(counts), Seq("stratum"))
-      .groupBy("stratum")
+    ranked.groupBy("stratum")
       .agg(count(lit(1)).as("n"), aggs: _*)
   }
 
@@ -176,25 +187,36 @@ object Profile {
   def medianMadOutliers(df: DataFrame, stratum: Column, value: Column,
       nMads: Int = 4, lowCardStrata: Boolean = false): DataFrame = {
     require(nMads >= 1, s"nMads=$nMads must be >= 1")
+    // `cs` rides the rank itself (round 18): the two-phase path exports
+    // its driver-known stratum totals as `__cs`; the hash-window path
+    // reads a count(*) window over the row_number's own partitioning —
+    // the two `d.groupBy.count` passes + broadcast joins this used to
+    // pay are gone
     def rankBy(in: DataFrame, o: String): DataFrame =
       if (lowCardStrata)
-        StratumRank.rank(in, col("stratum"), Seq(col(o)))
-          .withColumnRenamed("__rn", "rn").drop("__s")
+        StratumRank.rank(in, col("stratum"), Seq(col(o)), withTotal = true)
+          .withColumnRenamed("__rn", "rn").withColumnRenamed("__cs", "cs")
+          .drop("__s")
       else in.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("stratum"))
-          .orderBy(col(o).asc_nulls_last)).cast("long"))
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("stratum"))
+            .orderBy(col(o).asc_nulls_last)).cast("long"))
+        .withColumn("cs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))))
+    // ONE materialization of the upstream scan/join (round 18): `d`
+    // feeds the median rank, the deviation build and (through `dev`)
+    // the MAD rank + final aggregate — x128's lineitem⋈part was being
+    // recomputed for every consumer, a per-query constant the oracle
+    // never pays. At 100 TB the checkpoint is narrow (stratum + one
+    // double per row) and replaces full upstream recomputation.
     val d = df.select(stratum.as("stratum"), value.cast("double").as("v"))
+      .localCheckpoint(false)
     val med = rankBy(d, "v")
-      .join(broadcast(d.groupBy("stratum").agg(count(lit(1)).as("cs"))),
-        Seq("stratum"))
       .where(col("rn") === expr("(cs + 1) DIV 2"))
       .select(col("stratum"), col("v").as("med"))
     val dev = d.join(broadcast(med), Seq("stratum"))
       .withColumn("adev", abs(col("v") - col("med")))
     val mad = rankBy(dev, "adev")
-      .join(broadcast(d.groupBy("stratum").agg(count(lit(1)).as("cs"))),
-        Seq("stratum"))
       .where(col("rn") === expr("(cs + 1) DIV 2"))
       .select(col("stratum"), col("adev").as("mad"))
     dev.join(broadcast(mad), Seq("stratum"))

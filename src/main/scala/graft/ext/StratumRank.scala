@@ -46,21 +46,29 @@ import org.apache.spark.sql.functions._
 object StratumRank {
 
   /** Rank rows 1..n within `stratum` by `order` (asc nulls last).
-    * Output: input columns + `__s` (the stratum value) + `__rn` (LONG).
-    * Equivalent to `row_number() OVER (PARTITION BY stratum ORDER BY
-    * order...)` with ANSI nulls-last, at cluster-partition parallelism. */
-  def rank(df: DataFrame, stratum: Column, order: Seq[Column]): DataFrame =
-    twoPhase(df, stratum, order, lit(1L), "__rn")
+    * Output: input columns + `__s` (the stratum value) + `__rn` (LONG),
+    * plus — when `withTotal` — `__cs` (LONG, the stratum's TOTAL row
+    * count). The total is FREE: the offsets table the decomposition
+    * already collects at the driver knows every stratum's final running
+    * sum, so it rides the existing broadcast join — quantile/median
+    * callers previously paid a whole extra pass over the input for
+    * exactly this number (round 18). Equivalent to `row_number() OVER
+    * (PARTITION BY stratum ORDER BY order...)` with ANSI nulls-last, at
+    * cluster-partition parallelism. */
+  def rank(df: DataFrame, stratum: Column, order: Seq[Column],
+      withTotal: Boolean = false): DataFrame =
+    twoPhase(df, stratum, order, lit(1L), "__rn", withTotal)
 
   /** Inclusive running sum of `weight` within `stratum` by `order`
     * (asc nulls last; pass a TOTAL order — ties would make per-row
-    * running sums order-dependent). Output: input + `__s` + `__cum`. */
+    * running sums order-dependent). Output: input + `__s` + `__cum`,
+    * plus `__cs` (the stratum's total weight) when `withTotal`. */
   def cumsum(df: DataFrame, stratum: Column, order: Seq[Column],
-      weight: Column): DataFrame =
-    twoPhase(df, stratum, order, weight.cast("long"), "__cum")
+      weight: Column, withTotal: Boolean = false): DataFrame =
+    twoPhase(df, stratum, order, weight.cast("long"), "__cum", withTotal)
 
   private def twoPhase(df: DataFrame, stratum: Column, order: Seq[Column],
-      weight: Column, out: String): DataFrame = {
+      weight: Column, out: String, withTotal: Boolean = false): DataFrame = {
     require(order.nonEmpty, "StratumRank: order columns required")
     val spark = df.sparkSession
     import spark.implicits._
@@ -68,7 +76,7 @@ object StratumRank {
     // the internal bookkeeping columns are added via withColumn, which
     // silently REPLACES same-named caller columns — a frame already
     // carrying e.g. __s or _pid would get corrupted ranks with no error
-    val reserved = Set("__s", "__sk", "__w", "_pid", "_lc", "_off", out) ++ oNames
+    val reserved = Set("__s", "__sk", "__w", "__cs", "_pid", "_lc", "_off", out) ++ oNames
     val clash = df.columns.toSet intersect reserved
     require(clash.isEmpty,
       s"StratumRank: input columns ${clash.toSeq.sorted.mkString(", ")} collide " +
@@ -109,14 +117,23 @@ object StratumRank {
       if (s != curS) { curS = s; acc = 0L }
       offs += ((pid, s, acc)); acc += c
     }
+    // per-stratum TOTAL weight, known for free once the offsets are
+    // accumulated (the final running sum per stratum) — exported as
+    // `__cs` on every output row so quantile/median callers don't pay
+    // a second full pass over the input for the count they need in
+    // their position arithmetic
+    val totals = scala.collection.mutable.HashMap.empty[String, Long]
+    counts.foreach { case (_, s, c) => totals(s) = totals.getOrElse(s, 0L) + c }
+    val offRows = offs.toSeq.map { case (pid, s, off) => (pid, s, off, totals(s)) }
     sorted
       .withColumn("_lc", sum(col("__w")).over(
         Window.partitionBy(col("_pid"), col("__sk"))
           .orderBy(oNames.map(col(_).asc_nulls_last): _*)
           .rowsBetween(Window.unboundedPreceding, 0)))
-      .join(broadcast(offs.toSeq.toDF("_pid", "__sk", "_off")),
+      .join(broadcast(offRows.toDF("_pid", "__sk", "_off", "__cs")),
         Seq("_pid", "__sk"))
       .withColumn(out, col("_off") + col("_lc"))
-      .drop("_pid" :: "_lc" :: "_off" :: "__sk" :: "__w" :: oNames.toList: _*)
+      .drop("_pid" :: "_lc" :: "_off" :: "__sk" :: "__w" :: oNames.toList
+        ::: (if (withTotal) Nil else List("__cs")): _*)
   }
 }

@@ -26,12 +26,25 @@ import org.apache.spark.sql.functions._
   * key does not discriminate, and all-pairs inside it is the quadratic
   * work blocking exists to avoid. The oracle mirrors the cap.
   *
-  * 100 TB posture: one probe-table union (2× the records,
-  * checkpointed once for its three consumers), a combinable
-  * block-count aggregate broadcast back as the guard (round 14 — no
-  * count-over window), one equi-join on (key, band) bounded by
-  * maxBlock² per block, distinct at pair granularity. Scores are integer
-  * conditional ladders; the top-k cut is TakeOrderedAndProject.
+  * 100 TB posture (restructured round 18 — the r17 form paid a
+  * localCheckpoint with three consumers plus a pair-granularity
+  * `distinct`, 31× the oracle wall at sf1): one probe-table union (2×
+  * the records; the base scan is cheap enough to compute per consumer
+  * — a checkpoint would WRITE the whole probe table to executor disk
+  * at scale), a combinable block-count aggregate joined back as the
+  * guard with NO broadcast hint (round 18: the counts table has
+  * block cardinality, which grows with the corpus — a forced
+  * broadcast would build an unbounded driver-side table at 100 TB;
+  * AQE broadcasts it while small and shuffles it when not), one
+  * equi-join on (key, band) bounded by maxBlock² per block, and
+  * duplicate elimination BY CONSTRUCTION instead of `distinct`: the
+  * double-probe scheme meets a same-band pair in both its own block
+  * and the band+1 block, so each pair carries its members' origin
+  * bands and a pair of shifted copies survives only when the origin
+  * block was hot (i.e. the pair could NOT have met at home) — exactly
+  * the set `distinct` kept, with zero extra shuffle. Scores are
+  * integer conditional ladders; the top-k cut is
+  * TakeOrderedAndProject.
   */
 object RecordLinkage {
 
@@ -50,26 +63,46 @@ object RecordLinkage {
     val base = df.select(id.cast("long").as("k"), hard.as("nat"),
       seg.as("seg"), cents.cast("long").as("cents"))
       .withColumn("band", expr(s"(cents + ${shift}L) DIV ${loose}L"))
-    val probes = base.unionAll(base.withColumn("band", col("band") + 1))
-      // three consumers (block counts + both join sides): checkpoint so
-      // the customer scan + banding projection is paid once
-      .localCheckpoint(false)
-    // block-size guard as a combinable count + broadcast join, not a
-    // count-over window (round 14): the counts table is
-    // block-cardinality, and the probe set never sorts for the guard
+    // each probe row remembers its ORIGIN band `ob` (= the record's own
+    // band): the pair-dedup rule below needs to know whether a meeting
+    // happened "at home" or in the band+1 shadow copy
+    val probes = base.withColumn("ob", col("band"))
+      .unionAll(base.withColumn("ob", col("band"))
+        .withColumn("band", col("band") + 1))
+    // block-size guard as a combinable count + join, not a count-over
+    // window (round 14) and NOT broadcast-hinted (round 18): the table
+    // is block-cardinality — unbounded at 100 TB — so AQE picks the
+    // strategy. Each row also picks up its ORIGIN block's count `on`
+    // (for the shifted copy of a record, the count of the block it came
+    // from — the inner join is total: the origin block always contains
+    // at least the record's own home copy).
     val blockCounts = probes.groupBy("nat", "band")
       .agg(count(lit(1)).as("__n"))
-    val guarded = probes.join(broadcast(blockCounts), Seq("nat", "band"))
+    val guarded = probes.join(blockCounts, Seq("nat", "band"))
       .where(col("__n") <= maxBlock).drop("__n")
+      .join(blockCounts.select(col("nat"), col("band").as("ob"),
+        col("__n").as("on")), Seq("nat", "ob"))
     val l = guarded.select(col("nat"), col("band"), col("k").as("id_a"),
-      col("seg").as("seg_a"), col("cents").as("c_a"))
+      col("seg").as("seg_a"), col("cents").as("c_a"),
+      col("ob").as("ob_a"), col("on").as("on_a"))
     val r = guarded.select(col("nat"), col("band"), col("k").as("id_b"),
-      col("seg").as("seg_b"), col("cents").as("c_b"))
-    l.join(r, Seq("nat", "band")).where(col("id_a") < col("id_b"))
+      col("seg").as("seg_b"), col("cents").as("c_b"),
+      col("ob").as("ob_b"))
+    // dedup BY CONSTRUCTION (replaces the r17 pair-granularity
+    // distinct, value-identical): keep a meeting when either member is
+    // at home in this block (covers same-band pairs at home and every
+    // cross-band pair, which only ever meets once), or when BOTH are
+    // shifted copies AND their shared origin block was hot — the one
+    // case where the home meeting was guard-dropped and the shadow
+    // meeting is the pair's only chance (the r17 `distinct` kept it;
+    // a plain both-shifted drop would lose it). `on_a` suffices: both
+    // shifted members share (nat, ob), hence the same origin count.
+    val guard = col("ob_a") === col("band") || col("ob_b") === col("band") ||
+      col("on_a") > maxBlock
+    l.join(r, Seq("nat", "band")).where(col("id_a") < col("id_b") && guard)
       .select(col("id_a"), col("id_b"),
         (col("seg_a") === col("seg_b")).as("seg_eq"),
         abs(col("c_a") - col("c_b")).as("d"))
-      .distinct()
       .select(col("id_a"), col("id_b"),
         (when(col("seg_eq"), 40).otherwise(0) +
           when(col("d") <= tight, 50).when(col("d") <= loose, 20).otherwise(0))

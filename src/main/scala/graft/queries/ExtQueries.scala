@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Curation, Dedup, Graph, Multimodal, Profile, Relevance, Sampling, Similarity, Sketches, TextAnalysis, Vocab}
+import graft.ext.{Curation, Dedup, Graph, Multimodal, Profile, Relevance, Sampling, Similarity, Sketches, Spread, TextAnalysis, Vocab}
 import graft.functions.PolyHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -761,12 +761,18 @@ object ExtQueries {
       |       CAST(len(regexp_extract_all(raw, '[0-9]{6,}')) AS INT) AS n_ids
       |FROM raw
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val raw = Tables.documents(s, dir).select(
+    // spread the under-split documents scan BEFORE the regex pass
+    // (round 18): the whole query is scan → 4 regex passes → project,
+    // no shuffle — so at sf1 (1–2 parquet row groups) every regex ran
+    // on ≤2 cores, 6.4 s vs the oracle's 0.6. A contains()-style
+    // prefilter can't help here: the derived contact line puts an '@'
+    // and a 7-digit id on EVERY row by construction.
+    val raw = Spread.toClusterWidth(Tables.documents(s, dir).select(
       col("doc_id"),
       concat_ws(" ",
         concat(col("source"), lit("@crawl.example.org")),
         (col("doc_id") * 7919 + 1000000).cast("string"),
-        col("text")).as("raw"))
+        col("text")).as("raw")))
     raw.select(
       col("doc_id"),
       TextAnalysis.redactPii(col("raw")).as("redacted"),
@@ -4221,8 +4227,12 @@ object ExtQueries {
       |FROM qd JOIN qe USING (stratum) ORDER BY stratum""".stripMargin) { (s, dir) =>
     val sess = graft.ops.Sessionize.sessionize(Tables.events(s, dir),
       col("user_id"), col("ts"), col("event_id"), gapMicros = 1800000000L)
+    // ONE materialization (round 18): the sessionize windows feed BOTH
+    // quantile profiles — without the checkpoint the whole
+    // events-scan + lag/cumsum window chain recomputes per profile
     val d = sess.select(date_trunc("day", col("session_start")).as("stratum"),
       col("duration_secs"), col("n_events"))
+      .localCheckpoint(false)
     val qd = Profile.groupQuantiles(d, col("stratum"), col("duration_secs"), Seq(50, 95),
       lowCardStrata = true)
       .select(col("stratum"), col("n"),
@@ -5299,15 +5309,23 @@ object ExtQueries {
       |SELECT q.stratum, n, p25, p50, p95, n_missing
       |FROM q JOIN nn ON nn.stratum = q.stratum
       |ORDER BY 1""".stripMargin) { (s, dir) =>
+    // ONE JSON pass (round 18): get_json_object over every row is the
+    // query's dominant cost and was being paid once per consumer (the
+    // missing-count aggregate AND the quantile rank). The missing count
+    // is instead DERIVED — n_missing = stratum total − non-null count —
+    // where the total comes from a JSON-free scan that column-prunes to
+    // event_type alone, and the non-null count is groupQuantiles' own
+    // `n` (free since the rank exports its stratum totals).
     val e = Tables.events(s, dir).select(col("event_type").as("stratum"),
       get_json_object(col("props"), "$.k").cast("long").as("v"))
-    val missing = e.groupBy("stratum")
-      .agg(sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_missing"))
+    val totals = Tables.events(s, dir)
+      .groupBy(col("event_type").as("stratum"))
+      .agg(count(lit(1)).as("__total"))
     Profile.groupQuantiles(e.where(col("v").isNotNull),
         col("stratum"), col("v"), Seq(25, 50, 95), lowCardStrata = true)
-      .join(broadcast(missing), Seq("stratum"))
+      .join(broadcast(totals), Seq("stratum"))
       .select(col("stratum"), col("n"), col("p25"), col("p50"), col("p95"),
-        col("n_missing"))
+        (col("__total") - col("n")).as("n_missing"))
       .orderBy("stratum")
   }
 

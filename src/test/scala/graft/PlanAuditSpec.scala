@@ -604,14 +604,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p) // 63-row range-predicate join
     assert(broadcasts(p) === 1, p)
   }
-  test("x111: band blocking is an equi-join; the band guard is a broadcast count join") {
+  test("x111: band blocking is an equi-join; the band guard is a count join (no window, no forced broadcast)") {
     val p = planOf("x111_edit_distance_pairs")
     assert(!p.contains("CartesianProduct"), p)
     // round 14: the hot-band guard is a combinable groupBy count
-    // broadcast back — NO window at all (bands are length-shaped
-    // low-cardinality; a count-over window funneled the candidate set)
+    // joined back — NO window at all (bands are length-shaped
+    // low-cardinality; a count-over window funneled the candidate
+    // set). Round 18: the guard exists but its join strategy is AQE's
+    // choice — no pinned broadcast (see ScaleGuardSpec)
     assert(!p.contains("windowspecdefinition"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("__n"), p)
   }
 
   test("x112/x113: grid-fill windows are user-partitioned; the grid join is the only wide join") {
@@ -634,7 +636,9 @@ class PlanAuditSpec extends SparkSpec {
 
   test("x115: medians join back as broadcasts; rank windows are stratum-partitioned") {
     val p = planOf("x115_robust_outliers")
-    assert(broadcasts(p) >= 3, p) // cs, med, mad side-tables
+    // round 18: the cs side-table is gone (the count rides the rank's
+    // own window/offsets), leaving med + mad as the broadcast joins
+    assert(broadcasts(p) >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
@@ -831,14 +835,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), p)
   }
 
-  test("x141: block guard is a broadcast count join (no window); top-k is TakeOrdered") {
+  test("x141: block guard is a count JOIN (no window, no forced broadcast); top-k is TakeOrdered; no distinct/checkpoint") {
     val p = planOf("x141_record_linkage")
-    // round 14: the block-size guard aggregates then broadcasts back —
-    // the probe set never sorts for the guard
+    // round 14: the block-size guard aggregates then joins back — the
+    // probe set never sorts for the guard. Round 18: the guard EXISTS
+    // (the __n cap filter) but its join strategy is AQE's choice — the
+    // counts table has block cardinality, unbounded at 100 TB, so the
+    // plan must not PIN a broadcast (ScaleGuardSpec proves the
+    // shuffle-degradation path returns identical rows)
     assert(!p.contains("windowspecdefinition"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("__n"), p) // the guard's cap filter is present
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // round 18: dedup is by origin-band construction — the pair stream
+    // must carry NO distinct aggregate and NO checkpointed scan
+    assert(!p.contains("Scan ExistingRDD"), p)
   }
 
   test("x142: cube is ONE Expand pass; customer dim broadcast") {
@@ -1012,10 +1023,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("x156: JSON extract is scan-side codegen (no UDF); quantile rank is _pid-local") {
+  test("x156: ONE JSON pass (rank-side, behind the two-phase checkpoint); totals scan prunes to event_type") {
     val p = planOf("x156_props_stats")
-    assert(p.contains("get_json_object"), p)
+    // round 18: the JSON extraction is paid exactly ONCE — inside the
+    // rank's checkpointed input (hidden behind Scan ExistingRDD here;
+    // its codegen form is pinned by the Verify oracle + ExtSpec). What
+    // this plan must show: the missing-count side is a JSON-FREE scan
+    // that column-prunes to event_type alone — if props ever reappears
+    // in a visible ReadSchema, the derived-missing design regressed.
     assert(!p.toLowerCase.contains("batchevalpython"), p)
+    assert(p.contains("ReadSchema: struct<event_type:string>"), p)
+    assert(!p.contains("props"), p)
     // event_type strata are low-cardinality: two-phase rank, never a
     // bare-stratum window over corpus-scale props rows
     val specs = "windowspecdefinition\\(([^,]*)".r

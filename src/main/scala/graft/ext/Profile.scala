@@ -90,52 +90,66 @@ object Profile {
     * at a position is deterministic even under ties). The data-card
     * numbers a corpus README quotes.
     *
-    * Plan — pick the rank strategy by stratum cardinality (round 14):
-    * `lowCardStrata = true` routes the rank through
-    * [[StratumRank.rank]]'s two-phase decomposition (REQUIRED when
-    * strata are source/day/type-shaped — a bare-stratum window there
-    * caps parallelism at the stratum cardinality and single-tasks a
-    * fat stratum's multi-TB sort); `false` keeps the plain hash
-    * window, which is the RIGHT plan when strata are user/entity-keyed
-    * (cardinality ≫ partitions — per-stratum volume is bounded and
-    * two-phase's (partitions × strata) driver offset table would
-    * refuse). The stratum count rides the rank itself (round 18 — no
-    * separate count pass), then one conditional-aggregate groupBy — no
-    * global window, no approximate sketch, columns `p<pct>` in `pcts`
-    * order. Position picks are value-stable under rank-tie
-    * permutation, so both strategies return identical rows. */
+    * Plan (round 18): ONE combinable groupBy compresses the corpus to
+    * a (stratum, value, count) HISTOGRAM — the only pass that touches
+    * row cardinality — then a running-count cumsum over the histogram
+    * locates each position pick. Cumsum strategy by stratum
+    * cardinality (round 14's contract): `lowCardStrata = true` routes
+    * through [[StratumRank.cumsum]]'s two-phase decomposition
+    * (REQUIRED when strata are source/day/type-shaped — a bare-stratum
+    * window caps parallelism at the stratum cardinality); `false`
+    * keeps the plain hash window, the RIGHT plan when strata are
+    * user/entity-keyed (cardinality ≫ partitions; two-phase's
+    * (partitions × strata) driver offset table would refuse). The
+    * stratum count rides the cumsum (no separate count pass), then one
+    * conditional-aggregate groupBy — no global window, no approximate
+    * sketch, columns `p<pct>` in `pcts` order. Value-identical to a
+    * full row rank: tied rows share the value, so the histogram row
+    * whose running count first covers the position carries exactly the
+    * picked value. */
   def groupQuantiles(df: DataFrame, stratum: Column, value: Column,
       pcts: Seq[Int], lowCardStrata: Boolean = false): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts=$pcts must be percentiles in [1, 100]")
+    // HISTOGRAM pre-aggregation (round 18): a position pick only needs
+    // the sorted MULTISET, and the multiset compresses to one
+    // (stratum, v, count) row per distinct value under a combinable
+    // groupBy — so the corpus is touched exactly once by a map-side-
+    // combining aggregate, and every downstream rank/cumsum runs on
+    // distinct-value cardinality instead of row cardinality (measured
+    // sf1: x161 6M rows → 24k histogram rows, x156 1M → ~1k). The
+    // value at position k is the histogram row whose running count
+    // first reaches k — identical to the row-rank pick under ties by
+    // construction (tied rows share the value). `cs` (stratum row
+    // count) rides the cumsum for free: the two-phase path exports its
+    // driver-known totals, the hash-window path reads a total-weight
+    // window over the row_number's own partitioning.
     val d = df.select(stratum.as("stratum"), value.cast("long").as("v"))
-    // the stratum count `cs` is NOT a separate pass (round 18 — it used
-    // to be a second full scan of the input plus a broadcast join): the
-    // two-phase rank exports it for free from its driver-side offsets
-    // table (`withTotal`), and the hash-window path reads it as a
-    // count(*) window over the SAME partitioning/sort the row_number
-    // already paid for
-    val ranked =
+    val hist = d.groupBy("stratum", "v").agg(count(lit(1)).as("cnt"))
+    val cum =
       if (lowCardStrata)
-        StratumRank.rank(d, col("stratum"), Seq(col("v")), withTotal = true)
-          .withColumnRenamed("__rn", "rn").withColumnRenamed("__cs", "cs")
+        StratumRank.cumsum(hist, col("stratum"), Seq(col("v")), col("cnt"),
+            withTotal = true)
+          .withColumnRenamed("__cum", "cum").withColumnRenamed("__cs", "cs")
           .drop("__s")
       else {
-        val w = org.apache.spark.sql.expressions.Window
+        val byS = org.apache.spark.sql.expressions.Window
           .partitionBy(col("stratum"))
-          // NULLS LAST explicitly: StratumRank pins it (ANSI default),
-          // so both strategies really do return identical rows under
-          // NULL values — Spark's bare ASC would put nulls first
-          .orderBy(col("v").asc_nulls_last)
-        d.withColumn("rn", row_number().over(w).cast("long"))
-          .withColumn("cs", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))))
+        // NULLS LAST explicitly: StratumRank pins it (ANSI default),
+        // so both strategies really do return identical rows under
+        // NULL values — Spark's bare ASC would put nulls first
+        hist.withColumn("cum", sum(col("cnt")).over(
+            byS.orderBy(col("v").asc_nulls_last)
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .withColumn("cs", sum(col("cnt")).over(byS))
       }
-    val aggs = pcts.map(p =>
-      max(expr(s"CASE WHEN rn = ($p * cs + 99) DIV 100 THEN v END"))
-        .as(s"p$p"))
-    ranked.groupBy("stratum")
-      .agg(count(lit(1)).as("n"), aggs: _*)
+    val aggs = pcts.map { p =>
+      val pos = s"(($p * cs + 99) DIV 100)"
+      max(expr(s"CASE WHEN cum - cnt < $pos AND $pos <= cum THEN v END"))
+        .as(s"p$p")
+    }
+    cum.groupBy("stratum")
+      .agg(sum(col("cnt")).as("n"), aggs: _*)
   }
 
   /** Join-key skew profile: the top-`k` heaviest key values plus, on
@@ -175,55 +189,69 @@ object Profile {
     * is ever SUMMED, so the result is bit-stable under any partitioning
     * and reproducible in any ANSI engine.
     *
-    * Plan: two per-stratum ranks (values, then deviations) + broadcast
-    * median joins — no global window, no sketch. Rank strategy by
-    * stratum cardinality (round 14, same contract as
-    * [[groupQuantiles]]): `lowCardStrata = true` → the two-phase
-    * [[StratumRank.rank]] (brand/source-shaped strata — a bare window
-    * would single-task a fat stratum); `false` → plain hash window
-    * (user/entity-keyed strata, the right plan there). Median picks
-    * are value-stable under rank-tie permutation — both strategies
-    * return identical rows. Output: (stratum, n, med, mad, n_out). */
+    * Plan (round 18): one combinable groupBy compresses the corpus to
+    * a (stratum, v, count) histogram — the only row-cardinality pass —
+    * then two cumsum position picks (values, then |v−med| deviations)
+    * over the tiny histograms + broadcast median joins. No global
+    * window, no sketch. Cumsum strategy by stratum cardinality (round
+    * 14, same contract as [[groupQuantiles]]): `lowCardStrata = true`
+    * → two-phase [[StratumRank.cumsum]] (brand/source-shaped strata);
+    * `false` → plain hash window (user/entity-keyed strata, the right
+    * plan there). Median picks are value-stable under tie permutation
+    * — both strategies return identical rows.
+    * Output: (stratum, n, med, mad, n_out). */
   def medianMadOutliers(df: DataFrame, stratum: Column, value: Column,
       nMads: Int = 4, lowCardStrata: Boolean = false): DataFrame = {
     require(nMads >= 1, s"nMads=$nMads must be >= 1")
-    // `cs` rides the rank itself (round 18): the two-phase path exports
-    // its driver-known stratum totals as `__cs`; the hash-window path
-    // reads a count(*) window over the row_number's own partitioning —
-    // the two `d.groupBy.count` passes + broadcast joins this used to
-    // pay are gone
-    def rankBy(in: DataFrame, o: String): DataFrame =
+    // HISTOGRAM form (round 18, same argument as [[groupQuantiles]]):
+    // the corpus is touched exactly ONCE — a combinable groupBy down
+    // to (stratum, v, count) — and every later stage (median cumsum,
+    // deviation build, MAD cumsum, outlier count) runs on
+    // distinct-value cardinality (measured sf1: x128's 6M joined rows
+    // → 600k histogram rows). The deviation histogram derives from the
+    // VALUE histogram: |v − med| with weight cnt, re-grouped because
+    // med±x collide. Both medians are position picks on running
+    // weights — value-identical to the r17 row-rank form (tied rows
+    // share the value). The two tiny histograms are lazily
+    // checkpointed: each feeds two consumers, and without the pin the
+    // corpus-wide groupBy would recompute per consumer.
+    def cumsumBy(h: DataFrame, o: String): DataFrame =
       if (lowCardStrata)
-        StratumRank.rank(in, col("stratum"), Seq(col(o)), withTotal = true)
-          .withColumnRenamed("__rn", "rn").withColumnRenamed("__cs", "cs")
+        StratumRank.cumsum(h, col("stratum"), Seq(col(o)), col("cnt"),
+            withTotal = true)
+          .withColumnRenamed("__cum", "cum").withColumnRenamed("__cs", "cs")
           .drop("__s")
-      else in.withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("stratum"))
-            .orderBy(col(o).asc_nulls_last)).cast("long"))
-        .withColumn("cs", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))))
-    // ONE materialization of the upstream scan/join (round 18): `d`
-    // feeds the median rank, the deviation build and (through `dev`)
-    // the MAD rank + final aggregate — x128's lineitem⋈part was being
-    // recomputed for every consumer, a per-query constant the oracle
-    // never pays. At 100 TB the checkpoint is narrow (stratum + one
-    // double per row) and replaces full upstream recomputation.
+      else {
+        val byS = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("stratum"))
+        h.withColumn("cum", sum(col("cnt")).over(
+            byS.orderBy(col(o).asc_nulls_last)
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .withColumn("cs", sum(col("cnt")).over(byS))
+      }
+    // lower median = value at position (n+1) div 2: the histogram row
+    // whose running count first covers the position
+    def pickAt(cumd: DataFrame, o: String, out: String): DataFrame = {
+      val pos = expr("(cs + 1) DIV 2")
+      cumd.where(col("cum") - col("cnt") < pos && pos <= col("cum"))
+        .select(col("stratum"), col(o).as(out))
+    }
     val d = df.select(stratum.as("stratum"), value.cast("double").as("v"))
+    val hist = d.groupBy("stratum", "v").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(false)
-    val med = rankBy(d, "v")
-      .where(col("rn") === expr("(cs + 1) DIV 2"))
-      .select(col("stratum"), col("v").as("med"))
-    val dev = d.join(broadcast(med), Seq("stratum"))
-      .withColumn("adev", abs(col("v") - col("med")))
-    val mad = rankBy(dev, "adev")
-      .where(col("rn") === expr("(cs + 1) DIV 2"))
-      .select(col("stratum"), col("adev").as("mad"))
-    dev.join(broadcast(mad), Seq("stratum"))
+    val med = pickAt(cumsumBy(hist, "v"), "v", "med")
+    val adevHist = hist.join(broadcast(med), Seq("stratum"))
+      .groupBy(col("stratum"), abs(col("v") - col("med")).as("adev"))
+      .agg(sum(col("cnt")).as("cnt"), max(col("med")).as("med"))
+      .localCheckpoint(false)
+    val mad = pickAt(
+      cumsumBy(adevHist.select(col("stratum"), col("adev"), col("cnt")), "adev"),
+      "adev", "mad")
+    adevHist.join(broadcast(mad), Seq("stratum"))
       .groupBy("stratum")
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(col("cnt")).as("n"),
         max(col("med")).as("med"), max(col("mad")).as("mad"),
-        sum(when(col("adev") > col("mad") * nMads, 1L).otherwise(0L))
+        sum(when(col("adev") > col("mad") * nMads, col("cnt")).otherwise(0L))
           .as("n_out"))
   }
 

@@ -78,10 +78,19 @@ object RecordLinkage {
     // at least the record's own home copy).
     val blockCounts = probes.groupBy("nat", "band")
       .agg(count(lit(1)).as("__n"))
+    // PIN the pair-join width (round 18, ConstantProbe-measured: the
+    // whole query ran as 12 tasks at sf1 — AQE coalesces the tiny
+    // probe shuffle to ~1 partition because it prices the join by its
+    // INPUT bytes, but the join's OUTPUT is the maxBlock²-bounded pair
+    // expansion, orders of magnitude larger). An explicit
+    // repartition-by-num on the join key is exempt from AQE
+    // coalescing and feeds both sides of the self-join exchange-free.
+    val width = df.sparkSession.sparkContext.defaultParallelism
     val guarded = probes.join(blockCounts, Seq("nat", "band"))
       .where(col("__n") <= maxBlock).drop("__n")
       .join(blockCounts.select(col("nat"), col("band").as("ob"),
         col("__n").as("on")), Seq("nat", "ob"))
+      .repartition(width, col("nat"), col("band"))
     val l = guarded.select(col("nat"), col("band"), col("k").as("id_a"),
       col("seg").as("seg_a"), col("cents").as("c_a"),
       col("ob").as("ob_a"), col("on").as("on_a"))

@@ -4233,14 +4233,26 @@ object ExtQueries {
     val d = sess.select(date_trunc("day", col("session_start")).as("stratum"),
       col("duration_secs"), col("n_events"))
       .localCheckpoint(false)
-    val qd = Profile.groupQuantiles(d, col("stratum"), col("duration_secs"), Seq(50, 95),
-      lowCardStrata = true)
-      .select(col("stratum"), col("n"),
-        col("p50").as("p50_dur"), col("p95").as("p95_dur"))
-    val qe = Profile.groupQuantiles(d, col("stratum"), col("n_events"), Seq(50),
-      lowCardStrata = true)
-      .select(col("stratum"), col("p50").as("p50_events"))
-    qd.join(qe, Seq("stratum")).orderBy("stratum")
+    // ...and both profiles share ONE rank chain (round 18): the two
+    // measures stack as (day, measure-tag) strata in a single
+    // measure-tagged union, so the histogram groupBy + two-phase
+    // cumsum machinery — the query's per-call constant — runs once,
+    // not twice; a tiny pivot agg unpacks the stacked rows. The
+    // stray p95 computed for the n_events arm is discarded.
+    val stacked = d.select(col("stratum"), lit("dur").as("m"),
+        col("duration_secs").as("v"))
+      .unionAll(d.select(col("stratum"), lit("ev").as("m"),
+        col("n_events").as("v")))
+    val q = Profile.groupQuantiles(stacked, struct(col("stratum"), col("m")),
+        col("v"), Seq(50, 95), lowCardStrata = true)
+      .select(col("stratum.stratum").as("stratum"), col("stratum.m").as("m"),
+        col("n"), col("p50"), col("p95"))
+    q.groupBy("stratum")
+      .agg(max(when(col("m") === "dur", col("n"))).as("n"),
+        max(when(col("m") === "dur", col("p50"))).as("p50_dur"),
+        max(when(col("m") === "dur", col("p95"))).as("p95_dur"),
+        max(when(col("m") === "ev", col("p50"))).as("p50_events"))
+      .orderBy("stratum")
   }
 
   // x127 — CUSTOMER SPEND DECILE LIFT TABLE: customers ranked by total
@@ -5316,8 +5328,13 @@ object ExtQueries {
     // where the total comes from a JSON-free scan that column-prunes to
     // event_type alone, and the non-null count is groupQuantiles' own
     // `n` (free since the rank exports its stratum totals).
-    val e = Tables.events(s, dir).select(col("event_type").as("stratum"),
-      get_json_object(col("props"), "$.k").cast("long").as("v"))
+    // ...and the one pass runs at cluster width: the events scan is
+    // 1–2 row groups at sf1, so without the spread the JSON parse —
+    // the dominant per-row cost — ran on ≤2 cores (the x28 shape)
+    val e = Spread.toClusterWidth(
+        Tables.events(s, dir).select(col("event_type"), col("props")))
+      .select(col("event_type").as("stratum"),
+        get_json_object(col("props"), "$.k").cast("long").as("v"))
     val totals = Tables.events(s, dir)
       .groupBy(col("event_type").as("stratum"))
       .agg(count(lit(1)).as("__total"))

@@ -634,11 +634,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) === 1, p)   // the single count groupBy
   }
 
-  test("x115: medians join back as broadcasts; rank windows are stratum-partitioned") {
+  test("x115: medians join back as broadcasts; histogram cumsum windows are stratum-partitioned") {
     val p = planOf("x115_robust_outliers")
-    // round 18: the cs side-table is gone (the count rides the rank's
-    // own window/offsets), leaving med + mad as the broadcast joins
-    assert(broadcasts(p) >= 2, p)
+    // round 18 histogram form: the visible tail is the MAD broadcast
+    // join over the checkpointed deviation histogram (the med join
+    // lives inside that checkpoint's lineage); the cs side-table is
+    // gone — the count rides the cumsum's own window
+    assert(broadcasts(p) >= 1, p)
+    assert(p.contains("Scan ExistingRDD"), p) // the checkpointed histogram
     assert(!p.contains("CartesianProduct"), p)
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq

@@ -962,9 +962,11 @@ object Dedup {
     val base = docs.select(id.as("doc_id"),
       substring(text, 1, prefixLen).as("p"),
       (length(text).cast("long") / bandWidth).cast("long").as("band"))
-    val cand = base.select(col("doc_id"), col("p"), col("band"))
-      .unionAll(base.select(col("doc_id"), col("p"),
-        (col("band") + 1).as("band")))
+    // both band copies (home + band+1 shadow) explode from ONE pass
+    // over the scan (round 18 — the two-arm union embedded the scan +
+    // prefix projection under both arms)
+    val cand = base.select(col("doc_id"), col("p"),
+        explode(array(col("band"), col("band") + 1)).as("band"))
       // three consumers (band counts + both join sides): checkpoint so
       // the doc scan + prefix projection is paid once
       .localCheckpoint(false)

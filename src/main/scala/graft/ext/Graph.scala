@@ -48,8 +48,16 @@ object Graph {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("s"), col("b.doc_id").as("d"))
       .distinct()
-    pairs.select(col("s").as("src"), col("d").as("dst"))
-      .unionAll(pairs.select(col("d").as("src"), col("s").as("dst")))
+    // symmetrize in ONE pass (round 18): the old two-arm unionAll
+    // embedded the inverted-index self-join + distinct under both arms
+    // — Catalyst duplicates the subtree, so every co-shingle consumer
+    // paid the pair enumeration twice (StageProbe: two identical
+    // 16.9 MB scan+join chains inside one x148 execution). explode
+    // over a 2-struct array emits both directions from one subtree.
+    pairs.select(explode(array(
+        struct(col("s").as("src"), col("d").as("dst")),
+        struct(col("d").as("src"), col("s").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** Per-node triangle counts and local clustering coefficient on a
@@ -96,9 +104,12 @@ object Graph {
       .select(col("ab.src").as("a"), col("ab.dst").as("b"), col("bc.dst").as("c"))
     val tris = wedges.join(ord.as("ac"),
       col("a") === col("ac.src") && col("c") === col("ac.dst"), "left_semi")
-    val perNode = tris.select(col("a").as("node"))
-      .unionAll(tris.select(col("b").as("node")))
-      .unionAll(tris.select(col("c").as("node")))
+    // 3-role credit in ONE pass (round 18): the old 3-arm unionAll
+    // embedded the wedge join + closing semi-join under every arm —
+    // the triangle enumeration ran three times per query. explode over
+    // the 3-element array credits all roles from a single subtree.
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     deg.join(perNode, col("src") === col("node"), "left")
@@ -295,11 +306,31 @@ object Graph {
           s"structurally-bounded hub-pruned contract")
     }
     // wedge a—z—b with a<b: both legs read the SAME mid-node partition,
-    // weighted by the mid-node's degree discount
+    // weighted by the mid-node's degree discount.
+    // PIN the wedge-join width (round 18, StageProbe-measured: the
+    // self-join ran as 3 tasks at sf0.1 — 8.4 CPU-s serialized onto a
+    // 3.1 s wall — because AQE prices the join by its INPUT shuffle,
+    // 3 MB of edges, while the OUTPUT is the Σdeg²-bounded wedge
+    // expansion, 48 MB+). An explicit repartition-by-num on the join
+    // key is exempt from AQE coalescing, is shared by both aliases of
+    // the self-join (ReusedExchange), and satisfies the join's
+    // distribution so no further exchange appears. Same fix, same
+    // rationale as RecordLinkage.linkPairs' block-key pin. The
+    // checkpoint under it is load-bearing twice over: without it the
+    // e⋈deg subtree is DUPLICATED under both join aliases (measured:
+    // two full builds per execution), and the upstream join's own
+    // hash(src)=hash(z) exchange makes a bare repartition-by-num
+    // "redundant" to Catalyst — it was silently elided and AQE then
+    // coalesced the surviving ENSURE_REQUIREMENTS exchange right back
+    // to 3 tasks. Over the checkpoint's UnknownPartitioning scan the
+    // pin is structural.
+    val width = e.sparkSession.sparkContext.defaultParallelism
     val mid = e.join(deg, Seq("src"))
       .where(col("deg") <= maxMidDegree)
       .select(col("src").as("z"), col("dst").as("leaf"),
         expr("1000000L DIV deg").as("w"))
+      .localCheckpoint(false)
+      .repartition(width, col("z"))
     val pairs = mid.as("ea")
       .join(mid.as("eb"),
         col("ea.z") === col("eb.z") && col("ea.leaf") < col("eb.leaf"))
@@ -430,13 +461,23 @@ object Graph {
       .select(col("src"), lit(1000000L).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
+      // each propagation round's groupBy output is checkpointed BEFORE
+      // l1Norm (round 18, StageProbe-measured): l1Norm embeds its input
+      // subtree TWICE (once under the broadcast total, once as the
+      // stream), and rounds nest — so without the pin the edge joins
+      // re-executed ~2^rounds times per query (x232: ~12 CPU-s for
+      // work whose single-pass cost is ~4). Same lineage-cutting
+      // discipline as [[Dedup.connectedComponents]]; the pinned frames
+      // are node-cardinality (node, score) pairs, never edges.
       auth = l1Norm(
         e.join(hubs, Seq("src"))
-          .groupBy(col("dst")).agg(sum(col("h")).as("a")),
+          .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+          .localCheckpoint(false),
         "dst", "a")
       hubs = l1Norm(
         e.join(auth, Seq("dst"))
-          .groupBy(col("src")).agg(sum(col("a")).as("h")),
+          .groupBy(col("src")).agg(sum(col("a")).as("h"))
+          .localCheckpoint(false),
         "src", "h")
     }
     // orderBy+limit plans as TakeOrderedAndProject (the x34/x67 shape —

@@ -212,9 +212,7 @@ object Profile {
     // VALUE histogram: |v − med| with weight cnt, re-grouped because
     // med±x collide. Both medians are position picks on running
     // weights — value-identical to the r17 row-rank form (tied rows
-    // share the value). The two tiny histograms are lazily
-    // checkpointed: each feeds two consumers, and without the pin the
-    // corpus-wide groupBy would recompute per consumer.
+    // share the value).
     def cumsumBy(h: DataFrame, o: String): DataFrame =
       if (lowCardStrata)
         StratumRank.cumsum(h, col("stratum"), Seq(col(o)), col("cnt"),
@@ -237,22 +235,51 @@ object Profile {
         .select(col("stratum"), col(o).as(out))
     }
     val d = df.select(stratum.as("stratum"), value.cast("double").as("v"))
-    val hist = d.groupBy("stratum", "v").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
-    val med = pickAt(cumsumBy(hist, "v"), "v", "med")
-    val adevHist = hist.join(broadcast(med), Seq("stratum"))
-      .groupBy(col("stratum"), abs(col("v") - col("med")).as("adev"))
-      .agg(sum(col("cnt")).as("cnt"), max(col("med")).as("med"))
-      .localCheckpoint(false)
-    val mad = pickAt(
-      cumsumBy(adevHist.select(col("stratum"), col("adev"), col("cnt")), "adev"),
-      "adev", "mad")
-    adevHist.join(broadcast(mad), Seq("stratum"))
-      .groupBy("stratum")
-      .agg(sum(col("cnt")).as("n"),
-        max(col("med")).as("med"), max(col("mad")).as("mad"),
-        sum(when(col("adev") > col("mad") * nMads, col("cnt")).otherwise(0L))
-          .as("n_out"))
+    val hist0 = d.groupBy("stratum", "v").agg(count(lit(1)).as("cnt"))
+    if (lowCardStrata) {
+      // CACHE REUSE (round 18, StageProbe-measured): the two-phase
+      // cumsum already checkpoints its sorted frame, and that cache
+      // CONTAINS the histogram columns — so the deviation histogram
+      // derives from cum1's output (a cache read + broadcast rejoin)
+      // and the final aggregate reads cum2's output the same way.
+      // The separate hist/adevHist localCheckpoints this used to pin
+      // were a THIRD and FOURTH copy of the same rows in the block
+      // manager (x128: 2×60 MB written and re-read per execution for
+      // data sorted1/sorted2 already hold).
+      val cum1 = cumsumBy(hist0, "v")
+      val med = pickAt(cum1, "v", "med")
+      val adevHist = cum1.select(col("stratum"), col("v"), col("cnt"))
+        .join(broadcast(med), Seq("stratum"))
+        .groupBy(col("stratum"), abs(col("v") - col("med")).as("adev"))
+        .agg(sum(col("cnt")).as("cnt"), max(col("med")).as("med"))
+      val cum2 = cumsumBy(adevHist, "adev")
+      val mad = pickAt(cum2, "adev", "mad")
+      cum2.join(broadcast(mad), Seq("stratum"))
+        .groupBy("stratum")
+        .agg(sum(col("cnt")).as("n"),
+          max(col("med")).as("med"), max(col("mad")).as("mad"),
+          sum(when(col("adev") > col("mad") * nMads, col("cnt")).otherwise(0L))
+            .as("n_out"))
+    } else {
+      // hash-window path: everything is ONE lazy plan (no collect
+      // boundary), so without the checkpoints the corpus-wide groupBy
+      // subtree would be DUPLICATED under every consumer — keep them.
+      val hist = hist0.localCheckpoint(false)
+      val med = pickAt(cumsumBy(hist, "v"), "v", "med")
+      val adevHist = hist.join(broadcast(med), Seq("stratum"))
+        .groupBy(col("stratum"), abs(col("v") - col("med")).as("adev"))
+        .agg(sum(col("cnt")).as("cnt"), max(col("med")).as("med"))
+        .localCheckpoint(false)
+      val mad = pickAt(
+        cumsumBy(adevHist.select(col("stratum"), col("adev"), col("cnt")), "adev"),
+        "adev", "mad")
+      adevHist.join(broadcast(mad), Seq("stratum"))
+        .groupBy("stratum")
+        .agg(sum(col("cnt")).as("n"),
+          max(col("med")).as("med"), max(col("mad")).as("mad"),
+          sum(when(col("adev") > col("mad") * nMads, col("cnt")).otherwise(0L))
+            .as("n_out"))
+    }
   }
 
   /** k-anonymity audit over a quasi-identifier tuple: every equivalence

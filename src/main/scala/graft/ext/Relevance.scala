@@ -262,8 +262,17 @@ object Relevance {
         when(col("a_wins") * 2 > col("n"), 1)
           .when(col("a_wins") * 2 < col("n"), -1)
           .otherwise(0).as("verdict")) // 1: a beats b, -1: b beats a
-    duels.select(col("a").as("cand"), col("verdict"))
-      .unionAll(duels.select(col("b").as("cand"), (-col("verdict")).as("verdict")))
+    // ONE pass over the duel table (round 18): the old two-arm
+    // unionAll embedded the whole duel join + aggregate subtree under
+    // BOTH arms — Catalyst sees a tree, not a DAG, so the k²-per-ballot
+    // expansion ran twice per query (StageProbe: ~half of x248's
+    // 14 CPU-s). An explode over a 2-struct array emits the identical
+    // row multiset from a single subtree, keeps whole-stage codegen,
+    // and keeps the ballot equi-join visible to the plan pin.
+    duels.select(explode(array(
+        struct(col("a").as("cand"), col("verdict").as("verdict")),
+        struct(col("b").as("cand"), (-col("verdict")).as("verdict")))).as("sd"))
+      .select(col("sd.cand").as("cand"), col("sd.verdict").as("verdict"))
       .groupBy(col("cand"))
       .agg(count(lit(1)).cast("long").as("n_opponents"),
         sum(when(col("verdict") === 1, 1L).otherwise(0L)).as("n_beats"),

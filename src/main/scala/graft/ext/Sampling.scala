@@ -558,7 +558,13 @@ object Sampling {
       .localCheckpoint(false)
     val pairs = graft.ext.Dedup.minhashPairs(d, col("doc_id"), col("text"))
       .select(col("a"), col("b"))
-    val sym = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    // symmetrize in ONE pass (round 18): a two-arm union would embed
+    // the LSH band join + distinct under both arms — Catalyst
+    // duplicates the subtree — so both directions explode from one
+    val sym = pairs.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
     cand
       .join(docRep.select(col("doc_id"), col("rep").as("rep_a")), Seq("doc_id"))
       .join(docRep.select(col("doc_id").as("neg_id"), col("rep").as("rep_b")),

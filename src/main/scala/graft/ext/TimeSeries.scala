@@ -387,8 +387,13 @@ object TimeSeries {
     val base = iv.select(key.as("k"), unix_micros(start).as("st"),
         unix_micros(end).as("en"))
       .where(col("en") > col("st"))
-    val ev = base.select(col("k"), col("st").as("t"), lit(1L).as("d"))
-      .unionAll(base.select(col("k"), col("en").as("t"), lit(-1L).as("d")))
+    // both sweep events (open +1 at start, close −1 at end) explode
+    // from ONE pass over the scan (round 18) — the two-arm union
+    // embedded the scan + projection under both arms
+    val ev = base.select(col("k"), explode(array(
+        struct(col("st").as("t"), lit(1L).as("d")),
+        struct(col("en").as("t"), lit(-1L).as("d")))).as("e"))
+      .select(col("k"), col("e.t").as("t"), col("e.d").as("d"))
     val w = Window.partitionBy(col("k")).orderBy(col("t"), col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.withColumn("open", sum(col("d")).over(w))

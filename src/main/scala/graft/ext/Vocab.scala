@@ -282,8 +282,13 @@ object Vocab {
       .select(split(col("pair"), " ").getItem(0).as("w1"),
         split(col("pair"), " ").getItem(1).as("w2"), col("cnt"))
       .where(col("w1") =!= col("w2")) // no self-loops
-    val e = und.select(col("w1").as("src"), col("w2").as("dst"), col("cnt"))
-      .unionAll(und.select(col("w2").as("src"), col("w1").as("dst"), col("cnt")))
+    // symmetrize in ONE pass (round 18): the two-arm union embedded
+    // the pair explode + groupBy under both arms (Catalyst duplicates
+    // the subtree); explode emits both directions from one subtree
+    val e = und.select(explode(array(
+        struct(col("w1").as("src"), col("w2").as("dst"), col("cnt")),
+        struct(col("w2").as("src"), col("w1").as("dst"), col("cnt")))).as("d"))
+      .select(col("d.src").as("src"), col("d.dst").as("dst"), col("d.cnt").as("cnt"))
       .localCheckpoint(false)
     val tw = e.groupBy(col("src")).agg(sum(col("cnt")).as("tw"))
     val nRow = tw.agg(count(lit(1)).as("n"))

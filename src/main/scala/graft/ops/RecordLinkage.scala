@@ -66,9 +66,13 @@ object RecordLinkage {
     // each probe row remembers its ORIGIN band `ob` (= the record's own
     // band): the pair-dedup rule below needs to know whether a meeting
     // happened "at home" or in the band+1 shadow copy
-    val probes = base.withColumn("ob", col("band"))
-      .unionAll(base.withColumn("ob", col("band"))
-        .withColumn("band", col("band") + 1))
+    // both probe copies (home band + band+1 shadow) explode from ONE
+    // pass over the scan (round 18) — the two-arm union embedded the
+    // scan + projection under both arms
+    val probes = base
+      .select(col("k"), col("nat"), col("seg"), col("cents"),
+        col("band").as("ob"),
+        explode(array(col("band"), col("band") + 1)).as("band"))
     // block-size guard as a combinable count + join, not a count-over
     // window (round 14) and NOT broadcast-hinted (round 18): the table
     // is block-cardinality — unbounded at 100 TB — so AQE picks the

@@ -74,7 +74,11 @@ class PlanAuditSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    // round 18: the two-phase running sum is a partition-local
+    // MapPartitions scan over the pinned sort — no window at all; any
+    // RESIDUAL window must still be _pid-local, never the bare stratum
+    assert(specs.forall(_.contains("_pid")), specs.toString)
+    assert(p.contains("MapPartitions"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -84,7 +88,11 @@ class PlanAuditSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    // round 18: the two-phase running sum is a partition-local
+    // MapPartitions scan over the pinned sort — no window at all; any
+    // RESIDUAL window must still be _pid-local, never the bare stratum
+    assert(specs.forall(_.contains("_pid")), specs.toString)
+    assert(p.contains("MapPartitions"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -168,13 +176,16 @@ class PlanAuditSpec extends SparkSpec {
     // every rank window is (_pid, stratum-shadow)-local: parallelism is
     // the cluster's partition count, never the stratum cardinality
     val wlines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(wlines.nonEmpty, p)
+    // round 18: the rank is a partition-local MapPartitions scan over
+    // the pinned sort — zero windows, zero rank-side exchanges; any
+    // residual window would have to be _pid-local
     wlines.foreach(l => assert(l.contains("_pid"), l))
+    assert(p.contains("MapPartitions"), p)
     assert(!p.contains("Exchange hashpartitioning(lang"), p)
     // plan reads from the pinned one-sort checkpoint; offsets broadcast
     assert(p.contains("Scan ExistingRDD"), p)
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(shuffles(p) === 2, p) // window co-key (_pid, __sk) + output sort
+    assert(shuffles(p) === 1, p) // output sort only (window co-key exchange gone, round 18)
   }
 
   test("x50: class centroids broadcast; worst-k rank is _pid-local two-phase") {
@@ -186,7 +197,10 @@ class PlanAuditSpec extends SparkSpec {
     // the bare label (round 14)
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    // round 18: two-phase rank = partition-local MapPartitions scan;
+    // residual windows (if any) must be _pid-local, never bare-stratum
+    assert(specs.forall(_.contains("_pid")), specs.toString)
+    assert(p.contains("MapPartitions"), p)
   }
 
   test("x52: funnel = ONE fact scan, ONE user-key shuffle shared by all three stages") {
@@ -733,7 +747,10 @@ class PlanAuditSpec extends SparkSpec {
     // a bare-brand window would cap parallelism at ~25 brands
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    // round 18: two-phase rank = partition-local MapPartitions scan;
+    // residual windows (if any) must be _pid-local, never bare-stratum
+    assert(specs.forall(_.contains("_pid")), specs.toString)
+    assert(p.contains("MapPartitions"), p)
   }
 
   test("x129: pairs expand scan-side; supports broadcast back; no position self-join") {
@@ -758,10 +775,13 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("x131_attribution")
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    // the channel median ranks two-phase (_pid) since round 14
-    assert(specs.nonEmpty &&
-      specs.forall(s => s.contains("user_id") || s.contains("_pid")),
+    // the channel median ranks two-phase since round 14; round 18 the
+    // two-phase running sum became a window-free MapPartitions scan, so
+    // the median contributes NO window to the final plan — any window
+    // still visible must be user-partitioned
+    assert(specs.forall(s => s.contains("user_id") || s.contains("_pid")),
       specs.toString)
+    assert(p.contains("MapPartitions"), p)
   }
 
   test("x132/x133: PIT and FD windows are entity-partitioned, never global") {
@@ -1041,7 +1061,11 @@ class PlanAuditSpec extends SparkSpec {
     // bare-stratum window over corpus-scale props rows
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    // round 18: the two-phase running sum is a partition-local
+    // MapPartitions scan over the pinned sort — no window at all; any
+    // RESIDUAL window must still be _pid-local, never the bare stratum
+    assert(specs.forall(_.contains("_pid")), specs.toString)
+    assert(p.contains("MapPartitions"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -1103,7 +1127,11 @@ class PlanAuditSpec extends SparkSpec {
     // the rank at five tasks; round 14 routes it through StratumRank
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    // round 18: the two-phase running sum is a partition-local
+    // MapPartitions scan over the pinned sort — no window at all; any
+    // RESIDUAL window must still be _pid-local, never the bare stratum
+    assert(specs.forall(_.contains("_pid")), specs.toString)
+    assert(p.contains("MapPartitions"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -1124,7 +1152,11 @@ class PlanAuditSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    // round 18: the two-phase running sum is a partition-local
+    // MapPartitions scan over the pinned sort — no window at all; any
+    // RESIDUAL window must still be _pid-local, never the bare stratum
+    assert(specs.forall(_.contains("_pid")), specs.toString)
+    assert(p.contains("MapPartitions"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -1136,7 +1168,11 @@ class PlanAuditSpec extends SparkSpec {
     // the previous bare-stratum window capped parallelism at |sources|
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    // round 18: the two-phase running sum is a partition-local
+    // MapPartitions scan over the pinned sort — no window at all; any
+    // RESIDUAL window must still be _pid-local, never the bare stratum
+    assert(specs.forall(_.contains("_pid")), specs.toString)
+    assert(p.contains("MapPartitions"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -2170,8 +2206,10 @@ class PlanAuditSpec2 extends SparkSpec {
     // (_pid, stratum-shadow)-local, never bare-stratum-partitioned —
     // a bare-stratum window caps parallelism at <=63 log2 bins
     val wlines = finalP.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(wlines.nonEmpty, p)
+    // round 18: the rank is a window-free MapPartitions two-phase scan;
+    // residual windows (if any) must be _pid-local
     wlines.foreach(l => assert(l.contains("_pid"), l))
+    assert(p.contains("MapPartitions"), p)
     // at most ONE hashpartitioning(__s) may remain — the quota
     // subtree's post-partial-agg exchange (<=63 rows per mapper after
     // map-side combine; AQE may fold it out of the printed final plan
@@ -2250,25 +2288,41 @@ class PlanAuditSpec2 extends SparkSpec {
 
   test("x89: token-budget cumsum is _pid-local two-phase — no bare-stratum window") {
     val (p, specs) = execWindows("x89_token_budget_cut")
-    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    // round 18: the two-phase running sum is a window-free
+    // partition-local MapPartitions scan; residual windows (if any)
+    // must be _pid-local, never bare-stratum
+    assert(specs.forall(_.contains("_pid")), specs.toString)
+    assert(p.contains("MapPartitions"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
   test("x97: curriculum rank is _pid-local two-phase — no bare-source window") {
     val (p, specs) = execWindows("x97_curriculum_interleave")
-    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    // round 18: the two-phase running sum is a window-free
+    // partition-local MapPartitions scan; residual windows (if any)
+    // must be _pid-local, never bare-stratum
+    assert(specs.forall(_.contains("_pid")), specs.toString)
+    assert(p.contains("MapPartitions"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
   test("x98: quantile-normalize rank is _pid-local two-phase — no bare-stratum window") {
     val (p, specs) = execWindows("x98_quantile_norm")
-    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    // round 18: the two-phase running sum is a window-free
+    // partition-local MapPartitions scan; residual windows (if any)
+    // must be _pid-local, never bare-stratum
+    assert(specs.forall(_.contains("_pid")), specs.toString)
+    assert(p.contains("MapPartitions"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
   test("x103: length-quantile rank is _pid-local two-phase — no bare-source window") {
     val (p, specs) = execWindows("x103_length_quantiles")
-    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    // round 18: the two-phase running sum is a window-free
+    // partition-local MapPartitions scan; residual windows (if any)
+    // must be _pid-local, never bare-stratum
+    assert(specs.forall(_.contains("_pid")), specs.toString)
+    assert(p.contains("MapPartitions"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -2276,11 +2330,15 @@ class PlanAuditSpec2 extends SparkSpec {
     val (p, specs) = execWindows("x126_session_stats")
     // sessionization legitimately windows on user_id (entity-keyed);
     // the per-DAY quantile ranks must not window on the bare day
-    assert(specs.nonEmpty &&
-      specs.forall(s => s.contains("_pid") || s.contains("user_id") ||
+    // the session window itself sits behind the sessionize-output
+    // checkpoint since r17, so the terminal plan may carry NO windows
+    // at all; any residual one must be entity-keyed
+    assert(specs.forall(s => s.contains("user_id") ||
         s.contains("key")),  // Sessionize renames user_id -> key
       specs.toString)
-    assert(specs.exists(_.contains("_pid")), specs.toString)
+    // round 18: the day-quantile rank itself is the window-free
+    // MapPartitions two-phase scan
+    assert(p.contains("MapPartitions"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -2308,7 +2366,11 @@ class PlanAuditSpec2 extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("_pid")), specs.toString)
+    // round 18: the two-phase running sum is a partition-local
+    // MapPartitions scan over the pinned sort — no window at all; any
+    // RESIDUAL window must still be _pid-local, never the bare stratum
+    assert(specs.forall(_.contains("_pid")), specs.toString)
+    assert(p.contains("MapPartitions"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 

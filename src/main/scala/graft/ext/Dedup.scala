@@ -213,7 +213,7 @@ object Dedup {
     // the scan is spread to cluster width first (Spread: the per-word
     // explode multiplies rows ~100×, and an under-split corpus file
     // would run it on 1-2 cores)
-    val occ = Spread.toClusterWidth(df)
+    val occ = Spread.toClusterWidth(df, expansion = 100L)
       .select(id.as("doc_id"),
         posexplode(graft.functions.WordShingles.word_shingle_hashes_pos(text, n)))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
@@ -267,7 +267,7 @@ object Dedup {
     // fused shingle→hash expression (see duplicateSpans): the corpus's
     // shingle strings never leave the generating expression; scan
     // spread to cluster width before the row-multiplying explode
-    val occ = Spread.toClusterWidth(df)
+    val occ = Spread.toClusterWidth(df, expansion = 100L)
       .select(id.as("doc_id"),
         size(split(trim(text), "\\s+")).cast("long").as("n_words"),
         posexplode(graft.functions.WordShingles.word_shingle_hashes_pos(text, n)))
@@ -322,7 +322,7 @@ object Dedup {
   def noveltyScores(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     // Spread: the shingle explode multiplies rows ~100x off a scan
     // that may be 1-2 row groups (x71 ran at 1.4 cores at sf1)
-    val sh = Spread.toClusterWidth(df)
+    val sh = Spread.toClusterWidth(df, expansion = 100L)
       .select(id.as("doc_id"), explode(shingles(text, n)).as("sh"))
       .select(col("doc_id"), md5Hash60(col("sh")).as("h"))
     val firsts = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
@@ -678,8 +678,14 @@ object Dedup {
       min(seededHash(col("h"), abc)).as(s"mh_$i")
     }
     val sigs = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // pinned (round 18): the a-side and b-side verify joins below each
+    // embed this collect_set aggregation — without the pin it ran
+    // twice per query (exchange reuse across differently-named aliases
+    // is not guaranteed). Doc-cardinality rows, same posture as the
+    // `hashed` checkpoint above.
     val hsets = hashed.groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("hs"))
+      .localCheckpoint(false)
     // band hash packs the band's mins exactly (each min < p): mh0*p + mh1
     val bandCols = (0 until bands).map { bIdx =>
       val bh = (0 until rows).map(r => col(s"mh_${bIdx * rows + r}"))
@@ -696,6 +702,10 @@ object Dedup {
       .withColumn("__n", count(lit(1)).over(bucketW))
       .where(col("__n") <= maxBucket)
       .drop("__n")
+      // pinned (round 18): both self-join sides embed the 64-aggregate
+      // signature groupBy — without the pin it ran twice per query.
+      // `bands` narrow rows per doc.
+      .localCheckpoint(false)
     val l = guarded.select(col("band"), col("bh"), col("doc_id").as("a"))
     val r = guarded.select(col("band"), col("bh"), col("doc_id").as("b"))
     val candidates = l.join(r, Seq("band", "bh")).where(col("a") < col("b"))
@@ -765,6 +775,10 @@ object Dedup {
       .withColumn("__n", count(lit(1)).over(bucketW))
       .where(col("__n") <= maxBucket)
       .drop("__n")
+      // pinned (round 18): both self-join sides embed the 64-aggregate
+      // signature groupBy — without the pin it ran twice per query.
+      // `bands` narrow rows per doc.
+      .localCheckpoint(false)
     val l = guarded.select(col("band"), col("bh"), col("doc_id").as("a"))
     val r = guarded.select(col("band"), col("bh"), col("doc_id").as("b"))
     val candidates = l.join(r, Seq("band", "bh")).where(col("a") < col("b"))
@@ -929,6 +943,11 @@ object Dedup {
       .withColumn("__n", count(lit(1)).over(bucketW))
       .where(col("__n") <= maxBucket)
       .drop("__n")
+      // pinned (round 18): both self-join sides embed this subtree —
+      // without the pin the upstream hashing + bucket-guard window ran
+      // twice per query (exchange reuse across differently-projected
+      // aliases is not guaranteed). 4 narrow rows per doc.
+      .localCheckpoint(false)
     val l = guarded.select(col("blk"), col("key"), col("doc_id").as("a"), col("simhash").as("sa"))
     val r = guarded.select(col("blk"), col("key"), col("doc_id").as("b"), col("simhash").as("sb"))
     l.join(r, Seq("blk", "key")).where(col("a") < col("b"))

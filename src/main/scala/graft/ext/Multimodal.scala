@@ -329,6 +329,12 @@ object Multimodal {
       .withColumn("__n", count(lit(1)).over(bucketW))
       .where(col("__n") <= maxBucket)
       .drop("__n")
+      // pinned (round 18): both self-join sides embed this subtree —
+      // without the pin the payload frame-hashing + bucket-guard window
+      // ran twice per query (exchange reuse across differently-
+      // projected aliases is not guaranteed). ≤4·maxFrames narrow rows
+      // per video.
+      .localCheckpoint(false)
     val l = guarded.select(col("frame_idx"), col("blk"), col("key"),
       col("media_id").as("a"), col("phash").as("sa"))
     val r = guarded.select(col("frame_idx"), col("blk"), col("key"),
@@ -747,12 +753,18 @@ object Multimodal {
     val bandExpr = (1 until nBands)
       .map(i => s"(CASE WHEN c >= ${starts(i)} THEN 1 ELSE 0 END)")
       .foldLeft("0")((a, b) => s"$a + $b")
-    // per-(media, band) level vector, window order pinned by sort_array
+    // per-(media, band) level vector, window order pinned by sort_array.
+    // Pinned once (round 18): the per-band slices below embed this
+    // groupBy under EVERY union arm — nBands exact + nBands probe
+    // slices re-ran the profile aggregation ~8-10× per query
+    // (StageProbe: five identical scan+agg stages inside one x256
+    // execution). The pinned frame is (media, band)-cardinality.
     val banded = prof
       .withColumn("band", expr(s"CAST($bandExpr AS INT)"))
       .groupBy(col("media_id"), col("band"))
       .agg(expr("transform(sort_array(collect_list(struct(c, q))), s -> s.q)")
         .as("qs"))
+      .localCheckpoint(false)
     // composite exact key: levels are energy DIV quantum <= 1020, +2
     // shifts the -1 probe non-negative; base 4096 keeps a 4-window
     // band inside 2^48

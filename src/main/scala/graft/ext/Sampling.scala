@@ -325,7 +325,7 @@ object Sampling {
     require(scale >= 1, s"scale must be positive, got $scale")
     // Spread: the bigram explode off a possibly 1-2-row-group scan
     // (x87 ran at 3.9 cores at sf1)
-    val dp = Spread.toClusterWidth(docs)
+    val dp = Spread.toClusterWidth(docs, expansion = 100L)
       .select(id.as("doc_id"), inTarget.cast("boolean").as("in_t"),
         split(trim(text), "\\s+").as("t"))
       .where(size(col("t")) >= 2)

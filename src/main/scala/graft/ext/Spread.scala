@@ -40,6 +40,17 @@ object Spread {
   /** Spread `df` to the cluster's parallelism when its scan is
     * under-split (see object doc).
     *
+    * `expansion` (round 18): the caller-declared downstream
+    * row-multiplication factor, compared against the gate as
+    * `bytes × expansion`. The 2 MB gate was measured on consumers whose
+    * per-row downstream cost is ~1× the scanned row (multimodal decode)
+    * — but the shingle-explode family multiplies rows ~100× (one row
+    * per word), so a 0.6 MB under-split corpus still generates multiple
+    * CPU-seconds of downstream work on 1–2 cores (x66 measured 4.5
+    * CPU-s on ≤2 cores at sf0.1 with the bare gate). The factor is a
+    * property of the OPERATOR (shingles/doc ≈ words/doc), not a box
+    * tune; consumers without row multiplication keep the default 1.
+    *
     * ORDER WARNING: the spread is a round-robin `repartition()`, which
     * destroys any row order `df` carried — every current caller feeds
     * an aggregation or join (order-free by definition); an
@@ -54,9 +65,10 @@ object Spread {
     * across warm/timed bench runs. Safe to memoize: inputs are
     * immutable for a session ([[graft.Tables]] contract), so a scan's
     * split count can't change under the cache. */
-  def toClusterWidth(df: DataFrame): DataFrame = {
+  def toClusterWidth(df: DataFrame, expansion: Long = 1L): DataFrame = {
+    require(expansion >= 1, s"expansion=$expansion must be >= 1")
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < MinSpreadBytes) return df
+    if (bytes * expansion < MinSpreadBytes) return df
     val par = df.sparkSession.sparkContext.defaultParallelism
     val parts = CorpusProps.memo(df, "scanPartitions")(df.rdd.getNumPartitions)
     if (parts < par) df.repartition(par) else df

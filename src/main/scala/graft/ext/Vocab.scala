@@ -152,7 +152,7 @@ object Vocab {
     require(scale >= 1, s"scale must be positive, got $scale")
     // Spread: the bigram explode multiplies rows ~100x off a possibly
     // 1-2-row-group scan (x81 ran at 3.6 cores at sf1)
-    val toks = Spread.toClusterWidth(docs)
+    val toks = Spread.toClusterWidth(docs, expansion = 100L)
       .select(id.as("doc_id"), split(trim(text), "\\s+").as("t"))
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
@@ -226,7 +226,7 @@ object Vocab {
     require(window >= 1 && k >= 1, s"cooccurTopK(window=$window, k=$k)")
     // Spread: the windowed pair explode is ~window x tokens per doc
     // (x114 ran at 1.2 cores at sf1 off a 1-row-group scan)
-    val pairs = Spread.toClusterWidth(docs)
+    val pairs = Spread.toClusterWidth(docs, expansion = 100L)
       .select(when(length(trim(text)) === 0, array().cast("array<string>"))
         .otherwise(split(trim(text), "\\s+")).as("w"))
       .select(explode(when(size(col("w")) >= 2,

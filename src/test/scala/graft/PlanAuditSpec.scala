@@ -1486,8 +1486,12 @@ class PlanAuditSpec2 extends SparkSpec {
     val finalP = p.split("== Initial Plan ==")(0)
     assert(!finalP.contains("CartesianProduct"), p)
     assert(!finalP.contains("BroadcastNestedLoopJoin"), p)
-    // the maxBucket hot-bucket guard window survives into the audit
-    assert(finalP.contains("Window"), p)
+    // the maxBucket hot-bucket guard window sits BEHIND the banded-side
+    // checkpoint since round 18 (the self-join consumed the guarded
+    // frame twice, so it is pinned once); the terminal plan reads the
+    // pinned scan — the guard behavior itself is value-pinned in
+    // DedupSpec's bucket-cap tests
+    assert(finalP.contains("Scan ExistingRDD"), p)
   }
 
   test("x195: ppr iterations reference checkpoints; the seed-count crossjoin never re-runs") {

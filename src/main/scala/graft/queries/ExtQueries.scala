@@ -3607,6 +3607,11 @@ object ExtQueries {
     val us = fp.join(kept, Seq("fp"))
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select("fp", "source").distinct()
+      // pinned (round 18): both self-join sides embed the df-cap join +
+      // distinct — without the pin that subtree ran twice per query
+      // (the sf1 wall doubled under it on a starved window). (fp,
+      // source)-cardinality rows.
+      .localCheckpoint(false)
     us.select(col("fp"), col("source").as("source_a"))
       .join(us.select(col("fp"), col("source").as("source_b")), Seq("fp"))
       .where(col("source_a") < col("source_b"))
